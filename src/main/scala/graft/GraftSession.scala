@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Scale notes (the same builder is what a cluster deployment would use,
+  * minus `master`):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join
+  *    handling replace hand-tuned partition counts at 100 TB.
+  *  - shuffle.partitions is a *starting* value; AQE
+  *    (`advisoryPartitionSizeInBytes`) re-splits at runtime.
+  *  - UTC session timezone: the reference stores UTC timestamps
+  *    (reference: app/parser.js:6-11), and the DuckDB oracle compares
+  *    wall-clock values.
+  */
+object GraftSession {
+  def builder(cores: String): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Create (or reuse) the session and register the engine's SQL surface
+    * (ClickHouse-compatible function aliases) so the reference's
+    * documented SQL runs near-verbatim through `spark.sql`.
+    */
+  def getOrCreate(cores: String = "32"): SparkSession = {
+    val spark = builder(cores).getOrCreate()
+    functions.ChCompat.registerAll(spark)
+    spark
+  }
+}

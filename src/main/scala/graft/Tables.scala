@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * Every loader takes the scale-factor directory so the same code runs at
+  * sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench) — and, unchanged, on
+  * a cluster path at full scale. Reads are plain parquet scans: Catalyst
+  * handles column pruning + predicate pushdown, so loaders never
+  * pre-select columns.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` works against the
+    * full surface (reference's documented POST /query endpoint — SURVEY
+    * B21, reference: README.md:72).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

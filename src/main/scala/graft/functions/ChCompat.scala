@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** ClickHouse-compatible SQL function aliases (SURVEY §2C).
+  *
+  * The reference's documented analytical SQL (reference: README.md:88-129)
+  * and its internally-issued queries (reference:
+  * app/service/log_importer_status_checker.ts:23-26,
+  * app/service/gitee_importer.ts:110-114) use a handful of ClickHouse
+  * built-ins. Each alias here maps 1:1 onto an existing *codegen'd*
+  * Catalyst expression — no UDF in the path, so whole-stage codegen and
+  * constant folding still apply. Registered per-session via
+  * [[registerAll]]; after that the reference SQL runs near-verbatim
+  * through `spark.sql`.
+  */
+object ChCompat {
+
+  /** Splits a JSON array text into the raw JSON text of its elements —
+    * ClickHouse `JSONExtractArrayRaw` (reference: README.md:98). Kept as
+    * an interpreted expression (compat shim, not a hot-path operator); in
+    * our data model Nested columns are already `array<struct>` so the
+    * idiomatic form is `explode(col)` and this function only serves
+    * verbatim-SQL compatibility.
+    */
+  case class JsonExtractArrayRaw(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType)
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.toString.trim
+      if (!s.startsWith("[") || !s.endsWith("]")) null
+      else {
+        val body = s.substring(1, s.length - 1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.unsafe.types.UTF8String]
+        var depth = 0; var inStr = false; var esc = false
+        val cur = new StringBuilder
+        def flush(): Unit = {
+          val t = cur.toString.trim
+          if (t.nonEmpty) out += org.apache.spark.unsafe.types.UTF8String.fromString(t)
+          cur.clear()
+        }
+        body.foreach { c =>
+          if (esc) { cur += c; esc = false }
+          else if (inStr) { cur += c; if (c == '\\') esc = true else if (c == '"') inStr = false }
+          else c match {
+            case '"' => cur += c; inStr = true
+            case '[' | '{' => depth += 1; cur += c
+            case ']' | '}' => depth -= 1; cur += c
+            case ',' if depth == 0 => flush()
+            case _ => cur += c
+          }
+        }
+        flush()
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  private def fmtInt(e: Expression, fmt: String): Expression =
+    Cast(DateFormatClass(e, Literal(fmt)), IntegerType)
+  private def fmtLong(e: Expression, fmt: String): Expression =
+    Cast(DateFormatClass(e, Literal(fmt)), LongType)
+
+  /** name -> expression builder; analyzer applies implicit type coercion
+    * and wraps aggregate functions, exactly as for built-ins.
+    */
+  val builders: Map[String, Seq[Expression] => Expression] = Map(
+    "toYYYYMM" -> (es => fmtInt(es.head, "yyyyMM")),
+    "toYYYYMMDD" -> (es => fmtInt(es.head, "yyyyMMdd")),
+    "toYYYYMMDDhhmmss" -> (es => fmtLong(es.head, "yyyyMMddHHmmss")),
+    "toYear" -> (es => Year(Cast(es.head, DateType))),
+    "toMonth" -> (es => Month(Cast(es.head, DateType))),
+    "toHour" -> (es => Hour(es.head)),
+    "toStartOfMonth" -> (es => TruncDate(Cast(es.head, DateType), Literal("month"))),
+    "toDate" -> (es => Cast(es.head, DateType)),
+    "toUInt32" -> (es => Cast(es.head, IntegerType)),
+    "toUInt64" -> (es => Cast(es.head, LongType)),
+    "toString" -> (es => Cast(es.head, StringType)),
+    "argMin" -> (es => MinBy(es(0), es(1))),
+    "argMax" -> (es => MaxBy(es(0), es(1))),
+    "JSONExtractString" -> (es =>
+      GetJsonObject(es(0), Concat(Seq(Literal("$."), es(1))))),
+    "JSONExtractInt" -> (es =>
+      Cast(GetJsonObject(es(0), Concat(Seq(Literal("$."), es(1)))), LongType)),
+    "JSONExtractArrayRaw" -> (es => JsonExtractArrayRaw(es.head)),
+    "arrayJoin" -> (es => Explode(es.head)),
+    "countIf" -> (es =>
+      aggregate.Sum(If(es.head, Literal(1L), Literal(0L)))),
+    "intDiv" -> (es => IntegralDivide(es(0), es(1), evalMode = EvalMode.LEGACY)),
+  )
+
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "builtin")
+    }
+
+  // Column-API forms for Scala callers.
+  def toYYYYMM(c: Column): Column =
+    ColumnBridge.column(fmtInt(ColumnBridge.expression(c), "yyyyMM"))
+  def toYYYYMMDDhhmmss(c: Column): Column =
+    ColumnBridge.column(fmtLong(ColumnBridge.expression(c), "yyyyMMddHHmmss"))
+  def argMin(value: Column, ord: Column): Column =
+    org.apache.spark.sql.functions.min_by(value, ord)
+  def argMax(value: Column, ord: Column): Column =
+    org.apache.spark.sql.functions.max_by(value, ord)
+}

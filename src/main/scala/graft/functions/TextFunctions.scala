@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for the training-data pipeline: tokenization,
+  * n-gram-heuristic language ID, quality scoring, token counting,
+  * document fingerprinting.
+  *
+  * All column-level (codegen'd) with deterministic arithmetic: integer
+  * counts plus IEEE-exact double division, so results are reproducible
+  * against an external oracle. Each works as a map-only pass at 100 TB
+  * (language ID is a broadcast join against a tiny stopword table).
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens (split on whitespace; trimmed first so no
+    * empty edge tokens — matches the oracle's tokenization exactly).
+    */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Distinct lowercased word set. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Stopword lists that drive the n-gram-heuristic language detector.
+    * Tiny on purpose: the detector's mechanics (tokenize → match →
+    * score → argmax), not lexicon completeness, are the operator.
+    */
+  val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "to", "en" -> "a",
+    "en" -> "in", "en" -> "is", "en" -> "it",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "y", "es" -> "que",
+    "es" -> "los", "es" -> "un", "es" -> "es",
+    "fr" -> "le", "fr" -> "la", "fr" -> "de", "fr" -> "et", "fr" -> "les",
+    "fr" -> "des", "fr" -> "un", "fr" -> "est",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das", "de" -> "ist",
+    "de" -> "von", "de" -> "den", "de" -> "ein",
+    "zh" -> "de5", "zh" -> "shi4", "zh" -> "le5", "zh" -> "zai4", "zh" -> "he2")
+
+  /** Predicted language per document: count stopword hits per language,
+    * keep the best (ties → lexicographically first language); documents
+    * with no hit get "und". Broadcast join against the stopword table —
+    * map-side only at scale.
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sw = broadcast(stopwords.toDF("sw_lang", "sw_word"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("hits").desc, col("sw_lang").asc)
+    val best = docs
+      // count occurrences (not distinct): every token instance votes
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .join(sw, col("tok") === col("sw_word"))
+      .groupBy(col(idCol), col("sw_lang"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("sw_lang").as("hit_lang"))
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("hit_lang"), lit("und")).as("pred_lang"))
+  }
+
+  /** Quality features + a composite score.
+    * Columns: n_chars, n_tokens, avg_token_len, stopword_ratio,
+    * punct_ratio, quality_score (all deterministic arithmetic).
+    */
+  def qualityFeatures(text: Column): Seq[Column] = {
+    val nChars = length(text)
+    val toks = tokens(text)
+    val nToks = size(toks)
+    val enStop = stopwords.filter(_._1 == "en").map(_._2)
+    val stopHits = size(filter(toks, t => t.isin(enStop.map(lit): _*)))
+    val punct = nChars - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    val avgTokLen =
+      when(nToks === 0, lit(0.0))
+        .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double")
+          / nToks.cast("double"))
+    val stopRatio = when(nToks === 0, lit(0.0))
+      .otherwise(stopHits.cast("double") / nToks.cast("double"))
+    val punctRatio = when(nChars === 0, lit(0.0))
+      .otherwise(punct.cast("double") / nChars.cast("double"))
+    val score = round(
+      lit(0.5) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio)
+        + lit(0.2) * least(avgTokLen / lit(10.0), lit(1.0)), 4)
+    Seq(nChars.cast("long").as("n_chars_m"), nToks.cast("long").as("n_tokens"),
+      round(avgTokLen, 4).as("avg_token_len"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(punctRatio, 4).as("punct_ratio"), score.as("quality_score"))
+  }
+
+  /** Whitespace token count + a BPE-style estimate (ceil(chars/4) — the
+    * published ~4-chars-per-token heuristic), in pure integer math.
+    */
+  def tokenCounts(text: Column): Seq[Column] = Seq(
+    size(tokens(text)).cast("long").as("ws_tokens"),
+    floor((length(text) + lit(3)) / lit(4.0)).cast("long").as("bpe_est_tokens"))
+
+  /** Canonical document fingerprint: md5 of the
+    * whitespace-normalized, lowercased text.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

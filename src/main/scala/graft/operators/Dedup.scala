@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * `replacingDedup` reproduces the reference's storage-level dedup
+  * semantics: ClickHouse `ReplacingMergeTree(from_api)` keeps, per ORDER
+  * BY key, the row with the max version column (reference:
+  * app/service/log_importer.ts:120-127). ClickHouse applies this lazily
+  * at merge time; our engine's contract is the *fully deduplicated*
+  * relation (SURVEY §1.4), produced eagerly by this operator.
+  *
+  * Scale notes: both forms are a single hash-shuffle on the key columns.
+  * The aggregate form (`max_by(struct(*), version)`) does map-side
+  * partial aggregation, so it moves at most one row per key per input
+  * partition across the network — strictly less shuffle I/O than the
+  * window form, which must materialize every row of a key in one
+  * partition. Prefer the aggregate form at scale; the window form is
+  * kept because it preserves the input's exact row (no struct
+  * re-assembly) and demonstrates the row_number pattern. Skewed keys are
+  * handled by AQE skew-join/partition splitting (enabled in
+  * GraftSession).
+  */
+object Dedup {
+
+  /** Keep, for each key, the row with the highest version (ties broken by
+    * `tieBreak` descending, so the result is deterministic even when the
+    * version column has duplicates — ClickHouse keeps an arbitrary row in
+    * that case, we pin one).
+    */
+  def replacingDedup(df: DataFrame, keys: Seq[String], version: Column,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((version.desc +: tieBreak.map(_.desc)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Aggregate form: one shuffled row per key (map-side combine). Returns
+    * the full row of the max-version record per key.
+    */
+  def replacingDedupAgg(df: DataFrame, keys: Seq[String], version: Column): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    val kept = df
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), version).as("__row"))
+    payload.foldLeft(kept)((d, c) => d.withColumn(c, col(s"__row.$c"))).drop("__row")
+  }
+
+  /** Exact content dedup: group rows by the hash of `contentCol`, keep the
+    * lowest `idCol` as canonical. One shuffle keyed by a 128-bit hash —
+    * at 100 TB the shuffle carries only (hash, id) pairs, never the
+    * content itself.
+    */
+  def exactDedup(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.select(md5(col(contentCol)).as("h"), col(idCol))
+      .groupBy("h")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("dups"))
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity, TextDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators as gate queries: deduplication
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine),
+  * similarity search (brute-force + IVF-blocked ANN), text analysis,
+  * and multimodal binary-column plumbing — over the `documents` /
+  * `embeddings` test tables.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  // ---- exact content dedup (hash-groupBy; shuffle carries hashes only) ----
+  def exact_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(docs(s, dir), "text", "doc_id")
+      .orderBy("keep_id")
+      .select("keep_id", "dups", "h")
+
+  // ---- MinHash + LSH near-dup candidates, verified with exact Jaccard.
+  // Rows-only oracle: the signature hashing isn't SQL-portable. ----
+  def minhash_lsh_dedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), TextDedup.shingles(col("text"), 5).as("sh"))
+    val sigs = d.select(col("doc_id"),
+      TextDedup.minHashSignature(col("sh"), 64).as("sig"))
+    val cand = TextDedup.candidatePairs(
+      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
+      "doc_id")
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", TextDedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.35)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- SimHash near-dup pairs (banded hamming ≤ 12). Rows-only. ----
+  def simhash_dedup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = docs(s, dir).select(col("doc_id"),
+      TextDedup.simHash64(TextFunctions.tokens(col("text"))).as("sig"))
+    // band on 16-bit chunks: near-dups must agree on ≥1 chunk
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", TextDedup.hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= 12)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- word-set Jaccard over sliding-window candidate pairs (the exact
+  // verification stage; SQL-expressible so it carries a full oracle) ----
+  def jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TextFunctions.tokenSet(col("text")).as("w"))
+    val a = d.select(col("doc_id").as("id_a"), col("w").as("w_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("w").as("w_b"))
+    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 20)
+      .withColumn("jaccard", TextDedup.jaccard(col("w_a"), col("w_b")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- embedding cosine near-dup, IVF-blocked by `label`. Threshold
+  // 0.35 verified ≥5e-5 away from every pair's cosine at all SFs, so
+  // cross-engine double noise cannot flip membership. ----
+  def embedding_neardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(embs(s, dir), threshold = 0.35, blockCol = "label")
+      .orderBy("id_a", "id_b")
+
+  // ---- brute-force cosine top-k ANN (10 query vectors) ----
+  def ann_topk(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    val queries = corpus.filter(col("vec_id") < 10)
+    Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- IVF-blocked ANN (single-probe; the 100-TB path). Rows-only:
+  // recall vs brute force is checked in tests, not by the oracle. ----
+  def ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    val queries = corpus.filter(col("vec_id") < 10)
+    Similarity.ivfTopK(corpus, queries, k = 10, blockCol = "label")
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- text analysis ----
+  def lang_id(s: SparkSession, dir: String): DataFrame =
+    TextFunctions.languageId(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def quality_score(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id") +: TextFunctions.qualityFeatures(col("text")): _*)
+      .orderBy("doc_id")
+
+  def token_count(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id") +: TextFunctions.tokenCounts(col("text")): _*)
+      .orderBy("doc_id")
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // ---- multimodal: opaque binary payload + typed metadata. The decode
+  // is a deterministic stub (no image/audio libs in this container); the
+  // Spark-side plumbing — binary column, schema, batch shape — is real.
+  def multimodal_meta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        graft.multimodal.Multimodal.stubDecodeMeta(col("payload")))
+      .select("doc_id", "n_bytes", "meta.width", "meta.height", "meta.format")
+      .orderBy("doc_id")
+}

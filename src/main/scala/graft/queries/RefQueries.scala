@@ -1,0 +1,243 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.ChCompat
+import graft.operators.Dedup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's relational query surface (SURVEY §2B, B1–B21)
+  * re-expressed over the driver's test tables.
+  *
+  * Determinism rules used throughout (oracle = DuckDB on the same
+  * parquet):
+  *  - every query ends in an explicit ORDER BY with a unique tie-break;
+  *  - double aggregates go through DECIMAL so partial-aggregation order
+  *    cannot change the result, then back to double;
+  *  - outer-join count columns are coalesced to 0 (the reference's
+  *    ClickHouse yields 0 for non-Nullable misses — SURVEY B16).
+  */
+object RefQueries {
+
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  /** sum(decimal-cast) returned as double: bit-deterministic across
+    * engines regardless of aggregation order.
+    */
+  private def dsum(c: Column, prec: Int = 18, scale: Int = 6): Column =
+    sum(c.cast(s"decimal($prec,$scale)")).cast("double")
+
+  private val monthKey: Column => Column =
+    ts => date_format(ts, "yyyyMM").cast("int")
+  private val hourKey: Column => Column =
+    ts => date_format(ts, "yyyyMMddHH").cast("long")
+
+  // ---- B3: full-table COUNT(*) (Q-count, reference: README.md:88) ----
+  def count_star(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).agg(count(lit(1)).as("cnt"))
+
+  // ---- B1/B2: predicate scan + projection/aliasing ----
+  def filter_project(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 100.0)
+      .select(col("event_id"), col("user_id"), col("value").as("amount"))
+      .orderBy("event_id")
+
+  // ---- B4/B10/B11/B17: JSON extract + group + top-K
+  // (Q-labels shape, reference: README.md:96-102) ----
+  def topk_json_key(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type") === "purchase" || col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("k").asc)
+      .limit(20)
+
+  // ---- B4/B5: multi-agg GROUP BY ----
+  def group_agg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), min("ts").as("min_ts"),
+        dsum(col("value"), 12, 2).as("sum_value"))
+      .orderBy("event_type")
+
+  // ---- B6: argMin/argMax (reference: app/service/gitee_importer.ts:113) ----
+  def arg_min_max(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(min_by(col("event_id"), col("ts")).as("first_id"),
+        max_by(col("event_id"), col("ts")).as("last_id"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  // ---- B7/B8/B9/B15/B16/B17: the weighted-activity query
+  // (Q-activity shape, reference: README.md:109-129). Five typed count
+  // subqueries LEFT-JOINed on a composite key, null-safe weighted sum,
+  // sqrt, per-user rollup, global top-20. ----
+  def activity(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int") % 10)
+    def typed(t: String, name: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .groupBy("user_id", "k").agg(count(lit(1)).as(name))
+    val base = typed("click", "n_click")
+    val joined = Seq(
+      typed("view", "n_view"), typed("signup", "n_signup"),
+      typed("error", "n_error"), typed("purchase", "n_purchase"))
+      .foldLeft(base)((l, r) => l.join(r, Seq("user_id", "k"), "left"))
+    joined
+      .withColumn("score",
+        col("n_click") + lit(2) * coalesce(col("n_view"), lit(0L))
+          + lit(3) * coalesce(col("n_signup"), lit(0L))
+          + lit(4) * coalesce(col("n_error"), lit(0L))
+          + lit(5) * coalesce(col("n_purchase"), lit(0L)))
+      .groupBy("user_id")
+      .agg(round(sum(sqrt(col("score"))), 2).as("activity"))
+      .orderBy(col("activity").desc, col("user_id").asc)
+      .limit(20)
+  }
+
+  // ---- B12/B14: NOT IN (subquery) anti-join over hour buckets
+  // (Q-status shape, reference: log_importer_status_checker.ts:23-26) ----
+  def status_anti_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val allHours = ev.select(hourKey(col("ts")).as("h")).distinct()
+    val errorHours = ev.filter(col("event_type") === "error")
+      .select(hourKey(col("ts")).as("h")).distinct()
+    allHours.join(errorHours, Seq("h"), "left_anti").orderBy("h")
+  }
+
+  // ---- B13: incremental watermarks + dim LEFT JOIN
+  // (Q-gitee-watermarks shape, reference: gitee_importer.ts:110-114) ----
+  def watermarks(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    ev.groupBy("user_id")
+      .agg(min("ts").as("min_ed"),
+        min_by(col("event_id"), col("ts")).as("first_id"),
+        max_by(col("event_id"), col("ts")).as("last_id"))
+      .join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+      .select(col("user_id"), col("c_name").as("name"), col("min_ed"),
+        col("first_id"), col("last_id"))
+      .orderBy("user_id")
+  }
+
+  // ---- B18: ReplacingMergeTree dedup via the reusable operator ----
+  def dedup_replacing(s: SparkSession, dir: String): DataFrame =
+    Dedup.replacingDedup(
+        events(s, dir).withColumn("month_key", monthKey(col("ts"))),
+        Seq("user_id", "event_type", "month_key"), col("event_id"))
+      .select(col("user_id"), col("event_type"), col("month_key"),
+        col("event_id").as("kept_id"), col("value").as("kept_value"))
+      .orderBy("user_id", "event_type", "month_key")
+
+  // ---- B14: month-partition rollup (the PARTITION BY toYYYYMM key) ----
+  def month_rollup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(monthKey(col("ts")).as("month_key"))
+      .agg(count(lit(1)).as("cnt"), countDistinct("user_id").as("users"))
+      .orderBy("month_key")
+
+  // ---- TPC-H Q1 shape: heavy scan + multi-agg (B4/B15) ----
+  def tpch_q1(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity"), 12, 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 18, 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---- TPC-H Q3 shape: 3-way join + top-K revenue (B8/B17) ----
+  def tpch_q3(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "revenue", "o_orderdate")
+  }
+
+  // ---- B8: broadcast dim-chain join with LEFT JOIN + count-non-null ----
+  def dim_join(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region")
+    val nation = Tables.load(s, dir, "nation")
+    val supplier = Tables.load(s, dir, "supplier")
+    broadcast(region)
+      .join(broadcast(nation), col("n_regionkey") === col("r_regionkey"))
+      .join(supplier, col("s_nationkey") === col("n_nationkey"), "left")
+      .groupBy("r_name", "n_name")
+      .agg(count(col("s_suppkey")).as("suppliers"),
+        coalesce(dsum(col("s_acctbal"), 12, 2), lit(0.0)).as("total_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // ---- B21 + §2C: ClickHouse-dialect SQL through spark.sql with the
+  // compat function registry (toYYYYMM / countIf run verbatim) ----
+  def ch_sql_passthrough(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql("""
+      SELECT toYYYYMM(ts) AS month_key,
+             countIf(event_type = 'error') AS errors,
+             count(*) AS cnt
+      FROM events
+      GROUP BY toYYYYMM(ts)
+      ORDER BY month_key""")
+  }
+
+  // ---- B10/B11 compat: arrayJoin + JSONExtract* run verbatim ----
+  def ch_sql_arrayjoin(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql("""
+      SELECT k, count(*) AS cnt
+      FROM (SELECT JSONExtractInt(
+              arrayJoin(JSONExtractArrayRaw(concat('[', props, ']'))),
+              'k') AS k
+            FROM events)
+      GROUP BY k
+      ORDER BY k""")
+  }
+
+  // ---- B19: schema introspection (GET /query/db_schema shape) ----
+  def db_schema(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir).schema.fields
+      .map(f => (f.name, f.dataType.sql)).toSeq
+      .toDF("column_name", "data_type")
+  }
+
+  // ---- A26/A27 analogues: graph node/edge consolidation (argMax LWW) ----
+  def graph_nodes(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphProjection.consolidate(
+        events(s, dir).withColumnRenamed("user_id", "node_id"),
+        Seq("node_id"), col("ts"), Seq("event_type"))
+      .select(col("node_id"), col("event_type").as("last_type"),
+        col("updated_at"), col("degree"))
+      .orderBy("node_id")
+
+  def graph_edges(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphProjection.consolidate(
+        events(s, dir)
+          .withColumn("src", col("user_id"))
+          .withColumn("dst", get_json_object(col("props"), "$.k").cast("int") % 10),
+        Seq("src", "dst"), col("ts"), Seq("event_type"))
+      .select(col("src"), col("dst"), col("event_type").as("last_type"),
+        col("updated_at"), col("degree").as("weight"))
+      .orderBy("src", "dst")
+}
