@@ -98,7 +98,7 @@ object ChCompat {
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "builtin")
+        .createOrReplaceTempFunction(name, b, "built-in")
     }
 
   // Column-API forms for Scala callers.
