@@ -254,11 +254,11 @@ object SparkEntry {
                   ELSE CAST(punct AS DOUBLE)/n_chars_m END AS punct_r
            FROM f)
          SELECT doc_id, n_chars_m, n_tokens,
-                round(avg_tl,4) AS avg_token_len,
-                round(stop_r,4) AS stopword_ratio,
-                round(punct_r,4) AS punct_ratio,
-                round(0.5*stop_r + 0.3*(1.0-punct_r)
-                      + 0.2*least(avg_tl/10.0, 1.0), 4) AS quality_score
+                CAST(round(CAST(avg_tl AS DECIMAL(20,10)),4) AS DOUBLE) AS avg_token_len,
+                CAST(round(CAST(stop_r AS DECIMAL(20,10)),4) AS DOUBLE) AS stopword_ratio,
+                CAST(round(CAST(punct_r AS DECIMAL(20,10)),4) AS DOUBLE) AS punct_ratio,
+                CAST(round(CAST(0.5*stop_r + 0.3*(1.0-punct_r)
+                      + 0.2*least(avg_tl/10.0, 1.0) AS DECIMAL(20,10)), 4) AS DOUBLE) AS quality_score
          FROM g ORDER BY doc_id""",
 
     "t03_token_count" ->

@@ -82,13 +82,17 @@ object TextFunctions {
       .otherwise(stopHits.cast("double") / nToks.cast("double"))
     val punctRatio = when(nChars === 0, lit(0.0))
       .otherwise(punct.cast("double") / nChars.cast("double"))
-    val score = round(
+    // Doubles sitting exactly on a .5 rounding boundary diverge between
+    // engines; routing through DECIMAL makes half-up rounding exact and
+    // identical on both sides (the oracle SQL does the same).
+    def r4(c: Column): Column = round(c.cast("decimal(20,10)"), 4).cast("double")
+    val score = r4(
       lit(0.5) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio)
-        + lit(0.2) * least(avgTokLen / lit(10.0), lit(1.0)), 4)
+        + lit(0.2) * least(avgTokLen / lit(10.0), lit(1.0)))
     Seq(nChars.cast("long").as("n_chars_m"), nToks.cast("long").as("n_tokens"),
-      round(avgTokLen, 4).as("avg_token_len"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(punctRatio, 4).as("punct_ratio"), score.as("quality_score"))
+      r4(avgTokLen).as("avg_token_len"),
+      r4(stopRatio).as("stopword_ratio"),
+      r4(punctRatio).as("punct_ratio"), score.as("quality_score"))
   }
 
   /** Whitespace token count + a BPE-style estimate (ceil(chars/4) — the

@@ -200,16 +200,18 @@ object RefQueries {
       ORDER BY month_key""")
   }
 
-  // ---- B10/B11 compat: arrayJoin + JSONExtract* run verbatim ----
+  // ---- B10/B11 compat: arrayJoin + JSONExtract* run verbatim.
+  // Spark generators must sit at the top of a SELECT item (ClickHouse
+  // lets arrayJoin nest anywhere), so the unnest gets its own derived
+  // table — the CH functions themselves still run unmodified. ----
   def ch_sql_arrayjoin(s: SparkSession, dir: String): DataFrame = {
     ChCompat.registerAll(s)
     Tables.load(s, dir, "events").createOrReplaceTempView("events")
     s.sql("""
       SELECT k, count(*) AS cnt
-      FROM (SELECT JSONExtractInt(
-              arrayJoin(JSONExtractArrayRaw(concat('[', props, ']'))),
-              'k') AS k
-            FROM events)
+      FROM (SELECT JSONExtractInt(j, 'k') AS k
+            FROM (SELECT arrayJoin(JSONExtractArrayRaw(concat('[', props, ']'))) AS j
+                  FROM events))
       GROUP BY k
       ORDER BY k""")
   }
