@@ -1,0 +1,95 @@
+package graft.ingest
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The events-table storage layout and Replacing write path — the Spark
+  * equivalent of the reference's table engine
+  * (`ReplacingMergeTree(from_api) PARTITION BY toYYYYMM(created_at)
+  * ORDER BY (...)`, reference: app/service/log_importer.ts:120-127).
+  *
+  * Layout choices and their 100-TB rationale:
+  *  - Hive-style `month_key=YYYYMM` partitions → partition pruning for
+  *    any `created_at` range predicate (the ClickHouse PARTITION BY
+  *    analogue, free in Spark's file index).
+  *  - `sortWithinPartitions(orderByKey)` before write → Parquet
+  *    row-group min/max stats on the key columns act like the sparse
+  *    primary index (index_granularity analogue; SURVEY §4): point
+  *    lookups on platform/repo/actor skip row groups.
+  *  - Replacing semantics are applied eagerly per write ([[merge]]):
+  *    the stored relation is always fully deduplicated, which is the
+  *    documented divergence from ClickHouse's lazy merge (SURVEY §1.4)
+  *    — queries here never see pre-merge duplicates.
+  *  - Per-batch ingest touches only the month partitions present in
+  *    the batch (dynamic partition overwrite), so a backfill of one
+  *    hour rewrites one month, not the table.
+  */
+object EventsWriter {
+
+  val partitionCol = "month_key"
+
+  /** Dedup key = the ClickHouse ORDER BY key (EventsSchema.orderByKey);
+    * version column = from_api (API row wins over log row); event id as
+    * the deterministic tie-break (ClickHouse keeps an arbitrary row —
+    * we pin the newest id).
+    */
+  def dedup(df: DataFrame): DataFrame =
+    Dedup.replacingDedupAgg(
+      df, EventsSchema.orderByKey,
+      struct(col("from_api"), col("id")))
+
+  def withMonthKey(df: DataFrame): DataFrame =
+    df.withColumn(partitionCol, date_format(col("created_at"), "yyyyMM").cast("int"))
+
+  /** Initialize / append a batch into the partitioned events table.
+    * `overwritePartitions=true` replaces only the month partitions the
+    * batch touches (requires the batch to be the *merged* content of
+    * those partitions — see [[merge]]).
+    */
+  def write(batch: DataFrame, path: String,
+      overwritePartitions: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val keyed = withMonthKey(batch)
+    keyed
+      .repartition(col(partitionCol))
+      .sortWithinPartitions(
+        (EventsSchema.orderByKey.filterNot(_ == partitionCol) :+ "id").map(col): _*)
+      .write
+      .mode(if (overwritePartitions) SaveMode.Overwrite else SaveMode.Append)
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
+  /** Replacing merge of a new batch into an existing table: read back
+    * only the month partitions the batch touches (partition pruning),
+    * union, dedup on the ORDER BY key keeping max (from_api, id), and
+    * overwrite exactly those partitions. This is the eager equivalent
+    * of ClickHouse's merge-time dedup + the explicit
+    * `OPTIMIZE TABLE ... DEDUPLICATE` (reference:
+    * app/service/gitee_importer.ts:426).
+    */
+  def merge(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val keyedBatch = withMonthKey(batch)
+    val months = keyedBatch.select(partitionCol).distinct()
+      .collect().map(_.getInt(0))
+    val existing =
+      try {
+        val t = spark.read.parquet(path)
+        Some(t.filter(col(partitionCol).isin(months.toSeq: _*)))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val unioned = existing match {
+      case Some(old) => old.unionByName(keyedBatch)
+      case None => keyedBatch
+    }
+    write(dedup(unioned).drop(partitionCol), path, overwritePartitions = existing.isDefined)
+  }
+
+  /** Full ingest of hour files into the table (the reference's
+    * per-file import step 7, SURVEY §3.1).
+    */
+  def ingestHours(spark: SparkSession, hourFiles: Seq[String], tablePath: String): Unit =
+    merge(GhEventParser.ingest(spark, hourFiles), tablePath)
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** MinHash/SimHash/Jaccard semantics, incl. the LSH recall claim made
+  * by the d02 gate query (candidates found by banding ⊇ truly-similar
+  * pairs at the tuned threshold, on a corpus where ground truth is
+  * computable exactly).
+  */
+class TextDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("jaccard: exact set arithmetic") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(TextDedup.jaccard(col("x"), col("y"))).head.getDouble(0)
+    assert(j === 0.5) // |{b,c}| / |{a,b,c,d}|
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    assert(empty.select(TextDedup.jaccard(col("x"), col("y"))).head.getDouble(0) === 0.0)
+  }
+
+  test("hamming64 counts differing bits") {
+    val df = Seq((0L, -1L), (5L, 4L), (7L, 7L)).toDF("a", "b")
+    val h = df.select(TextDedup.hamming64(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(h === Seq(64, 1, 0))
+  }
+
+  test("minhash signature: deterministic, right length, identical for identical sets") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different sentence with other words"))
+      .toDF("id", "text")
+      .select(col("id"), TextDedup.minHashSignature(TextDedup.shingles(col("text"), 5), 32).as("sig"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L).length === 32)
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L) !== rows(3L))
+  }
+
+  test("LSH banding recall: high-similarity pairs (j >= 0.8) are all candidates") {
+    // (16 bands × 4 rows) has its 50%-capture threshold at
+    // j* = (1/16)^(1/4) = 0.5; recall is only near-certain well above
+    // it — at j = 0.8 the miss probability is (1-0.8^4)^16 ≈ 2e-4.
+    // So the recall contract this operator makes (and this test pins)
+    // is over pairs with j >= 0.8.
+    val texts = (0 until 30).flatMap { i =>
+      val base = s"document number $i with some shared content about topic ${i % 5} and more filler words here"
+      Seq((i.toLong, base), (i + 100L, base + " x"))
+    }
+    val d = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), TextDedup.shingles(col("text"), 5).as("sh"))
+      .cache()
+    // ground truth: exact all-pairs jaccard (60 docs → trivially small)
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", TextDedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    // LSH candidates with the gate query's parameters (16 bands × 4 rows)
+    val sigs = d.select(col("doc_id"), TextDedup.minHashSignature(col("sh"), 64).as("sig"))
+    val cand = TextDedup.candidatePairs(
+      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(cand),
+      s"missed pairs: ${truth.diff(cand)}")
+  }
+}
