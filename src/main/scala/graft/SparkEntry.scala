@@ -44,6 +44,7 @@ object SparkEntry {
     "r14_ch_sql" -> (RefQueries.ch_sql_passthrough _),
     "r15_ch_sql_arrayjoin" -> (RefQueries.ch_sql_arrayjoin _),
     "r16_db_schema" -> (RefQueries.db_schema _),
+    "r17_param" -> (RefQueries.param_query _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
     "d01_exact_dedup" -> (PipelineQueries.exact_dedup _),
@@ -170,6 +171,10 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
                 count(*) AS cnt
          FROM events GROUP BY k ORDER BY k""",
+
+    "r17_param" ->
+      """SELECT event_id, user_id, value AS amount FROM events
+         WHERE event_type='purchase' AND value>100.0 ORDER BY event_id""",
 
     "g01_graph_nodes" ->
       """SELECT user_id AS node_id, arg_max(event_type, ts) AS last_type,

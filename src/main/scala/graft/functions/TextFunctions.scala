@@ -39,28 +39,31 @@ object TextFunctions {
 
   /** Predicted language per document: count stopword hits per language,
     * keep the best (ties → lexicographically first language); documents
-    * with no hit get "und". Broadcast join against the stopword table —
-    * map-side only at scale.
+    * with no hit get "und".
+    *
+    * Entirely map-side: per language, hits = count of tokens in that
+    * language's (tiny, literal) stopword set; the argmax is an
+    * `array_min` over (-hits, lang) structs — lexicographic struct
+    * ordering gives max-hits with ties to the first language. No
+    * explode, no join, no window: at 100 TB this is one narrow
+    * projection over the text column. (The explode→broadcast-join→
+    * window form computed the same thing through two shuffles and a
+    * token-level row explosion.)
     */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val sw = broadcast(stopwords.toDF("sw_lang", "sw_word"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("hits").desc, col("sw_lang").asc)
-    val best = docs
+    val toks = tokens(col(textCol))
+    val langs = stopwords.map(_._1).distinct.sorted
+    val scoreRows = langs.map { lang =>
+      val words = stopwords.filter(_._1 == lang).map(_._2)
       // count occurrences (not distinct): every token instance votes
-      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .join(sw, col("tok") === col("sw_word"))
-      .groupBy(col(idCol), col("sw_lang"))
-      .agg(count(lit(1)).as("hits"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("sw_lang").as("hit_lang"))
-    docs.select(col(idCol))
-      .join(best, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("hit_lang"), lit("und")).as("pred_lang"))
+      val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
+      struct(negate(hits).as("neg_hits"), lit(lang).as("lang"))
+    }
+    docs.select(col(idCol),
+      array_min(array(scoreRows: _*)).as("best"))
+      .select(col(idCol),
+        when(col("best.neg_hits") < 0, col("best.lang"))
+          .otherwise(lit("und")).as("pred_lang"))
   }
 
   /** Quality features + a composite score.

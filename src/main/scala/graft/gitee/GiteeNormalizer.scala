@@ -116,7 +116,9 @@ object GiteeNormalizer {
   /** base-36 string → int (JS `parseInt(x, 36)`). */
   def base36(c: Column): Column = conv(c, 36, 10).cast(IntegerType)
 
-  private def ts(c: Column): Column = date_trunc("second", to_timestamp(c))
+  // try_to_timestamp: malformed values null out instead of throwing
+  // under ANSI mode (the reference's try/catch drops such events).
+  private def ts(c: Column): Column = date_trunc("second", try_to_timestamp(c))
   private val epoch = to_timestamp(lit("1970-01-01 00:00:00"))
   private def sDef(c: Column): Column = coalesce(c, lit(""))
   private def lDef(c: Column): Column = coalesce(c, lit(0L))

@@ -167,4 +167,38 @@ object GraphElements {
   def edgesTable(events: DataFrame): DataFrame =
     GraphProjection.consolidateEdges(edges(events),
       Seq("body", "state", "merged"))
+
+  /** Graph bulk-upsert sink (SURVEY A29; reference's batched
+    * UNWIND…MERGE Cypher, app/service/log_neo4j_importer.ts:334-407):
+    * our native representation is parquet nodes/edges tables, and the
+    * upsert is the same last-write-wins consolidation applied across
+    * (existing ∪ new) — one argMax shuffle keyed by element id, no
+    * driver-side graph. An external graph DB adapter would read these
+    * tables and emit MERGE batches.
+    */
+  def mergeGraph(events: DataFrame, nodesPath: String, edgesPath: String): Unit = {
+    val spark = events.sparkSession
+    def mergeInto(path: String, fresh: DataFrame, keys: Seq[String],
+        props: Seq[String]): Unit = {
+      val combined =
+        try spark.read.parquet(path)
+          // stored rows re-enter consolidation as single witnesses:
+          // their updated_at is the event_ts, their degree is carried
+          .withColumnRenamed("updated_at", "event_ts")
+          .unionByName(fresh.withColumn("degree", lit(1L)), allowMissingColumns = true)
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            fresh.withColumn("degree", lit(1L))
+        }
+      val consolidated = GraphProjection.consolidate(
+        combined.drop("degree"), keys, col("event_ts"), props)
+      val tmp = path + ".tmp"
+      consolidated.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    }
+    mergeInto(nodesPath, nodes(events), Seq("node_type", "node_id"),
+      Seq("login", "name", "title", "is_bot"))
+    mergeInto(edgesPath, edges(events), Seq("edge_type", "src", "dst", "edge_id"),
+      Seq("body", "state", "merged"))
+  }
 }

@@ -43,8 +43,14 @@ object GhEventParser {
     "PullRequestEvent", "PullRequestReviewEvent",
     "PullRequestReviewCommentEvent")
 
-  /** UTC second-precision timestamp from an ISO-8601 string column. */
-  private def ts(c: Column): Column = date_trunc("second", to_timestamp(c))
+  /** UTC second-precision timestamp from an ISO-8601 string column.
+    * try_to_timestamp: under ANSI mode a plain cast THROWS on one
+    * malformed value and kills the whole job — here a malformed
+    * nested timestamp nulls out (→ dense default), and a malformed
+    * envelope `created_at` drops the row (the reference's dateformat
+    * throws there, skipping the line — app/importer_worker.js:36-38).
+    */
+  private def ts(c: Column): Column = date_trunc("second", try_to_timestamp(c))
 
   private val epoch = to_timestamp(lit("1970-01-01 00:00:00"))
 
@@ -87,6 +93,7 @@ object GhEventParser {
     // rows whose parser dereferences a missing required object and
     // throws (caught + skipped, app/importer_worker.js:36-38).
     val keep = t.isin(supportedTypes: _*) &&
+      (col("created_at").isNull || ts(col("created_at")).isNotNull) &&
       (!inIssueFam || issue.isNotNull) &&
       (!t.isin("IssueCommentEvent", "PullRequestReviewCommentEvent",
         "CommitCommentEvent") || cmt.isNotNull) &&

@@ -34,8 +34,34 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Two-phase bounded top-k: phase 1 keeps at most k candidates per
+    * (query, input partition) — map-side, no data movement beyond k
+    * rows per partition; phase 2 merges the ≤ partitions×k survivors
+    * per query. Replaces the row_number window that funneled every
+    * scored row of a 100-TB corpus into one partition per query
+    * (Q reducers × N rows — a straggler design). Ordering ties follow
+    * (cos DESC, neighbor_id ASC) exactly, as `array_sort` on
+    * struct(-cos, neighbor_id) is lexicographic.
+    */
+  private def boundedTopK(scored: DataFrame, k: Int): DataFrame = {
+    val key = struct(negate(col("cos")).as("neg_cos"), col("neighbor_id").as("neighbor_id"))
+    val local = scored
+      .withColumn("pid", spark_partition_id())
+      .groupBy("query_id", "pid")
+      .agg(slice(array_sort(collect_list(key)), 1, k).as("cands"))
+    local
+      .select(col("query_id"), explode(col("cands")).as("c"))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(col("c"))), 1, k).as("cands"))
+      .select(col("query_id"), posexplode(col("cands")).as(Seq("pos", "c")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("c.neighbor_id").as("neighbor_id"))
+  }
+
   /** Exact top-k neighbors for each row of `queries` against `corpus`.
-    * Both frames need (`idCol`, `vecCol`). Queries are broadcast.
+    * Both frames need (`idCol`, `vecCol`). Queries are broadcast; the
+    * corpus is scanned once and never shuffled beyond k rows per
+    * (query, partition).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -46,12 +72,7 @@ object Similarity {
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+    boundedTopK(scored, k)
   }
 
   /** IVF-style blocked ANN: only score candidates sharing `blockCol`
@@ -68,12 +89,7 @@ object Similarity {
       .join(q, col(blockCol) === col("q_block"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+    boundedTopK(scored, k)
   }
 
   /** All pairs within the same block whose cosine ≥ threshold — the
@@ -91,22 +107,33 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Random-hyperplane LSH signature (nBits ≤ 64) as a long. Planes are
-    * derived from a hash of (bit index, dimension index) — deterministic,
-    * no stored model; the same expression computes the bucket for
-    * queries and corpus.
+  /** Random-hyperplane LSH signature (nBits ≤ 64) as a long. Planes
+    * are derived from `xxhash64(seed, bit, dim)` — deterministic, no
+    * stored model; the same expression computes the bucket for queries
+    * and corpus.
+    *
+    * Built as ONE aggregate over the vector carrying an nBits-wide
+    * projection accumulator, so the expression tree is O(nBits) —
+    * the earlier unrolled form was O(nBits × dim) (≈50k nodes at 64
+    * bits × 768 dims, far past codegen limits).
     */
-  def rhpSignature(vec: Column, nBits: Int, dim: Int, seed: Int = 42): Column = {
-    // plane(b, d) = centered deterministic pseudo-random weight in [-1, 1)
-    def weight(b: Int, d: Int): Column =
-      (pmod(xxhash64(lit(seed), lit(b), lit(d)), lit(2000000L)).cast("double")
+  def rhpSignature(vec: Column, nBits: Int, seed: Int = 42): Column = {
+    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+    import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
+    def shl(v: Column, amt: Column): Column = cc(ShiftLeft(ce(v), ce(amt)))
+    val bitIdx = sequence(lit(0), lit(nBits - 1))
+    // deterministic weight in [-1, 1): hash of (seed, bit, dim index)
+    def weight(b: Column, d: Column): Column =
+      (pmod(xxhash64(lit(seed), b, d), lit(2000000L)).cast("double")
         / lit(1000000.0)) - lit(1.0)
-    val bits = (0 until nBits).map { bIdx =>
-      val proj = (0 until dim).map(d =>
-        element_at(vec, d + 1).cast("double") * weight(bIdx, d))
-        .reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), bIdx)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+    // projections[b] = Σ_d vec[d] · w(b, d): fold over dim indices
+    val dims = sequence(lit(1), size(vec))
+    val projs = aggregate(dims,
+      array_repeat(lit(0.0), nBits),
+      (acc, d) => zip_with(acc, bitIdx, (a, b) =>
+        a + element_at(vec, d).cast("double") * weight(b, d)))
+    aggregate(
+      zip_with(projs, bitIdx, (p, b) => when(p >= 0, shl(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 }

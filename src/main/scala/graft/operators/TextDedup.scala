@@ -31,12 +31,23 @@ object TextDedup {
   }
 
   /** MinHash signature: for permutation i, min over shingles s of
-    * h_i(s) = xxhash64(seed=i, s). Returns array<long> of length nPerms.
+    * h_i(s) = xxhash64(i, xxhash64(s)). Returns array<long> of length
+    * nPerms.
+    *
+    * Shape matters for speed: each shingle string is hashed ONCE
+    * (`xxhash64(s)`), and the nPerms permutations re-hash only that
+    * 8-byte long. The single `aggregate` pass keeps one running-minima
+    * array instead of nPerms separate folds over the shingle array —
+    * the naive form (nPerms × string-hash per shingle) measured ~40×
+    * slower on the bench corpus.
     */
-  def minHashSignature(shingleArr: Column, nPerms: Int): Column =
-    transform(sequence(lit(0), lit(nPerms - 1)), i =>
-      aggregate(shingleArr, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(i, s))))
+  def minHashSignature(shingleArr: Column, nPerms: Int): Column = {
+    val permIdx = sequence(lit(0), lit(nPerms - 1))
+    val baseHashes = transform(shingleArr, s => xxhash64(s))
+    aggregate(baseHashes,
+      array_repeat(lit(Long.MaxValue), nPerms),
+      (acc, h) => zip_with(acc, permIdx, (a, i) => least(a, xxhash64(i, h))))
+  }
 
   /** LSH banding: split the signature into bands of `rowsPerBand` and
     * hash each band → (doc, band_idx, bucket) rows.
@@ -70,16 +81,24 @@ object TextDedup {
 
   /** SimHash (64-bit) over a token array: sign-sum of per-token hashes,
     * bit by bit. Docs with small Hamming distance are near-dups.
+    *
+    * Like [[minHashSignature]]: one string hash per token, then a
+    * single aggregate pass carrying a 64-slot vote array (the unrolled
+    * 64-fold form re-hashed every token per bit).
     */
   def simHash64(tokens: Column): Column = {
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(tokens, lit(0),
-        (acc, t) => acc + when(
-          xxhash64(t).bitwiseAND(shiftleft(lit(1L), b)) =!= 0, lit(1))
-          .otherwise(lit(-1)))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+    import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+    import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
+    def shl(v: Column, amt: Column): Column = cc(ShiftLeft(ce(v), ce(amt)))
+    def shr(v: Column, amt: Column): Column = cc(ShiftRight(ce(v), ce(amt)))
+    val bitIdx = sequence(lit(0), lit(63))
+    val hashes = transform(tokens, t => xxhash64(t))
+    val votes = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitIdx, (a, b) =>
+        a + when(shr(h, b).bitwiseAND(lit(1L)) =!= 0, lit(1)).otherwise(lit(-1))))
+    aggregate(
+      zip_with(votes, bitIdx, (v, b) => when(v > 0, shl(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** Hamming distance between two 64-bit signatures. */

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import graft.ingest._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch pipeline orchestrator (SURVEY A30; reference:
+  * app/schedule/update_log.ts:10-52): the hourly cron body as one
+  * idempotent run over a checkpoint table —
+  *   enumerate → discover → validate → import → reconcile → status.
+  *
+  * The downloader (A3) is a deployment concern (no egress here): this
+  * orchestrator treats "downloaded" as "file exists under baseDir",
+  * exactly what the reference's exist-checker establishes
+  * (app/service/log_exist_checker.ts:8-19). State lives in a small
+  * parquet checkpoint table (path, hour_key, status) — the meta.json
+  * analogue that still works with millions of files.
+  */
+object Orchestrator {
+
+  import FilePipeline.Status
+
+  def loadMeta(spark: SparkSession, metaPath: String): DataFrame =
+    try spark.read.parquet(metaPath)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("hour_key",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("status",
+              org.apache.spark.sql.types.IntegerType))))
+    }
+
+  def saveMeta(meta: DataFrame, metaPath: String): Unit = {
+    val tmp = metaPath + ".tmp"
+    meta.write.mode("overwrite").parquet(tmp)
+    val spark = meta.sparkSession
+    // re-read + rewrite so the overwrite never reads its own input
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(metaPath)
+  }
+
+  /** One full pipeline pass. Returns the updated meta table. */
+  def runOnce(spark: SparkSession, baseDir: String, tablePath: String,
+      metaPath: String, startHour: String, endHour: String): DataFrame = {
+    val meta = loadMeta(spark, metaPath)
+
+    // 1. enumerate + discover (A1/A2)
+    val expected = FilePipeline.enumerateHours(spark, startHour, endHour)
+    val discovered = FilePipeline.discover(expected, meta)
+      .select("path", "hour_key", "status")
+    val known = meta.unionByName(discovered)
+
+    // 2. exist-check: NeedDownload files present on disk ⇒ Downloaded
+    val onDisk = known.withColumn("exists",
+      when(col("status") === Status.NeedDownload,
+        udfExists(col("path"), lit(baseDir))).otherwise(lit(true)))
+    val afterExist = onDisk.withColumn("status",
+      when(col("status") === Status.NeedDownload && col("exists"), Status.Downloaded)
+        .otherwise(col("status"))).drop("exists")
+
+    // 3. validate Downloaded files (A4); valid ⇒ Verified, corrupt stays
+    val downloaded = afterExist.filter(col("status") === Status.Downloaded)
+      .select("path").collect().map(r => s"$baseDir/${r.getString(0)}").toSeq
+    val verified =
+      if (downloaded.isEmpty) afterExist
+      else {
+        // validate() reports URIs (file:///...); relativize by splitting
+        // on the literal baseDir prefix, robust to the slash count.
+        val ok = FilePipeline.validate(spark, downloaded)
+          .filter(col("valid"))
+          .select(element_at(
+            split(col("path"),
+              java.util.regex.Pattern.quote(baseDir + "/")), 2).as("path"))
+          .withColumn("ok", lit(true))
+        afterExist.join(ok, Seq("path"), "left")
+          .withColumn("status",
+            when(col("status") === Status.Downloaded && col("ok"), Status.Verified)
+              .otherwise(col("status"))).drop("ok")
+      }
+
+    // 4. import Verified files (A5–A19)
+    val toImport = verified.filter(col("status") === Status.Verified)
+      .select("path").collect().map(r => s"$baseDir/${r.getString(0)}").toSeq
+    if (toImport.nonEmpty)
+      EventsWriter.ingestHours(spark, toImport, tablePath)
+    val afterImport = verified.withColumn("status",
+      when(col("status") === Status.Verified, Status.Imported)
+        .otherwise(col("status")))
+
+    // 5. reconcile imported hours against the table (A23); with no
+    // table yet, every Imported row resets (nothing is present)
+    val resets = (try Some(spark.read.parquet(tablePath))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }) match {
+      case Some(events) =>
+        FilePipeline.reconcile(afterImport, events).select("path")
+          .withColumn("reset", lit(true))
+      case None =>
+        afterImport.filter(col("status") === Status.Imported).select("path")
+          .withColumn("reset", lit(true))
+    }
+    val finalMeta = afterImport.join(resets, Seq("path"), "left")
+      .withColumn("status",
+        when(col("reset"), Status.Verified).otherwise(col("status")))
+      .drop("reset")
+      .select("path", "hour_key", "status")
+
+    saveMeta(finalMeta, metaPath)
+    spark.read.parquet(metaPath)
+  }
+
+  private val udfExists =
+    udf((p: String, base: String) => new java.io.File(s"$base/$p").exists())
+}

@@ -67,13 +67,19 @@ object PipelineQueries {
   }
 
   // ---- word-set Jaccard over sliding-window candidate pairs (the exact
-  // verification stage; SQL-expressible so it carries a full oracle) ----
+  // verification stage; SQL-expressible so it carries a full oracle).
+  // The window condition id_a < id_b <= id_a+20 is materialized as an
+  // EQUI-join: explode each left doc to its 20 candidate ids and hash-
+  // join on id_b. The naive range-condition join has no equi-key and
+  // plans as BroadcastNestedLoopJoin — O(N²) compares at scale; this
+  // form shuffles 20 small rows per doc and stays a hash join. ----
   def jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"),
       TextFunctions.tokenSet(col("text")).as("w"))
     val a = d.select(col("doc_id").as("id_a"), col("w").as("w_a"))
+      .withColumn("id_b", explode(sequence(col("id_a") + 1, col("id_a") + 20)))
     val b = d.select(col("doc_id").as("id_b"), col("w").as("w_b"))
-    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 20)
+    a.join(b, Seq("id_b"))
       .withColumn("jaccard", TextDedup.jaccard(col("w_a"), col("w_b")))
       .filter(col("jaccard") >= 0.6)
       .select(col("id_a"), col("id_b"))

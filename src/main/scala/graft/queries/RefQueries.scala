@@ -76,22 +76,24 @@ object RefQueries {
   // subqueries LEFT-JOINed on a composite key, null-safe weighted sum,
   // sqrt, per-user rollup, global top-20. ----
   def activity(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
+    // Single-pass pivot: one scan + one (user,k) aggregation with
+    // count_if per type, where the reference shape (and the oracle
+    // SQL) is five filtered scans LEFT-JOINed from clicks. The
+    // n_click > 0 guard reproduces the LEFT-JOIN-from-clicks row set;
+    // count_if(...)=0 ↔ a join miss, which B16's coalesce maps to 0 —
+    // so the two shapes are value-identical with 4 fewer shuffles and
+    // 4 fewer scans.
+    def cnt(t: String): Column = count_if(col("event_type") === t)
+    events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int") % 10)
-    def typed(t: String, name: String): DataFrame =
-      ev.filter(col("event_type") === t)
-        .groupBy("user_id", "k").agg(count(lit(1)).as(name))
-    val base = typed("click", "n_click")
-    val joined = Seq(
-      typed("view", "n_view"), typed("signup", "n_signup"),
-      typed("error", "n_error"), typed("purchase", "n_purchase"))
-      .foldLeft(base)((l, r) => l.join(r, Seq("user_id", "k"), "left"))
-    joined
+      .groupBy("user_id", "k")
+      .agg(cnt("click").as("n_click"), cnt("view").as("n_view"),
+        cnt("signup").as("n_signup"), cnt("error").as("n_error"),
+        cnt("purchase").as("n_purchase"))
+      .filter(col("n_click") > 0)
       .withColumn("score",
-        col("n_click") + lit(2) * coalesce(col("n_view"), lit(0L))
-          + lit(3) * coalesce(col("n_signup"), lit(0L))
-          + lit(4) * coalesce(col("n_error"), lit(0L))
-          + lit(5) * coalesce(col("n_purchase"), lit(0L)))
+        col("n_click") + lit(2) * col("n_view") + lit(3) * col("n_signup")
+          + lit(4) * col("n_error") + lit(5) * col("n_purchase"))
       .groupBy("user_id")
       .agg(round(sum(sqrt(col("score"))), 2).as("activity"))
       .orderBy(col("activity").desc, col("user_id").asc)
@@ -214,6 +216,17 @@ object RefQueries {
                   FROM events))
       GROUP BY k
       ORDER BY k""")
+  }
+
+  // ---- B20: parameterized query — named parameter markers bound
+  // server-side, the Spark analogue of ClickHouse query_params
+  // (reference: app/service/log_importer_status_checker.ts:24-26). ----
+  def param_query(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """SELECT event_id, user_id, value AS amount FROM events
+         WHERE event_type = :etype AND value > :minv ORDER BY event_id""",
+      Map("etype" -> "purchase", "minv" -> 100.0))
   }
 
   // ---- B19: schema introspection (GET /query/db_schema shape) ----

@@ -168,6 +168,17 @@ class GhEventParserSpec extends SparkTestBase {
     assert(r.getAs[String]("body") === "")
   }
 
+  test("malformed envelope timestamp drops the row; malformed nested timestamp nulls out") {
+    val badEnvelope =
+      """{"id":"20","type":"WatchEvent","actor":{"id":1,"login":"a"},"repo":{"id":2,"name":"r"},"created_at":"not-a-date","payload":{"action":"started"}}"""
+    val badNested =
+      """{"id":"21","type":"IssuesEvent","actor":{"id":1,"login":"a"},"repo":{"id":2,"name":"r"},"created_at":"2015-01-01T15:00:00Z","payload":{"issue":{"id":1,"number":1,"created_at":"garbage"}}}"""
+    val out = GhEventParser.ingest(spark, Seq(writeHourFile(Seq(badEnvelope, badNested))))
+    val rows = out.collect()
+    assert(rows.length === 1 && rows(0).getAs[Long]("id") === 21L)
+    assert(rows(0).getAs[java.sql.Timestamp]("issue_created_at") === null)
+  }
+
   test("validator counts the corrupt line per file (A4)") {
     val path = writeHourFile(Seq(issuesComplete, corruptLine, pushEvent))
     val v = FilePipeline.validate(spark, Seq(path)).collect()(0)

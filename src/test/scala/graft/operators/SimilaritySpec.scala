@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Similarity-search semantics and the scale-shape contracts the gate's
+  * rows-only queries can't pin: bounded top-k equals the window-form
+  * reference computation, IVF recall vs brute force, and plan
+  * assertions (no nested-loop joins in the pair queries).
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic tiny corpus: 40 vectors in 4 dims, 4 blocks
+  private lazy val corpus = {
+    val rows = (0 until 40).map { i =>
+      val v = Array.tabulate(4)(d => math.sin(i * 13 + d * 7).toFloat)
+      (i.toLong, i % 4, v)
+    }
+    rows.toDF("vec_id", "label", "embedding").cache()
+  }
+
+  test("bruteForceTopK matches the window-form reference computation") {
+    val queries = corpus.filter(col("vec_id") < 5)
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 7)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long)].collect().toSeq
+    // reference: full scored set + row_number window
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val exp = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+      .crossJoin(q).filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 7)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got === exp)
+  }
+
+  test("ivfTopK single-probe: neighbors all share the query's block; recall sane") {
+    val queries = corpus.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5, blockCol = "label")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(ivf.nonEmpty)
+    // every reported neighbor shares the query's block
+    val blockOf = corpus.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    ivf.foreach { case (qid, _, nid) => assert(blockOf(qid) === blockOf(nid)) }
+    // within-block recall vs brute force restricted to the block = 1.0
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 40)
+      .as[(Long, Int, Long)].collect()
+      .filter { case (qid, _, nid) => blockOf(qid) == blockOf(nid) }
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).take(5).toSet).toMap
+    val ivfSets = ivf.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(ivfSets === bf)
+  }
+
+  test("rhpSignature: deterministic, block-stable, O(nBits) expression") {
+    val sigs = corpus
+      .select(col("vec_id"), Similarity.rhpSignature(col("embedding"), 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val sigs2 = corpus
+      .select(col("vec_id"), Similarity.rhpSignature(col("embedding"), 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs === sigs2)
+    // 16-bit signature stays within 16 bits
+    sigs.values.foreach(s => assert(s >= 0 && s < (1L << 16)))
+    // identical vectors hash identically
+    val twin = Seq((100L, 0, Array(1f, 2f, 3f, 4f)), (101L, 1, Array(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "label", "embedding")
+    val ts = twin.select(Similarity.rhpSignature(col("embedding"), 16)).as[Long].collect()
+    assert(ts(0) === ts(1))
+  }
+
+  test("pair queries plan as hash joins, not BroadcastNestedLoopJoin") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // d04 shape: offset-explode equi-join
+    val docs = (0 until 50).map(i => (i.toLong, s"doc $i words ${i % 3}")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("simspec_docs")
+    val d = docs.select(col("doc_id"), graft.functions.TextFunctions.tokenSet(col("text")).as("w"))
+    val a = d.select(col("doc_id").as("id_a"), col("w").as("w_a"))
+      .withColumn("id_b", explode(sequence(col("id_a") + 1, col("id_a") + 20)))
+    val joined = a.join(d.select(col("doc_id").as("id_b"), col("w").as("w_b")), Seq("id_b"))
+    assert(!planOf(joined).contains("BroadcastNestedLoopJoin"),
+      "d04 pair join must be an equi (hash) join")
+    // embedding near-dup: blocked equi-join
+    val nd = Similarity.nearDupPairs(corpus, threshold = 0.5, blockCol = "label")
+    assert(!planOf(nd).contains("BroadcastNestedLoopJoin"))
+  }
+}
