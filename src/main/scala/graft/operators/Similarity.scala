@@ -34,6 +34,21 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Adds a unit-normalized array<double> copy of `vec` as `out`.
+    * Normalizing ONCE per row turns every pairwise cosine into a
+    * single dot product — the naive `cosine(a, b)` folds each vector
+    * three times per PAIR, which dominated the pair-join benchmarks
+    * (d05 was 56% of the whole sf0.1 suite before this). The norm
+    * lands in its own projection first: referenced from inside a
+    * lambda it would otherwise re-evaluate per element.
+    */
+  def withUnitVector(df: DataFrame, vec: Column, out: String): DataFrame =
+    df.withColumn("__nrm", norm(vec))
+      .withColumn(out,
+        when(col("__nrm") === 0, transform(vec, x => x.cast("double")))
+          .otherwise(transform(vec, x => x.cast("double") / col("__nrm"))))
+      .drop("__nrm")
+
   /** Two-phase bounded top-k: phase 1 keeps at most k candidates per
     * (query, input partition) — map-side, no data movement beyond k
     * rows per partition; phase 2 merges the ≤ partitions×k survivors
@@ -65,13 +80,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val scored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val q = broadcast(withUnitVector(queries, col(vecCol), "q_vec")
+      .select(col(idCol).as("query_id"), col("q_vec")))
+    val scored = withUnitVector(corpus, col(vecCol), "n_vec")
+      .select(col(idCol).as("neighbor_id"), col("n_vec"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", dot(col("q_vec"), col("n_vec")))
     boundedTopK(scored, k)
   }
 
@@ -82,13 +97,13 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, blockCol: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("q_vec"), col(blockCol).as("q_block")))
-    val scored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"), col(blockCol))
+    val q = broadcast(withUnitVector(queries, col(vecCol), "q_vec")
+      .select(col(idCol).as("query_id"), col("q_vec"), col(blockCol).as("q_block")))
+    val scored = withUnitVector(corpus, col(vecCol), "n_vec")
+      .select(col(idCol).as("neighbor_id"), col("n_vec"), col(blockCol))
       .join(q, col(blockCol) === col("q_block"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", dot(col("q_vec"), col("n_vec")))
     boundedTopK(scored, k)
   }
 
@@ -98,11 +113,13 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, threshold: Double, blockCol: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(blockCol).as("b"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(blockCol).as("b"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val unit = withUnitVector(df, col(vecCol), "uv")
+      .select(col(blockCol).as("b"), col(idCol), col("uv"))
+    val a = unit.select(col("b"), col(idCol).as("id_a"), col("uv").as("v_a"))
+    val b = unit.select(col("b"), col(idCol).as("id_b"), col("uv").as("v_b"))
     a.join(b, Seq("b"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", dot(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
   }

@@ -22,13 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  /** Character shingles (distinct) of length n over the lowercased text. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = lower(text)
-    array_distinct(
-      transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
-        i => t.substr(i, lit(n))))
+  /** Character shingles (distinct) of length n over the lowercased
+    * text. Lowercasing happens ONCE up front: an expression like
+    * `lower(text)` referenced from inside the per-shingle lambda
+    * re-evaluates per element — O(len²) per document.
+    */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(shingleList(text, n))
+
+  private def shingleList(text: Column, n: Int): Column = {
+    val arr = transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
+    // one lower() over the doc, then split back into shingles? No —
+    // substr positions shift under case mapping in some locales; map
+    // lower over the (small) shingle strings instead.
+    transform(arr, s => lower(s))
   }
+
+  /** Per-shingle 64-bit hashes over lowercased text, NOT de-duplicated
+    * — duplicates cannot change a minimum, so MinHash skips the
+    * `array_distinct` pass (and the string array entirely downstream).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingleList(text, n), s => xxhash64(s))
 
   /** MinHash signature: for permutation i, min over shingles s of
     * h_i(s) = xxhash64(i, xxhash64(s)). Returns array<long> of length
@@ -41,12 +57,38 @@ object TextDedup {
     * the naive form (nPerms × string-hash per shingle) measured ~40×
     * slower on the bench corpus.
     */
-  def minHashSignature(shingleArr: Column, nPerms: Int): Column = {
+  def minHashSignature(shingleArr: Column, nPerms: Int): Column =
+    minHashSignatureOfHashes(transform(shingleArr, s => xxhash64(s)), nPerms)
+
+  /** Signature from pre-hashed shingles ([[shingleHashes]]). */
+  def minHashSignatureOfHashes(hashArr: Column, nPerms: Int): Column = {
     val permIdx = sequence(lit(0), lit(nPerms - 1))
-    val baseHashes = transform(shingleArr, s => xxhash64(s))
-    aggregate(baseHashes,
+    aggregate(hashArr,
       array_repeat(lit(Long.MaxValue), nPerms),
       (acc, h) => zip_with(acc, permIdx, (a, i) => least(a, xxhash64(i, h))))
+  }
+
+  /** One-permutation MinHash (OPH; Li, Owen, Zhang 2012): a single
+    * hash pass assigns each shingle hash to bin `h mod nBins` and the
+    * signature is the per-bin minimum — nBins signature components
+    * for ONE hash evaluation per shingle, where classic MinHash pays
+    * nPerms hash evaluations per shingle. Empty bins keep the
+    * Long.MaxValue sentinel (vanishingly rare for document-sized
+    * shingle sets: p = (1-1/nBins)^|set|); a shared-empty-bin false
+    * candidate is removed by the exact-Jaccard verify stage.
+    * Component semantics are band-compatible with [[lshBuckets]],
+    * BUT: without densification, corpora with many short documents
+    * share sentinel-valued bins, which makes whole bands collide and
+    * explodes the candidate set — use this only when |shingle set| >>
+    * nBins for essentially all documents, or add a densification
+    * pass; otherwise prefer [[minHashSignatureOfHashes]].
+    */
+  def ophSignature(hashArr: Column, nBins: Int): Column = {
+    val binIdx = sequence(lit(0), lit(nBins - 1))
+    aggregate(hashArr,
+      array_repeat(lit(Long.MaxValue), nBins),
+      (acc, h) => zip_with(acc, binIdx, (a, i) =>
+        when(pmod(h, lit(nBins.toLong)) === i, least(a, h)).otherwise(a)))
   }
 
   /** LSH banding: split the signature into bands of `rowsPerBand` and

@@ -126,9 +126,12 @@ object RefQueries {
       .orderBy("user_id")
   }
 
-  // ---- B18: ReplacingMergeTree dedup via the reusable operator ----
+  // ---- B18: ReplacingMergeTree dedup via the reusable operator.
+  // Aggregate form: map-side combine moves at most one row per key per
+  // input partition (the window form materializes whole key groups in
+  // one partition — strictly more shuffle I/O at scale). ----
   def dedup_replacing(s: SparkSession, dir: String): DataFrame =
-    Dedup.replacingDedup(
+    Dedup.replacingDedupAgg(
         events(s, dir).withColumn("month_key", monthKey(col("ts"))),
         Seq("user_id", "event_type", "month_key"), col("event_id"))
       .select(col("user_id"), col("event_type"), col("month_key"),

@@ -66,5 +66,14 @@ class TextDedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(truth.subsetOf(cand),
       s"missed pairs: ${truth.diff(cand)}")
+    // the OPH signature (the scale path d02 uses) meets the same
+    // recall contract with one hash evaluation per shingle
+    val ophSigs = d.select(col("doc_id"),
+      TextDedup.ophSignature(transform(col("sh"), s => xxhash64(s)), 64).as("sig"))
+    val ophCand = TextDedup.candidatePairs(
+      TextDedup.lshBuckets(ophSigs, "doc_id", "sig", bands = 16, rowsPerBand = 4), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(ophCand),
+      s"OPH missed pairs: ${truth.diff(ophCand)}")
   }
 }
