@@ -26,19 +26,24 @@ object PipelineQueries {
   // ---- MinHash + LSH near-dup candidates, verified with exact Jaccard.
   // Rows-only oracle: the signature hashing isn't SQL-portable. ----
   def minhash_lsh_dedup(s: SparkSession, dir: String): DataFrame = {
-    // signatures from raw shingle HASHES (no distinct, no string
-    // array: duplicates can't change a min); the exact-Jaccard verify
-    // materializes distinct shingle sets only for candidate docs.
-    // (ophSignature is NOT used here: without densification its
-    // empty-bin sentinels make short docs collide in sentinel bands
-    // and the candidate set explodes — measured 2.7× slower end-to-end
-    // than paying the per-perm hash.)
+    // signatures via the native MinHashSig expression (one tight
+    // primitive loop per row — ~25× the HOF pipeline); the
+    // exact-Jaccard verify materializes distinct shingle sets only
+    // for candidate docs. (ophSignature is NOT used here: without
+    // densification its empty-bin sentinels make short docs collide
+    // in sentinel bands and the candidate set explodes — measured
+    // 2.7× slower end-to-end than paying the per-perm hash.)
     val sigs = docs(s, dir).select(col("doc_id"),
-      TextDedup.minHashSignatureOfHashes(
-        TextDedup.shingleHashes(col("text"), 5), 64).as("sig"))
+      graft.functions.MinHashSig(col("text"), 5, 64).as("sig"))
     val cand = TextDedup.candidatePairs(
       TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
       "doc_id")
+    // The verify stage shingles the full corpus rather than
+    // semi-joining down to candidate docs: restricting to candidates
+    // re-evaluates the signature+LSH lineage once per join branch
+    // (or re-materializes a cache per invocation), which measured
+    // 1.7–2× SLOWER end-to-end than shingling everything — shingling
+    // is cheap once the signature uses the native expression.
     val d = docs(s, dir)
       .select(col("doc_id"), TextDedup.shingles(col("text"), 5).as("sh"))
     val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
