@@ -38,18 +38,17 @@ object PipelineQueries {
     val cand = TextDedup.candidatePairs(
       TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
       "doc_id")
-    // The verify stage shingles the full corpus rather than
-    // semi-joining down to candidate docs: restricting to candidates
-    // re-evaluates the signature+LSH lineage once per join branch
-    // (or re-materializes a cache per invocation), which measured
-    // 1.7–2× SLOWER end-to-end than shingling everything — shingling
-    // is cheap once the signature uses the native expression.
-    val d = docs(s, dir)
-      .select(col("doc_id"), TextDedup.shingles(col("text"), 5).as("sh"))
-    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    // Verify against raw TEXT with the native ShingleJaccard
+    // expression: no corpus-wide shingle projection and no
+    // array-valued shuffle — the joins carry the (few-hundred-byte)
+    // text of candidate docs only, and the jaccard is computed per
+    // candidate pair in one primitive pass.
+    val t = docs(s, dir).select(col("doc_id"), col("text"))
+    val a = t.select(col("doc_id").as("id_a"), col("text").as("t_a"))
+    val b = t.select(col("doc_id").as("id_b"), col("text").as("t_b"))
     cand.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard", TextDedup.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.functions.ShingleJaccard(col("t_a"), col("t_b"), 5))
       .filter(col("jaccard") >= 0.35)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")

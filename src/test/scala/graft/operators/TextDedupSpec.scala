@@ -19,6 +19,23 @@ class TextDedupSpec extends SparkTestBase {
     assert(empty.select(TextDedup.jaccard(col("x"), col("y"))).head.getDouble(0) === 0.0)
   }
 
+  test("native ShingleJaccard equals the HOF shingle-set jaccard on ASCII text") {
+    val pairs = Seq(
+      ("the quick brown fox", "the quick brown dog"),
+      ("abc", "abc"),
+      ("ab", "xy"),               // shorter than the shingle width
+      ("", "anything"),
+      ("same text here", "same text here"))
+    val df = pairs.toDF("x", "y")
+    val got = df.select(
+      graft.functions.ShingleJaccard(col("x"), col("y"), 5).as("native"),
+      TextDedup.jaccard(
+        TextDedup.shingles(col("x"), 5), TextDedup.shingles(col("y"), 5)).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1),
+      s"native=${r.getDouble(0)} hof=${r.getDouble(1)}"))
+  }
+
   test("hamming64 counts differing bits") {
     val df = Seq((0L, -1L), (5L, 4L), (7L, 7L)).toDF("a", "b")
     val h = df.select(TextDedup.hamming64(col("a"), col("b"))).as[Int].collect().toSeq
