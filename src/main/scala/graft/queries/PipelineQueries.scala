@@ -54,10 +54,12 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
-  // ---- SimHash near-dup pairs (banded hamming ≤ 12). Rows-only. ----
+  // ---- SimHash near-dup pairs (banded hamming ≤ 12). Rows-only.
+  // Native SimHashSig expression (value-identical to the HOF form,
+  // pinned by spec) — one primitive pass per doc. ----
   def simhash_dedup(s: SparkSession, dir: String): DataFrame = {
     val sigs = docs(s, dir).select(col("doc_id"),
-      TextDedup.simHash64(TextFunctions.tokens(col("text"))).as("sig"))
+      graft.functions.SimHashSig(col("text")).as("sig"))
     // band on 16-bit chunks: near-dups must agree on ≥1 chunk
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>

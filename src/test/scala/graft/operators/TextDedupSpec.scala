@@ -36,6 +36,24 @@ class TextDedupSpec extends SparkTestBase {
       s"native=${r.getDouble(0)} hof=${r.getDouble(1)}"))
   }
 
+  test("native SimHashSig equals the HOF simHash64(tokens) form") {
+    val texts = Seq(
+      "the quick brown fox jumps",
+      "  leading and trailing   ",
+      "single",
+      "",
+      "   ",
+      "MiXeD CaSe Tokens\there")
+    val df = texts.toDF("text")
+    val got = df.select(
+      graft.functions.SimHashSig(col("text")).as("native"),
+      TextDedup.simHash64(graft.functions.TextFunctions.tokens(col("text"))).as("hof"))
+      .collect()
+    got.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) === r.getLong(1), s"mismatch for '$t'")
+    }
+  }
+
   test("hamming64 counts differing bits") {
     val df = Seq((0L, -1L), (5L, 4L), (7L, 7L)).toDF("a", "b")
     val h = df.select(TextDedup.hamming64(col("a"), col("b"))).as[Int].collect().toSeq
