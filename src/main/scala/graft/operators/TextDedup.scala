@@ -99,7 +99,7 @@ object TextDedup {
     df.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(b, slice(col(sigCol), b * lit(rowsPerBand) + lit(1),
-            lit(rowsPerBand)).cast("string"))))
+            lit(rowsPerBand))))) // hash the long slice directly — no string build
       .as(Seq("band", "bucket")))
 
   /** Candidate pairs = docs sharing ≥1 LSH bucket. */
