@@ -158,6 +158,36 @@ object GraphElements {
       .reduce(_ unionByName _)
   }
 
+  /** Language / license nodes and edges — these read `pull.base.repo`
+    * payload fields that the events relation (FieldMap) does not
+    * persist, so they extract from the RAW envelope frame
+    * ([[graft.ingest.GhEventParser.readRaw]]), exactly as the
+    * reference's graph importer parses raw lines
+    * (log_tugraph_importer.ts:255-268). Union the results into
+    * [[nodes]]/[[edges]] before consolidation for the full graph.
+    */
+  def rawRepoFacts(raw: DataFrame): (DataFrame, DataFrame) = {
+    val pr = raw
+      .filter(col("type").isin(pullFamily: _*) &&
+        col("payload.pull_request").isNotNull)
+      .select(
+        col("repo.id").as("repo_id"),
+        to_timestamp(col("created_at")).as("created_at"),
+        col("payload.pull_request.base.repo.language").as("language"),
+        col("payload.pull_request.base.repo.license.spdx_id").as("spdx_id"))
+    val none = lit("")
+    val langN = node(pr.filter(col("language").isNotNull),
+      "language", col("language"), none, none, none)
+    val licN = node(pr.filter(col("spdx_id").isNotNull),
+      "license", col("spdx_id"), none, none, none)
+    val noMerge = lit(null).cast("boolean")
+    val langE = edge(pr.filter(col("language").isNotNull), "has_language",
+      col("repo_id"), col("language"), lit(-1L), none, none, noMerge)
+    val licE = edge(pr.filter(col("spdx_id").isNotNull), "has_license",
+      col("repo_id"), col("spdx_id"), lit(-1L), none, none, noMerge)
+    (langN.unionByName(licN), langE.unionByName(licE))
+  }
+
   /** Consolidated nodes table (A26 last-write-wins). */
   def nodesTable(events: DataFrame): DataFrame =
     GraphProjection.consolidateNodes(nodes(events),

@@ -59,10 +59,22 @@ object GhArchiveSchema {
     StructField("merged_by", user),
     StructField("review_comments", IntegerType),
     StructField("requested_reviewers", ArrayType(user)),
+    // base.repo carries repo metadata the graph projection reads
+    // (language/license/description — reference:
+    // app/service/log_tugraph_importer.ts:255-275); the flattening
+    // projection itself ignores them (FieldMap has no such columns).
     StructField("base", StructType(Seq(
-      StructField("ref", StringType)))),
+      StructField("ref", StringType),
+      StructField("sha", StringType),
+      StructField("repo", StructType(Seq(
+        StructField("language", StringType),
+        StructField("license", StructType(Seq(
+          StructField("spdx_id", StringType)))),
+        StructField("description", StringType),
+        StructField("default_branch", StringType))))))),
     StructField("head", StructType(Seq(
       StructField("ref", StringType),
+      StructField("sha", StringType),
       StructField("repo", StructType(Seq(
         StructField("id", LongType),
         StructField("full_name", StringType)))))))))
