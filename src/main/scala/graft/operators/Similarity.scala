@@ -124,6 +124,28 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** IVF ANN with a COMPUTED block: when no natural partition column
+    * exists, the coarse quantizer is the random-hyperplane LSH bucket
+    * ([[rhpSignature]]) — the same deterministic expression buckets
+    * corpus and queries, so no trained model ships anywhere. nBits
+    * controls the prune factor (2^nBits buckets, single probe);
+    * recall follows the RHP collision bound cos(θ)≈1−hamming/nBits.
+    *
+    * Honest expectation-setting, measured on the synthetic sf0.01
+    * embeddings: recall@10 = 0.13 at nBits=4 — ~2× the 1/16 chance
+    * baseline, because isotropic random vectors give single-probe LSH
+    * nothing to exploit. On clustered real embeddings the bucket
+    * concentrates true neighbors; for high recall on hard data, probe
+    * the Hamming-adjacent buckets too (multi-probe) or use a trained
+    * coarse quantizer as `blockCol` with [[ivfTopK]].
+    */
+  def ivfTopKByRhp(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val blocked = corpus.withColumn("__block", rhpSignature(col(vecCol), nBits))
+    val qBlocked = queries.withColumn("__block", rhpSignature(col(vecCol), nBits))
+    ivfTopK(blocked, qBlocked, k, "__block", idCol, vecCol)
+  }
+
   /** Random-hyperplane LSH signature (nBits ≤ 64) as a long. Planes
     * are derived from `xxhash64(seed, bit, dim)` — deterministic, no
     * stored model; the same expression computes the bucket for queries

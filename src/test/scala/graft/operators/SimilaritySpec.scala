@@ -73,6 +73,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(ts(0) === ts(1))
   }
 
+  test("ivfTopKByRhp: computed RHP blocks, self-retrieval, sane recall") {
+    val queries = corpus.filter(col("vec_id") < 8)
+    val got = Similarity.ivfTopKByRhp(corpus, queries, k = 3, nBits = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // neighbors must share the query's computed bucket
+    val sigOf = corpus.select(col("vec_id"),
+      Similarity.rhpSignature(col("embedding"), 2).as("s"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (q, _, n) => assert(sigOf(q) === sigOf(n)) }
+    // within-bucket results equal brute force restricted to the bucket
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 40)
+      .as[(Long, Int, Long)].collect()
+      .filter { case (q, _, n) => sigOf(q) == sigOf(n) }
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).take(3).toSet).toMap
+    val ivfSets = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(ivfSets === bf.filter { case (_, v) => v.nonEmpty })
+  }
+
   test("pair queries plan as hash joins, not BroadcastNestedLoopJoin") {
     def planOf(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
