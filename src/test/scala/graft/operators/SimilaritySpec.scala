@@ -92,6 +92,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfSets === bf.filter { case (_, v) => v.nonEmpty })
   }
 
+  test("multi-probe RHP IVF: strictly more candidates, single-probe hits preserved") {
+    val queries = corpus.filter(col("vec_id") < 8)
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val single = Similarity.ivfTopKByRhp(corpus, queries, k = 5, nBits = 2)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val multi = Similarity.ivfTopKByRhpMultiProbe(corpus, queries, k = 5, nBits = 2)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    // every true neighbor single-probe found, multi-probe also finds
+    assert(single.intersect(bf).subsetOf(multi))
+    assert(multi.intersect(bf).size >= single.intersect(bf).size)
+  }
+
   test("pair queries plan as hash joins, not BroadcastNestedLoopJoin") {
     def planOf(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
