@@ -19,9 +19,13 @@ object Bench {
     catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // min of two passes: single-run numbers on this box swing 4×
-    // with background load; the min is the reproducible capability.
-    // Queries over 60 s skip the second pass to bound wall time.
+    // Min of two passes: single-run numbers on this box swing 4× with
+    // background load; the min is the reproducible capability. The second
+    // pass ALWAYS runs — a first pass inflated by a load spike is exactly
+    // the case where the retry matters (round 3 recorded 158 s for a query
+    // that reproducibly runs in 8 s because a >60 s first pass used to skip
+    // the retry). If the two passes still disagree by >3× the run was noisy
+    // on both sides of the spike, so take one more sample; min of all.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -34,7 +38,10 @@ object Bench {
         }
       }
       once().foreach { first =>
-        val best = if (first > 60.0) first else once().fold(first)(math.min(first, _))
+        val second = once().getOrElse(first)
+        var best = math.min(first, second)
+        if (math.max(first, second) > 3.0 * best && best > 0.5)
+          best = once().fold(best)(math.min(best, _))
         timings(name) = best
       }
     }

@@ -111,4 +111,54 @@ object FilePipeline {
   def missing(meta: DataFrame): DataFrame =
     meta.filter(col("status") =!= Status.Imported)
       .select("path").orderBy("path")
+
+  /** The reference's status document, field-for-field (reference:
+    * app/service/update_status.ts:20-39):
+    *
+    *   total       = needDownload + downloaded + imported + verified
+    *   imported    = imported
+    *   importFail  = total - imported - needDownload
+    *   missing     = needDownload
+    *   missingRate = (total - imported) / total
+    *   missingArr  = basenames of NeedDownload files, sorted
+    *   updateTime  = "yyyy-MM-dd HH:mm:ss"
+    *
+    * Note missingArr lists only NeedDownload files (not every
+    * not-yet-Imported file) — the Downloaded/Verified backlog shows up
+    * in missingRate but not in the array, exactly as the reference.
+    */
+  final case class StatusDoc(total: Long, imported: Long, importFail: Long,
+      missing: Long, missingRate: Double, missingArr: Seq[String],
+      updateTime: String) {
+    def toJson: String = {
+      val arr = missingArr.map(p => "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+      s"""{"total":$total,"imported":$imported,"importFail":$importFail,""" +
+        s""""missing":$missing,"missingRate":$missingRate,""" +
+        s""""missingArr":$arr,"updateTime":"$updateTime"}"""
+    }
+  }
+
+  def statusDocument(meta: DataFrame, updateTime: String): StatusDoc = {
+    // meta is checkpoint-table scale (one row per hour file); one
+    // aggregation pass for the counts, one pruned scan for the list —
+    // the same two driver-side reads the reference does over meta.json.
+    val counts = meta.groupBy("status").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def c(s: Int) = counts.getOrElse(s, 0L)
+    val total = c(Status.NeedDownload) + c(Status.Downloaded) +
+      c(Status.Verified) + c(Status.Imported)
+    val missingArr = meta.filter(col("status") === Status.NeedDownload)
+      .select(element_at(split(col("path"), "/"), -1).as("basename"))
+      .orderBy("basename").collect().map(_.getString(0)).toSeq
+    StatusDoc(
+      total = total,
+      imported = c(Status.Imported),
+      importFail = total - c(Status.Imported) - c(Status.NeedDownload),
+      missing = c(Status.NeedDownload),
+      missingRate =
+        if (total == 0) 0.0 else (total - c(Status.Imported)).toDouble / total,
+      missingArr = missingArr,
+      updateTime = updateTime)
+  }
 }

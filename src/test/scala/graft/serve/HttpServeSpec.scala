@@ -49,4 +49,102 @@ class HttpServeSpec extends SparkTestBase {
       assert(c4 === 400 && err.contains("error"))
     } finally srv.stop()
   }
+
+  test("README example endpoints: record_count, most_used_label, repo_activity") {
+    import spark.implicits._
+    // Minimal GH-shaped fixture: only the columns the example queries touch.
+    Seq(
+      // repo 1: actor 10 comments twice, opens an issue; actor 11's merged
+      // PR is attributed to its author (issue_author_id = 10)
+      (1L, "IssueCommentEvent", "created", false, 0L, 10L, Seq.empty[String]),
+      (1L, "IssueCommentEvent", "created", false, 0L, 10L, Seq.empty[String]),
+      (1L, "IssuesEvent", "opened", false, 0L, 10L, Seq.empty[String]),
+      (1L, "PullRequestEvent", "closed", true, 10L, 11L, Seq("bug", "ci")),
+      // repo 2: actor 20 opens a PR but never comments → dropped by the
+      // LEFT-JOIN-from-comments row set
+      (2L, "PullRequestEvent", "opened", false, 0L, 20L, Seq.empty[String]),
+      (2L, "IssuesEvent", "closed", false, 0L, 21L, Seq("bug")))
+      .toDF("repo_id", "type", "action", "pull_merged", "issue_author_id",
+        "actor_id", "label_names")
+      .selectExpr("repo_id", "type", "action", "pull_merged",
+        "issue_author_id", "actor_id",
+        "transform(label_names, n -> named_struct('name', n, 'color', '', " +
+          "'default', false, 'description', '')) AS issue_labels")
+      .createOrReplaceTempView("gh_fixture")
+
+    val srv = new HttpServe(spark, 0)
+    try {
+      srv.start()
+      val port = srv.boundPort
+
+      val (c1, cnt) = get(port, "/query/record_count?table=gh_fixture")
+      assert(c1 === 200)
+      assert(cnt.contains(""""count":6""") && cnt.contains("time_ms")
+        && cnt.contains("SELECT COUNT"))
+
+      // closed IssuesEvent/PullRequestEvent rows carry labels bug,ci + bug
+      val (c2, labels) = get(port, "/query/most_used_label?table=gh_fixture&topN=1")
+      assert(c2 === 200)
+      assert(labels.contains(""""label":"bug""""))
+      assert(labels.contains(""""count":2"""))
+      assert(!labels.contains(""""label":"ci"""")) // topN=1 honored
+
+      // repo 1 / actor 10: icc=2, oic=1, mpc=1 → score 2+2+5=9 → sqrt=3.0;
+      // repo 2 has no commenting actor → absent entirely
+      val (c3, act) = get(port, "/query/repo_activity?table=gh_fixture")
+      assert(c3 === 200)
+      assert(act.contains(""""repo_id":1""") && act.contains(""""repo_activity":3.0"""))
+      assert(!act.contains(""""repo_id":2"""))
+
+      val (c4, bad) = get(port, "/query/record_count?table=no_such;drop")
+      assert(c4 === 400 && bad.contains("invalid table"))
+    } finally srv.stop()
+  }
+
+  test("computed /status document matches the reference formulas exactly") {
+    import spark.implicits._
+    import graft.ingest.FilePipeline.Status._
+    // 2 NeedDownload, 1 Downloaded, 1 Verified, 4 Imported → total 8,
+    // importFail = 8-4-2 = 2, missing = 2, missingRate = (8-4)/8 = 0.5
+    val meta = Seq(
+      ("2015/01/01/2015-01-01-1.json.gz", NeedDownload),
+      ("2015/01/01/2015-01-01-0.json.gz", NeedDownload),
+      ("2015/01/01/2015-01-01-2.json.gz", Downloaded),
+      ("2015/01/01/2015-01-01-3.json.gz", Verified),
+      ("2015/01/01/2015-01-01-4.json.gz", Imported),
+      ("2015/01/01/2015-01-01-5.json.gz", Imported),
+      ("2015/01/01/2015-01-01-6.json.gz", Imported),
+      ("2015/01/01/2015-01-01-7.json.gz", Imported)).toDF("path", "status")
+
+    val srv = new HttpServe(spark, 0, statusMeta = Some(() => meta))
+    try {
+      srv.start()
+      val (code, body) = get(srv.boundPort, "/status")
+      assert(code === 200)
+      assert(body.contains(""""total":8"""))
+      assert(body.contains(""""imported":4"""))
+      assert(body.contains(""""importFail":2"""))
+      assert(body.contains(""""missing":2"""))
+      assert(body.contains(""""missingRate":0.5"""))
+      // basenames only, sorted
+      assert(body.contains(""""missingArr":["2015-01-01-0.json.gz","2015-01-01-1.json.gz"]"""))
+      assert(body.contains("updateTime"))
+    } finally srv.stop()
+  }
+
+  test("POST /query streams with a row cap") {
+    val srv = new HttpServe(spark, 0, maxRows = 3)
+    try {
+      srv.start()
+      val (code, body) = post(srv.boundPort, "/query",
+        "SELECT id FROM range(10) ORDER BY id")
+      assert(code === 200)
+      assert(body.contains(""""truncated":true"""))
+      assert(body.split("""\{"id":""", -1).length - 1 === 3)
+
+      val (c2, small) = post(srv.boundPort, "/query",
+        "SELECT id FROM range(2) ORDER BY id")
+      assert(c2 === 200 && small.contains(""""truncated":false"""))
+    } finally srv.stop()
+  }
 }
