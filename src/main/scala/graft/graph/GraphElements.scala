@@ -205,26 +205,45 @@ object GraphElements {
     * (existing ∪ new) — one argMax shuffle keyed by element id, no
     * driver-side graph. An external graph DB adapter would read these
     * tables and emit MERGE batches.
+    *
+    * Incremental layout: the tables are partitioned by an id-hash
+    * bucket (`pmod(xxhash64(key…), numBuckets)`), the same move
+    * [[graft.ingest.EventsWriter.merge]] makes with months — a merge
+    * reads back only the buckets the batch touches (partition pruning)
+    * and dynamic-partition-overwrites exactly those, so a small upsert
+    * against a 100-TB graph rewrites a few bucket dirs, never the
+    * table. Degree accumulates across merges: stored entities carry
+    * their witness count forward, each fresh witness adds one.
     */
-  def mergeGraph(events: DataFrame, nodesPath: String, edgesPath: String): Unit = {
+  def mergeGraph(events: DataFrame, nodesPath: String, edgesPath: String,
+      numBuckets: Int = 64): Unit = {
     val spark = events.sparkSession
-    def mergeInto(path: String, fresh: DataFrame, keys: Seq[String],
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    def mergeInto(path: String, fresh0: DataFrame, keys: Seq[String],
         props: Seq[String]): Unit = {
-      val combined =
-        try spark.read.parquet(path)
-          // stored rows re-enter consolidation as single witnesses:
-          // their updated_at is the event_ts, their degree is carried
-          .withColumnRenamed("updated_at", "event_ts")
-          .unionByName(fresh.withColumn("degree", lit(1L)), allowMissingColumns = true)
-        catch {
-          case _: org.apache.spark.sql.AnalysisException =>
-            fresh.withColumn("degree", lit(1L))
-        }
-      val consolidated = GraphProjection.consolidate(
-        combined.drop("degree"), keys, col("event_ts"), props)
-      val tmp = path + ".tmp"
-      consolidated.write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+      val fresh = fresh0
+        .withColumn("bucket",
+          pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int"))
+        .withColumn("degree", lit(1L))
+      val touched = fresh.select("bucket").distinct().collect().map(_.getInt(0))
+      val existing =
+        try Some(spark.read.parquet(path)
+          .filter(col("bucket").isin(touched.toSeq: _*))
+          .withColumnRenamed("updated_at", "event_ts"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val combined = existing.fold(fresh)(_ unionByName fresh)
+      val aggs = props.map(p => max_by(col(p), col("event_ts")).as(p)) ++
+        Seq(max(col("event_ts")).as("updated_at"), sum("degree").as("degree"))
+      combined
+        // bucket is functionally dependent on keys — grouping by it too
+        // changes nothing, but keeps it alive as the write partition col
+        .groupBy((keys :+ "bucket").map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .write
+        .mode(if (existing.isDefined) org.apache.spark.sql.SaveMode.Overwrite
+              else org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("bucket")
+        .parquet(path)
     }
     mergeInto(nodesPath, nodes(events), Seq("node_type", "node_id"),
       Seq("login", "name", "title", "is_bot"))

@@ -52,10 +52,16 @@ object EventsWriter {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val keyed = withMonthKey(batch)
+    // Range-partition on (month, ORDER BY key): rows of one month land in
+    // contiguous partitions, so partitionBy still writes clean month dirs,
+    // but a hot month spans MANY tasks — a hash repartition on month alone
+    // would funnel each month through a single straggler task writing one
+    // giant file, capping write parallelism at #months at 100-TB scale.
+    val sortCols =
+      (EventsSchema.orderByKey.filterNot(_ == partitionCol) :+ "id").map(col)
     keyed
-      .repartition(col(partitionCol))
-      .sortWithinPartitions(
-        (EventsSchema.orderByKey.filterNot(_ == partitionCol) :+ "id").map(col): _*)
+      .repartitionByRange((col(partitionCol) +: sortCols): _*)
+      .sortWithinPartitions(sortCols: _*)
       .write
       .mode(if (overwritePartitions) SaveMode.Overwrite else SaveMode.Append)
       .partitionBy(partitionCol)
