@@ -54,6 +54,60 @@ class GraphElementsSpec extends SparkTestBase {
     assert(rows.contains(("has_assignee", "42_12", "6")))
   }
 
+  test("mergeGraph: incremental upsert rewrites only touched buckets; degree accumulates") {
+    val dir = java.nio.file.Files.createTempDirectory("graph").toFile
+    val nodesPath = new java.io.File(dir, "nodes").getAbsolutePath
+    val edgesPath = new java.io.File(dir, "edges").getAbsolutePath
+
+    GraphElements.mergeGraph(events, nodesPath, edgesPath, numBuckets = 16)
+    val after1 = spark.read.parquet(nodesPath)
+    val repoDeg1 = after1
+      .filter(col("node_type") === "github_repo" && col("node_id") === "42")
+      .head.getAs[Long]("degree")
+    assert(repoDeg1 === 3L) // witnessed by all three fixture events
+
+    // snapshot every parquet file (path -> (size, checksum)) before merge 2
+    def snapshot(root: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(root)).map { f =>
+        val c = new java.util.zip.CRC32()
+        c.update(java.nio.file.Files.readAllBytes(f.toPath))
+        f.getAbsolutePath -> (f.length, c.getValue)
+      }.toMap
+    }
+    val before = snapshot(nodesPath)
+
+    // second batch: one more comment on the same issue by the same actor —
+    // touches the buckets of (github_actor,3), (github_repo,42),
+    // (github_issue,42_12) … but not, e.g., (issue_label,bug)'s bucket
+    // unless they collide; with 16 buckets at least one bucket must
+    // remain untouched and byte-identical.
+    val more = GhEventParser.parse(spark.read
+      .schema(graft.ingest.GhArchiveSchema.envelope)
+      .option("mode", "PERMISSIVE").json(Seq(
+        """{"id":"103","type":"IssueCommentEvent","actor":{"id":3,"login":"carol"},"repo":{"id":42,"name":"o/r"},"created_at":"2015-01-04T10:00:00Z","payload":{"action":"created","issue":{"id":900,"number":12,"title":"T","user":{"id":5,"login":"u"}},"comment":{"id":71,"body":"again","user":{"id":3,"login":"carol"}}}}""").toDS))
+    GraphElements.mergeGraph(more, nodesPath, edgesPath, numBuckets = 16)
+
+    val after2 = spark.read.parquet(nodesPath)
+    // LWW + degree accumulation: repo 42 now has 4 witnesses total
+    val repo = after2
+      .filter(col("node_type") === "github_repo" && col("node_id") === "42").head
+    assert(repo.getAs[Long]("degree") === 4L)
+    assert(repo.getAs[java.sql.Timestamp]("updated_at").toString.startsWith("2015-01-04"))
+    // entities untouched by batch 2 are still there, unchanged
+    assert(after2.filter(col("node_type") === "issue_label" && col("node_id") === "bug").count() === 1L)
+
+    val after = snapshot(nodesPath)
+    val untouched = before.keySet.intersect(after.keySet)
+      .filter(k => before(k) == after(k))
+    assert(untouched.nonEmpty,
+      "at least one bucket file must survive the merge byte-identical")
+    // and some bucket WAS rewritten (the merge actually did something)
+    assert(before.keySet.diff(after.keySet).nonEmpty || before != after)
+  }
+
   test("rawRepoFacts: language/license nodes + edges from the raw payload") {
     val (n, e) = GraphElements.rawRepoFacts(raw)
     val nodes = n.select("node_type", "node_id").as[(String, String)].collect().toSet
