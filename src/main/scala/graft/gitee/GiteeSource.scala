@@ -65,6 +65,15 @@ object GiteeSource {
       .agg(min("id")).head.getLong(0)
   }
 
+  /** Event ids of a page, aligned with the page's line order. */
+  private def pageIds(spark: SparkSession, page: Seq[String]): Seq[Long] = {
+    import spark.implicits._
+    page.zipWithIndex.toDF("line", "i")
+      .select(col("i"),
+        from_json(col("line"), GiteeNormalizer.rawSchema).getField("id").as("id"))
+      .collect().sortBy(_.getInt(0)).map(_.getAs[Long]("id")).toSeq
+  }
+
   /** Dimension-table refresh: dedup by (id, name, type) keeping the
     * earliest created_at — the reference's `OPTIMIZE TABLE …
     * DEDUPLICATE` on the version-less ReplacingMergeTree
@@ -72,4 +81,171 @@ object GiteeSource {
     */
   def dedupOrgsRepos(dim: DataFrame): DataFrame =
     dim.dropDuplicates("id", "name", "type")
+
+  /** Per-repo catch-up state — the reference's ReqContext watermarks
+    * (gitee_importer.ts:7-16): newest/oldest stored event id, repo
+    * creation time, earliest stored event time.
+    */
+  final case class RepoState(maxId: Long, minId: Long,
+      createdAt: Option[java.sql.Timestamp],
+      minCreatedAt: Option[java.sql.Timestamp])
+
+  /** Two-stage incremental pull (gitee_importer.ts:69-101):
+    *
+    *  - NEW stage: page from the newest event; keep only ids > maxId.
+    *    On running into a stored id: if the oldest stored event is
+    *    within 3 days of the repo's creation, history is complete —
+    *    stop; otherwise switch to the OLD stage.
+    *  - OLD stage: backfill from prev_id = minId until the API is
+    *    exhausted (the repo's history older than what we hold).
+    *  - maxId == 0 (first import): take everything until no data.
+    *
+    * Pages arrive newest-first, so the reference's "break at the first
+    * id <= maxId" is the same row set as filtering ids > maxId, which
+    * is how the split is done here. maxId > 0 implies minId > 0 (both
+    * come from one watermark aggregation), so the reference's
+    * unreachable minId<=0 branch is not modeled.
+    */
+  def pullRepoTwoStage(spark: SparkSession, fetch: PageFetcher, name: String,
+      st: RepoState, maxPages: Int = 1000): DataFrame = {
+    val keep = Seq.newBuilder[String]
+    var pages = 0
+
+    // NEW stage
+    var prevId = 0L
+    var newDone = false
+    var ranIntoStored = false
+    while (!newDone && pages < maxPages) {
+      val page = fetch(name, prevId); pages += 1
+      if (page.isEmpty) newDone = true
+      else {
+        val ids = pageIds(spark, page)
+        val fresh = page.zip(ids).filter { case (_, id) => id > st.maxId }
+        keep ++= fresh.map(_._1)
+        if (st.maxId > 0 && ids.exists(_ <= st.maxId)) {
+          ranIntoStored = true; newDone = true
+        } else prevId = ids.min
+      }
+    }
+
+    // OLD stage — only after running into stored data, and only when
+    // the 3-day-window test says history is still incomplete
+    // (gitee_importer.ts:77-84)
+    val historyComplete = (st.createdAt, st.minCreatedAt) match {
+      case (Some(created), Some(minEd)) =>
+        minEd.toInstant.toEpochMilli > 0 &&
+          minEd.getTime - created.getTime < 3L * 24 * 60 * 60 * 1000
+      case _ => false
+    }
+    if (ranIntoStored && st.minId > 0 && !historyComplete) {
+      prevId = st.minId
+      var oldDone = false
+      while (!oldDone && pages < maxPages) {
+        val page = fetch(name, prevId); pages += 1
+        if (page.isEmpty) oldDone = true
+        else { keep ++= page; prevId = pageIds(spark, page).min }
+      }
+    }
+
+    import spark.implicits._
+    GiteeNormalizer.normalize(
+      spark.read.schema(GiteeNormalizer.rawSchema).json(keep.result().toDS))
+  }
+
+  /** RepoState for one repo from the watermark query + dim table —
+    * the per-repo row of the reference's loadRepos join
+    * (gitee_importer.ts:108-127).
+    */
+  def repoState(events: DataFrame, orgsRepos: DataFrame, name: String): RepoState = {
+    val row = watermarks(events, orgsRepos)
+      .filter(col("name") === name)
+      .join(broadcast(orgsRepos.filter(col("type") === "repo")
+        .select(col("name"), col("created_at"))), Seq("name"), "left")
+      .collect().headOption
+    row.fold(RepoState(0L, 0L, None, None)) { r =>
+      RepoState(r.getAs[Long]("max_id"), r.getAs[Long]("min_id"),
+        Option(r.getAs[java.sql.Timestamp]("created_at")),
+        Option(r.getAs[java.sql.Timestamp]("min_created_at")))
+    }
+  }
+
+  /** Metadata fetch for one missing dim entry: (name, "repo"|"org") →
+    * the API's JSON body, None on failure (the reference logs and
+    * skips bodies with no id, gitee_importer.ts:310-318).
+    */
+  type MetaFetcher = (String, String) => Option[String]
+
+  /** One page of an org's repo listing: (org, page, perPage) → repo
+    * JSON objects (gitee_importer.ts:389-421).
+    */
+  type OrgReposFetcher = (String, Int, Int) => Seq[String]
+
+  private val metaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("full_name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("created_at",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Dim-table build loop (gitee_importer.ts:290-433): insert the
+    * configured repos/orgs missing from the dim table (metadata via the
+    * injected fetcher), optionally split orgs into their repo listings
+    * (cursor pagination: a full page means another page follows), then
+    * dedup — the OPTIMIZE DEDUPLICATE analogue. Returns the refreshed
+    * dim table (id, name, type, created_at).
+    */
+  def buildOrgsRepos(spark: SparkSession, existing: Option[DataFrame],
+      repos: Seq[String], orgs: Seq[String], fetchMeta: MetaFetcher,
+      fetchOrgRepos: OrgReposFetcher = (_, _, _) => Seq.empty,
+      parseOrgs: Boolean = false, perPage: Int = 100,
+      maxPages: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val known: Set[String] = existing.fold(Set.empty[String])(
+      _.select("name").collect().map(_.getString(0)).toSet)
+
+    def metaRows(names: Seq[String], kind: String): DataFrame =
+      // name comes from the REQUEST, not the response body
+      // (gitee_importer.ts:319-323 spreads option.userdata)
+      names.filterNot(known)
+        .flatMap(n => fetchMeta(n, kind).map(b => (n, b)))
+        .toDF("req_name", "body")
+        .select(col("req_name"), from_json(col("body"), metaSchema).as("m"))
+        .filter(col("m.id").isNotNull)
+        .select(col("m.id").as("id"), col("req_name").as("name"),
+          lit(kind).as("type"),
+          coalesce(try_to_timestamp(col("m.created_at")), current_timestamp())
+            .as("created_at"))
+
+    val inserted = metaRows(repos, "repo").unionByName(metaRows(orgs, "org"))
+    val base = existing.fold(inserted)(_.unionByName(inserted))
+
+    val split =
+      if (!parseOrgs) spark.range(0).select(
+        lit(0L).as("id"), lit("").as("name"), lit("repo").as("type"),
+        current_timestamp().as("created_at"))
+      else {
+        val orgNames = base.filter(col("type") === "org")
+          .select("name").collect().map(_.getString(0)).toSeq
+        val rows = orgNames.flatMap { o =>
+          val out = Seq.newBuilder[String]
+          var page = 1
+          var done = false
+          while (!done && page <= maxPages) {
+            val batch = fetchOrgRepos(o, page, perPage)
+            out ++= batch
+            if (batch.size < perPage) done = true else page += 1
+          }
+          out.result()
+        }
+        spark.read.schema(metaSchema).json(rows.toDS)
+          .filter(col("id").isNotNull)
+          .select(col("id"), col("full_name").as("name"),
+            lit("repo").as("type"),
+            coalesce(try_to_timestamp(col("created_at")), current_timestamp())
+              .as("created_at"))
+      }
+
+    dedupOrgsRepos(base.unionByName(split))
+  }
 }
