@@ -105,6 +105,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(multi.intersect(bf).size >= single.intersect(bf).size)
   }
 
+  test("multi-probe RHP recall@10 >= 0.9 on clustered embeddings") {
+    // The honest isotropic-data numbers (recall 0.13 single / 0.44
+    // multi-probe at nBits=4) reflect data with no cluster structure —
+    // the regime ANN indexes are NOT built for. This pins the quality
+    // claim on the regime they ARE built for: tight clusters, where a
+    // query's true neighbors share its bucket modulo one boundary
+    // plane, which Hamming-1 multi-probe covers.
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val centers = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian()))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 30
+    } yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      ((c * 30 + i).toLong, c, v)
+    }
+    val clustered = rows.toDF("vec_id", "label", "embedding").cache()
+    val queries = clustered.filter(col("vec_id") % 30 === 0) // one per cluster
+
+    val bf = Similarity.bruteForceTopK(clustered, queries, k = 10)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val multi = Similarity.ivfTopKByRhpMultiProbe(clustered, queries, k = 10, nBits = 4)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+
+    val recalls = bf.map { case (q, truth) =>
+      multi.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, f"clustered multi-probe recall@10 = $recall%.3f")
+  }
+
   test("pair queries plan as hash joins, not BroadcastNestedLoopJoin") {
     def planOf(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
