@@ -91,6 +91,35 @@ object TextDedup {
         when(pmod(h, lit(nBins.toLong)) === i, least(a, h)).otherwise(a)))
   }
 
+  /** Rotation densification for OPH (Shrivastava & Li 2014): every
+    * empty bin i borrows the value of the nearest non-empty bin j to
+    * its right (circularly), offset by the borrow distance t so
+    * different distances stay distinguishable: out[i] = sig[j] + t.
+    * Non-empty bins are untouched (t = 0). A doc with NO shingles keeps
+    * the all-sentinel signature.
+    *
+    * This is what makes [[ophSignature]] usable on short-document
+    * corpora: un-densified, empty bins share the sentinel and whole
+    * sentinel bands collide across unrelated short docs — the measured
+    * candidate explosion that kept the one-hash-per-shingle signature
+    * out of d02. Densified, empty bins inherit doc-specific minima and
+    * the band-collision probability follows Jaccard again.
+    */
+  def densifyOph(sig: Column, nBins: Int): Column = {
+    val sentinel = lit(Long.MaxValue)
+    val binIdx = sequence(lit(0), lit(nBins - 1))
+    transform(binIdx, i => {
+      // try_element_at: the filtered array is EMPTY for an all-sentinel
+      // signature, and ANSI element_at throws on out-of-bounds
+      val firstT = try_element_at(
+        filter(binIdx, t =>
+          element_at(sig, (pmod(i + t, lit(nBins)) + 1).cast("int")) =!= sentinel), lit(1))
+      when(firstT.isNull, sentinel)
+        .otherwise(
+          element_at(sig, (pmod(i + firstT, lit(nBins)) + 1).cast("int")) + firstT)
+    })
+  }
+
   /** LSH banding: split the signature into bands of `rowsPerBand` and
     * hash each band → (doc, band_idx, bucket) rows.
     */

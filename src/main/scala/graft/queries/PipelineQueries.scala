@@ -29,10 +29,13 @@ object PipelineQueries {
     // signatures via the native MinHashSig expression (one tight
     // primitive loop per row — ~25× the HOF pipeline); the
     // exact-Jaccard verify materializes distinct shingle sets only
-    // for candidate docs. (ophSignature is NOT used here: without
-    // densification its empty-bin sentinels make short docs collide
-    // in sentinel bands and the candidate set explodes — measured
-    // 2.7× slower end-to-end than paying the per-perm hash.)
+    // for candidate docs. (Densified OPH — functions.OphSig — is NOT
+    // used here although it is now correct on short docs: measured A/B
+    // at sf0.1 it is ~20% slower end-to-end (10.3-11.8 s vs 8.4-9.1 s)
+    // because the verify join, not signature hashing, dominates d02,
+    // and the borrowed bin values add band collisions. It remains the
+    // right signature when |shingles| >> nBins and signature cost
+    // dominates, e.g. long documents at much larger corpus scale.)
     val sigs = docs(s, dir).select(col("doc_id"),
       graft.functions.MinHashSig(col("text"), 5, 64).as("sig"))
     val cand = TextDedup.candidatePairs(

@@ -73,6 +73,82 @@ class TextDedupSpec extends SparkTestBase {
     assert(rows(1L) !== rows(3L))
   }
 
+  test("densifyOph: identity on full signatures, borrow+offset on empty bins") {
+    // sig with bins 1,3 empty: bin 1 borrows bin 2 (t=1 → 30+1), bin 3
+    // borrows bin 0 circularly (t=1 → 10+1); full bins untouched
+    val sig = Seq(Seq(10L, Long.MaxValue, 30L, Long.MaxValue)).toDF("sig")
+    val dense = sig.select(TextDedup.densifyOph(col("sig"), 4)).head.getSeq[Long](0)
+    assert(dense === Seq(10L, 31L, 30L, 11L))
+    // all-empty stays all-sentinel (a doc with no shingles)
+    val empty = Seq(Seq.fill(4)(Long.MaxValue)).toDF("sig")
+    assert(empty.select(TextDedup.densifyOph(col("sig"), 4)).head.getSeq[Long](0)
+      === Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("native OphSig equals the densified HOF OPH form on ASCII text") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "short",                       // far fewer shingles than bins
+      "ab",                          // shorter than the shingle width
+      "",
+      "MiXeD CaSe and punctuation!! with   spaces")
+    val df = texts.toDF("text")
+    val got = df.select(
+      graft.functions.OphSig(col("text"), 5, 32).as("native"),
+      TextDedup.densifyOph(
+        TextDedup.ophSignature(TextDedup.shingleHashes(col("text"), 5), 32), 32)
+        .as("hof"))
+      .collect()
+    got.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"mismatch for '$t'")
+    }
+    // identical docs → identical signatures; distinct docs → distinct
+    val sigs = df.select(graft.functions.OphSig(col("text"), 5, 32)).collect()
+      .map(_.getSeq[Long](0))
+    assert(sigs.distinct.length === texts.length)
+  }
+
+  test("densification tames the short-doc sentinel-band explosion; recall holds") {
+    // 60 SHORT docs (~40 chars, 64 bins → many empty bins): raw OPH
+    // shares sentinel bands across unrelated docs; densified must not.
+    // Every word embeds the doc number so UNRELATED docs share almost
+    // no shingles (cross-doc jaccard ≈ 0.1, far below the banding
+    // threshold) — any raw-OPH candidate between them is the sentinel
+    // artifact, not genuine similarity.
+    val texts = (0 until 30).flatMap { i =>
+      val rnd = new scala.util.Random(i)
+      val base = Seq.fill(4)(
+        Seq.fill(8)(('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+      Seq((i.toLong, base), (i + 100L, base + " x"))
+    }
+    val d = texts.toDF("doc_id", "text").cache()
+    val sh = d.select(col("doc_id"), TextDedup.shingles(col("text"), 5).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", TextDedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+
+    def candidates(sigs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      TextDedup.candidatePairs(
+        TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
+        "doc_id").as[(Long, Long)].collect().toSet
+
+    val raw = candidates(d.select(col("doc_id"),
+      TextDedup.ophSignature(TextDedup.shingleHashes(col("text"), 5), 64).as("sig")))
+    val dense = candidates(d.select(col("doc_id"),
+      graft.functions.OphSig(col("text"), 5, 64).as("sig")))
+
+    // recall contract (j >= 0.8 pairs are candidates) holds densified
+    assert(truth.subsetOf(dense), s"densified OPH missed: ${truth.diff(dense)}")
+    // and the sentinel explosion is gone: raw candidates ~ all pairs,
+    // densified stays near the true near-dup set
+    assert(raw.size > 4 * dense.size,
+      s"expected raw sentinel explosion (raw=${raw.size}, dense=${dense.size})")
+  }
+
   test("LSH banding recall: high-similarity pairs (j >= 0.8) are all candidates") {
     // (16 bands × 4 rows) has its 50%-capture threshold at
     // j* = (1/16)^(1/4) = 0.5; recall is only near-certain well above
