@@ -98,4 +98,37 @@ object EventsWriter {
     */
   def ingestHours(spark: SparkSession, hourFiles: Seq[String], tablePath: String): Unit =
     merge(GhEventParser.ingest(spark, hourFiles), tablePath)
+
+  /** Compaction — the background-merge analogue of the reference's
+    * MergeTree engine (ClickHouse folds small parts continuously;
+    * `OPTIMIZE TABLE` forces it). Hourly appends leave one small file
+    * per batch per month; this rewrites every month partition holding
+    * more than `maxFilesPerMonth` files through the normal write path
+    * (range partitioning + within-file sort), restoring few
+    * well-sorted, row-group-indexed files. Touched months only —
+    * dynamic partition overwrite, like [[merge]]. Uses the Hadoop
+    * FileSystem API, so the same code compacts local dirs, HDFS, or
+    * object stores. Returns the compacted month keys.
+    */
+  def compact(spark: SparkSession, path: String,
+      maxFilesPerMonth: Int = 8): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Seq.empty
+    val months = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+      .map { s =>
+        val files = fs.listStatus(s.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet"))
+        (s.getPath.getName.stripPrefix(s"$partitionCol=").toInt, files)
+      }
+    val toCompact = months.collect { case (m, files) if files > maxFilesPerMonth => m }
+    if (toCompact.nonEmpty) {
+      val slice = spark.read.parquet(path)
+        .filter(col(partitionCol).isin(toCompact: _*))
+        .drop(partitionCol) // write() re-derives it from created_at
+      write(slice, path, overwritePartitions = true)
+    }
+    toCompact.sorted
+  }
 }

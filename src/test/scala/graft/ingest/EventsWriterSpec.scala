@@ -47,6 +47,37 @@ class EventsWriterSpec extends SparkTestBase {
     }
   }
 
+  test("compact folds many small per-batch files into few, content-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("evc").toFile
+    val path = new java.io.File(dir, "events").getAbsolutePath
+    // 12 tiny appends into one month + 1 into another → many small files
+    (0 until 12).foreach { b =>
+      val batch = GiteeTestRows.densify(
+        spark.range(b * 10, b * 10 + 10).select(
+          col("id"), col("id").as("actor_id"),
+          to_timestamp(lit("2015-03-10 10:00:00")).as("created_at")))
+      EventsWriter.write(batch, path)
+    }
+    EventsWriter.write(GiteeTestRows.densify(
+      spark.range(500, 510).select(col("id"), col("id").as("actor_id"),
+        to_timestamp(lit("2015-04-01 10:00:00")).as("created_at"))), path)
+
+    def files(month: String) =
+      new java.io.File(path, s"month_key=$month").listFiles
+        .count(_.getName.endsWith(".parquet"))
+    assert(files("201503") >= 12)
+    val before = spark.read.parquet(path).select("id").collect().map(_.getLong(0)).sorted
+
+    val compacted = EventsWriter.compact(spark, path, maxFilesPerMonth = 8)
+    assert(compacted === Seq(201503)) // 201504 has 1 file — untouched
+    assert(files("201503") < 12)
+    val after = spark.read.parquet(path).select("id").collect().map(_.getLong(0)).sorted
+    assert(after === before)
+
+    // idempotent once under the limit
+    assert(EventsWriter.compact(spark, path, maxFilesPerMonth = 8) === Seq.empty)
+  }
+
   test("two months still land in separate partition dirs") {
     val dir = java.nio.file.Files.createTempDirectory("evw2").toFile
     val path = new java.io.File(dir, "events").getAbsolutePath
