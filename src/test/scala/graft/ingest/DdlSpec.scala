@@ -34,6 +34,44 @@ class DdlSpec extends SparkTestBase {
     assert(!plan.contains("month_key=201502"))
     spark.sql("DROP TABLE ddl_events")
   }
+
+  test("bucketed table: groupBy and self-join on repo_id plan with no shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("ddlb").toFile
+    val batch = GiteeTestRows.densify(
+      spark.range(200).select(
+        col("id"), (col("id") % 20).as("repo_id"), col("id").as("actor_id"),
+        to_timestamp(lit("2015-01-15 10:00:00")).as("created_at")))
+    Ddl.initBucketed(spark, batch, "ddl_events_b",
+      new java.io.File(dir, "events_b").getAbsolutePath, buckets = 4,
+      forceInit = true)
+    try {
+      val t = spark.table("ddl_events_b")
+      assert(t.count() === 200L)
+
+      // aggregation on the bucket key: no Exchange in the plan
+      val aggPlan = t.groupBy("repo_id").count()
+        .queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"bucketed groupBy(repo_id) must not shuffle:\n$aggPlan")
+
+      // self-join on the bucket key: no Exchange either side. On this
+      // tiny fixture the planner prefers broadcast (and rightly skips
+      // the bucket spec); disable auto-broadcast to observe the
+      // shuffle-free sort-merge path a 100-TB join would take.
+      val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(bcKey)
+      spark.conf.set(bcKey, "-1")
+      try {
+        val joined = t.select(col("repo_id"), col("id").as("id_a"))
+          .join(spark.table("ddl_events_b")
+            .select(col("repo_id"), col("id").as("id_b")), Seq("repo_id"))
+        val joinPlan = joined.queryExecution.executedPlan.toString
+        assert(!joinPlan.contains("Exchange"),
+          s"bucketed self-join on repo_id must not shuffle:\n$joinPlan")
+        assert(joined.count() === 2000L) // 20 repos × 10×10 pairs
+      } finally spark.conf.set(bcKey, prev)
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_events_b")
+  }
 }
 
 /** Fills the full events schema around a few seed columns. */
