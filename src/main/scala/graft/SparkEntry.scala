@@ -54,6 +54,7 @@ object SparkEntry {
     "d05_embedding_neardup" -> (PipelineQueries.embedding_neardup _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
+    "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
     "t03_token_count" -> (PipelineQueries.token_count _),

@@ -172,6 +172,50 @@ object Similarity {
     ivfTopK(blocked, qBlocked, k, "__block", idCol, vecCol)
   }
 
+  /** True IVF: a k-means coarse quantizer trained on the corpus
+    * (Spark ML, distributed), corpus vectors assigned to their nearest
+    * centroid, queries probing the `nProbe` nearest centroids. This is
+    * the classic IVF-Flat index shape: train once, assign in one pass,
+    * and every query scans ~nProbe/nClusters of the corpus. Unlike the
+    * RHP variant there IS a trained model — the centroid array — but
+    * it is tiny (nClusters × dim doubles), lives in the plan as a
+    * literal, and ships with the broadcast query side; recall on
+    * clustered data is near-exact once nProbe covers the query's true
+    * cluster (pinned ≥ 0.95 by spec).
+    */
+  def ivfTopKByKmeans(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int, nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fv = corpus.withColumn("__fv",
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))))
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__block").fit(fv)
+    val blocked = model.transform(fv).drop("__fv")
+
+    // centroids as a plan literal: [[c0...], [c1...], ...]
+    val centers = model.clusterCenters.map(_.toArray)
+    val centersLit = array(centers.map(c =>
+      array(c.map(v => lit(v)): _*)): _*)
+    // nProbe nearest centroids per query by squared L2 — sort
+    // (distance, idx) structs and take the first nProbe indices
+    val idxSeq = sequence(lit(0), lit(nClusters - 1))
+    val qBlocked = queries
+      .withColumn("__dists", transform(centersLit, c =>
+        aggregate(zip_with(c, col(vecCol), (a, b) => {
+          val d = a - b.cast("double"); d * d
+        }), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("__probes",
+        slice(transform(
+          array_sort(zip_with(col("__dists"), idxSeq,
+            (d, i) => struct(d.as("d"), i.as("i")))),
+          s => s.getField("i")), 1, nProbe))
+      .withColumn("__block", explode(col("__probes")))
+      .drop("__dists", "__probes")
+    ivfTopK(blocked, qBlocked, k, "__block", idCol, vecCol)
+  }
+
   /** Random-hyperplane LSH signature (nBits ≤ 64) as a long. Planes
     * are derived from `xxhash64(seed, bit, dim)` — deterministic, no
     * stored model; the same expression computes the bucket for queries

@@ -127,6 +127,16 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- trained-quantizer IVF (k-means coarse quantizer, nProbe=2).
+  // Rows-only: the trained centroids aren't portable SQL; recall ≥0.95
+  // on clustered data is pinned by SimilaritySpec. ----
+  def ann_ivf_kmeans(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    val queries = corpus.filter(col("vec_id") < 10)
+    Similarity.ivfTopKByKmeans(corpus, queries, k = 10, nClusters = 8, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- text analysis ----
   def lang_id(s: SparkSession, dir: String): DataFrame =
     TextFunctions.languageId(docs(s, dir), "doc_id", "text")

@@ -139,6 +139,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, f"clustered multi-probe recall@10 = $recall%.3f")
   }
 
+  test("k-means IVF: recall@10 >= 0.95 on clustered embeddings with nProbe=2") {
+    val rnd = new scala.util.Random(11)
+    val dims = 16
+    val centers = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian()))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 30
+    } yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      ((c * 30 + i).toLong, c, v)
+    }
+    val clustered = rows.toDF("vec_id", "label", "embedding").cache()
+    val queries = clustered.filter(col("vec_id") % 30 === 0)
+
+    val bf = Similarity.bruteForceTopK(clustered, queries, k = 10)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val ivf = Similarity.ivfTopKByKmeans(clustered, queries, k = 10,
+      nClusters = 8, nProbe = 2)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+
+    val recalls = bf.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.95, f"k-means IVF recall@10 = $recall%.3f")
+    // no duplicate (query, neighbor) rows from multi-probe
+    val all = Similarity.ivfTopKByKmeans(clustered, queries, k = 10,
+      nClusters = 8, nProbe = 2).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(all.distinct.size === all.size)
+  }
+
   test("pair queries plan as hash joins, not BroadcastNestedLoopJoin") {
     def planOf(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
