@@ -63,4 +63,29 @@ class ChCompatSpec extends SparkTestBase {
          FROM VALUES (1), (2), (3) AS t(x)""").head
     assert(r.getLong(0) === 2L && r.getLong(1) === 3L)
   }
+
+  test("spark.sql.extensions=graft.GraftExtensions injects the surface") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // ensure the shared context exists first
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // new session over the SAME SparkContext, functions injected by
+      // the extensions channel alone — no registerAll call on this
+      // session. (The spark.sql.extensions CONFIG form reads the class
+      // list from the SparkContext conf at context launch, so in-JVM
+      // the test goes through builder.withExtensions — the same code
+      // path the config triggers.)
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT toYYYYMM(timestamp'2015-03-04 00:00:00') AS m").head
+      assert(r.getInt(0) === 201503)
+    } finally {
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
