@@ -58,6 +58,10 @@ object Similarity {
     * (cos DESC, neighbor_id ASC) exactly, as `array_sort` on
     * struct(-cos, neighbor_id) is lexicographic.
     */
+  /** [[boundedTopK]] for sibling operators ([[Quantize]]). */
+  private[operators] def boundedTopKPublic(scored: DataFrame, k: Int): DataFrame =
+    boundedTopK(scored, k)
+
   private def boundedTopK(scored: DataFrame, k: Int): DataFrame = {
     val key = struct(negate(col("cos")).as("neg_cos"), col("neighbor_id").as("neighbor_id"))
     val local = scored
