@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Stateful streaming operators: the streaming faces of the batch
+  * dedup (B18/d01) and graph consolidation (A26/A27).
+  *
+  *  - [[dedupByContent]]: exact content dedup across micro-batches.
+  *    State is the set of content hashes inside the watermark horizon —
+  *    `dropDuplicatesWithinWatermark` bounds it, so a duplicate
+  *    arriving within `horizon` of the original is dropped and state
+  *    never grows beyond the horizon's key count. At 100 TB/day this
+  *    is the only tenable shape: unbounded dropDuplicates state OOMs.
+  *  - [[consolidateNodes]]: last-write-wins entity state via
+  *    `mapGroupsWithState` — per key, latest-by-timestamp properties
+  *    plus a witness count, emitted updated every micro-batch. The
+  *    streaming analogue of [[graft.graph.GraphProjection.consolidate]]
+  *    (same argMax semantics, state keyed and partitioned by entity id).
+  */
+object StreamingDedup {
+
+  /** First arrival wins; duplicates of a content hash arriving within
+    * `horizon` (event time) are dropped.
+    */
+  def dedupByContent(docs: DataFrame, tsCol: String, textCol: String,
+      horizon: String): DataFrame =
+    docs.withColumn("__h", md5(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
+  /** One graph-element witness (un-consolidated node row). */
+  final case class NodeWitness(nodeType: String, nodeId: String,
+      props: String, eventTs: java.sql.Timestamp)
+
+  /** Consolidated entity state: LWW props + degree. */
+  final case class NodeState(nodeType: String, nodeId: String,
+      props: String, updatedAt: java.sql.Timestamp, degree: Long)
+
+  /** LWW consolidation across micro-batches. Emits the updated state of
+    * every key seen in the batch (Update output mode).
+    */
+  def consolidateNodes(witnesses: Dataset[NodeWitness]): Dataset[NodeState] = {
+    import witnesses.sparkSession.implicits._
+    witnesses
+      .groupByKey(w => (w.nodeType, w.nodeId))
+      .mapGroupsWithState[NodeState, NodeState](GroupStateTimeout.NoTimeout) {
+        case ((t, id), batch, state: GroupState[NodeState]) =>
+          val prev = state.getOption
+          val rows = batch.toSeq
+          val latest = (prev.map(s => (s.props, s.updatedAt)) ++
+            rows.map(w => (w.props, w.eventTs)))
+            .maxBy(_._2.getTime)
+          val next = NodeState(t, id, latest._1, latest._2,
+            prev.map(_.degree).getOrElse(0L) + rows.size)
+          state.update(next)
+          next
+      }
+  }
+}
