@@ -12,6 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *            n-gram Jaccard / embedding cosine)
   *  - `s*`  — similarity search (brute-force + IVF-blocked ANN)
   *  - `t*`  — text analysis (lang-id / quality / tokens / fingerprint)
+  *  - `p*`  — composed pipelines (lang → quality → dedup in one plan)
   *  - `m*`  — multimodal binary-column plumbing
   *
   * Entries without an `oracleSql` row are the hash-based/approximate
@@ -52,6 +53,7 @@ object SparkEntry {
     "d03_simhash" -> (PipelineQueries.simhash_dedup _),
     "d04_jaccard_pairs" -> (PipelineQueries.jaccard_pairs _),
     "d05_embedding_neardup" -> (PipelineQueries.embedding_neardup _),
+    "p01_clean_corpus" -> (PipelineQueries.clean_corpus _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -212,6 +214,44 @@ object SparkEntry {
          WHERE list_inner_product(a.v,b.v)
                / (sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.35
          ORDER BY id_a, id_b""",
+
+    "p01_clean_corpus" ->
+      s"""WITH sw(sw_lang, sw_word) AS (VALUES ${graft.functions.TextFunctions.stopwords
+             .map { case (l, w) => s"('$l','$w')" }.mkString(",")}),
+         tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),'\\s+')) AS tok
+           FROM documents),
+         hits AS (SELECT doc_id, sw_lang, count(*) AS hits
+           FROM tok JOIN sw ON tok = sw_word GROUP BY 1,2),
+         best AS (SELECT doc_id, sw_lang FROM hits
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, sw_lang) = 1),
+         lang AS (SELECT d.doc_id, coalesce(b.sw_lang,'und') AS pred_lang
+           FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id),
+         f AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             regexp_split_to_array(trim(lower(text)),'\\s+') AS toks,
+             length(text) - length(regexp_replace(text,'[^a-zA-Z0-9\\s]','','g')) AS punct,
+             length(regexp_replace(text,'\\s+','','g')) AS alpha_chars
+           FROM documents),
+         g AS (SELECT doc_id, n_chars_m,
+             CASE WHEN len(toks)=0 THEN 0.0
+                  ELSE CAST(alpha_chars AS DOUBLE)/len(toks) END AS avg_tl,
+             CASE WHEN len(toks)=0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)/len(toks) END AS stop_r,
+             CASE WHEN n_chars_m=0 THEN 0.0
+                  ELSE CAST(punct AS DOUBLE)/n_chars_m END AS punct_r
+           FROM f),
+         q AS (SELECT doc_id,
+             CAST(round(CAST(0.5*stop_r + 0.3*(1.0-punct_r)
+                   + 0.2*least(avg_tl/10.0, 1.0) AS DECIMAL(20,10)), 4) AS DOUBLE) AS quality_score
+           FROM g)
+         SELECT min(d.doc_id) AS keep_id, count(*) AS dups
+         FROM documents d
+         JOIN lang l ON d.doc_id = l.doc_id
+         JOIN q ON d.doc_id = q.doc_id
+         WHERE l.pred_lang = 'en' AND q.quality_score >= 0.42
+         GROUP BY md5(d.text)
+         ORDER BY keep_id""",
 
     "s01_ann_topk" ->
       """WITH e AS (SELECT vec_id,

@@ -157,6 +157,29 @@ object PipelineQueries {
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  // ---- composed training-data pipeline: language filter → quality
+  // filter → exact dedup, as one plan. The filters run before the
+  // dedup shuffle (hash-groupBy carries only (md5, doc_id) of
+  // surviving docs) — at 100 TB the cheap map-side filters cut the
+  // shuffle to the kept-language/quality fraction. Thresholds compare
+  // the DECIMAL-rounded score, so both engines filter identical
+  // values (t02 proves the rounded scores hash-match). ----
+  def clean_corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lang = TextFunctions.languageId(d, "doc_id", "text")
+    val quality = d.select(col("doc_id") +:
+      TextFunctions.qualityFeatures(col("text")): _*)
+      .select("doc_id", "quality_score")
+    d.select("doc_id", "text")
+      .join(lang, "doc_id")
+      .join(quality, "doc_id")
+      .filter(col("pred_lang") === "en" && col("quality_score") >= 0.42)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+      .select("keep_id", "dups")
+      .orderBy("keep_id")
+  }
+
   // ---- multimodal: opaque binary payload + typed metadata. The decode
   // is a deterministic stub (no image/audio libs in this container); the
   // Spark-side plumbing — binary column, schema, batch shape — is real.
