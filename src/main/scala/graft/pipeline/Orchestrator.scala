@@ -82,11 +82,16 @@ object Orchestrator {
               .otherwise(col("status"))).drop("ok")
       }
 
-    // 4. import Verified files (A5–A19)
+    // 4. import Verified files (A5–A19), then fold small per-batch
+    // files back into few sorted ones — the background-merge step the
+    // reference delegates to ClickHouse's MergeTree engine. Idempotent
+    // and a no-op while every month is under the file limit.
     val toImport = verified.filter(col("status") === Status.Verified)
       .select("path").collect().map(r => s"$baseDir/${r.getString(0)}").toSeq
-    if (toImport.nonEmpty)
+    if (toImport.nonEmpty) {
       EventsWriter.ingestHours(spark, toImport, tablePath)
+      EventsWriter.compact(spark, tablePath)
+    }
     val afterImport = verified.withColumn("status",
       when(col("status") === Status.Verified, Status.Imported)
         .otherwise(col("status")))
