@@ -308,10 +308,13 @@ object SparkEntry {
          FROM g ORDER BY doc_id""",
 
     "t03_token_count" ->
-      """SELECT doc_id,
+      ("""SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(lower(text)),'\s+')) AS BIGINT) AS ws_tokens,
-                (length(text)+3)//4 AS bpe_est_tokens
-         FROM documents ORDER BY doc_id""",
+                (length(text)+3)//4 AS bpe_est_tokens,
+                CAST(len(regexp_extract_all(text, '""" +
+        graft.functions.TextFunctions.bpePattern.replace("'", "''") +
+        """')) AS BIGINT) AS bpe_regex_tokens
+         FROM documents ORDER BY doc_id"""),
 
     "t04_fingerprint" ->
       """SELECT doc_id,

@@ -98,12 +98,25 @@ object TextFunctions {
       r4(punctRatio).as("punct_ratio"), score.as("quality_score"))
   }
 
-  /** Whitespace token count + a BPE-style estimate (ceil(chars/4) — the
-    * published ~4-chars-per-token heuristic), in pure integer math.
+  /** GPT-2-style pre-tokenizer pattern, restricted to constructs Java
+    * regex and RE2 (the oracle's engine) interpret identically: the
+    * contraction suffixes, space-prefixed letter/digit/punctuation
+    * runs, then whitespace runs. The upstream pattern's `\s+(?!\S)`
+    * lookahead is dropped (RE2 has no lookahead); both engines then
+    * count a trailing-space run as one piece, so counts stay equal.
+    */
+  val bpePattern: String =
+    """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Whitespace token count, a BPE-style length estimate (ceil(chars/4)
+    * — the published ~4-chars-per-token heuristic), and the piece count
+    * of the GPT-2-style pre-tokenizer regex (what a BPE tokenizer would
+    * split before merges; an upper bound on merged token count).
     */
   def tokenCounts(text: Column): Seq[Column] = Seq(
     size(tokens(text)).cast("long").as("ws_tokens"),
-    floor((length(text) + lit(3)) / lit(4.0)).cast("long").as("bpe_est_tokens"))
+    floor((length(text) + lit(3)) / lit(4.0)).cast("long").as("bpe_est_tokens"),
+    regexp_count(text, lit(bpePattern)).cast("long").as("bpe_regex_tokens"))
 
   /** Canonical document fingerprint: md5 of the
     * whitespace-normalized, lowercased text.
