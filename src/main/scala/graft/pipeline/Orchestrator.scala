@@ -119,4 +119,28 @@ object Orchestrator {
 
   private val udfExists =
     udf((p: String, base: String) => new java.io.File(s"$base/$p").exists())
+
+  /** Non-reentrant wrapper — the reference's in-flight guard
+    * (app cache `updating` flag, app/schedule/update_log.ts:14-18):
+    * a second invocation while one is running returns None and does
+    * nothing. The flag is an atomically-created lock file next to the
+    * checkpoint table, so the guard also holds across driver processes
+    * sharing the meta path; a crashed run's stale lock is reclaimed
+    * after `staleLockMs`.
+    */
+  def runGuarded(spark: SparkSession, baseDir: String, tablePath: String,
+      metaPath: String, startHour: String, endHour: String,
+      staleLockMs: Long = 6 * 60 * 60 * 1000L): Option[DataFrame] = {
+    val lock = new java.io.File(metaPath + ".lock")
+    Option(lock.getParentFile).foreach(_.mkdirs())
+    val acquired = lock.createNewFile() || {
+      // reclaim a stale lock from a crashed run
+      System.currentTimeMillis() - lock.lastModified() > staleLockMs &&
+        lock.delete() && lock.createNewFile()
+    }
+    if (!acquired) None
+    else
+      try Some(runOnce(spark, baseDir, tablePath, metaPath, startHour, endHour))
+      finally lock.delete()
+  }
 }

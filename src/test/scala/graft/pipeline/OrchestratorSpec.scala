@@ -50,5 +50,18 @@ class OrchestratorSpec extends SparkTestBase {
     assert(meta2.collect().map(r =>
       r.getAs[String]("path") -> r.getAs[Int]("status")).toMap === st)
     assert(spark.read.parquet(table).count() === 3)
+
+    // non-reentrant guard (A30): a held lock skips the run; a released
+    // (or stale) lock lets it proceed
+    val lock = new File(metaPath + ".lock")
+    assert(lock.createNewFile())
+    assert(Orchestrator.runGuarded(spark, base.getAbsolutePath, table, metaPath,
+      "2015-01-01 00:00:00", "2015-01-01 03:00:00").isEmpty)
+    assert(lock.exists, "a skipped run must not release someone else's lock")
+    assert(lock.setLastModified(System.currentTimeMillis() - 10_000))
+    assert(Orchestrator.runGuarded(spark, base.getAbsolutePath, table, metaPath,
+      "2015-01-01 00:00:00", "2015-01-01 03:00:00",
+      staleLockMs = 1000L).isDefined) // stale → reclaimed and run
+    assert(!lock.exists, "a completed run releases the lock")
   }
 }
