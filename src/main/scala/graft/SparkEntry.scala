@@ -54,6 +54,7 @@ object SparkEntry {
     "d04_jaccard_pairs" -> (PipelineQueries.jaccard_pairs _),
     "d05_embedding_neardup" -> (PipelineQueries.embedding_neardup _),
     "p01_clean_corpus" -> (PipelineQueries.clean_corpus _),
+    "p02_neardup_groups" -> (PipelineQueries.neardup_groups _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -252,6 +253,24 @@ object SparkEntry {
          WHERE l.pred_lang = 'en' AND q.quality_score >= 0.42
          GROUP BY md5(d.text)
          ORDER BY keep_id""",
+
+    "p02_neardup_groups" ->
+      """WITH RECURSIVE
+         d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(src, node) AS (
+           SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+         SELECT src AS doc_id, min(node) AS comp
+         FROM reach GROUP BY src ORDER BY doc_id""",
 
     "s01_ann_topk" ->
       """WITH e AS (SELECT vec_id,

@@ -60,4 +60,59 @@ object Dedup {
     df.select(md5(col(contentCol)).as("h"), col(idCol))
       .groupBy("h")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dups"))
+
+  /** Near-dup GROUP resolution: the near-dup detectors (MinHash/SimHash/
+    * Jaccard/embedding) emit verified PAIRS; this folds pairs into
+    * connected components so each duplicate cluster keeps one canonical
+    * document (the min id). Distributed min-label propagation: every
+    * node repeatedly adopts the smallest component id among itself and
+    * its neighbors — hash joins only, converging in O(component
+    * diameter) rounds; a pointer-jumping step per round (each node also
+    * adopts its component representative's current component — path
+    * compression) cuts that to O(log diameter), so chain-shaped
+    * overlap graphs (the ±window Jaccard detector produces exactly
+    * those) converge in a handful of rounds too. Lineage is cut per
+    * round with `localCheckpoint` — iterative self-joins otherwise
+    * stack plans until planning dominates.
+    *
+    * Input: pairs (id_a, id_b). Output: (id, comp) — one row per
+    * distinct node, comp = min id of its component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(min("comp").as("ncomp"))
+        .withColumnRenamed("src", "id")
+      val stepped = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // pointer jumping: follow my representative's own label
+      val parent = stepped
+        .select(col("id").as("comp"), col("comp").as("pcomp"))
+      val updated = stepped
+        .join(parent, Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = updated.withColumnRenamed("comp", "newComp")
+        .join(labels, "id")
+        .filter(col("newComp") =!= col("comp"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
 }

@@ -180,6 +180,17 @@ object PipelineQueries {
       .orderBy("keep_id")
   }
 
+  // ---- near-dup GROUP resolution: d04's verified pairs folded into
+  // connected components (min-id representative per duplicate
+  // cluster) — the step that turns pairwise detectors into "keep one
+  // per group". Pointer-jumping label propagation: O(log diameter)
+  // hash-join rounds even on the chain-shaped graphs the ±window
+  // detector produces. Full oracle via DuckDB recursive CTE. ----
+  def neardup_groups(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(jaccard_pairs(s, dir))
+      .select(col("id").as("doc_id"), col("comp"))
+      .orderBy("doc_id")
+
   // ---- multimodal: opaque binary payload + typed metadata. The decode
   // is a deterministic stub (no image/audio libs in this container); the
   // Spark-side plumbing — binary column, schema, batch shape — is real.

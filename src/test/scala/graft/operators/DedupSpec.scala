@@ -47,4 +47,28 @@ class DedupSpec extends SparkTestBase {
       .select("keep_id", "dups").as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 2L, 3L -> 1L))
   }
+
+  test("connectedComponents folds near-dup pairs into min-id groups") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // pair 10-11, triangle 20-21-22 (+ redundant edge), isolated pairs
+    // listed in either order
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (11L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+
+    // a long chain converges in logarithmic rounds (pointer jumping):
+    // 40 nodes, diameter 39, but 8 rounds suffice
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 8)
+      .as[(Long, Long)].collect()
+    assert(cc.forall(_._2 == 1L) && cc.length === 40)
+  }
 }
