@@ -36,6 +36,24 @@ object Ddl {
     spark.sql(s"MSCK REPAIR TABLE $tableName")
   }
 
+  /** Per-year views over the events table — the reference's storage is
+    * one table PER YEAR (`github_log.year2015` …,
+    * reference: app/service/log_importer.ts:109-118, README.md:85-129
+    * passes `table=year2017`), while ours is one table partitioned by
+    * month. These views honor the reference's naming verbatim: a query
+    * against `year2015` prunes to that year's twelve month partitions
+    * (month_key range predicate → partition pruning), so the README
+    * example endpoints work with `table=year2015` unchanged.
+    */
+  def initYearViews(spark: SparkSession, tableName: String,
+      years: Seq[Int]): Unit =
+    years.foreach { y =>
+      spark.sql(
+        s"""CREATE OR REPLACE VIEW year$y AS
+           |SELECT * FROM $tableName
+           |WHERE month_key BETWEEN ${y * 100 + 1} AND ${y * 100 + 12}""".stripMargin)
+    }
+
   /** Bucketed variant of the events table — the co-location lever the
     * flat layout lacks. Bucketing by `repo_id` (the key of the dim
     * joins, the activity rollup, and the graph projection) makes every

@@ -35,6 +35,31 @@ class DdlSpec extends SparkTestBase {
     spark.sql("DROP TABLE ddl_events")
   }
 
+  test("year views: reference table naming prunes to the year's partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ddly").toFile
+    val path = new java.io.File(dir, "events").getAbsolutePath
+    val batch = GiteeTestRows.densify(Seq(
+      (1L, "2015-01-01 10:00:00"), (2L, "2015-06-01 10:00:00"),
+      (3L, "2016-02-01 10:00:00"))
+      .toDF("seed", "s")
+      .select(col("seed").as("id"), col("seed").as("actor_id"),
+        to_timestamp(col("s")).as("created_at")))
+    EventsWriter.write(batch, path)
+    Ddl.init(spark, "ddl_events_y", path, forceInit = true)
+    Ddl.initYearViews(spark, "ddl_events_y", Seq(2015, 2016))
+    try {
+      assert(spark.sql("SELECT count(*) FROM year2015").head.getLong(0) === 2L)
+      assert(spark.sql("SELECT count(*) FROM year2016").head.getLong(0) === 1L)
+      // pruning reaches the scan: year2015 never reads the 2016 partition
+      val plan = spark.sql("SELECT * FROM year2015")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("month_key=201602"))
+    } finally {
+      Seq("year2015", "year2016").foreach(v => spark.sql(s"DROP VIEW IF EXISTS $v"))
+      spark.sql("DROP TABLE IF EXISTS ddl_events_y")
+    }
+  }
+
   test("bucketed table: groupBy and self-join on repo_id plan with no shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("ddlb").toFile
     val batch = GiteeTestRows.densify(
