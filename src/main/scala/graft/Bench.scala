@@ -26,7 +26,12 @@ object Bench {
     // that reproducibly runs in 8 s because a >60 s first pass used to skip
     // the retry). If the two passes still disagree by >3× the run was noisy
     // on both sides of the spike, so take one more sample; min of all.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional args = subset of query names to run (dev iteration);
+    // the driver passes none and gets the full suite
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The distinct 64-bit hashes of a text's n-byte shingle windows, as a
+  * SORTED primitive long array — the precomputed form of
+  * [[ShingleJaccard]]'s per-pair hash set.
+  *
+  * Why this exists: in the LSH verify stage each document participates
+  * in many candidate pairs (≈117 on the bench corpus), and
+  * [[ShingleJaccard]] re-lowercases, re-windows, and re-hashes both
+  * texts for EVERY pair — O(pairs × len) hashing — then compares via a
+  * boxing `java.util.HashSet[Long]`. Computing this array once per doc
+  * (O(docs × len) hashing, one sort) and verifying pairs with
+  * [[SortedLongJaccard]]'s primitive merge makes the verify stage
+  * allocation-free and hash-free per pair.
+  *
+  * Trade-off, stated for the 100-TB path: the array is ≤ 8 bytes per
+  * distinct shingle (≤ 8× the text bytes, typically ~4×), so the
+  * candidate join shuffles somewhat more per doc than raw text would —
+  * but the verify join only ever carries CANDIDATE docs, and the
+  * per-pair CPU drops by an order of magnitude, which is what dominates
+  * wall-clock once banding has pruned the pair space.
+  *
+  * Window/lowercase/hash semantics are IDENTICAL to [[ShingleJaccard]]
+  * and [[MinHashSig]] (seed-42 XXH64 over byte windows of the
+  * lowercased text; an empty text contributes the single empty-window
+  * hash), so `SortedLongJaccard(ShingleHashSorted(a), ShingleHashSorted(b))`
+  * is bit-equal to `ShingleJaccard(a, b)` — pinned by spec.
+  */
+case class ShingleHashSorted(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+    val len = bytes.length
+    val windows = math.max(len - n + 1, 1)
+    val arr = new Array[Long](windows)
+    var i = 0
+    while (i < windows) {
+      val wlen = math.max(math.min(n, len - i), 0)
+      arr(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, wlen, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    var r = 1
+    while (r < windows) {
+      if (arr(r) != arr(w)) { w += 1; arr(w) = arr(r) }
+      r += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(arr, w + 1))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleHashSorted {
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashSorted(ColumnBridge.expression(text), n))
+}
+
+/** Jaccard similarity |A∩B| / |A∪B| of two SORTED distinct long arrays
+  * (as produced by [[ShingleHashSorted]]): one primitive merge pass,
+  * no hashing, no allocation. Integer set sizes → the double division
+  * is bit-exact and engine-independent, same as [[ShingleJaccard]].
+  */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val nx = xs.numElements()
+    val ny = ys.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val x = xs.getLong(i)
+      val y = ys.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object SortedLongJaccard {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedLongJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -105,9 +105,20 @@ object GiteeSource {
     * is how the split is done here. maxId > 0 implies minId > 0 (both
     * come from one watermark aggregation), so the reference's
     * unreachable minId<=0 branch is not modeled.
+    *
+    * `complete=false` means the NEW stage ran out of its page budget
+    * BEFORE reaching the stored maxId: ingesting that batch and
+    * re-deriving watermarks would advance maxId past an un-fetched gap
+    * that no later stage backfills (the OLD stage only walks below
+    * minId). Callers must not advance the watermark on an incomplete
+    * pull. A budget-exhausted OLD stage or first import (maxId == 0)
+    * stays `complete`: both leave a contiguous stored range that the
+    * next run resumes from minId.
     */
+  final case class PullResult(events: DataFrame, complete: Boolean)
+
   def pullRepoTwoStage(spark: SparkSession, fetch: PageFetcher, name: String,
-      st: RepoState, maxPages: Int = 1000): DataFrame = {
+      st: RepoState, maxPages: Int = 1000): PullResult = {
     val keep = Seq.newBuilder[String]
     var pages = 0
 
@@ -148,8 +159,9 @@ object GiteeSource {
     }
 
     import spark.implicits._
-    GiteeNormalizer.normalize(
+    val events = GiteeNormalizer.normalize(
       spark.read.schema(GiteeNormalizer.rawSchema).json(keep.result().toDS))
+    PullResult(events, complete = newDone || st.maxId == 0L)
   }
 
   /** RepoState for one repo from the watermark query + dim table —

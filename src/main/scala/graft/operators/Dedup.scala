@@ -78,6 +78,17 @@ object Dedup {
     * Input: pairs (id_a, id_b). Output: (id, comp) — one row per
     * distinct node, comp = min id of its component.
     */
+  /** Free the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame. `Dataset.unpersist` only drops CacheManager entries, so
+    * without this every iteration of an iterative algorithm pins another
+    * full copy of its state in executor storage for the job's lifetime.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -90,29 +101,30 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy("src").agg(min("comp").as("ncomp"))
         .withColumnRenamed("src", "id")
+      // carry the pre-step label as `prev` so convergence is a cheap
+      // scan of the checkpointed result, not another join per round
       val stepped = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // pointer jumping: follow my representative's own label
       val parent = stepped
         .select(col("id").as("comp"), col("comp").as("pcomp"))
       val updated = stepped
         .join(parent, Seq("comp"), "left")
-        .select(col("id"),
+        .select(col("id"), col("prev"),
           least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = updated.withColumnRenamed("comp", "newComp")
-        .join(labels, "id")
-        .filter(col("newComp") =!= col("comp"))
-        .count()
+      val changed = updated.filter(col("comp") =!= col("prev")).count()
+      unpersistCheckpoint(labels)
       labels = updated
       converged = changed == 0
       i += 1
     }
-    labels
+    unpersistCheckpoint(edges)
+    labels.select("id", "comp")
   }
 }

@@ -123,24 +123,52 @@ object Orchestrator {
   /** Non-reentrant wrapper — the reference's in-flight guard
     * (app cache `updating` flag, app/schedule/update_log.ts:14-18):
     * a second invocation while one is running returns None and does
-    * nothing. The flag is an atomically-created lock file next to the
-    * checkpoint table, so the guard also holds across driver processes
-    * sharing the meta path; a crashed run's stale lock is reclaimed
-    * after `staleLockMs`.
+    * nothing. The flag is a lock file next to the checkpoint table
+    * holding an OWNER TOKEN, so the guard also holds across driver
+    * processes sharing the meta path; a crashed run's stale lock is
+    * reclaimed after `staleLockMs`.
+    *
+    * Races handled explicitly:
+    *  - two contenders reclaiming the same stale lock: reclaim is an
+    *    atomic RENAME of the stale file to a per-contender name — only
+    *    one rename can succeed, the loser backs off;
+    *  - a run outliving `staleLockMs` whose lock was reclaimed by a
+    *    newer run: release deletes the lock only if it still carries
+    *    THIS run's token, so the old run cannot delete the new
+    *    holder's lock.
     */
   def runGuarded(spark: SparkSession, baseDir: String, tablePath: String,
       metaPath: String, startHour: String, endHour: String,
       staleLockMs: Long = 6 * 60 * 60 * 1000L): Option[DataFrame] = {
-    val lock = new java.io.File(metaPath + ".lock")
-    Option(lock.getParentFile).foreach(_.mkdirs())
-    val acquired = lock.createNewFile() || {
-      // reclaim a stale lock from a crashed run
-      System.currentTimeMillis() - lock.lastModified() > staleLockMs &&
-        lock.delete() && lock.createNewFile()
-    }
-    if (!acquired) None
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+    val lock = Paths.get(metaPath + ".lock")
+    Option(lock.getParent).foreach(p => Files.createDirectories(p))
+    val token = java.util.UUID.randomUUID().toString
+    def createWithToken(): Boolean =
+      try {
+        // CREATE_NEW is O_EXCL-atomic; a reader in the create→write gap
+        // sees an empty token, which matches no contender's
+        Files.write(lock, token.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    def reclaimStale(): Boolean =
+      try {
+        val stale = Files.getLastModifiedTime(lock).toMillis
+        System.currentTimeMillis() - stale > staleLockMs && {
+          // atomic rename: exactly one contender wins the stale file
+          val trash = Paths.get(s"$lock.$token.reclaim")
+          Files.move(lock, trash, StandardCopyOption.ATOMIC_MOVE)
+          Files.deleteIfExists(trash)
+          createWithToken()
+        }
+      } catch { case _: java.io.IOException => false }
+    def ownsLock(): Boolean =
+      try new String(Files.readAllBytes(lock), "UTF-8") == token
+      catch { case _: java.io.IOException => false }
+
+    if (!(createWithToken() || reclaimStale())) None
     else
       try Some(runOnce(spark, baseDir, tablePath, metaPath, startHour, endHour))
-      finally lock.delete()
+      finally if (ownsLock()) Files.deleteIfExists(lock)
   }
 }

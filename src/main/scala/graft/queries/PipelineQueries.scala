@@ -41,17 +41,21 @@ object PipelineQueries {
     val cand = TextDedup.candidatePairs(
       TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
       "doc_id")
-    // Verify against raw TEXT with the native ShingleJaccard
-    // expression: no corpus-wide shingle projection and no
-    // array-valued shuffle — the joins carry the (few-hundred-byte)
-    // text of candidate docs only, and the jaccard is computed per
-    // candidate pair in one primitive pass.
-    val t = docs(s, dir).select(col("doc_id"), col("text"))
-    val a = t.select(col("doc_id").as("id_a"), col("text").as("t_a"))
-    val b = t.select(col("doc_id").as("id_b"), col("text").as("t_b"))
+    // Verify against PRECOMPUTED sorted shingle-hash sets
+    // (ShingleHashSorted, one hashing pass per doc) compared with a
+    // primitive sorted-merge (SortedLongJaccard) — bit-equal to the
+    // per-pair ShingleJaccard form (pinned by spec) but each doc is
+    // shingle-hashed once instead of once per candidate pair it
+    // appears in (~117× on this corpus), and the per-pair compare is
+    // allocation- and hash-free. The join carries candidate docs'
+    // hash arrays only (≤8 B per distinct shingle).
+    val t = docs(s, dir).select(col("doc_id"),
+      graft.functions.ShingleHashSorted(col("text"), 5).as("sh"))
+    val a = t.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = t.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard",
-        graft.functions.ShingleJaccard(col("t_a"), col("t_b"), 5))
+        graft.functions.SortedLongJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.35)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming operators: the streaming faces of the batch
   * dedup (B18/d01) and graph consolidation (A26/A27).
@@ -41,22 +41,42 @@ object StreamingDedup {
 
   /** LWW consolidation across micro-batches. Emits the updated state of
     * every key seen in the batch (Update output mode).
+    *
+    * State sizing: without a TTL, state is one entry per distinct
+    * entity for the stream's lifetime — bounded by the entity-table
+    * size, NOT the event volume, which is acceptable when the entity
+    * universe is itself table-sized (the graph node table here). For
+    * streams where cold entities keep arriving (unbounded key
+    * universe), pass `ttl`: entities idle for that processing-time
+    * span are evicted and a later witness simply re-opens them with a
+    * fresh degree count — the same trade the batch `compact` makes.
     */
-  def consolidateNodes(witnesses: Dataset[NodeWitness]): Dataset[NodeState] = {
+  def consolidateNodes(witnesses: Dataset[NodeWitness],
+      ttl: Option[String] = None): Dataset[NodeState] = {
     import witnesses.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     witnesses
       .groupByKey(w => (w.nodeType, w.nodeId))
-      .mapGroupsWithState[NodeState, NodeState](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[NodeState, NodeState](
+        OutputMode.Update, timeoutConf) {
         case ((t, id), batch, state: GroupState[NodeState]) =>
-          val prev = state.getOption
-          val rows = batch.toSeq
-          val latest = (prev.map(s => (s.props, s.updatedAt)) ++
-            rows.map(w => (w.props, w.eventTs)))
-            .maxBy(_._2.getTime)
-          val next = NodeState(t, id, latest._1, latest._2,
-            prev.map(_.degree).getOrElse(0L) + rows.size)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+            val rows = batch.toSeq
+            val latest = (prev.map(s => (s.props, s.updatedAt)) ++
+              rows.map(w => (w.props, w.eventTs)))
+              .maxBy(_._2.getTime)
+            val next = NodeState(t, id, latest._1, latest._2,
+              prev.map(_.degree).getOrElse(0L) + rows.size)
+            state.update(next)
+            ttl.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
+          }
       }
   }
 }

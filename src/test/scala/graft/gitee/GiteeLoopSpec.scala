@@ -71,8 +71,9 @@ class GiteeLoopSpec extends SparkTestBase {
     val fetched = scala.collection.mutable.Buffer.empty[Long]
     val st = GiteeSource.RepoState(maxId = 12L, minId = 8L,
       createdAt = Some(ts(1)), minCreatedAt = Some(ts(8)))
-    val batch = GiteeSource.pullRepoTwoStage(spark, pagedFetch(fetched), "o/r", st)
-    val got = batch.select("id").collect().map(_.getLong(0)).toSet
+    val pull = GiteeSource.pullRepoTwoStage(spark, pagedFetch(fetched), "o/r", st)
+    assert(pull.complete)
+    val got = pull.events.select("id").collect().map(_.getLong(0)).toSet
     assert(got === ((13L to 20L) ++ (1L to 7L)).toSet)
     // old stage started from minId, not from where the new stage stopped
     assert(fetched.containsSlice(Seq(7L, 6L, 5L, 4L, 3L)))
@@ -83,8 +84,35 @@ class GiteeLoopSpec extends SparkTestBase {
     val stFull = GiteeSource.RepoState(maxId = 20L, minId = 1L,
       createdAt = Some(ts(1)), minCreatedAt = Some(ts(1)))
     val none = GiteeSource.pullRepoTwoStage(spark, pagedFetch(fetched2), "o/r", stFull)
-    assert(none.count() === 0L)
+    assert(none.complete)
+    assert(none.events.count() === 0L)
     assert(fetched2.toSet === Set(20L, 19L, 18L, 17L, 16L)) // one page, then stop
+  }
+
+  test("two-stage pull: NEW stage exhausting its page budget before the stored maxId is flagged incomplete") {
+    import java.sql.Timestamp
+    val ts = (day: Int) => Timestamp.valueOf(f"2023-01-$day%02d 00:00:00")
+
+    // stored 1..2, 18 new events above it, but only 2 pages (10 ids) of
+    // budget: the pull stops at id 11 without reaching maxId=2, leaving
+    // ids 3..10 un-fetched — advancing the watermark to 20 would skip
+    // them forever, so the batch must carry complete=false
+    val fetched = scala.collection.mutable.Buffer.empty[Long]
+    val st = GiteeSource.RepoState(maxId = 2L, minId = 1L,
+      createdAt = Some(ts(1)), minCreatedAt = Some(ts(1)))
+    val pull = GiteeSource.pullRepoTwoStage(spark, pagedFetch(fetched), "o/r", st,
+      maxPages = 2)
+    assert(!pull.complete)
+    assert(pull.events.agg(org.apache.spark.sql.functions.min("id"))
+      .head.getLong(0) === 11L)
+
+    // same budget on a FIRST import (maxId=0) is resumable — contiguous
+    // from the top, the old stage backfills below minId next run
+    val first = GiteeSource.pullRepoTwoStage(spark, pagedFetch(
+      scala.collection.mutable.Buffer.empty[Long]), "o/r",
+      GiteeSource.RepoState(0L, 0L, None, None), maxPages = 2)
+    assert(first.complete)
+    assert(first.events.count() === 10L)
   }
 
   test("dim-table build loop: insert missing repos/orgs, split orgs, dedup") {

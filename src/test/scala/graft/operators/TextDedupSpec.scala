@@ -36,6 +36,43 @@ class TextDedupSpec extends SparkTestBase {
       s"native=${r.getDouble(0)} hof=${r.getDouble(1)}"))
   }
 
+  test("SortedLongJaccard over ShingleHashSorted is bit-equal to per-pair ShingleJaccard") {
+    // the d02 verify stage relies on this: precomputing each doc's
+    // sorted shingle-hash set and merging must give EXACTLY the value
+    // the per-pair hash-set form gives, including degenerate lengths
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def doc() = Seq.fill(rnd.nextInt(40))(words(rnd.nextInt(words.length))).mkString(" ")
+    val pairs = Seq(
+      ("", ""), ("", "abcdef"), ("ab", "ab"), ("abcd", "abcde"),
+      ("The Quick BROWN fox", "the quick brown fox")) ++
+      Seq.fill(50)((doc(), doc()))
+    val df = pairs.toDF("x", "y")
+    val got = df.select(
+      graft.functions.ShingleJaccard(col("x"), col("y"), 5).as("perPair"),
+      graft.functions.SortedLongJaccard(
+        graft.functions.ShingleHashSorted(col("x"), 5),
+        graft.functions.ShingleHashSorted(col("y"), 5)).as("precomp"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"perPair=${r.getDouble(0)} precomp=${r.getDouble(1)}"))
+  }
+
+  test("ShingleHashSorted output is sorted and distinct") {
+    val df = Seq("aaaaaaaaaa", "the cat sat on the mat", "").toDF("x")
+    df.select(graft.functions.ShingleHashSorted(col("x"), 5).as("sh"))
+      .collect().foreach { r =>
+        val arr = r.getSeq[Long](0)
+        assert(arr.nonEmpty)
+        assert(arr == arr.sorted, "not sorted")
+        assert(arr.distinct.size == arr.size, "not distinct")
+      }
+    // repeated-content doc: many windows, few distinct shingles
+    val rep = df.filter(col("x") === "aaaaaaaaaa")
+      .select(graft.functions.ShingleHashSorted(col("x"), 5)).head.getSeq[Long](0)
+    assert(rep.size == 1)
+  }
+
   test("native SimHashSig equals the HOF simHash64(tokens) form") {
     val texts = Seq(
       "the quick brown fox jumps",
