@@ -14,10 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    functions.ChCompat.builders.foreach { case (name, builder) =>
-      ext.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo(functions.ChCompat.getClass.getCanonicalName, name),
-        builder))
-    }
+    (functions.ChCompat.builders.toSeq.map((_, functions.ChCompat.getClass)) ++
+      functions.PipelineFunctions.builders.toSeq
+        .map((_, functions.PipelineFunctions.getClass)))
+      .foreach { case ((name, builder), owner) =>
+        ext.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(owner.getCanonicalName, name),
+          builder))
+      }
 }

@@ -28,13 +28,16 @@ object GraftSession {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Create (or reuse) the session and register the engine's SQL surface
-    * (ClickHouse-compatible function aliases) so the reference's
-    * documented SQL runs near-verbatim through `spark.sql`.
+  /** Create (or reuse) the session and register the engine's SQL surface:
+    * ClickHouse-compatible function aliases (so the reference's
+    * documented SQL runs near-verbatim through `spark.sql`) plus the
+    * LLM-pipeline functions (dedup signatures, similarity, text
+    * analysis) as plain SQL functions.
     */
   def getOrCreate(cores: String = "32"): SparkSession = {
     val spark = builder(cores).getOrCreate()
     functions.ChCompat.registerAll(spark)
+    functions.PipelineFunctions.registerAll(spark)
     spark
   }
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.operators.{Similarity, TextDedup}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions.struct
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SQL surface for the LLM-data-pipeline functions: the same registry
+  * pattern as [[ChCompat]] (analyzer-level expression builders, no
+  * UDFs), so `spark-sql`/Thrift/notebook users can run the dedup,
+  * similarity, and text-analysis primitives from plain SQL —
+  *
+  * {{{
+  *   SELECT doc_id, lang_id(text), quality_features(text).quality_score
+  *   FROM documents
+  *   WHERE shingle_jaccard(text, other_text, 5) >= 0.35
+  * }}}
+  *
+  * Builders resolve to the native Catalyst expressions
+  * ([[MinHashSig]], [[SimHashSig]], [[ShingleJaccard]],
+  * [[ShingleHashSorted]], [[SortedLongJaccard]], [[OphSig]]) or to the
+  * same codegen'd column compositions the Scala API uses — SQL and
+  * Column callers hit identical execution paths. Shape parameters
+  * (shingle width, permutation count) must be integer literals: they
+  * size per-row primitive arrays at plan time.
+  */
+object PipelineFunctions {
+
+  private def litInt(es: Seq[Expression], i: Int, fn: String): Int =
+    es(i) match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  /** Lift a Column-API composition into a SQL builder. */
+  private def viaColumns(f: Seq[Column] => Column): Seq[Expression] => Expression =
+    es => ColumnBridge.expression(f(es.map(ColumnBridge.column)))
+
+  /** name -> expression builder, applied by the analyzer with the same
+    * implicit type coercion as built-ins.
+    */
+  val builders: Map[String, Seq[Expression] => Expression] = Map(
+    // near-dup signatures (native expressions)
+    "minhash_sig" -> (es => MinHashSig(es(0),
+      litInt(es, 1, "minhash_sig"), litInt(es, 2, "minhash_sig"))),
+    "oph_sig" -> (es => OphSig(es(0),
+      litInt(es, 1, "oph_sig"), litInt(es, 2, "oph_sig"))),
+    "simhash_sig" -> (es => SimHashSig(es(0))),
+    // exact verification
+    "shingle_jaccard" -> (es => ShingleJaccard(es(0), es(1),
+      litInt(es, 2, "shingle_jaccard"))),
+    "shingle_hashes_sorted" -> (es => ShingleHashSorted(es(0),
+      litInt(es, 1, "shingle_hashes_sorted"))),
+    "sorted_jaccard" -> (es => SortedLongJaccard(es(0), es(1))),
+    "hamming64" -> viaColumns(cs => TextDedup.hamming64(cs(0), cs(1))),
+    // embeddings
+    "cosine_sim" -> viaColumns(cs => Similarity.cosine(cs(0), cs(1))),
+    // text analysis
+    "lang_id" -> viaColumns(cs => TextFunctions.langIdCol(cs(0))),
+    "quality_features" -> viaColumns(cs =>
+      struct(TextFunctions.qualityFeatures(cs(0)): _*)),
+    "token_counts" -> viaColumns(cs =>
+      struct(TextFunctions.tokenCounts(cs(0)): _*)),
+    "doc_fingerprint" -> viaColumns(cs => TextFunctions.fingerprint(cs(0))),
+  )
+
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+}

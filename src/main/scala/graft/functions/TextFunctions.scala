@@ -50,20 +50,29 @@ object TextFunctions {
     * window form computed the same thing through two shuffles and a
     * token-level row explosion.)
     */
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), langIdCol(col(textCol)).as("pred_lang"))
+
+  /** Single-column form of the detector (usable as a SQL function):
+    * zero-hit languages become null candidates (array_min skips
+    * nulls), and an always-present (0, "und") sentinel loses to any
+    * language with ≥1 hit — so ONE array_min evaluation yields the
+    * final answer with no second pass over the struct (a bare
+    * two-field read of the argmax would evaluate the HOF twice; CSE
+    * does not span separate field accesses of the same expression).
+    */
+  def langIdCol(text: Column): Column = {
+    val toks = tokens(text)
     val langs = stopwords.map(_._1).distinct.sorted
     val scoreRows = langs.map { lang =>
       val words = stopwords.filter(_._1 == lang).map(_._2)
       // count occurrences (not distinct): every token instance votes
       val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
-      struct(negate(hits).as("neg_hits"), lit(lang).as("lang"))
+      when(hits > 0, struct(negate(hits).as("neg_hits"), lit(lang).as("lang")))
+        .otherwise(lit(null))
     }
-    docs.select(col(idCol),
-      array_min(array(scoreRows: _*)).as("best"))
-      .select(col(idCol),
-        when(col("best.neg_hits") < 0, col("best.lang"))
-          .otherwise(lit("und")).as("pred_lang"))
+    val und = struct(lit(0).as("neg_hits"), lit("und").as("lang"))
+    array_min(array((scoreRows :+ und): _*)).getField("lang")
   }
 
   /** Quality features + a composite score.

@@ -60,4 +60,47 @@ object Multimodal {
       }
     }.toDF("id", "n_bytes", "checksum")
   }
+
+  /** Binary→binary transform shape (a real resize plugs in here): the
+    * stub deterministically truncates-or-cycles the payload to the
+    * target byte budget `w*h` and re-stamps the meta struct. Map-only:
+    * payloads transform in place per partition, nothing shuffles.
+    */
+  def stubResize(df: DataFrame, idCol: String, payloadCol: String,
+      w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val target = w * h
+    mapBinaryBatches(df, idCol, payloadCol) { it =>
+      it.map { case (id, bytes) =>
+        val out = new Array[Byte](target)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < target) { out(i) = bytes(i % bytes.length); i += 1 }
+        }
+        (id, out)
+      }
+    }.toDF("id", "payload")
+      .withColumn("meta", struct(lit(w.toLong).as("width"),
+        lit(h.toLong).as("height"), lit("raw").as("format")))
+  }
+
+  /** One-to-many batch shape (a real video frame-sampler plugs in
+    * here): the stub treats the payload as fixed-size `frameBytes`
+    * frames and emits every `everyNth` one as its own row — the
+    * explode-in-mapPartitions form that keeps a 100 MB video from ever
+    * materializing all its frames in one row.
+    */
+  def stubFrameSample(df: DataFrame, idCol: String, payloadCol: String,
+      everyNth: Int, frameBytes: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    mapBinaryBatches(df, idCol, payloadCol) { it =>
+      it.flatMap { case (id, bytes) =>
+        bytes.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, idx) if idx % everyNth == 0 => (id, idx, frame)
+        }
+      }
+    }.toDF("id", "frame_idx", "frame")
+  }
 }

@@ -11,5 +11,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode→Expression conversion. `ExpressionUtils.expression`
+    * wraps the node in a LAZY `ColumnNodeExpression` that only classic
+    * Dataset plan construction unwraps — an expression built that way
+    * and returned from a FunctionRegistry builder reaches execution
+    * still wrapped (Unevaluable) and fails. The converter produces the
+    * real catalyst tree (unresolved functions inside it resolve in the
+    * analyzer's fixed point like any builder output).
+    */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -1,0 +1,126 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.operators.{Similarity, TextDedup}
+import org.apache.spark.sql.functions._
+
+/** The LLM-pipeline SQL surface: every registered function exists, and
+  * SQL invocations return exactly what the Column/expression API
+  * returns (same builders → same execution path; this pins the wiring).
+  */
+class PipelineFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def registered(): Unit = PipelineFunctions.registerAll(spark)
+
+  test("registerAll registers every function") {
+    registered()
+    PipelineFunctions.builders.keys.foreach { name =>
+      assert(spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"missing $name")
+    }
+  }
+
+  test("SQL signature/verify functions match the Column API") {
+    registered()
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over a lazy dog"),
+      ("", "x"), ("same", "same"))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("pf_pairs")
+    val viaSql = spark.sql(
+      """SELECT minhash_sig(a, 5, 16) AS mh, simhash_sig(a) AS sh,
+                shingle_jaccard(a, b, 5) AS sj,
+                sorted_jaccard(shingle_hashes_sorted(a, 5),
+                               shingle_hashes_sorted(b, 5)) AS pj,
+                hamming64(simhash_sig(a), simhash_sig(b)) AS hd
+         FROM pf_pairs""").collect()
+    val viaCol = df.select(
+      MinHashSig(col("a"), 5, 16).as("mh"), SimHashSig(col("a")).as("sh"),
+      ShingleJaccard(col("a"), col("b"), 5).as("sj"),
+      SortedLongJaccard(ShingleHashSorted(col("a"), 5),
+        ShingleHashSorted(col("b"), 5)).as("pj"),
+      TextDedup.hamming64(SimHashSig(col("a")), SimHashSig(col("b"))).as("hd"))
+      .collect()
+    viaSql.zip(viaCol).foreach { case (s, c) =>
+      assert(s.getSeq[Long](0) == c.getSeq[Long](0))
+      assert(s.getLong(1) == c.getLong(1))
+      assert(s.getDouble(2) == c.getDouble(2))
+      assert(s.getDouble(3) == c.getDouble(3))
+      assert(s.getInt(4) == c.getInt(4))
+    }
+  }
+
+  test("SQL text-analysis functions match the Column API") {
+    registered()
+    val df = Seq("The quick brown fox, it is said, jumps over the lazy dog!",
+      "el la de y que los", "", "12345")
+      .toDF("text")
+    df.createOrReplaceTempView("pf_docs")
+    val viaSql = spark.sql(
+      """SELECT lang_id(text) AS lang,
+                quality_features(text).quality_score AS q,
+                token_counts(text).bpe_regex_tokens AS bpe,
+                doc_fingerprint(text) AS fp
+         FROM pf_docs""").collect()
+    val viaCol = df.select(
+      TextFunctions.langIdCol(col("text")).as("lang"),
+      struct(TextFunctions.qualityFeatures(col("text")): _*)
+        .getField("quality_score").as("q"),
+      struct(TextFunctions.tokenCounts(col("text")): _*)
+        .getField("bpe_regex_tokens").as("bpe"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect()
+    viaSql.zip(viaCol).foreach { case (s, c) =>
+      assert(s.getString(0) == c.getString(0))
+      assert(s.getDouble(1) == c.getDouble(1))
+      assert(s.getLong(2) == c.getLong(2))
+      assert(s.getString(3) == c.getString(3))
+    }
+  }
+
+  test("cosine_sim from SQL equals Similarity.cosine") {
+    registered()
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(0.5f, 0.5f, 0.0f)))
+      .toDF("u", "v")
+    df.createOrReplaceTempView("pf_vecs")
+    val s = spark.sql("SELECT cosine_sim(u, v) AS c FROM pf_vecs").head.getDouble(0)
+    val c = df.select(Similarity.cosine(col("u"), col("v"))).head.getDouble(0)
+    assert(s == c)
+  }
+
+  test("shape parameters must be integer literals") {
+    registered()
+    Seq((1, "x")).toDF("n", "text").createOrReplaceTempView("pf_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(text, n, 16) FROM pf_bad").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
+  test("extensions channel injects the pipeline functions too") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // ensure the shared context exists first
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // new session over the SAME SparkContext, functions injected by
+      // the extensions channel alone (same code path as the
+      // spark.sql.extensions config, see ChCompatSpec)
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      val got = s2.sql(
+        "SELECT lang_id('the of and is it') AS l, toYear(TIMESTAMP '2015-03-07 00:00:00') AS y")
+        .head
+      assert(got.getString(0) == "en")
+      assert(got.getInt(1) == 2015)
+    } finally {
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
