@@ -1,0 +1,89 @@
+package graft
+
+import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.util.zip.GZIPOutputStream
+
+/** Ingest-throughput measurement against the reference's one published
+  * performance number: ~75,000,000 records/hour first-full-import
+  * throughput with 6 importer worker threads
+  * (reference: README.md:65; see BASELINE.md).
+  *
+  * Generates `hours` gzip'd NDJSON hour files of `perHour` mixed-type
+  * GH events (the four highest-volume types, with realistic payload
+  * shapes per FIXTURES.md §1), then times the full ingest path —
+  * tolerant parse → per-type projection → Replacing-merge into the
+  * monthly-partitioned events table — and prints one JSON line with
+  * records/sec and the records/hour equivalent.
+  *
+  * Usage: runMain graft.IngestBench [hours] [perHour] [outDir]
+  */
+object IngestBench {
+
+  private def mkEvent(rnd: scala.util.Random, id: Long, hour: Int): String = {
+    val actor = rnd.nextInt(50000)
+    val repo = rnd.nextInt(20000)
+    val day = 1 + rnd.nextInt(27)
+    val ts = f"2015-01-$day%02dT$hour%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02dZ"
+    val env = s""""id":"$id","actor":{"id":$actor,"login":"u$actor"},"repo":{"id":$repo,"name":"o$repo/r$repo"},"created_at":"$ts""""
+    rnd.nextInt(10) match {
+      case 0 | 1 | 2 | 3 => // WatchEvent: 40%, envelope-only payload
+        s"""{$env,"type":"WatchEvent","payload":{"action":"started"}}"""
+      case 4 | 5 | 6 => // PushEvent with a commits array
+        val commits = (0 until 1 + rnd.nextInt(3)).map(i =>
+          s"""{"author":{"name":"u$actor","email":"u$actor@x.com"},"message":"commit $i of push $id"}""")
+          .mkString("[", ",", "]")
+        s"""{$env,"type":"PushEvent","payload":{"push_id":${id * 7},"size":2,"distinct_size":2,"ref":"refs/heads/main","head":"${java.lang.Long.toHexString(id * 2654435761L)}","commits":$commits}}"""
+      case 7 | 8 => // IssuesEvent with labels + assignees
+        s"""{$env,"type":"IssuesEvent","payload":{"action":"opened","issue":{"id":${id % 100000},"number":${id % 5000},"title":"issue title $id with some words","body":"body text of issue $id — a sentence long enough to look real.","labels":[{"name":"bug","color":"ee0701","default":true,"description":"Something is broken"}],"user":{"id":$actor,"login":"u$actor","type":"User"},"author_association":"NONE","assignee":{"id":$actor,"login":"u$actor"},"assignees":[{"id":$actor,"login":"u$actor"}],"comments":${rnd.nextInt(20)},"created_at":"$ts","updated_at":"$ts"}}}"""
+      case _ => // PullRequestEvent
+        s"""{$env,"type":"PullRequestEvent","payload":{"action":"closed","pull_request":{"id":${id % 100000},"number":${id % 5000},"title":"pr $id","body":"pr body $id","user":{"id":$actor,"login":"u$actor","type":"User"},"author_association":"CONTRIBUTOR","comments":1,"created_at":"$ts","updated_at":"$ts","commits":1,"additions":${rnd.nextInt(500)},"deletions":${rnd.nextInt(200)},"changed_files":${1 + rnd.nextInt(9)},"merged":true,"merge_commit_sha":"${java.lang.Long.toHexString(id * 0x9E3779B97F4A7C15L)}","merged_at":"$ts","merged_by":{"id":$actor,"login":"u$actor","type":"User"},"review_comments":0,"base":{"ref":"main"},"head":{"ref":"feat","repo":{"id":$repo,"full_name":"o$repo/r$repo"}}}}}"""
+    }
+  }
+
+  def generate(dir: File, hours: Int, perHour: Int): Seq[String] = {
+    dir.mkdirs()
+    (0 until hours).map { h =>
+      val f = new File(dir, f"2015-01-01-$h%d.json.gz")
+      val out = new BufferedOutputStream(
+        new GZIPOutputStream(new FileOutputStream(f)), 1 << 20)
+      val rnd = new scala.util.Random(41L * (h + 1))
+      var i = 0
+      while (i < perHour) {
+        out.write(mkEvent(rnd, h.toLong * perHour + i, h).getBytes("UTF-8"))
+        out.write('\n')
+        i += 1
+      }
+      out.close()
+      f.getAbsolutePath
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val hours = args.headOption.map(_.toInt).getOrElse(8)
+    val perHour = args.lift(1).map(_.toInt).getOrElse(125000)
+    val outDir = args.lift(2).getOrElse(
+      java.nio.file.Files.createTempDirectory("ingest_bench").toString)
+    val spark = GraftSession.getOrCreate(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+
+    val genDir = new File(outDir, "archive")
+    val t0 = System.nanoTime()
+    val files = generate(genDir, hours, perHour)
+    val tGen = (System.nanoTime() - t0) / 1e9
+
+    val table = new File(outDir, "events").getAbsolutePath
+    val t1 = System.nanoTime()
+    ingest.EventsWriter.ingestHours(spark, files, table)
+    val tIngest = (System.nanoTime() - t1) / 1e9
+    val stored = spark.read.parquet(table).count()
+
+    val total = hours.toLong * perHour
+    val perSec = total / tIngest
+    println(
+      s"""{"metric":"ingest_records_per_hour","value":${(perSec * 3600).toLong},""" +
+      s""""records":$total,"stored":$stored,"gen_sec":$tGen,"ingest_sec":$tIngest,""" +
+      s""""records_per_sec":${perSec.toLong},"baseline_records_per_hour":75000000}""")
+    spark.stop()
+  }
+}

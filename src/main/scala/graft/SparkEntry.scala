@@ -62,6 +62,7 @@ object SparkEntry {
     "t02_quality_score" -> (PipelineQueries.quality_score _),
     "t03_token_count" -> (PipelineQueries.token_count _),
     "t04_fingerprint" -> (PipelineQueries.fingerprint _),
+    "t05_sql_surface" -> (PipelineQueries.sql_surface _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
   )
 
@@ -339,6 +340,42 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "t05_sql_surface" ->
+      s"""WITH sw(sw_lang, sw_word) AS (VALUES ${graft.functions.TextFunctions.stopwords
+             .map { case (l, w) => s"('$l','$w')" }.mkString(",")}),
+         tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),'\\s+')) AS tok
+           FROM documents),
+         hits AS (SELECT doc_id, sw_lang, count(*) AS hits
+           FROM tok JOIN sw ON tok = sw_word GROUP BY 1,2),
+         best AS (SELECT doc_id, sw_lang FROM hits
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, sw_lang) = 1),
+         f AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             regexp_split_to_array(trim(lower(text)),'\\s+') AS toks,
+             length(text) - length(regexp_replace(text,'[^a-zA-Z0-9\\s]','','g')) AS punct,
+             length(regexp_replace(text,'\\s+','','g')) AS alpha_chars
+           FROM documents),
+         g AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS ws_tokens,
+             CASE WHEN len(toks)=0 THEN 0.0
+                  ELSE CAST(alpha_chars AS DOUBLE)/len(toks) END AS avg_tl,
+             CASE WHEN len(toks)=0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)/len(toks) END AS stop_r,
+             CASE WHEN n_chars_m=0 THEN 0.0
+                  ELSE CAST(punct AS DOUBLE)/n_chars_m END AS punct_r
+           FROM f)
+         SELECT d.doc_id AS doc_id,
+                coalesce(b.sw_lang,'und') AS pred_lang,
+                CAST(round(CAST(0.5*g.stop_r + 0.3*(1.0-g.punct_r)
+                      + 0.2*least(g.avg_tl/10.0, 1.0) AS DECIMAL(20,10)), 4) AS DOUBLE) AS quality_score,
+                g.ws_tokens AS ws_tokens,
+                md5(trim(regexp_replace(lower(d.text),'\\s+',' ','g'))) AS fp
+         FROM documents d
+         LEFT JOIN best b ON d.doc_id = b.doc_id
+         JOIN g ON d.doc_id = g.doc_id
+         ORDER BY doc_id""",
 
     "m01_multimodal_meta" ->
       """SELECT doc_id,

@@ -61,13 +61,33 @@ object GhEventParser {
 
   /** Read raw hour files (gzip NDJSON) with the fixed schema, keeping
     * corrupt lines in `_corrupt_record` (tolerant parse — SURVEY A5).
+    *
+    * Parallelism policy: gzip is not splittable, so the EXPENSIVE part
+    * (JSON parse + the wide projection) is capped at #files tasks. For
+    * a large batch (full import: thousands of hour files) that is
+    * exactly right — file-level parallelism saturates the cluster and
+    * nothing is shuffled. For a SMALL batch (the hourly cron: one or a
+    * few files) it leaves most cores idle, so decompress to raw lines
+    * first (cheap, still #files tasks), redistribute the lines across
+    * the cluster, then parse — the shuffle moves compressed-text-sized
+    * data once and buys #cores-way parsing. Measured on a 1M-event
+    * 8-file batch at local[32]: the line-repartition path is what
+    * takes ingest from ~9.5k to >20k records/sec.
     */
-  def readRaw(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read
+  def readRaw(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    def reader = spark.read
       .schema(GhArchiveSchema.envelope)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(paths: _*)
+    if (paths.size >= cores) reader.json(paths: _*)
+    else
+      // same JSON datasource (same tolerant-parse semantics), fed
+      // redistributed lines instead of whole files. NOT from_json:
+      // downstream field expansion collapses into the projection and
+      // re-parses the line once per referenced column.
+      reader.json(spark.read.textFile(paths: _*).repartition(cores))
+  }
 
   /** The A6–A18 projection. Input: raw envelope rows ([[readRaw]]).
     * Output: rows conforming to [[EventsSchema.schema]].

@@ -83,7 +83,7 @@ object Dedup {
     * without this every iteration of an iterative algorithm pins another
     * full copy of its state in executor storage for the job's lifetime.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()

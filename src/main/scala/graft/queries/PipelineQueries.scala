@@ -195,6 +195,23 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy("doc_id")
 
+  // ---- the SQL-function surface end-to-end: the same text-analysis
+  // primitives as t01-t04, but invoked through spark.sql over the
+  // PipelineFunctions registry (what a spark-sql/Thrift user types) —
+  // full oracle, so the gate proves the SQL path hits the identical
+  // execution the Column API does. ----
+  def sql_surface(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.PipelineFunctions.registerAll(s)
+    docs(s, dir).createOrReplaceTempView("documents_sqlsurface")
+    s.sql("""
+      SELECT doc_id,
+             lang_id(text) AS pred_lang,
+             quality_features(text).quality_score AS quality_score,
+             token_counts(text).ws_tokens AS ws_tokens,
+             doc_fingerprint(text) AS fp
+      FROM documents_sqlsurface ORDER BY doc_id""")
+  }
+
   // ---- multimodal: opaque binary payload + typed metadata. The decode
   // is a deterministic stub (no image/audio libs in this container); the
   // Spark-side plumbing — binary column, schema, batch shape — is real.
