@@ -33,6 +33,9 @@ object Bench {
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Option[Double] = {
+        // settle allocation debt from the previous query so its GC
+        // doesn't bleed into this one's wall-clock
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {

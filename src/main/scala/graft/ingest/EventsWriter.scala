@@ -32,7 +32,10 @@ object EventsWriter {
   /** Dedup key = the ClickHouse ORDER BY key (EventsSchema.orderByKey);
     * version column = from_api (API row wins over log row); event id as
     * the deterministic tie-break (ClickHouse keeps an arbitrary row —
-    * we pin the newest id).
+    * we pin the newest id). Standalone entry point for deduplicating a
+    * relation OUTSIDE the write path (e.g. a foreign table dump);
+    * [[merge]] itself uses [[dedupShaped]], the same contract fused
+    * into the write's range exchange.
     */
   def dedup(df: DataFrame): DataFrame =
     Dedup.replacingDedupAgg(
