@@ -93,7 +93,7 @@ object EventsWriter {
     * partitionBy writer adds no extra sort, and parquet row-group
     * min/max stats on the key columns are preserved.
     */
-  private def dedupShaped(keyed: DataFrame): DataFrame = {
+  private[ingest] def dedupShaped(keyed: DataFrame): DataFrame = {
     val parts = (partitionCol +:
       EventsSchema.orderByKey.filterNot(_ == partitionCol)).map(col)
     val w = org.apache.spark.sql.expressions.Window

@@ -78,6 +78,36 @@ class EventsWriterSpec extends SparkTestBase {
     assert(EventsWriter.compact(spark, path, maxFilesPerMonth = 8) === Seq.empty)
   }
 
+  test("fused merge dedup: ONE shuffle, window group-limit, no agg struct assembly") {
+    // the plan contract behind the 76M-records/hour number: the
+    // Replacing dedup must ride the write's range exchange, not add a
+    // hash exchange + max_by(struct(*)) aggregate of its own
+    val batch = GiteeTestRows.densify(
+      spark.range(100).select(
+        col("id"),
+        col("id").as("actor_id"),
+        (col("id") % 5).as("repo_id"),
+        to_timestamp(lit("2015-01-15 10:00:00")).as("created_at")))
+    // localCheckpoint like merge does: constant-foldable literal columns
+    // would otherwise drop out of the window partition spec and defeat
+    // the range-satisfies-clustering rule this test pins
+    val keyed = EventsWriter.withMonthKey(batch).localCheckpoint()
+    val plan = EventsWriter.dedupShaped(keyed)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    val exchanges = "Exchange (range|hash)partitioning".r.findAllIn(s).toSeq
+    assert(exchanges.size === 1, s"expected exactly one exchange, got: $exchanges")
+    assert(exchanges.head.contains("rangepartitioning"))
+    assert(s.contains("WindowGroupLimit"), "rank-limit pushdown must prune losers")
+    assert(!s.contains("max_by"), "dedup must not assemble whole-row structs")
+    // dedup semantics unchanged: max (from_api, id) row survives per key
+    val dup = batch.union(batch.withColumn("id", col("id") + 1000))
+    val deduped = EventsWriter.dedupShaped(
+      EventsWriter.withMonthKey(dup).localCheckpoint())
+    assert(deduped.count() === 100L)
+    assert(deduped.agg(min("id")).head.getLong(0) === 1000L, "newest id wins")
+  }
+
   test("two months still land in separate partition dirs") {
     val dir = java.nio.file.Files.createTempDirectory("evw2").toFile
     val path = new java.io.File(dir, "events").getAbsolutePath
