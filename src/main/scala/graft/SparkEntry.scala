@@ -46,13 +46,17 @@ object SparkEntry {
     "r15_ch_sql_arrayjoin" -> (RefQueries.ch_sql_arrayjoin _),
     "r16_db_schema" -> (RefQueries.db_schema _),
     "r17_param" -> (RefQueries.param_query _),
+    "r18_sessionize" -> (RefQueries.sessionize _),
+    "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
+    "g03_degree_topk" -> (RefQueries.graph_degree_topk _),
     "d01_exact_dedup" -> (PipelineQueries.exact_dedup _),
     "d02_minhash_lsh" -> (PipelineQueries.minhash_lsh_dedup _),
     "d03_simhash" -> (PipelineQueries.simhash_dedup _),
     "d04_jaccard_pairs" -> (PipelineQueries.jaccard_pairs _),
     "d05_embedding_neardup" -> (PipelineQueries.embedding_neardup _),
+    "d06_containment" -> (PipelineQueries.containment_pairs _),
     "p01_clean_corpus" -> (PipelineQueries.clean_corpus _),
     "p02_neardup_groups" -> (PipelineQueries.neardup_groups _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
@@ -180,6 +184,49 @@ object SparkEntry {
     "r17_param" ->
       """SELECT event_id, user_id, value AS amount FROM events
          WHERE event_type='purchase' AND value>100.0 ORDER BY event_id""",
+
+    "r18_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         y AS (SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL OR epoch(ts)-epoch(prev_ts) > 28800 THEN 1 ELSE 0 END AS new_sess
+           FROM x),
+         z AS (SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM y)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end
+         FROM z GROUP BY 1,2 ORDER BY user_id, session_idx""",
+
+    "r19_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events)
+         SELECT a.day AS day, count(*) AS active, count(b.user_id) AS retained
+         FROM d a LEFT JOIN d b
+           ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+         GROUP BY 1 ORDER BY day""",
+
+    "g03_degree_topk" ->
+      """WITH e AS (SELECT user_id AS src,
+             CAST(json_extract_string(props,'$.k') AS INTEGER)%10 AS dst,
+             max(ts) AS updated_at, count(*) AS weight
+           FROM events GROUP BY 1,2)
+         SELECT src, CAST(sum(weight) AS BIGINT) AS out_weight,
+                count(*) AS out_degree, max(updated_at) AS last_seen
+         FROM e GROUP BY src ORDER BY out_weight DESC, src LIMIT 20""",
+
+    "d06_containment" ->
+      """WITH d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+         WHERE least(len(a.w), len(b.w)) > 0
+           AND CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+               / least(len(a.w), len(b.w)) >= 0.9
+         ORDER BY id_a, id_b""",
 
     "g01_graph_nodes" ->
       """SELECT user_id AS node_id, arg_max(event_type, ts) AS last_type,

@@ -18,7 +18,11 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    // the driver's testdata stores event timestamps as nanos-since-epoch
+    // longs (parquet nanos unit); a user-supplied table with a real
+    // TIMESTAMP column needs no conversion
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df

@@ -150,6 +150,19 @@ object TextDedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  /** Overlap coefficient |A∩B| / min(|A|,|B|): the asymmetric
+    * containment metric. A short document pasted verbatim inside a
+    * longer one scores ~1.0 here while its symmetric Jaccard can be
+    * arbitrarily low — the screen for subset/boilerplate duplicates
+    * that [[jaccard]] structurally misses. 0.0 when either set is
+    * empty (no containment evidence).
+    */
+  def overlapCoefficient(setA: Column, setB: Column): Column = {
+    val inter = size(array_intersect(setA, setB)).cast("double")
+    val minSz = least(size(setA), size(setB)).cast("double")
+    when(minSz === 0, lit(0.0)).otherwise(inter / minSz)
+  }
+
   /** SimHash (64-bit) over a token array: sign-sum of per-token hashes,
     * bit by bit. Docs with small Hamming distance are near-dups.
     *

@@ -107,6 +107,25 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- asymmetric containment dedup: overlap coefficient
+  // |A∩B|/min(|A|,|B|) over the same equi-window candidate generator
+  // as d04. Catches subset duplicates — a short doc pasted inside a
+  // longer one — whose symmetric Jaccard stays below any useful
+  // threshold. Same scale shape as d04: explode to 20 candidate ids,
+  // hash join, never a range join. ----
+  def containment_pairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TextFunctions.tokenSet(col("text")).as("w"))
+    val a = d.select(col("doc_id").as("id_a"), col("w").as("w_a"))
+      .withColumn("id_b", explode(sequence(col("id_a") + 1, col("id_a") + 20)))
+    val b = d.select(col("doc_id").as("id_b"), col("w").as("w_b"))
+    a.join(b, Seq("id_b"))
+      .withColumn("overlap", TextDedup.overlapCoefficient(col("w_a"), col("w_b")))
+      .filter(col("overlap") >= 0.9)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ---- embedding cosine near-dup, IVF-blocked by `label`. Threshold
   // 0.35 verified ≥5e-5 away from every pair's cosine at all SFs, so
   // cross-engine double noise cannot flip membership. ----

@@ -240,6 +240,63 @@ object RefQueries {
       .toDF("column_name", "data_type")
   }
 
+  // ---- B-surface extension: gap-based sessionization. The canonical
+  // window-function workload over an event log: lag() finds each
+  // user's inter-event gap, a running sum over the new-session flags
+  // numbers the sessions, then a per-session rollup. Both window ops
+  // share one (user_id)-partitioned sort, so the whole query is a
+  // single shuffle on user_id — per-user state only, no global window;
+  // a hot user is one key, not one partition (AQE splits the rest). ----
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 28800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(running))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  // ---- B-surface extension: day-over-day cohort retention. distinct
+  // (user, day) once, then a self equi-join keyed on (user_id,
+  // next_day) — the date arithmetic is folded INTO the join key so
+  // the plan is a hash join, never a range/theta join. ----
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val ret = d.select(col("user_id"), col("day").as("next_day"),
+      lit(1).as("m"))
+    d.withColumn("next_day", date_add(col("day"), 1))
+      .join(ret, Seq("user_id", "next_day"), "left")
+      .groupBy("day")
+      .agg(count(lit(1)).as("active"), count(col("m")).as("retained"))
+      .orderBy("day")
+  }
+
+  // ---- graph analytics over the consolidated edge table: top-K hub
+  // nodes by total outgoing weight. Two-level aggregation — the edge
+  // consolidation's (src,dst) groups collapse to one row per edge
+  // before the per-src rollup, so the second shuffle carries edge
+  // summaries, not events. ----
+  def graph_degree_topk(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphProjection.consolidate(
+        events(s, dir)
+          .withColumn("src", col("user_id"))
+          .withColumn("dst", get_json_object(col("props"), "$.k").cast("int") % 10),
+        Seq("src", "dst"), col("ts"), Seq("event_type"))
+      .groupBy("src")
+      .agg(sum(col("degree")).as("out_weight"),
+        count(lit(1)).as("out_degree"),
+        max(col("updated_at")).as("last_seen"))
+      .orderBy(col("out_weight").desc, col("src").asc)
+      .limit(20)
+
   // ---- A26/A27 analogues: graph node/edge consolidation (argMax LWW) ----
   def graph_nodes(s: SparkSession, dir: String): DataFrame =
     graft.graph.GraphProjection.consolidate(

@@ -19,6 +19,25 @@ class TextDedupSpec extends SparkTestBase {
     assert(empty.select(TextDedup.jaccard(col("x"), col("y"))).head.getDouble(0) === 0.0)
   }
 
+  test("overlapCoefficient: containment asymmetry jaccard misses") {
+    // a 3-word doc pasted inside a 12-word doc: full containment
+    val sub = Seq("a", "b", "c")
+    val sup = sub ++ Seq("d", "e", "f", "g", "h", "i", "j", "k", "l")
+    val df = Seq((sub, sup)).toDF("x", "y")
+    val Array(ov, j) = df.select(
+      TextDedup.overlapCoefficient(col("x"), col("y")),
+      TextDedup.jaccard(col("x"), col("y"))).head.toSeq.toArray.map(_.asInstanceOf[Double])
+    assert(ov === 1.0)       // |A∩B|/min = 3/3
+    assert(j === 0.25)       // 3/12 — below any useful dedup threshold
+    // symmetric in its arguments despite the asymmetric metric
+    val ov2 = Seq((sup, sub)).toDF("x", "y")
+      .select(TextDedup.overlapCoefficient(col("x"), col("y"))).head.getDouble(0)
+    assert(ov2 === 1.0)
+    // empty side → 0.0, not NaN/NULL
+    val e = Seq((Seq.empty[String], Seq("a"))).toDF("x", "y")
+    assert(e.select(TextDedup.overlapCoefficient(col("x"), col("y"))).head.getDouble(0) === 0.0)
+  }
+
   test("native ShingleJaccard equals the HOF shingle-set jaccard on ASCII text") {
     val pairs = Seq(
       ("the quick brown fox", "the quick brown dog"),
