@@ -59,6 +59,8 @@ object SparkEntry {
     "d06_containment" -> (PipelineQueries.containment_pairs _),
     "p01_clean_corpus" -> (PipelineQueries.clean_corpus _),
     "p02_neardup_groups" -> (PipelineQueries.neardup_groups _),
+    "p03_shard_pack" -> (PipelineQueries.shard_pack _),
+    "p04_source_mix" -> (PipelineQueries.source_mix _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -67,6 +69,7 @@ object SparkEntry {
     "t03_token_count" -> (PipelineQueries.token_count _),
     "t04_fingerprint" -> (PipelineQueries.fingerprint _),
     "t05_sql_surface" -> (PipelineQueries.sql_surface _),
+    "t06_vocab" -> (PipelineQueries.vocab _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
   )
 
@@ -387,6 +390,43 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "p03_shard_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(lower(text)),'\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, lang, n_tokens, cum_tokens,
+                CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS shard_id
+         FROM c ORDER BY lang, doc_id""",
+
+    "p04_source_mix" ->
+      """WITH b AS (SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS bkt
+           FROM documents)
+         SELECT doc_id, source,
+                CASE WHEN bkt < 'e666' THEN 'train'
+                     WHEN bkt < 'f333' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b
+         WHERE source = 'src0'
+            OR (source = 'src1' AND bkt < 'c000')
+            OR (source = 'src2' AND bkt < '8000')
+            OR (source NOT IN ('src0','src1','src2') AND bkt < '4000')
+         ORDER BY doc_id""",
+
+    "t06_vocab" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS term
+           FROM documents),
+         pd AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1,2)
+         SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+                CAST(sum(tf) AS BIGINT) AS term_freq
+         FROM pd GROUP BY term
+         ORDER BY doc_freq DESC, term_freq DESC, term ASC LIMIT 100""",
 
     "t05_sql_surface" ->
       s"""WITH sw(sw_lang, sw_word) AS (VALUES ${graft.functions.TextFunctions.stopwords

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity, TextDedup}
+import graft.operators.{Dedup, Packing, Sampling, Similarity, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -213,6 +213,47 @@ object PipelineQueries {
     Dedup.connectedComponents(jaccard_pairs(s, dir))
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy("doc_id")
+
+  // ---- token-budget shard packing: cleaned docs → fixed-budget
+  // training shards, greedily in doc_id order within each language.
+  // One window per (lang) group — running sum and shard id share a
+  // single sort, the group key is the parallelism (at 100 TB you pack
+  // per (source, date-bucket)). ----
+  def shard_pack(s: SparkSession, dir: String): DataFrame =
+    Packing.packByTokenBudget(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")),
+        "lang", "doc_id", "n_tokens", budget = 2048L)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens", "shard_id")
+      .orderBy("lang", "doc_id")
+
+  // ---- deterministic source mixing: per-source keep fractions
+  // applied via md5-bucket thresholds — map-only, no shuffle, and the
+  // SAME rows survive in any engine (the reproducibility a corpus-mix
+  // spec needs; rand()/sample() give neither cross-run nor
+  // cross-engine stability). ----
+  def source_mix(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(docs(s, dir), col("source"), col("doc_id"),
+        Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultFraction = 0.25)
+      .withColumn("split",
+        Sampling.splitLabel(col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+      .select("doc_id", "source", "split")
+      .orderBy("doc_id")
+
+  // ---- vocabulary build: term → document frequency + collection
+  // frequency, the tokenizer-training / IDF precompute. Two-level
+  // aggregate: the (term, doc_id) distinct collapses per-doc repeats
+  // map-side before the per-term rollup, so the second shuffle
+  // carries one row per distinct (term, doc) — never raw tokens. ----
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val perDoc = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    perDoc.groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"), sum("tf").as("term_freq"))
+      .orderBy(col("doc_freq").desc, col("term_freq").desc, col("term").asc)
+      .limit(100)
+  }
 
   // ---- the SQL-function surface end-to-end: the same text-analysis
   // primitives as t01-t04, but invoked through spark.sql over the
