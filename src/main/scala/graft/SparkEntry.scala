@@ -70,6 +70,7 @@ object SparkEntry {
     "t04_fingerprint" -> (PipelineQueries.fingerprint _),
     "t05_sql_surface" -> (PipelineQueries.sql_surface _),
     "t06_vocab" -> (PipelineQueries.vocab _),
+    "t07_tfidf" -> (PipelineQueries.tfidf _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
   )
 
@@ -427,6 +428,22 @@ object SparkEntry {
                 CAST(sum(tf) AS BIGINT) AS term_freq
          FROM pd GROUP BY term
          ORDER BY doc_freq DESC, term_freq DESC, term ASC LIMIT 100""",
+
+    "t07_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1,2),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+           FROM tf GROUP BY 1)
+         SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+                CAST(round(CAST(CAST(tf.tf AS DOUBLE)
+                  * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                       / CAST(df.doc_freq AS DOUBLE)) AS DECIMAL(20,10)), 6)
+                  AS DOUBLE) AS tfidf
+         FROM tf JOIN df USING (term)
+         ORDER BY doc_id, term""",
 
     "t05_sql_surface" ->
       s"""WITH sw(sw_lang, sw_word) AS (VALUES ${graft.functions.TextFunctions.stopwords

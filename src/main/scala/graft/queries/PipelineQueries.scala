@@ -255,6 +255,29 @@ object PipelineQueries {
       .limit(100)
   }
 
+  // ---- TF-IDF weighting: per-(doc,term) counts joined to the global
+  // document-frequency table. The df side is vocabulary-sized — tiny
+  // relative to the corpus — so it broadcasts; the corpus-side work
+  // is one explode + one (doc,term) aggregation. N comes from a
+  // metadata-cheap count, not a cross join. The score is DECIMAL-
+  // routed to 6 places: JVM and libm ln() disagree by 1 ULP on some
+  // inputs, and the gate hash-compares doubles exactly (t02 does the
+  // same for its weighted score). ----
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val n = docs(s, dir).count()
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    tf.join(broadcast(df_), "term")
+      .withColumn("tfidf",
+        round((col("tf").cast("double")
+            * log(lit(n.toDouble) / col("doc_freq").cast("double")))
+          .cast("decimal(20,10)"), 6).cast("double"))
+      .select("doc_id", "term", "tf", "doc_freq", "tfidf")
+      .orderBy("doc_id", "term")
+  }
+
   // ---- the SQL-function surface end-to-end: the same text-analysis
   // primitives as t01-t04, but invoked through spark.sql over the
   // PipelineFunctions registry (what a spark-sql/Thrift user types) —
