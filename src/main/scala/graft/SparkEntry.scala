@@ -71,6 +71,7 @@ object SparkEntry {
     "t05_sql_surface" -> (PipelineQueries.sql_surface _),
     "t06_vocab" -> (PipelineQueries.vocab _),
     "t07_tfidf" -> (PipelineQueries.tfidf _),
+    "t08_repetition" -> (PipelineQueries.repetition _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
   )
 
@@ -444,6 +445,33 @@ object SparkEntry {
                   AS DOUBLE) AS tfidf
          FROM tf JOIN df USING (term)
          ORDER BY doc_id, term""",
+
+    "t08_repetition" ->
+      """WITH a AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS toks
+           FROM documents),
+         tf AS (SELECT doc_id, unnest(toks) AS term, 1 AS one FROM a),
+         tfc AS (SELECT doc_id, term, count(*) AS c FROM tf GROUP BY 1,2),
+         uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS n_distinct,
+                  CAST(max(c) AS BIGINT) AS top_tf
+           FROM tfc GROUP BY 1),
+         bi AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END AS bigrams
+           FROM a),
+         bic AS (SELECT doc_id, CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+                  CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams
+           FROM bi)
+         SELECT uni.doc_id, n_tokens, n_distinct, top_tf,
+                CAST(round(CAST(CAST(n_distinct AS DOUBLE)/n_tokens AS DECIMAL(20,10)),4) AS DOUBLE) AS distinct_ratio,
+                CAST(round(CAST(CAST(top_tf AS DOUBLE)/n_tokens AS DECIMAL(20,10)),4) AS DOUBLE) AS top_token_share,
+                CASE WHEN n_bigrams = 0 THEN 0.0
+                  ELSE CAST(round(CAST(1.0 - CAST(n_distinct_bigrams AS DOUBLE)/n_bigrams AS DECIMAL(20,10)),4) AS DOUBLE)
+                END AS dup_bigram_frac
+         FROM uni JOIN bic ON uni.doc_id = bic.doc_id
+         ORDER BY uni.doc_id""",
 
     "t05_sql_surface" ->
       s"""WITH sw(sw_lang, sw_word) AS (VALUES ${graft.functions.TextFunctions.stopwords

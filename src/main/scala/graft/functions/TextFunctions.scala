@@ -132,4 +132,47 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Repetition signals (the Gopher-style repetitive-text filters):
+    * per-doc distinct-token ratio, top-token share, and duplicate-
+    * bigram fraction. Low distinct ratio / high top share / high
+    * duplicate-bigram fraction mark boilerplate and generated spam.
+    *
+    * Shape: one explode + (doc, term) aggregation for the unigram
+    * stats (map-side combinable; the shuffle carries per-doc-term
+    * counts, never tokens) and one map-only bigram expression — the
+    * bigram array is built from a MATERIALIZED token column, because
+    * HOF lambdas get no CSE and would otherwise re-tokenize per
+    * element. Ratios are DECIMAL-rounded so both engines round
+    * identical values.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def r4(c: Column): Column = round(c.cast("decimal(20,10)"), 4).cast("double")
+    val toksDf = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val uni = toksDf
+      .select(col(idCol), explode(col("toks")).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .groupBy(idCol)
+      .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("tf").as("top_tf"))
+    val bi = toksDf
+      .select(col(idCol),
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>")).as("bigrams"))
+      .select(col(idCol),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).cast("long").as("n_distinct_bigrams"))
+    uni.join(bi, idCol)
+      .select(col(idCol), col("n_tokens"), col("n_distinct"), col("top_tf"),
+        r4(col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_ratio"),
+        r4(col("top_tf").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_share"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(r4(lit(1.0) - col("n_distinct_bigrams").cast("double")
+            / col("n_bigrams").cast("double"))).as("dup_bigram_frac"))
+  }
 }

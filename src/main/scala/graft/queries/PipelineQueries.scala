@@ -278,6 +278,12 @@ object PipelineQueries {
       .orderBy("doc_id", "term")
   }
 
+  // ---- repetition filters (Gopher-style): distinct-token ratio, top-
+  // token share, duplicate-bigram fraction per doc. ----
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextFunctions.repetitionSignals(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ---- the SQL-function surface end-to-end: the same text-analysis
   // primitives as t01-t04, but invoked through spark.sql over the
   // PipelineFunctions registry (what a spark-sql/Thrift user types) —
