@@ -1,11 +1,12 @@
 package graft.functions
 
-import graft.operators.{Similarity, TextDedup}
+import graft.operators.{Sampling, Similarity, TextDedup}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.functions.struct
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL surface for the LLM-data-pipeline functions: the same registry
   * pattern as [[ChCompat]] (analyzer-level expression builders, no
@@ -34,6 +35,24 @@ object PipelineFunctions {
       case Literal(v: Long, LongType) => v.toInt
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  private def litStr(es: Seq[Expression], i: Int, fn: String): String =
+    es(i) match {
+      case Literal(v: UTF8String, StringType) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal, got $other")
+    }
+
+  private def litNum(es: Seq[Expression], i: Int, fn: String): Double =
+    es(i) match {
+      case Literal(v: Double, DoubleType) => v
+      case Literal(v: Int, IntegerType) => v.toDouble
+      case Literal(v: Long, LongType) => v.toDouble
+      case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a numeric literal, got $other")
     }
 
   /** Lift a Column-API composition into a SQL builder. */
@@ -66,6 +85,20 @@ object PipelineFunctions {
     "token_counts" -> viaColumns(cs =>
       struct(TextFunctions.tokenCounts(cs(0)): _*)),
     "doc_fingerprint" -> viaColumns(cs => TextFunctions.fingerprint(cs(0))),
+    // containment dedup
+    "overlap_coefficient" -> viaColumns(cs =>
+      TextDedup.overlapCoefficient(cs(0), cs(1))),
+    // deterministic sampling/splits: split weights are (name, weight)
+    // literal pairs — split_label(id, 'train', 0.9, 'val', 0.1)
+    "hash_bucket" -> viaColumns(cs => Sampling.hashBucket(cs(0))),
+    "split_label" -> (es => {
+      require(es.length >= 5 && es.length % 2 == 1,
+        "split_label(id, name1, w1, name2, w2, ...) needs >= 2 literal pairs")
+      val pairs = (1 until es.length by 2).map(i =>
+        (litStr(es, i, "split_label"), litNum(es, i + 1, "split_label")))
+      ColumnBridge.expression(
+        Sampling.splitLabel(ColumnBridge.column(es(0)), pairs))
+    }),
   )
 
   def registerAll(spark: SparkSession): Unit =

@@ -90,6 +90,32 @@ class PipelineFunctionsSpec extends SparkTestBase {
     assert(s == c)
   }
 
+  test("split_label / hash_bucket / overlap_coefficient from SQL match the Column API") {
+    registered()
+    val df = (0L until 500L).toDF("id")
+    df.createOrReplaceTempView("pf_ids")
+    val viaSql = spark.sql(
+      """SELECT id, hash_bucket(id) AS b,
+                split_label(id, 'train', 0.9, 'val', 0.05, 'test', 0.05) AS s
+         FROM pf_ids ORDER BY id""").collect()
+    val viaCol = df.select(col("id"),
+      graft.operators.Sampling.hashBucket(col("id")).as("b"),
+      graft.operators.Sampling.splitLabel(col("id"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("s"))
+      .orderBy("id").collect()
+    viaSql.zip(viaCol).foreach { case (s, c) =>
+      assert(s.getString(1) == c.getString(1) && s.getString(2) == c.getString(2))
+    }
+    val ov = Seq((Seq("a", "b"), Seq("a", "b", "c", "d"))).toDF("x", "y")
+    ov.createOrReplaceTempView("pf_ov")
+    assert(spark.sql("SELECT overlap_coefficient(x, y) AS o FROM pf_ov")
+      .head.getDouble(0) == 1.0)
+    // non-literal split weight → analyzer error, not silent misparse
+    intercept[Exception] {
+      spark.sql("SELECT split_label(id, 'a', id, 'b', 0.5) FROM pf_ids").collect()
+    }
+  }
+
   test("shape parameters must be integer literals") {
     registered()
     Seq((1, "x")).toDF("n", "text").createOrReplaceTempView("pf_bad")
