@@ -47,10 +47,12 @@ object SparkEntry {
     "r16_db_schema" -> (RefQueries.db_schema _),
     "r17_param" -> (RefQueries.param_query _),
     "r18_sessionize" -> (RefQueries.sessionize _),
+    "r20_quantiles" -> (RefQueries.quantiles _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
     "g03_degree_topk" -> (RefQueries.graph_degree_topk _),
+    "g04_pagerank" -> (RefQueries.graph_pagerank _),
     "d01_exact_dedup" -> (PipelineQueries.exact_dedup _),
     "d02_minhash_lsh" -> (PipelineQueries.minhash_lsh_dedup _),
     "d03_simhash" -> (PipelineQueries.simhash_dedup _),
@@ -204,6 +206,14 @@ object SparkEntry {
          SELECT user_id, session_idx, count(*) AS n_events,
                 min(ts) AS session_start, max(ts) AS session_end
          FROM z GROUP BY 1,2 ORDER BY user_id, session_idx""",
+
+    "r20_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(round(CAST(quantile_cont(l_extendedprice, 0.25) AS DECIMAL(28,10)),4) AS DOUBLE) AS p25,
+                CAST(round(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(28,10)),4) AS DOUBLE) AS p50,
+                CAST(round(CAST(quantile_cont(l_extendedprice, 0.75) AS DECIMAL(28,10)),4) AS DOUBLE) AS p75,
+                CAST(round(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(28,10)),4) AS DOUBLE) AS p95
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "r19_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

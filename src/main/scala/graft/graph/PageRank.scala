@@ -1,0 +1,64 @@
+package graft.graph
+
+import graft.operators.Dedup.unpersistCheckpoint
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over the consolidated edge table — the iterative-analytics
+  * face of the graph projection (A26–A29 build the nodes/edges;
+  * this ranks them).
+  *
+  * GraphX-style unnormalized recurrence: rank₀ = 1.0 per node,
+  * rankₙ₊₁ = (1−d) + d · Σ rankₙ(in-neighbor)/outdeg(in-neighbor);
+  * dangling mass is dropped, sinks keep collecting (same contract as
+  * Spark GraphX's staticPageRank, which makes results comparable with
+  * the ecosystem's most common implementation).
+  *
+  * Scale shape: per iteration ONE hash join ranks⋈edges on src (the
+  * rank side is one row per node — orders smaller than the edge
+  * table) and one (dst) aggregation; both shuffle on node id, so a
+  * hot page is one key (AQE-splittable), never one partition. Each
+  * round localCheckpoints and unpersists the previous round —
+  * un-checkpointed iterative self-joins grow the logical plan
+  * exponentially, and persist() alone does not truncate it (measured
+  * on the connected-components loop; see Dedup.connectedComponents).
+  */
+object PageRank {
+
+  /** @param edges (src, dst) directed edge table, multi-edges allowed
+    *              (they weight the contribution, as repeated links do)
+    */
+  def run(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    // static per-node frame reused every round: id, outdeg (null for sinks)
+    val base = nodes.join(outDeg, Seq("id"), "left").localCheckpoint()
+
+    var ranks = base.select(col("id"), lit(1.0).as("rank"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(ranks.join(base, Seq("id")).select(
+          col("id").as("src"), (col("rank") / col("outdeg")).as("contrib")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum("contrib").as("inflow"))
+      val updated = base.select("id")
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+      unpersistCheckpoint(ranks)
+      ranks = updated
+      i += 1
+    }
+    unpersistCheckpoint(e)
+    unpersistCheckpoint(base)
+    ranks
+  }
+}

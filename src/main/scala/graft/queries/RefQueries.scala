@@ -240,6 +240,24 @@ object RefQueries {
       .toDF("column_name", "data_type")
   }
 
+  // ---- B-surface extension: exact interpolated quantiles per group.
+  // Spark's percentile aggregate is a single-pass hash aggregation
+  // (per-group value histogram), not a sort of the table; outputs are
+  // DECIMAL-rounded because the gate hash-compares doubles and the
+  // two engines' interpolation arithmetic can differ in the last ULP. ----
+  def quantiles(s: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column): Column = round(c.cast("decimal(28,10)"), 4).cast("double")
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        r4(percentile(col("l_extendedprice"), lit(0.25))).as("p25"),
+        r4(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
+        r4(percentile(col("l_extendedprice"), lit(0.75))).as("p75"),
+        r4(percentile(col("l_extendedprice"), lit(0.95))).as("p95"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- B-surface extension: gap-based sessionization. The canonical
   // window-function workload over an event log: lag() finds each
   // user's inter-event gap, a running sum over the new-session flags
@@ -296,6 +314,25 @@ object RefQueries {
         max(col("updated_at")).as("last_seen"))
       .orderBy(col("out_weight").desc, col("src").asc)
       .limit(20)
+
+  // ---- iterative graph analytics: PageRank over the consolidated
+  // edge table (5 rounds, GraphX-style recurrence; semantics pinned by
+  // PageRankSpec against a scalar implementation — no SQL oracle, an
+  // iterative fixpoint isn't single-statement SQL). Ranks are
+  // DECIMAL-rounded so the dump is bit-stable across runs. ----
+  def graph_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.graph.GraphProjection.consolidate(
+        events(s, dir)
+          .withColumn("src", col("user_id"))
+          .withColumn("dst", get_json_object(col("props"), "$.k").cast("int").cast("long") % 10),
+        Seq("src", "dst"), col("ts"), Seq("event_type"))
+      .select("src", "dst")
+    graft.graph.PageRank.run(edges, iterations = 5)
+      .select(col("id"),
+        round(col("rank").cast("decimal(28,10)"), 6).cast("double").as("rank"))
+      .orderBy(col("rank").desc, col("id").asc)
+      .limit(20)
+  }
 
   // ---- A26/A27 analogues: graph node/edge consolidation (argMax LWW) ----
   def graph_nodes(s: SparkSession, dir: String): DataFrame =
