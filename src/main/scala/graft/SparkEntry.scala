@@ -59,6 +59,7 @@ object SparkEntry {
     "d04_jaccard_pairs" -> (PipelineQueries.jaccard_pairs _),
     "d05_embedding_neardup" -> (PipelineQueries.embedding_neardup _),
     "d06_containment" -> (PipelineQueries.containment_pairs _),
+    "d07_decontaminate" -> (PipelineQueries.decontaminate _),
     "p01_clean_corpus" -> (PipelineQueries.clean_corpus _),
     "p02_neardup_groups" -> (PipelineQueries.neardup_groups _),
     "p03_shard_pack" -> (PipelineQueries.shard_pack _),
@@ -242,6 +243,34 @@ object SparkEntry {
            AND CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
                / least(len(a.w), len(b.w)) >= 0.9
          ORDER BY id_a, id_b""",
+
+    "d07_decontaminate" ->
+      """WITH d AS (SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, source, fp, list_distinct(toks) AS w,
+             CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [] END AS grams
+           FROM d),
+         tg AS (SELECT DISTINCT train_id, gram FROM
+           (SELECT doc_id AS train_id, unnest(grams) AS gram FROM g WHERE source <> 'src9')),
+         eg AS (SELECT DISTINCT eval_id, gram FROM
+           (SELECT doc_id AS eval_id, unnest(grams) AS gram FROM g WHERE source = 'src9')),
+         cand AS (SELECT DISTINCT train_id, eval_id FROM tg JOIN eg USING (gram))
+         SELECT c.train_id, c.eval_id,
+                CAST(round(CAST(CAST(len(list_intersect(t.w, e.w)) AS DOUBLE)
+                  / least(len(t.w), len(e.w)) AS DECIMAL(20,10)),4) AS DOUBLE) AS overlap,
+                (t.fp = e.fp) AS is_exact
+         FROM cand c
+         JOIN g t ON t.doc_id = c.train_id
+         JOIN g e ON e.doc_id = c.eval_id
+         WHERE CAST(round(CAST(CAST(len(list_intersect(t.w, e.w)) AS DOUBLE)
+                  / least(len(t.w), len(e.w)) AS DECIMAL(20,10)),4) AS DOUBLE) >= 0.8
+            OR t.fp = e.fp
+         ORDER BY train_id, eval_id""",
 
     "g01_graph_nodes" ->
       """SELECT user_id AS node_id, arg_max(event_type, ts) AS last_type,

@@ -163,6 +163,18 @@ object TextDedup {
     when(minSz === 0, lit(0.0)).otherwise(inter / minSz)
   }
 
+  /** Word n-grams of a MATERIALIZED token-array column (HOF lambdas
+    * get no CSE — pass a column reference, not a tokenizer
+    * expression). Docs with fewer than n tokens yield an empty array.
+    */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** SimHash (64-bit) over a token array: sign-sum of per-token hashes,
     * bit by bit. Docs with small Hamming distance are near-dups.
     *

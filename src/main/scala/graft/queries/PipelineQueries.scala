@@ -126,6 +126,44 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- eval-set decontamination: find training docs that leak an
+  // eval doc (here: source src9 plays the held-out set). Candidate
+  // generation is an INVERTED-INDEX join on shared word-3-grams —
+  // the real 100-TB shape (train×eval cross products are off the
+  // table at 1e9 × 1e4 docs); the small eval side broadcasts, the
+  // distinct (train, eval) candidate pairs are then verified with
+  // the overlap coefficient (threshold 0.8) and an exact-fingerprint
+  // flag. Docs under 3 tokens produce no grams and can't be flagged
+  // — documented contract, same as n-gram decontamination anywhere. ----
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.tokenSet(col("text")).as("w"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    val withGrams = d.withColumn("grams", TextDedup.wordNgrams(col("toks"), 3))
+    val eval_ = withGrams.filter(col("source") === "src9")
+      .select(col("doc_id").as("eval_id"), col("fp").as("fp_e"),
+        col("w").as("w_e"), col("grams").as("grams_e"))
+    val train = withGrams.filter(col("source") =!= "src9")
+      .select(col("doc_id").as("train_id"), col("fp"), col("w"), col("grams"))
+    val candidates = train
+      .select(col("train_id"), explode(col("grams")).as("gram")).distinct()
+      .join(broadcast(eval_
+        .select(col("eval_id"), explode(col("grams_e")).as("gram")).distinct()),
+        "gram")
+      .select("train_id", "eval_id").distinct()
+    candidates
+      .join(train.select("train_id", "fp", "w"), "train_id")
+      .join(broadcast(eval_.select("eval_id", "fp_e", "w_e")), "eval_id")
+      .withColumn("overlap",
+        round(TextDedup.overlapCoefficient(col("w"), col("w_e"))
+          .cast("decimal(20,10)"), 4).cast("double"))
+      .withColumn("is_exact", col("fp") === col("fp_e"))
+      .filter(col("overlap") >= 0.8 || col("is_exact"))
+      .select("train_id", "eval_id", "overlap", "is_exact")
+      .orderBy("train_id", "eval_id")
+  }
+
   // ---- embedding cosine near-dup, IVF-blocked by `label`. Threshold
   // 0.35 verified ≥5e-5 away from every pair's cosine at all SFs, so
   // cross-engine double noise cannot flip membership. ----

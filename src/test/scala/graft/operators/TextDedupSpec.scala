@@ -38,6 +38,14 @@ class TextDedupSpec extends SparkTestBase {
     assert(e.select(TextDedup.overlapCoefficient(col("x"), col("y"))).head.getDouble(0) === 0.0)
   }
 
+  test("wordNgrams: sliding word windows, short docs yield empty") {
+    val df = Seq(Seq("a", "b", "c", "d"), Seq("a", "b"), Seq.empty[String])
+      .toDF("toks")
+    val got = df.select(TextDedup.wordNgrams(col("toks"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("a b c", "b c d"), Nil, Nil))
+  }
+
   test("native ShingleJaccard equals the HOF shingle-set jaccard on ASCII text") {
     val pairs = Seq(
       ("the quick brown fox", "the quick brown dog"),
