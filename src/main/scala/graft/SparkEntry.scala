@@ -250,9 +250,10 @@ object SparkEntry {
              regexp_split_to_array(trim(lower(text)),'\s+') AS toks
            FROM documents),
          g AS (SELECT doc_id, source, fp, list_distinct(toks) AS w,
-             CASE WHEN len(toks) >= 3
-               THEN list_transform(range(1, len(toks)-1),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks)-3),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3] || ' ' || toks[i+4])
                ELSE [] END AS grams
            FROM d),
          tg AS (SELECT DISTINCT train_id, gram FROM

@@ -175,6 +175,30 @@ object TextDedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct (id, gram) word-n-gram rows — the inverted-index build
+    * for n-gram joins (decontamination, candidate generation).
+    *
+    * Deliberately NOT `explode(wordNgrams(...))`: exploding an
+    * HOF-built array makes the optimizer's inferred `size(...) > 0`
+    * pre-filter inline the whole lambda (and the tokenizer inside it)
+    * below any exchange, re-evaluating the tokenizer once per element
+    * per row on the scan partitions — measured 20 s vs < 1 s at sf0.1.
+    * Exploding the window INDEXES and building each gram as a plain
+    * per-row slice keeps the tokenizer evaluated once per row and
+    * every expression out of lambda scope.
+    *
+    * @param df (idCol, toksCol) frame; toksCol an array<string> column
+    */
+  def gramRows(df: DataFrame, idCol: String, toksCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    df.select(col(idCol), col(toksCol),
+        explode(when(size(col(toksCol)) >= n,
+          sequence(lit(1), size(col(toksCol)) - (n - 1)))).as("__i"))
+      .select(col(idCol),
+        array_join(slice(col(toksCol), col("__i"), lit(n)), " ").as("gram"))
+      .distinct()
+  }
+
   /** SimHash (64-bit) over a token array: sign-sum of per-token hashes,
     * bit by bit. Docs with small Hamming distance are near-dups.
     *

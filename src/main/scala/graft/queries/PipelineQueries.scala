@@ -128,33 +128,44 @@ object PipelineQueries {
 
   // ---- eval-set decontamination: find training docs that leak an
   // eval doc (here: source src9 plays the held-out set). Candidate
-  // generation is an INVERTED-INDEX join on shared word-3-grams —
+  // generation is an INVERTED-INDEX join on shared word-5-grams —
   // the real 100-TB shape (train×eval cross products are off the
   // table at 1e9 × 1e4 docs); the small eval side broadcasts, the
   // distinct (train, eval) candidate pairs are then verified with
   // the overlap coefficient (threshold 0.8) and an exact-fingerprint
-  // flag. Docs under 3 tokens produce no grams and can't be flagged
-  // — documented contract, same as n-gram decontamination anywhere. ----
+  // flag. LONG grams are load-bearing at scale: real decontamination
+  // uses 8–13-gram collision because short grams over a skewed
+  // vocabulary explode the inverted index (measured here: 3-grams →
+  // 105k candidate pairs at sf0.1, 5-grams → 138). Docs under 5
+  // tokens produce no grams and can't be flagged — same contract as
+  // n-gram decontamination anywhere. ----
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("source"),
       TextFunctions.fingerprint(col("text")).as("fp"),
       TextFunctions.tokenSet(col("text")).as("w"),
       TextFunctions.tokens(col("text")).as("toks"))
-    val withGrams = d.withColumn("grams", TextDedup.wordNgrams(col("toks"), 3))
-    val eval_ = withGrams.filter(col("source") === "src9")
-      .select(col("doc_id").as("eval_id"), col("fp").as("fp_e"),
-        col("w").as("w_e"), col("grams").as("grams_e"))
-    val train = withGrams.filter(col("source") =!= "src9")
-      .select(col("doc_id").as("train_id"), col("fp"), col("w"), col("grams"))
-    val candidates = train
-      .select(col("train_id"), explode(col("grams")).as("gram")).distinct()
-      .join(broadcast(eval_
-        .select(col("eval_id"), explode(col("grams_e")).as("gram")).distinct()),
+    // inverted index via gramRows (index-explode + per-row slice) —
+    // NOT explode(wordNgrams(...)), whose inferred size>0 pre-filter
+    // inlines the tokenizer into lambda scope and re-evaluates it per
+    // element on the scan partitions (measured 20 s vs <1 s at sf0.1;
+    // see TextDedup.gramRows)
+    val candidates = TextDedup.gramRows(
+        d.filter(col("source") =!= "src9").select(col("doc_id"), col("toks")),
+        "doc_id", "toks", 5)
+      .withColumnRenamed("doc_id", "train_id")
+      .join(broadcast(TextDedup.gramRows(
+          d.filter(col("source") === "src9").select(col("doc_id"), col("toks")),
+          "doc_id", "toks", 5)
+        .withColumnRenamed("doc_id", "eval_id")),
         "gram")
       .select("train_id", "eval_id").distinct()
+    val trainMeta = d.filter(col("source") =!= "src9")
+      .select(col("doc_id").as("train_id"), col("fp"), col("w"))
+    val evalMeta = d.filter(col("source") === "src9")
+      .select(col("doc_id").as("eval_id"), col("fp").as("fp_e"), col("w").as("w_e"))
     candidates
-      .join(train.select("train_id", "fp", "w"), "train_id")
-      .join(broadcast(eval_.select("eval_id", "fp_e", "w_e")), "eval_id")
+      .join(trainMeta, "train_id")
+      .join(broadcast(evalMeta), "eval_id")
       .withColumn("overlap",
         round(TextDedup.overlapCoefficient(col("w"), col("w_e"))
           .cast("decimal(20,10)"), 4).cast("double"))

@@ -46,6 +46,23 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == List(List("a b c", "b c d"), Nil, Nil))
   }
 
+  test("gramRows equals distinct exploded wordNgrams") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f")),
+      (2L, Seq("x", "y")),                       // too short: no grams
+      (3L, Seq("r", "r", "r", "r", "r", "r")))   // repeats: distinct collapses
+      .toDF("id", "toks")
+    val viaRows = TextDedup.gramRows(df, "id", "toks", 5)
+      .as[(Long, String)].collect().toSet
+    val viaArray = df.select(col("id"),
+        explode(TextDedup.wordNgrams(col("toks"), 5)).as("gram"))
+      .distinct().as[(Long, String)].collect().toSet
+    assert(viaRows == viaArray)
+    assert(viaRows.contains((1L, "a b c d e")) && viaRows.contains((1L, "b c d e f")))
+    assert(!viaRows.exists(_._1 == 2L))
+    assert(viaRows.count(_._1 == 3L) == 1)
+  }
+
   test("native ShingleJaccard equals the HOF shingle-set jaccard on ASCII text") {
     val pairs = Seq(
       ("the quick brown fox", "the quick brown dog"),
