@@ -48,6 +48,8 @@ object SparkEntry {
     "r17_param" -> (RefQueries.param_query _),
     "r18_sessionize" -> (RefQueries.sessionize _),
     "r20_quantiles" -> (RefQueries.quantiles _),
+    "r21_rollup" -> (RefQueries.rollup_subtotals _),
+    "r22_window_rank" -> (RefQueries.window_rank _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
@@ -215,6 +217,27 @@ object SparkEntry {
                 CAST(round(CAST(quantile_cont(l_extendedprice, 0.75) AS DECIMAL(28,10)),4) AS DOUBLE) AS p75,
                 CAST(round(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(28,10)),4) AS DOUBLE) AS p95
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "r21_rollup" ->
+      """SELECT event_type, month_key,
+                CAST(grouping(event_type)*2 + grouping(month_key) AS INTEGER) AS lvl,
+                count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM (SELECT event_type,
+                 CAST(strftime(ts,'%Y%m') AS INTEGER) AS month_key, value
+               FROM events)
+         GROUP BY ROLLUP(event_type, month_key)
+         ORDER BY lvl, event_type ASC NULLS FIRST, month_key ASC NULLS FIRST""",
+
+    "r22_window_rank" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+           FROM events GROUP BY 1,2),
+         r AS (SELECT event_type, user_id, cnt,
+             rank() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rnk,
+             ntile(4) OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS qtile
+           FROM c)
+         SELECT event_type, user_id, cnt, rnk, qtile FROM r
+         WHERE rnk <= 5 ORDER BY event_type, rnk""",
 
     "r19_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

@@ -258,6 +258,41 @@ object RefQueries {
       .orderBy("l_returnflag")
   }
 
+  // ---- B-surface extension: ROLLUP subtotals (the OLAP cube face of
+  // B4's flat aggregation). One shuffle; Spark expands grouping sets
+  // map-side. grouping() flags are computed explicitly (not
+  // grouping_id()) so the column is portable across engines. ----
+  def rollup_subtotals(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("month_key", date_format(col("ts"), "yyyyMM").cast("int"))
+      .rollup("event_type", "month_key")
+      .agg(
+        // grouping() is only legal inside the rollup's own aggregate
+        (grouping(col("event_type")) * 2 + grouping(col("month_key")))
+          .cast("int").as("lvl"),
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select("event_type", "month_key", "lvl", "cnt", "sum_value")
+      .orderBy(col("lvl"), col("event_type").asc_nulls_first,
+        col("month_key").asc_nulls_first)
+
+  // ---- B-surface extension: per-group ranking window over an
+  // aggregate (top-5 users per event type). The rank's ORDER BY ends
+  // in user_id so ordering is total — deterministic output, no tie
+  // ambiguity; the window partitions by event_type, so a hot type is
+  // one key. ----
+  def window_rank(s: SparkSession, dir: String): DataFrame = {
+    val cnts = events(s, dir).groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cnt").desc, col("user_id").asc)
+    cnts
+      .withColumn("rnk", rank().over(w))
+      .withColumn("qtile", ntile(4).over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy("event_type", "rnk")
+  }
+
   // ---- B-surface extension: gap-based sessionization. The canonical
   // window-function workload over an event log: lag() finds each
   // user's inter-event gap, a running sum over the new-session flags
