@@ -200,7 +200,7 @@ object SparkEntry {
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
            FROM events),
          y AS (SELECT user_id, event_id, ts,
-             CASE WHEN prev_ts IS NULL OR epoch(ts)-epoch(prev_ts) > 28800 THEN 1 ELSE 0 END AS new_sess
+             CASE WHEN prev_ts IS NULL OR epoch_us(ts)-epoch_us(prev_ts) > 28800000000 THEN 1 ELSE 0 END AS new_sess
            FROM x),
          z AS (SELECT user_id, ts,
              CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -513,7 +513,7 @@ object SparkEntry {
       """WITH a AS (SELECT doc_id,
              regexp_split_to_array(trim(lower(text)),'\s+') AS toks
            FROM documents),
-         tf AS (SELECT doc_id, unnest(toks) AS term, 1 AS one FROM a),
+         tf AS (SELECT doc_id, unnest(toks) AS term FROM a),
          tfc AS (SELECT doc_id, term, count(*) AS c FROM tf GROUP BY 1,2),
          uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
                   CAST(count(*) AS BIGINT) AS n_distinct,

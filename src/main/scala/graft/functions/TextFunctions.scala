@@ -127,6 +127,12 @@ object TextFunctions {
     floor((length(text) + lit(3)) / lit(4.0)).cast("long").as("bpe_est_tokens"),
     regexp_count(text, lit(bpePattern)).cast("long").as("bpe_regex_tokens"))
 
+  /** Just the composite quality score — [[qualityFeatures]]' last
+    * column, for callers that attach the score in place (map-only,
+    * no join needed).
+    */
+  def qualityScore(text: Column): Column = qualityFeatures(text).last
+
   /** Canonical document fingerprint: md5 of the
     * whitespace-normalized, lowercased text.
     */
@@ -157,11 +163,7 @@ object TextFunctions {
         max("tf").as("top_tf"))
     val bi = toksDf
       .select(col(idCol),
-        when(size(col("toks")) >= 2,
-          transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1))))
-          .otherwise(array().cast("array<string>")).as("bigrams"))
+        graft.operators.TextDedup.wordNgrams(col("toks"), 2).as("bigrams"))
       .select(col(idCol),
         size(col("bigrams")).cast("long").as("n_bigrams"),
         size(array_distinct(col("bigrams"))).cast("long").as("n_distinct_bigrams"))

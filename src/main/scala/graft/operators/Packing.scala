@@ -24,14 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  def packByTokenBudget(df: DataFrame, partitionCol: String,
+  def packByTokenBudget(df: DataFrame, partitionCols: Seq[String],
       orderCol: String, tokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(partitionCol).orderBy(orderCol)
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .withColumn("shard_id",
         floor((col("cum_tokens") - col(tokensCol)).cast("double") / budget)
           .cast("long"))
   }
+
+  def packByTokenBudget(df: DataFrame, partitionCol: String,
+      orderCol: String, tokensCol: String, budget: Long): DataFrame =
+    packByTokenBudget(df, Seq(partitionCol), orderCol, tokensCol, budget)
 }

@@ -30,8 +30,12 @@ object Sampling {
   def hashBucket(id: Column): Column =
     substring(md5(id.cast("string")), 1, 4)
 
-  private def hex4(fraction: Double): String =
+  private def hex4(fraction: Double): String = {
+    // a negative input would %04x-format to a 16-char string and
+    // silently corrupt the lexicographic compare — never let it through
+    require(fraction >= 0, s"fraction must be >= 0, got $fraction")
     f"${math.floor(fraction * 65536).toLong.min(65535L)}%04x"
+  }
 
   /** Split label ("train" / "val" / …) from cumulative weight ranges.
     * Weights need not sum to 1 — they are normalized. The LAST split
@@ -40,6 +44,8 @@ object Sampling {
     */
   def splitLabel(id: Column, splits: Seq[(String, Double)]): Column = {
     require(splits.size >= 2, "need at least two splits")
+    splits.foreach { case (name, w) =>
+      require(w >= 0, s"split '$name' has negative weight $w") }
     val total = splits.map(_._2).sum
     require(total > 0, "weights must be positive")
     val b = hashBucket(id)

@@ -40,13 +40,14 @@ object CorpusWriter {
       budget: Long = 2048L): DataFrame = {
     val s = docs.sparkSession
 
-    // 1. map-only quality gates (+ repetition's one aggregation)
-    val quality = docs.select(col("doc_id") +:
-        TextFunctions.qualityFeatures(col("text")): _*)
-      .select("doc_id", "quality_score")
+    // 1. quality score attached IN PLACE (map-only — no self-join for
+    // a per-row expression); repetition signals are the one genuine
+    // aggregation, so they are the one join
     val rep = TextFunctions.repetitionSignals(docs, "doc_id", "text")
       .select("doc_id", "dup_bigram_frac", "n_tokens")
-    val kept = docs.join(quality, "doc_id").join(rep, "doc_id")
+    val kept = docs
+      .withColumn("quality_score", TextFunctions.qualityScore(col("text")))
+      .join(rep, "doc_id")
       .filter(col("quality_score") >= minQuality &&
         col("dup_bigram_frac") <= maxDupBigram)
 
@@ -60,10 +61,8 @@ object CorpusWriter {
     // 3 + 4. split label, then pack per (split, lang)
     val labeled = deduped
       .withColumn("split", Sampling.splitLabel(col("doc_id"), splits))
-      .withColumn("__pack_key", concat_ws("|", col("split"), col("lang")))
     val packed = Packing.packByTokenBudget(
-      labeled, "__pack_key", "doc_id", "n_tokens", budget)
-      .drop("__pack_key")
+      labeled, Seq("split", "lang"), "doc_id", "n_tokens", budget)
 
     packed
       .repartitionByRange(col("split"), col("lang"), col("shard_id"), col("doc_id"))

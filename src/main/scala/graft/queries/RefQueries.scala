@@ -305,9 +305,14 @@ object RefQueries {
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // gap compare in integer MICROSECONDS (unix_micros here,
+      // epoch_us in the oracle): cast("long") truncates to whole
+      // seconds while DuckDB's epoch() keeps fractional seconds, so
+      // the two would classify gaps within 1s of the boundary
+      // differently on sub-second data
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 28800L, 1L)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 28800000000L, 1L)
           .otherwise(0L))
       .withColumn("session_idx", sum(col("new_sess")).over(running))
       .groupBy("user_id", "session_idx")

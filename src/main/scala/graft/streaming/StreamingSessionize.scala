@@ -58,16 +58,25 @@ object StreamingSessionize {
               user, new Timestamp(s.start), new Timestamp(s.lastMs), s.n))
           } else {
             // fold the micro-batch's events (they may arrive unsorted
-            // within the batch) into the open session, closing any
-            // session whose gap a later event exceeds
+            // within the batch) into the open session. An event extends
+            // the session only if it falls within `gap` of the session
+            // SPAN [start-gap, last+gap] — extending start backward for
+            // in-horizon late events. A later event past the gap closes
+            // the session; a late event more than `gap` BEFORE start is
+            // emitted as its own single-event session immediately (two
+            // such stragglers that would merge in a batch recompute
+            // emit separately — the bounded-state trade, documented).
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var open = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(s) if t - s.lastMs <= gapMillis =>
-                  open = Some(OpenSession(s.start, math.max(s.lastMs, t), s.n + 1))
+                case Some(s) if t >= s.start - gapMillis && t - s.lastMs <= gapMillis =>
+                  open = Some(OpenSession(math.min(s.start, t),
+                    math.max(s.lastMs, t), s.n + 1))
+                case Some(s) if t < s.start - gapMillis =>
+                  closed += ClosedSession(user, e.ts, e.ts, 1)
                 case Some(s) =>
                   closed += ClosedSession(
                     user, new Timestamp(s.start), new Timestamp(s.lastMs), s.n)

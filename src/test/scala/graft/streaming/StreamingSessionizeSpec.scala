@@ -53,4 +53,36 @@ class StreamingSessionizeSpec extends SparkTestBase {
         (2L, ts("2023-01-01 11:00:00"), ts("2023-01-01 11:00:00"), 1L)))
     } finally q.stop()
   }
+
+  test("late events: inside-gap extends session start backward; far-before emits own session") {
+    val in = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val out = StreamingSessionize.sessions(
+      in.toDF.toDF("user_id", "ts"), gap = "30 minutes", lateness = "6 hours")
+    val q = out.writeStream.format("memory").queryName("ss_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, ts("2023-01-01 10:00:00")))
+      q.processAllAvailable()
+      // batch 2: one late event 15 min BEFORE start (inside gap → must
+      // extend start backward), one 3 h before (outside gap → its own
+      // immediate single-event session, NOT absorbed)
+      in.addData((1L, ts("2023-01-01 09:45:00")), (1L, ts("2023-01-01 07:00:00")))
+      q.processAllAvailable()
+      val inline = spark.table("ss_late")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(inline == Set(
+        (1L, ts("2023-01-01 07:00:00"), ts("2023-01-01 07:00:00"), 1L)))
+
+      // advance the watermark far past the open session's deadline
+      in.addData((9L, ts("2023-01-01 23:00:00")))
+      q.processAllAvailable()
+      in.addData((9L, ts("2023-01-01 23:59:00")))
+      q.processAllAvailable()
+      val all = spark.table("ss_late")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      // the open session closed with its start extended to 09:45
+      assert(all.contains(
+        (1L, ts("2023-01-01 09:45:00"), ts("2023-01-01 10:00:00"), 2L)))
+    } finally q.stop()
+  }
 }
