@@ -50,6 +50,7 @@ object SparkEntry {
     "r20_quantiles" -> (RefQueries.quantiles _),
     "r21_rollup" -> (RefQueries.rollup_subtotals _),
     "r22_window_rank" -> (RefQueries.window_rank _),
+    "r23_asof" -> (RefQueries.asof_join _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
@@ -217,6 +218,14 @@ object SparkEntry {
                 CAST(round(CAST(quantile_cont(l_extendedprice, 0.75) AS DECIMAL(28,10)),4) AS DOUBLE) AS p75,
                 CAST(round(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(28,10)),4) AS DOUBLE) AS p95
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "r23_asof" ->
+      """SELECT e.user_id AS user_id, e.event_id AS event_id, e.ts AS ts,
+                p.value AS asof_value, p.ts AS asof_ts
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') e
+         ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
+           ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY event_id""",
 
     "r21_rollup" ->
       """SELECT event_type, month_key,

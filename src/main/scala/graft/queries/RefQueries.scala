@@ -293,6 +293,28 @@ object RefQueries {
       .orderBy("event_type", "rnk")
   }
 
+  // ---- B-surface extension: as-of join — each click picks up the
+  // user's most recent at-or-before purchase. Union + one
+  // (user)-keyed time-ordered window (see AsOfJoin) — never a
+  // nested-loop range join. DuckDB's native ASOF LEFT JOIN is the
+  // oracle. ----
+  def asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    graft.operators.AsOfJoin.asOf(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "value"),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Map("value" -> "asof_value", "ts" -> "asof_ts"))
+      // inner form for the gate: matched rows only, so the compared
+      // output carries no null timestamps (cross-engine null-timestamp
+      // representation is comparator-dependent; the LEFT semantics are
+      // spec-pinned in AsOfJoinSpec)
+      .filter(col("asof_ts").isNotNull)
+      .orderBy("event_id")
+  }
+
   // ---- B-surface extension: gap-based sessionization. The canonical
   // window-function workload over an event log: lag() finds each
   // user's inter-event gap, a running sum over the new-session flags

@@ -58,6 +58,12 @@ def main(sf_dir, out_dir):
             for c in cols:
                 gv, ev = g[c].tolist(), e[c].tolist()
                 for i, (a, b) in enumerate(zip(gv, ev)):
+                    try:  # NaT == NaT and NaN == NaN count as equal
+                        import pandas as pd
+                        if pd.isna(a) and pd.isna(b):
+                            continue
+                    except (TypeError, ValueError):
+                        pass
                     if isinstance(a, float) and isinstance(b, float):
                         if math.isnan(a) and math.isnan(b):
                             continue
