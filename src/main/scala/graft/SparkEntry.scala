@@ -51,6 +51,7 @@ object SparkEntry {
     "r21_rollup" -> (RefQueries.rollup_subtotals _),
     "r22_window_rank" -> (RefQueries.window_rank _),
     "r23_asof" -> (RefQueries.asof_join _),
+    "r24_range_join" -> (RefQueries.range_join _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
@@ -218,6 +219,14 @@ object SparkEntry {
                 CAST(round(CAST(quantile_cont(l_extendedprice, 0.75) AS DECIMAL(28,10)),4) AS DOUBLE) AS p75,
                 CAST(round(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(28,10)),4) AS DOUBLE) AS p95
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "r24_range_join" ->
+      """SELECT p.p_partkey AS p_partkey, count(*) AS n_in_band,
+                CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem l JOIN part p
+           ON p.p_retailprice - 50 <= l.l_extendedprice
+          AND l.l_extendedprice < p.p_retailprice + 50
+         GROUP BY 1 ORDER BY 1""",
 
     "r23_asof" ->
       """SELECT e.user_id AS user_id, e.event_id AS event_id, e.ts AS ts,

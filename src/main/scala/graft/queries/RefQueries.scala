@@ -315,6 +315,25 @@ object RefQueries {
       .orderBy("event_id")
   }
 
+  // ---- B-surface extension: range join — lineitems priced inside
+  // each part's ±50 retail-price band. Interval bucketing turns the
+  // theta condition into an equi-join on cell id (see RangeJoin);
+  // bucket width 100 = the interval length, so each interval covers
+  // ≤2 cells. ----
+  def range_join(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_extendedprice"))
+    val bands = Tables.load(s, dir, "part")
+      .select(col("p_partkey"),
+        (col("p_retailprice") - 50).as("lo"), (col("p_retailprice") + 50).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+        li, bands, "l_extendedprice", "lo", "hi", bucketWidth = 100L)
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_in_band"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("p_partkey")
+  }
+
   // ---- B-surface extension: gap-based sessionization. The canonical
   // window-function workload over an event log: lag() finds each
   // user's inter-event gap, a running sum over the new-session flags
