@@ -18,6 +18,12 @@ import org.apache.spark.sql.types._
   * constant folding still apply. Registered per-session via
   * [[registerAll]]; after that the reference SQL runs near-verbatim
   * through `spark.sql`.
+  *
+  * NOTE: registration is session-scoped and OPT-IN precisely because a
+  * few names shadow Spark built-ins with ClickHouse semantics — `any`
+  * becomes "arbitrary value" (ClickHouse) instead of Spark's boolean
+  * OR aggregate; `median`/`ifNull` keep equivalent semantics. A session
+  * that wants vanilla Spark SQL simply doesn't register the dialect.
   */
 object ChCompat {
 
@@ -93,7 +99,85 @@ object ChCompat {
     "countIf" -> (es =>
       aggregate.Sum(If(es.head, Literal(1L), Literal(0L)))),
     "intDiv" -> (es => IntegralDivide(es(0), es(1), evalMode = EvalMode.LEGACY)),
+
+    // ---- breadth beyond the reference's own queries: the aliases a
+    // ClickHouse user reaches for in ad-hoc SQL. Every one maps to a
+    // codegen'd Catalyst expression; none is a UDF. ----
+    "toDayOfMonth" -> (es => DayOfMonth(Cast(es.head, DateType))),
+    // ClickHouse numbers Monday=1..Sunday=7; Spark weekday() is Mon=0
+    "toDayOfWeek" -> (es => Add(WeekDay(Cast(es.head, DateType)), Literal(1))),
+    "toQuarter" -> (es => Quarter(Cast(es.head, DateType))),
+    "toMinute" -> (es => Minute(es.head)),
+    "toSecond" -> (es => Second(es.head)),
+    "toStartOfYear" -> (es => TruncDate(Cast(es.head, DateType), Literal("year"))),
+    "toStartOfDay" -> (es => TruncTimestamp(Literal("day"), es.head)),
+    "toStartOfHour" -> (es => TruncTimestamp(Literal("hour"), es.head)),
+    "toMonday" -> (es => TruncDate(Cast(es.head, DateType), Literal("week"))),
+    "toUnixTimestamp" -> (es => UnixTimestamp(es.head,
+      Literal("yyyy-MM-dd HH:mm:ss"))),
+    "today" -> (_ => CurrentDate()),
+    "yesterday" -> (_ => DateSub(CurrentDate(), Literal(1))),
+    "formatDateTime" -> (es => DateFormatClass(es(0), chFormat(es(1)))),
+    "toInt32" -> (es => Cast(es.head, IntegerType)),
+    "toInt64" -> (es => Cast(es.head, LongType)),
+    "toFloat32" -> (es => Cast(es.head, FloatType)),
+    "toFloat64" -> (es => Cast(es.head, DoubleType)),
+    "ifNull" -> (es => Coalesce(es)),
+    // conditional aggregate combinators (the *If family)
+    "sumIf" -> (es => aggregate.Sum(If(es(1), es(0),
+      Literal.create(null, NullType)))),
+    "avgIf" -> (es => aggregate.Average(If(es(1), es(0),
+      Literal.create(null, NullType)))),
+    "minIf" -> (es => aggregate.Min(If(es(1), es(0),
+      Literal.create(null, NullType)))),
+    "maxIf" -> (es => aggregate.Max(If(es(1), es(0),
+      Literal.create(null, NullType)))),
+    // uniq is approximate in ClickHouse too (HLL-family) — mapping it
+    // to HyperLogLog++ preserves the contract; uniqExact is exact
+    "uniq" -> (es => aggregate.HyperLogLogPlusPlus(es.head)),
+    // exact distinct as size(collect_set): a pre-built distinct
+    // AggregateExpression does not survive analyzer re-wrapping
+    "uniqExact" -> (es => Size(
+      aggregate.CollectSet(es.head).toAggregateExpression())),
+    "any" -> (es => aggregate.First(es.head, ignoreNulls = false)),
+    "anyLast" -> (es => aggregate.Last(es.head, ignoreNulls = false)),
+    "groupArray" -> (es => aggregate.CollectList(es.head)),
+    "groupUniqArray" -> (es => aggregate.CollectSet(es.head)),
+    "median" -> (es => aggregate.Percentile(es.head, Literal(0.5), Literal(1L))),
+    // array/string helpers
+    "splitByChar" -> (es => StringSplit(es(1), es(0), Literal(-1))),
+    "arrayStringConcat" -> (es =>
+      if (es.length > 1) ArrayJoin(es(0), es(1), None)
+      else ArrayJoin(es(0), Literal(""), None)),
+    "arrayDistinct" -> (es => ArrayDistinct(es.head)),
+    "has" -> (es => ArrayContains(es(0), es(1))),
+    "indexOf" -> (es => ArrayPosition(es(0), es(1))),
   )
+
+  /** Translate a LITERAL ClickHouse %-style format to Spark's java
+    * pattern (the common placeholders; unknown ones pass through).
+    */
+  private def chFormat(e: Expression): Expression = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      val out = new StringBuilder
+      val str = s.toString
+      var i = 0
+      while (i < str.length) {
+        if (str.charAt(i) == '%' && i + 1 < str.length) {
+          out.append(str.charAt(i + 1) match {
+            case 'Y' => "yyyy"; case 'y' => "yy"; case 'm' => "MM"
+            case 'd' => "dd"; case 'H' => "HH"; case 'M' => "mm"
+            case 'S' => "ss"; case 'F' => "yyyy-MM-dd"; case 'T' => "HH:mm:ss"
+            case '%' => "%"
+            case other => s"%$other"
+          })
+          i += 2
+        } else { out.append(str.charAt(i)); i += 1 }
+      }
+      Literal(out.toString)
+    case other => throw new IllegalArgumentException(
+      "formatDateTime: format must be a string literal")
+  }
 
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -64,6 +64,69 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getLong(0) === 2L && r.getLong(1) === 3L)
   }
 
+  test("extended date/cast/format aliases") {
+    ChCompat.registerAll(spark)
+    val r = spark.sql(
+      """SELECT toDayOfMonth(TIMESTAMP '2015-03-07 14:15:16') AS dom,
+                toDayOfWeek(TIMESTAMP '2015-03-07 14:15:16') AS dow,
+                toQuarter(TIMESTAMP '2015-03-07 14:15:16') AS q,
+                toMinute(TIMESTAMP '2015-03-07 14:15:16') AS mi,
+                toSecond(TIMESTAMP '2015-03-07 14:15:16') AS se,
+                CAST(toStartOfDay(TIMESTAMP '2015-03-07 14:15:16') AS STRING) AS sod,
+                CAST(toMonday(TIMESTAMP '2015-03-07 14:15:16') AS STRING) AS mon,
+                formatDateTime(TIMESTAMP '2015-03-07 14:15:16', '%Y-%m-%d %H:%M:%S') AS f,
+                formatDateTime(TIMESTAMP '2015-03-07 14:15:16', '%F') AS f2,
+                toInt64('42') AS i64, toFloat64('2.5') AS f64,
+                ifNull(NULL, 7) AS c""").head
+    // 2015-03-07 is a Saturday: ClickHouse numbering Mon=1..Sun=7 → 6
+    assert(r.getInt(0) === 7 && r.getInt(1) === 6 && r.getInt(2) === 1)
+    assert(r.getInt(3) === 15 && r.getInt(4) === 16)
+    assert(r.getString(5) === "2015-03-07 00:00:00")
+    assert(r.getString(6) === "2015-03-02")
+    assert(r.getString(7) === "2015-03-07 14:15:16")
+    assert(r.getString(8) === "2015-03-07")
+    assert(r.getLong(9) === 42L && r.getDouble(10) === 2.5 && r.getInt(11) === 7)
+  }
+
+  test("*If combinators, uniq family, any/groupArray, median") {
+    ChCompat.registerAll(spark)
+    val r = spark.sql(
+      """SELECT sumIf(x, x > 10) AS s, avgIf(x, x > 10) AS a,
+                minIf(x, x > 10) AS mn, maxIf(x, x > 10) AS mx,
+                countIf(x > 10) AS c,
+                uniqExact(x % 4) AS ue, uniq(x % 4) AS u,
+                any(x) AS an, anyLast(x) AS al,
+                groupArray(x) AS ga, groupUniqArray(x % 4) AS gua,
+                median(x) AS md
+         FROM VALUES (5), (11), (20), (8), (14) AS t(x)""").head
+    assert(r.getLong(0) === 45L)            // 11+20+14
+    assert(r.getDouble(1) === 15.0)
+    assert(r.getInt(2) === 11 && r.getInt(3) === 20)
+    assert(r.getLong(4) === 3L)
+    assert(r.getInt(5) === 4)               // {1,3,0,2}
+    assert(r.getLong(6) === 4L)             // HLL exact at this scale
+    assert(r.getInt(7) === 5 && r.getInt(8) === 14)
+    assert(r.getSeq[Int](9) === Seq(5, 11, 20, 8, 14))
+    assert(r.getSeq[Int](10).sorted === Seq(0, 1, 2, 3))
+    assert(r.getDouble(11) === 11.0)
+  }
+
+  test("array/string helpers") {
+    ChCompat.registerAll(spark)
+    val r = spark.sql(
+      """SELECT splitByChar(',', 'a,b,,c') AS sp,
+                arrayStringConcat(array('x','y','z'), '-') AS asc1,
+                arrayStringConcat(array('x','y')) AS asc2,
+                arrayDistinct(array(1,2,2,1,3)) AS ad,
+                has(array(1,2,3), 2) AS h1, has(array(1,2,3), 9) AS h0,
+                indexOf(array('a','b','c'), 'b') AS io""").head
+    assert(r.getSeq[String](0) === Seq("a", "b", "", "c"))
+    assert(r.getString(1) === "x-y-z" && r.getString(2) === "xy")
+    assert(r.getSeq[Int](3) === Seq(1, 2, 3))
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getLong(6) === 2L)
+  }
+
   test("spark.sql.extensions=graft.GraftExtensions injects the surface") {
     import org.apache.spark.sql.SparkSession
     spark.sparkContext // ensure the shared context exists first
