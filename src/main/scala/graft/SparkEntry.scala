@@ -52,6 +52,7 @@ object SparkEntry {
     "r22_window_rank" -> (RefQueries.window_rank _),
     "r23_asof" -> (RefQueries.asof_join _),
     "r24_range_join" -> (RefQueries.range_join _),
+    "r25_ch_dialect" -> (RefQueries.ch_sql_dialect _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
@@ -219,6 +220,13 @@ object SparkEntry {
                 CAST(round(CAST(quantile_cont(l_extendedprice, 0.75) AS DECIMAL(28,10)),4) AS DOUBLE) AS p75,
                 CAST(round(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(28,10)),4) AS DOUBLE) AS p95
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "r25_ch_dialect" ->
+      """SELECT date_trunc('day', ts) AS day, CAST(isodow(ts) AS INTEGER) AS dow,
+                CAST(count(DISTINCT user_id) AS INTEGER) AS users,
+                CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS errors,
+                max(event_id) AS max_id
+         FROM events GROUP BY 1, 2 ORDER BY day""",
 
     "r24_range_join" ->
       """SELECT p.p_partkey AS p_partkey, count(*) AS n_in_band,

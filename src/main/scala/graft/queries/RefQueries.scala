@@ -205,6 +205,24 @@ object RefQueries {
       ORDER BY month_key""")
   }
 
+  // ---- the widened dialect end-to-end: per-day rollup written the
+  // way a ClickHouse user writes it (toStartOfDay / toDayOfWeek /
+  // uniqExact / countIf), run verbatim through spark.sql. Aggregates
+  // chosen order-independent (distinct count, conditional count,
+  // max) so cross-engine compare is exact. ----
+  def ch_sql_dialect(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql("""
+      SELECT toStartOfDay(ts) AS day, toDayOfWeek(ts) AS dow,
+             uniqExact(user_id) AS users,
+             countIf(event_type = 'error') AS errors,
+             toUInt64(max(event_id)) AS max_id
+      FROM events
+      GROUP BY toStartOfDay(ts), toDayOfWeek(ts)
+      ORDER BY day""")
+  }
+
   // ---- B10/B11 compat: arrayJoin + JSONExtract* run verbatim.
   // Spark generators must sit at the top of a SELECT item (ClickHouse
   // lets arrayJoin nest anywhere), so the unnest gets its own derived
