@@ -268,7 +268,8 @@ object SparkEntry {
     "r19_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
            FROM events)
-         SELECT a.day AS day, count(*) AS active, count(b.user_id) AS retained
+         SELECT strftime(a.day, '%Y-%m-%d') AS day, count(*) AS active,
+                count(b.user_id) AS retained
          FROM d a LEFT JOIN d b
            ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
          GROUP BY 1 ORDER BY day""",

@@ -393,6 +393,12 @@ object RefQueries {
       .join(ret, Seq("user_id", "next_day"), "left")
       .groupBy("day")
       .agg(count(lit(1)).as("active"), count(col("m")).as("retained"))
+      // string day: DATE round-trips through parquet as a physical type
+      // the oracle harness may read back differently from DuckDB's
+      // DATE (date32 vs timestamp micros) — a formatted string is
+      // representation-stable on both sides
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("active"), col("retained"))
       .orderBy("day")
   }
 
