@@ -110,11 +110,22 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // pointer jumping: follow my representative's own label
+      // pointer jumping, twice per round: follow my representative's
+      // label, then the result's again. Two hops quarter the
+      // remaining distance each round (log4 convergence instead of
+      // log2) — one extra hash join per round buys half the rounds,
+      // and the fixed per-round cost (checkpoint materialization +
+      // convergence-count job) is what dominates the loop.
       val parent = stepped
         .select(col("id").as("comp"), col("comp").as("pcomp"))
-      val updated = stepped
+      val hop1 = stepped
         .join(parent, Seq("comp"), "left")
+        .select(col("id"), col("prev"),
+          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+      val parent2 = hop1
+        .select(col("id").as("comp"), col("comp").as("pcomp"))
+      val updated = hop1
+        .join(parent2, Seq("comp"), "left")
         .select(col("id"), col("prev"),
           least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
         .localCheckpoint()
