@@ -53,6 +53,7 @@ object SparkEntry {
     "r23_asof" -> (RefQueries.asof_join _),
     "r24_range_join" -> (RefQueries.range_join _),
     "r25_ch_dialect" -> (RefQueries.ch_sql_dialect _),
+    "r26_uniq_sketch" -> (RefQueries.uniq_sketch _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
@@ -227,6 +228,15 @@ object SparkEntry {
                 CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS errors,
                 max(event_id) AS max_id
          FROM events GROUP BY 1, 2 ORDER BY day""",
+
+    // r26: the HLL sketch is in exact coupon mode at this grain's
+    // cardinality (~150 distinct per group << the lgK=12 promotion
+    // threshold), so the estimate IS the exact distinct count and the
+    // oracle can be plain count(DISTINCT); the spec additionally pins
+    // the approximate regime's error bound at higher cardinality.
+    "r26_uniq_sketch" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uniq_users
+         FROM events GROUP BY 1 ORDER BY event_type""",
 
     "r24_range_join" ->
       """SELECT p.p_partkey AS p_partkey, count(*) AS n_in_band,

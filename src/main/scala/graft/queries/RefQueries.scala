@@ -380,6 +380,25 @@ object RefQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  // ---- B-surface extension: mergeable distinct-count rollup — the
+  // ClickHouse uniqState/uniqMerge pre-aggregation pattern. Build the
+  // finest-grain HLL sketch cube (event_type × month) in ONE fact-table
+  // scan, then answer the coarser per-type rollup by unioning sketches:
+  // the second aggregation reads the sketch table (months × types
+  // rows), never the fact table again. At the test corpus's per-group
+  // cardinality the Datasketches sketch is still in exact coupon mode,
+  // so the estimate equals count(DISTINCT) and the query carries a
+  // full oracle; at cluster scale it degrades gracefully to ~1.6%
+  // relative error instead of a raw-id shuffle. ----
+  def uniq_sketch(s: SparkSession, dir: String): DataFrame = {
+    val cube = graft.operators.Sketches.sketchCube(
+      events(s, dir).withColumn("month", date_format(col("ts"), "yyyyMM")),
+      Seq("event_type", "month"), "user_id")
+    graft.operators.Sketches.rollupEstimate(
+        cube, Seq("event_type"), "user_id_sketch", "uniq_users")
+      .orderBy("event_type")
+  }
+
   // ---- B-surface extension: day-over-day cohort retention. distinct
   // (user, day) once, then a self equi-join keyed on (user_id,
   // next_day) — the date arithmetic is folded INTO the join key so
