@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * channel Spark provides for cluster-wide function surfaces.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     (functions.ChCompat.builders.toSeq.map((_, functions.ChCompat.getClass)) ++
       functions.PipelineFunctions.builders.toSeq
         .map((_, functions.PipelineFunctions.getClass)))
@@ -23,4 +23,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new ExpressionInfo(owner.getCanonicalName, name),
           builder))
       }
+    // parser front-end for the CH call shapes Spark's grammar rejects
+    // (quoted-unit dateDiff, curried quantile(p)(x), bare count());
+    // plain Spark SQL is untouched — the rewrite is lexical and
+    // string-literal-safe
+    ext.injectParser((_, delegate) => new ChRewriteParser(delegate))
+  }
+}
+
+/** ParserInterface wrapper: [[functions.ChSqlRewrite]] on the query
+  * text, then delegate. Only plan parsing is intercepted —
+  * expressions, identifiers, and DDL strings go straight through.
+  */
+class ChRewriteParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  import org.apache.spark.sql.catalyst.{FunctionIdentifier => FI, TableIdentifier => TI}
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.{DataType, StructType}
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(functions.ChSqlRewrite(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(functions.ChSqlRewrite(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TI =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FI =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
 }

@@ -54,6 +54,7 @@ object SparkEntry {
     "r24_range_join" -> (RefQueries.range_join _),
     "r25_ch_dialect" -> (RefQueries.ch_sql_dialect _),
     "r26_uniq_sketch" -> (RefQueries.uniq_sketch _),
+    "r27_ch_curried" -> (RefQueries.ch_sql_curried _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
@@ -236,6 +237,16 @@ object SparkEntry {
     // the approximate regime's error bound at higher cardinality.
     "r26_uniq_sketch" ->
       """SELECT event_type, count(DISTINCT user_id) AS uniq_users
+         FROM events GROUP BY 1 ORDER BY event_type""",
+
+    // r27: DuckDB's date_diff counts partition boundaries like
+    // ClickHouse's dateDiff; median == continuous-interpolation
+    // percentile(0.5) == Spark's Percentile
+    "r27_ch_curried" ->
+      """SELECT event_type,
+                median(CAST(user_id AS DOUBLE)) AS med_user,
+                date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days,
+                count(*) AS c
          FROM events GROUP BY 1 ORDER BY event_type""",
 
     "r24_range_join" ->

@@ -152,6 +152,147 @@ object ChCompat {
     "arrayDistinct" -> (es => ArrayDistinct(es.head)),
     "has" -> (es => ArrayContains(es(0), es(1))),
     "indexOf" -> (es => ArrayPosition(es(0), es(1))),
+
+    // ---- second widening pass: conditionals, date arithmetic,
+    // string/array predicates. Same contract as above — every alias
+    // is a thin builder over a codegen'd Catalyst expression. ----
+    // multiIf(c1,v1, c2,v2, …, else) — ClickHouse's flat CASE
+    "multiIf" -> (es => {
+      val branches = es.dropRight(1).grouped(2)
+        .map { case Seq(c, v) => (c, v) }.toSeq
+      CaseWhen(branches, Some(es.last))
+    }),
+    // chDateDiff: target of ChSqlRewrite's dateDiff('unit',…) rewrite
+    // (Spark's grammar reserves the dateDiff name and demands an
+    // unquoted unit). CH counts UNIT-BOUNDARY crossings (both sides
+    // truncated to the unit, then diffed), not elapsed whole units:
+    // dateDiff('hour', 10:59, 11:01) = 1.
+    "chDateDiff" -> (es => {
+      def seconds(e: Expression, unit: String): Expression =
+        Cast(TruncTimestamp(Literal(unit), Cast(e, TimestampType)), LongType)
+      def bySeconds(per: Long, unit: String): Expression = Cast(
+        IntegralDivide(Subtract(seconds(es(2), unit), seconds(es(1), unit)),
+          Literal(per), evalMode = EvalMode.LEGACY), IntegerType)
+      es.head match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          u.toString match {
+            case "day" =>
+              DateDiff(Cast(es(2), DateType), Cast(es(1), DateType))
+            case "month" => Subtract(
+              Add(Multiply(Year(Cast(es(2), DateType)), Literal(12)),
+                Month(Cast(es(2), DateType))),
+              Add(Multiply(Year(Cast(es(1), DateType)), Literal(12)),
+                Month(Cast(es(1), DateType))))
+            case "year" => Subtract(Year(Cast(es(2), DateType)),
+              Year(Cast(es(1), DateType)))
+            case "hour" => bySeconds(3600L, "hour")
+            case "minute" => bySeconds(60L, "minute")
+            case "second" => bySeconds(1L, "second")
+            case other => throw new IllegalArgumentException(
+              s"dateDiff: unsupported unit '$other'")
+          }
+        case _ => throw new IllegalArgumentException(
+          "dateDiff: unit must be a string literal")
+      }
+    }),
+    // age('unit', start, end) — CH's ELAPSED-whole-units counterpart
+    // to dateDiff's boundary counting: age('hour', 10:59, 11:01) = 0.
+    "age" -> (es => {
+      def epoch(e: Expression): Expression =
+        Cast(Cast(e, TimestampType), LongType)
+      def byElapsed(per: Long): Expression = Cast(
+        IntegralDivide(Subtract(epoch(es(2)), epoch(es(1))),
+          Literal(per), evalMode = EvalMode.LEGACY), IntegerType)
+      es.head match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          u.toString match {
+            case "year" => Cast(IntegralDivide(
+              Cast(MonthsBetween(Cast(es(2), TimestampType),
+                Cast(es(1), TimestampType), Literal(false)), IntegerType),
+              Literal(12L), evalMode = EvalMode.LEGACY), IntegerType)
+            case "month" => Cast(MonthsBetween(Cast(es(2), TimestampType),
+              Cast(es(1), TimestampType), Literal(false)), IntegerType)
+            case "day" => byElapsed(86400L)
+            case "hour" => byElapsed(3600L)
+            case "minute" => byElapsed(60L)
+            case "second" => byElapsed(1L)
+            case other => throw new IllegalArgumentException(
+              s"age: unsupported unit '$other'")
+          }
+        case _ => throw new IllegalArgumentException(
+          "age: unit must be a string literal")
+      }
+    }),
+    // chQuantile/chQuantiles/chQuantileExact/chMedianExact: targets of
+    // ChSqlRewrite's curried-aggregate rewrite (quantile(0.5)(x) has
+    // no Spark grammar). All map to the exact Percentile aggregate —
+    // deterministic, and a valid implementation of CH's approximate
+    // quantile contract.
+    "chQuantile" -> (es => aggregate.Percentile(es(1), es(0), Literal(1L))),
+    "chQuantileExact" -> (es =>
+      aggregate.Percentile(es(1), es(0), Literal(1L))),
+    "chQuantiles" -> (es => aggregate.Percentile(es.last,
+      CreateArray(es.dropRight(1)), Literal(1L))),
+    "chMedianExact" -> (es =>
+      aggregate.Percentile(es.head, Literal(0.5), Literal(1L))),
+    "addDays" -> (es => DateAdd(Cast(es(0), DateType), es(1))),
+    "subtractDays" -> (es => DateSub(Cast(es(0), DateType), es(1))),
+    "addMonths" -> (es => AddMonths(Cast(es(0), DateType), es(1))),
+    "subtractMonths" -> (es =>
+      AddMonths(Cast(es(0), DateType), UnaryMinus(es(1)))),
+    "toStartOfQuarter" -> (es =>
+      TruncDate(Cast(es.head, DateType), Literal("quarter"))),
+    "toStartOfWeek" -> (es =>
+      TruncDate(Cast(es.head, DateType), Literal("week"))),
+    "toDateTime" -> (es => Cast(es.head, TimestampType)),
+    "now" -> (_ => Cast(CurrentTimestamp(), TimestampType)),
+    // string predicates/helpers
+    "empty" -> (es => EqualTo(Length(es.head), Literal(0))),
+    "notEmpty" -> (es => GreaterThan(Length(es.head), Literal(0))),
+    "lengthUTF8" -> (es => Length(es.head)),
+    "position" -> (es => StringLocate(es(1), es(0), Literal(1))),
+    "positionCaseInsensitive" -> (es =>
+      StringLocate(Lower(es(1)), Lower(es(0)), Literal(1))),
+    "substringUTF8" -> (es => Substring(es(0), es(1), es(2))),
+    "lowerUTF8" -> (es => Lower(es.head)),
+    "upperUTF8" -> (es => Upper(es.head)),
+    "leftPad" -> (es => StringLPad(es(0), es(1),
+      if (es.length > 2) es(2) else Literal(" "))),
+    "rightPad" -> (es => StringRPad(es(0), es(1),
+      if (es.length > 2) es(2) else Literal(" "))),
+    "trimBoth" -> (es => StringTrim(es.head)),
+    // array math/shape
+    "arraySum" -> (es => ArrayAggregate(
+      es.head,
+      Literal(0.0),
+      LambdaFunction(Add(UnresolvedNamedLambdaVariable(Seq("acc")),
+        Cast(UnresolvedNamedLambdaVariable(Seq("x")), DoubleType)),
+        Seq(UnresolvedNamedLambdaVariable(Seq("acc")),
+          UnresolvedNamedLambdaVariable(Seq("x")))),
+      LambdaFunction.identity)),
+    "arrayMin" -> (es => ArrayMin(es.head)),
+    "arrayMax" -> (es => ArrayMax(es.head)),
+    "arrayConcat" -> (es => Concat(es)),
+    "arraySort" -> (es => new SortArray(es.head)),
+    "arrayReverse" -> (es => Reverse(es.head)),
+    "arrayFlatten" -> (es => Flatten(es.head)),
+    "arraySlice" -> (es => Slice(es(0), es(1), es(2))),
+    "arrayPushBack" -> (es => Concat(Seq(es(0), CreateArray(Seq(es(1)))))),
+    "range" -> (es =>
+      if (es.length == 1) Sequence(Literal(0L), Subtract(Cast(es.head,
+        LongType), Literal(1L)), None, None)
+      else Sequence(Cast(es(0), LongType),
+        Subtract(Cast(es(1), LongType), Literal(1L)), None, None)),
+    // arithmetic/bit names
+    "modulo" -> (es => Remainder(es(0), es(1), EvalMode.LEGACY)),
+    "plus" -> (es => Add(es(0), es(1))),
+    "minus" -> (es => Subtract(es(0), es(1))),
+    "multiply" -> (es => Multiply(es(0), es(1))),
+    "bitAnd" -> (es => BitwiseAnd(es(0), es(1))),
+    "bitOr" -> (es => BitwiseOr(es(0), es(1))),
+    "bitXor" -> (es => BitwiseXor(es(0), es(1))),
+    "bitShiftLeft" -> (es => ShiftLeft(es(0), es(1))),
+    "bitShiftRight" -> (es => ShiftRight(es(0), es(1))),
   )
 
   /** Translate a LITERAL ClickHouse %-style format to Spark's java
@@ -184,6 +325,15 @@ object ChCompat {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }
+
+  /** Run ClickHouse-flavored SQL: [[ChSqlRewrite]] for the constructs
+    * Spark's parser rejects outright, then the registered aliases for
+    * everything else. Sessions configured with
+    * `spark.sql.extensions=graft.GraftExtensions` get the same rewrite
+    * transparently inside plain `spark.sql`.
+    */
+  def sql(spark: SparkSession, chSql: String): org.apache.spark.sql.DataFrame =
+    spark.sql(ChSqlRewrite(chSql))
 
   // Column-API forms for Scala callers.
   def toYYYYMM(c: Column): Column =

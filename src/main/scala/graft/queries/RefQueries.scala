@@ -399,6 +399,24 @@ object RefQueries {
       .orderBy("event_type")
   }
 
+  // ---- B-surface extension: the ClickHouse call shapes Spark's
+  // PARSER rejects, run verbatim through the ChSqlRewrite front-end —
+  // curried parameterized aggregates (quantileExact(0.5)(x)), bare
+  // count(), quoted-unit dateDiff with boundary-crossing semantics.
+  // Executes as plain Percentile / Count / date arithmetic after the
+  // lexical rewrite, so the plan is the same codegen'd aggregate a
+  // native Spark query gets. ----
+  def ch_sql_curried(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChCompat.registerAll(s)
+    events(s, dir).createOrReplaceTempView("events")
+    graft.functions.ChCompat.sql(s,
+      """SELECT event_type,
+                quantileExact(0.5)(CAST(user_id AS DOUBLE)) AS med_user,
+                CAST(dateDiff('day', min(ts), max(ts)) AS BIGINT) AS span_days,
+                count() AS c
+         FROM events GROUP BY event_type ORDER BY event_type""")
+  }
+
   // ---- B-surface extension: day-over-day cohort retention. distinct
   // (user, day) once, then a self equi-join keyed on (user_id,
   // next_day) — the date arithmetic is folded INTO the join key so

@@ -127,6 +127,130 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getLong(6) === 2L)
   }
 
+  test("conditionals + date arithmetic (second widening pass)") {
+    ChCompat.registerAll(spark)
+    // ChCompat.sql: dateDiff('unit',…) needs the text rewrite — Spark's
+    // parser reserves the name and rejects quoted units
+    val r = ChCompat.sql(spark,
+      """SELECT multiIf(1 > 2, 'a', 3 > 2, 'b', 'c') AS mi,
+                dateDiff('day', DATE'2024-01-30', DATE'2024-02-02') AS dd,
+                dateDiff('month', DATE'2024-01-31', DATE'2024-02-01') AS dm,
+                dateDiff('year', DATE'2023-12-31', DATE'2024-01-01') AS dy,
+                dateDiff('hour', TIMESTAMP'2024-01-01 10:59:00',
+                                 TIMESTAMP'2024-01-01 11:01:00') AS dh,
+                dateDiff('second', TIMESTAMP'2024-01-01 00:00:01',
+                                   TIMESTAMP'2024-01-01 00:00:05') AS ds,
+                addDays(DATE'2024-02-28', 2) AS ad,
+                subtractDays(DATE'2024-03-01', 1) AS sd,
+                addMonths(DATE'2024-01-31', 1) AS am,
+                subtractMonths(DATE'2024-03-31', 1) AS sm,
+                toStartOfQuarter(DATE'2024-05-15') AS q,
+                toStartOfWeek(DATE'2024-01-10') AS w""").head
+    assert(r.getString(0) === "b")
+    assert(r.getInt(1) === 3)
+    // boundary-crossing semantics: Jan 31 -> Feb 1 crosses one month
+    // boundary even though <1 month elapsed; same for hour 10:59->11:01
+    assert(r.getInt(2) === 1 && r.getInt(3) === 1 && r.getInt(4) === 1)
+    assert(r.getInt(5) === 4)
+    assert(r.getDate(6).toString === "2024-03-01")
+    assert(r.getDate(7).toString === "2024-02-29")
+    assert(r.getDate(8).toString === "2024-02-29")
+    assert(r.getDate(9).toString === "2024-02-29")
+    assert(r.getDate(10).toString === "2024-04-01")
+    assert(r.getDate(11).toString === "2024-01-08")
+  }
+
+  test("age: elapsed whole units (vs dateDiff's boundary crossings)") {
+    ChCompat.registerAll(spark)
+    val r = spark.sql(
+      """SELECT age('hour', TIMESTAMP'2024-01-01 10:59:00',
+                    TIMESTAMP'2024-01-01 11:01:00') AS ah,
+                age('day', TIMESTAMP'2024-01-01 12:00:00',
+                    TIMESTAMP'2024-01-03 11:00:00') AS ad,
+                age('month', DATE'2024-01-31', DATE'2024-02-01') AS am,
+                age('year', DATE'2023-06-01', DATE'2024-05-31') AS ay""").head
+    assert(r.getInt(0) === 0)
+    assert(r.getInt(1) === 1)
+    assert(r.getInt(2) === 0)
+    assert(r.getInt(3) === 0)
+  }
+
+  test("ChSqlRewrite: curried quantiles, count(), string-literal safety") {
+    ChCompat.registerAll(spark)
+    val r = ChCompat.sql(spark,
+      """SELECT quantile(0.5)(x) AS q50,
+                quantileExact(0.25)(x) AS q25,
+                quantiles(0.25, 0.75)(x) AS qq,
+                medianExact()(x) AS me,
+                count() AS c,
+                'quantile(0.5)(x)' AS lit
+         FROM VALUES (1.0), (2.0), (3.0), (4.0), (5.0) AS t(x)""").head
+    assert(r.getDouble(0) === 3.0)
+    assert(r.getDouble(1) === 2.0)
+    assert(r.getSeq[Double](2) === Seq(2.0, 4.0))
+    assert(r.getDouble(3) === 3.0)
+    assert(r.getLong(4) === 5L)
+    assert(r.getString(5) === "quantile(0.5)(x)")
+    // pure text checks
+    assert(ChSqlRewrite("dateDiff('day', a, b)") === "chDateDiff('day', a, b)")
+    assert(ChSqlRewrite("datediff(a, b)") === "datediff(a, b)")
+    assert(ChSqlRewrite("dateDiff(DAY, a, b)") === "dateDiff(DAY, a, b)")
+    assert(ChSqlRewrite("count( )") === "count(*)")
+    assert(ChSqlRewrite("count(x)") === "count(x)")
+    assert(ChSqlRewrite("'dateDiff(''day'', a, b)'") ===
+      "'dateDiff(''day'', a, b)'")
+    assert(ChSqlRewrite("quantile(0.5)(price)") === "chQuantile(0.5, price)")
+    // curried name NOT followed by a second arg list passes through
+    assert(ChSqlRewrite("quantile(0.5)") === "quantile(0.5)")
+  }
+
+  test("string/array helpers (second widening pass)") {
+    ChCompat.registerAll(spark)
+    val r = spark.sql(
+      """SELECT empty('') AS e1, empty('x') AS e0, notEmpty('x') AS ne,
+                lengthUTF8('héllo') AS l,
+                position('Hello world', 'world') AS p,
+                positionCaseInsensitive('Hello World', 'world') AS pc,
+                substringUTF8('héllo', 2, 3) AS su,
+                lowerUTF8('AbC') AS lo, upperUTF8('aBc') AS up,
+                leftPad('7', 3, '0') AS lp, rightPad('7', 3) AS rp,
+                trimBoth('  x  ') AS tb,
+                arraySum(array(1.5, 2.5, 3.0)) AS s,
+                arrayMin(array(3, 1, 2)) AS mn, arrayMax(array(3, 1, 2)) AS mx,
+                arrayConcat(array(1, 2), array(3)) AS ac,
+                arraySort(array(3, 1, 2)) AS aso,
+                arrayReverse(array(1, 2, 3)) AS ar,
+                arrayFlatten(array(array(1, 2), array(3))) AS af,
+                arraySlice(array(1, 2, 3, 4), 2, 2) AS asl,
+                arrayPushBack(array(1, 2), 3) AS ap,
+                range(3) AS r1, range(2, 5) AS r2,
+                modulo(7, 3) AS md, plus(2, 3) AS pl, minus(5, 2) AS mi,
+                multiply(4, 3) AS mu, bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo,
+                bitXor(12, 10) AS bx, bitShiftLeft(1, 4) AS bsl,
+                bitShiftRight(16, 4) AS bsr""").head
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getInt(3) === 5)
+    assert(r.getInt(4) === 7 && r.getInt(5) === 7)
+    assert(r.getString(6) === "éll")
+    assert(r.getString(7) === "abc" && r.getString(8) === "ABC")
+    assert(r.getString(9) === "007" && r.getString(10) === "7  ")
+    assert(r.getString(11) === "x")
+    assert(r.getDouble(12) === 7.0)
+    assert(r.getInt(13) === 1 && r.getInt(14) === 3)
+    assert(r.getSeq[Int](15) === Seq(1, 2, 3))
+    assert(r.getSeq[Int](16) === Seq(1, 2, 3))
+    assert(r.getSeq[Int](17) === Seq(3, 2, 1))
+    assert(r.getSeq[Int](18) === Seq(1, 2, 3))
+    assert(r.getSeq[Int](19) === Seq(2, 3))
+    assert(r.getSeq[Int](20) === Seq(1, 2, 3))
+    assert(r.getSeq[Long](21) === Seq(0L, 1L, 2L))
+    assert(r.getSeq[Long](22) === Seq(2L, 3L, 4L))
+    assert(r.getInt(23) === 1 && r.getInt(24) === 5 && r.getInt(25) === 3)
+    assert(r.getInt(26) === 12)
+    assert(r.getInt(27) === 8 && r.getInt(28) === 14 && r.getInt(29) === 6)
+    assert(r.getInt(30) === 16 && r.getInt(31) === 1)
+  }
+
   test("spark.sql.extensions=graft.GraftExtensions injects the surface") {
     import org.apache.spark.sql.SparkSession
     spark.sparkContext // ensure the shared context exists first
