@@ -55,6 +55,8 @@ object SparkEntry {
     "r25_ch_dialect" -> (RefQueries.ch_sql_dialect _),
     "r26_uniq_sketch" -> (RefQueries.uniq_sketch _),
     "r27_ch_curried" -> (RefQueries.ch_sql_curried _),
+    "r28_bloom_semijoin" -> (RefQueries.bloom_semijoin _),
+    "r29_funnel" -> (RefQueries.funnel _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
@@ -248,6 +250,48 @@ object SparkEntry {
                 date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days,
                 count(*) AS c
          FROM events GROUP BY 1 ORDER BY event_type""",
+
+    // r28: oracle is the PLAIN exact semi join — the bloom filter on
+    // the Spark side only prunes and never changes the result
+    "r28_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+         GROUP BY 1 ORDER BY l_returnflag""",
+
+    // r29: greedy earliest-next chains via correlated min-subqueries —
+    // exact for this operator (see Funnel scaladoc)
+    "r29_funnel" ->
+      """WITH s1 AS (SELECT user_id, ts AS t1 FROM events
+                     WHERE event_type = 'view'),
+           s2 AS (SELECT s1.user_id, t1,
+                    (SELECT min(ts) FROM events e
+                     WHERE e.user_id = s1.user_id
+                       AND e.event_type = 'click' AND e.ts > s1.t1) AS t2
+                  FROM s1),
+           s3 AS (SELECT s2.user_id, t1, t2,
+                    (SELECT min(ts) FROM events e
+                     WHERE e.user_id = s2.user_id
+                       AND e.event_type = 'purchase' AND e.ts > s2.t2) AS t3
+                  FROM s2),
+           lv AS (SELECT user_id,
+                    CASE
+                      WHEN t2 IS NOT NULL
+                           AND epoch(t2) - epoch(t1) <= 86400
+                           AND t3 IS NOT NULL
+                           AND epoch(t3) - epoch(t1) <= 86400 THEN 3
+                      WHEN t2 IS NOT NULL
+                           AND epoch(t2) - epoch(t1) <= 86400 THEN 2
+                      ELSE 1
+                    END AS lvl
+                  FROM s3)
+         SELECT u.user_id,
+                CAST(coalesce(max(lv.lvl), 0) AS INTEGER) AS level
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN lv ON u.user_id = lv.user_id
+         GROUP BY u.user_id ORDER BY u.user_id""",
 
     "r24_range_join" ->
       """SELECT p.p_partkey AS p_partkey, count(*) AS n_in_band,

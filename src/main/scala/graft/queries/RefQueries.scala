@@ -417,6 +417,36 @@ object RefQueries {
          FROM events GROUP BY event_type ORDER BY event_type""")
   }
 
+  // ---- B-surface extension: bloom-prefiltered exact semi join.
+  // lineitem ⋉ high-value orders: the bloom probe runs in lineitem's
+  // scan stage and drops non-matching rows before the shuffle; the
+  // closing left-semi join removes false positives, so the oracle is
+  // the PLAIN semi join — the bloom only prunes. ----
+  def bloom_semijoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 150000.0)
+    graft.operators.BloomPrune.semiJoin(
+        Tables.load(s, dir, "lineitem"), "l_orderkey",
+        orders, "o_orderkey", expectedItems = 100000L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---- B-surface extension: ClickHouse windowFunnel — deepest
+  // view→click→purchase chain per user in strictly increasing time
+  // order within 24h of the chain's first event. Greedy forward
+  // next-event lookups (one keyed window per step), exact per the
+  // operator's argument; full relational oracle via correlated
+  // min-subqueries. ----
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.windowFunnel(
+        events(s, dir), "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSec = 24 * 3600L)
+      .orderBy("user_id")
+
   // ---- B-surface extension: day-over-day cohort retention. distinct
   // (user, day) once, then a self equi-join keyed on (user_id,
   // next_day) — the date arithmetic is folded INTO the join key so
