@@ -62,6 +62,7 @@ object SparkEntry {
     "g02_graph_edges" -> (RefQueries.graph_edges _),
     "g03_degree_topk" -> (RefQueries.graph_degree_topk _),
     "g04_pagerank" -> (RefQueries.graph_pagerank _),
+    "g05_triangles" -> (PipelineQueries.neardup_triangles _),
     "d01_exact_dedup" -> (PipelineQueries.exact_dedup _),
     "d02_minhash_lsh" -> (PipelineQueries.minhash_lsh_dedup _),
     "d03_simhash" -> (PipelineQueries.simhash_dedup _),
@@ -413,6 +414,26 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
                / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6
          ORDER BY id_a, id_b""",
+
+    // g05: same edge definition as d04, closed into triangles; the
+    // Spark side's degree orientation is count-invariant
+    "g05_triangles" ->
+      """WITH d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+               WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                     / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
+         t AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+               FROM e e1 JOIN e e2 ON e2.id_a = e1.id_b
+               JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+         SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+                CAST((SELECT count(DISTINCT x) FROM
+                       (SELECT a AS x FROM t UNION ALL SELECT b FROM t
+                        UNION ALL SELECT c FROM t)) AS BIGINT)
+                  AS nodes_in_triangles
+         FROM t""",
 
     "d05_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label,

@@ -269,6 +269,13 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy("doc_id")
 
+  // ---- triangle census over the near-dup pair graph: triples of
+  // MUTUALLY near-duplicate docs (d04's verified edges). Degree-
+  // oriented wedge join — candidate rows bounded by m^1.5 regardless
+  // of hub degrees; see graph.Triangles. Full relational oracle. ----
+  def neardup_triangles(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Triangles.summary(jaccard_pairs(s, dir), "id_a", "id_b")
+
   // ---- token-budget shard packing: cleaned docs → fixed-budget
   // training shards, greedily in doc_id order within each language.
   // One window per (lang) group — running sum and shard id share a
