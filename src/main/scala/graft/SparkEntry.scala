@@ -86,6 +86,7 @@ object SparkEntry {
     "t07_tfidf" -> (PipelineQueries.tfidf _),
     "t08_repetition" -> (PipelineQueries.repetition _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
+    "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -692,5 +693,19 @@ object SparkEntry {
                 octet_length(encode(text))%480 AS height,
                 CASE WHEN octet_length(encode(text))%2=0 THEN 'png' ELSE 'jpeg' END AS format
          FROM documents ORDER BY doc_id""",
+
+    // m02: fixed-size byte windows, every 3rd — the oracle reproduces
+    // the frame arithmetic (last frame is the remainder)
+    "m02_frame_sample" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len
+                    FROM documents),
+         f AS (SELECT doc_id, len,
+                 unnest(generate_series(0,
+                   CAST(ceil(len/256.0) AS BIGINT) - 1)) AS i
+               FROM d)
+         SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                CAST(LEAST(256, len - i*256) AS INTEGER) AS n_bytes
+         FROM f WHERE i % 3 = 0
+         ORDER BY doc_id, frame_idx""",
   )
 }

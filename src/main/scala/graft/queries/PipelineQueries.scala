@@ -374,4 +374,17 @@ object PipelineQueries {
         graft.multimodal.Multimodal.stubDecodeMeta(col("payload")))
       .select("doc_id", "n_bytes", "meta.width", "meta.height", "meta.format")
       .orderBy("doc_id")
+
+  // ---- multimodal one-to-many: the frame-sampler batch shape (a
+  // video decoder's explode-in-mapPartitions form — frames become rows
+  // inside the partition iterator, so a large payload never
+  // materializes all its frames at once). Stub frames are fixed-size
+  // byte windows; the oracle reproduces the window arithmetic. ----
+  def multimodal_frames(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.stubFrameSample(
+        docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", everyNth = 3, frameBytes = 256)
+      .select(col("id").as("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).as("n_bytes"))
+      .orderBy("doc_id", "frame_idx")
 }
