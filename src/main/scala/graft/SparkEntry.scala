@@ -57,6 +57,7 @@ object SparkEntry {
     "r27_ch_curried" -> (RefQueries.ch_sql_curried _),
     "r28_bloom_semijoin" -> (RefQueries.bloom_semijoin _),
     "r29_funnel" -> (RefQueries.funnel _),
+    "r30_incr_rollup" -> (RefQueries.incremental_rollup _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
@@ -251,6 +252,19 @@ object SparkEntry {
                 median(CAST(user_id AS DOUBLE)) AS med_user,
                 date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days,
                 count(*) AS c
+         FROM events GROUP BY 1 ORDER BY event_type""",
+
+    // r30: merge-then-finalize must equal aggregate-once — the oracle
+    // aggregates the whole table flat; uniq is in the sketch's exact
+    // coupon regime at this cardinality
+    "r30_incr_rollup" ->
+      """SELECT event_type, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_v,
+                round(CAST(min(value) AS DOUBLE), 4) AS min_v,
+                round(CAST(max(value) AS DOUBLE), 4) AS max_v,
+                round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                      / count(*), 4) AS avg_v,
+                count(DISTINCT user_id) AS uniq
          FROM events GROUP BY 1 ORDER BY event_type""",
 
     // r28: oracle is the PLAIN exact semi join — the bloom filter on

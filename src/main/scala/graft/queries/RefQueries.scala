@@ -447,6 +447,28 @@ object RefQueries {
         windowSec = 24 * 3600L)
       .orderBy("user_id")
 
+  // ---- B-surface extension: incremental pre-aggregate maintenance
+  // (AggregatingMergeTree / -State+-Merge). The batch is split into
+  // two halves, each reduced to mergeable partial states, the states
+  // MERGED (the increment step — history never rescans), then
+  // finalized. The oracle is a flat GROUP BY over the whole table:
+  // merge-then-finalize must equal aggregate-once exactly. ----
+  def incremental_rollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalRollup._
+    val ev = events(s, dir)
+    val half1 = ev.filter(dayofmonth(col("ts")) % 2 === 0)
+    val half2 = ev.filter(dayofmonth(col("ts")) % 2 === 1)
+    finalizeAggs(merge(
+        partials(half1, Seq("event_type"), "value", "user_id"),
+        partials(half2, Seq("event_type"), "value", "user_id")))
+      .select(col("event_type"), col("n"),
+        round(col("sum_v"), 4).as("sum_v"),
+        round(col("min_v").cast("double"), 4).as("min_v"),
+        round(col("max_v").cast("double"), 4).as("max_v"),
+        round(col("avg_v"), 4).as("avg_v"), col("uniq"))
+      .orderBy("event_type")
+  }
+
   // ---- B-surface extension: day-over-day cohort retention. distinct
   // (user, day) once, then a self equi-join keyed on (user_id,
   // next_day) — the date arithmetic is folded INTO the join key so
