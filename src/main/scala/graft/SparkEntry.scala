@@ -58,6 +58,7 @@ object SparkEntry {
     "r28_bloom_semijoin" -> (RefQueries.bloom_semijoin _),
     "r29_funnel" -> (RefQueries.funnel _),
     "r30_incr_rollup" -> (RefQueries.incremental_rollup _),
+    "r31_sequence_match" -> (RefQueries.sequence_match _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
@@ -266,6 +267,19 @@ object SparkEntry {
                       / count(*), 4) AS avg_v,
                 count(DISTINCT user_id) AS uniq
          FROM events GROUP BY 1 ORDER BY event_type""",
+
+    // r31: EXISTS over a correlated strictly-increasing chain
+    "r31_sequence_match" ->
+      """SELECT u.user_id,
+                EXISTS (SELECT 1 FROM events a
+                        JOIN events b ON b.user_id = a.user_id
+                          AND b.event_type = 'purchase' AND b.ts > a.ts
+                        JOIN events c ON c.user_id = a.user_id
+                          AND c.event_type = 'error' AND c.ts > b.ts
+                        WHERE a.user_id = u.user_id
+                          AND a.event_type = 'signup') AS matched
+         FROM (SELECT DISTINCT user_id FROM events) u
+         ORDER BY u.user_id""",
 
     // r28: oracle is the PLAIN exact semi join — the bloom filter on
     // the Spark side only prunes and never changes the result

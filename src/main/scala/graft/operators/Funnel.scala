@@ -86,4 +86,17 @@ object Funnel {
       .join(funnel, Seq(userCol), "left")
       .select(col(userCol), coalesce(col("level"), lit(0)).as("level"))
   }
+
+  /** ClickHouse `sequenceMatch('(?1)(?2)…(?N)')` for the ordered-chain
+    * pattern: true when the user has SOME strictly time-increasing
+    * chain matching every step, with no window bound — windowFunnel
+    * with an unbounded window, matched iff the deepest level is N.
+    * (Other events may interleave, as in the CH semantics for a
+    * pattern without `.*` constraints.)
+    */
+  def sequenceMatch(events: DataFrame, userCol: String, tsCol: String,
+      steps: Seq[Column]): DataFrame =
+    windowFunnel(events, userCol, tsCol, steps,
+        windowSec = Long.MaxValue / 4)
+      .select(col(userCol), (col("level") === steps.length).as("matched"))
 }

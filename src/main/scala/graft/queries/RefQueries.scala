@@ -447,6 +447,16 @@ object RefQueries {
         windowSec = 24 * 3600L)
       .orderBy("user_id")
 
+  // ---- B-surface extension: ClickHouse sequenceMatch — does the user
+  // have ANY signup → purchase → error chain in strict time order
+  // (unbounded window)? Same forward next-event machinery as r29. ----
+  def sequence_match(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.sequenceMatch(
+        events(s, dir), "user_id", "ts",
+        Seq(col("event_type") === "signup", col("event_type") === "purchase",
+          col("event_type") === "error"))
+      .orderBy("user_id")
+
   // ---- B-surface extension: incremental pre-aggregate maintenance
   // (AggregatingMergeTree / -State+-Merge). The batch is split into
   // two halves, each reduced to mergeable partial states, the states

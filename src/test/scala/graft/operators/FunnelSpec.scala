@@ -75,6 +75,20 @@ class FunnelSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("sequenceMatch: unbounded-window full-chain existence") {
+    val rows = Seq(
+      (1L, ts(0), "a"), (1L, ts(100000), "b"), (1L, ts(300000), "c"),
+      (2L, ts(0), "a"), (2L, ts(1), "c"), (2L, ts(2), "b"),
+      (3L, ts(0), "x")).toDF("user_id", "ts", "event_type")
+    val got = Funnel.sequenceMatch(rows, "user_id", "ts",
+        Seq(col("event_type") === "a", col("event_type") === "b",
+          col("event_type") === "c"))
+      .as[(Long, Boolean)].collect().toMap
+    // user 1: chain months apart still matches (no window);
+    // user 2: c before b -> no; user 3: no step at all
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("plan: no nested-loop join — each step is a keyed window") {
     val rows = Seq((1L, ts(0), "a"), (1L, ts(1), "b"), (1L, ts(2), "c"))
     val plan = Funnel.windowFunnel(rows.toDF("user_id", "ts", "event_type"),
