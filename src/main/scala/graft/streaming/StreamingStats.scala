@@ -35,4 +35,27 @@ object StreamingStats {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("repo_id"), col("n_events"), col("n_actors"), col("n_pushes"))
+
+  /** Streaming face of [[graft.operators.Sketches]]: per-window rows
+    * carrying the MERGEABLE binary HLL sketch instead of a point
+    * estimate, so the stream's output parquet IS a sketch-cube shard —
+    * batch rollups union it with the historical cube via
+    * `Sketches.rollupEstimate` and answer distinct-count questions
+    * across the batch/stream boundary without rescanning either side.
+    * State per (window, dims) row is one fixed-size sketch.
+    */
+  def sketchActivity(events: DataFrame, dims: Seq[String],
+      distinctCol: String, tsCol: String = "created_at",
+      windowLen: String = "1 hour", lateness: String = "1 hour",
+      lgK: Int = 12): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen) +: dims.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        hll_sketch_agg(col(distinctCol), lit(lgK))
+          .as(s"${distinctCol}_sketch"))
+      .select(Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++
+        dims.map(col) ++
+        Seq(col("n_events"), col(s"${distinctCol}_sketch")): _*)
 }

@@ -13,6 +13,40 @@ class StreamingStatsSpec extends SparkTestBase {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("sketchActivity: streamed window sketches merge with a batch " +
+      "cube to exact distincts (coupon regime)") {
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, String)](spark)
+    val out = StreamingStats.sketchActivity(
+      in.toDF.toDF("created_at", "repo_id", "actor_id", "type"),
+      dims = Seq("repo_id"), distinctCol = "actor_id",
+      lateness = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("ss_sketch")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (ts("2023-01-01 10:05:00"), 1L, 100L, "PushEvent"),
+        (ts("2023-01-01 10:20:00"), 1L, 101L, "WatchEvent"),
+        (ts("2023-01-01 10:40:00"), 1L, 100L, "PushEvent"),
+        (ts("2023-01-01 11:40:00"), 1L, 102L, "PushEvent"),
+        (ts("2023-01-01 13:00:00"), 1L, 103L, "X")) // closes both
+      q.processAllAvailable()
+      val streamed = spark.table("ss_sketch")
+      assert(streamed.count() === 2) // 10:00 and 11:00 windows closed
+      // batch-side shard over the same repo with one overlapping and
+      // one new actor; union with the streamed shards and roll up
+      val batch = graft.operators.Sketches.sketchCube(
+        Seq((1L, 101L), (1L, 999L)).toDF("repo_id", "actor_id"),
+        Seq("repo_id"), "actor_id")
+      val merged = graft.operators.Sketches.rollupEstimate(
+        streamed.select(col("repo_id"), col("actor_id_sketch"))
+          .unionByName(batch), Seq("repo_id"), "actor_id_sketch")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // exact across the boundary: {100,101,102} streamed ∪ {101,999}
+      assert(merged === Map(1L -> 4L))
+    } finally q.stop()
+  }
+
   test("repoActivity: append-mode windows finalize on watermark, late-beyond-horizon drops") {
     val in = MemoryStream[(java.sql.Timestamp, Long, Long, String)](spark)
     val out = StreamingStats.repoActivity(
