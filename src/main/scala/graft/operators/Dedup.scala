@@ -129,7 +129,13 @@ object Dedup {
         .select(col("id"), col("prev"),
           least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = updated.filter(col("comp") =!= col("prev")).count()
+      // round 1 cannot converge on a non-empty graph (every edge's
+      // larger endpoint relabels), so its convergence count is a
+      // wasted job — skip it; an empty graph just runs one extra
+      // round over empty frames
+      val changed =
+        if (i == 0) 1L
+        else updated.filter(col("comp") =!= col("prev")).count()
       unpersistCheckpoint(labels)
       labels = updated
       converged = changed == 0
