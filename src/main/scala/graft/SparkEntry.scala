@@ -59,6 +59,8 @@ object SparkEntry {
     "r29_funnel" -> (RefQueries.funnel _),
     "r30_incr_rollup" -> (RefQueries.incremental_rollup _),
     "r31_sequence_match" -> (RefQueries.sequence_match _),
+    "r32_moving_avg" -> (RefQueries.moving_avg _),
+    "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
     "g02_graph_edges" -> (RefQueries.graph_edges _),
@@ -280,6 +282,30 @@ object SparkEntry {
                           AND a.event_type = 'signup') AS matched
          FROM (SELECT DISTINCT user_id FROM events) u
          ORDER BY u.user_id""",
+
+    "r32_moving_avg" ->
+      """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2)
+         SELECT event_type, day, n,
+                round(CAST(sum(n) OVER w AS DOUBLE)
+                      / count(*) OVER w, 4) AS ma7
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day""",
+
+    "r33_set_ops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'purchase'),
+            e AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'error')
+         SELECT 'purchase_and_error' AS tag, user_id
+         FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+         UNION ALL
+         SELECT 'purchase_only' AS tag, user_id
+         FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+         ORDER BY tag, user_id""",
 
     // r28: oracle is the PLAIN exact semi join — the bloom filter on
     // the Spark side only prunes and never changes the result

@@ -457,6 +457,41 @@ object RefQueries {
           col("event_type") === "error"))
       .orderBy("user_id")
 
+  // ---- B-surface extension: window FRAMES — 7-row trailing moving
+  // average over the daily per-type counts. ROWS (not RANGE) frame:
+  // row-counted frames are engine-portable; the day grain is one row
+  // per (type, day) so the two coincide anyway. ----
+  def moving_avg(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7",
+        round(sum(col("n")).over(w) / count(lit(1)).over(w), 4))
+      .orderBy("event_type", "day")
+  }
+
+  // ---- B-surface extension: INTERSECT / EXCEPT set operators over
+  // behavior cohorts. Both plan as hash joins on the distinct sets
+  // (left-semi / left-anti after aggregation) — no sort-based set
+  // machinery needed. ----
+  def set_ops(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    val purchasers = users("purchase")
+    val errorers = users("error")
+    purchasers.intersect(errorers)
+      .withColumn("tag", lit("purchase_and_error"))
+      .unionByName(purchasers.except(errorers)
+        .withColumn("tag", lit("purchase_only")))
+      .select("tag", "user_id")
+      .orderBy("tag", "user_id")
+  }
+
   // ---- B-surface extension: incremental pre-aggregate maintenance
   // (AggregatingMergeTree / -State+-Merge). The batch is split into
   // two halves, each reduced to mergeable partial states, the states
