@@ -89,6 +89,7 @@ object SparkEntry {
     "t06_vocab" -> (PipelineQueries.vocab _),
     "t07_tfidf" -> (PipelineQueries.tfidf _),
     "t08_repetition" -> (PipelineQueries.repetition _),
+    "t09_topk_sketch" -> (PipelineQueries.topk_sketch _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
   )
@@ -739,6 +740,18 @@ object SparkEntry {
          LEFT JOIN best b ON d.doc_id = b.doc_id
          JOIN g ON d.doc_id = g.doc_id
          ORDER BY doc_id""",
+
+    // t09: exact in the unsaturated sketch regime; same deterministic
+    // (count desc, item asc) cut on both sides
+    "t09_topk_sketch" ->
+      """WITH c AS (SELECT json_extract_string(props, '$.k') AS item,
+                           count(*) AS est
+                    FROM events GROUP BY 1),
+           r AS (SELECT item, est,
+                   row_number() OVER (ORDER BY est DESC, item ASC) AS rank
+                 FROM c)
+         SELECT CAST(rank AS INTEGER) AS rank, item, est
+         FROM r WHERE rank <= 10 ORDER BY rank""",
 
     "m01_multimodal_meta" ->
       """SELECT doc_id,

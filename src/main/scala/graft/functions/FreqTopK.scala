@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Heavy-hitters aggregate — ClickHouse's `topK(k)(x)` as a custom
+  * `TypedImperativeAggregate` over the Datasketches frequent-items
+  * sketch (Misra-Gries family).
+  *
+  * Why a sketch and not `GROUP BY x ORDER BY count DESC LIMIT k`: the
+  * exact form shuffles one row per DISTINCT value — at 100 TB with a
+  * high-cardinality column that is itself a massive aggregation. The
+  * sketch keeps a bounded map (`maxMapSize` counters, power of two)
+  * per partial, partials MERGE losslessly within the documented error
+  * bound (counts over-estimate by at most n/maxMapSize after
+  * saturation; EXACT while no counter was evicted), and only
+  * fixed-size state crosses the shuffle. This is the engine's one
+  * custom UDAF — everything else rides on built-in aggregates; the
+  * buffer serializes through the sketch's own compact byte array.
+  *
+  * Result: array of (item, est) structs, the k highest estimates,
+  * ties broken by item string ascending so the cut is deterministic
+  * (and oracle-comparable in the unsaturated/exact regime).
+  */
+case class FreqTopK(child: Expression, k: Int, maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ItemsSketch[String]] {
+
+  require(k > 0, "freq_topk: k must be positive")
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    "freq_topk: maxMapSize must be a power of two >= 8")
+
+  @transient private lazy val serde = new ArrayOfStringsSerDe
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buf: ItemsSketch[String], row: InternalRow)
+      : ItemsSketch[String] = {
+    val v = child.eval(row)
+    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(buf: ItemsSketch[String], other: ItemsSketch[String])
+      : ItemsSketch[String] = buf.merge(other)
+
+  override def eval(buf: ItemsSketch[String]): Any = {
+    // NO_FALSE_NEGATIVES: every true heavy hitter is present; the
+    // (estimate desc, item asc) sort makes the k-cut deterministic
+    val rows = buf.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .sortBy(r => (-r.getEstimate, r.getItem))
+      .take(k)
+    val items: Array[Any] = rows.map(r => InternalRow(
+      UTF8String.fromString(r.getItem), r.getEstimate): Any)
+    new GenericArrayData(items)
+  }
+
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(serde)
+
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("est", LongType))))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(off: Int): FreqTopK =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): FreqTopK =
+    copy(inputAggBufferOffset = off)
+  override def prettyName: String = "freq_topk"
+}

@@ -90,6 +90,10 @@ object PipelineFunctions {
       TextDedup.overlapCoefficient(cs(0), cs(1))),
     // deterministic sampling/splits: split weights are (name, weight)
     // literal pairs — split_label(id, 'train', 0.9, 'val', 0.1)
+    // heavy hitters: freq_topk(x, k[, maxMapSize]) — bounded-memory
+    // mergeable top-K (the engine's one custom UDAF; see FreqTopK)
+    "freq_topk" -> (es => FreqTopK(es(0), litInt(es, 1, "freq_topk"),
+      if (es.length > 2) litInt(es, 2, "freq_topk") else 1024)),
     "hash_bucket" -> viaColumns(cs => Sampling.hashBucket(cs(0))),
     "split_label" -> (es => {
       require(es.length >= 5 && es.length % 2 == 1,

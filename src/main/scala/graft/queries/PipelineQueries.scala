@@ -363,6 +363,27 @@ object PipelineQueries {
       FROM documents_sqlsurface ORDER BY doc_id""")
   }
 
+  // ---- heavy hitters via the FreqTopK sketch UDAF: top-10 most
+  // frequent props.k values. One map-scan, bounded sketch state per
+  // partial, fixed-size merge across the shuffle — never a per-
+  // distinct-value shuffle row. Exact (and oracle-comparable) while
+  // the value cardinality fits the sketch map; at saturation it
+  // degrades to the documented Misra-Gries error bound instead of
+  // OOMing. ----
+  def topk_sketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val top = Tables.load(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").as("kv"))
+      .agg(ColumnBridge.column(
+        graft.functions.FreqTopK(
+          ColumnBridge.expression(col("kv")), k = 10, maxMapSize = 1024)
+          .toAggregateExpression()).as("top"))
+    top.select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).as("rank"), col("t.item").as("item"),
+        col("t.est").as("est"))
+      .orderBy("rank")
+  }
+
   // ---- multimodal: opaque binary payload + typed metadata. The decode
   // is a deterministic stub (no image/audio libs in this container); the
   // Spark-side plumbing — binary column, schema, batch shape — is real.

@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** FreqTopK heavy-hitters UDAF: exact agreement with GROUP BY in the
+  * unsaturated regime, partition-count invariance (the merge path),
+  * no-false-negatives at saturation, and the SQL registration path.
+  */
+class FreqTopKSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def topkCol(k: Int, maxMap: Int) = ColumnBridge.column(
+    FreqTopK(ColumnBridge.expression(col("v")), k, maxMap)
+      .toAggregateExpression())
+
+  // Zipf-ish: value i appears ~ 600/i times
+  private lazy val zipf = (1 to 30).flatMap(i =>
+    Seq.fill(600 / i)(s"v$i")).toDF("v")
+
+  private def exact(k: Int) = zipf.groupBy("v").count()
+    .orderBy(col("count").desc, col("v").asc).limit(k)
+    .as[(String, Long)].collect().toSeq
+
+  test("unsaturated: equals exact GROUP BY top-k, any partitioning") {
+    for (parts <- Seq(1, 7)) {
+      val got = zipf.repartition(parts)
+        .agg(topkCol(10, 256).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select("t.item", "t.est")
+        .as[(String, Long)].collect().toSeq
+      assert(got === exact(10), s"parts=$parts")
+    }
+  }
+
+  test("saturated: the dominant item survives with its estimate >= truth") {
+    // 5000 distinct light values + one heavy hitter; map of 64 slots
+    // saturates, but NO_FALSE_NEGATIVES keeps the true heavy hitter
+    val heavy = Seq.fill(2000)("HH")
+    val light = (1 to 5000).map(i => s"x$i")
+    val df = scala.util.Random.shuffle(heavy ++ light).toDF("v")
+    val got = df.repartition(5).agg(topkCol(1, 64).as("top"))
+      .select(explode(col("top")).as("t")).select("t.item", "t.est")
+      .as[(String, Long)].head()
+    assert(got._1 === "HH")
+    assert(got._2 >= 2000L) // Misra-Gries estimates never undercount
+  }
+
+  test("SQL surface: freq_topk registered via PipelineFunctions") {
+    PipelineFunctions.registerAll(spark)
+    zipf.createOrReplaceTempView("freq_src")
+    val got = spark.sql(
+      """SELECT t.item, t.est
+         FROM (SELECT explode(freq_topk(v, 5, 256)) AS t FROM freq_src)""")
+      .as[(String, Long)].collect().toSeq
+    assert(got === exact(5))
+  }
+}
