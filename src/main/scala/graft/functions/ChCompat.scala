@@ -235,6 +235,14 @@ object ChCompat {
       CreateArray(es.dropRight(1)), Literal(1L))),
     "chMedianExact" -> (es =>
       aggregate.Percentile(es.head, Literal(0.5), Literal(1L))),
+    // chTopK: target of ChSqlRewrite's topK(k)(x) — CH returns the
+    // value array; backed by the FreqTopK frequent-items sketch
+    "chTopK" -> (es => es.head match {
+      case Literal(k: Int, IntegerType) =>
+        FreqTopK(es(1), k, maxMapSize = 1024, itemsOnly = true)
+      case other => throw new IllegalArgumentException(
+        s"topK: k must be an integer literal, got $other")
+    }),
     "addDays" -> (es => DateAdd(Cast(es(0), DateType), es(1))),
     "subtractDays" -> (es => DateSub(Cast(es(0), DateType), es(1))),
     "addMonths" -> (es => AddMonths(Cast(es(0), DateType), es(1))),

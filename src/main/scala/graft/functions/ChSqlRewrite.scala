@@ -35,7 +35,8 @@ object ChSqlRewrite {
     "quantile" -> "chQuantile",
     "quantileExact" -> "chQuantileExact",
     "quantiles" -> "chQuantiles",
-    "medianExact" -> "chMedianExact")
+    "medianExact" -> "chMedianExact",
+    "topK" -> "chTopK")
 
   def apply(sql: String): String = {
     val out = new StringBuilder(sql.length + 16)

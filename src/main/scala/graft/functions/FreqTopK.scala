@@ -30,6 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (and oracle-comparable in the unsaturated/exact regime).
   */
 case class FreqTopK(child: Expression, k: Int, maxMapSize: Int,
+    itemsOnly: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ItemsSketch[String]] {
 
@@ -58,8 +59,11 @@ case class FreqTopK(child: Expression, k: Int, maxMapSize: Int,
     val rows = buf.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
       .sortBy(r => (-r.getEstimate, r.getItem))
       .take(k)
-    val items: Array[Any] = rows.map(r => InternalRow(
-      UTF8String.fromString(r.getItem), r.getEstimate): Any)
+    val items: Array[Any] =
+      if (itemsOnly) // ClickHouse topK(k)(x) shape: values only
+        rows.map(r => UTF8String.fromString(r.getItem): Any)
+      else rows.map(r => InternalRow(
+        UTF8String.fromString(r.getItem), r.getEstimate): Any)
     new GenericArrayData(items)
   }
 
@@ -69,8 +73,10 @@ case class FreqTopK(child: Expression, k: Int, maxMapSize: Int,
   override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
     ItemsSketch.getInstance(Memory.wrap(bytes), serde)
 
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("item", StringType), StructField("est", LongType))))
+  override def dataType: DataType =
+    if (itemsOnly) ArrayType(StringType)
+    else ArrayType(StructType(Seq(
+      StructField("item", StringType), StructField("est", LongType))))
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
   override protected def withNewChildrenInternal(

@@ -204,6 +204,14 @@ class ChCompatSpec extends SparkTestBase {
     assert(ChSqlRewrite("quantile(0.5)") === "quantile(0.5)")
   }
 
+  test("topK(k)(x): curried heavy-hitters via the FreqTopK sketch") {
+    ChCompat.registerAll(spark)
+    val r = ChCompat.sql(spark,
+      """SELECT topK(2)(v) AS top
+         FROM VALUES ('a'),('b'),('a'),('c'),('a'),('b') AS t(v)""").head
+    assert(r.getSeq[String](0) === Seq("a", "b"))
+  }
+
   test("string/array helpers (second widening pass)") {
     ChCompat.registerAll(spark)
     val r = spark.sql(
