@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.functions.struct
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL surface for the LLM-data-pipeline functions: the same registry
@@ -91,9 +91,20 @@ object PipelineFunctions {
     // deterministic sampling/splits: split weights are (name, weight)
     // literal pairs — split_label(id, 'train', 0.9, 'val', 0.1)
     // heavy hitters: freq_topk(x, k[, maxMapSize]) — bounded-memory
-    // mergeable top-K (the engine's one custom UDAF; see FreqTopK)
+    // mergeable top-K (see FreqTopK)
     "freq_topk" -> (es => FreqTopK(es(0), litInt(es, 1, "freq_topk"),
       if (es.length > 2) litInt(es, 2, "freq_topk") else 1024)),
+    // mergeable quantile state (KLL), mirroring the HLL trio
+    "kll_sketch_agg" -> (es => KllSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0), DoubleType),
+      if (es.length > 1) litInt(es, 1, "kll_sketch_agg") else 200)),
+    "kll_merge_agg" -> (es => KllMergeAgg(es(0),
+      if (es.length > 1) litInt(es, 1, "kll_merge_agg") else 200)),
+    // rank array cast to array<double> here: SQL fractional literals
+    // arrive as decimals and the expression reads doubles
+    "kll_quantiles" -> (es => KllQuantiles(es(0),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        es(1), ArrayType(DoubleType)))),
     "hash_bucket" -> viaColumns(cs => Sampling.hashBucket(cs(0))),
     "split_label" -> (es => {
       require(es.length >= 5 && es.length % 2 == 1,
