@@ -239,7 +239,8 @@ object ChCompat {
     // value array; backed by the FreqTopK frequent-items sketch
     "chTopK" -> (es => es.head match {
       case Literal(k: Int, IntegerType) =>
-        FreqTopK(es(1), k, maxMapSize = 1024, itemsOnly = true)
+        FreqTopK(Cast(es(1), StringType), k, maxMapSize = 1024,
+          itemsOnly = true)
       case other => throw new IllegalArgumentException(
         s"topK: k must be an integer literal, got $other")
     }),

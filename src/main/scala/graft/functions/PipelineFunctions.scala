@@ -92,7 +92,9 @@ object PipelineFunctions {
     // literal pairs — split_label(id, 'train', 0.9, 'val', 0.1)
     // heavy hitters: freq_topk(x, k[, maxMapSize]) — bounded-memory
     // mergeable top-K (see FreqTopK)
-    "freq_topk" -> (es => FreqTopK(es(0), litInt(es, 1, "freq_topk"),
+    "freq_topk" -> (es => FreqTopK(
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0), StringType),
+      litInt(es, 1, "freq_topk"),
       if (es.length > 2) litInt(es, 2, "freq_topk") else 1024)),
     // mergeable quantile state (KLL), mirroring the HLL trio
     "kll_sketch_agg" -> (es => KllSketchAgg(
