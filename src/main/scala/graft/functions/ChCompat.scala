@@ -73,6 +73,23 @@ object ChCompat {
   private def fmtLong(e: Expression, fmt: String): Expression =
     Cast(DateFormatClass(e, Literal(fmt)), LongType)
 
+  /** CH quantileExact: the ELEMENT at sorted index floor(level·n),
+    * 0-based and clamped — no interpolation (quantileExact([1,2,3,4],
+    * 0.5) = 3, where interpolating percentile gives 2.5).
+    */
+  private def chQuantileExactExpr(value: Expression, level: Expression)
+      : Expression = {
+    val sorted = new SortArray(
+      aggregate.CollectList(value).toAggregateExpression())
+    val n = Size(sorted)
+    val idx = Least(Seq(
+      Add(Cast(Floor(Multiply(Cast(level, DoubleType),
+        Cast(n, DoubleType))), IntegerType), Literal(1)),
+      n))
+    If(EqualTo(n, Literal(0)), Literal.create(null, NullType),
+      ElementAt(sorted, idx))
+  }
+
   /** name -> expression builder; analyzer applies implicit type coercion
     * and wraps aggregate functions, exactly as for built-ins.
     */
@@ -223,18 +240,18 @@ object ChCompat {
           "age: unit must be a string literal")
       }
     }),
-    // chQuantile/chQuantiles/chQuantileExact/chMedianExact: targets of
-    // ChSqlRewrite's curried-aggregate rewrite (quantile(0.5)(x) has
-    // no Spark grammar). All map to the exact Percentile aggregate —
-    // deterministic, and a valid implementation of CH's approximate
-    // quantile contract.
+    // chQuantile/chQuantiles (CH's APPROXIMATE quantile contract) map
+    // to the exact interpolating Percentile aggregate — deterministic,
+    // and a valid implementation of an approximate contract.
     "chQuantile" -> (es => aggregate.Percentile(es(1), es(0), Literal(1L))),
-    "chQuantileExact" -> (es =>
-      aggregate.Percentile(es(1), es(0), Literal(1L))),
     "chQuantiles" -> (es => aggregate.Percentile(es.last,
       CreateArray(es.dropRight(1)), Literal(1L))),
-    "chMedianExact" -> (es =>
-      aggregate.Percentile(es.head, Literal(0.5), Literal(1L))),
+    // chQuantileExact/chMedianExact: CH returns an ACTUAL ELEMENT, not
+    // an interpolation — sorted[floor(level * n)] (0-based, clamped).
+    // Built as element_at(sort(collect_list(x)), idx) so the semantics
+    // match exactly; buffers the group like any exact quantile.
+    "chQuantileExact" -> (es => chQuantileExactExpr(es(1), es(0))),
+    "chMedianExact" -> (es => chQuantileExactExpr(es.head, Literal(0.5))),
     // chTopK: target of ChSqlRewrite's topK(k)(x) — CH returns the
     // value array; backed by the FreqTopK frequent-items sketch
     "chTopK" -> (es => es.head match {
@@ -251,15 +268,19 @@ object ChCompat {
       AddMonths(Cast(es(0), DateType), UnaryMinus(es(1)))),
     "toStartOfQuarter" -> (es =>
       TruncDate(Cast(es.head, DateType), Literal("quarter"))),
-    "toStartOfWeek" -> (es =>
-      TruncDate(Cast(es.head, DateType), Literal("week"))),
+    // CH default mode 0 is SUNDAY-start (mode 1 = Monday = toMonday);
+    // Spark's trunc('week') is Monday-start, so roll back to the
+    // nearest Sunday explicitly: d - (dayofweek(d) - 1), Sunday=1
+    "toStartOfWeek" -> (es => DateSub(Cast(es.head, DateType),
+      Subtract(DayOfWeek(Cast(es.head, DateType)), Literal(1)))),
     "toDateTime" -> (es => Cast(es.head, TimestampType)),
     "now" -> (_ => Cast(CurrentTimestamp(), TimestampType)),
     // string predicates/helpers
     "empty" -> (es => EqualTo(Length(es.head), Literal(0))),
     "notEmpty" -> (es => GreaterThan(Length(es.head), Literal(0))),
     "lengthUTF8" -> (es => Length(es.head)),
-    "position" -> (es => StringLocate(es(1), es(0), Literal(1))),
+    "position" -> (es => StringLocate(es(1), es(0),
+      if (es.length > 2) es(2) else Literal(1))),
     "positionCaseInsensitive" -> (es =>
       StringLocate(Lower(es(1)), Lower(es(0)), Literal(1))),
     "substringUTF8" -> (es => Substring(es(0), es(1), es(2))),
@@ -287,11 +308,21 @@ object ChCompat {
     "arrayFlatten" -> (es => Flatten(es.head)),
     "arraySlice" -> (es => Slice(es(0), es(1), es(2))),
     "arrayPushBack" -> (es => Concat(Seq(es(0), CreateArray(Seq(es(1)))))),
-    "range" -> (es =>
-      if (es.length == 1) Sequence(Literal(0L), Subtract(Cast(es.head,
-        LongType), Literal(1L)), None, None)
-      else Sequence(Cast(es(0), LongType),
-        Subtract(Cast(es(1), LongType), Literal(1L)), None, None)),
+    // range: CH's half-open [start, end) with explicit step. Spark's
+    // Sequence is closed and DEFAULTS to step -1 when start > stop, so
+    // the empty cases (range(0), range(5,2)) must not fall through to
+    // a descending sequence: guard with an empty-array branch.
+    "range" -> (es => {
+      val (startE, endE, stepE) = es.length match {
+        case 1 => (Literal(0L), Cast(es(0), LongType), Literal(1L))
+        case 2 => (Cast(es(0), LongType), Cast(es(1), LongType), Literal(1L))
+        case _ => (Cast(es(0), LongType), Cast(es(1), LongType),
+          Cast(es(2), LongType))
+      }
+      If(LessThan(startE, endE),
+        Sequence(startE, Subtract(endE, Literal(1L)), Some(stepE), None),
+        Literal.create(Array.empty[Long], ArrayType(LongType, false)))
+    }),
     // arithmetic/bit names
     "modulo" -> (es => Remainder(es(0), es(1), EvalMode.LEGACY)),
     "plus" -> (es => Add(es(0), es(1))),

@@ -8,19 +8,25 @@ package graft.functions
   *    dateDiff/timestampdiff and demands an UNQUOTED unit, so the
   *    registered alias is unreachable; rewritten to `chDateDiff(...)`,
   *    a registry function with ClickHouse's boundary-crossing
-  *    semantics (Spark's own datediff counts elapsed units).
+  *    semantics (Spark's own datediff counts elapsed units). The
+  *    rewrite requires a quoted first argument AND exactly three
+  *    top-level arguments — Spark's two-arg `datediff('2024-01-05',
+  *    d)` (a string DATE, not a unit) passes through untouched.
   *  - curried parameterized aggregates `quantile(0.5)(x)`,
   *    `quantiles(0.25, 0.75)(x)`, `quantileExact(0.9)(x)`,
-  *    `medianExact()(x)` — ClickHouse's `agg(params)(args)` call shape
-  *    has no Spark grammar; flattened to `chQuantile(0.5, x)` etc.
+  *    `medianExact()(x)`, `topK(3)(x)` — ClickHouse's `agg(params)
+  *    (args)` call shape has no Spark grammar; flattened to
+  *    `chQuantile(0.5, x)` etc.
   *  - bare `count()` — ClickHouse allows it; Spark wants `count(*)`.
   *
-  * The rewrite is purely lexical but STRING-SAFE: single-quoted,
-  * double-quoted, and backquoted spans are copied verbatim, so a
-  * literal like 'quantile(0.5)(x)' is never touched. Everything else —
-  * names, structure, whitespace — passes through unchanged, which
-  * keeps the transform auditable (the rewritten SQL is valid Spark SQL
-  * a user could have written by hand).
+  * The rewrite is purely lexical but STRING- and COMMENT-SAFE:
+  * single-quoted, double-quoted, and backquoted spans, `--` line
+  * comments, and `/* */` block comments are copied verbatim, so a
+  * literal like 'quantile(0.5)(x)' or an apostrophe inside a comment
+  * never derails the scan. Everything else — names, structure,
+  * whitespace — passes through unchanged, which keeps the transform
+  * auditable (the rewritten SQL is valid Spark SQL a user could have
+  * written by hand).
   *
   * Wired in two ways: [[ChCompat.sql]] for code paths, and
   * [[graft.GraftExtensions]]'s injected parser so any
@@ -52,32 +58,87 @@ object ChSqlRewrite {
       }
     }
 
+    /** at a comment opener? 0 if not, else its kind (1 line, 2 block) */
+    def commentKind(s: String, j: Int): Int =
+      if (j + 1 >= s.length) 0
+      else if (s.charAt(j) == '-' && s.charAt(j + 1) == '-') 1
+      else if (s.charAt(j) == '/' && s.charAt(j + 1) == '*') 2
+      else 0
+
+    /** index just past the comment starting at `j` */
+    def commentEnd(s: String, j: Int, kind: Int): Int =
+      if (kind == 1) {
+        val e = s.indexOf('\n', j); if (e < 0) s.length else e + 1
+      } else {
+        val e = s.indexOf("*/", j + 2); if (e < 0) s.length else e + 2
+      }
+
     /** index just past the ')' matching the '(' at `from`, skipping
-      * quoted spans; -1 if unbalanced
+      * quoted spans and comments; -1 if unbalanced
       */
     def matchParen(from: Int): Int = {
       var j = from; var depth = 0
       while (j < n) {
-        sql.charAt(j) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1; if (depth == 0) return j + 1
-          case q @ ('\'' | '"' | '`') =>
-            j += 1
-            while (j < n && sql.charAt(j) != q) {
-              if (sql.charAt(j) == '\\' && q != '`') j += 1
+        val ck = commentKind(sql, j)
+        if (ck != 0) j = commentEnd(sql, j, ck)
+        else {
+          sql.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) return j + 1
+            case q @ ('\'' | '"' | '`') =>
               j += 1
-            }
-          case _ =>
+              while (j < n && sql.charAt(j) != q) {
+                if (sql.charAt(j) == '\\' && q != '`') j += 1
+                j += 1
+              }
+            case _ =>
+          }
+          j += 1
         }
-        j += 1
       }
       -1
+    }
+
+    /** number of top-level (depth-1) comma-separated arguments of the
+      * paren group starting at `from`; -1 if unbalanced. Empty group
+      * counts 0.
+      */
+    def topLevelArgs(from: Int): Int = {
+      val end = matchParen(from)
+      if (end < 0) return -1
+      var j = from; var depth = 0; var commas = 0; var sawToken = false
+      while (j < end) {
+        val ck = commentKind(sql, j)
+        if (ck != 0) j = commentEnd(sql, j, ck)
+        else {
+          sql.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 1 => commas += 1
+            case q @ ('\'' | '"' | '`') =>
+              sawToken = true
+              j += 1
+              while (j < end && sql.charAt(j) != q) {
+                if (sql.charAt(j) == '\\' && q != '`') j += 1
+                j += 1
+              }
+            case c if !c.isWhitespace && depth >= 1 => sawToken = true
+            case _ =>
+          }
+          j += 1
+        }
+      }
+      if (!sawToken) 0 else commas + 1
     }
 
     def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
 
     while (i < n) {
-      sql.charAt(i) match {
+      val ck = commentKind(sql, i)
+      if (ck != 0) {
+        val e = commentEnd(sql, i, ck)
+        out ++= sql.substring(i, e); i = e
+      } else sql.charAt(i) match {
         case q @ ('\'' | '"' | '`') => copyQuoted(q)
         case c if c.isLetter || c == '_' =>
           val start = i
@@ -90,11 +151,11 @@ object ChSqlRewrite {
           if (j < n && sql.charAt(j) == '(' &&
               (start == 0 || !isIdent(sql.charAt(start - 1)))) {
             if (lower == "datediff" || lower == "date_diff") {
-              // only when the first arg is a QUOTED unit (the CH form);
-              // unquoted-unit / two-arg Spark forms pass through
+              // only the CH form: quoted first arg AND 3 args —
+              // Spark's datediff('2024-01-05', d) has 2 and passes
               var k = j + 1
               while (k < n && sql.charAt(k).isWhitespace) k += 1
-              if (k < n && sql.charAt(k) == '\'') {
+              if (k < n && sql.charAt(k) == '\'' && topLevelArgs(j) == 3) {
                 out ++= "chDateDiff"; i = j
               } else out ++= word
             } else if (lower == "count") {

@@ -114,6 +114,11 @@ case class KllQuantiles(left: Expression, right: Expression)
   override def dataType: DataType =
     ArrayType(DoubleType, containsNull = false)
 
+  // an EMPTY sketch (all-null group) evaluates to null even though
+  // both children are non-nullable — declare it, or codegen consumers
+  // that trust child nullability skip the null check
+  override def nullable: Boolean = true
+
   override def nullSafeEval(sketchBytes: Any, ranks: Any): Any = {
     val sk = KllDoublesSketch.heapify(
       Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]))

@@ -50,12 +50,11 @@ object Triangles {
     wedges
       .join(oriented.select(col("s").as("x"), col("t").as("z")),
         Seq("x", "z"))
-      .select(least(col("x"), col("y"), col("z")).as("a"),
-        greatest(col("x"), col("y"), col("z")).as("c"),
-        (col("x") + col("y") + col("z")).as("__sum"))
-      .select(col("a"), (col("__sum") - col("a") -
-        col("c")).as("b"), col("c"))
-      .select("a", "b", "c")
+      // type-generic corner ordering (ids may be strings; arithmetic
+      // reconstruction would null-corrupt them or overflow longs)
+      .select(sort_array(array(col("x"), col("y"), col("z"))).as("t3"))
+      .select(col("t3").getItem(0).as("a"), col("t3").getItem(1).as("b"),
+        col("t3").getItem(2).as("c"))
   }
 
   /** Per-graph summary: triangle count + nodes participating in at

@@ -61,8 +61,10 @@ object BloomPrune {
       small: DataFrame, smallKey: String,
       expectedItems: Long = 1000000L): DataFrame = {
     val bloom = buildBloom(small, smallKey, expectedItems)
+    // no distinct() on the small side: left-semi already emits each
+    // big row at most once, and the extra aggregation is a whole
+    // extra exchange at scale
     big.filter(mightContain(bloom, col(bigKey)))
-      .join(small.select(col(smallKey).as(bigKey)).distinct(),
-        Seq(bigKey), "left_semi")
+      .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
   }
 }

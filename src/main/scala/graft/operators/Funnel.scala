@@ -68,7 +68,7 @@ object Funnel {
       .select(col(userCol), col(tsCol).as("t1"))
     steps.zipWithIndex.drop(1).foreach { case (cond, i) =>
       chains = nextAfter(chains, events, cond, userCol, tsCol,
-        if (i == 1) "t1" else s"t${i}", s"t${i + 1}")
+        s"t$i", s"t${i + 1}")
     }
     // level of each chain: climb while each t_i exists and lands
     // within the window of t1; stop at the first miss (a later t_j

@@ -411,7 +411,7 @@ object RefQueries {
     events(s, dir).createOrReplaceTempView("events")
     graft.functions.ChCompat.sql(s,
       """SELECT event_type,
-                quantileExact(0.5)(CAST(user_id AS DOUBLE)) AS med_user,
+                quantile(0.5)(CAST(user_id AS DOUBLE)) AS med_user,
                 CAST(dateDiff('day', min(ts), max(ts)) AS BIGINT) AS span_days,
                 count() AS c
          FROM events GROUP BY event_type ORDER BY event_type""")

@@ -157,7 +157,9 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getDate(8).toString === "2024-02-29")
     assert(r.getDate(9).toString === "2024-02-29")
     assert(r.getDate(10).toString === "2024-04-01")
-    assert(r.getDate(11).toString === "2024-01-08")
+    // CH toStartOfWeek default mode 0 is SUNDAY-start: Wed 2024-01-10
+    // rolls back to Sun 2024-01-07 (toMonday covers Monday-start)
+    assert(r.getDate(11).toString === "2024-01-07")
   }
 
   test("age: elapsed whole units (vs dateDiff's boundary crossings)") {
@@ -186,9 +188,11 @@ class ChCompatSpec extends SparkTestBase {
                 'quantile(0.5)(x)' AS lit
          FROM VALUES (1.0), (2.0), (3.0), (4.0), (5.0) AS t(x)""").head
     assert(r.getDouble(0) === 3.0)
-    assert(r.getDouble(1) === 2.0)
+    // quantileExact/medianExact return an ELEMENT of the input type
+    // (decimal literals here), CH-faithfully: sorted[floor(p*n)]
+    assert(r.getDecimal(1).doubleValue === 2.0) // floor(.25*5)=1 -> 2.0
     assert(r.getSeq[Double](2) === Seq(2.0, 4.0))
-    assert(r.getDouble(3) === 3.0)
+    assert(r.getDecimal(3).doubleValue === 3.0) // floor(.5*5)=2 -> 3.0
     assert(r.getLong(4) === 5L)
     assert(r.getString(5) === "quantile(0.5)(x)")
     // pure text checks
@@ -202,6 +206,38 @@ class ChCompatSpec extends SparkTestBase {
     assert(ChSqlRewrite("quantile(0.5)(price)") === "chQuantile(0.5, price)")
     // curried name NOT followed by a second arg list passes through
     assert(ChSqlRewrite("quantile(0.5)") === "quantile(0.5)")
+  }
+
+  test("review fixes: range edges, position start, quantileExact " +
+      "element semantics, datediff passthrough, comment safety") {
+    ChCompat.registerAll(spark)
+    val r = spark.sql(
+      """SELECT range(0) AS r0, range(5, 2) AS rdesc, range(0, 10, 2) AS rstep,
+                position('ababa', 'a', 2) AS p3,
+                range(3) AS r3""").head
+    assert(r.getSeq[Long](0) === Seq.empty)
+    assert(r.getSeq[Long](1) === Seq.empty)
+    assert(r.getSeq[Long](2) === Seq(0L, 2L, 4L, 6L, 8L))
+    assert(r.getInt(3) === 3)
+    assert(r.getSeq[Long](4) === Seq(0L, 1L, 2L))
+    // quantileExact returns an ELEMENT (CH), not an interpolation
+    val q = ChCompat.sql(spark,
+      """SELECT quantileExact(0.5)(x) AS qe, medianExact()(x) AS me,
+                quantile(0.5)(x) AS qi
+         FROM (SELECT CAST(x AS DOUBLE) AS x
+               FROM VALUES (1.0), (2.0), (3.0), (4.0) AS t(x))""").head
+    assert(q.getDouble(0) === 3.0 && q.getDouble(1) === 3.0)
+    assert(q.getDouble(2) === 2.5)
+    // Spark's own 2-arg datediff with a quoted date literal is NOT a
+    // CH unit form and must pass through untouched
+    assert(ChSqlRewrite("datediff('2024-01-05', d)") ===
+      "datediff('2024-01-05', d)")
+    assert(ChSqlRewrite("dateDiff('day', a, b)") === "chDateDiff('day', a, b)")
+    // apostrophes inside comments don't derail the scan
+    assert(ChSqlRewrite("SELECT /* can't */ count() FROM t") ===
+      "SELECT /* can't */ count(*) FROM t")
+    assert(ChSqlRewrite("-- don't\nSELECT quantile(0.5)(x) FROM t") ===
+      "-- don't\nSELECT chQuantile(0.5, x) FROM t")
   }
 
   test("topK(k)(x): curried heavy-hitters via the FreqTopK sketch") {
