@@ -78,6 +78,7 @@ object SparkEntry {
     "p02_neardup_groups" -> (PipelineQueries.neardup_groups _),
     "p03_shard_pack" -> (PipelineQueries.shard_pack _),
     "p04_source_mix" -> (PipelineQueries.source_mix _),
+    "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -740,6 +741,17 @@ object SparkEntry {
          LEFT JOIN best b ON d.doc_id = b.doc_id
          JOIN g ON d.doc_id = g.doc_id
          ORDER BY doc_id""",
+
+    // p05: the Morton interleave reproduced bit-by-bit in SQL
+    "p05_zorder_key" ->
+      """WITH s AS (SELECT unnest(generate_series(0, 9)) AS i),
+           d AS (SELECT doc_id, doc_id % 1024 AS k1,
+                        length(text) % 1024 AS k2
+                 FROM documents)
+         SELECT d.doc_id,
+                CAST(SUM((((k1 >> i) & 1) << (2*i))
+                         + (((k2 >> i) & 1) << (2*i+1))) AS BIGINT) AS zkey
+         FROM d CROSS JOIN s GROUP BY d.doc_id ORDER BY d.doc_id""",
 
     // t09: exact in the unsaturated sketch regime; same deterministic
     // (count desc, item asc) cut on both sides

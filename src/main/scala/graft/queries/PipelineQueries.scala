@@ -363,6 +363,20 @@ object PipelineQueries {
       FROM documents_sqlsurface ORDER BY doc_id""")
   }
 
+  // ---- Z-order layout key: the Morton interleave that drives the
+  // multi-dimensional write clustering (see operators.Zorder — per-
+  // file bounding boxes tight in BOTH dims, pinned by ZorderSpec).
+  // The key itself is gated with a bit-level oracle. ----
+  def zorder_key(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % 1024).as("k1"),
+        (length(col("text")) % 1024).cast("long").as("k2"))
+      .withColumn("zkey",
+        graft.operators.Zorder.zkey2(col("k1"), col("k2"), bits = 10))
+      .select("doc_id", "zkey")
+      .orderBy("doc_id")
+
   // ---- heavy hitters via the FreqTopK sketch UDAF: top-10 most
   // frequent props.k values. One map-scan, bounded sketch state per
   // partial, fixed-size merge across the shuffle — never a per-
