@@ -252,6 +252,12 @@ object ChCompat {
     // match exactly; buffers the group like any exact quantile.
     "chQuantileExact" -> (es => chQuantileExactExpr(es(1), es(0))),
     "chMedianExact" -> (es => chQuantileExactExpr(es.head, Literal(0.5))),
+    "chQuantilesExact" -> (es => CreateArray(
+      es.dropRight(1).map(p => chQuantileExactExpr(es.last, p)))),
+    // uniqCombined/uniqHLL12: CH's other HLL-family estimators — same
+    // HyperLogLog++ contract as uniq
+    "uniqCombined" -> (es => aggregate.HyperLogLogPlusPlus(es.head)),
+    "uniqHLL12" -> (es => aggregate.HyperLogLogPlusPlus(es.head)),
     // chTopK: target of ChSqlRewrite's topK(k)(x) — CH returns the
     // value array; backed by the FreqTopK frequent-items sketch
     "chTopK" -> (es => es.head match {

@@ -42,6 +42,7 @@ object ChSqlRewrite {
     "quantileExact" -> "chQuantileExact",
     "quantiles" -> "chQuantiles",
     "medianExact" -> "chMedianExact",
+    "quantilesExact" -> "chQuantilesExact",
     "topK" -> "chTopK")
 
   def apply(sql: String): String = {

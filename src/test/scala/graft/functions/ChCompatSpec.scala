@@ -228,6 +228,13 @@ class ChCompatSpec extends SparkTestBase {
                FROM VALUES (1.0), (2.0), (3.0), (4.0) AS t(x))""").head
     assert(q.getDouble(0) === 3.0 && q.getDouble(1) === 3.0)
     assert(q.getDouble(2) === 2.5)
+    val qs = ChCompat.sql(spark,
+      """SELECT quantilesExact(0.25, 0.75)(x) AS q,
+                uniqCombined(x) AS uc, uniqHLL12(x) AS uh
+         FROM (SELECT CAST(x AS DOUBLE) AS x
+               FROM VALUES (1.0), (2.0), (3.0), (4.0) AS t(x))""").head
+    assert(qs.getSeq[Double](0) === Seq(2.0, 4.0)) // elements, floor(p*4)
+    assert(qs.getLong(1) === 4L && qs.getLong(2) === 4L)
     // Spark's own 2-arg datediff with a quoted date literal is NOT a
     // CH unit form and must pass through untouched
     assert(ChSqlRewrite("datediff('2024-01-05', d)") ===
