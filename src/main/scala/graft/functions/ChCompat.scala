@@ -329,6 +329,28 @@ object ChCompat {
         Sequence(startE, Subtract(endE, Literal(1L)), Some(stepE), None),
         Literal.create(Array.empty[Long], ArrayType(LongType, false)))
     }),
+    // string/regex (third pass)
+    "match" -> (es => RLike(es(0), es(1))),
+    // CH extract: first capturing group if the pattern has one, else
+    // the whole match — decidable at plan time for literal patterns
+    "extract" -> (es => {
+      val group = es(1) match {
+        case Literal(p: org.apache.spark.unsafe.types.UTF8String, StringType)
+            if p.toString.contains("(") => 1
+        case _ => 0
+      }
+      RegExpExtract(es(0), es(1), Literal(group))
+    }),
+    "replaceAll" -> (es => StringReplace(es(0), es(1), es(2))),
+    "replaceRegexpAll" -> (es => RegExpReplace(es(0), es(1), es(2))),
+    "countSubstrings" -> (es => Cast(IntegralDivide(
+      Subtract(Length(es(0)),
+        Length(StringReplace(es(0), es(1), Literal("")))),
+      Length(es(1)), evalMode = EvalMode.LEGACY), IntegerType)),
+    "trimLeft" -> (es => StringTrimLeft(es.head)),
+    "trimRight" -> (es => StringTrimRight(es.head)),
+    "arrayUniq" -> (es => Size(ArrayDistinct(es.head))),
+    "bitCount" -> (es => BitwiseCount(es.head)),
     // arithmetic/bit names
     "modulo" -> (es => Remainder(es(0), es(1), EvalMode.LEGACY)),
     "plus" -> (es => Add(es(0), es(1))),

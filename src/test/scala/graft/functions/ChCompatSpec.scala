@@ -247,6 +247,28 @@ class ChCompatSpec extends SparkTestBase {
       "-- don't\nSELECT chQuantile(0.5, x) FROM t")
   }
 
+  test("string/regex aliases (third pass)") {
+    ChCompat.registerAll(spark)
+    val r = spark.sql(
+      """SELECT match('hello42', '[a-z]+\\d+') AS m1,
+                match('hello', '^\\d+$') AS m0,
+                extract('key=value', 'key=(\\w+)') AS ex1,
+                extract('abc123', '\\d+') AS ex0,
+                replaceAll('a-b-c', '-', '+') AS ra,
+                replaceRegexpAll('a1b22c', '\\d+', '#') AS rra,
+                countSubstrings('abcabcab', 'ab') AS cs,
+                trimLeft('  x ') AS tl, trimRight(' x  ') AS tr,
+                arrayUniq(array(1, 2, 2, 3, 1)) AS au,
+                bitCount(255) AS bc""").head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getString(2) === "value" && r.getString(3) === "123")
+    assert(r.getString(4) === "a+b+c" && r.getString(5) === "a#b#c")
+    assert(r.getInt(6) === 3)
+    assert(r.getString(7) === "x " && r.getString(8) === " x")
+    assert(r.getInt(9) === 3)
+    assert(r.getInt(10) === 8)
+  }
+
   test("topK(k)(x): curried heavy-hitters via the FreqTopK sketch") {
     ChCompat.registerAll(spark)
     val r = ChCompat.sql(spark,
