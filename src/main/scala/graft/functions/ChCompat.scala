@@ -73,6 +73,12 @@ object ChCompat {
   private def fmtLong(e: Expression, fmt: String): Expression =
     Cast(DateFormatClass(e, Literal(fmt)), LongType)
 
+  /** CH's multi-expression aggregate arguments count distinct TUPLES:
+    * one arg passes through, several wrap in a struct.
+    */
+  private def tupleOf(es: Seq[Expression]): Expression =
+    if (es.length == 1) es.head else CreateStruct(es)
+
   /** CH quantileExact: the ELEMENT at sorted index floor(level·n),
     * 0-based and clamped — no interpolation (quantileExact([1,2,3,4],
     * 0.5) = 3, where interpolating percentile gives 2.5).
@@ -150,12 +156,14 @@ object ChCompat {
     "maxIf" -> (es => aggregate.Max(If(es(1), es(0),
       Literal.create(null, NullType)))),
     // uniq is approximate in ClickHouse too (HLL-family) — mapping it
-    // to HyperLogLog++ preserves the contract; uniqExact is exact
-    "uniq" -> (es => aggregate.HyperLogLogPlusPlus(es.head)),
+    // to HyperLogLog++ preserves the contract; uniqExact is exact.
+    // The CH uniq family takes MULTIPLE expressions (distinct tuples):
+    // wrap >1 arg in a struct so the hash covers the tuple.
+    "uniq" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
     // exact distinct as size(collect_set): a pre-built distinct
     // AggregateExpression does not survive analyzer re-wrapping
     "uniqExact" -> (es => Size(
-      aggregate.CollectSet(es.head).toAggregateExpression())),
+      aggregate.CollectSet(tupleOf(es)).toAggregateExpression())),
     "any" -> (es => aggregate.First(es.head, ignoreNulls = false)),
     "anyLast" -> (es => aggregate.Last(es.head, ignoreNulls = false)),
     "groupArray" -> (es => aggregate.CollectList(es.head)),
@@ -183,7 +191,8 @@ object ChCompat {
     // (Spark's grammar reserves the dateDiff name and demands an
     // unquoted unit). CH counts UNIT-BOUNDARY crossings (both sides
     // truncated to the unit, then diffed), not elapsed whole units:
-    // dateDiff('hour', 10:59, 11:01) = 1.
+    // dateDiff('hour', 10:59, 11:01) = 1. CH's optional 4th timezone
+    // argument is accepted and ignored — the session runs in UTC.
     "chDateDiff" -> (es => {
       def seconds(e: Expression, unit: String): Expression =
         Cast(TruncTimestamp(Literal(unit), Cast(e, TimestampType)), LongType)
@@ -255,11 +264,14 @@ object ChCompat {
     "chQuantilesExact" -> (es => CreateArray(
       es.dropRight(1).map(p => chQuantileExactExpr(es.last, p)))),
     // uniqCombined/uniqHLL12: CH's other HLL-family estimators — same
-    // HyperLogLog++ contract as uniq
-    "uniqCombined" -> (es => aggregate.HyperLogLogPlusPlus(es.head)),
-    "uniqHLL12" -> (es => aggregate.HyperLogLogPlusPlus(es.head)),
+    // HyperLogLog++ contract as uniq, incl. multi-arg tuple form
+    "uniqCombined" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
+    "uniqHLL12" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
     // chTopK: target of ChSqlRewrite's topK(k)(x) — CH returns the
-    // value array; backed by the FreqTopK frequent-items sketch
+    // value array; backed by the string-keyed FreqTopK frequent-items
+    // sketch, so the result is array<string> regardless of the input
+    // type (a DOCUMENTED divergence: CH preserves the element type;
+    // preserving it here would need a type-generic sketch serde)
     "chTopK" -> (es => es.head match {
       case Literal(k: Int, IntegerType) =>
         FreqTopK(Cast(es(1), StringType), k, maxMapSize = 1024,
@@ -274,11 +286,20 @@ object ChCompat {
       AddMonths(Cast(es(0), DateType), UnaryMinus(es(1)))),
     "toStartOfQuarter" -> (es =>
       TruncDate(Cast(es.head, DateType), Literal("quarter"))),
-    // CH default mode 0 is SUNDAY-start (mode 1 = Monday = toMonday);
-    // Spark's trunc('week') is Monday-start, so roll back to the
-    // nearest Sunday explicitly: d - (dayofweek(d) - 1), Sunday=1
-    "toStartOfWeek" -> (es => DateSub(Cast(es.head, DateType),
-      Subtract(DayOfWeek(Cast(es.head, DateType)), Literal(1)))),
+    // CH default mode 0 is SUNDAY-start; ODD modes (1, 3, …) are
+    // Monday-start. Spark's trunc('week') is Monday-start, so the
+    // Sunday form rolls back explicitly: d - (dayofweek(d) - 1).
+    "toStartOfWeek" -> (es => {
+      val monday = es.lift(1) match {
+        case None => false
+        case Some(Literal(m: Int, IntegerType)) => m % 2 == 1
+        case Some(other) => throw new IllegalArgumentException(
+          s"toStartOfWeek: mode must be an integer literal, got $other")
+      }
+      if (monday) TruncDate(Cast(es.head, DateType), Literal("week"))
+      else DateSub(Cast(es.head, DateType),
+        Subtract(DayOfWeek(Cast(es.head, DateType)), Literal(1)))
+    }),
     "toDateTime" -> (es => Cast(es.head, TimestampType)),
     "now" -> (_ => Cast(CurrentTimestamp(), TimestampType)),
     // string predicates/helpers
@@ -288,7 +309,8 @@ object ChCompat {
     "position" -> (es => StringLocate(es(1), es(0),
       if (es.length > 2) es(2) else Literal(1))),
     "positionCaseInsensitive" -> (es =>
-      StringLocate(Lower(es(1)), Lower(es(0)), Literal(1))),
+      StringLocate(Lower(es(1)), Lower(es(0)),
+        if (es.length > 2) es(2) else Literal(1))),
     "substringUTF8" -> (es => Substring(es(0), es(1), es(2))),
     "lowerUTF8" -> (es => Lower(es.head)),
     "upperUTF8" -> (es => Upper(es.head)),
@@ -325,28 +347,41 @@ object ChCompat {
         case _ => (Cast(es(0), LongType), Cast(es(1), LongType),
           Cast(es(2), LongType))
       }
-      If(LessThan(startE, endE),
-        Sequence(startE, Subtract(endE, Literal(1L)), Some(stepE), None),
-        Literal.create(Array.empty[Long], ArrayType(LongType, false)))
+      // null inputs propagate to NULL (matching both CH and the plain
+      // Sequence form); only a genuinely-empty range yields []
+      If(Or(IsNull(startE), Or(IsNull(endE), IsNull(stepE))),
+        Literal.create(null, ArrayType(LongType, false)),
+        If(LessThan(startE, endE),
+          Sequence(startE, Subtract(endE, Literal(1L)), Some(stepE), None),
+          Literal.create(Array.empty[Long], ArrayType(LongType, false))))
     }),
     // string/regex (third pass)
     "match" -> (es => RLike(es(0), es(1))),
     // CH extract: first capturing group if the pattern has one, else
-    // the whole match — decidable at plan time for literal patterns
+    // the whole match — decided at plan time by COMPILING a literal
+    // pattern and counting its real capturing groups (a contains-"("
+    // check misfires on \( and (?:...)); non-literal patterns default
+    // to the whole match
     "extract" -> (es => {
       val group = es(1) match {
-        case Literal(p: org.apache.spark.unsafe.types.UTF8String, StringType)
-            if p.toString.contains("(") => 1
+        case Literal(p: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          try {
+            if (java.util.regex.Pattern.compile(p.toString)
+              .matcher("").groupCount() > 0) 1 else 0
+          } catch { case _: Exception => 0 }
         case _ => 0
       }
       RegExpExtract(es(0), es(1), Literal(group))
     }),
     "replaceAll" -> (es => StringReplace(es(0), es(1), es(2))),
     "replaceRegexpAll" -> (es => RegExpReplace(es(0), es(1), es(2))),
-    "countSubstrings" -> (es => Cast(IntegralDivide(
-      Subtract(Length(es(0)),
-        Length(StringReplace(es(0), es(1), Literal("")))),
-      Length(es(1)), evalMode = EvalMode.LEGACY), IntegerType)),
+    // empty needle is defined as 0, not a NULL from divide-by-zero
+    "countSubstrings" -> (es => If(EqualTo(Length(es(1)), Literal(0)),
+      Literal(0),
+      Cast(IntegralDivide(
+        Subtract(Length(es(0)),
+          Length(StringReplace(es(0), es(1), Literal("")))),
+        Length(es(1)), evalMode = EvalMode.LEGACY), IntegerType))),
     "trimLeft" -> (es => StringTrimLeft(es.head)),
     "trimRight" -> (es => StringTrimRight(es.head)),
     "arrayUniq" -> (es => Size(ArrayDistinct(es.head))),

@@ -152,11 +152,14 @@ object ChSqlRewrite {
           if (j < n && sql.charAt(j) == '(' &&
               (start == 0 || !isIdent(sql.charAt(start - 1)))) {
             if (lower == "datediff" || lower == "date_diff") {
-              // only the CH form: quoted first arg AND 3 args —
-              // Spark's datediff('2024-01-05', d) has 2 and passes
+              // only the CH form: quoted first arg AND 3-4 args (the
+              // 4th is CH's optional timezone) — Spark's 2-arg
+              // datediff('2024-01-05', d) passes through
               var k = j + 1
               while (k < n && sql.charAt(k).isWhitespace) k += 1
-              if (k < n && sql.charAt(k) == '\'' && topLevelArgs(j) == 3) {
+              val nargs = topLevelArgs(j)
+              if (k < n && sql.charAt(k) == '\'' &&
+                  (nargs == 3 || nargs == 4)) {
                 out ++= "chDateDiff"; i = j
               } else out ++= word
             } else if (lower == "count") {

@@ -269,6 +269,36 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getInt(10) === 8)
   }
 
+  test("second-review fixes: extract parens, week mode, uniq tuples, " +
+      "range nulls, tz dateDiff, position family start") {
+    ChCompat.registerAll(spark)
+    val r = spark.sql(
+      """SELECT extract('a(b', 'a\\(') AS e_escaped,
+                extract('abcabc', '(?:abc)+') AS e_noncap,
+                toStartOfWeek(DATE'2024-01-10', 1) AS w_mon,
+                toStartOfWeek(DATE'2024-01-10', 0) AS w_sun,
+                uniq(x, y) AS u2, uniqExact(x, y) AS ue2,
+                range(CAST(NULL AS BIGINT)) AS r_null,
+                countSubstrings('abc', '') AS cs0,
+                positionCaseInsensitive('ABABA', 'a', 2) AS pci
+         FROM VALUES (1, 'p'), (1, 'q'), (2, 'p') AS t(x, y)""").head
+    assert(r.getString(0) === "a(")
+    assert(r.getString(1) === "abcabc")
+    assert(r.getDate(2).toString === "2024-01-08")
+    assert(r.getDate(3).toString === "2024-01-07")
+    assert(r.getLong(4) === 3L && r.getInt(5) === 3)
+    assert(r.isNullAt(6))
+    assert(r.getInt(7) === 0)
+    assert(r.getInt(8) === 3)
+    // 4-arg CH dateDiff (timezone) is rewritten; 2-arg Spark form isn't
+    assert(ChSqlRewrite("dateDiff('day', a, b, 'UTC')") ===
+      "chDateDiff('day', a, b, 'UTC')")
+    val tz = ChCompat.sql(spark,
+      """SELECT dateDiff('day', DATE'2024-01-01', DATE'2024-01-03', 'UTC')""")
+      .head()
+    assert(tz.getInt(0) === 2)
+  }
+
   test("topK(k)(x): curried heavy-hitters via the FreqTopK sketch") {
     ChCompat.registerAll(spark)
     val r = ChCompat.sql(spark,
