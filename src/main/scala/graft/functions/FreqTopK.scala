@@ -88,3 +88,116 @@ case class FreqTopK(child: Expression, k: Int, maxMapSize: Int,
     copy(inputAggBufferOffset = off)
   override def prettyName: String = "freq_topk"
 }
+
+/** State form of [[FreqTopK]]: emit the serialized sketch instead of
+  * the top-k cut — the `-State` member of the frequent-items trio
+  * (with [[FreqMergeAgg]] and [[FreqTopItems]]), so streaming shards
+  * and incremental rollups can carry heavy-hitter state the same way
+  * they carry HLL and KLL state.
+  */
+case class FreqSketchAgg(child: Expression, maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ItemsSketch[String]] {
+
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    "freq_sketch_agg: maxMapSize must be a power of two >= 8")
+
+  @transient private lazy val serde = new ArrayOfStringsSerDe
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+  override def update(buf: ItemsSketch[String], row: InternalRow)
+      : ItemsSketch[String] = {
+    val v = child.eval(row)
+    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+  override def merge(buf: ItemsSketch[String], other: ItemsSketch[String])
+      : ItemsSketch[String] = buf.merge(other)
+  override def eval(buf: ItemsSketch[String]): Any =
+    buf.toByteArray(serde)
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(serde)
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(off: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = off)
+  override def prettyName: String = "freq_sketch_agg"
+}
+
+/** Union of serialized frequent-items sketches (the `-Merge` side). */
+case class FreqMergeAgg(child: Expression, maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ItemsSketch[String]] {
+
+  @transient private lazy val serde = new ArrayOfStringsSerDe
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+  override def update(buf: ItemsSketch[String], row: InternalRow)
+      : ItemsSketch[String] = {
+    val v = child.eval(row)
+    if (v != null) buf.merge(ItemsSketch.getInstance(
+      Memory.wrap(v.asInstanceOf[Array[Byte]]), serde))
+    buf
+  }
+  override def merge(buf: ItemsSketch[String], other: ItemsSketch[String])
+      : ItemsSketch[String] = buf.merge(other)
+  override def eval(buf: ItemsSketch[String]): Any =
+    buf.toByteArray(serde)
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(serde)
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(off: Int): FreqMergeAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): FreqMergeAgg =
+    copy(inputAggBufferOffset = off)
+  override def prettyName: String = "freq_merge_agg"
+}
+
+/** Scalar: the deterministic top-k cut from a serialized sketch —
+  * array of (item, est) structs, (estimate desc, item asc).
+  */
+case class FreqTopItems(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  @transient private lazy val serde = new ArrayOfStringsSerDe
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("est", LongType))))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(sketchBytes: Any, kAny: Any): Any = {
+    val sk = ItemsSketch.getInstance(
+      Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]), serde)
+    val k = kAny.asInstanceOf[Int]
+    val rows = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .sortBy(r => (-r.getEstimate, r.getItem))
+      .take(k)
+    val items: Array[Any] = rows.map(r => InternalRow(
+      UTF8String.fromString(r.getItem), r.getEstimate): Any)
+    new GenericArrayData(items)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "freq_top_items"
+}

@@ -96,6 +96,13 @@ object PipelineFunctions {
       org.apache.spark.sql.catalyst.expressions.Cast(es(0), StringType),
       litInt(es, 1, "freq_topk"),
       if (es.length > 2) litInt(es, 2, "freq_topk") else 1024)),
+    // frequent-items state trio (see FreqSketchAgg scaladoc)
+    "freq_sketch_agg" -> (es => FreqSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0), StringType),
+      if (es.length > 1) litInt(es, 1, "freq_sketch_agg") else 1024)),
+    "freq_merge_agg" -> (es => FreqMergeAgg(es(0),
+      if (es.length > 1) litInt(es, 1, "freq_merge_agg") else 1024)),
+    "freq_top_items" -> (es => FreqTopItems(es(0), es(1))),
     // mergeable quantile state (KLL), mirroring the HLL trio
     "kll_sketch_agg" -> (es => KllSketchAgg(
       org.apache.spark.sql.catalyst.expressions.Cast(es(0), DoubleType),

@@ -47,6 +47,19 @@ class FreqTopKSpec extends SparkTestBase {
     assert(got._2 >= 2000L) // Misra-Gries estimates never undercount
   }
 
+  test("state trio: per-shard sketches merge to the direct top-k") {
+    PipelineFunctions.registerAll(spark)
+    zipf.withColumn("shard", pmod(crc32(col("v")), lit(5)))
+      .createOrReplaceTempView("freq_sharded")
+    val merged = spark.sql(
+      """SELECT t.item, t.est
+         FROM (SELECT explode(freq_top_items(freq_merge_agg(st), 10)) AS t
+               FROM (SELECT shard, freq_sketch_agg(v, 256) AS st
+                     FROM freq_sharded GROUP BY shard))""")
+      .as[(String, Long)].collect().toSeq
+    assert(merged === exact(10))
+  }
+
   test("SQL surface: freq_topk registered via PipelineFunctions") {
     PipelineFunctions.registerAll(spark)
     zipf.createOrReplaceTempView("freq_src")
