@@ -54,11 +54,7 @@ case class FreqTopK(child: Expression, k: Int, maxMapSize: Int,
       : ItemsSketch[String] = buf.merge(other)
 
   override def eval(buf: ItemsSketch[String]): Any = {
-    // NO_FALSE_NEGATIVES: every true heavy hitter is present; the
-    // (estimate desc, item asc) sort makes the k-cut deterministic
-    val rows = buf.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
-      .sortBy(r => (-r.getEstimate, r.getItem))
-      .take(k)
+    val rows = FreqTopK.topKCut(buf, k)
     val items: Array[Any] =
       if (itemsOnly) // ClickHouse topK(k)(x) shape: values only
         rows.map(r => UTF8String.fromString(r.getItem): Any)
@@ -87,6 +83,18 @@ case class FreqTopK(child: Expression, k: Int, maxMapSize: Int,
   override def withNewInputAggBufferOffset(off: Int): FreqTopK =
     copy(inputAggBufferOffset = off)
   override def prettyName: String = "freq_topk"
+}
+
+object FreqTopK {
+  /** The deterministic top-k cut, single-sourced for the aggregate and
+    * the scalar extractor: NO_FALSE_NEGATIVES (every true heavy hitter
+    * present), (estimate desc, item asc) tie-break.
+    */
+  private[functions] def topKCut(sk: ItemsSketch[String], k: Int)
+      : Array[ItemsSketch.Row[String]] =
+    sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .sortBy(r => (-r.getEstimate, r.getItem))
+      .take(k)
 }
 
 /** State form of [[FreqTopK]]: emit the serialized sketch instead of
@@ -139,6 +147,9 @@ case class FreqMergeAgg(child: Expression, maxMapSize: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ItemsSketch[String]] {
 
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    "freq_merge_agg: maxMapSize must be a power of two >= 8")
+
   @transient private lazy val serde = new ArrayOfStringsSerDe
 
   override def createAggregationBuffer(): ItemsSketch[String] =
@@ -188,10 +199,7 @@ case class FreqTopItems(left: Expression, right: Expression)
   override def nullSafeEval(sketchBytes: Any, kAny: Any): Any = {
     val sk = ItemsSketch.getInstance(
       Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]), serde)
-    val k = kAny.asInstanceOf[Int]
-    val rows = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
-      .sortBy(r => (-r.getEstimate, r.getItem))
-      .take(k)
+    val rows = FreqTopK.topKCut(sk, kAny.asInstanceOf[Int])
     val items: Array[Any] = rows.map(r => InternalRow(
       UTF8String.fromString(r.getItem), r.getEstimate): Any)
     new GenericArrayData(items)

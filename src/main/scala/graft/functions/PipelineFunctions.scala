@@ -102,7 +102,11 @@ object PipelineFunctions {
       if (es.length > 1) litInt(es, 1, "freq_sketch_agg") else 1024)),
     "freq_merge_agg" -> (es => FreqMergeAgg(es(0),
       if (es.length > 1) litInt(es, 1, "freq_merge_agg") else 1024)),
-    "freq_top_items" -> (es => FreqTopItems(es(0), es(1))),
+    "freq_top_items" -> (es => {
+      require(es.length == 2, "freq_top_items(sketch, k) takes 2 arguments")
+      FreqTopItems(es(0),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1), IntegerType))
+    }),
     // mergeable quantile state (KLL), mirroring the HLL trio
     "kll_sketch_agg" -> (es => KllSketchAgg(
       org.apache.spark.sql.catalyst.expressions.Cast(es(0), DoubleType),

@@ -52,6 +52,9 @@ object StreamingFunnel {
     import spark.implicits._
 
     events.selectExpr("user_id", "ts", "step")
+      // one malformed step index would crash the drain and the query
+      // would replay it forever from the checkpoint — drop it here
+      .filter(s"step >= 0 AND step < $nSteps")
       .withWatermark("ts", lateness)
       .as[StepEvent]
       .groupByKey(_.user_id)
@@ -76,21 +79,35 @@ object StreamingFunnel {
           var best = prev.best
           var level = prev.emitted
           var levelAt = UNSET
-          ready.sortBy(_._1).groupBy(_._1).toSeq.sortBy(_._1)
+          ready.groupBy(_._1).toSeq.sortBy(_._1)
             .foreach { case (t, group) =>
               val before = best
               group.foreach { case (_, step) =>
                 if (step == 0)
                   best = best.updated(0, math.max(best(0), t))
+                // window check floors each side to whole seconds THEN
+                // diffs — the batch operator's unix_timestamp form;
+                // diff-then-floor disagrees on sub-second fractions
                 else if (before(step - 1) != UNSET &&
-                    (t - before(step - 1)) / 1000L <= windowSec)
+                    t / 1000L - before(step - 1) / 1000L <= windowSec)
                   best = best.updated(step,
                     math.max(best(step), before(step - 1)))
               }
               val reached = best.lastIndexWhere(_ != UNSET) + 1
               if (reached > level) { level = reached; levelAt = t }
             }
-          state.update(FState(stillPending, best, level))
+          // drop INERT state: nothing pending and no chain can ever
+          // extend (funnel complete, or every recorded start is more
+          // than the window behind the watermark — any future event
+          // lands past its window). A user re-appearing later re-opens
+          // from scratch and may re-emit lower levels; downstream
+          // consumers aggregate max(level), the same re-open trade
+          // StreamingDedup.consolidateNodes documents.
+          val inert = stillPending.isEmpty &&
+            (level == nSteps || best.forall(b =>
+              b == UNSET || b / 1000L + windowSec < wm / 1000L))
+          if (inert) state.remove()
+          else state.update(FState(stillPending, best, level))
           // wake this group when the watermark passes its earliest
           // still-buffered event (min pending > wm here, else it
           // would have drained above)
