@@ -44,4 +44,12 @@ class RefQueriesExtSpec extends SparkTestBase {
     assert(got == List(
       ("2024-03-01", 3L, 1L), ("2024-03-02", 1L, 0L), ("2024-03-03", 1L, 0L)))
   }
+
+  test("SparkEntry.entry: the driver's flagship smoke returns rows") {
+    // the driver calls entry() and checks rows > 0 on sf0.001 — guard
+    // the hardcoded path + query wiring here so a refactor can't
+    // silently break the smoke check
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
 }
