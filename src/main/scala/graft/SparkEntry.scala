@@ -60,6 +60,7 @@ object SparkEntry {
     "r30_incr_rollup" -> (RefQueries.incremental_rollup _),
     "r31_sequence_match" -> (RefQueries.sequence_match _),
     "r32_moving_avg" -> (RefQueries.moving_avg _),
+    "r34_cube" -> (RefQueries.cube_agg _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -296,6 +297,14 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY event_type ORDER BY day
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_type, day""",
+
+    "r34_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+                coalesce(strftime(ts, '%Y%m'), 'ALL') AS month,
+                count(*) AS n, count(DISTINCT user_id) AS users
+         FROM events
+         GROUP BY CUBE(event_type, strftime(ts, '%Y%m'))
+         ORDER BY event_type, month""",
 
     "r33_set_ops" ->
       """WITH p AS (SELECT DISTINCT user_id FROM events

@@ -457,6 +457,21 @@ object RefQueries {
           col("event_type") === "error"))
       .orderBy("user_id")
 
+  // ---- B-surface extension: CUBE — all four grouping combinations
+  // of (event_type, month) in one pass (r21 covers ROLLUP's prefix
+  // subtotals). Grouping nulls are coalesced to 'ALL' so the output
+  // carries no null keys (hash-stable, and no cross-engine null-
+  // ordering trap in the ORDER BY). ----
+  def cube_agg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("month", date_format(col("ts"), "yyyyMM"))
+      .cube("event_type", "month")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("users"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("month"), lit("ALL")).as("month"),
+        col("n"), col("users"))
+      .orderBy("event_type", "month")
+
   // ---- B-surface extension: window FRAMES — 7-row trailing moving
   // average over the daily per-type counts. ROWS (not RANGE) frame:
   // row-counted frames are engine-portable; the day grain is one row
