@@ -267,6 +267,12 @@ object ChCompat {
     // HyperLogLog++ contract as uniq, incl. multi-arg tuple form
     "uniqCombined" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
     "uniqHLL12" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
+    // anyHeavy: CH's single heavy-hitter value — the k=1 cut of the
+    // frequent-items sketch (string-typed, like chTopK)
+    "anyHeavy" -> (es => ElementAt(
+      FreqTopK(Cast(es.head, StringType), k = 1, maxMapSize = 1024,
+        itemsOnly = true).toAggregateExpression(),
+      Literal(1))),
     // chTopK: target of ChSqlRewrite's topK(k)(x) — CH returns the
     // value array; backed by the string-keyed FreqTopK frequent-items
     // sketch, so the result is array<string> regardless of the input

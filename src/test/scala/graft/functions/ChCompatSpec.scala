@@ -302,9 +302,10 @@ class ChCompatSpec extends SparkTestBase {
   test("topK(k)(x): curried heavy-hitters via the FreqTopK sketch") {
     ChCompat.registerAll(spark)
     val r = ChCompat.sql(spark,
-      """SELECT topK(2)(v) AS top
+      """SELECT topK(2)(v) AS top, anyHeavy(v) AS ah
          FROM VALUES ('a'),('b'),('a'),('c'),('a'),('b') AS t(v)""").head
     assert(r.getSeq[String](0) === Seq("a", "b"))
+    assert(r.getString(1) === "a")
   }
 
   test("string/array helpers (second widening pass)") {
