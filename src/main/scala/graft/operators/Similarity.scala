@@ -176,48 +176,78 @@ object Similarity {
     ivfTopK(blocked, qBlocked, k, "__block", idCol, vecCol)
   }
 
-  /** True IVF: a k-means coarse quantizer trained on the corpus
-    * (Spark ML, distributed), corpus vectors assigned to their nearest
-    * centroid, queries probing the `nProbe` nearest centroids. This is
-    * the classic IVF-Flat index shape: train once, assign in one pass,
-    * and every query scans ~nProbe/nClusters of the corpus. Unlike the
-    * RHP variant there IS a trained model — the centroid array — but
-    * it is tiny (nClusters × dim doubles), lives in the plan as a
-    * literal, and ships with the broadcast query side; recall on
-    * clustered data is near-exact once nProbe covers the query's true
-    * cluster (pinned ≥ 0.95 by spec).
+  /** Train the IVF coarse quantizer: k-means over (a sample of) the
+    * corpus, returning just the centroid array — the entire "index
+    * model", nClusters × dim doubles. Training is a SEPARATE phase
+    * from probing: at 100 TB the quantizer is fit once on a bounded
+    * sample (`maxTrainRows` caps the training set; k-means quality
+    * saturates long before the full corpus) and the centroids are
+    * persisted as a tiny table/literal, then every probe query reuses
+    * them with zero ML work ([[ivfTopKByCentroids]]).
+    */
+  def trainQuantizer(corpus: DataFrame, nClusters: Int,
+      vecCol: String = "embedding", seed: Long = 42L,
+      maxTrainRows: Long = 100000L): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = corpus.count()
+    val sampled =
+      if (n <= maxTrainRows) corpus
+      else corpus.sample(withReplacement = false,
+        fraction = maxTrainRows.toDouble / n, seed = seed)
+    val fv = sampled.withColumn("__fv",
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))))
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__pred").fit(fv)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** Squared-L2 distances from `vec` to each centroid of `centersLit`
+    * (an array-of-array literal), as an array column. */
+  private def centroidDists(vec: Column, centersLit: Column): Column =
+    transform(centersLit, c =>
+      aggregate(zip_with(c, vec, (a, b) => {
+        val d = a - b.cast("double"); d * d
+      }), lit(0.0), (acc, x) => acc + x))
+
+  /** IVF probe with PRECOMPUTED centroids: corpus vectors assigned to
+    * their nearest centroid, queries probing the `nProbe` nearest —
+    * the classic IVF-Flat probe. Pure DataFrame plan: the centroids
+    * enter as a literal (they ship with the broadcast query side and
+    * the corpus-side projection), so no ML fit job, no model object,
+    * nothing driver-side beyond the tiny array. This is the 100-TB
+    * query path; [[trainQuantizer]] is the offline index build.
+    */
+  def ivfTopKByCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centersLit = array(centroids.map(c =>
+      array(c.map(v => lit(v)): _*)): _*)
+    val idxSeq = sequence(lit(0), lit(centroids.length - 1))
+    def probes(vec: Column, n: Int): Column =
+      slice(transform(
+        array_sort(zip_with(centroidDists(vec, centersLit), idxSeq,
+          (d, i) => struct(d.as("d"), i.as("i")))),
+        s => s.getField("i")), 1, n)
+    // corpus: single nearest centroid (assignment pass, map-only)
+    val blocked = corpus
+      .withColumn("__block", element_at(probes(col(vecCol), 1), 1))
+    // queries: nProbe nearest centroids, one probe row each
+    val qBlocked = queries
+      .withColumn("__block", explode(probes(col(vecCol), nProbe)))
+    ivfTopK(blocked, qBlocked, k, "__block", idCol, vecCol)
+  }
+
+  /** Convenience train+probe in one call (small-data / test path):
+    * [[trainQuantizer]] then [[ivfTopKByCentroids]]. Production code
+    * should call the two phases separately so the fit isn't glued to
+    * every query invocation.
     */
   def ivfTopKByKmeans(corpus: DataFrame, queries: DataFrame, k: Int,
       nClusters: Int, nProbe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val fv = corpus.withColumn("__fv",
-      array_to_vector(transform(col(vecCol), x => x.cast("double"))))
-    val model = new KMeans().setK(nClusters).setSeed(seed)
-      .setFeaturesCol("__fv").setPredictionCol("__block").fit(fv)
-    val blocked = model.transform(fv).drop("__fv")
-
-    // centroids as a plan literal: [[c0...], [c1...], ...]
-    val centers = model.clusterCenters.map(_.toArray)
-    val centersLit = array(centers.map(c =>
-      array(c.map(v => lit(v)): _*)): _*)
-    // nProbe nearest centroids per query by squared L2 — sort
-    // (distance, idx) structs and take the first nProbe indices
-    val idxSeq = sequence(lit(0), lit(nClusters - 1))
-    val qBlocked = queries
-      .withColumn("__dists", transform(centersLit, c =>
-        aggregate(zip_with(c, col(vecCol), (a, b) => {
-          val d = a - b.cast("double"); d * d
-        }), lit(0.0), (acc, x) => acc + x)))
-      .withColumn("__probes",
-        slice(transform(
-          array_sort(zip_with(col("__dists"), idxSeq,
-            (d, i) => struct(d.as("d"), i.as("i")))),
-          s => s.getField("i")), 1, nProbe))
-      .withColumn("__block", explode(col("__probes")))
-      .drop("__dists", "__probes")
-    ivfTopK(blocked, qBlocked, k, "__block", idCol, vecCol)
+    val centers = trainQuantizer(corpus, nClusters, vecCol, seed)
+    ivfTopKByCentroids(corpus, queries, k, centers, nProbe, idCol, vecCol)
   }
 
   /** Random-hyperplane LSH signature (nBits ≤ 64) as a long. Planes
