@@ -24,9 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder))
       }
     // parser front-end for the CH call shapes Spark's grammar rejects
-    // (quoted-unit dateDiff, curried quantile(p)(x), bare count());
-    // plain Spark SQL is untouched — the rewrite is lexical and
-    // string-literal-safe
+    // or mis-parses (quoted-unit dateDiff, curried quantile(p)(x),
+    // bare count(), FROM t FINAL, LIMIT n BY, CH comma-form
+    // position/extract). Plain Spark SQL is untouched: the rewrite is
+    // lexical, string-literal-safe, and the name-colliding rewrites
+    // fire only on call shapes the SQL-standard forms can't produce
+    // (POSITION(x IN y) / EXTRACT(YEAR FROM ts) have no top-level
+    // comma and pass through to the built-ins).
     ext.injectParser((_, delegate) => new ChRewriteParser(delegate))
   }
 }

@@ -61,6 +61,8 @@ object SparkEntry {
     "r31_sequence_match" -> (RefQueries.sequence_match _),
     "r32_moving_avg" -> (RefQueries.moving_avg _),
     "r34_cube" -> (RefQueries.cube_agg _),
+    "r35_ch_final" -> (RefQueries.ch_final _),
+    "r36_ch_limit_by" -> (RefQueries.ch_limit_by _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -297,6 +299,20 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY event_type ORDER BY day
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_type, day""",
+
+    "r35_ch_final" ->
+      """SELECT user_id, event_type, event_id, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY event_id DESC) AS rn
+               FROM events) WHERE rn = 1
+         ORDER BY user_id, event_type""",
+
+    "r36_ch_limit_by" ->
+      """SELECT user_id, event_id, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                            ORDER BY value DESC, event_id) AS rn
+               FROM events) WHERE rn <= 2
+         ORDER BY value DESC, event_id""",
 
     "r34_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,

@@ -268,11 +268,13 @@ object ChCompat {
     "uniqCombined" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
     "uniqHLL12" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
     // anyHeavy: CH's single heavy-hitter value — the k=1 cut of the
-    // frequent-items sketch (string-typed, like chTopK)
+    // frequent-items sketch (string-typed, like chTopK). failOnError =
+    // false so an all-NULL group (empty sketch cut) yields NULL under
+    // ANSI mode too, instead of INVALID_ARRAY_INDEX.
     "anyHeavy" -> (es => ElementAt(
       FreqTopK(Cast(es.head, StringType), k = 1, maxMapSize = 1024,
         itemsOnly = true).toAggregateExpression(),
-      Literal(1))),
+      Literal(1), None, failOnError = false)),
     // chTopK: target of ChSqlRewrite's topK(k)(x) — CH returns the
     // value array; backed by the string-keyed FreqTopK frequent-items
     // sketch, so the result is array<string> regardless of the input
@@ -312,7 +314,13 @@ object ChCompat {
     "empty" -> (es => EqualTo(Length(es.head), Literal(0))),
     "notEmpty" -> (es => GreaterThan(Length(es.head), Literal(0))),
     "lengthUTF8" -> (es => Length(es.head)),
-    "position" -> (es => StringLocate(es(1), es(0),
+    // chPosition: CH's position(haystack, needle[, start]) — argument
+    // order is the REVERSE of Spark's built-in position(substr, str).
+    // Registered under a non-colliding name so the built-in (and the
+    // SQL-standard `POSITION(x IN y)` form, which parses to a call of
+    // `position`) keep Spark semantics; ChSqlRewrite maps the CH
+    // dialect's comma-form `position(...)` here.
+    "chPosition" -> (es => StringLocate(es(1), es(0),
       if (es.length > 2) es(2) else Literal(1))),
     "positionCaseInsensitive" -> (es =>
       StringLocate(Lower(es(1)), Lower(es(0)),
@@ -363,12 +371,16 @@ object ChCompat {
     }),
     // string/regex (third pass)
     "match" -> (es => RLike(es(0), es(1))),
-    // CH extract: first capturing group if the pattern has one, else
-    // the whole match — decided at plan time by COMPILING a literal
-    // pattern and counting its real capturing groups (a contains-"("
-    // check misfires on \( and (?:...)); non-literal patterns default
-    // to the whole match
-    "extract" -> (es => {
+    // chExtract: CH's regex extract(haystack, pattern) — first
+    // capturing group if the pattern has one, else the whole match —
+    // decided at plan time by COMPILING a literal pattern and counting
+    // its real capturing groups (a contains-"(" check misfires on \(
+    // and (?:...)); non-literal patterns default to the whole match.
+    // Registered under a non-colliding name: `EXTRACT(YEAR FROM ts)`
+    // parses to a call of `extract`, which must stay Spark's date-part
+    // built-in. ChSqlRewrite maps the CH comma-form `extract(x, re)`
+    // here (the two shapes differ in top-level arg count).
+    "chExtract" -> (es => {
       val group = es(1) match {
         case Literal(p: org.apache.spark.unsafe.types.UTF8String, StringType) =>
           try {

@@ -1,8 +1,8 @@
 package graft.functions
 
 /** Text-level front-end for the ClickHouse-isms Spark's PARSER rejects
-  * before the function registry can help (SURVEY §2B B21 — the raw-SQL
-  * passthrough surface):
+  * (or silently mis-parses) before the function registry can help
+  * (SURVEY §2B B21 — the raw-SQL passthrough surface):
   *
   *  - `dateDiff('day', a, b)` — Spark's grammar reserves
   *    dateDiff/timestampdiff and demands an UNQUOTED unit, so the
@@ -18,9 +18,31 @@ package graft.functions
   *    (args)` call shape has no Spark grammar; flattened to
   *    `chQuantile(0.5, x)` etc.
   *  - bare `count()` — ClickHouse allows it; Spark wants `count(*)`.
+  *  - `position(haystack, needle[, start])` / `extract(haystack, re)`
+  *    — CH names that COLLIDE with Spark built-ins of different
+  *    semantics; rewritten to `chPosition`/`chExtract` ONLY in their
+  *    unambiguous CH comma-form (≥2 top-level arguments). The
+  *    SQL-standard shapes `POSITION(x IN y)` and `EXTRACT(YEAR FROM
+  *    ts)` have ONE top-level argument (no comma) and pass through to
+  *    the Spark built-ins unchanged, so plain Spark SQL keeps working
+  *    in extensions-configured sessions.
+  *  - `FROM <table> FINAL` — ReplacingMergeTree's read-time dedup
+  *    (reference: app/service/log_importer.ts:120-127 declares the
+  *    engine; a CH user's first query against it is `… FROM events
+  *    FINAL`). Rewritten to a row_number-window dedup subquery over
+  *    the table's REGISTERED key/version declaration
+  *    ([[registerReplacing]]) — the same contract as
+  *    [[graft.operators.Dedup.replacingDedup]]. Without the rewrite
+  *    Spark silently parses FINAL as a table alias.
+  *  - `LIMIT n BY col, …` — CH's per-group top-n clause; rewritten to
+  *    a row_number window over the base query partitioned by the BY
+  *    columns and ordered by the query's ORDER BY (top-level
+  *    statements only; a nested LIMIT BY fails to parse rather than
+  *    mis-executing).
   *
   * The rewrite is purely lexical but STRING- and COMMENT-SAFE:
-  * single-quoted, double-quoted, and backquoted spans, `--` line
+  * single-quoted, double-quoted, and backquoted spans (including
+  * doubled-quote escapes `'it''s'` and backslash escapes), `--` line
   * comments, and `/* */` block comments are copied verbatim, so a
   * literal like 'quantile(0.5)(x)' or an apostrophe inside a comment
   * never derails the scan. Everything else — names, structure,
@@ -45,94 +67,260 @@ object ChSqlRewrite {
     "quantilesExact" -> "chQuantilesExact",
     "topK" -> "chTopK")
 
-  def apply(sql: String): String = {
+  /** A ReplacingMergeTree-style declaration for `FROM t FINAL`: the
+    * dedup key columns and the version ORDER BY expression (SQL text —
+    * highest version wins, e.g. "from_api" or "struct(from_api, id)").
+    */
+  final case class ReplacingDecl(keys: Seq[String], versionSql: String)
+
+  /** lowercased table name -> declaration consulted by the FINAL
+    * rewrite. The ingest events table ships pre-registered with its
+    * reference key (EventsSchema.orderByKey, version (from_api, id) —
+    * the exact [[graft.ingest.EventsWriter.dedup]] contract).
+    */
+  private val replacingDecls =
+    scala.collection.concurrent.TrieMap[String, ReplacingDecl](
+      "events" -> ReplacingDecl(graft.ingest.EventsSchema.orderByKey,
+        "struct(from_api, id)"))
+
+  /** Declare (or replace) a table's FINAL dedup contract. */
+  def registerReplacing(table: String, keys: Seq[String],
+      versionSql: String): Unit =
+    replacingDecls.put(table.toLowerCase, ReplacingDecl(keys, versionSql))
+
+  def apply(sql: String): String =
+    rewriteFunctions(rewriteLimitBy(rewriteFinal(sql)))
+
+  // ---------------------------------------------------------------
+  // shared quote/comment-aware lexing helpers
+  // ---------------------------------------------------------------
+
+  /** at a comment opener? 0 if not, else its kind (1 line, 2 block) */
+  private def commentKind(s: String, j: Int): Int =
+    if (j + 1 >= s.length) 0
+    else if (s.charAt(j) == '-' && s.charAt(j + 1) == '-') 1
+    else if (s.charAt(j) == '/' && s.charAt(j + 1) == '*') 2
+    else 0
+
+  /** index just past the comment starting at `j` */
+  private def commentEnd(s: String, j: Int, kind: Int): Int =
+    if (kind == 1) {
+      val e = s.indexOf('\n', j); if (e < 0) s.length else e + 1
+    } else {
+      val e = s.indexOf("*/", j + 2); if (e < 0) s.length else e + 2
+    }
+
+  /** index just past the quoted span opening at `j` (s(j) is the
+    * quote). Handles backslash escapes (not in backticks) and
+    * SQL-standard doubled-quote escapes ('it''s', `a``b`).
+    */
+  private def quotedEnd(s: String, j: Int): Int = {
+    val q = s.charAt(j)
+    var k = j + 1
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (c == '\\' && q != '`') k += 2
+      else if (c == q) {
+        if (k + 1 < s.length && s.charAt(k + 1) == q) k += 2 // '' escape
+        else return k + 1
+      } else k += 1
+    }
+    s.length
+  }
+
+  /** index just past the ')' matching the '(' at `from`, skipping
+    * quoted spans and comments; -1 if unbalanced
+    */
+  private def matchParen(s: String, from: Int): Int = {
+    var j = from; var depth = 0
+    while (j < s.length) {
+      val ck = commentKind(s, j)
+      if (ck != 0) j = commentEnd(s, j, ck)
+      else s.charAt(j) match {
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; if (depth == 0) return j + 1 else j += 1
+        case '\'' | '"' | '`' => j = quotedEnd(s, j)
+        case _ => j += 1
+      }
+    }
+    -1
+  }
+
+  /** number of top-level (depth-1) comma-separated arguments of the
+    * paren group starting at `from`; -1 if unbalanced. Empty group
+    * counts 0.
+    */
+  private def topLevelArgs(s: String, from: Int): Int = {
+    val end = matchParen(s, from)
+    if (end < 0) return -1
+    var j = from; var depth = 0; var commas = 0; var sawToken = false
+    while (j < end) {
+      val ck = commentKind(s, j)
+      if (ck != 0) j = commentEnd(s, j, ck)
+      else s.charAt(j) match {
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case ',' if depth == 1 => commas += 1; j += 1
+        case '\'' | '"' | '`' => sawToken = true; j = quotedEnd(s, j)
+        case c =>
+          if (!c.isWhitespace && depth >= 1) sawToken = true
+          j += 1
+      }
+    }
+    if (!sawToken) 0 else commas + 1
+  }
+
+  private def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+
+  /** All word tokens with positions and paren depth, skipping quoted
+    * spans and comments: (word, start, endExclusive, depth).
+    */
+  private def wordTokens(s: String): Vector[(String, Int, Int, Int)] = {
+    val out = Vector.newBuilder[(String, Int, Int, Int)]
+    var j = 0; var depth = 0
+    while (j < s.length) {
+      val ck = commentKind(s, j)
+      if (ck != 0) j = commentEnd(s, j, ck)
+      else s.charAt(j) match {
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case '\'' | '"' | '`' => j = quotedEnd(s, j)
+        case c if c.isLetter || c == '_' =>
+          val start = j
+          while (j < s.length && isIdent(s.charAt(j))) j += 1
+          out += ((s.substring(start, j), start, j, depth))
+        case _ => j += 1
+      }
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------
+  // FROM <table> FINAL
+  // ---------------------------------------------------------------
+
+  /** Rewrites every `FROM <table> FINAL` (any nesting depth — the
+    * replacement is purely local) into a dedup subquery aliased back
+    * to the table name, using the table's registered declaration.
+    * Dotted names (`db.events`) resolve on their last segment.
+    */
+  private def rewriteFinal(sql: String): String = {
+    val toks = wordTokens(sql)
+    // trailing clause keywords after FINAL that mean "no user alias"
+    val clauseKw = Set("where", "group", "order", "limit", "having",
+      "union", "intersect", "except", "join", "inner", "left", "right",
+      "full", "cross", "semi", "anti", "on", "using", "window", "as",
+      "settings", "qualify", "distribute", "cluster", "sort", "lateral")
+    var idx = toks.indexWhere(t => t._1.equalsIgnoreCase("from"))
+    var result: Option[String] = None
+    while (idx >= 0 && result.isEmpty) {
+      // collect the (possibly dotted) table name following FROM
+      var k = idx + 1
+      if (k < toks.length && !toks(k)._1.equalsIgnoreCase("final")) {
+        var nameEnd = toks(k)._3
+        var lastSeg = toks(k)._1
+        // absorb `.seg` continuations (dotted identifier)
+        var cont = true
+        while (cont && k + 1 < toks.length &&
+            toks(k + 1)._2 == nameEnd + 1 && sql.charAt(nameEnd) == '.') {
+          k += 1; nameEnd = toks(k)._3; lastSeg = toks(k)._1
+          cont = true
+        }
+        if (k + 1 < toks.length && toks(k + 1)._1.equalsIgnoreCase("final") &&
+            toks(k + 1)._4 == toks(idx)._4) {
+          val table = sql.substring(toks(idx + 1)._2, nameEnd)
+          val finalTok = toks(k + 1)
+          val decl = replacingDecls.getOrElse(lastSeg.toLowerCase,
+            throw new IllegalArgumentException(
+              s"FINAL: no ReplacingMergeTree declaration registered for " +
+                s"table '$table' (ChSqlRewrite.registerReplacing)"))
+          val part = decl.keys.mkString(", ")
+          val sub = s"(SELECT * EXCEPT (__final_rn) FROM (SELECT *, " +
+            s"row_number() OVER (PARTITION BY $part ORDER BY " +
+            s"${decl.versionSql} DESC) AS __final_rn FROM $table) " +
+            s"WHERE __final_rn = 1)"
+          // keep a user-supplied alias; otherwise alias back to the name
+          val next = toks.lift(toks.indexOf(finalTok) + 1)
+          val hasUserAlias = next.exists(t =>
+            t._1.equalsIgnoreCase("as") ||
+              (!clauseKw.contains(t._1.toLowerCase) && t._4 == finalTok._4))
+          val alias = if (hasUserAlias) "" else s" AS $lastSeg"
+          result = Some(sql.substring(0, toks(idx + 1)._2) + sub + alias +
+            sql.substring(finalTok._3))
+        }
+      }
+      idx = toks.indexWhere(t => t._1.equalsIgnoreCase("from"), idx + 1)
+    }
+    // one occurrence per pass; recurse for multiple FINALs
+    result.map(rewriteFinal).getOrElse(sql)
+  }
+
+  // ---------------------------------------------------------------
+  // LIMIT n BY col, …
+  // ---------------------------------------------------------------
+
+  /** Rewrites a TOP-LEVEL `… [ORDER BY o] LIMIT n BY c1, c2 [LIMIT m]`
+    * into a row_number window: partition by the BY columns, order by
+    * the statement's ORDER BY (or the BY columns themselves when the
+    * statement has none — any n rows per group is then a valid CH
+    * answer; ours is deterministic). The statement's ORDER BY and
+    * trailing LIMIT are re-applied outside the window subquery.
+    */
+  private def rewriteLimitBy(sql: String): String = {
+    val toks = wordTokens(sql).filter(_._4 == 0)
+    // find LIMIT <digits> BY at depth 0
+    val lbIdx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("limit") && i + 1 < toks.length &&
+        toks(i + 1)._1.equalsIgnoreCase("by") && {
+          // the "token" between LIMIT and BY is a number — numbers are
+          // not word tokens, so check the raw span is all digits/space
+          val span = sql.substring(toks(i)._3, toks(i + 1)._2).trim
+          span.nonEmpty && span.forall(_.isDigit)
+        }
+    }
+    lbIdx match {
+      case None => sql
+      case Some(i) =>
+        val nStr = sql.substring(toks(i)._3, toks(i + 1)._2).trim
+        // BY columns run to the next depth-0 LIMIT (or end of text)
+        val afterBy = toks(i + 1)._3
+        val tailLimit = toks.indices
+          .find(j => j > i + 1 && toks(j)._1.equalsIgnoreCase("limit"))
+        val colsEnd = tailLimit.map(j => toks(j)._2).getOrElse(sql.length)
+        val cols = sql.substring(afterBy, colsEnd).trim
+        val trailing = tailLimit.map(j => sql.substring(toks(j)._2)).getOrElse("")
+        // the statement's ORDER BY (last depth-0 one before LIMIT BY)
+        val obIdx = toks.indices.filter(j => j + 1 <= i &&
+          toks(j)._1.equalsIgnoreCase("order") && j + 1 < toks.length &&
+          toks(j + 1)._1.equalsIgnoreCase("by")).lastOption
+        val (body, ord) = obIdx match {
+          case Some(j) =>
+            (sql.substring(0, toks(j)._2).trim,
+              sql.substring(toks(j + 1)._3, toks(i)._2).trim)
+          case None => (sql.substring(0, toks(i)._2).trim, "")
+        }
+        val winOrd = if (ord.nonEmpty) ord else cols
+        val outerOrd = if (ord.nonEmpty) s" ORDER BY $ord" else ""
+        val sep = if (trailing.nonEmpty) " " else ""
+        s"SELECT * EXCEPT (__lb_rn) FROM (SELECT *, row_number() OVER " +
+          s"(PARTITION BY $cols ORDER BY $winOrd) AS __lb_rn FROM " +
+          s"($body)) WHERE __lb_rn <= $nStr$outerOrd$sep$trailing"
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // function-call rewrites (token-stream pass)
+  // ---------------------------------------------------------------
+
+  private def rewriteFunctions(sql: String): String = {
     val out = new StringBuilder(sql.length + 16)
     var i = 0
     val n = sql.length
 
-    def copyQuoted(quote: Char): Unit = {
-      out += sql.charAt(i); i += 1
-      while (i < n) {
-        val c = sql.charAt(i); out += c; i += 1
-        if (c == '\\' && quote != '`' && i < n) { out += sql.charAt(i); i += 1 }
-        else if (c == quote) return
-      }
+    def copyQuoted(): Unit = {
+      val e = quotedEnd(sql, i)
+      out ++= sql.substring(i, e); i = e
     }
-
-    /** at a comment opener? 0 if not, else its kind (1 line, 2 block) */
-    def commentKind(s: String, j: Int): Int =
-      if (j + 1 >= s.length) 0
-      else if (s.charAt(j) == '-' && s.charAt(j + 1) == '-') 1
-      else if (s.charAt(j) == '/' && s.charAt(j + 1) == '*') 2
-      else 0
-
-    /** index just past the comment starting at `j` */
-    def commentEnd(s: String, j: Int, kind: Int): Int =
-      if (kind == 1) {
-        val e = s.indexOf('\n', j); if (e < 0) s.length else e + 1
-      } else {
-        val e = s.indexOf("*/", j + 2); if (e < 0) s.length else e + 2
-      }
-
-    /** index just past the ')' matching the '(' at `from`, skipping
-      * quoted spans and comments; -1 if unbalanced
-      */
-    def matchParen(from: Int): Int = {
-      var j = from; var depth = 0
-      while (j < n) {
-        val ck = commentKind(sql, j)
-        if (ck != 0) j = commentEnd(sql, j, ck)
-        else {
-          sql.charAt(j) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) return j + 1
-            case q @ ('\'' | '"' | '`') =>
-              j += 1
-              while (j < n && sql.charAt(j) != q) {
-                if (sql.charAt(j) == '\\' && q != '`') j += 1
-                j += 1
-              }
-            case _ =>
-          }
-          j += 1
-        }
-      }
-      -1
-    }
-
-    /** number of top-level (depth-1) comma-separated arguments of the
-      * paren group starting at `from`; -1 if unbalanced. Empty group
-      * counts 0.
-      */
-    def topLevelArgs(from: Int): Int = {
-      val end = matchParen(from)
-      if (end < 0) return -1
-      var j = from; var depth = 0; var commas = 0; var sawToken = false
-      while (j < end) {
-        val ck = commentKind(sql, j)
-        if (ck != 0) j = commentEnd(sql, j, ck)
-        else {
-          sql.charAt(j) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case ',' if depth == 1 => commas += 1
-            case q @ ('\'' | '"' | '`') =>
-              sawToken = true
-              j += 1
-              while (j < end && sql.charAt(j) != q) {
-                if (sql.charAt(j) == '\\' && q != '`') j += 1
-                j += 1
-              }
-            case c if !c.isWhitespace && depth >= 1 => sawToken = true
-            case _ =>
-          }
-          j += 1
-        }
-      }
-      if (!sawToken) 0 else commas + 1
-    }
-
-    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
 
     while (i < n) {
       val ck = commentKind(sql, i)
@@ -140,7 +328,7 @@ object ChSqlRewrite {
         val e = commentEnd(sql, i, ck)
         out ++= sql.substring(i, e); i = e
       } else sql.charAt(i) match {
-        case q @ ('\'' | '"' | '`') => copyQuoted(q)
+        case '\'' | '"' | '`' => copyQuoted()
         case c if c.isLetter || c == '_' =>
           val start = i
           while (i < n && isIdent(sql.charAt(i))) i += 1
@@ -157,7 +345,7 @@ object ChSqlRewrite {
               // datediff('2024-01-05', d) passes through
               var k = j + 1
               while (k < n && sql.charAt(k).isWhitespace) k += 1
-              val nargs = topLevelArgs(j)
+              val nargs = topLevelArgs(sql, j)
               if (k < n && sql.charAt(k) == '\'' &&
                   (nargs == 3 || nargs == 4)) {
                 out ++= "chDateDiff"; i = j
@@ -169,13 +357,27 @@ object ChSqlRewrite {
               if (k < n && sql.charAt(k) == ')') {
                 out ++= "count(*)"; i = k + 1
               } else out ++= word
+            } else if (lower == "position") {
+              // CH comma-form position(haystack, needle[, start]) —
+              // reversed args vs Spark's built-in. The 1-arg
+              // `POSITION(x IN y)` standard form passes through.
+              val nargs = topLevelArgs(sql, j)
+              if (nargs == 2 || nargs == 3) { out ++= "chPosition"; i = j }
+              else out ++= word
+            } else if (lower == "extract") {
+              // CH regex extract(haystack, re) — 2 comma args; the
+              // 1-arg `EXTRACT(YEAR FROM ts)` standard form passes
+              // through to Spark's date-part built-in.
+              val nargs = topLevelArgs(sql, j)
+              if (nargs == 2) { out ++= "chExtract"; i = j }
+              else out ++= word
             } else curried.get(word) match {
               case Some(flat) =>
-                val endParams = matchParen(j)
+                val endParams = matchParen(sql, j)
                 var k = endParams
                 while (k >= 0 && k < n && sql.charAt(k).isWhitespace) k += 1
                 if (endParams > 0 && k >= 0 && k < n && sql.charAt(k) == '(') {
-                  val endArgs = matchParen(k)
+                  val endArgs = matchParen(sql, k)
                   if (endArgs > 0) {
                     val params = sql.substring(j + 1, endParams - 1).trim
                     val args = sql.substring(k + 1, endArgs - 1).trim

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.ChCompat
+import graft.functions.{ChCompat, ChSqlRewrite}
 import graft.operators.Dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -221,6 +221,41 @@ object RefQueries {
       FROM events
       GROUP BY toStartOfDay(ts), toDayOfWeek(ts)
       ORDER BY day""")
+  }
+
+  // ---- ClickHouse `FROM t FINAL` run VERBATIM through the dialect
+  // front-end: the ReplacingMergeTree read-time dedup a CH user's
+  // first query against the reference's events table hits (reference:
+  // app/service/log_importer.ts:120-127 declares
+  // ReplacingMergeTree(from_api)). ChSqlRewrite expands FINAL to a
+  // row_number dedup over the table's REGISTERED key/version — the
+  // same contract as Dedup.replacingDedup/EventsWriter.dedup. The
+  // test events table is declared key=(user_id, event_type),
+  // version=event_id (unique, so the kept row is deterministic). ----
+  def ch_final(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    ChSqlRewrite.registerReplacing("events", Seq("user_id", "event_type"),
+      "event_id")
+    ChCompat.sql(s, """
+      SELECT user_id, event_type, event_id, value
+      FROM events FINAL
+      ORDER BY user_id, event_type""")
+  }
+
+  // ---- ClickHouse `LIMIT n BY col` run verbatim: the idiomatic CH
+  // per-group top-n. ChSqlRewrite expands it to a row_number window
+  // partitioned by the BY columns, ordered by the statement's ORDER
+  // BY; (value DESC, event_id) is a total order, so the kept rows and
+  // their final order are deterministic cross-engine. ----
+  def ch_limit_by(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    ChCompat.sql(s, """
+      SELECT user_id, event_id, value
+      FROM events
+      ORDER BY value DESC, event_id
+      LIMIT 2 BY user_id""")
   }
 
   // ---- B10/B11 compat: arrayJoin + JSONExtract* run verbatim.

@@ -211,7 +211,7 @@ class ChCompatSpec extends SparkTestBase {
   test("review fixes: range edges, position start, quantileExact " +
       "element semantics, datediff passthrough, comment safety") {
     ChCompat.registerAll(spark)
-    val r = spark.sql(
+    val r = ChCompat.sql(spark,
       """SELECT range(0) AS r0, range(5, 2) AS rdesc, range(0, 10, 2) AS rstep,
                 position('ababa', 'a', 2) AS p3,
                 range(3) AS r3""").head
@@ -249,7 +249,7 @@ class ChCompatSpec extends SparkTestBase {
 
   test("string/regex aliases (third pass)") {
     ChCompat.registerAll(spark)
-    val r = spark.sql(
+    val r = ChCompat.sql(spark,
       """SELECT match('hello42', '[a-z]+\\d+') AS m1,
                 match('hello', '^\\d+$') AS m0,
                 extract('key=value', 'key=(\\w+)') AS ex1,
@@ -272,7 +272,7 @@ class ChCompatSpec extends SparkTestBase {
   test("second-review fixes: extract parens, week mode, uniq tuples, " +
       "range nulls, tz dateDiff, position family start") {
     ChCompat.registerAll(spark)
-    val r = spark.sql(
+    val r = ChCompat.sql(spark,
       """SELECT extract('a(b', 'a\\(') AS e_escaped,
                 extract('abcabc', '(?:abc)+') AS e_noncap,
                 toStartOfWeek(DATE'2024-01-10', 1) AS w_mon,
@@ -299,6 +299,98 @@ class ChCompatSpec extends SparkTestBase {
     assert(tz.getInt(0) === 2)
   }
 
+  test("position/extract: CH comma-forms rewrite to chPosition/chExtract; " +
+      "SQL-standard forms keep Spark built-in semantics") {
+    ChCompat.registerAll(spark)
+    // comma-forms get CH argument order via the rewrite
+    assert(ChSqlRewrite("position(h, n)") === "chPosition(h, n)")
+    assert(ChSqlRewrite("position(h, n, 2)") === "chPosition(h, n, 2)")
+    assert(ChSqlRewrite("extract(h, 're')") === "chExtract(h, 're')")
+    // SQL-standard single-argument forms pass through untouched
+    assert(ChSqlRewrite("POSITION('b' IN 'abc')") === "POSITION('b' IN 'abc')")
+    assert(ChSqlRewrite("EXTRACT(YEAR FROM ts)") === "EXTRACT(YEAR FROM ts)")
+    // and the built-ins still resolve correctly through the dialect entry
+    val r = ChCompat.sql(spark,
+      """SELECT EXTRACT(YEAR FROM TIMESTAMP '2015-03-07 14:15:16') AS y,
+                POSITION('b' IN 'abc') AS p,
+                position('abcabc', 'b', 3) AS chp""").head
+    assert(r.getInt(0) === 2015)
+    assert(r.getInt(1) === 2)
+    assert(r.getInt(2) === 5) // CH order: haystack first, start 3
+  }
+
+  test("doubled-quote escapes don't desync the scanner") {
+    // 'it''s' spans one literal; the rewrite after it must still fire
+    assert(ChSqlRewrite("SELECT 'it''s', quantile(0.5)(x) FROM t") ===
+      "SELECT 'it''s', chQuantile(0.5, x) FROM t")
+    // a curried-shape string inside the escaped literal is untouched
+    assert(ChSqlRewrite("SELECT 'don''t quantile(0.5)(x)' FROM t") ===
+      "SELECT 'don''t quantile(0.5)(x)' FROM t")
+    // doubled quote inside a function argument: paren matching holds
+    assert(ChSqlRewrite("SELECT position('it''s', 's') AS p") ===
+      "SELECT chPosition('it''s', 's') AS p")
+    val r = ChCompat.sql(spark, "SELECT position('it''s', 's') AS p").head
+    assert(r.getInt(0) === 4)
+  }
+
+  test("anyHeavy is ANSI-safe on all-NULL groups") {
+    ChCompat.registerAll(spark)
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val r = spark.sql(
+        """SELECT anyHeavy(v) AS ah
+           FROM VALUES (CAST(NULL AS STRING)), (CAST(NULL AS STRING)) AS t(v)
+        """).head
+      assert(r.isNullAt(0))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("FROM t FINAL: ReplacingMergeTree read-time dedup via registered key") {
+    ChCompat.registerAll(spark)
+    import spark.implicits._
+    Seq((1, "a", 10, false), (1, "a", 20, true), (1, "b", 30, false),
+      (2, "a", 40, false), (2, "a", 50, false))
+      .toDF("k1", "k2", "v", "from_api")
+      .createOrReplaceTempView("chspec_repl")
+    ChSqlRewrite.registerReplacing("chspec_repl", Seq("k1", "k2"),
+      "struct(from_api, v)")
+    val got = ChCompat.sql(spark,
+      "SELECT k1, k2, v FROM chspec_repl FINAL ORDER BY k1, k2")
+      .as[(Int, String, Int)].collect().toSeq
+    assert(got === Seq((1, "a", 20), (1, "b", 30), (2, "a", 50)))
+    // unregistered table: loud error, not a silent alias mis-parse
+    val err = intercept[IllegalArgumentException] {
+      ChSqlRewrite("SELECT * FROM unregistered_tbl FINAL")
+    }
+    assert(err.getMessage.contains("unregistered_tbl"))
+    // FINAL inside a string literal is untouched
+    assert(ChSqlRewrite("SELECT 'FROM x FINAL' AS s") ===
+      "SELECT 'FROM x FINAL' AS s")
+  }
+
+  test("LIMIT n BY col: per-group top-n with the statement's ORDER BY") {
+    ChCompat.registerAll(spark)
+    import spark.implicits._
+    Seq((1, 10), (1, 30), (1, 20), (2, 5), (2, 15), (3, 1))
+      .toDF("g", "v").createOrReplaceTempView("chspec_lb")
+    val got = ChCompat.sql(spark,
+      "SELECT g, v FROM chspec_lb ORDER BY v DESC LIMIT 2 BY g")
+      .as[(Int, Int)].collect().toSeq
+    assert(got === Seq((1, 30), (1, 20), (2, 15), (2, 5), (3, 1)))
+    // with a trailing global LIMIT after the LIMIT BY clause
+    val capped = ChCompat.sql(spark,
+      "SELECT g, v FROM chspec_lb ORDER BY v DESC LIMIT 2 BY g LIMIT 3")
+      .as[(Int, Int)].collect().toSeq
+    assert(capped === Seq((1, 30), (1, 20), (2, 15)))
+    // plain LIMIT is not touched
+    assert(ChSqlRewrite("SELECT * FROM t LIMIT 5") ===
+      "SELECT * FROM t LIMIT 5")
+    // LIMIT BY text inside a string literal is untouched
+    assert(ChSqlRewrite("SELECT 'LIMIT 2 BY g' AS s FROM t") ===
+      "SELECT 'LIMIT 2 BY g' AS s FROM t")
+  }
+
   test("topK(k)(x): curried heavy-hitters via the FreqTopK sketch") {
     ChCompat.registerAll(spark)
     val r = ChCompat.sql(spark,
@@ -310,7 +402,7 @@ class ChCompatSpec extends SparkTestBase {
 
   test("string/array helpers (second widening pass)") {
     ChCompat.registerAll(spark)
-    val r = spark.sql(
+    val r = ChCompat.sql(spark,
       """SELECT empty('') AS e1, empty('x') AS e0, notEmpty('x') AS ne,
                 lengthUTF8('héllo') AS l,
                 position('Hello world', 'world') AS p,
