@@ -59,67 +59,82 @@ object StreamingFunnel {
       .as[StepEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FState, FunnelProgress](
-        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[StepEvent], state: GroupState[FState]) =>
-          // a group is only invoked when it has input rows OR a timeout
-          // fires — buffered events must schedule their own drain via
-          // an event-time timeout at the earliest pending timestamp
-          val prev = state.getOption.getOrElse(
-            FState(Vector.empty, Vector.fill(nSteps)(UNSET), 0))
-          val buffered = prev.pending ++
-            rows.map(e => (e.ts.getTime, e.step))
-          // drain events STRICTLY below the watermark, in event-time
-          // order. Strictly: an event AT the watermark may still gain
-          // same-timestamp peers in later batches (only ts < wm rows
-          // are dropped upstream), and an equal-ts group must drain
-          // atomically — it applies against the pre-group state so
-          // strict increase holds across the group
-          val wm = state.getCurrentWatermarkMs()
-          val (ready, stillPending) = buffered.partition(_._1 < wm)
-          var best = prev.best
-          var level = prev.emitted
-          var levelAt = UNSET
-          ready.groupBy(_._1).toSeq.sortBy(_._1)
-            .foreach { case (t, group) =>
-              val before = best
-              group.foreach { case (_, step) =>
-                if (step == 0)
-                  best = best.updated(0, math.max(best(0), t))
-                // window check floors each side to whole seconds THEN
-                // diffs — the batch operator's unix_timestamp form;
-                // diff-then-floor disagrees on sub-second fractions
-                else if (before(step - 1) != UNSET &&
-                    t / 1000L - before(step - 1) / 1000L <= windowSec)
-                  best = best.updated(step,
-                    math.max(best(step), before(step - 1)))
-              }
-              val reached = best.lastIndexWhere(_ != UNSET) + 1
-              if (reached > level) { level = reached; levelAt = t }
-            }
-          // drop INERT state: nothing pending and no chain can ever
-          // extend (funnel complete, or every recorded start is more
-          // than the window behind the watermark — any future event
-          // lands past its window). A user re-appearing later re-opens
-          // from scratch and may re-emit lower levels; downstream
-          // consumers aggregate max(level), the same re-open trade
-          // StreamingDedup.consolidateNodes documents.
-          val inert = stillPending.isEmpty &&
-            (level == nSteps || best.forall(b =>
-              b == UNSET || b / 1000L + windowSec < wm / 1000L))
-          if (inert) state.remove()
-          else state.update(FState(stillPending, best, level))
-          // wake this group when the watermark passes its earliest
-          // still-buffered event (min pending > wm here, else it
-          // would have drained above)
-          if (stillPending.nonEmpty)
-            // min pending can EQUAL the watermark (strict drain) and
-            // Spark requires a timeout strictly ahead of it
-            state.setTimeoutTimestamp(
-              math.max(stillPending.map(_._1).min, wm + 1))
-          if (level > prev.emitted)
-            Iterator.single(FunnelProgress(user, level,
-              new Timestamp(levelAt)))
-          else Iterator.empty
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        processGroup(nSteps, windowSec))
+  }
+
+  /** The per-group state transition — factored out so the timeout /
+    * state-removal contract is unit-testable with `TestGroupState`.
+    */
+  private[streaming] def processGroup(nSteps: Int, windowSec: Long)(
+      user: Long, rows: Iterator[StepEvent],
+      state: GroupState[FState]): Iterator[FunnelProgress] = {
+    // a group is only invoked when it has input rows OR a timeout
+    // fires — buffered events must schedule their own drain via
+    // an event-time timeout at the earliest pending timestamp
+    val prev = state.getOption.getOrElse(
+      FState(Vector.empty, Vector.fill(nSteps)(UNSET), 0))
+    val buffered = prev.pending ++
+      rows.map(e => (e.ts.getTime, e.step))
+    // drain events STRICTLY below the watermark, in event-time
+    // order. Strictly: an event AT the watermark may still gain
+    // same-timestamp peers in later batches (only ts < wm rows
+    // are dropped upstream), and an equal-ts group must drain
+    // atomically — it applies against the pre-group state so
+    // strict increase holds across the group
+    val wm = state.getCurrentWatermarkMs()
+    val (ready, stillPending) = buffered.partition(_._1 < wm)
+    var best = prev.best
+    var level = prev.emitted
+    var levelAt = UNSET
+    ready.groupBy(_._1).toSeq.sortBy(_._1)
+      .foreach { case (t, group) =>
+        val before = best
+        group.foreach { case (_, step) =>
+          if (step == 0)
+            best = best.updated(0, math.max(best(0), t))
+          // window check floors each side to whole seconds THEN
+          // diffs — the batch operator's unix_timestamp form;
+          // diff-then-floor disagrees on sub-second fractions
+          else if (before(step - 1) != UNSET &&
+              t / 1000L - before(step - 1) / 1000L <= windowSec)
+            best = best.updated(step,
+              math.max(best(step), before(step - 1)))
+        }
+        val reached = best.lastIndexWhere(_ != UNSET) + 1
+        if (reached > level) { level = reached; levelAt = t }
       }
+    // drop INERT state: nothing pending and no chain can ever
+    // extend (funnel complete, or every recorded start is more
+    // than the window behind the watermark — any future event
+    // lands past its window). A user re-appearing later re-opens
+    // from scratch and may re-emit lower levels; downstream
+    // consumers aggregate max(level), the same re-open trade
+    // StreamingDedup.consolidateNodes documents.
+    val inert = stillPending.isEmpty &&
+      (level == nSteps || best.forall(b =>
+        b == UNSET || b / 1000L + windowSec < wm / 1000L))
+    if (inert) state.remove()
+    else state.update(FState(stillPending, best, level))
+    if (stillPending.nonEmpty)
+      // wake this group when the watermark passes its earliest
+      // still-buffered event (min pending > wm here, else it would
+      // have drained above). Min pending can EQUAL the watermark
+      // (strict drain) and Spark requires a timeout strictly ahead.
+      state.setTimeoutTimestamp(
+        math.max(stillPending.map(_._1).min, wm + 1))
+    else if (!inert)
+      // buffer drained but live chain starts remain: wake when the
+      // NEWEST start's window expires so the inert check re-runs and
+      // the state is removed even if the user never sends another
+      // event — otherwise one-shot users would pin FState for the
+      // stream's lifetime, breaking the bounded-state claim
+      state.setTimeoutTimestamp(math.max(
+        (best.filter(_ != UNSET).max / 1000L + windowSec + 1) * 1000L,
+        wm + 1))
+    if (level > prev.emitted)
+      Iterator.single(FunnelProgress(user, level,
+        new Timestamp(levelAt)))
+    else Iterator.empty
   }
 }

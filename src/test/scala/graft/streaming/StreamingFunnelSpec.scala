@@ -64,6 +64,36 @@ class StreamingFunnelSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("drained buffer with live chain start schedules an expiry timeout; " +
+      "firing it removes the state (bounded one-shot-user state)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingFunnel._
+    val step = processGroup(nSteps = 3, windowSec = 60L) _
+
+    // watermark 100s; a step-0 event at 50s drains immediately —
+    // buffer empty, but the chain start stays live until 50+60s
+    val s1 = TestGroupState.create[FState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(100000L), hasTimedOut = false)
+    val out1 = step(1L,
+      Iterator(StepEvent(1L, new java.sql.Timestamp(50000L), 0)), s1)
+    assert(out1.toSeq.map(_.level) === Seq(1))
+    assert(s1.exists && !s1.isRemoved)
+    // expiry wake-up: (50 + 60 + 1) s — NOT unset, else a one-shot
+    // user's state would never be re-examined
+    assert(s1.getTimeoutTimestampMs.get() === 111000L)
+
+    // the timeout fires once the watermark passes the expiry: the
+    // inert check re-runs and the state is removed
+    val s2 = TestGroupState.create[FState](
+      Optional.of(s1.get), GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(111001L), hasTimedOut = true)
+    val out2 = step(1L, Iterator.empty, s2)
+    assert(out2.isEmpty)
+    assert(s2.isRemoved)
+  }
+
   test("same-instant next step does not count (strict increase)") {
     val in = MemoryStream[(Long, java.sql.Timestamp, Int)](spark)
     val out = StreamingFunnel.funnel(
