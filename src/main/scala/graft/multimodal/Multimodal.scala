@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column support: image/audio/video travel as opaque
   * `binary` columns with a typed metadata struct beside them.
   *
-  * The actual media decode is STUBBED (this container ships no
-  * image/audio codecs): [[stubDecodeMeta]] derives deterministic fake
-  * dimensions from the payload bytes. Everything around the stub — the
-  * binary column, the metadata schema, the per-partition batch
-  * processing in [[mapBinaryBatches]] — is the real plumbing a decode
-  * UDF would plug into.
+  * IMAGE decode is REAL: [[decodeImageMeta]] reads width/height/format
+  * from actual PNG/JPEG/GIF/BMP headers via the JDK's `javax.imageio`
+  * (no new dependencies). AUDIO/VIDEO decode remains STUBBED (the
+  * container ships no av codecs): [[stubDecodeMeta]] derives
+  * deterministic fake dimensions from the payload bytes. Everything
+  * around the decoders — the binary column, the metadata schema, the
+  * per-partition batch processing in [[mapBinaryBatches]] — is the
+  * same plumbing either way; a production av codec plugs in exactly
+  * where the image decoder does.
   *
   * Scale notes: binary payloads never shuffle in these operators; the
   * decode is a map-only pass, and metadata extraction prunes to the
@@ -43,6 +46,53 @@ object Multimodal {
     val pruned = df.select(col(idCol).cast("long"), col(payloadCol))
     import pruned.sparkSession.implicits._
     pruned.as[(Long, Array[Byte])].mapPartitions(fn)
+  }
+
+  /** REAL image decode through the [[mapBinaryBatches]] extension
+    * point: width/height/format read from the actual image header via
+    * `javax.imageio` — in the JDK, zero new dependencies. The reader
+    * is header-only (`getWidth(0)` never decodes pixel data), so this
+    * is a cheap map-only pass even over multi-MB payloads. Bytes no
+    * installed reader recognizes (i.e. not PNG/JPEG/GIF/BMP/…) yield
+    * null dimensions and a null format — the honest fallback the stub
+    * family documents for codecs the JVM lacks (video/audio).
+    */
+  def decodeImageMeta(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    mapBinaryBatches(df, idCol, payloadCol) { it =>
+      it.map { case (id, bytes) =>
+        decodeImageHeader(bytes) match {
+          case Some((w, h, fmt)) =>
+            (id, Some(w), Some(h), Some(fmt))
+          case None => (id, None: Option[Int], None: Option[Int],
+            None: Option[String])
+        }
+      }
+    }.toDF("id", "width", "height", "format")
+  }
+
+  /** Header-only decode of one payload: (width, height, format
+    * name lowercased), or None when no installed ImageIO reader
+    * recognizes the bytes or the header is corrupt.
+    */
+  def decodeImageHeader(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
   }
 
   /** Stub feature extraction via [[mapBinaryBatches]]: length + a

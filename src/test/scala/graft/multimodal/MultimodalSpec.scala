@@ -27,6 +27,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(m(3L) === ((0L, 0L, "png")))
   }
 
+  test("decodeImageMeta: REAL PNG/JPEG header decode via javax.imageio " +
+      "in mapPartitions; non-image bytes fall back to nulls") {
+    // generate genuine images in-memory — no fixtures, no new deps
+    def img(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      bi.setRGB(0, 0, 0xFF8040)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, bos))
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, img(17, 9, "png")),
+      (2L, img(32, 24, "jpg")),
+      (3L, "definitely not an image".getBytes("UTF-8")),
+      (4L, Array.empty[Byte]))
+      .toDF("id", "payload")
+      .repartition(2) // decode must work per-partition, not driver-side
+    val got = Multimodal.decodeImageMeta(rows, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) "null" else r.getString(3))))
+      .toMap
+    assert(got(1L) === ((17, 9, "png")))
+    assert(got(2L)._1 === 32 && got(2L)._2 === 24)
+    assert(got(2L)._3 === "jpeg") // ImageIO reports "JPEG" for .jpg writers
+    assert(got(3L) === ((-1, -1, "null")))
+    assert(got(4L) === ((-1, -1, "null")))
+  }
+
   test("stubFeatures: per-partition batch map produces one feature row per payload") {
     val f = Multimodal.stubFeatures(docs, "id", "payload")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
