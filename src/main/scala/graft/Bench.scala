@@ -57,9 +57,17 @@ object Bench {
       m.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":${jmap(errors)},"n_failed":${errors.size},"sf":"$sfDir"}""")
+      s""""errors":${jmap(errors)},"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // also land the line in a file: sbt interleaves its own [info]
+    // prefixes and Spark logs on stdout, so a tail-parse of the build
+    // output is fragile — the file parses structurally every time
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

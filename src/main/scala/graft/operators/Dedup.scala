@@ -90,22 +90,46 @@ object Dedup {
     }
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val spark = pairs.sparkSession
+    val tE = System.nanoTime()
+    // materialize the (often expensive) upstream pair-detector ONCE:
+    // a plain union of `pairs` with its flip evaluates the pair plan
+    // twice — exchange reuse does not fire across the flipped
+    // projection, and on p02 the duplicated MinHash/Jaccard scan was
+    // over half the operator's wall-clock
+    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint()
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    unpersistCheckpoint(p)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"CC edges checkpoint: ${(System.nanoTime() - tE) / 1e9}%.2fs")
+    val tL = System.nanoTime()
+    // seed comp = min(self, neighbors): round 0's neighbor-min fused
+    // into the init as one aggregation over the checkpointed edges —
+    // no join, and the loop starts one propagation step ahead
+    var labels = edges.groupBy("src")
+      .agg(min("dst").as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("comp"))
       .localCheckpoint()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"CC labels init: ${(System.nanoTime() - tL) / 1e9}%.2fs")
+    // the RDD backing the current `labels` when it came from the loop
+    // (null for the initial localCheckpoint — different unpersist path)
+    var labelsRdd: org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow] = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val tR = System.nanoTime()
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy("src").agg(min("comp").as("ncomp"))
         .withColumnRenamed("src", "id")
-      // carry the pre-step label as `prev` so convergence is a cheap
-      // scan of the checkpointed result, not another join per round
+      // carry the pre-step label as `prev` so convergence needs no
+      // extra join — just a compare on the materialized rows
       val stepped = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev"),
@@ -114,8 +138,8 @@ object Dedup {
       // label, then the result's again. Two hops quarter the
       // remaining distance each round (log4 convergence instead of
       // log2) — one extra hash join per round buys half the rounds,
-      // and the fixed per-round cost (checkpoint materialization +
-      // convergence-count job) is what dominates the loop.
+      // and the fixed per-round cost (the materialization job) is
+      // what dominates the loop.
       val parent = stepped
         .select(col("id").as("comp"), col("comp").as("pcomp"))
       val hop1 = stepped
@@ -128,17 +152,33 @@ object Dedup {
         .join(parent2, Seq("comp"), "left")
         .select(col("id"), col("prev"),
           least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      // round 1 cannot converge on a non-empty graph (every edge's
-      // larger endpoint relabels), so its convergence count is a
-      // wasted job — skip it; an empty graph just runs one extra
-      // round over empty frames
-      val changed =
-        if (i == 0) 1L
-        else updated.filter(col("comp") =!= col("prev")).count()
-      unpersistCheckpoint(labels)
-      labels = updated
-      converged = changed == 0
+      // materialize AND count label changes in ONE job: rows stream
+      // through an accumulator on their way into the cache, replacing
+      // the former localCheckpoint-then-count pair of jobs per round.
+      // Stays in InternalRow (the representation localCheckpoint
+      // caches) via the sql-package bridge — the external-Row
+      // createDataFrame round-trip measured ~15% slower on p02.
+      // (Accumulator overcount from a retried task can only add a
+      // spurious extra round, never a wrong result.)
+      val acc = spark.sparkContext.longAccumulator("cc_changed")
+      val schema = updated.schema
+      val dts = schema.fields.map(_.dataType)
+      val rdd = updated.queryExecution.toRdd.mapPartitions { it =>
+        it.map { r =>
+          if (r.get(1, dts(1)) != r.get(2, dts(2))) acc.add(1) // prev != comp
+          r.copy()
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"CC round $i: changed=${acc.value} " +
+          f"round=${(System.nanoTime() - tR) / 1e9}%.2fs")
+      if (labelsRdd != null) labelsRdd.unpersist(false)
+      else unpersistCheckpoint(labels)
+      labels = org.apache.spark.sql.graft.ColumnBridge
+        .internalCreateDataFrame(spark, rdd, schema)
+      labelsRdd = rdd
+      converged = acc.value == 0
       i += 1
     }
     unpersistCheckpoint(edges)

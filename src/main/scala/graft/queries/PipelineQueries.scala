@@ -94,7 +94,15 @@ object PipelineQueries {
   // join on id_b. The naive range-condition join has no equi-key and
   // plans as BroadcastNestedLoopJoin — O(N²) compares at scale; this
   // form shuffles 20 small rows per doc and stays a hash join. ----
-  def jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
+  def jaccard_pairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsRaw(s, dir).orderBy("id_a", "id_b")
+
+  /** d04 without the gate's presentation ORDER BY — the form the
+    * pair-consuming operators (p02 connected components, g05
+    * triangles) take as input; a global sort on an intermediate edge
+    * list is pure waste there.
+    */
+  private def jaccardPairsRaw(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"),
       TextFunctions.tokenSet(col("text")).as("w"))
     val a = d.select(col("doc_id").as("id_a"), col("w").as("w_a"))
@@ -104,7 +112,6 @@ object PipelineQueries {
       .withColumn("jaccard", TextDedup.jaccard(col("w_a"), col("w_b")))
       .filter(col("jaccard") >= 0.6)
       .select(col("id_a"), col("id_b"))
-      .orderBy("id_a", "id_b")
   }
 
   // ---- asymmetric containment dedup: overlap coefficient
@@ -275,7 +282,7 @@ object PipelineQueries {
   // hash-join rounds even on the chain-shaped graphs the ±window
   // detector produces. Full oracle via DuckDB recursive CTE. ----
   def neardup_groups(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(jaccard_pairs(s, dir))
+    Dedup.connectedComponents(jaccardPairsRaw(s, dir))
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy("doc_id")
 
@@ -284,7 +291,7 @@ object PipelineQueries {
   // oriented wedge join — candidate rows bounded by m^1.5 regardless
   // of hub degrees; see graph.Triangles. Full relational oracle. ----
   def neardup_triangles(s: SparkSession, dir: String): DataFrame =
-    graft.graph.Triangles.summary(jaccard_pairs(s, dir), "id_a", "id_b")
+    graft.graph.Triangles.summary(jaccardPairsRaw(s, dir), "id_a", "id_b")
 
   // ---- token-budget shard packing: cleaned docs → fixed-budget
   // training shards, greedily in doc_id order within each language.

@@ -22,4 +22,18 @@ object ColumnBridge {
     */
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame over an InternalRow RDD — `internalCreateDataFrame` is
+    * `private[sql]`. Iterative operators use this to re-enter the
+    * DataFrame world after materializing a round's state as a
+    * persisted RDD[InternalRow] (the exact representation
+    * `localCheckpoint` caches) WITHOUT the external-Row round-trip of
+    * `spark.createDataFrame(rdd, schema)`.
+    */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
