@@ -62,6 +62,7 @@ object SparkEntry {
     "r32_moving_avg" -> (RefQueries.moving_avg _),
     "r34_cube" -> (RefQueries.cube_agg _),
     "r35_ch_final" -> (RefQueries.ch_final _),
+    "r37_salted_skew" -> (RefQueries.salted_skew_agg _),
     "r36_ch_limit_by" -> (RefQueries.ch_limit_by _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "t07_tfidf" -> (PipelineQueries.tfidf _),
     "t08_repetition" -> (PipelineQueries.repetition _),
     "t09_topk_sketch" -> (PipelineQueries.topk_sketch _),
+    "t10_kll_bound" -> (PipelineQueries.kll_bound _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
   )
@@ -306,6 +308,16 @@ object SparkEntry {
                                             ORDER BY event_id DESC) AS rn
                FROM events) WHERE rn = 1
          ORDER BY user_id, event_type""",
+
+    "r37_salted_skew" ->
+      """SELECT k, n, sum_v, max_id FROM (
+           SELECT CASE WHEN event_id % 10 <> 0 THEN 'hot'
+                       ELSE 'u' || CAST(user_id AS VARCHAR) END AS k,
+                  count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+                  max(event_id) AS max_id
+           FROM events GROUP BY 1)
+         ORDER BY k""",
 
     "r36_ch_limit_by" ->
       """SELECT user_id, event_id, value
@@ -789,6 +801,17 @@ object SparkEntry {
                  FROM c)
          SELECT CAST(rank AS INTEGER) AS rank, item, est
          FROM r WHERE rank <= 10 ORDER BY rank""",
+
+    // t10: the KLL sketch's accuracy CONTRACT is the oracle — the
+    // Spark side computes whether each estimate's exact rank interval
+    // meets the documented eps bound; the oracle pins all-true. (The
+    // sketch values themselves are randomized-compaction outputs and
+    // cannot hash-compare.)
+    "t10_kll_bound" ->
+      """SELECT g, CAST(p AS DOUBLE) AS p, true AS within_bound
+         FROM (SELECT DISTINCT l_returnflag AS g FROM lineitem)
+         CROSS JOIN (VALUES (0.25), (0.50), (0.75), (0.95)) t(p)
+         ORDER BY g, p""",
 
     "m01_multimodal_meta" ->
       """SELECT doc_id,

@@ -380,6 +380,44 @@ object PipelineQueries {
       FROM documents_sqlsurface ORDER BY doc_id""")
   }
 
+  // ---- KLL quantile sketch gated by its RANK-ERROR BOUND: the
+  // sketch's randomized compaction makes its outputs non-bit-stable,
+  // so value equality can't be oracled — but the accuracy CONTRACT
+  // can. Per (group, probe p) the query computes the exact rank
+  // interval [count(<est), count(<=est)]/n of the sketch's estimate
+  // IN THE SAME PLAN and emits whether [p-eps, p+eps] intersects it
+  // (eps = 1.65%, the documented k=200 KLL normalized rank error).
+  // The oracle asserts every row is `true` — a green row means the
+  // sketch met its bound on the real data; a violated bound fails the
+  // hash compare. ----
+  def kll_bound(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.PipelineFunctions.registerAll(s)
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("kll_lineitem")
+    s.sql("""
+      WITH sk AS (
+        SELECT l_returnflag AS g,
+               kll_sketch_agg(l_extendedprice) AS sk,
+               count(*) AS n
+        FROM kll_lineitem GROUP BY 1),
+      est AS (
+        SELECT g, n, pos, est
+        FROM sk
+        LATERAL VIEW posexplode(
+          kll_quantiles(sk, array(0.25D, 0.5D, 0.75D, 0.95D))) t AS pos, est),
+      ranks AS (
+        SELECT e.g, e.pos, e.n,
+               sum(CASE WHEN l.l_extendedprice <  e.est THEN 1 ELSE 0 END) AS lt,
+               sum(CASE WHEN l.l_extendedprice <= e.est THEN 1 ELSE 0 END) AS le
+        FROM est e JOIN kll_lineitem l ON l.l_returnflag = e.g
+        GROUP BY e.g, e.pos, e.n)
+      SELECT g,
+             element_at(array(0.25D, 0.5D, 0.75D, 0.95D), pos + 1) AS p,
+             (lt / n - 0.0165D <= element_at(array(0.25D, 0.5D, 0.75D, 0.95D), pos + 1)
+              AND element_at(array(0.25D, 0.5D, 0.75D, 0.95D), pos + 1) <= le / n + 0.0165D)
+               AS within_bound
+      FROM ranks ORDER BY g, p""")
+  }
+
   // ---- Z-order layout key: the Morton interleave that drives the
   // multi-dimensional write clustering (see operators.Zorder — per-
   // file bounding boxes tight in BOTH dims, pinned by ZorderSpec).

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{ChCompat, ChSqlRewrite}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Salting}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -272,6 +272,28 @@ object RefQueries {
                   FROM events))
       GROUP BY k
       ORDER BY k""")
+  }
+
+  // ---- skew-safe aggregation gate: a synthetic hot key owns ~90% of
+  // the rows; Salting.saltedAgg's two-phase plan (partial on
+  // (key, salt), final on key) spreads the hot key's partials over
+  // `salt` reducers — the case AQE's skew handling does NOT cover
+  // (skewed aggregation keys inside one reducer). Full oracle:
+  // salting must be result-invariant; count/max exact, sum routed
+  // through DECIMAL so partial order can't change the result. ----
+  def salted_skew_agg(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("k",
+      when(col("event_id") % 10 =!= 0, lit("hot"))
+        .otherwise(concat(lit("u"), col("user_id"))))
+    Salting.saltedAgg(e, Seq("k"),
+        scala.collection.immutable.ListMap(
+          "n" -> ((lit(1L), "count")),
+          "sum_v" -> ((col("value").cast("decimal(18,6)"), "sum")),
+          "max_id" -> ((col("event_id"), "max"))),
+        salt = 8)
+      .select(col("k"), col("n"),
+        col("sum_v").cast("double").as("sum_v"), col("max_id"))
+      .orderBy("k")
   }
 
   // ---- B20: parameterized query — named parameter markers bound

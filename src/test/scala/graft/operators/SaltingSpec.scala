@@ -56,6 +56,26 @@ class SaltingSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("saltedAgg plan: first shuffle keys on (key, __salt), and no stage " +
+      "funnels into a single partition") {
+    val agg = Salting.saltedAgg(left, Seq("k"),
+      Map("s" -> (col("v"), "sum")), salt = 8)
+    val plan = agg.queryExecution.executedPlan.toString
+    // the partial aggregate's exchange carries the salt — the hot key
+    // is spread over `salt` reducers, not owned by one
+    assert(plan.contains("__salt"),
+      s"expected a salted exchange in:\n$plan")
+    // (plan strings print root-first, so the partial aggregate's
+    // exchange is the LAST hashpartitioning line)
+    val exchanges = plan.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.exists(_.contains("__salt")),
+      s"a hash exchange must include __salt, got:\n${exchanges.mkString("\n")}")
+    // no exchange collapses to a single partition anywhere in the plan
+    assert(!plan.contains("SinglePartition"),
+      s"salted agg must not plan a single-partition stage:\n$plan")
+  }
+
   test("non-algebraic aggregates are rejected") {
     val e = intercept[IllegalArgumentException] {
       Salting.saltedAgg(left, Seq("k"), Map("a" -> (col("v"), "avg")), 4)
