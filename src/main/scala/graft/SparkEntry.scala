@@ -63,6 +63,7 @@ object SparkEntry {
     "r34_cube" -> (RefQueries.cube_agg _),
     "r35_ch_final" -> (RefQueries.ch_final _),
     "r37_salted_skew" -> (RefQueries.salted_skew_agg _),
+    "r38_ch_prewhere" -> (RefQueries.ch_prewhere _),
     "r36_ch_limit_by" -> (RefQueries.ch_limit_by _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
@@ -318,6 +319,13 @@ object SparkEntry {
                   max(event_id) AS max_id
            FROM events GROUP BY 1)
          ORDER BY k""",
+
+    "r38_ch_prewhere" ->
+      """SELECT event_type, count(*) AS cnt, max(event_id) AS max_id
+         FROM events
+         WHERE value > 100 AND event_type <> 'error'
+         GROUP BY event_type
+         ORDER BY event_type""",
 
     "r36_ch_limit_by" ->
       """SELECT user_id, event_id, value

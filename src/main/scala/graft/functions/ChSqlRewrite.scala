@@ -89,7 +89,8 @@ object ChSqlRewrite {
     replacingDecls.put(table.toLowerCase, ReplacingDecl(keys, versionSql))
 
   def apply(sql: String): String =
-    rewriteFunctions(rewriteLimitBy(rewriteFinal(sql)))
+    rewriteFunctions(rewriteLimitBy(rewriteFinal(rewritePrewhere(
+      stripSettingsFormat(sql)))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -253,6 +254,94 @@ object ChSqlRewrite {
     }
     // one occurrence per pass; recurse for multiple FINALs
     result.map(rewriteFinal).getOrElse(sql)
+  }
+
+  // ---------------------------------------------------------------
+  // PREWHERE / SETTINGS / FORMAT
+  // ---------------------------------------------------------------
+
+  private val clauseAfterCond = Set("where", "group", "order", "having",
+    "limit", "settings", "union", "intersect", "except", "window",
+    "qualify", "format")
+
+  /** `PREWHERE c` — ClickHouse's storage-level pre-filter — has WHERE
+    * semantics for the result (CH applies it before column reads; for
+    * us Catalyst's pushdown already does that to any WHERE). Rewritten
+    * at every nesting depth: merged as `WHERE (pre) AND (where)` when
+    * the scope also has a WHERE, else renamed to WHERE.
+    */
+  private def rewritePrewhere(sql: String): String = {
+    val toks = wordTokens(sql)
+    val pw = toks.find(_._1.equalsIgnoreCase("prewhere"))
+    pw match {
+      case None => sql
+      case Some((_, pwStart, pwEnd, depth)) =>
+        // span of the PREWHERE condition: to the next clause keyword
+        // at the same depth (never deeper; a shallower token means the
+        // scope closed)
+        val after = toks.filter(t => t._2 >= pwEnd)
+        val term = after.find(t => t._4 == depth &&
+          clauseAfterCond.contains(t._1.toLowerCase))
+        val scopeEnd = {
+          // end of this paren scope: first position where depth drops
+          // below `depth` — conservatively, end of string for depth 0
+          var j = pwEnd; var d = depth; var end = sql.length
+          while (j < sql.length && end == sql.length) {
+            val ck = commentKind(sql, j)
+            if (ck != 0) j = commentEnd(sql, j, ck)
+            else sql.charAt(j) match {
+              case '(' => d += 1; j += 1
+              case ')' => d -= 1; if (d < depth) end = j else j += 1
+              case '\'' | '"' | '`' => j = quotedEnd(sql, j)
+              case _ => j += 1
+            }
+          }
+          end
+        }
+        val rewritten = term match {
+          case Some(w) if w._1.equalsIgnoreCase("where") && w._2 < scopeEnd =>
+            val pre = sql.substring(pwEnd, w._2).trim
+            // the WHERE's own condition runs to ITS next clause keyword
+            val wAfter = toks.filter(t => t._2 >= w._3)
+            val wTerm = wAfter.find(t => t._4 == depth && t._2 < scopeEnd &&
+              clauseAfterCond.contains(t._1.toLowerCase))
+            val wEnd = wTerm.map(_._2).getOrElse(scopeEnd)
+            val whereCond = sql.substring(w._3, wEnd).trim
+            sql.substring(0, pwStart) +
+              s"WHERE ($pre) AND ($whereCond) " +
+              sql.substring(wEnd)
+          case _ =>
+            sql.substring(0, pwStart) + "WHERE" + sql.substring(pwEnd)
+        }
+        rewritePrewhere(rewritten) // next occurrence
+    }
+  }
+
+  /** Strips ClickHouse's trailing `SETTINGS k = v, …` and `FORMAT X`
+    * clauses (top level only — they are statement-trailers in CH).
+    * `FORMAT` is only treated as a clause when followed by a single
+    * bare identifier at end-of-statement, so a column named `format`
+    * is never eaten.
+    */
+  private def stripSettingsFormat(sql: String): String = {
+    val toks = wordTokens(sql).filter(_._4 == 0)
+    // FORMAT <ident> at the very end
+    val afterFormat = toks.reverse match {
+      case last +: fmt +: _ if fmt._1.equalsIgnoreCase("format") &&
+          sql.substring(last._3).trim.isEmpty &&
+          sql.substring(fmt._3, last._2).trim.isEmpty =>
+        sql.substring(0, fmt._2).stripTrailing()
+      case _ => sql
+    }
+    // SETTINGS ident = … to end (or to where FORMAT was)
+    val toks2 = wordTokens(afterFormat).filter(_._4 == 0)
+    toks2.zipWithIndex.find { case (t, i) =>
+      t._1.equalsIgnoreCase("settings") && i + 1 < toks2.length &&
+        afterFormat.substring(toks2(i + 1)._3).trim.startsWith("=")
+    } match {
+      case Some((t, _)) => afterFormat.substring(0, t._2).stripTrailing()
+      case None => afterFormat
+    }
   }
 
   // ---------------------------------------------------------------

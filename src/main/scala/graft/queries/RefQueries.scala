@@ -258,6 +258,22 @@ object RefQueries {
       LIMIT 2 BY user_id""")
   }
 
+  // ---- ClickHouse PREWHERE + statement trailers run verbatim:
+  // PREWHERE merges into WHERE (Catalyst pushes any WHERE to the scan
+  // — the optimization PREWHERE hand-specifies in CH), and the
+  // SETTINGS / FORMAT trailers are stripped. The whole statement is
+  // untouched CH syntax through the dialect front-end. ----
+  def ch_prewhere(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    ChCompat.sql(s, """
+      SELECT event_type, count() AS cnt, toUInt64(max(event_id)) AS max_id
+      FROM events PREWHERE value > 100 WHERE event_type != 'error'
+      GROUP BY event_type
+      ORDER BY event_type
+      SETTINGS max_threads = 8 FORMAT JSON""")
+  }
+
   // ---- B10/B11 compat: arrayJoin + JSONExtract* run verbatim.
   // Spark generators must sit at the top of a SELECT item (ClickHouse
   // lets arrayJoin nest anywhere), so the unnest gets its own derived

@@ -391,6 +391,43 @@ class ChCompatSpec extends SparkTestBase {
       "SELECT 'LIMIT 2 BY g' AS s FROM t")
   }
 
+  test("PREWHERE merges into WHERE; SETTINGS/FORMAT trailers stripped") {
+    // PREWHERE + WHERE: both conditions parenthesized and AND-ed
+    assert(ChSqlRewrite("SELECT * FROM t PREWHERE a > 1 WHERE b OR c GROUP BY x")
+      === "SELECT * FROM t WHERE (a > 1) AND (b OR c) GROUP BY x")
+    // PREWHERE alone: renamed
+    assert(ChSqlRewrite("SELECT * FROM t PREWHERE a > 1")
+      === "SELECT * FROM t WHERE a > 1")
+    // nested subquery PREWHERE; the outer WHERE is out of scope
+    assert(ChSqlRewrite(
+      "SELECT * FROM (SELECT * FROM t PREWHERE a WHERE b) WHERE c")
+      === "SELECT * FROM (SELECT * FROM t WHERE (a) AND (b) ) WHERE c")
+    // trailers
+    assert(ChSqlRewrite("SELECT * FROM t WHERE a LIMIT 5 SETTINGS max_threads = 8")
+      === "SELECT * FROM t WHERE a LIMIT 5")
+    assert(ChSqlRewrite("SELECT * FROM t FORMAT JSON")
+      === "SELECT * FROM t")
+    assert(ChSqlRewrite("SELECT * FROM t SETTINGS a = 1 FORMAT TSV")
+      === "SELECT * FROM t")
+    // a column named format / a table named settings survive
+    assert(ChSqlRewrite("SELECT format FROM t") === "SELECT format FROM t")
+    assert(ChSqlRewrite("SELECT * FROM settings WHERE x = 1")
+      === "SELECT * FROM settings WHERE x = 1")
+    // string-literal safety
+    assert(ChSqlRewrite("SELECT 'PREWHERE x FORMAT JSON' AS s FROM t")
+      === "SELECT 'PREWHERE x FORMAT JSON' AS s FROM t")
+    // end-to-end through the dialect entry
+    import spark.implicits._
+    Seq((1, "a", 150.0), (2, "error", 200.0), (3, "a", 50.0))
+      .toDF("event_id", "event_type", "value")
+      .createOrReplaceTempView("chspec_pw")
+    val r = ChCompat.sql(spark, """
+      SELECT event_type, count() AS cnt
+      FROM chspec_pw PREWHERE value > 100 WHERE event_type != 'error'
+      GROUP BY event_type SETTINGS max_threads = 4 FORMAT JSON""").head
+    assert(r.getString(0) === "a" && r.getLong(1) === 1L)
+  }
+
   test("topK(k)(x): curried heavy-hitters via the FreqTopK sketch") {
     ChCompat.registerAll(spark)
     val r = ChCompat.sql(spark,
