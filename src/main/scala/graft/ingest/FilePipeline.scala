@@ -140,17 +140,22 @@ object FilePipeline {
   }
 
   def statusDocument(meta: DataFrame, updateTime: String): StatusDoc = {
-    // meta is checkpoint-table scale (one row per hour file); one
-    // aggregation pass for the counts, one pruned scan for the list —
-    // the same two driver-side reads the reference does over meta.json.
-    val counts = meta.groupBy("status").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // meta is checkpoint-table scale (one row per hour file); ONE
+    // aggregation pass serves both the counts and the missing list —
+    // the NeedDownload group's rows carry their basenames into a
+    // sorted collect_list (null for every other status, so imported
+    // paths never travel), where the previous shape scanned meta twice.
+    val rows = meta.groupBy("status").agg(
+        count(lit(1)).as("n"),
+        sort_array(collect_list(when(col("status") === Status.NeedDownload,
+          element_at(split(col("path"), "/"), -1)))).as("basenames"))
+      .collect()
+    val counts = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
     def c(s: Int) = counts.getOrElse(s, 0L)
     val total = c(Status.NeedDownload) + c(Status.Downloaded) +
       c(Status.Verified) + c(Status.Imported)
-    val missingArr = meta.filter(col("status") === Status.NeedDownload)
-      .select(element_at(split(col("path"), "/"), -1).as("basename"))
-      .orderBy("basename").collect().map(_.getString(0)).toSeq
+    val missingArr = rows.find(_.getInt(0) == Status.NeedDownload)
+      .map(_.getSeq[String](2)).getOrElse(Seq.empty)
     StatusDoc(
       total = total,
       imported = c(Status.Imported),
