@@ -64,6 +64,7 @@ object SparkEntry {
     "r35_ch_final" -> (RefQueries.ch_final _),
     "r37_salted_skew" -> (RefQueries.salted_skew_agg _),
     "r38_ch_prewhere" -> (RefQueries.ch_prewhere _),
+    "r39_ch_totals" -> (RefQueries.ch_totals _),
     "r36_ch_limit_by" -> (RefQueries.ch_limit_by _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
@@ -326,6 +327,14 @@ object SparkEntry {
          WHERE value > 100 AND event_type <> 'error'
          GROUP BY event_type
          ORDER BY event_type""",
+
+    "r39_ch_totals" ->
+      """SELECT coalesce(event_type, 'TOTAL') AS et,
+                count(*) AS cnt,
+                max(event_id) AS max_id
+         FROM events
+         GROUP BY GROUPING SETS ((event_type), ())
+         ORDER BY et""",
 
     "r36_ch_limit_by" ->
       """SELECT user_id, event_id, value

@@ -404,6 +404,30 @@ object ChCompat {
     "trimRight" -> (es => StringTrimRight(es.head)),
     "arrayUniq" -> (es => Size(ArrayDistinct(es.head))),
     "bitCount" -> (es => BitwiseCount(es.head)),
+    // array predicates over a second array
+    "hasAny" -> (es => ArraysOverlap(es(0), es(1))),
+    "hasAll" -> (es => EqualTo(Size(ArrayExcept(es(1), es(0))), Literal(0))),
+    // higher-order array functions — ClickHouse puts the LAMBDA FIRST
+    // (`arrayMap(x -> x * 2, arr)`); Spark's HOF expressions take the
+    // array first, so the builders swap. The lambda parses through the
+    // same grammar as Spark's own transform/filter and resolves in the
+    // analyzer exactly like a built-in HOF's.
+    "arrayMap" -> (es => ArrayTransform(es(1), es(0))),
+    "arrayFilter" -> (es => ArrayFilter(es(1), es(0))),
+    "arrayExists" -> (es => ArrayExists(es(1), es(0))),
+    "arrayAll" -> (es => ArrayForAll(es(1), es(0))),
+    // arrayCount/arrayFirst live in ChSqlRewrite, not here: their
+    // natural builders (Size/ElementAt over a filter) put a
+    // non-higher-order function at the resolution root, which the
+    // analyzer rejects when a lambda argument is present — the
+    // rewrite spells them as size(filter(...)) / try_element_at
+    // instead, where the lambda's parent IS the built-in HOF.
+    // chUniqUpTo: CH's uniqUpTo(N)(x…) — exact distinct while ≤ N,
+    // N+1 as the saturation marker beyond (reached via the curried
+    // rewrite). Multi-arg form counts distinct tuples like uniq.
+    "chUniqUpTo" -> (es => Least(Seq(
+      Size(aggregate.CollectSet(tupleOf(es.tail)).toAggregateExpression()),
+      Add(Cast(es.head, IntegerType), Literal(1))))),
     // arithmetic/bit names
     "modulo" -> (es => Remainder(es(0), es(1), EvalMode.LEGACY)),
     "plus" -> (es => Add(es(0), es(1))),

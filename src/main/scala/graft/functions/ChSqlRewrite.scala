@@ -65,6 +65,13 @@ object ChSqlRewrite {
     "quantiles" -> "chQuantiles",
     "medianExact" -> "chMedianExact",
     "quantilesExact" -> "chQuantilesExact",
+    // the TDigest/Timing estimators carry the same approximate
+    // contract as quantile — the exact interpolating aggregate is a
+    // valid implementation of all of them
+    "quantileTDigest" -> "chQuantile",
+    "quantileTiming" -> "chQuantile",
+    "quantilesTDigest" -> "chQuantiles",
+    "uniqUpTo" -> "chUniqUpTo",
     "topK" -> "chTopK")
 
   /** A ReplacingMergeTree-style declaration for `FROM t FINAL`: the
@@ -89,8 +96,8 @@ object ChSqlRewrite {
     replacingDecls.put(table.toLowerCase, ReplacingDecl(keys, versionSql))
 
   def apply(sql: String): String =
-    rewriteFunctions(rewriteLimitBy(rewriteFinal(rewritePrewhere(
-      stripSettingsFormat(sql)))))
+    rewriteFunctions(rewriteLimitBy(rewriteWithTotals(rewriteFinal(
+      rewritePrewhere(stripSettingsFormat(sql))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -145,6 +152,30 @@ object ChSqlRewrite {
       }
     }
     -1
+  }
+
+  /** spans (start, endExclusive) of the top-level comma-separated
+    * arguments of the paren group starting at `from`; empty when
+    * unbalanced.
+    */
+  private def argSpans(s: String, from: Int): Seq[(Int, Int)] = {
+    val end = matchParen(s, from)
+    if (end < 0) return Nil
+    val cuts = scala.collection.mutable.ArrayBuffer(from)
+    var j = from; var depth = 0
+    while (j < end) {
+      val ck = commentKind(s, j)
+      if (ck != 0) j = commentEnd(s, j, ck)
+      else s.charAt(j) match {
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case ',' if depth == 1 => cuts += j; j += 1
+        case '\'' | '"' | '`' => j = quotedEnd(s, j)
+        case _ => j += 1
+      }
+    }
+    cuts += end - 1
+    cuts.toSeq.sliding(2).map { case Seq(a, b) => (a + 1, b) }.toSeq
   }
 
   /** number of top-level (depth-1) comma-separated arguments of the
@@ -345,6 +376,47 @@ object ChSqlRewrite {
   }
 
   // ---------------------------------------------------------------
+  // GROUP BY … WITH TOTALS
+  // ---------------------------------------------------------------
+
+  /** `GROUP BY c1, c2 WITH TOTALS` — ClickHouse's extra all-groups
+    * row — is exactly the grouping-sets pair ((c1, c2), ()):
+    * rewritten so the totals row appears with NULL group keys, Spark's
+    * (and the SQL standard's) representation of the super-aggregate.
+    * `WITH ROLLUP` / `WITH CUBE` need no rewrite (Spark parses them
+    * natively); only the WITH TOTALS spelling is CH-specific. Any
+    * nesting depth; one occurrence per pass, recursing for more.
+    */
+  private def rewriteWithTotals(sql: String): String = {
+    val toks = wordTokens(sql)
+    val idx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("with") && i + 1 < toks.length &&
+        toks(i + 1)._1.equalsIgnoreCase("totals") &&
+        toks(i)._4 == toks(i + 1)._4
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        val d = toks(i)._4
+        // the GROUP BY owning this WITH TOTALS: the last one at the
+        // same depth before it
+        val gb = toks.indices.filter(j => j + 1 < i &&
+          toks(j)._1.equalsIgnoreCase("group") &&
+          toks(j + 1)._1.equalsIgnoreCase("by") && toks(j)._4 == d)
+          .lastOption
+        gb match {
+          case None => sql // no owning GROUP BY: leave for the parser
+          case Some(g) =>
+            val cols = sql.substring(toks(g + 1)._3, toks(i)._2).trim
+            rewriteWithTotals(
+              sql.substring(0, toks(g)._2) +
+                s"GROUP BY GROUPING SETS (($cols), ())" +
+                sql.substring(toks(i + 1)._3))
+        }
+    }
+  }
+
+  // ---------------------------------------------------------------
   // LIMIT n BY col, …
   // ---------------------------------------------------------------
 
@@ -445,6 +517,21 @@ object ChSqlRewrite {
               while (k < n && sql.charAt(k).isWhitespace) k += 1
               if (k < n && sql.charAt(k) == ')') {
                 out ++= "count(*)"; i = k + 1
+              } else out ++= word
+            } else if (lower == "arraycount" || lower == "arrayfirst") {
+              // CH lambda-first forms whose Spark equivalent needs a
+              // non-HOF wrapper (size / try_element_at) — the analyzer
+              // only accepts lambdas whose resolved root is a HOF, so
+              // these are respelled textually around the built-in
+              // `filter` instead of going through a registry builder
+              val spans = argSpans(sql, j)
+              if (spans.length == 2) {
+                val lam = sql.substring(spans(0)._1, spans(0)._2).trim
+                val arr = sql.substring(spans(1)._1, spans(1)._2).trim
+                out ++= (if (lower == "arraycount")
+                  s"size(filter($arr, $lam))"
+                else s"try_element_at(filter($arr, $lam), 1)")
+                i = matchParen(sql, j)
               } else out ++= word
             } else if (lower == "position") {
               // CH comma-form position(haystack, needle[, start]) —

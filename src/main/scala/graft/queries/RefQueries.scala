@@ -274,6 +274,22 @@ object RefQueries {
       SETTINGS max_threads = 8 FORMAT JSON""")
   }
 
+  // ---- ClickHouse `GROUP BY … WITH TOTALS` run verbatim: rewritten
+  // to GROUPING SETS ((cols), ()), the standard-SQL spelling of the
+  // same super-aggregate; the totals row carries NULL keys, coalesced
+  // here (like r34) so the cross-engine hash compare is null-free. ----
+  def ch_totals(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    ChCompat.sql(s, """
+      SELECT ifNull(event_type, 'TOTAL') AS et,
+             count() AS cnt,
+             toUInt64(max(event_id)) AS max_id
+      FROM events
+      GROUP BY event_type WITH TOTALS
+      ORDER BY et""")
+  }
+
   // ---- B10/B11 compat: arrayJoin + JSONExtract* run verbatim.
   // Spark generators must sit at the top of a SELECT item (ClickHouse
   // lets arrayJoin nest anywhere), so the unnest gets its own derived

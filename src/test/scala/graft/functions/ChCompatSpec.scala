@@ -428,6 +428,63 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getString(0) === "a" && r.getLong(1) === 1L)
   }
 
+  test("GROUP BY … WITH TOTALS rewrites to GROUPING SETS ((cols), ())") {
+    assert(ChSqlRewrite("SELECT a, count() FROM t GROUP BY a WITH TOTALS")
+      === "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())")
+    assert(ChSqlRewrite(
+      "SELECT a, b, sum(v) FROM t GROUP BY a, b WITH TOTALS ORDER BY a")
+      === "SELECT a, b, sum(v) FROM t GROUP BY GROUPING SETS ((a, b), ()) ORDER BY a")
+    // WITH ROLLUP is native Spark; untouched
+    assert(ChSqlRewrite("SELECT a FROM t GROUP BY a WITH ROLLUP")
+      === "SELECT a FROM t GROUP BY a WITH ROLLUP")
+    // CTE WITH is untouched
+    assert(ChSqlRewrite("WITH x AS (SELECT 1) SELECT * FROM x")
+      === "WITH x AS (SELECT 1) SELECT * FROM x")
+    // end-to-end: totals row appears with NULL group key
+    import spark.implicits._
+    Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "v")
+      .createOrReplaceTempView("chspec_totals")
+    val rows = ChCompat.sql(spark,
+      "SELECT g, sum(v) AS s FROM chspec_totals GROUP BY g WITH TOTALS ORDER BY g")
+      .collect().map(r => (if (r.isNullAt(0)) "TOTAL" else r.getString(0),
+        r.getLong(1))).toSeq
+    assert(rows.contains(("TOTAL", 6L)) &&
+      rows.contains(("a", 3L)) && rows.contains(("b", 3L)))
+  }
+
+  test("array HOFs (lambda-first CH order), hasAny/hasAll, uniqUpTo") {
+    ChCompat.registerAll(spark)
+    val r = ChCompat.sql(spark,
+      """SELECT arrayMap(x -> x * 2, array(1, 2, 3)) AS am,
+                arrayFilter(x -> x > 1, array(1, 2, 3)) AS af,
+                arrayExists(x -> x = 2, array(1, 2, 3)) AS ae,
+                arrayAll(x -> x > 0, array(1, 2, 3)) AS aa,
+                arrayCount(x -> x % 2 = 1, array(1, 2, 3)) AS ac,
+                arrayFirst(x -> x > 1, array(1, 2, 3)) AS afi,
+                arrayFirst(x -> x > 9, array(1, 2, 3)) AS afn,
+                hasAny(array(1, 2), array(2, 3)) AS ha,
+                hasAny(array(1, 2), array(3, 4)) AS ha0,
+                hasAll(array(1, 2, 3), array(1, 3)) AS hl,
+                hasAll(array(1, 2), array(1, 3)) AS hl0""").head
+    assert(r.getSeq[Int](0) === Seq(2, 4, 6))
+    assert(r.getSeq[Int](1) === Seq(2, 3))
+    assert(r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getInt(4) === 2)
+    assert(r.getInt(5) === 2)
+    assert(r.isNullAt(6))
+    assert(r.getBoolean(7) && !r.getBoolean(8))
+    assert(r.getBoolean(9) && !r.getBoolean(10))
+    // uniqUpTo: exact below the cap, N+1 at saturation
+    val u = ChCompat.sql(spark,
+      """SELECT uniqUpTo(5)(x) AS below, uniqUpTo(2)(x) AS capped
+         FROM VALUES (1), (2), (3), (3) AS t(x)""").head
+    assert(u.getInt(0) === 3)
+    assert(u.getInt(1) === 3) // 3 distinct > 2 → N+1 = 3
+    // TDigest/Timing estimator names flatten to the quantile aggregate
+    assert(ChSqlRewrite("quantileTDigest(0.5)(x)") === "chQuantile(0.5, x)")
+    assert(ChSqlRewrite("quantileTiming(0.9)(x)") === "chQuantile(0.9, x)")
+  }
+
   test("topK(k)(x): curried heavy-hitters via the FreqTopK sketch") {
     ChCompat.registerAll(spark)
     val r = ChCompat.sql(spark,
