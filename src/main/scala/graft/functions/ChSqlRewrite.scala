@@ -39,6 +39,14 @@ package graft.functions
   *    columns and ordered by the query's ORDER BY (top-level
   *    statements only; a nested LIMIT BY fails to parse rather than
   *    mis-executing).
+  *  - `ANY [LEFT|INNER] JOIN r USING (k)` — at most one right row per
+  *    key; the right side dedups by the USING columns (ON form passes
+  *    through — its key set isn't recoverable lexically).
+  *  - `PREWHERE cond` — merged into WHERE (Catalyst's pushdown
+  *    delivers the scan-level filtering PREWHERE hand-specifies).
+  *  - `GROUP BY … WITH TOTALS` → `GROUPING SETS ((cols), ())`.
+  *  - `SAMPLE 0.1` (fraction form) → seeded `TABLESAMPLE`.
+  *  - trailing `SETTINGS k = v` / `FORMAT X` clauses are stripped.
   *
   * The rewrite is purely lexical but STRING- and COMMENT-SAFE:
   * single-quoted, double-quoted, and backquoted spans (including
@@ -97,7 +105,8 @@ object ChSqlRewrite {
 
   def apply(sql: String): String =
     rewriteFunctions(rewriteLimitBy(rewriteWithTotals(rewriteFinal(
-      rewritePrewhere(stripSettingsFormat(sql))))))
+      rewriteAnyJoin(rewriteSample(rewritePrewhere(
+        stripSettingsFormat(sql))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -242,7 +251,8 @@ object ChSqlRewrite {
     val clauseKw = Set("where", "group", "order", "limit", "having",
       "union", "intersect", "except", "join", "inner", "left", "right",
       "full", "cross", "semi", "anti", "on", "using", "window", "as",
-      "settings", "qualify", "distribute", "cluster", "sort", "lateral")
+      "settings", "qualify", "distribute", "cluster", "sort", "lateral",
+      "sample", "tablesample", "prewhere")
     var idx = toks.indexWhere(t => t._1.equalsIgnoreCase("from"))
     var result: Option[String] = None
     while (idx >= 0 && result.isEmpty) {
@@ -372,6 +382,134 @@ object ChSqlRewrite {
     } match {
       case Some((t, _)) => afterFormat.substring(0, t._2).stripTrailing()
       case None => afterFormat
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // SAMPLE <fraction>
+  // ---------------------------------------------------------------
+
+  /** ClickHouse's `FROM t SAMPLE 0.1` (fraction form) maps to Spark's
+    * `TABLESAMPLE (10.0 PERCENT) REPEATABLE (42)` — pinned seed
+    * because CH sampling is deterministic (sampling-key based) and a
+    * per-run-random sample would violate that contract. Only the
+    * fraction form rewrites; `SAMPLE n` (approximate row count) needs
+    * table statistics CH resolves server-side, and passes through to
+    * fail loudly rather than mis-sample.
+    */
+  private def rewriteSample(sql: String): String = {
+    val toks = wordTokens(sql)
+    val idx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("sample") && {
+        // fraction literal follows: digits with a dot, value < 1
+        val rest = sql.substring(toks(i)._3)
+        val m = "^\\s*(0?\\.\\d+)".r.findFirstMatchIn(rest)
+        m.isDefined
+      } && i > 0 && !toks(i - 1)._1.equalsIgnoreCase("select")
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        val rest = sql.substring(toks(i)._3)
+        val m = "^\\s*(0?\\.\\d+)".r.findFirstMatchIn(rest).get
+        val frac = m.group(1).toDouble
+        val pct = frac * 100.0
+        rewriteSample(
+          sql.substring(0, toks(i)._2) +
+            s"TABLESAMPLE ($pct PERCENT) REPEATABLE (42)" +
+            rest.substring(m.end))
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // ANY [LEFT|INNER] JOIN … USING (…)
+  // ---------------------------------------------------------------
+
+  /** ClickHouse's `ANY LEFT JOIN r USING (k)` joins at most ONE right
+    * row per key (an arbitrary one). Rewritten — for the USING form,
+    * where the key columns are explicit — to a plain join against the
+    * right side deduplicated by the key via row_number (ordered by the
+    * key itself: CH's pick is arbitrary, ours is deterministic within
+    * the engine). The ON form passes through to fail loudly (its key
+    * set isn't recoverable lexically).
+    */
+  private def rewriteAnyJoin(sql: String): String = {
+    val toks = wordTokens(sql)
+    val idx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("any") && i + 1 < toks.length && {
+        val w1 = toks(i + 1)._1.toLowerCase
+        w1 == "join" || ((w1 == "left" || w1 == "inner") &&
+          i + 2 < toks.length && toks(i + 2)._1.equalsIgnoreCase("join"))
+      } && toks(i)._4 == toks(i + 1)._4
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        val joinIdx =
+          if (toks(i + 1)._1.equalsIgnoreCase("join")) i + 1 else i + 2
+        val d = toks(i)._4
+        // right relation: an identifier (possibly dotted, possibly
+        // aliased) or a parenthesized subquery, then USING (cols)
+        val afterJoin = toks(joinIdx)._3
+        var j = afterJoin
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        val (relEnd0, isSub) =
+          if (j < sql.length && sql.charAt(j) == '(')
+            (matchParen(sql, j), true)
+          else {
+            // consume ident tokens up to USING at this depth
+            val usingTok = toks.find(t => t._2 >= afterJoin && t._4 == d &&
+              t._1.equalsIgnoreCase("using"))
+            (usingTok.map(_._2).getOrElse(-1), false)
+          }
+        val usingTok = toks.find(t => t._2 >= (if (isSub) relEnd0 else afterJoin)
+          && t._4 == d && t._1.equalsIgnoreCase("using"))
+          // the USING must belong to THIS join: nothing clause-like
+          // (ON, another JOIN, WHERE…) may sit between them at depth d
+          .filterNot { u =>
+            val blockers = Set("on", "join", "where", "group", "order",
+              "limit", "having", "union", "prewhere")
+            toks.exists(t => t._2 >= afterJoin && t._3 <= u._2 &&
+              t._4 == d && blockers.contains(t._1.toLowerCase))
+          }
+        (usingTok, relEnd0) match {
+          case (Some(u), relEnd) if relEnd > 0 =>
+            var k = u._3
+            while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+            if (k >= sql.length || sql.charAt(k) != '(') sql
+            else {
+              val colsEnd = matchParen(sql, k)
+              if (colsEnd < 0) sql
+              else {
+                val rel = sql.substring(j,
+                  if (isSub) relEnd else u._2).trim
+                val cols = sql.substring(k + 1, colsEnd - 1).trim
+                // alias: trailing ident of a non-subquery rel, or none
+                val joinKw = sql.substring(toks(joinIdx)._2, toks(joinIdx)._3)
+                val aliasPart =
+                  if (isSub) {
+                    // keep any alias text between the subquery and USING
+                    val t = sql.substring(relEnd, u._2).trim
+                    if (t.isEmpty) "" else " " + t
+                  } else if (rel.split("\\s+").length > 1)
+                    " " + rel.split("\\s+").tail.mkString(" ")
+                  else s" AS ${rel.split("\\s+").head.split('.').last}"
+                val dedup = s"(SELECT * EXCEPT (__any_rn) FROM (SELECT *, " +
+                  s"row_number() OVER (PARTITION BY $cols ORDER BY $cols) " +
+                  s"AS __any_rn FROM " +
+                  (if (isSub) rel else rel.split("\\s+").head) +
+                  s") WHERE __any_rn = 1)" + aliasPart
+                val joinWord =
+                  if (joinIdx == i + 1) joinKw
+                  else sql.substring(toks(i + 1)._2, toks(joinIdx)._3)
+                rewriteAnyJoin(
+                  sql.substring(0, toks(i)._2) + joinWord + " " + dedup +
+                    " " + sql.substring(u._2, colsEnd) +
+                    sql.substring(colsEnd))
+              }
+            }
+          case _ => sql
+        }
     }
   }
 

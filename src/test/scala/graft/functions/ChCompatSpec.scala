@@ -428,6 +428,52 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getString(0) === "a" && r.getLong(1) === 1L)
   }
 
+  test("ANY LEFT/INNER JOIN … USING dedups the right side by the join key") {
+    assert(ChSqlRewrite("SELECT * FROM l ANY LEFT JOIN r USING (k)")
+      === "SELECT * FROM l LEFT JOIN (SELECT * EXCEPT (__any_rn) FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY k ORDER BY k) AS " +
+        "__any_rn FROM r) WHERE __any_rn = 1) AS r USING (k)")
+    // aliased right side keeps its alias; ON form passes through
+    assert(ChSqlRewrite("SELECT * FROM l ANY JOIN r AS d USING (k1, k2)")
+      .contains("PARTITION BY k1, k2"))
+    assert(ChSqlRewrite("SELECT * FROM l ANY JOIN r ON l.k = r.k")
+      === "SELECT * FROM l ANY JOIN r ON l.k = r.k")
+    // aliased subquery right side keeps its alias
+    val sub = ChSqlRewrite(
+      "SELECT * FROM l ANY LEFT JOIN (SELECT k, v FROM r) t USING (k)")
+    assert(sub.contains("FROM (SELECT k, v FROM r)") && sub.contains(") t USING (k)"))
+    // end-to-end: at most one right row joins per key
+    import spark.implicits._
+    Seq((1, "x"), (2, "y")).toDF("k", "lv")
+      .createOrReplaceTempView("chspec_any_l")
+    Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "rv")
+      .createOrReplaceTempView("chspec_any_r")
+    val rows = ChCompat.sql(spark,
+      """SELECT k, lv, rv FROM chspec_any_l
+         ANY LEFT JOIN chspec_any_r USING (k) ORDER BY k""")
+      .collect()
+    assert(rows.length === 2) // one row per left key, not 3
+  }
+
+  test("SAMPLE <fraction> maps to a seeded TABLESAMPLE") {
+    assert(ChSqlRewrite("SELECT * FROM t SAMPLE 0.1 WHERE a")
+      === "SELECT * FROM t TABLESAMPLE (10.0 PERCENT) REPEATABLE (42) WHERE a")
+    assert(ChSqlRewrite("SELECT * FROM t SAMPLE .5")
+      === "SELECT * FROM t TABLESAMPLE (50.0 PERCENT) REPEATABLE (42)")
+    // row-count form passes through (needs server-side table stats)
+    assert(ChSqlRewrite("SELECT * FROM t SAMPLE 10000")
+      === "SELECT * FROM t SAMPLE 10000")
+    // a column named sample survives
+    assert(ChSqlRewrite("SELECT sample, x FROM t")
+      === "SELECT sample, x FROM t")
+    // runs end-to-end and returns a subset
+    import spark.implicits._
+    (1 to 1000).toDF("v").createOrReplaceTempView("chspec_sample")
+    val n = ChCompat.sql(spark,
+      "SELECT count() AS c FROM chspec_sample SAMPLE 0.2").head.getLong(0)
+    assert(n > 0 && n < 1000)
+  }
+
   test("GROUP BY … WITH TOTALS rewrites to GROUPING SETS ((cols), ())") {
     assert(ChSqlRewrite("SELECT a, count() FROM t GROUP BY a WITH TOTALS")
       === "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())")
