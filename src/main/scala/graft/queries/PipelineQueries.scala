@@ -103,8 +103,15 @@ object PipelineQueries {
     * list is pure waste there.
     */
   private def jaccardPairsRaw(s: SparkSession, dir: String): DataFrame = {
+    // materialize (doc_id, token-set) ONCE before the self-join: both
+    // join sides otherwise recompute the tokenization over the full
+    // corpus (the flipped projection defeats exchange reuse — same
+    // lesson as connectedComponents' edge list). At 100 TB this
+    // intermediate is what you'd persist as a tokenized corpus table
+    // anyway; here localCheckpoint plays that role per query.
     val d = docs(s, dir).select(col("doc_id"),
       TextFunctions.tokenSet(col("text")).as("w"))
+      .localCheckpoint()
     val a = d.select(col("doc_id").as("id_a"), col("w").as("w_a"))
       .withColumn("id_b", explode(sequence(col("id_a") + 1, col("id_a") + 20)))
     val b = d.select(col("doc_id").as("id_b"), col("w").as("w_b"))
