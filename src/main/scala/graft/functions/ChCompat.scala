@@ -412,10 +412,30 @@ object ChCompat {
     // array first, so the builders swap. The lambda parses through the
     // same grammar as Spark's own transform/filter and resolves in the
     // analyzer exactly like a built-in HOF's.
-    "arrayMap" -> (es => ArrayTransform(es(1), es(0))),
-    "arrayFilter" -> (es => ArrayFilter(es(1), es(0))),
-    "arrayExists" -> (es => ArrayExists(es(1), es(0))),
-    "arrayAll" -> (es => ArrayForAll(es(1), es(0))),
+    // CH's multi-array map over TWO arrays is Spark's zip_with; more
+    // than two (or multi-array filter/exists/all) has no single Spark
+    // HOF — reject loudly rather than silently dropping arguments
+    "arrayMap" -> (es => es.length match {
+      case 2 => ArrayTransform(es(1), es(0))
+      case 3 => ZipWith(es(1), es(2), es(0))
+      case n => throw new IllegalArgumentException(
+        s"arrayMap: expected a lambda and 1-2 arrays, got $n args")
+    }),
+    "arrayFilter" -> (es => {
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"arrayFilter: expected a lambda and 1 array, got ${es.length} args")
+      ArrayFilter(es(1), es(0))
+    }),
+    "arrayExists" -> (es => {
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"arrayExists: expected a lambda and 1 array, got ${es.length} args")
+      ArrayExists(es(1), es(0))
+    }),
+    "arrayAll" -> (es => {
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"arrayAll: expected a lambda and 1 array, got ${es.length} args")
+      ArrayForAll(es(1), es(0))
+    }),
     // arrayCount/arrayFirst live in ChSqlRewrite, not here: their
     // natural builders (Size/ElementAt over a filter) put a
     // non-higher-order function at the resolution root, which the

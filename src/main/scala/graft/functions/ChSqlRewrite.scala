@@ -661,7 +661,10 @@ object ChSqlRewrite {
               // non-HOF wrapper (size / try_element_at) — the analyzer
               // only accepts lambdas whose resolved root is a HOF, so
               // these are respelled textually around the built-in
-              // `filter` instead of going through a registry builder
+              // `filter` instead of going through a registry builder.
+              // (arrayFirst yields NULL when nothing matches — CH
+              // returns the element type's default value there; NULL
+              // is the honest Spark spelling of "no match".)
               val spans = argSpans(sql, j)
               if (spans.length == 2) {
                 val lam = sql.substring(spans(0)._1, spans(0)._2).trim

@@ -520,6 +520,15 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.isNullAt(6))
     assert(r.getBoolean(7) && !r.getBoolean(8))
     assert(r.getBoolean(9) && !r.getBoolean(10))
+    // two-array map = zip_with; arity errors are loud, never silent
+    val z = ChCompat.sql(spark,
+      "SELECT arrayMap((x, y) -> x + y, array(1, 2), array(10, 20)) AS z")
+      .head
+    assert(z.getSeq[Int](0) === Seq(11, 22))
+    intercept[Exception] {
+      ChCompat.sql(spark,
+        "SELECT arrayFilter(x -> x > 0, array(1), array(2))").collect()
+    }
     // uniqUpTo: exact below the cap, N+1 at saturation
     val u = ChCompat.sql(spark,
       """SELECT uniqUpTo(5)(x) AS below, uniqUpTo(2)(x) AS capped
