@@ -628,6 +628,27 @@ object SparkEntry {
          QUALIFY rank <= 10
          ORDER BY query_id, rank""",
 
+    // s02: single-probe label-blocked IVF is EXACT within the block
+    // (it scans the query's whole bucket), so the full top-k oracle
+    // applies — same cosine + (cos DESC, id ASC) cut as s01, but the
+    // scored set restricted to the query's label
+    "s02_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label, v AS qv
+               FROM e WHERE vec_id < 10),
+         scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+             list_inner_product(qv,v)
+               / (sqrt(list_inner_product(qv,qv))*sqrt(list_inner_product(v,v))) AS cos
+           FROM q JOIN e ON e.label = q.label AND e.vec_id != query_id)
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id
+         FROM scored
+         QUALIFY rank <= 10
+         ORDER BY query_id, rank""",
+
     "t01_lang_id" ->
       s"""WITH sw(sw_lang, sw_word) AS (VALUES ${graft.functions.TextFunctions.stopwords
              .map { case (l, w) => s"('$l','$w')" }.mkString(",")}),

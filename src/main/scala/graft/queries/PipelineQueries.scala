@@ -210,8 +210,11 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
-  // ---- IVF-blocked ANN (single-probe; the 100-TB path). Rows-only:
-  // recall vs brute force is checked in tests, not by the oracle. ----
+  // ---- IVF-blocked ANN (single-probe; the 100-TB path). Carries a
+  // FULL oracle: single-probe over a natural block column scans the
+  // query's entire bucket, so within-block top-k is exact and DuckDB
+  // reproduces it (list_inner_product + the same (cos DESC, id ASC)
+  // cut). Cross-bucket recall remains spec territory. ----
   def ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val corpus = embs(s, dir)
     val queries = corpus.filter(col("vec_id") < 10)
