@@ -26,11 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // parser front-end for the CH call shapes Spark's grammar rejects
     // or mis-parses (quoted-unit dateDiff, curried quantile(p)(x),
     // bare count(), FROM t FINAL, LIMIT n BY, CH comma-form
-    // position/extract). Plain Spark SQL is untouched: the rewrite is
-    // lexical, string-literal-safe, and the name-colliding rewrites
-    // fire only on call shapes the SQL-standard forms can't produce
-    // (POSITION(x IN y) / EXTRACT(YEAR FROM ts) have no top-level
-    // comma and pass through to the built-ins).
+    // position/extract). The rewrite is lexical and
+    // string-literal-safe; the SQL-standard forms POSITION(x IN y)
+    // and EXTRACT(YEAR FROM ts) (no top-level comma) pass through to
+    // the Spark built-ins. ONE documented divergence remains: the
+    // comma-form `position(a, b)` is ambiguous between Spark
+    // (substr, str) and CH (haystack, needle) and an extensions
+    // session resolves it with CH semantics — that IS the dialect the
+    // extension opts the session into; a session that wants Spark's
+    // comma-form position simply doesn't configure the extension.
     ext.injectParser((_, delegate) => new ChRewriteParser(delegate))
   }
 }

@@ -20,12 +20,17 @@ package graft.functions
   *  - bare `count()` — ClickHouse allows it; Spark wants `count(*)`.
   *  - `position(haystack, needle[, start])` / `extract(haystack, re)`
   *    — CH names that COLLIDE with Spark built-ins of different
-  *    semantics; rewritten to `chPosition`/`chExtract` ONLY in their
-  *    unambiguous CH comma-form (≥2 top-level arguments). The
-  *    SQL-standard shapes `POSITION(x IN y)` and `EXTRACT(YEAR FROM
-  *    ts)` have ONE top-level argument (no comma) and pass through to
-  *    the Spark built-ins unchanged, so plain Spark SQL keeps working
-  *    in extensions-configured sessions.
+  *    semantics; rewritten to `chPosition`/`chExtract` in their
+  *    comma-form (≥2 top-level arguments). The SQL-standard shapes
+  *    `POSITION(x IN y)` and `EXTRACT(YEAR FROM ts)` have ONE
+  *    top-level argument (no comma) and pass through to the Spark
+  *    built-ins unchanged. The comma-form `position(a, b)` is
+  *    genuinely ambiguous (Spark reads (substr, str), CH reads
+  *    (haystack, needle)) and this front-end resolves it with CH
+  *    semantics — the documented divergence of opting into the
+  *    dialect; `extract`'s comma-form has no Spark reading at all
+  *    (the built-in only accepts `unit FROM source`), so that rewrite
+  *    loses nothing.
   *  - `FROM <table> FINAL` — ReplacingMergeTree's read-time dedup
   *    (reference: app/service/log_importer.ts:120-127 declares the
   *    engine; a CH user's first query against it is `… FROM events
@@ -366,11 +371,18 @@ object ChSqlRewrite {
     */
   private def stripSettingsFormat(sql: String): String = {
     val toks = wordTokens(sql).filter(_._4 == 0)
-    // FORMAT <ident> at the very end
+    // FORMAT <ident> at the very end — but NOT when `format` is itself
+    // an expression position (e.g. `ORDER BY format ASC`, where the
+    // column is named format and ASC is the trailing word): the word
+    // before a FORMAT clause is never one of these connectives
+    val notAClause = Set("by", "select", "as", "on", "and", "or", "not",
+      "where", "when", "then", "else", "distinct", "all", "comma")
     val afterFormat = toks.reverse match {
-      case last +: fmt +: _ if fmt._1.equalsIgnoreCase("format") &&
+      case last +: fmt +: rest if fmt._1.equalsIgnoreCase("format") &&
           sql.substring(last._3).trim.isEmpty &&
-          sql.substring(fmt._3, last._2).trim.isEmpty =>
+          sql.substring(fmt._3, last._2).trim.isEmpty &&
+          rest.headOption.forall(p => !notAClause.contains(p._1.toLowerCase) &&
+            !sql.substring(p._3, fmt._2).trim.endsWith(",")) =>
         sql.substring(0, fmt._2).stripTrailing()
       case _ => sql
     }
@@ -428,10 +440,13 @@ object ChSqlRewrite {
   /** ClickHouse's `ANY LEFT JOIN r USING (k)` joins at most ONE right
     * row per key (an arbitrary one). Rewritten — for the USING form,
     * where the key columns are explicit — to a plain join against the
-    * right side deduplicated by the key via row_number (ordered by the
-    * key itself: CH's pick is arbitrary, ours is deterministic within
-    * the engine). The ON form passes through to fail loudly (its key
-    * set isn't recoverable lexically).
+    * right side deduplicated by the key via row_number. The window
+    * orders by the keys themselves, i.e. every surviving-candidate
+    * tie is unordered: WHICH right row survives is partition-order
+    * dependent — exactly ClickHouse's documented ANY contract
+    * (arbitrary pick), so don't hash-compare the non-key columns.
+    * The ON form passes through to fail loudly (its key set isn't
+    * recoverable lexically).
     */
   private def rewriteAnyJoin(sql: String): String = {
     val toks = wordTokens(sql)
@@ -667,8 +682,12 @@ object ChSqlRewrite {
               // is the honest Spark spelling of "no match".)
               val spans = argSpans(sql, j)
               if (spans.length == 2) {
-                val lam = sql.substring(spans(0)._1, spans(0)._2).trim
-                val arr = sql.substring(spans(1)._1, spans(1)._2).trim
+                // recurse into the copied spans — lambdas routinely
+                // contain nested CH calls (position, count(), …)
+                val lam = rewriteFunctions(
+                  sql.substring(spans(0)._1, spans(0)._2).trim)
+                val arr = rewriteFunctions(
+                  sql.substring(spans(1)._1, spans(1)._2).trim)
                 out ++= (if (lower == "arraycount")
                   s"size(filter($arr, $lam))"
                 else s"try_element_at(filter($arr, $lam), 1)")
@@ -696,12 +715,14 @@ object ChSqlRewrite {
                 if (endParams > 0 && k >= 0 && k < n && sql.charAt(k) == '(') {
                   val endArgs = matchParen(sql, k)
                   if (endArgs > 0) {
-                    val params = sql.substring(j + 1, endParams - 1).trim
-                    val args = sql.substring(k + 1, endArgs - 1).trim
+                    // recurse into params/args so nested CH-isms
+                    // (count(), position(a, b), inner curried calls)
+                    // are rewritten too
+                    val params = rewriteFunctions(
+                      sql.substring(j + 1, endParams - 1).trim)
+                    val args = rewriteFunctions(
+                      sql.substring(k + 1, endArgs - 1).trim)
                     val glue = if (params.isEmpty) "" else ", "
-                    // params and args are copied verbatim (they are
-                    // expressions; nested CH-isms inside them are rare
-                    // and would need a second pass)
                     out ++= s"$flat($params$glue$args)"
                     i = endArgs
                   } else out ++= word

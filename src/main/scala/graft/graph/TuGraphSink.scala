@@ -98,8 +98,12 @@ object TuGraphSink {
           val data = propCols.map(c => c -> r.getAs[Any](c)).toMap
           val stamped =
             if (timestamped(t) && nodes.columns.contains("updated_at"))
-              data + ("__updated_at" ->
-                tsFmt.format(r.getAs[java.sql.Timestamp]("updated_at").toInstant))
+              // updated_at is max(event_ts) and can be null when every
+              // witness event had an unparseable created_at — skip the
+              // stamp rather than NPE mid-export
+              Option(r.getAs[java.sql.Timestamp]("updated_at"))
+                .map(ts => data + ("__updated_at" -> tsFmt.format(ts.toInstant)))
+                .getOrElse(data)
             else data
           Map[String, Any](primary -> r.getAs[String]("node_id"),
             "data" -> stamped)

@@ -234,12 +234,16 @@ object RefQueries {
   // version=event_id (unique, so the kept row is deterministic). ----
   def ch_final(s: SparkSession, dir: String): DataFrame = {
     ChCompat.registerAll(s)
-    Tables.load(s, dir, "events").createOrReplaceTempView("events")
-    ChSqlRewrite.registerReplacing("events", Seq("user_id", "event_type"),
+    // registered under a dedicated view name: the declaration registry
+    // is JVM-global, and re-declaring the generic name "events" here
+    // would clobber the shipped ingest-events ReplacingMergeTree
+    // contract for every later FINAL in the same process
+    Tables.load(s, dir, "events").createOrReplaceTempView("events_rmt")
+    ChSqlRewrite.registerReplacing("events_rmt", Seq("user_id", "event_type"),
       "event_id")
     ChCompat.sql(s, """
       SELECT user_id, event_type, event_id, value
-      FROM events FINAL
+      FROM events_rmt FINAL
       ORDER BY user_id, event_type""")
   }
 

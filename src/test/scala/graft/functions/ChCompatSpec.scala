@@ -455,6 +455,34 @@ class ChCompatSpec extends SparkTestBase {
     assert(rows.length === 2) // one row per left key, not 3
   }
 
+  test("review fixes: nested rewrites inside copied spans; ORDER BY format ASC") {
+    // nested CH-isms inside arrayCount/arrayFirst lambdas rewrite too
+    assert(ChSqlRewrite("arrayCount(x -> position(x, ',') > 0, arr)")
+      === "size(filter(arr, x -> chPosition(x, ',') > 0))")
+    assert(ChSqlRewrite("arrayFirst(x -> extract(x, '(a)') = 'a', arr)")
+      === "try_element_at(filter(arr, x -> chExtract(x, '(a)') = 'a'), 1)")
+    // nested CH-isms inside curried params/args rewrite too
+    assert(ChSqlRewrite("quantile(0.5)(position(h, n))")
+      === "chQuantile(0.5, chPosition(h, n))")
+    // a trailing column named `format` with a sort direction survives
+    assert(ChSqlRewrite("SELECT * FROM t ORDER BY format ASC")
+      === "SELECT * FROM t ORDER BY format ASC")
+    assert(ChSqlRewrite("SELECT * FROM t ORDER BY x, format DESC")
+      === "SELECT * FROM t ORDER BY x, format DESC")
+    // while a genuine trailer after an identifier still strips
+    assert(ChSqlRewrite("SELECT x FROM t FORMAT JSONEachRow")
+      === "SELECT x FROM t")
+  }
+
+  test("FINAL gate view isolation: the shipped events declaration survives") {
+    // r35 registers its own view name; the JVM-global registry entry
+    // for the ingest "events" table must keep its reference key
+    val rewritten = ChSqlRewrite("SELECT * FROM events FINAL")
+    assert(rewritten.contains("PARTITION BY platform, org_id, repo_id"),
+      s"ingest events FINAL key clobbered: $rewritten")
+    assert(rewritten.contains("struct(from_api, id) DESC"))
+  }
+
   test("SAMPLE <fraction> maps to a seeded TABLESAMPLE") {
     assert(ChSqlRewrite("SELECT * FROM t SAMPLE 0.1 WHERE a")
       === "SELECT * FROM t TABLESAMPLE (10.0 PERCENT) REPEATABLE (42) WHERE a")
