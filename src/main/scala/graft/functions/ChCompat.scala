@@ -79,6 +79,12 @@ object ChCompat {
   private def tupleOf(es: Seq[Expression]): Expression =
     if (es.length == 1) es.head else CreateStruct(es)
 
+  /** timestamp + seconds via epoch-second arithmetic (exact at CH's
+    * second-precision DateTime).
+    */
+  private def chTsPlusSeconds(ts: Expression, secs: Expression): Expression =
+    Cast(Add(Cast(Cast(ts, TimestampType), LongType), secs), TimestampType)
+
   /** CH quantileExact: the ELEMENT at sorted index floor(level·n),
     * 0-based and clamped — no interpolation (quantileExact([1,2,3,4],
     * 0.5) = 3, where interpolating percentile gives 2.5).
@@ -292,6 +298,34 @@ object ChCompat {
     "addMonths" -> (es => AddMonths(Cast(es(0), DateType), es(1))),
     "subtractMonths" -> (es =>
       AddMonths(Cast(es(0), DateType), UnaryMinus(es(1)))),
+    "addYears" -> (es => AddMonths(Cast(es(0), DateType),
+      Multiply(es(1), Literal(12)))),
+    "subtractYears" -> (es => AddMonths(Cast(es(0), DateType),
+      Multiply(UnaryMinus(es(1)), Literal(12)))),
+    // sub-day arithmetic via epoch seconds — CH DateTime is
+    // second-precision, so ts→long→ts round-trips exactly
+    "addHours" -> (es => chTsPlusSeconds(es(0),
+      Multiply(Cast(es(1), LongType), Literal(3600L)))),
+    "addMinutes" -> (es => chTsPlusSeconds(es(0),
+      Multiply(Cast(es(1), LongType), Literal(60L)))),
+    "addSeconds" -> (es => chTsPlusSeconds(es(0), Cast(es(1), LongType))),
+    "subtractHours" -> (es => chTsPlusSeconds(es(0),
+      Multiply(Cast(es(1), LongType), Literal(-3600L)))),
+    "subtractMinutes" -> (es => chTsPlusSeconds(es(0),
+      Multiply(Cast(es(1), LongType), Literal(-60L)))),
+    "subtractSeconds" -> (es => chTsPlusSeconds(es(0),
+      UnaryMinus(Cast(es(1), LongType)))),
+    "toLastDayOfMonth" -> (es => LastDay(Cast(es.head, DateType))),
+    "toStartOfMinute" -> (es => TruncTimestamp(Literal("minute"), es.head)),
+    // splitByString: LITERAL separator (splitByChar's multi-char
+    // sibling) — quote it so regex metacharacters split literally
+    "splitByString" -> (es => es(0) match {
+      case Literal(sep: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        StringSplit(es(1),
+          Literal(java.util.regex.Pattern.quote(sep.toString)), Literal(-1))
+      case other => throw new IllegalArgumentException(
+        s"splitByString: separator must be a string literal, got $other")
+    }),
     "toStartOfQuarter" -> (es =>
       TruncDate(Cast(es.head, DateType), Literal("quarter"))),
     // CH default mode 0 is SUNDAY-start; ODD modes (1, 3, …) are

@@ -391,6 +391,34 @@ class ChCompatSpec extends SparkTestBase {
       "SELECT 'LIMIT 2 BY g' AS s FROM t")
   }
 
+  test("date/time arithmetic family (fourth pass) + splitByString") {
+    ChCompat.registerAll(spark)
+    val r = spark.sql(
+      """SELECT addYears(DATE'2020-02-29', 1) AS ay,
+                subtractYears(DATE'2020-02-29', 1) AS sy,
+                addHours(TIMESTAMP'2015-03-07 23:30:00', 2) AS ah,
+                addMinutes(TIMESTAMP'2015-03-07 14:59:00', 2) AS am,
+                addSeconds(TIMESTAMP'2015-03-07 14:15:59', 2) AS asec,
+                subtractHours(TIMESTAMP'2015-03-08 01:30:00', 2) AS sh,
+                subtractMinutes(TIMESTAMP'2015-03-07 14:01:00', 2) AS sm,
+                subtractSeconds(TIMESTAMP'2015-03-07 14:15:01', 2) AS ss,
+                toLastDayOfMonth(DATE'2015-02-07') AS ld,
+                toStartOfMinute(TIMESTAMP'2015-03-07 14:15:45') AS som,
+                splitByString('||', 'a||b.c||d') AS sbs""").head
+    assert(r.getDate(0).toString === "2021-02-28") // CH clamps leap day
+    assert(r.getDate(1).toString === "2019-02-28")
+    assert(r.getTimestamp(2).toString === "2015-03-08 01:30:00.0")
+    assert(r.getTimestamp(3).toString === "2015-03-07 15:01:00.0")
+    assert(r.getTimestamp(4).toString === "2015-03-07 14:16:01.0")
+    assert(r.getTimestamp(5).toString === "2015-03-07 23:30:00.0")
+    assert(r.getTimestamp(6).toString === "2015-03-07 13:59:00.0")
+    assert(r.getTimestamp(7).toString === "2015-03-07 14:14:59.0")
+    assert(r.getDate(8).toString === "2015-02-28")
+    assert(r.getTimestamp(9).toString === "2015-03-07 14:15:00.0")
+    // literal separator: regex metachars in '||' don't explode the split
+    assert(r.getSeq[String](10) === Seq("a", "b.c", "d"))
+  }
+
   test("PREWHERE merges into WHERE; SETTINGS/FORMAT trailers stripped") {
     // PREWHERE + WHERE: both conditions parenthesized and AND-ed
     assert(ChSqlRewrite("SELECT * FROM t PREWHERE a > 1 WHERE b OR c GROUP BY x")
