@@ -60,6 +60,31 @@ class FreqTopKSpec extends SparkTestBase {
     assert(merged === exact(10))
   }
 
+  test("streaming aggregation: sketch state merges across micro-batches " +
+      "and equals the batch result") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val in = MemoryStream[String](spark)
+    val q = in.toDF.toDF("v")
+      .agg(topkCol(10, 256).as("top"))
+      .writeStream.format("memory").queryName("ftk_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // deliver the zipf corpus in three micro-batches: the UDAF's
+      // serialize/merge path carries the sketch through the state
+      // store between batches — the streaming face of the trio test
+      val rows = (1 to 30).flatMap(i => Seq.fill(600 / i)(s"v$i"))
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("ftk_stream")
+        .select(explode(col("top")).as("t"))
+        .select("t.item", "t.est")
+        .as[(String, Long)].collect().toSeq
+      assert(got === exact(10))
+    } finally q.stop()
+  }
+
   test("SQL surface: freq_topk registered via PipelineFunctions") {
     PipelineFunctions.registerAll(spark)
     zipf.createOrReplaceTempView("freq_src")
