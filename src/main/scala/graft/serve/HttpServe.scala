@@ -66,11 +66,16 @@ class HttpServe(spark: SparkSession, port: Int,
 
   /** Runs `sql`, streams up to `maxRows` rows, and renders the
     * README-shaped `{time_ms, query, rows, truncated?}` document.
+    * Queries go through the ClickHouse dialect front-end
+    * ([[graft.functions.ChCompat.sql]]): the reference's users POST
+    * ClickHouse SQL, so FINAL / LIMIT BY / PREWHERE / curried
+    * aggregates / WITH TOTALS run verbatim over HTTP too (plain Spark
+    * SQL passes through the lexical rewrite untouched).
     */
   private def runAndRender(ex: HttpExchange, sql: String): Unit =
     try {
       val t0 = System.nanoTime()
-      val it = spark.sql(sql).toJSON.toLocalIterator()
+      val it = graft.functions.ChCompat.sql(spark, sql).toJSON.toLocalIterator()
       val sb = new StringBuilder
       var n = 0
       while (it.hasNext && n < maxRows) {

@@ -47,6 +47,14 @@ class HttpServeSpec extends SparkTestBase {
 
       val (c4, err) = post(port, "/query", "SELECT * FROM no_such_table")
       assert(c4 === 400 && err.contains("error"))
+
+      // ClickHouse dialect runs verbatim over HTTP (LIMIT BY + bare
+      // count() through the ChCompat.sql front-end)
+      val (c5, ch) = post(port, "/query",
+        "SELECT name, count() AS c FROM serve_t GROUP BY name " +
+          "ORDER BY name LIMIT 1 BY name")
+      assert(c5 === 200, ch)
+      assert(ch.contains(""""name":"a"""") && ch.contains(""""c":1"""))
     } finally srv.stop()
   }
 
