@@ -202,6 +202,31 @@ object Similarity {
     model.clusterCenters.map(_.toArray)
   }
 
+  /** Persist trained centroids as a tiny parquet table (cluster_id,
+    * centroid) — the index-build artifact a 100-TB deployment writes
+    * once and shares across sessions/queries; [[loadQuantizer]] reads
+    * it back for probing. Completes the train/probe split: train →
+    * save (offline build), load → [[ivfTopKByCentroids]] (query).
+    */
+  def saveQuantizer(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadQuantizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .orderBy("cluster_id")
+      .select("cluster_id", "centroid")
+      .as[(Int, Seq[Double])].collect()
+      .map(_._2.toArray)
+  }
+
   /** Squared-L2 distances from `vec` to each centroid of `centersLit`
     * (an array-of-array literal), as an array column. */
   private def centroidDists(vec: Column, centersLit: Column): Column =

@@ -228,6 +228,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(recalls.sum / recalls.size >= 0.95)
   }
 
+  test("quantizer save/load round-trips and probes identically") {
+    val trained = Similarity.trainQuantizer(corpus, nClusters = 4)
+    val path = java.nio.file.Files.createTempDirectory("quant")
+      .resolve("centroids").toString
+    Similarity.saveQuantizer(spark, trained, path)
+    val loaded = Similarity.loadQuantizer(spark, path)
+    assert(loaded.length === trained.length)
+    trained.zip(loaded).foreach { case (a, b) => assert(a === b) }
+    val queries = corpus.filter(col("vec_id") < 5)
+    val a = Similarity.ivfTopKByCentroids(corpus, queries, 5, trained, 2)
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val b = Similarity.ivfTopKByCentroids(corpus, queries, 5, loaded, 2)
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(a === b)
+  }
+
   test("pair queries plan as hash joins, not BroadcastNestedLoopJoin") {
     def planOf(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
