@@ -161,6 +161,15 @@ object ChCompat {
       Literal.create(null, NullType)))),
     "maxIf" -> (es => aggregate.Max(If(es(1), es(0),
       Literal.create(null, NullType)))),
+    // distinct-count If-combinators: the condition routes non-matching
+    // rows to NULL, which every distinct aggregate ignores
+    "uniqIf" -> (es => aggregate.HyperLogLogPlusPlus(
+      If(es.last, tupleOf(es.dropRight(1)), Literal.create(null, NullType)))),
+    "uniqExactIf" -> (es => Size(aggregate.CollectSet(
+      If(es.last, tupleOf(es.dropRight(1)), Literal.create(null, NullType)))
+      .toAggregateExpression())),
+    "groupArrayIf" -> (es => aggregate.CollectList(
+      If(es(1), es(0), Literal.create(null, NullType)))),
     // uniq is approximate in ClickHouse too (HLL-family) — mapping it
     // to HyperLogLog++ preserves the contract; uniqExact is exact.
     // The CH uniq family takes MULTIPLE expressions (distinct tuples):
@@ -384,6 +393,14 @@ object ChCompat {
     "arrayFlatten" -> (es => Flatten(es.head)),
     "arraySlice" -> (es => Slice(es(0), es(1), es(2))),
     "arrayPushBack" -> (es => Concat(Seq(es(0), CreateArray(Seq(es(1)))))),
+    // 1-based position indexes, CH's companion to arrayJoin
+    // bookkeeping. Empty arrays must not fall into Sequence's
+    // descending default (the same trap `range` guards against).
+    "arrayEnumerate" -> (es => If(IsNull(es.head),
+      Literal.create(null, ArrayType(IntegerType, false)),
+      If(EqualTo(Size(es.head), Literal(0)),
+        Literal.create(Array.empty[Int], ArrayType(IntegerType, false)),
+        Sequence(Literal(1), Size(es.head), None, None)))),
     // range: CH's half-open [start, end) with explicit step. Spark's
     // Sequence is closed and DEFAULTS to step -1 when start > stop, so
     // the empty cases (range(0), range(5,2)) must not fall through to

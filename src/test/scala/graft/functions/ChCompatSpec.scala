@@ -391,6 +391,27 @@ class ChCompatSpec extends SparkTestBase {
       "SELECT 'LIMIT 2 BY g' AS s FROM t")
   }
 
+  test("If-combinators (uniqIf family) and arrayEnumerate") {
+    ChCompat.registerAll(spark)
+    val r = spark.sql(
+      """SELECT uniqIf(x, x > 1) AS ui,
+                uniqExactIf(x, x > 1) AS ue,
+                groupArrayIf(x, x % 2 = 0) AS ga,
+                arrayEnumerate(array('a', 'b', 'c')) AS ae,
+                arrayEnumerate(array()) AS ae0
+         FROM VALUES (1), (2), (2), (3) AS t(x)""").head
+    assert(r.getLong(0) === 2L) // {2, 3}
+    assert(r.getInt(1) === 2)
+    assert(r.getSeq[Int](2) === Seq(2, 2))
+    assert(r.getSeq[Int](3) === Seq(1, 2, 3))
+    assert(r.getSeq[Int](4) === Seq.empty)
+    // multi-arg tuple form of uniqIf counts distinct tuples
+    val t = spark.sql(
+      """SELECT uniqExactIf(x, y, x > 0) AS ut
+         FROM VALUES (1, 'a'), (1, 'b'), (1, 'a'), (-1, 'z') AS t(x, y)""").head
+    assert(t.getInt(0) === 2)
+  }
+
   test("date/time arithmetic family (fourth pass) + splitByString") {
     ChCompat.registerAll(spark)
     val r = spark.sql(
