@@ -282,6 +282,20 @@ object ChCompat {
     // HyperLogLog++ contract as uniq, incl. multi-arg tuple form
     "uniqCombined" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
     "uniqHLL12" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
+    // the moment-statistics family: CH's Pop/Samp names over Spark's
+    // identical-formula aggregates. skewPop matches Spark's skewness
+    // (population m3/m2^1.5); kurtPop is NON-excess kurtosis where
+    // Spark's kurtosis is excess — the +3 restores CH's value exactly.
+    "stddevPop" -> (es => aggregate.StddevPop(es.head)),
+    "stddevSamp" -> (es => aggregate.StddevSamp(es.head)),
+    "varPop" -> (es => aggregate.VariancePop(es.head)),
+    "varSamp" -> (es => aggregate.VarianceSamp(es.head)),
+    "covarPop" -> (es => aggregate.CovPopulation(es(0), es(1))),
+    "covarSamp" -> (es => aggregate.CovSample(es(0), es(1))),
+    "corr" -> (es => aggregate.Corr(es(0), es(1))),
+    "skewPop" -> (es => aggregate.Skewness(es.head)),
+    "kurtPop" -> (es => Add(
+      aggregate.Kurtosis(es.head).toAggregateExpression(), Literal(3.0d))),
     // anyHeavy: CH's single heavy-hitter value — the k=1 cut of the
     // frequent-items sketch (string-typed, like chTopK). failOnError =
     // false so an all-NULL group (empty sketch cut) yields NULL under

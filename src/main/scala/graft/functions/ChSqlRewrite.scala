@@ -52,6 +52,26 @@ package graft.functions
   *  - `GROUP BY … WITH TOTALS` → `GROUPING SETS ((cols), ())`.
   *  - `SAMPLE 0.1` (fraction form) → seeded `TABLESAMPLE`.
   *  - trailing `SETTINGS k = v` / `FORMAT X` clauses are stripped.
+  *  - `[LEFT] ARRAY JOIN item, …` — CH's unnest clause. A single item
+  *    becomes an `explode`/`explode_outer` in a derived table; multiple
+  *    items zip in LOCKSTEP (CH's parallel-array contract, NOT a cross
+  *    product) via one `explode(arrays_zip(…))`. A bare column item
+  *    shadows the source column (CH semantics); `expr AS alias` keeps
+  *    it. LEFT ARRAY JOIN emits NULL for empty arrays where CH emits
+  *    the element type's default — NULL is the honest Spark spelling.
+  *  - generic `-If` aggregate combinators — `argMaxIf(a, v, cond)` and
+  *    friends become `argMax(a, v) FILTER (WHERE cond)`, the exact
+  *    SQL-standard spelling of CH's conditional-aggregate contract,
+  *    for every registry aggregate whose builder root is a plain
+  *    aggregate (the hand-tuned sumIf/countIf/… family keeps its
+  *    registered builders and is not touched here).
+  *  - `GLOBAL` / `ALL` join-strictness prefixes are dropped: GLOBAL is
+  *    a CH distributed-shipping hint (Catalyst's planner owns that
+  *    choice here) and ALL JOIN is CH's spelling of the default join
+  *    multiplicity. `UNION ALL` is untouched (ALL only drops when a
+  *    join keyword follows).
+  *  - `numbers(n)` / `numbers(offset, n)` table function → a derived
+  *    table over Spark's `range`, aliased `numbers(number)`.
   *
   * The rewrite is purely lexical but STRING- and COMMENT-SAFE:
   * single-quoted, double-quoted, and backquoted spans (including
@@ -109,9 +129,9 @@ object ChSqlRewrite {
     replacingDecls.put(table.toLowerCase, ReplacingDecl(keys, versionSql))
 
   def apply(sql: String): String =
-    rewriteFunctions(rewriteLimitBy(rewriteWithTotals(rewriteFinal(
-      rewriteAnyJoin(rewriteSample(rewritePrewhere(
-        stripSettingsFormat(sql))))))))
+    rewriteFunctions(rewriteLimitBy(rewriteWithTotals(rewriteArrayJoin(
+      rewriteFinal(rewriteNumbers(rewriteAnyJoin(rewriteSample(
+        rewritePrewhere(stripGlobalAll(stripSettingsFormat(sql)))))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -623,8 +643,257 @@ object ChSqlRewrite {
   }
 
   // ---------------------------------------------------------------
+  // GLOBAL / ALL join-strictness prefixes
+  // ---------------------------------------------------------------
+
+  private val joinStarters = Set("any", "left", "right", "inner", "full",
+    "cross", "join", "semi", "anti", "asof")
+
+  /** Drops ClickHouse's `GLOBAL` (distributed-shipping hint — Catalyst
+    * owns broadcast-vs-shuffle here) and `ALL` (the explicit spelling
+    * of default join multiplicity) prefixes in front of join keywords;
+    * `GLOBAL IN` / `GLOBAL NOT IN` also lose the hint. `UNION ALL` is
+    * never touched — ALL only drops when a join keyword follows it.
+    */
+  private def stripGlobalAll(sql: String): String = {
+    val toks = wordTokens(sql)
+    val idx = toks.indices.find { i =>
+      val w = toks(i)._1.toLowerCase
+      val nxt =
+        if (i + 1 < toks.length && toks(i + 1)._4 == toks(i)._4)
+          toks(i + 1)._1.toLowerCase
+        else ""
+      (w == "global" && (joinStarters.contains(nxt) || nxt == "in" ||
+        nxt == "not")) || (w == "all" && joinStarters.contains(nxt))
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        var e = toks(i)._3
+        while (e < sql.length && sql.charAt(e).isWhitespace) e += 1
+        stripGlobalAll(sql.substring(0, toks(i)._2) + sql.substring(e))
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // numbers(n) table function
+  // ---------------------------------------------------------------
+
+  /** `FROM numbers(n)` / `numbers(offset, n)` — ClickHouse's integer
+    * generator table — becomes a derived table over Spark's `range`
+    * TVF with the column renamed to CH's `number`. Only rewrites in
+    * relation position (the previous word token is FROM or a join
+    * keyword), so a scalar function named `numbers` elsewhere is
+    * untouched. A user-supplied alias is kept; otherwise the derived
+    * table is aliased `numbers` like CH.
+    */
+  private def rewriteNumbers(sql: String): String = {
+    val toks = wordTokens(sql)
+    val idx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("numbers") && i > 0 && {
+        val prev = toks(i - 1)._1.toLowerCase
+        prev == "from" || prev == "join"
+      } && {
+        var j = toks(i)._3
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        j < sql.length && sql.charAt(j) == '('
+      }
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        var j = toks(i)._3
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        val spans = argSpans(sql, j)
+        val end = matchParen(sql, j)
+        if (end < 0 || spans.isEmpty || spans.length > 2) sql
+        else {
+          val args = spans.map(sp => sql.substring(sp._1, sp._2).trim)
+          val rangeArgs =
+            if (args.length == 1) args.head
+            else s"${args(0)}, (${args(0)}) + (${args(1)})"
+          // keep a user alias if one follows; else alias AS numbers
+          val next = toks.find(_._2 >= end)
+          val hasAlias = next.exists(t => t._1.equalsIgnoreCase("as") ||
+            (t._4 == toks(i)._4 && t._2 == {
+              var k = end
+              while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+              k
+            } && !clauseAfterCond.contains(t._1.toLowerCase) &&
+              !joinStarters.contains(t._1.toLowerCase) &&
+              !t._1.equalsIgnoreCase("on") && !t._1.equalsIgnoreCase("using")))
+          val alias = if (hasAlias) "" else " AS numbers"
+          rewriteNumbers(sql.substring(0, toks(i)._2) +
+            s"(SELECT id AS number FROM range($rangeArgs))" + alias +
+            sql.substring(end))
+        }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // [LEFT] ARRAY JOIN
+  // ---------------------------------------------------------------
+
+  /** end of the paren scope containing position `from` at `depth`:
+    * first position where depth drops below `depth` (end of string
+    * for depth 0).
+    */
+  private def scopeEndAt(sql: String, from: Int, depth: Int): Int = {
+    var j = from; var d = depth
+    while (j < sql.length) {
+      val ck = commentKind(sql, j)
+      if (ck != 0) j = commentEnd(sql, j, ck)
+      else sql.charAt(j) match {
+        case '(' => d += 1; j += 1
+        case ')' => d -= 1; if (d < depth) return j else j += 1
+        case '\'' | '"' | '`' => j = quotedEnd(sql, j)
+        case _ => j += 1
+      }
+    }
+    sql.length
+  }
+
+  /** splits sql[from, to) on top-level commas (quote/comment/paren
+    * aware), returning trimmed pieces
+    */
+  private def splitTopLevel(sql: String, from: Int, to: Int): Seq[String] = {
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = from; var d = 0; var start = from
+    while (j < to) {
+      val ck = commentKind(sql, j)
+      if (ck != 0) j = commentEnd(sql, j, ck)
+      else sql.charAt(j) match {
+        case '(' => d += 1; j += 1
+        case ')' => d -= 1; j += 1
+        case ',' if d == 0 =>
+          pieces += sql.substring(start, j).trim; start = j + 1; j += 1
+        case '\'' | '"' | '`' => j = quotedEnd(sql, j)
+        case _ => j += 1
+      }
+    }
+    pieces += sql.substring(start, to).trim
+    pieces.toSeq.filter(_.nonEmpty)
+  }
+
+  private val simpleIdentRe =
+    "^[A-Za-z_][A-Za-z_0-9]*(?:\\.[A-Za-z_][A-Za-z_0-9]*)*$".r
+  private val baseRelRe =
+    "^([A-Za-z_][A-Za-z_0-9.]*)(?:\\s+(?:[Aa][Ss]\\s+)?([A-Za-z_][A-Za-z_0-9]*))?$".r
+
+  private case class AjItem(expr: String, alias: String, shadow: Option[String])
+
+  /** Rewrites `FROM <base> [LEFT] ARRAY JOIN item, …` into a derived
+    * table that explodes the item(s). One item → plain
+    * `explode`/`explode_outer`; several items → ClickHouse's LOCKSTEP
+    * zip (parallel arrays advance together — NOT a cross product) via
+    * a single `explode(arrays_zip(…))`. Bare-column items SHADOW the
+    * source column (the CH contract: inside the query `arr` means the
+    * element); `expr AS alias` items keep the source. One occurrence
+    * per pass, recursing for nested/multiple clauses.
+    */
+  private def rewriteArrayJoin(sql: String): String = {
+    val toks = wordTokens(sql)
+    val idx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("array") && i + 1 < toks.length &&
+        toks(i + 1)._1.equalsIgnoreCase("join") &&
+        toks(i)._4 == toks(i + 1)._4
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        val d = toks(i)._4
+        val isLeft = i > 0 && toks(i - 1)._1.equalsIgnoreCase("left") &&
+          toks(i - 1)._4 == d
+        val clauseStart = if (isLeft) toks(i - 1)._2 else toks(i)._2
+        val fromIdx = toks.indices.filter(j =>
+          toks(j)._1.equalsIgnoreCase("from") && toks(j)._4 == d &&
+            toks(j)._2 < clauseStart).lastOption.getOrElse(
+          throw new IllegalArgumentException(
+            "ARRAY JOIN: no owning FROM clause found"))
+        val base = sql.substring(toks(fromIdx)._3, clauseStart).trim
+        val itemsStart = toks(i + 1)._3
+        val sEnd = scopeEndAt(sql, itemsStart, d)
+        val clauseKw = Set("where", "prewhere", "group", "order", "limit",
+          "having", "settings", "format", "union", "intersect", "except",
+          "window", "qualify")
+        val itemsEnd = toks.find(t => t._2 >= itemsStart && t._2 < sEnd &&
+          t._4 == d && clauseKw.contains(t._1.toLowerCase))
+          .map(_._2).getOrElse(sEnd)
+        val items = splitTopLevel(sql, itemsStart, itemsEnd).map { it =>
+          // top-level `expr AS alias`?
+          val itToks = wordTokens(it)
+          itToks.reverse.find(t => t._4 == 0 &&
+            t._1.equalsIgnoreCase("as")) match {
+            case Some(asTok)
+                if itToks.lastOption.exists(l => l._3 == it.length &&
+                  l._2 > asTok._3 &&
+                  simpleIdentRe.matches(l._1)) =>
+              AjItem(it.substring(0, asTok._2).trim, itToks.last._1, None)
+            case _ if simpleIdentRe.matches(it) =>
+              val seg = it.split('.').last
+              AjItem(it, seg, Some(seg))
+            case _ => throw new IllegalArgumentException(
+              s"ARRAY JOIN: expression item needs an alias: $it")
+          }
+        }
+        if (items.isEmpty) throw new IllegalArgumentException(
+          "ARRAY JOIN: no items")
+        val explodeFn = if (isLeft) "explode_outer" else "explode"
+        val sub =
+          if (items.length == 1) {
+            val it = items.head
+            val exceptCl = it.shadow.map(c => s" EXCEPT ($c)").getOrElse("")
+            s"(SELECT *$exceptCl, $explodeFn(${it.expr}) AS ${it.alias} " +
+              s"FROM $base)"
+          } else {
+            // lockstep zip; field names: a NamedExpression child keeps
+            // its name in arrays_zip's struct, any other child is named
+            // by its argument index
+            items.foreach { it =>
+              if (it.shadow.isDefined && it.expr.contains("."))
+                throw new IllegalArgumentException(
+                  "ARRAY JOIN: qualified bare columns are not supported " +
+                    s"in the multi-item form; alias it: ${it.expr}")
+            }
+            val zipArgs = items.map(_.expr).mkString(", ")
+            val projections = items.zipWithIndex.map { case (it, k) =>
+              val ref =
+                if (simpleIdentRe.matches(it.expr))
+                  s"__aj.${it.expr.split('.').last}"
+                else s"__aj['$k']"
+              s"$ref AS ${it.alias}"
+            }
+            val excepts = "__aj" +: items.flatMap(_.shadow)
+            s"(SELECT * EXCEPT (${excepts.mkString(", ")}), " +
+              s"${projections.mkString(", ")} FROM (SELECT *, " +
+              s"$explodeFn(arrays_zip($zipArgs)) AS __aj FROM $base))"
+          }
+        val outerAlias = base match {
+          case baseRelRe(name, al) =>
+            " AS " + (if (al != null) al else name.split('.').last)
+          case _ => ""
+        }
+        rewriteArrayJoin(sql.substring(0, toks(fromIdx)._2) + "FROM " +
+          sub + outerAlias + " " + sql.substring(itemsEnd))
+    }
+  }
+
+  // ---------------------------------------------------------------
   // function-call rewrites (token-stream pass)
   // ---------------------------------------------------------------
+
+  /** registry aggregates whose builder root is a plain
+    * AggregateFunction — eligible for the generic `-If` combinator via
+    * `FILTER (WHERE …)` (the analyzer attaches a filter clause only to
+    * a direct aggregate call). The hand-tuned If family that ChCompat
+    * registers explicitly (countIf, sumIf, avgIf, minIf, maxIf,
+    * uniqIf, uniqExactIf, groupArrayIf) is NOT listed — those resolve
+    * through their registered builders unchanged.
+    */
+  private val genericIfPrefixes = Set("any", "anyLast", "argMin", "argMax",
+    "median", "groupUniqArray", "uniqCombined", "uniqHLL12", "stddevPop",
+    "stddevSamp", "varPop", "varSamp", "corr", "covarPop", "covarSamp",
+    "skewPop")
 
   private def rewriteFunctions(sql: String): String = {
     val out = new StringBuilder(sql.length + 16)
@@ -707,6 +976,19 @@ object ChSqlRewrite {
               val nargs = topLevelArgs(sql, j)
               if (nargs == 2) { out ++= "chExtract"; i = j }
               else out ++= word
+            } else if (word.length > 2 && word.endsWith("If") &&
+                genericIfPrefixes.contains(word.dropRight(2))) {
+              // generic -If combinator: agg args…, cond (last arg)
+              val spans = argSpans(sql, j)
+              if (spans.length >= 2) {
+                val args = spans.dropRight(1).map(sp =>
+                  rewriteFunctions(sql.substring(sp._1, sp._2).trim))
+                  .mkString(", ")
+                val cond = rewriteFunctions(
+                  sql.substring(spans.last._1, spans.last._2).trim)
+                out ++= s"${word.dropRight(2)}($args) FILTER (WHERE $cond)"
+                i = matchParen(sql, j)
+              } else out ++= word
             } else curried.get(word) match {
               case Some(flat) =>
                 val endParams = matchParen(sql, j)
