@@ -65,6 +65,9 @@ object SparkEntry {
     "r37_salted_skew" -> (RefQueries.salted_skew_agg _),
     "r38_ch_prewhere" -> (RefQueries.ch_prewhere _),
     "r39_ch_totals" -> (RefQueries.ch_totals _),
+    "r40_ch_array_join" -> (RefQueries.ch_array_join _),
+    "r41_ch_stats" -> (RefQueries.ch_stats _),
+    "r42_ch_numbers" -> (RefQueries.ch_numbers_spine _),
     "r36_ch_limit_by" -> (RefQueries.ch_limit_by _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
@@ -335,6 +338,37 @@ object SparkEntry {
          FROM events
          GROUP BY GROUPING SETS ((event_type), ())
          ORDER BY et""",
+
+    "r40_ch_array_join" ->
+      """SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS docs
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         WHERE tok <> ''
+         GROUP BY tok
+         ORDER BY cnt DESC, tok
+         LIMIT 50""",
+
+    "r41_ch_stats" ->
+      """SELECT event_type,
+                CAST(round(CAST(stddev_pop(value)  AS DECIMAL(28,10)), 4) AS DOUBLE) AS sd_p,
+                CAST(round(CAST(stddev_samp(value) AS DECIMAL(28,10)), 4) AS DOUBLE) AS sd_s,
+                CAST(round(CAST(var_pop(value)     AS DECIMAL(28,10)), 4) AS DOUBLE) AS var_p,
+                CAST(round(CAST(var_samp(value)    AS DECIMAL(28,10)), 4) AS DOUBLE) AS var_s,
+                CAST(round(CAST(covar_pop(value, CAST(user_id AS DOUBLE))  AS DECIMAL(28,10)), 4) AS DOUBLE) AS cov_p,
+                CAST(round(CAST(covar_samp(value, CAST(user_id AS DOUBLE)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS cov_s,
+                CAST(round(CAST(corr(value, CAST(user_id AS DOUBLE)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS cr,
+                arg_max(user_id, event_id) FILTER (WHERE value >= 50) AS last_user
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
+
+    "r42_ch_numbers" ->
+      """SELECT r.range AS hod, coalesce(e.cnt, 0) AS cnt
+         FROM range(24) AS r
+         LEFT JOIN (SELECT hour(ts) AS h, count(*) AS cnt
+                    FROM events GROUP BY 1) AS e
+           ON r.range = e.h
+         ORDER BY hod""",
 
     "r36_ch_limit_by" ->
       """SELECT user_id, event_id, value

@@ -699,4 +699,66 @@ object RefQueries {
       .select(col("src"), col("dst"), col("event_type").as("last_type"),
         col("updated_at"), col("degree").as("weight"))
       .orderBy("src", "dst")
+
+  // ---- ClickHouse `ARRAY JOIN` run VERBATIM through the dialect
+  // front-end: the canonical word-count over the documents corpus.
+  // ChSqlRewrite turns the clause into an explode in a derived table
+  // (multi-item lockstep zip is spec-pinned in ChArrayJoinSpec; this
+  // gate carries the full DuckDB unnest oracle for the single-item
+  // expression form). Scale shape: explode is map-side — the only
+  // shuffle is the word aggregation itself. ----
+  def ch_array_join(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    Tables.load(s, dir, "documents").createOrReplaceTempView("docs_aj")
+    ChCompat.sql(s, """
+      SELECT tok, count() AS cnt, uniqExact(doc_id) AS docs
+      FROM docs_aj
+      ARRAY JOIN splitByChar(' ', text) AS tok
+      WHERE tok != ''
+      GROUP BY tok
+      ORDER BY cnt DESC, tok
+      LIMIT 50""")
+  }
+
+  // ---- ClickHouse `numbers()` table function as a dimension spine:
+  // hour-of-day histogram including empty hours, written the CH way
+  // (numbers(24) GLOBAL LEFT JOIN the aggregate). Exercises the
+  // numbers→range rewrite AND the GLOBAL-prefix strip in one gated
+  // statement. The spine is 24 rows — Catalyst broadcasts it; at
+  // 100 TB the aggregate side shuffles on toHour only. ----
+  def ch_numbers_spine(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    events(s, dir).createOrReplaceTempView("events")
+    ChCompat.sql(s, """
+      SELECT n.number AS hod, ifNull(e.cnt, 0) AS cnt
+      FROM numbers(24) AS n
+      GLOBAL LEFT JOIN (SELECT toHour(ts) AS h, count() AS cnt
+                        FROM events GROUP BY h) AS e
+        ON n.number = e.h
+      ORDER BY hod""")
+  }
+
+  // ---- the moment-statistics family + a generic -If combinator run
+  // verbatim: CH's stddevPop/varSamp/covar/corr names over Spark's
+  // identical-formula aggregates, argMaxIf via the FILTER (WHERE …)
+  // rewrite. All values DECIMAL-rounded to 4dp (cross-engine
+  // accumulation order differs in the last ULPs); argMaxIf orders by
+  // the unique event_id so the picked row is deterministic. ----
+  def ch_stats(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    events(s, dir).createOrReplaceTempView("events")
+    ChCompat.sql(s, """
+      SELECT event_type,
+             CAST(round(CAST(stddevPop(value)  AS DECIMAL(28,10)), 4) AS DOUBLE) AS sd_p,
+             CAST(round(CAST(stddevSamp(value) AS DECIMAL(28,10)), 4) AS DOUBLE) AS sd_s,
+             CAST(round(CAST(varPop(value)     AS DECIMAL(28,10)), 4) AS DOUBLE) AS var_p,
+             CAST(round(CAST(varSamp(value)    AS DECIMAL(28,10)), 4) AS DOUBLE) AS var_s,
+             CAST(round(CAST(covarPop(value, toFloat64(user_id))  AS DECIMAL(28,10)), 4) AS DOUBLE) AS cov_p,
+             CAST(round(CAST(covarSamp(value, toFloat64(user_id)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS cov_s,
+             CAST(round(CAST(corr(value, toFloat64(user_id)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS cr,
+             argMaxIf(user_id, event_id, value >= 50) AS last_user
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  }
 }
