@@ -560,10 +560,19 @@ object ChCompat {
     * Spark's parser rejects outright, then the registered aliases for
     * everything else. Sessions configured with
     * `spark.sql.extensions=graft.GraftExtensions` get the same rewrite
-    * transparently inside plain `spark.sql`.
+    * transparently inside plain `spark.sql`. A `CREATE TABLE … ENGINE
+    * = …` statement (the reference's own DDL shape,
+    * app/service/log_importer.ts:120-127) routes through [[ChDdl]] —
+    * types mapped, Replacing* engines registered for FINAL.
     */
   def sql(spark: SparkSession, chSql: String): org.apache.spark.sql.DataFrame =
-    spark.sql(ChSqlRewrite(chSql))
+    if (chDdlRe.findFirstIn(chSql).isDefined) {
+      ChDdl.create(spark, chSql)
+      spark.emptyDataFrame
+    } else spark.sql(ChSqlRewrite(chSql))
+
+  private val chDdlRe =
+    """(?is)^\s*CREATE\s+TABLE\s[\s\S]*\bENGINE\s*=""".r
 
   // Column-API forms for Scala callers.
   def toYYYYMM(c: Column): Column =

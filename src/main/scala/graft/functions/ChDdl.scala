@@ -1,0 +1,355 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** ClickHouse `CREATE TABLE` front-end: parse the DDL a ClickHouse
+  * user already has — the reference generates exactly this shape
+  * (reference: app/service/log_importer.ts:120-127 emits
+  * `CREATE TABLE … ENGINE = ReplacingMergeTree(from_api) PARTITION BY
+  * (toYYYYMM(created_at)) PRIMARY KEY (…) ORDER BY (…) SETTINGS
+  * index_granularity = 8192` over the ~100-column FieldMap of
+  * app/utils.ts:21-127) — and turn it into
+  *
+  *  - a Spark `CREATE TABLE … USING parquet` statement with every CH
+  *    type mapped to its Spark analogue (Nested → ARRAY<STRUCT<…>>,
+  *    LowCardinality unwrapped, Nullable → nullability, UInt64 →
+  *    BIGINT, …),
+  *  - a registered ReplacingMergeTree declaration
+  *    ([[ChSqlRewrite.registerReplacing]]) when the engine is
+  *    Replacing*, so `SELECT … FROM t FINAL` works immediately, and
+  *  - a [[ChTableSpec]] carrying the physical-layout intent Spark DDL
+  *    cannot express (expression PARTITION BY, ORDER BY sorting key)
+  *    for the write path to apply (`repartitionByRange` +
+  *    `sortWithinPartitions`, the EventsWriter pattern).
+  *
+  * Scale notes: bare-column PARTITION BY entries become real Spark
+  * partition columns (partition pruning); expression entries (CH's
+  * `toYYYYMM(created_at)` idiom) are recorded in [[ChTableSpec]] —
+  * the writer materializes them as a generated column, which is the
+  * Spark-native spelling of the same pruning contract. The ORDER BY
+  * sorting key maps to sort-on-write (row-group min/max skipping),
+  * not to a DDL clause — parquet has no index, the stats ARE the
+  * index.
+  *
+  * Deliberate divergences (recorded in `dropped`):
+  *  - `NOT NULL` is not emitted: CH non-Nullable columns take type
+  *    defaults on missing input, Spark parquet tables are nullable by
+  *    convention; the per-column CH nullability is kept on the spec.
+  *  - DEFAULT / MATERIALIZED / ALIAS / CODEC / TTL / INDEX /
+  *    PROJECTION / ON CLUSTER / SETTINGS are parsed past and dropped
+  *    (storage-engine concerns parquet + Catalyst own here).
+  */
+object ChDdl {
+
+  final case class ChColumn(name: String, chType: String, sparkType: String,
+      nullable: Boolean, comment: Option[String])
+
+  final case class ChTableSpec(
+      table: String,
+      ifNotExists: Boolean,
+      columns: Seq[ChColumn],
+      engine: String,
+      engineArgs: Seq[String],
+      partitionBy: Seq[String],
+      orderBy: Seq[String],
+      primaryKey: Seq[String],
+      dropped: Seq[String]) {
+
+    /** PARTITION BY entries that are bare declared columns — DDL-expressible. */
+    def partitionColumns: Seq[String] =
+      partitionBy.filter(p => columns.exists(_.name.equalsIgnoreCase(p)))
+
+    /** PARTITION BY entries that are expressions — write-path concern. */
+    def partitionExprs: Seq[String] =
+      partitionBy.filterNot(p => columns.exists(_.name.equalsIgnoreCase(p)))
+
+    def isReplacing: Boolean = engine.toLowerCase.contains("replacing")
+
+    /** The ReplacingMergeTree version expression: the engine arg if
+      * given; CH without one keeps an arbitrary row per key — spelled
+      * here as the constant 1 (any row wins, deterministically within
+      * one engine but not across; declared tables should pass a
+      * version column like the reference's `from_api`).
+      */
+    def versionSql: String = engineArgs.headOption.getOrElse("1")
+
+    def sparkDdl(location: Option[String] = None,
+        using: String = "parquet"): String = {
+      val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+      val cols = columns.map { c =>
+        val cm = c.comment
+          .map(x => s" COMMENT '${x.replace("'", "''")}'").getOrElse("")
+        s"  `${c.name}` ${c.sparkType}$cm"
+      }.mkString(",\n")
+      val part =
+        if (partitionColumns.isEmpty) ""
+        else s"\nPARTITIONED BY (${partitionColumns.mkString(", ")})"
+      val loc = location.map(l => s"\nLOCATION '$l'").getOrElse("")
+      s"CREATE TABLE $ine`$table` (\n$cols\n) USING $using$part$loc"
+    }
+  }
+
+  /** Parse + execute: runs the translated DDL on `spark` and, for a
+    * Replacing* engine, registers the FINAL dedup declaration (keys =
+    * the ORDER BY sorting key, version = the engine argument).
+    */
+  def create(spark: SparkSession, chDdl: String,
+      location: Option[String] = None): ChTableSpec = {
+    val spec = parse(chDdl)
+    spark.sql(spec.sparkDdl(location))
+    if (spec.isReplacing)
+      ChSqlRewrite.registerReplacing(spec.table, spec.orderBy, spec.versionSql)
+    spec
+  }
+
+  // ---------------------------------------------------------------
+  // parsing
+  // ---------------------------------------------------------------
+
+  private val headerRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`"\w.]+)\s*(ON\s+CLUSTER\s+\S+\s*)?\(""".r
+
+  def parse(ddl: String): ChTableSpec = {
+    val m = headerRe.findFirstMatchIn(ddl).getOrElse(
+      throw new IllegalArgumentException(
+        "ChDdl: not a CREATE TABLE statement"))
+    val rawName = m.group(2).replace("`", "").replace("\"", "")
+    val table = rawName.split('.').last // db qualifier dropped (session catalog)
+    val open = m.end - 1
+    val close = matchParen(ddl, open)
+    if (close < 0) throw new IllegalArgumentException(
+      "ChDdl: unbalanced column-list parentheses")
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (m.group(3) != null) dropped += "ON CLUSTER"
+
+    val columns = splitTop(ddl.substring(open + 1, close - 1)).flatMap { d =>
+      parseColumn(d.trim, dropped)
+    }
+
+    // tail clauses: ENGINE = X(args) PARTITION BY … PRIMARY KEY …
+    // ORDER BY … TTL … SETTINGS …
+    val tail = ddl.substring(close).stripSuffix(";").trim match {
+      case t if t.endsWith(";") => t.dropRight(1)
+      case t => t
+    }
+    val engineRe = """(?is)ENGINE\s*=\s*(\w+)\s*(\()?""".r
+    val (engine, engineArgs) = engineRe.findFirstMatchIn(tail) match {
+      case None => ("", Seq.empty[String])
+      case Some(em) =>
+        val name = em.group(1)
+        if (em.group(2) == null) (name, Seq.empty[String])
+        else {
+          val argsEnd = matchParen(tail, em.end - 1)
+          (name, splitTop(tail.substring(em.end, argsEnd - 1))
+            .map(_.trim).filter(_.nonEmpty))
+        }
+    }
+    def clauseList(kw: String): Seq[String] = {
+      val re = ("""(?is)""" + kw + """\s*""").r
+      re.findFirstMatchIn(tail) match {
+        case None => Seq.empty
+        case Some(cm) =>
+          val at = cm.end
+          if (at < tail.length && tail.charAt(at) == '(') {
+            val e = matchParen(tail, at)
+            splitTop(tail.substring(at + 1, e - 1)).map(_.trim)
+          } else {
+            // single unparenthesized expression: runs to the next
+            // top-level clause keyword or end
+            val stop = Seq("PARTITION\\s+BY", "PRIMARY\\s+KEY",
+              "ORDER\\s+BY", "SAMPLE\\s+BY", "TTL", "SETTINGS", "COMMENT")
+              .flatMap(k => ("""(?is)\b""" + k + """\b""").r
+                .findAllMatchIn(tail.substring(at)).map(_.start + at).toSeq)
+              .filter(_ > at).sorted.headOption.getOrElse(tail.length)
+            Seq(tail.substring(at, stop).trim).filter(_.nonEmpty)
+          }
+      }
+    }
+    val partitionBy = clauseList("PARTITION\\s+BY")
+    val orderBy = clauseList("ORDER\\s+BY")
+    val primaryKey = clauseList("PRIMARY\\s+KEY")
+    Seq("TTL" -> """(?is)\bTTL\b""", "SETTINGS" -> """(?is)\bSETTINGS\b""",
+      "SAMPLE BY" -> """(?is)\bSAMPLE\s+BY\b""").foreach { case (n, re) =>
+      if (re.r.findFirstIn(tail).isDefined) dropped += n
+    }
+
+    ChTableSpec(table, m.group(1) != null, columns, engine, engineArgs,
+      partitionBy, orderBy, primaryKey, dropped.toSeq)
+  }
+
+  /** one column definition → ChColumn; INDEX/CONSTRAINT/PROJECTION
+    * entries in the column list are dropped (recorded).
+    */
+  private def parseColumn(d: String,
+      dropped: scala.collection.mutable.ArrayBuffer[String])
+      : Option[ChColumn] = {
+    if (d.isEmpty) return None
+    val firstWordRe = """^(`[^`]+`|"[^"]+"|[\w]+)\s*""".r
+    val fm = firstWordRe.findFirstMatchIn(d).getOrElse(
+      throw new IllegalArgumentException(s"ChDdl: bad column def: $d"))
+    val head = fm.group(1)
+    val headWord = head.replace("`", "").replace("\"", "")
+    headWord.toUpperCase match {
+      case "INDEX" | "CONSTRAINT" | "PROJECTION" =>
+        dropped += s"${headWord.toUpperCase} (${d.take(40)}…)"
+        return None
+      case _ =>
+    }
+    var rest = d.substring(fm.end).trim
+    // the type: an identifier plus an optional balanced paren group
+    val typeIdRe = """^[\w]+""".r
+    val tid = typeIdRe.findFirstIn(rest).getOrElse(
+      throw new IllegalArgumentException(s"ChDdl: column '$headWord' has no type"))
+    var typeEnd = tid.length
+    val afterId = rest.substring(typeEnd).dropWhile(_.isWhitespace)
+    if (afterId.startsWith("(")) {
+      val off = rest.length - afterId.length
+      val e = matchParen(rest, off)
+      if (e < 0) throw new IllegalArgumentException(
+        s"ChDdl: unbalanced type parens in: $d")
+      typeEnd = e
+    }
+    val chType = rest.substring(0, typeEnd).trim
+    rest = rest.substring(typeEnd).trim
+    // modifiers: COMMENT kept, the rest dropped
+    var comment: Option[String] = None
+    val commentRe = """(?is)\bCOMMENT\s+'((?:[^']|'')*)'""".r
+    commentRe.findFirstMatchIn(rest).foreach { cm =>
+      comment = Some(cm.group(1).replace("''", "'"))
+    }
+    Seq("DEFAULT", "MATERIALIZED", "ALIAS", "EPHEMERAL", "CODEC", "TTL")
+      .foreach { kw =>
+        if (("""(?is)\b""" + kw + """\b""").r.findFirstIn(rest).isDefined)
+          dropped += s"$kw on $headWord"
+      }
+    val (sparkType, nullable) = mapType(chType)
+    Some(ChColumn(headWord, chType, sparkType, nullable, comment))
+  }
+
+  // ---------------------------------------------------------------
+  // type mapping
+  // ---------------------------------------------------------------
+
+  /** CH type text → (Spark DDL type, nullable). Unknown types throw —
+    * a silent STRING fallback would corrupt downstream arithmetic.
+    */
+  def mapType(chType: String): (String, Boolean) = {
+    val t = chType.trim
+    def inner(of: String): String = {
+      val open = t.indexOf('(')
+      t.substring(open + 1, t.length - 1)
+    }
+    val idRe = """^[\w]+""".r
+    val id = idRe.findFirstIn(t).getOrElse(
+      throw new IllegalArgumentException(s"ChDdl: bad type '$t'"))
+    id match {
+      case "Nullable" => (mapType(inner(t))._1, true)
+      case "LowCardinality" => mapType(inner(t))
+      case "Array" => (s"ARRAY<${mapType(inner(t))._1}>", false)
+      case "Map" =>
+        val parts = splitTop(inner(t))
+        (s"MAP<${mapType(parts(0))._1}, ${mapType(parts(1))._1}>", false)
+      case "Nested" =>
+        // CH Nested = parallel arrays per field; the Spark-idiomatic
+        // equivalent is one array of structs (same query surface via
+        // ARRAY JOIN → explode)
+        val fields = splitTop(inner(t)).map { f =>
+          val ft = f.trim
+          val nm = """^(`[^`]+`|[\w]+)""".r.findFirstIn(ft).get
+          val rest = ft.substring(nm.length).trim
+          // backquoted: a CH Nested field may be named `default` etc.
+          s"`${nm.replace("`", "")}`: ${mapType(rest)._1}"
+        }
+        (s"ARRAY<STRUCT<${fields.mkString(", ")}>>", false)
+      case "Tuple" =>
+        val fields = splitTop(inner(t)).zipWithIndex.map { case (f, i) =>
+          val ft = f.trim
+          val nmRe = """^(`[^`]+`|[A-Za-z_][\w]*)\s+""".r
+          nmRe.findFirstMatchIn(ft) match {
+            case Some(nm) if !ft.substring(nm.end).trim.isEmpty &&
+                """^[\w]""".r.findFirstIn(ft.substring(nm.end).trim).isDefined =>
+              s"`${nm.group(1).replace("`", "")}`: ${mapType(ft.substring(nm.end))._1}"
+            case _ => s"_${i + 1}: ${mapType(ft)._1}"
+          }
+        }
+        (s"STRUCT<${fields.mkString(", ")}>", false)
+      case "Decimal" =>
+        val ps = splitTop(inner(t)).map(_.trim)
+        (s"DECIMAL(${ps(0)}, ${ps(1)})", false)
+      case "Decimal32" => (s"DECIMAL(9, ${inner(t).trim})", false)
+      case "Decimal64" => (s"DECIMAL(18, ${inner(t).trim})", false)
+      case "Decimal128" | "Decimal256" => (s"DECIMAL(38, ${inner(t).trim})", false)
+      case "DateTime" | "DateTime64" => ("TIMESTAMP", false)
+      case "Date" | "Date32" => ("DATE", false)
+      case "FixedString" | "String" | "UUID" | "IPv4" | "IPv6" | "JSON" |
+           "Object" => ("STRING", false)
+      case "Enum8" | "Enum16" | "Enum" => ("STRING", false)
+      case "UInt8" => ("SMALLINT", false)   // 0..255 needs 16 bits signed
+      case "UInt16" => ("INT", false)
+      case "UInt32" => ("BIGINT", false)
+      case "UInt64" => ("BIGINT", false)    // reference IDs < 2^63; overflow
+                                            // would need DECIMAL(20,0)
+      case "Int8" => ("TINYINT", false)
+      case "Int16" => ("SMALLINT", false)
+      case "Int32" => ("INT", false)
+      case "Int64" => ("BIGINT", false)
+      case "Int128" | "Int256" | "UInt128" | "UInt256" =>
+        ("DECIMAL(38, 0)", false)
+      case "Float32" => ("FLOAT", false)
+      case "Float64" => ("DOUBLE", false)
+      case "Bool" | "Boolean" => ("BOOLEAN", false)
+      case other => throw new IllegalArgumentException(
+        s"ChDdl: unmapped ClickHouse type '$other' in '$t'")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // small lexer (quote/paren aware; DDL needs no comment handling
+  // beyond what splitTop's quote skipping gives)
+  // ---------------------------------------------------------------
+
+  /** index just past the ')' matching the '(' at `from`; -1 if unbalanced */
+  private def matchParen(s: String, from: Int): Int = {
+    var j = from; var depth = 0
+    while (j < s.length) {
+      s.charAt(j) match {
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; j += 1; if (depth == 0) return j
+        case '\'' | '"' | '`' => j = quotedEnd(s, j)
+        case _ => j += 1
+      }
+    }
+    -1
+  }
+
+  private def quotedEnd(s: String, j: Int): Int = {
+    val q = s.charAt(j)
+    var k = j + 1
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (c == '\\' && q != '`') k += 2
+      else if (c == q) {
+        if (k + 1 < s.length && s.charAt(k + 1) == q) k += 2
+        else return k + 1
+      } else k += 1
+    }
+    s.length
+  }
+
+  /** split on top-level commas, quote/paren aware */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0; var depth = 0; var start = 0
+    while (j < s.length) {
+      s.charAt(j) match {
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case ',' if depth == 0 => out += s.substring(start, j); start = j + 1; j += 1
+        case '\'' | '"' | '`' => j = quotedEnd(s, j)
+        case _ => j += 1
+      }
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+}
