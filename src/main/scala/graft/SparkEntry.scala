@@ -68,6 +68,7 @@ object SparkEntry {
     "r40_ch_array_join" -> (RefQueries.ch_array_join _),
     "r41_ch_stats" -> (RefQueries.ch_stats _),
     "r42_ch_numbers" -> (RefQueries.ch_numbers_spine _),
+    "r43_ch_dict" -> (RefQueries.ch_dict _),
     "r36_ch_limit_by" -> (RefQueries.ch_limit_by _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
@@ -369,6 +370,15 @@ object SparkEntry {
                     FROM events GROUP BY 1) AS e
            ON r.range = e.h
          ORDER BY hod""",
+
+    "r43_ch_dict" ->
+      """SELECT coalesce(n.n_name, '?') AS nation,
+                count(*) AS cnt,
+                CAST(round(CAST(sum(c_acctbal) AS DECIMAL(18,2)), 2) AS DOUBLE) AS bal
+         FROM customer c
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1
+         ORDER BY nation""",
 
     "r36_ch_limit_by" ->
       """SELECT user_id, event_id, value

@@ -282,6 +282,20 @@ object ChCompat {
     // HyperLogLog++ contract as uniq, incl. multi-arg tuple form
     "uniqCombined" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
     "uniqHLL12" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
+    // external dictionaries (Dictionaries.register first): broadcast
+    // hash-map probes that compose anywhere an expression can — incl.
+    // GROUP BY keys, where a subquery rewrite would be rejected
+    "dictGet" -> (Dictionaries.dictGet _),
+    "dictGetOrDefault" -> (Dictionaries.dictGetOrDefault _),
+    "dictHas" -> (Dictionaries.dictHas _),
+    "dictGetString" -> Dictionaries.dictGetTyped(StringType),
+    "dictGetUInt64" -> Dictionaries.dictGetTyped(LongType),
+    "dictGetInt64" -> Dictionaries.dictGetTyped(LongType),
+    "dictGetUInt32" -> Dictionaries.dictGetTyped(IntegerType),
+    "dictGetInt32" -> Dictionaries.dictGetTyped(IntegerType),
+    "dictGetFloat64" -> Dictionaries.dictGetTyped(DoubleType),
+    "dictGetDate" -> Dictionaries.dictGetTyped(DateType),
+    "dictGetDateTime" -> Dictionaries.dictGetTyped(TimestampType),
     // the moment-statistics family: CH's Pop/Samp names over Spark's
     // identical-formula aggregates. skewPop matches Spark's skewness
     // (population m3/m2^1.5); kurtPop is NON-excess kurtosis where

@@ -738,6 +738,28 @@ object RefQueries {
       ORDER BY hod""")
   }
 
+  // ---- ClickHouse dictionary lookups run verbatim: the nation dim
+  // registered as a dictionary, probed by dictGetOrDefault INSIDE the
+  // GROUP BY key (the canonical CH enrichment idiom — inexpressible
+  // via a subquery rewrite; here it's a broadcast hash-map probe per
+  // row, the Spark-native spelling of CH's RAM-resident dictionary).
+  // Scale shape: the dictionary broadcasts once per executor; the
+  // only shuffle is the final aggregation on the enriched key. ----
+  def ch_dict(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    Tables.load(s, dir, "nation").createOrReplaceTempView("nation_dim")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    graft.functions.Dictionaries.register(s, "nation_dict", "nation_dim",
+      "n_nationkey")
+    ChCompat.sql(s, """
+      SELECT dictGetOrDefault('nation_dict', 'n_name', c_nationkey, '?') AS nation,
+             count() AS cnt,
+             CAST(round(CAST(sum(c_acctbal) AS DECIMAL(18,2)), 2) AS DOUBLE) AS bal
+      FROM customer
+      GROUP BY nation
+      ORDER BY nation""")
+  }
+
   // ---- the moment-statistics family + a generic -If combinator run
   // verbatim: CH's stddevPop/varSamp/covar/corr names over Spark's
   // identical-formula aggregates, argMaxIf via the FILTER (WHERE …)
