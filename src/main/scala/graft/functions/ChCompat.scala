@@ -68,10 +68,83 @@ object ChCompat {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Running prefix sums over a numeric array (CH `arrayCumSum`).
+    * Double-typed (the builder casts the input): CH's per-int-width
+    * result types don't survive a single expression; a compat shim,
+    * like [[JsonExtractArrayRaw]].
+    */
+  case class ArrayCumSum(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray()
+      var acc = 0.0
+      val out = new Array[Double](a.length)
+      var i = 0
+      while (i < a.length) { acc += a(i); out(i) = acc; i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** Adjacent differences, first element 0 (CH `arrayDifference`). */
+  case class ArrayDifference(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray()
+      val out = new Array[Double](a.length)
+      var i = 1
+      while (i < a.length) { out(i) = a(i) - a(i - 1); i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** Collapse CONSECUTIVE duplicates (CH `arrayCompact`) — not a
+    * distinct: [1,1,2,1] → [1,2,1].
+    */
+  case class ArrayCompact(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = child.dataType
+    override def nullSafeEval(v: Any): Any = {
+      val elemType = child.dataType.asInstanceOf[ArrayType].elementType
+      val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var prev: Any = this // sentinel unequal to any element
+      var i = 0
+      while (i < a.numElements()) {
+        val e = a.get(i, elemType)
+        if (out.isEmpty || e != prev) { out += e; prev = e }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   private def fmtInt(e: Expression, fmt: String): Expression =
     Cast(DateFormatClass(e, Literal(fmt)), IntegerType)
   private def fmtLong(e: Expression, fmt: String): Expression =
     Cast(DateFormatClass(e, Literal(fmt)), LongType)
+
+  private def dblArray(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  /** floor a timestamp to `secs`-second buckets via epoch arithmetic */
+  private def tsFloorSeconds(ts: Expression, secs: Long): Expression =
+    Cast(Multiply(
+      IntegralDivide(Cast(Cast(ts, TimestampType), LongType),
+        Literal(secs), evalMode = EvalMode.LEGACY),
+      Literal(secs)), TimestampType)
+
+  /** parse_url part extraction; CH URL functions return '' (not null)
+    * for absent parts
+    */
+  private def urlPart(url: Expression, part: String): Expression =
+    Coalesce(Seq(new ParseUrl(Seq(url, Literal(part))), Literal("")))
 
   /** CH's multi-expression aggregate arguments count distinct TUPLES:
     * one arg passes through, several wrap in a struct.
@@ -296,6 +369,114 @@ object ChCompat {
     "dictGetFloat64" -> Dictionaries.dictGetTyped(DoubleType),
     "dictGetDate" -> Dictionaries.dictGetTyped(DateType),
     "dictGetDateTime" -> Dictionaries.dictGetTyped(TimestampType),
+    // tuple: CH's anonymous struct constructor (also the dictionary
+    // composite-key spelling); tupleElement by 1-based index or name
+    "tuple" -> (es => CreateStruct(es)),
+    "tupleElement" -> (es => es(1) match {
+      case Literal(i: Int, IntegerType) => GetStructField(es(0), i - 1)
+      case Literal(_, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es(0), es(1))
+      case other => throw new IllegalArgumentException(
+        s"tupleElement: index must be an int or string literal, got $other")
+    }),
+    // URL family over parse_url (codegen'd); CH returns '' for absent
+    // parts, hence the coalesce
+    "protocol" -> (es => urlPart(es.head, "PROTOCOL")),
+    "domain" -> (es => urlPart(es.head, "HOST")),
+    "domainWithoutWWW" -> (es => RegExpReplace(urlPart(es.head, "HOST"),
+      Literal("^www\\."), Literal(""))),
+    "topLevelDomain" -> (es => RegExpExtract(urlPart(es.head, "HOST"),
+      Literal("\\.([^.]+)$"), Literal(1))),
+    "path" -> (es => urlPart(es.head, "PATH")),
+    "pathFull" -> (es => urlPart(es.head, "FILE")),
+    "queryString" -> (es => urlPart(es.head, "QUERY")),
+    "extractURLParameter" -> (es => Coalesce(Seq(
+      new ParseUrl(Seq(es(0), Literal("QUERY"), es(1))), Literal("")))),
+    "cutQueryString" -> (es => RegExpReplace(es.head,
+      Literal("\\?[^#]*"), Literal(""))),
+    // hash family. sipHash64/cityHash64/farmHash64 keep CH's CONTRACT
+    // (uniform 64-bit hash of the arguments, multi-arg combined) via
+    // xxhash64 — the bit VALUES differ from ClickHouse's (these names
+    // exist for bucketing/sampling/fingerprinting, where any strong
+    // hash serves; cross-engine bit-parity is only promised for
+    // halfMD5, which is defined in terms of standard MD5)
+    "sipHash64" -> (es => XxHash64(es, 42L)),
+    "cityHash64" -> (es => XxHash64(es, 42L)),
+    "farmHash64" -> (es => XxHash64(es, 42L)),
+    "farmFingerprint64" -> (es => XxHash64(es, 42L)),
+    "intHash64" -> (es => XxHash64(es, 42L)),
+    "intHash32" -> (es => Murmur3Hash(es, 42)),
+    // halfMD5: first 8 MD5 bytes as a big-endian unsigned integer —
+    // bit-compatible with ClickHouse (DECIMAL(20,0): UInt64 range
+    // exceeds Long)
+    "halfMD5" -> (es => Cast(Conv(Substring(Md5(es.head), Literal(1),
+      Literal(16)), Literal(16), Literal(10)), DecimalType(20, 0))),
+    "hex" -> (es => Hex(es.head)),
+    "unhex" -> (es => Unhex(es.head)),
+    "MD5" -> (es => Md5(es.head)),
+    "SHA256" -> (es => Sha2(es.head, Literal(256))),
+    // relative-time bucket numbers (epoch-anchored, CH semantics)
+    "toRelativeSecondNum" -> (es => Cast(Cast(es.head, TimestampType), LongType)),
+    "toRelativeMinuteNum" -> (es => IntegralDivide(
+      Cast(Cast(es.head, TimestampType), LongType), Literal(60L),
+      evalMode = EvalMode.LEGACY)),
+    "toRelativeHourNum" -> (es => IntegralDivide(
+      Cast(Cast(es.head, TimestampType), LongType), Literal(3600L),
+      evalMode = EvalMode.LEGACY)),
+    "toRelativeDayNum" -> (es => IntegralDivide(
+      Cast(Cast(es.head, TimestampType), LongType), Literal(86400L),
+      evalMode = EvalMode.LEGACY)),
+    // n-unit time buckets
+    "toStartOfFiveMinutes" -> (es => tsFloorSeconds(es.head, 300L)),
+    "toStartOfTenMinutes" -> (es => tsFloorSeconds(es.head, 600L)),
+    "toStartOfFifteenMinutes" -> (es => tsFloorSeconds(es.head, 900L)),
+    // toStartOfInterval(ts, INTERVAL n unit): day-time intervals floor
+    // by epoch seconds; year-month intervals support the calendar
+    // buckets with a trunc equivalent (1 month / 1 quarter / 1 year)
+    "toStartOfInterval" -> (es => es(1) match {
+      case Literal(micros: Long, _: DayTimeIntervalType) =>
+        val secs = micros / 1000000L
+        require(secs > 0 && micros % 1000000L == 0,
+          "toStartOfInterval: sub-second intervals unsupported")
+        tsFloorSeconds(es(0), secs)
+      case Literal(months: Int, _: YearMonthIntervalType) => months match {
+        case 1 => TruncTimestamp(Literal("month"), es(0))
+        case 3 => TruncTimestamp(Literal("quarter"), es(0))
+        case 12 => TruncTimestamp(Literal("year"), es(0))
+        case n => throw new IllegalArgumentException(
+          s"toStartOfInterval: $n-month buckets unsupported (1/3/12 are)")
+      }
+      case other => throw new IllegalArgumentException(
+        s"toStartOfInterval: second argument must be an INTERVAL literal, got $other")
+    }),
+    // text tokenization: letters-only runs (CH alphaTokens)
+    "alphaTokens" -> (es => ArrayRemove(
+      StringSplit(es.head, Literal("[^\\p{L}]+"), Literal(-1)), Literal(""))),
+    // array math/shape (second batch)
+    "arrayIntersect" -> (es => es.reduceLeft(ArrayIntersect(_, _))),
+    "arrayZip" -> (es => ArraysZip(es)),
+    "arrayAvg" -> (es => {
+      val a = dblArray(es.head)
+      If(Or(IsNull(a), EqualTo(Size(a), Literal(0))), Literal(0.0),
+        Divide(ArrayAggregate(a, Literal(0.0),
+          LambdaFunction(Add(UnresolvedNamedLambdaVariable(Seq("acc")),
+            UnresolvedNamedLambdaVariable(Seq("x"))),
+            Seq(UnresolvedNamedLambdaVariable(Seq("acc")),
+              UnresolvedNamedLambdaVariable(Seq("x")))),
+          LambdaFunction.identity), Cast(Size(a), DoubleType)))
+    }),
+    "arrayProduct" -> (es => ArrayAggregate(dblArray(es.head), Literal(1.0),
+      LambdaFunction(Multiply(UnresolvedNamedLambdaVariable(Seq("acc")),
+        UnresolvedNamedLambdaVariable(Seq("x"))),
+        Seq(UnresolvedNamedLambdaVariable(Seq("acc")),
+          UnresolvedNamedLambdaVariable(Seq("x")))),
+      LambdaFunction.identity)),
+    "arrayCumSum" -> (es => ArrayCumSum(dblArray(es.head))),
+    "arrayDifference" -> (es => ArrayDifference(dblArray(es.head))),
+    "arrayCompact" -> (es => ArrayCompact(es.head)),
+    "arrayPopBack" -> (es => Slice(es.head, Literal(1),
+      Greatest(Seq(Subtract(Size(es.head), Literal(1)), Literal(0))))),
+    "arrayPushFront" -> (es => Concat(Seq(CreateArray(Seq(es(1))), es(0)))),
     // the moment-statistics family: CH's Pop/Samp names over Spark's
     // identical-formula aggregates. skewPop matches Spark's skewness
     // (population m3/m2^1.5); kurtPop is NON-excess kurtosis where
