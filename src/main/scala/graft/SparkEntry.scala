@@ -69,6 +69,7 @@ object SparkEntry {
     "r41_ch_stats" -> (RefQueries.ch_stats _),
     "r42_ch_numbers" -> (RefQueries.ch_numbers_spine _),
     "r43_ch_dict" -> (RefQueries.ch_dict _),
+    "r44_ch_fill" -> (RefQueries.ch_with_fill _),
     "r36_ch_limit_by" -> (RefQueries.ch_limit_by _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
@@ -370,6 +371,15 @@ object SparkEntry {
                     FROM events GROUP BY 1) AS e
            ON r.range = e.h
          ORDER BY hod""",
+
+    "r44_ch_fill" ->
+      """SELECT d AS day, e.cnt AS cnt
+         FROM (SELECT unnest(range(TIMESTAMP '2023-12-29',
+                                   TIMESTAMP '2024-02-02',
+                                   INTERVAL 1 DAY)) AS d) f
+         FULL JOIN (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+                    FROM events GROUP BY 1) e USING (d)
+         ORDER BY day""",
 
     "r43_ch_dict" ->
       """SELECT coalesce(n.n_name, '?') AS nation,

@@ -72,6 +72,10 @@ package graft.functions
   *    join keyword follows).
   *  - `numbers(n)` / `numbers(offset, n)` table function → a derived
   *    table over Spark's `range`, aliased `numbers(number)`.
+  *  - `ORDER BY x WITH FILL FROM a TO b [STEP s]` — a generated spine
+  *    FULL-joined to the statement; fill rows carry NULL in the other
+  *    columns (CH emits type defaults — NULL is the honest Spark
+  *    spelling). Explicit-bounds ascending single-column form only.
   *
   * The rewrite is purely lexical but STRING- and COMMENT-SAFE:
   * single-quoted, double-quoted, and backquoted spans (including
@@ -131,7 +135,8 @@ object ChSqlRewrite {
   def apply(sql: String): String =
     rewriteFunctions(rewriteLimitBy(rewriteWithTotals(rewriteArrayJoin(
       rewriteFinal(rewriteNumbers(rewriteAnyJoin(rewriteSample(
-        rewritePrewhere(stripGlobalAll(stripSettingsFormat(sql)))))))))))
+        rewritePrewhere(rewriteWithFill(stripGlobalAll(
+          stripSettingsFormat(sql))))))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -639,6 +644,103 @@ object ChSqlRewrite {
         s"SELECT * EXCEPT (__lb_rn) FROM (SELECT *, row_number() OVER " +
           s"(PARTITION BY $cols ORDER BY $winOrd) AS __lb_rn FROM " +
           s"($body)) WHERE __lb_rn <= $nStr$outerOrd$sep$trailing"
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // ORDER BY … WITH FILL
+  // ---------------------------------------------------------------
+
+  /** ClickHouse's time-series gap filler: `ORDER BY x WITH FILL FROM a
+    * TO b STEP s` (TO exclusive; STEP defaults to 1). Rewritten as a
+    * generated spine FULL-OUTER-joined to the original statement —
+    * fill rows appear with NULL in the other columns (CH emits type
+    * defaults there; NULL is the honest Spark spelling), original rows
+    * outside [a, b) are kept, exactly CH's contract.
+    *
+    * Supported: the explicit-bounds ascending single-column form at
+    * statement top level, with the fill column a bare column or select
+    * alias. Data-driven bounds (no FROM/TO), DESC fill, multi-column
+    * fill, and INTERPOLATE are rejected loudly. Output column order is
+    * the fill column first (a USING-join artifact).
+    *
+    * Scale shape: the spine is a generated in-memory relation (rows =
+    * (b-a)/s, i.e. axis-sized, not data-sized); Catalyst broadcasts
+    * it, and the only shuffle is the join/sort the statement already
+    * implied.
+    */
+  private def rewriteWithFill(sql: String): String = {
+    val toks = wordTokens(sql)
+    val idx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("with") && i + 1 < toks.length &&
+        toks(i + 1)._1.equalsIgnoreCase("fill") &&
+        toks(i)._4 == toks(i + 1)._4
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        if (toks(i)._4 != 0) throw new IllegalArgumentException(
+          "WITH FILL: only supported at statement top level")
+        val obIdx = toks.indices.filter(j =>
+          toks(j)._1.equalsIgnoreCase("order") && toks(j)._4 == 0 &&
+            j + 1 < toks.length && toks(j + 1)._1.equalsIgnoreCase("by") &&
+            toks(j)._2 < toks(i)._2).lastOption.getOrElse(
+          throw new IllegalArgumentException(
+            "WITH FILL: no owning ORDER BY"))
+        var colText = sql.substring(toks(obIdx + 1)._3, toks(i)._2).trim
+        if (colText.toLowerCase.endsWith(" desc"))
+          throw new IllegalArgumentException(
+            "WITH FILL: descending fill unsupported (use ASC)")
+        if (colText.toLowerCase.endsWith(" asc"))
+          colText = colText.dropRight(4).trim
+        if (colText.contains(",") || !simpleIdentRe.matches(colText) ||
+            colText.contains("."))
+          throw new IllegalArgumentException(
+            "WITH FILL: fill column must be a single bare column or " +
+              s"select alias, got '$colText'")
+        // FROM <a> TO <b> [STEP <s>] — expressions end at the next
+        // top-level segment keyword
+        val segKw = Set("to", "step", "limit", "settings", "format",
+          "union", "interpolate")
+        // the fill segment's word tokens, in order, at depth 0
+        def tokAfter(pos: Int): Option[Int] =
+          toks.indices.find(j => toks(j)._2 >= pos && toks(j)._4 == 0)
+        def exprAfter(kwIdx: Int): (String, Int) = {
+          val from = toks(kwIdx)._3
+          val stopTok = toks.find(t => t._2 > from && t._4 == 0 &&
+            segKw.contains(t._1.toLowerCase))
+          val to = stopTok.map(_._2).getOrElse(sql.length)
+          (sql.substring(from, to).trim, to)
+        }
+        if (toks.exists(t => t._4 == 0 &&
+            t._1.equalsIgnoreCase("interpolate")))
+          throw new IllegalArgumentException(
+            "WITH FILL: INTERPOLATE unsupported")
+        val fromKw = tokAfter(toks(i + 1)._3).filter(j =>
+          toks(j)._1.equalsIgnoreCase("from")).getOrElse(
+          throw new IllegalArgumentException(
+            "WITH FILL: data-driven bounds unsupported — give FROM … TO …"))
+        val (fromExpr, afterFrom) = exprAfter(fromKw)
+        val toKw = tokAfter(afterFrom).filter(j =>
+          toks(j)._2 == afterFrom && toks(j)._1.equalsIgnoreCase("to"))
+          .getOrElse(throw new IllegalArgumentException(
+            "WITH FILL: TO bound required"))
+        val (toExpr, afterTo) = exprAfter(toKw)
+        val (stepExpr, fillEnd) = tokAfter(afterTo) match {
+          case Some(sk) if toks(sk)._2 == afterTo &&
+              toks(sk)._1.equalsIgnoreCase("step") =>
+            exprAfter(sk)
+          case _ => ("1", afterTo)
+        }
+        val inner = sql.substring(0, toks(obIdx)._2).trim
+        val tail = sql.substring(fillEnd)
+        val spine = s"(SELECT __fv AS $colText FROM (SELECT " +
+          s"explode(sequence(($fromExpr), ($toExpr), ($stepExpr))) AS __fv) " +
+          s"WHERE __fv < ($toExpr))"
+        rewriteWithFill(
+          s"SELECT * FROM $spine AS __fill FULL JOIN ($inner) AS __q " +
+            s"USING ($colText) ORDER BY $colText" +
+            (if (tail.trim.isEmpty) "" else s" $tail"))
     }
   }
 

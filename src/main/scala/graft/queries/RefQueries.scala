@@ -760,6 +760,24 @@ object RefQueries {
       ORDER BY nation""")
   }
 
+  // ---- ClickHouse `ORDER BY … WITH FILL` run verbatim: the daily
+  // rollup filled over a spine wider than the data, so the edge days
+  // appear with NULL counts (CH emits type defaults there; NULL is
+  // the honest Spark spelling — the oracle mirrors it). The spine is
+  // axis-sized (35 rows), broadcast; the aggregate shuffles once. ----
+  def ch_with_fill(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    events(s, dir).createOrReplaceTempView("events")
+    ChCompat.sql(s, """
+      SELECT toStartOfDay(ts) AS day, count() AS cnt
+      FROM events
+      GROUP BY day
+      ORDER BY day WITH FILL
+        FROM toDateTime('2023-12-29 00:00:00')
+        TO toDateTime('2024-02-02 00:00:00')
+        STEP INTERVAL 1 DAY""")
+  }
+
   // ---- the moment-statistics family + a generic -If combinator run
   // verbatim: CH's stddevPop/varSamp/covar/corr names over Spark's
   // identical-formula aggregates, argMaxIf via the FILTER (WHERE …)
