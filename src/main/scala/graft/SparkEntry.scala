@@ -70,6 +70,7 @@ object SparkEntry {
     "r42_ch_numbers" -> (RefQueries.ch_numbers_spine _),
     "r43_ch_dict" -> (RefQueries.ch_dict _),
     "r44_ch_fill" -> (RefQueries.ch_with_fill _),
+    "r45_ch_summap" -> (RefQueries.ch_summap _),
     "r36_ch_limit_by" -> (RefQueries.ch_limit_by _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
@@ -371,6 +372,14 @@ object SparkEntry {
                     FROM events GROUP BY 1) AS e
            ON r.range = e.h
          ORDER BY hod""",
+
+    "r45_ch_summap" ->
+      """SELECT CAST(strftime(ts, '%Y%m') AS INT) AS month,
+                event_type AS k,
+                CAST(round(CAST(sum(value) AS DECIMAL(18,2)), 2) AS DOUBLE) AS v
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY month, k""",
 
     "r44_ch_fill" ->
       """SELECT d AS day, e.cnt AS cnt

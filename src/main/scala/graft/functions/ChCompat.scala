@@ -477,6 +477,14 @@ object ChCompat {
     "arrayPopBack" -> (es => Slice(es.head, Literal(1),
       Greatest(Seq(Subtract(Size(es.head), Literal(1)), Literal(0))))),
     "arrayPushFront" -> (es => Concat(Seq(CreateArray(Seq(es(1))), es(0)))),
+    // per-key map aggregation over parallel (keys, values) arrays —
+    // CH's Nested-counter idiom; bounded (distinct-key-sized) buffer
+    "sumMap" -> (es => MapCombineAgg(es(0),
+      Cast(es(1), ArrayType(DoubleType)), "sum")),
+    "minMap" -> (es => MapCombineAgg(es(0),
+      Cast(es(1), ArrayType(DoubleType)), "min")),
+    "maxMap" -> (es => MapCombineAgg(es(0),
+      Cast(es(1), ArrayType(DoubleType)), "max")),
     // the moment-statistics family: CH's Pop/Samp names over Spark's
     // identical-formula aggregates. skewPop matches Spark's skewness
     // (population m3/m2^1.5); kurtPop is NON-excess kurtosis where

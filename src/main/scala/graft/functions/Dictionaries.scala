@@ -41,14 +41,28 @@ object Dictionaries {
       attrs.getOrElse(attr, throw new IllegalArgumentException(
         s"dictionary '$name' has no attribute '$attr' " +
           s"(has: ${attrs.keys.mkString(", ")})"))
+
+    /** canonical probe key: composite (struct) keys become a List of
+      * their catalyst atoms (InternalRow has reference equality only —
+      * it cannot key a hash map)
+      */
+    def probeKey(key: Any): Any = keyType match {
+      case st: StructType =>
+        val r = key.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        List.tabulate(st.fields.length)(i => r.get(i, st.fields(i).dataType))
+      case _ => key
+    }
   }
 
   private val dicts =
     scala.collection.concurrent.TrieMap.empty[String, Dict]
 
   /** Load `table` (a catalog/temp-view name) as dictionary `name`
-    * keyed by `key`; every other column becomes an attribute. Eager,
-    * like CH's LAYOUT(HASHED) dictionaries. Re-registering replaces.
+    * keyed by `key` — or by a COMPOSITE key when `key` is
+    * comma-separated ("org, repo"); probe composite keys with
+    * `dictGet('d', 'attr', tuple(org, repo))`. Every non-key column
+    * becomes an attribute. Eager, like CH's LAYOUT(HASHED) /
+    * LAYOUT(COMPLEX_KEY_HASHED) dictionaries. Re-registering replaces.
     */
   def register(spark: SparkSession, name: String, table: String,
       key: String, maxEntries: Int = 5000000): Dict = {
@@ -59,30 +73,40 @@ object Dictionaries {
   def registerDf(spark: SparkSession, name: String, df: DataFrame,
       key: String, maxEntries: Int = 5000000): Dict = {
     val schema = df.schema
-    val keyField = schema.fields.find(_.name.equalsIgnoreCase(key))
-      .getOrElse(throw new IllegalArgumentException(
-        s"dictionary '$name': key column '$key' not in ${schema.fieldNames.mkString(", ")}"))
-    val attrFields = schema.fields.filterNot(_.name.equalsIgnoreCase(key))
+    val keyNames = key.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val keyFields = keyNames.map(k =>
+      schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"dictionary '$name': key column '$k' not in " +
+            schema.fieldNames.mkString(", "))))
+    val keyType: DataType =
+      if (keyFields.length == 1) keyFields.head.dataType
+      else StructType(keyFields.map(f => StructField(f.name, f.dataType)))
+    val attrFields = schema.fields.filterNot(f =>
+      keyNames.exists(_.equalsIgnoreCase(f.name)))
     val attrs = attrFields.zipWithIndex
       .map { case (f, i) => f.name -> (i, f.dataType) }.toMap
-    val ordered = keyField.name +: attrFields.map(_.name).toSeq
+    val ordered = keyFields.map(_.name) ++ attrFields.map(_.name)
     val rows = df.selectExpr(ordered.map(n => s"`$n`"): _*).collect()
     require(rows.length <= maxEntries,
       s"dictionary '$name': ${rows.length} entries exceed maxEntries=" +
         s"$maxEntries — a table this size should be a JOIN, not a dictionary")
-    val keyConv = CatalystTypeConverters.createToCatalystConverter(keyField.dataType)
+    val nk = keyFields.length
+    val keyConvs = keyFields.map(f =>
+      CatalystTypeConverters.createToCatalystConverter(f.dataType))
     val attrConvs = attrFields.map(f =>
       CatalystTypeConverters.createToCatalystConverter(f.dataType))
     val map = new java.util.HashMap[Any, Array[Any]](rows.length * 2)
     rows.foreach { r =>
-      val k = keyConv(r.get(0))
-      if (k != null) {
+      val ks = List.tabulate(nk)(i => keyConvs(i)(r.get(i)))
+      val k: Any = if (nk == 1) ks.head else ks
+      if (nk > 1 || k != null) {
         val vals = Array.tabulate[Any](attrFields.length)(i =>
-          attrConvs(i)(r.get(i + 1)))
+          attrConvs(i)(r.get(i + nk)))
         map.put(k, vals)
       }
     }
-    val d = Dict(name, keyField.dataType, attrs,
+    val d = Dict(name, keyType, attrs,
       spark.sparkContext.broadcast(map))
     dicts.put(name.toLowerCase, d)
     d
@@ -156,7 +180,7 @@ case class DictGetExpr(dict: Dictionaries.Dict, attr: String,
   override def prettyName: String = "dictGet"
 
   override def nullSafeEval(key: Any): Any = {
-    val vals = dict.data.value.get(key)
+    val vals = dict.data.value.get(dict.probeKey(key))
     if (vals == null) null else vals(attrIdx)
   }
 
@@ -176,7 +200,7 @@ case class DictHasExpr(dict: Dictionaries.Dict, child: Expression)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val key = child.eval(input)
-    key != null && dict.data.value.containsKey(key)
+    key != null && dict.data.value.containsKey(dict.probeKey(key))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -21,9 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * per partial, partials MERGE losslessly within the documented error
   * bound (counts over-estimate by at most n/maxMapSize after
   * saturation; EXACT while no counter was evicted), and only
-  * fixed-size state crosses the shuffle. This is the engine's one
-  * custom UDAF — everything else rides on built-in aggregates; the
-  * buffer serializes through the sketch's own compact byte array.
+  * fixed-size state crosses the shuffle. One of the engine's three
+  * custom UDAFs (with [[KllSketchAgg]] and [[MapCombineAgg]]) —
+  * everything else rides on built-in aggregates; the buffer
+  * serializes through the sketch's own compact byte array.
   *
   * Result: array of (item, est) structs, the k highest estimates,
   * ties broken by item string ascending so the cut is deterministic

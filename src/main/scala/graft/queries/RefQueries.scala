@@ -778,6 +778,26 @@ object RefQueries {
         STEP INTERVAL 1 DAY""")
   }
 
+  // ---- sumMap + multi-item ARRAY JOIN run verbatim: per-month
+  // per-type counters aggregated into the (keys, values) tuple (CH's
+  // Nested-counter idiom, bounded distinct-key-sized UDAF state), then
+  // unnested back to rows with the LOCKSTEP two-item ARRAY JOIN. The
+  // oracle is the equivalent flat GROUP BY — proving the sumMap path
+  // computes exactly what the two-key aggregation computes. ----
+  def ch_summap(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    events(s, dir).createOrReplaceTempView("events")
+    ChCompat.sql(s, """
+      SELECT month, k, v
+      FROM (SELECT toYYYYMM(ts) AS month,
+                   sumMap(array(event_type), array(value)) AS sm
+            FROM events GROUP BY month)
+      ARRAY JOIN sm.keys AS k, sm.values AS v
+      ORDER BY month, k""")
+      .selectExpr("month", "k",
+        "CAST(round(CAST(v AS DECIMAL(18,2)), 2) AS DOUBLE) AS v")
+  }
+
   // ---- the moment-statistics family + a generic -If combinator run
   // verbatim: CH's stddevPop/varSamp/covar/corr names over Spark's
   // identical-formula aggregates, argMaxIf via the FILTER (WHERE …)

@@ -73,6 +73,23 @@ class DictionariesSpec extends SparkTestBase {
     assert(e3.getMessage.contains("JOIN, not a dictionary"))
   }
 
+  test("composite key: tuple(org, repo) probes a two-column key") {
+    import spark.implicits._
+    ChCompat.registerAll(spark)
+    Seq(("apache", "spark", 40000L), ("apache", "kafka", 30000L),
+      ("torvalds", "linux", 150000L))
+      .toDF("org", "repo", "stars").createOrReplaceTempView("dspec_repos")
+    Dictionaries.register(spark, "dspec_repos", "dspec_repos", "org, repo")
+    val r = spark.sql("""
+      SELECT dictGet('dspec_repos', 'stars', tuple('apache', 'spark')) AS s1,
+             dictGetOrDefault('dspec_repos', 'stars',
+                              tuple('apache', 'flink'), -1L) AS s2,
+             dictHas('dspec_repos', tuple('torvalds', 'linux')) AS h""").head
+    assert(r.getLong(0) === 40000L)
+    assert(r.getLong(1) === -1L)
+    assert(r.getBoolean(2))
+  }
+
   test("string-keyed dictionary: UTF8String keys probe correctly") {
     import spark.implicits._
     ChCompat.registerAll(spark)
