@@ -485,6 +485,66 @@ object ChCompat {
       Cast(es(1), ArrayType(DoubleType)), "min")),
     "maxMap" -> (es => MapCombineAgg(es(0),
       Cast(es(1), ArrayType(DoubleType)), "max")),
+    // CH window-function names over Spark's identical Lag/Lead
+    "lagInFrame" -> (es => Lag(es(0),
+      if (es.length > 1) es(1) else Literal(1),
+      if (es.length > 2) es(2) else Literal(null), ignoreNulls = false)),
+    "leadInFrame" -> (es => Lead(es(0),
+      if (es.length > 1) es(1) else Literal(1),
+      if (es.length > 2) es(2) else Literal(null), ignoreNulls = false)),
+    // nullability adapters: Spark columns are nullable by convention,
+    // so both are semantic no-ops that keep CH SQL parsing
+    "assumeNotNull" -> (es => es.head),
+    "toNullable" -> (es => es.head),
+    // typed empty-array constructors
+    "emptyArrayString" -> (_ =>
+      Literal.create(Array.empty[String], ArrayType(StringType, false))),
+    "emptyArrayInt64" -> (_ =>
+      Literal.create(Array.empty[Long], ArrayType(LongType, false))),
+    "emptyArrayUInt64" -> (_ =>
+      Literal.create(Array.empty[Long], ArrayType(LongType, false))),
+    "emptyArrayInt32" -> (_ =>
+      Literal.create(Array.empty[Int], ArrayType(IntegerType, false))),
+    "emptyArrayUInt32" -> (_ =>
+      Literal.create(Array.empty[Int], ArrayType(IntegerType, false))),
+    "emptyArrayFloat64" -> (_ =>
+      Literal.create(Array.empty[Double], ArrayType(DoubleType, false))),
+    // toTimeZone: CH re-displays the same instant in another zone;
+    // Spark timestamps render in the session zone, so the nearest
+    // spelling is from_utc_timestamp's wall-clock shift — the INSTANT
+    // changes but the rendered wall-clock matches CH's display,
+    // which is what dashboard queries grouped by local hour want
+    "toTimeZone" -> (es => FromUTCTimestamp(es(0), es(1))),
+    "toTimezone" -> (es => FromUTCTimestamp(es(0), es(1))),
+    // arrayReduce('aggName', arr): dispatch on the literal agg name
+    "arrayReduce" -> (es => {
+      val arr = es(1)
+      es.head match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          s.toString.toLowerCase match {
+            case "sum" => builders("arraySum")(Seq(arr))
+            case "min" => ArrayMin(arr)
+            case "max" => ArrayMax(arr)
+            case "avg" => builders("arrayAvg")(Seq(arr))
+            case "count" => Size(arr)
+            case "uniq" | "uniqexact" => Size(ArrayDistinct(arr))
+            case other => throw new IllegalArgumentException(
+              s"arrayReduce: unsupported aggregate '$other' " +
+                "(sum/min/max/avg/count/uniq/uniqExact)")
+          }
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: first argument must be a string literal, got $other")
+      }
+    }),
+    // CH transform(x, from, to[, default]): value mapping over literal
+    // arrays — reached as chTransform via ChSqlRewrite's arity
+    // dispatch (the bare name is Spark's array HOF and stays intact)
+    "chTransform" -> (es => {
+      val mapped = ElementAt(MapFromArrays(es(1), es(2)), es(0),
+        failOnError = false)
+      if (es.length > 3) Coalesce(Seq(mapped, es(3)))
+      else Coalesce(Seq(mapped, es(0)))
+    }),
     // the moment-statistics family: CH's Pop/Samp names over Spark's
     // identical-formula aggregates. skewPop matches Spark's skewness
     // (population m3/m2^1.5); kurtPop is NON-excess kurtosis where

@@ -1078,6 +1078,13 @@ object ChSqlRewrite {
               val nargs = topLevelArgs(sql, j)
               if (nargs == 2) { out ++= "chExtract"; i = j }
               else out ++= word
+            } else if (lower == "transform") {
+              // CH value-mapping transform(x, from, to[, default]) —
+              // 3/4 comma args; the 2-arg lambda form passes through
+              // to Spark's array HOF untouched.
+              val nargs = topLevelArgs(sql, j)
+              if (nargs == 3 || nargs == 4) { out ++= "chTransform"; i = j }
+              else out ++= word
             } else if (word.length > 2 && word.endsWith("If") &&
                 genericIfPrefixes.contains(word.dropRight(2))) {
               // generic -If combinator: agg args…, cond (last arg)

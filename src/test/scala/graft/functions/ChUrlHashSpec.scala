@@ -118,6 +118,56 @@ class ChUrlHashSpec extends SparkTestBase {
     assert(r.getSeq[String](12) === Seq("ab", "cd", "ef"))
   }
 
+  test("lagInFrame/leadInFrame, assumeNotNull/toNullable, emptyArray*") {
+    ChCompat.registerAll(spark)
+    val rows = spark.sql(
+      """SELECT v,
+                lagInFrame(v) OVER (ORDER BY v) AS lg,
+                leadInFrame(v, 1, -1) OVER (ORDER BY v) AS ld,
+                assumeNotNull(v) AS an,
+                emptyArrayString() AS es,
+                emptyArrayInt64() AS ei
+         FROM VALUES (1), (2), (3) AS t(v) ORDER BY v""").collect()
+    assert(rows.map(r => (r.getInt(0),
+      if (r.isNullAt(1)) -1 else r.getInt(1), r.getInt(2))).toSeq ===
+      Seq((1, -1, 2), (2, 1, 3), (3, 2, -1)))
+    assert(rows.head.getSeq[String](4) === Seq.empty)
+    assert(rows.head.getSeq[Long](5) === Seq.empty)
+  }
+
+  test("CH transform(x, from, to, default) via arity dispatch; HOF intact") {
+    ChCompat.registerAll(spark)
+    val r = ChCompat.sql(spark,
+      """SELECT transform(v, array(1, 2), array('one', 'two'), 'other') AS t4,
+                transform(array(1, 2), x -> x * 10) AS hof
+         FROM VALUES (1), (2), (9) AS t(v) ORDER BY v""").collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("one", "two", "other"))
+    assert(r.head.getSeq[Int](1) === Seq(10, 20))
+    // 3-arg form: unmapped values pass through
+    val r3 = ChCompat.sql(spark,
+      "SELECT transform(5, array(1), array(100)) AS t3").head
+    assert(r3.getInt(0) === 5)
+  }
+
+  test("arrayReduce dispatches on the aggregate-name literal") {
+    ChCompat.registerAll(spark)
+    val r = spark.sql(
+      """SELECT arrayReduce('sum', array(1, 2, 3)) AS s,
+                arrayReduce('max', array(1, 5, 3)) AS mx,
+                arrayReduce('avg', array(2.0, 4.0)) AS av,
+                arrayReduce('count', array(7, 8)) AS c,
+                arrayReduce('uniqExact', array(1, 1, 2)) AS u""").head
+    assert(r.getDouble(0) === 6.0)
+    assert(r.getInt(1) === 5)
+    assert(r.getDouble(2) === 3.0)
+    assert(r.getInt(3) === 2)
+    assert(r.getInt(4) === 2)
+    val e = intercept[Exception] {
+      spark.sql("SELECT arrayReduce('median', array(1))").collect()
+    }
+    assert(e.getMessage.contains("arrayReduce"))
+  }
+
   test("loud errors: toStartOfInterval non-literal, tupleElement bad index") {
     ChCompat.registerAll(spark)
     val e1 = intercept[Exception] {
