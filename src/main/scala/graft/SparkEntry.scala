@@ -72,6 +72,7 @@ object SparkEntry {
     "r44_ch_fill" -> (RefQueries.ch_with_fill _),
     "r45_ch_summap" -> (RefQueries.ch_summap _),
     "r36_ch_limit_by" -> (RefQueries.ch_limit_by _),
+    "r46_ch_asof" -> (RefQueries.ch_asof _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -482,6 +483,18 @@ object SparkEntry {
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') e
          ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
            ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY event_id""",
+
+    // r46: identical semantics to r23 but the Spark side arrives as
+    // verbatim ClickHouse ASOF JOIN text through ChSqlRewrite; the
+    // oracle is DuckDB's native ASOF JOIN — two independent engines'
+    // closest-match implementations must agree row-for-row.
+    "r46_ch_asof" ->
+      """SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
+                p.value AS asof_value, p.ts AS asof_ts
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') c
+         ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
+           ON c.user_id = p.user_id AND c.ts >= p.ts
          ORDER BY event_id""",
 
     "r21_rollup" ->

@@ -47,6 +47,12 @@ package graft.functions
   *  - `ANY [LEFT|INNER] JOIN r USING (k)` — at most one right row per
   *    key; the right side dedups by the USING columns (ON form passes
   *    through — its key set isn't recoverable lexically).
+  *  - `ASOF [LEFT|INNER] JOIN r ON l.k = r.k AND l.t >= r.t` — the
+  *    closest-time match. The right side is interval-ized with a
+  *    `lead(t)` window so the join stays a single-match EQUI-join
+  *    (see [[rewriteAsofJoin]]); unsupported ASOF shapes throw rather
+  *    than pass through (Spark would mis-parse `ASOF` as an alias and
+  *    silently return the many-match join).
   *  - `PREWHERE cond` — merged into WHERE (Catalyst's pushdown
   *    delivers the scan-level filtering PREWHERE hand-specifies).
   *  - `GROUP BY … WITH TOTALS` → `GROUPING SETS ((cols), ())`.
@@ -132,11 +138,17 @@ object ChSqlRewrite {
       versionSql: String): Unit =
     replacingDecls.put(table.toLowerCase, ReplacingDecl(keys, versionSql))
 
+  /** Rewrites a bare EXPRESSION fragment (a mutation's WHERE or SET
+    * expression — no clauses to find): only the function-name layer
+    * (curried aggregates, colliding names, dateDiff) applies.
+    */
+  def rewriteExpr(e: String): String = rewriteFunctions(e)
+
   def apply(sql: String): String =
     rewriteFunctions(rewriteLimitBy(rewriteWithTotals(rewriteArrayJoin(
-      rewriteFinal(rewriteNumbers(rewriteAnyJoin(rewriteSample(
-        rewritePrewhere(rewriteWithFill(stripGlobalAll(
-          stripSettingsFormat(sql))))))))))))
+      rewriteFinal(rewriteNumbers(rewriteAsofJoin(rewriteAnyJoin(
+        rewriteSample(rewritePrewhere(rewriteWithFill(stripGlobalAll(
+          stripSettingsFormat(sql)))))))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -550,6 +562,199 @@ object ChSqlRewrite {
             }
           case _ => sql
         }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // ASOF [LEFT|INNER] JOIN … ON eq-keys AND time-inequality
+  // ---------------------------------------------------------------
+
+  private val clauseEnders = Set("where", "group", "order", "limit",
+    "having", "union", "settings", "format", "window", "prewhere",
+    "left", "right", "inner", "full", "cross", "join", "any", "asof",
+    "semi", "anti", "global", "all")
+
+  /** ClickHouse's `ASOF JOIN` — for each left row, the single right
+    * row with the CLOSEST time satisfying the inequality, matched on
+    * the equality keys (reference usage shape: the dialect's
+    * highest-value join a CH user brings over; Spark has no ASOF).
+    *
+    * Rewritten by INTERVAL-IZING the right side: a `lead(t) OVER
+    * (PARTITION BY keys ORDER BY t)` window gives every right row a
+    * validity window `[t, next t)`, after which the as-of pick is a
+    * plain EQUI-join with a range post-filter that matches AT MOST ONE
+    * right row per left row — no row_number dedup of an exploded
+    * match set, no nested-loop join (Spark decorrelates the LATERAL
+    * `ORDER BY … LIMIT 1` spelling into a BroadcastNestedLoopJoin —
+    * measured — so that spelling is avoided). The window's shuffle is
+    * by the same keys the join shuffles on. This is the 100-TB as-of
+    * shape.
+    *
+    * Supported form: `L [la] ASOF [LEFT|INNER] JOIN R [ra] ON
+    * <conjuncts>` where exactly one conjunct is an inequality
+    * (`< <= > >=`) with a bare `ra.col` on one side, every other
+    * conjunct is an equality with a bare `ra.col` on one side, and R
+    * is a table name or parenthesized subquery. `ASOF … USING` and
+    * non-conjunctive ON throw (CH's own ASOF grammar is equally
+    * strict); an unsupported shape must NOT pass through, because
+    * Spark would silently parse `ASOF` as a table alias and run the
+    * inequality as a many-match join condition — wrong results, not
+    * an error. Documented divergence: `SELECT *` over the rewritten
+    * join carries the synthetic `__asof_end<n>` column (the join
+    * condition needs it in scope; explicit select lists are
+    * unaffected), and right rows DUPLICATED on (keys, t) get an empty
+    * validity window — CH documents duplicate asof keys as undefined.
+    */
+  private def rewriteAsofJoin(sql: String, n: Int = 0): String = {
+    val toks = wordTokens(sql)
+    val idx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("asof") && i + 1 < toks.length &&
+        toks(i)._4 == toks(i + 1)._4 && {
+          val w1 = toks(i + 1)._1.toLowerCase
+          w1 == "join" || ((w1 == "left" || w1 == "inner") &&
+            i + 2 < toks.length && toks(i + 2)._1.equalsIgnoreCase("join") &&
+            toks(i + 2)._4 == toks(i)._4)
+        }
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        def bad(why: String): Nothing = throw new IllegalArgumentException(
+          s"ASOF JOIN: $why — supported form is `L ASOF [LEFT|INNER] " +
+            "JOIN R [alias] ON l.k = r.k AND l.t >= r.t` (AND-only ON, " +
+            "one inequality, right side a table or subquery; USING is " +
+            "not supported)")
+        val d = toks(i)._4
+        val joinIdx =
+          if (toks(i + 1)._1.equalsIgnoreCase("join")) i + 1 else i + 2
+        val keepKw =
+          if (joinIdx == i + 1) "JOIN"
+          else sql.substring(toks(i + 1)._2, toks(joinIdx)._3)
+        // right relation: subquery or dotted ident, then optional alias
+        var j = toks(joinIdx)._3
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        val (relInner, afterRel) =
+          if (j < sql.length && sql.charAt(j) == '(') {
+            val e = matchParen(sql, j)
+            if (e < 0) bad("unbalanced subquery parens")
+            (sql.substring(j, e), e)
+          } else {
+            val relTok = toks.find(t => t._2 >= j).getOrElse(bad("no right relation"))
+            var e = relTok._3
+            while (e < sql.length && sql.charAt(e) == '.') {
+              // dotted name: consume `.ident`
+              var k = e + 1
+              while (k < sql.length && isIdent(sql.charAt(k))) k += 1
+              e = k
+            }
+            (sql.substring(j, e), e)
+          }
+        // optional [AS] alias before ON
+        val onTok = toks.find(t => t._2 >= afterRel && t._4 == d &&
+          t._1.equalsIgnoreCase("on")).getOrElse(
+          if (toks.exists(t => t._2 >= afterRel && t._4 == d &&
+            t._1.equalsIgnoreCase("using"))) bad("USING form")
+          else bad("no ON clause"))
+        val aliasToks = toks.filter(t => t._2 >= afterRel && t._3 <= onTok._2 &&
+          t._4 == d && !t._1.equalsIgnoreCase("as"))
+        if (aliasToks.length > 1) bad("unparseable right alias")
+        val alias = aliasToks.headOption.map(_._1).getOrElse {
+          if (relInner.startsWith("(")) bad("subquery right side needs an alias")
+          else relInner.split('.').last
+        }
+        // ON condition: to the next clause keyword at depth d, or scope end
+        val condStart = onTok._3
+        val condEnd = {
+          // a clause keyword immediately followed by `(` is a function
+          // call (left(), right(), any()…), not a clause boundary
+          val stop = toks.find { t =>
+            t._2 >= condStart && t._4 == d &&
+              clauseEnders.contains(t._1.toLowerCase) && {
+                var k = t._3
+                while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+                k >= sql.length || sql.charAt(k) != '('
+              }
+          }.map(_._2)
+          math.min(stop.getOrElse(sql.length), scopeEndAt(sql, condStart, d))
+        }
+        val cond = sql.substring(condStart, condEnd)
+        // split on top-level AND; reject OR
+        val condToks = wordTokens(cond)
+        if (condToks.exists(t => t._4 == 0 && t._1.equalsIgnoreCase("or")))
+          bad("ON must be a pure conjunction")
+        val andToks = condToks.filter(t => t._4 == 0 &&
+          t._1.equalsIgnoreCase("and"))
+        val cuts = (0 +: andToks.flatMap(t => Seq(t._2, t._3))) :+ cond.length
+        val conjuncts = cuts.grouped(2).map { case Seq(a, b) =>
+          cond.substring(a, b).trim }.filter(_.nonEmpty).toSeq
+        // classify each conjunct by its top-level comparison operator
+        def topCmp(c: String): Option[(String, String, String)] = {
+          var k = 0; var depth = 0
+          while (k < c.length) {
+            val ck = commentKind(c, k)
+            if (ck != 0) k = commentEnd(c, k, ck)
+            else c.charAt(k) match {
+              case '(' => depth += 1; k += 1
+              case ')' => depth -= 1; k += 1
+              case '\'' | '"' | '`' => k = quotedEnd(c, k)
+              case ch if depth == 0 && (ch == '<' || ch == '>' || ch == '=') =>
+                val twoChar = k + 1 < c.length && c.charAt(k + 1) == '='
+                val op = if (twoChar) c.substring(k, k + 2) else ch.toString
+                if (op == "<" && k + 1 < c.length && c.charAt(k + 1) == '>')
+                  return None // `<>` is value-inequality, not an asof bound
+                return Some((c.substring(0, k).trim, op,
+                  c.substring(k + (if (twoChar) 2 else 1)).trim))
+              case _ => k += 1
+            }
+          }
+          None
+        }
+        val qualRe = java.util.regex.Pattern.quote(alias)
+        val rightColRe = s"(?i)^$qualRe\\.([A-Za-z_][A-Za-z_0-9]*)$$".r
+        def rightCol(s: String): Option[String] = s match {
+          case rightColRe(c) => Some(c)
+          case _ => None
+        }
+        var eqCols = Vector.empty[String]
+        var ineq: Option[(String, String, String)] = None // (leftExpr, op, rcol)
+        conjuncts.foreach { c =>
+          topCmp(c) match {
+            case Some((l, "=", r)) =>
+              val rc = rightCol(r).orElse(rightCol(l)).getOrElse(
+                bad(s"equality `$c` has no bare $alias.col side"))
+              eqCols :+= rc
+            case Some((l, op, r)) =>
+              if (ineq.isDefined) bad("more than one inequality in ON")
+              // normalize to leftExpr OP alias.col
+              (rightCol(r), rightCol(l)) match {
+                case (Some(rc), _) => ineq = Some((l, op, rc))
+                case (_, Some(rc)) =>
+                  val flip = Map("<" -> ">", "<=" -> ">=",
+                    ">" -> "<", ">=" -> "<=")(op)
+                  ineq = Some((r, flip, rc))
+                case _ => bad(s"inequality `$c` has no bare $alias.col side")
+              }
+            case None => bad(s"conjunct `$c` is not a comparison")
+          }
+        }
+        val (lx, op, rcol) = ineq.getOrElse(bad("no inequality in ON"))
+        if (eqCols.isEmpty) bad("no equality key in ON")
+        val endCol = s"__asof_end$n"
+        // validity-window direction: >=/> look BACKWARD in time (next
+        // row ends the window, ASC lead); <=/< look FORWARD (DESC lead)
+        val (ord, endCond) = op match {
+          case ">=" => ("", s"$lx < $alias.$endCol")
+          case ">" => ("", s"$lx <= $alias.$endCol")
+          case "<=" => (" DESC", s"$lx > $alias.$endCol")
+          case "<" => (" DESC", s"$lx >= $alias.$endCol")
+        }
+        val wrapped = s"(SELECT *, lead($rcol) OVER (PARTITION BY " +
+          s"${eqCols.mkString(", ")} ORDER BY $rcol$ord) AS $endCol " +
+          s"FROM $relInner) AS $alias"
+        rewriteAsofJoin(
+          sql.substring(0, toks(i)._2) + keepKw + " " + wrapped + " ON " +
+            cond.trim + s" AND ($alias.$endCol IS NULL OR $endCond)" +
+            sql.substring(condEnd), n + 1)
     }
   }
 

@@ -426,6 +426,25 @@ object RefQueries {
       .orderBy("event_id")
   }
 
+  // ---- ClickHouse `ASOF JOIN` run VERBATIM through the dialect
+  // front-end: the same closest-purchase-per-click semantics as r23,
+  // but arriving as CH SQL text. ChSqlRewrite interval-izes the right
+  // side (lead(ts) window) so the executed plan is a single-match
+  // equi-join — no dedup of an exploded match set (see
+  // ChSqlRewrite.rewriteAsofJoin). r23 pins the operator API; this
+  // gate pins the dialect path against DuckDB's native ASOF JOIN. ----
+  def ch_asof(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    events(s, dir).createOrReplaceTempView("events")
+    ChCompat.sql(s, """
+      SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
+             p.value AS asof_value, p.ts AS asof_ts
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') c
+      ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY event_id""")
+  }
+
   // ---- B-surface extension: range join — lineitems priced inside
   // each part's ±50 retail-price band. Interval bucketing turns the
   // theta condition into an equi-join on cell id (see RangeJoin);
