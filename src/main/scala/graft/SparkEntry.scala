@@ -73,6 +73,7 @@ object SparkEntry {
     "r45_ch_summap" -> (RefQueries.ch_summap _),
     "r36_ch_limit_by" -> (RefQueries.ch_limit_by _),
     "r46_ch_asof" -> (RefQueries.ch_asof _),
+    "r47_ch_mutation" -> (RefQueries.ch_mutation _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -495,6 +496,16 @@ object SparkEntry {
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') c
          ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
            ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY event_id""",
+
+    // r47: the mutated table's end state, stated declaratively — the
+    // DELETE drops the error partition, the UPDATE doubles qualifying
+    // purchase rows; everything else must round-trip untouched.
+    "r47_ch_mutation" ->
+      """SELECT event_id, user_id, event_type,
+                CASE WHEN event_type = 'purchase' AND value > 50
+                     THEN value * 2 ELSE value END AS value
+         FROM events WHERE event_type <> 'error'
          ORDER BY event_id""",
 
     "r21_rollup" ->

@@ -1,0 +1,221 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, when}
+
+/** ClickHouse mutation front-end: `ALTER TABLE t DELETE WHERE c` and
+  * `ALTER TABLE t UPDATE a = e1, b = e2 WHERE c`.
+  *
+  * ClickHouse itself executes mutations as asynchronous COPY-ON-WRITE
+  * part rewrites — every part containing a matching row is rewritten
+  * whole (the reference repo's operational guidance relies on exactly
+  * that heaviness being rare). The Spark-native spelling of the same
+  * contract over parquet catalog tables:
+  *
+  *  - **partitioned table** — only TOUCHED partitions are rewritten:
+  *    the mutation predicate is evaluated once to collect the distinct
+  *    partition values it reaches, the rewrite plan filters to those
+  *    partitions (partition pruning keeps untouched data unread, the
+  *    analogue of CH skipping parts with no match), and the write
+  *    uses dynamic partition overwrite. A DELETE that empties a
+  *    partition entirely falls out of the dynamic-overwrite output, so
+  *    emptied partitions are dropped explicitly afterwards.
+  *  - **unpartitioned table** — full rewrite through a staging
+  *    directory (Spark refuses to overwrite a path it is reading —
+  *    the staging hop is the atomicity CH gets from part swapping).
+  *
+  * UPDATE keeps the column's declared type: each assignment becomes
+  * `CASE WHEN c THEN cast(e AS declaredType) ELSE col END`, so a
+  * mutation can never drift the table schema (CH enforces the same).
+  * As in ClickHouse, key/partition columns cannot be UPDATEd.
+  */
+object ChMutations {
+
+  private val deleteRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+DELETE\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val updateRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+UPDATE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+
+  /** Parse and apply one mutation statement. Returns the number of
+    * partitions rewritten (0 = full-table rewrite of an unpartitioned
+    * table). The WHERE is mandatory, as in ClickHouse.
+    */
+  def mutate(spark: SparkSession, sql: String): Int = sql match {
+    case deleteRe(rawTable, cond) =>
+      rewrite(spark, cleanName(rawTable), ChSqlRewrite.rewriteExpr(cond),
+        assignments = Nil)
+    case updateRe(rawTable, sets, cond) =>
+      val assigns = splitAssignments(sets).map { case (c, e) =>
+        (c, ChSqlRewrite.rewriteExpr(e))
+      }
+      rewrite(spark, cleanName(rawTable), ChSqlRewrite.rewriteExpr(cond), assigns)
+    case _ => throw new IllegalArgumentException(
+      "ChMutations: expected `ALTER TABLE t DELETE WHERE c` or " +
+        "`ALTER TABLE t UPDATE a = e[, …] WHERE c` (WHERE is mandatory, " +
+        "as in ClickHouse)")
+  }
+
+  private def cleanName(raw: String): String =
+    raw.replace("`", "").replace("\"", "").split('.').last
+
+  /** top-level-comma split of `a = e1, b = e2`, quote/paren aware */
+  private def splitAssignments(sets: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var j = 0
+    while (j < sets.length) {
+      sets.charAt(j) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '\'' | '"' | '`' =>
+          val q = sets.charAt(j)
+          j += 1
+          while (j < sets.length && sets.charAt(j) != q) {
+            if (sets.charAt(j) == '\\') j += 1
+            j += 1
+          }
+        case ',' if depth == 0 =>
+          parts += sets.substring(start, j); start = j + 1
+        case _ =>
+      }
+      j += 1
+    }
+    parts += sets.substring(start)
+    parts.toSeq.map { p =>
+      val eq = {
+        // first top-level `=` not part of <= >= != ==
+        var k = 0; var d = 0; var found = -1
+        while (k < p.length && found < 0) {
+          p.charAt(k) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case '=' if d == 0 && k > 0 &&
+              !"<>!=".contains(p.charAt(k - 1)) &&
+              (k + 1 >= p.length || p.charAt(k + 1) != '=') => found = k
+            case _ =>
+          }
+          k += 1
+        }
+        found
+      }
+      if (eq < 0) throw new IllegalArgumentException(
+        s"ChMutations: assignment `$p` has no `=`")
+      (p.substring(0, eq).trim.replace("`", ""), p.substring(eq + 1).trim)
+    }
+  }
+
+  /** DELETE keeps rows where the predicate is FALSE **or NULL** — CH
+    * deletes only rows where the condition evaluates to true.
+    */
+  private def keepRows(df: DataFrame, cond: String): DataFrame =
+    df.filter(!org.apache.spark.sql.functions.coalesce(
+      expr(cond).cast("boolean"),
+      org.apache.spark.sql.functions.lit(false)))
+
+  private def stageOut(df: DataFrame): String = {
+    val staging = java.nio.file.Files
+      .createTempDirectory("ch_mutation_").toString
+    df.write.mode("overwrite").parquet(staging)
+    staging
+  }
+
+  private def rewrite(spark: SparkSession, table: String, cond: String,
+      assignments: Seq[(String, String)]): Int = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    val partCols = meta.partitionColumnNames
+    assignments.foreach { case (c, _) =>
+      if (partCols.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"ChMutations: cannot UPDATE partition column `$c` " +
+            "(ClickHouse forbids mutating key columns for the same reason)")
+    }
+    val base = spark.table(table)
+    val fieldType = base.schema.map(f => f.name.toLowerCase -> f.dataType).toMap
+    def applyAssignments(df: DataFrame): DataFrame =
+      assignments.foldLeft(df) { case (d, (c, e)) =>
+        val dt = fieldType.getOrElse(c.toLowerCase,
+          throw new IllegalArgumentException(
+            s"ChMutations: UPDATE of unknown column `$c`"))
+        d.withColumn(c, when(expr(cond), expr(e).cast(dt)).otherwise(col(c)))
+      }
+
+    if (partCols.nonEmpty) {
+      // touched partitions: the only ones whose files change. The scan
+      // below reads only the predicate's columns; everything else of
+      // the untouched partitions is never read or written.
+      val touched = base.filter(expr(cond))
+        .select(partCols.map(col): _*).distinct().collect()
+      if (touched.isEmpty) return 0
+      val touchedPred = touched.map { r =>
+        partCols.zipWithIndex.map { case (c, i) =>
+          val v = r.get(i)
+          val lit = v match {
+            case s: String => s"'${s.replace("'", "''")}'"
+            case x => x.toString
+          }
+          s"`$c` = $lit"
+        }.mkString(" AND ")
+      }.mkString("(", ") OR (", ")")
+      val transformed = {
+        val slice = base.filter(expr(touchedPred))
+        val out =
+          if (assignments.isEmpty) keepRows(slice, cond)
+          else applyAssignments(slice)
+        // insertInto is positional; keep declared column order
+        out.select(base.columns.map(col): _*)
+      }
+      // staging hop: Spark refuses to overwrite files it is reading,
+      // partitioned or not — the hop is CH's part-swap atomicity
+      val staging = stageOut(transformed)
+      try {
+        // schema pinned: a DELETE may leave staging with zero files
+        val staged = spark.read.schema(base.schema).parquet(staging)
+        val prev =
+          spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try staged.write.mode("overwrite").insertInto(table)
+        finally prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        if (assignments.isEmpty) {
+          // DELETE may have emptied whole partitions: dynamic overwrite
+          // only replaces partitions PRESENT in its output, so an
+          // emptied partition's stale files would survive — drop them
+          // via partition DDL (the CH part drop). Emptied = touched
+          // minus what the rewrite actually produced.
+          val produced = staged.select(partCols.map(col): _*)
+            .distinct().collect().map(_.toSeq).toSet
+          val emptied = touched.filterNot(r => produced.contains(r.toSeq))
+          emptied.foreach { r =>
+            val specSql = partCols.zipWithIndex.map { case (c, i) =>
+              val v = r.get(i)
+              val lit = v match {
+                case s: String => s"'${s.replace("'", "''")}'"
+                case x => x.toString
+              }
+              s"`$c` = $lit"
+            }.mkString(", ")
+            spark.sql(
+              s"ALTER TABLE `$table` DROP IF EXISTS PARTITION ($specSql)")
+          }
+        }
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(staging))
+      touched.length
+    } else {
+      // unpartitioned: full copy-on-write through the same staging hop
+      val out =
+        if (assignments.isEmpty) keepRows(base, cond)
+        else applyAssignments(base)
+      val staging = stageOut(out.select(base.columns.map(col): _*))
+      try spark.read.parquet(staging).write.mode("overwrite").insertInto(table)
+      finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(staging))
+      0
+    }
+  }
+}

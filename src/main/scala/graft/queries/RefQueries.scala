@@ -445,6 +445,32 @@ object RefQueries {
       ORDER BY event_id""")
   }
 
+  // ---- ClickHouse mutations run end-to-end: a partitioned copy of
+  // events takes an `ALTER TABLE … DELETE` (drops the whole 'error'
+  // partition — the partition-pruned rewrite path: untouched
+  // partitions are never read) and an `ALTER TABLE … UPDATE`
+  // (rewrites only the 'purchase' partition). The oracle states the
+  // same end state declaratively. External table at a fresh temp
+  // location each call, so reruns never collide on managed-table
+  // paths. ----
+  def ch_mutation(s: SparkSession, dir: String): DataFrame = {
+    val loc = java.nio.file.Files.createTempDirectory("mut_gate_").toString
+    s.sql("DROP TABLE IF EXISTS events_mut")
+    s.sql(s"""CREATE TABLE events_mut
+      (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+      USING parquet PARTITIONED BY (event_type) LOCATION '$loc'""")
+    events(s, dir).select("event_id", "user_id", "value", "event_type")
+      .write.mode("append").insertInto("events_mut")
+    graft.functions.ChMutations.mutate(s,
+      "ALTER TABLE events_mut DELETE WHERE event_type = 'error'")
+    graft.functions.ChMutations.mutate(s,
+      "ALTER TABLE events_mut UPDATE value = value * 2 " +
+        "WHERE event_type = 'purchase' AND value > 50")
+    s.table("events_mut")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   // ---- B-surface extension: range join — lineitems priced inside
   // each part's ±50 retail-price band. Interval bucketing turns the
   // theta condition into an equi-join on cell id (see RangeJoin);

@@ -1,0 +1,97 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+/** ChMutations: ClickHouse `ALTER TABLE … DELETE/UPDATE` as
+  * copy-on-write rewrites. Pins the CH semantics that differ from the
+  * naive spelling: NULL-condition rows survive a DELETE, UPDATE casts
+  * back to the declared column type, partition columns refuse UPDATE,
+  * and a DELETE that empties a whole partition actually removes it.
+  */
+class ChMutationsSpec extends SparkTestBase {
+
+  private def freshTable(name: String, partitioned: Boolean): Unit = {
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // a previous JVM's managed-table files outlive the in-memory
+    // catalog; clear the location or CREATE fails LOCATION_ALREADY_EXISTS
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"spark-warehouse/$name"))
+    val part = if (partitioned) "PARTITIONED BY (kind)" else ""
+    spark.sql(
+      s"""CREATE TABLE $name (id INT, v DOUBLE, note STRING, kind STRING)
+         |USING parquet $part""".stripMargin)
+    Seq(
+      (1, 10.0, "a", "x"), (2, 20.0, null, "x"),
+      (3, 30.0, "c", "y"), (4, 40.0, "d", "y"),
+      (5, 50.0, "e", "z"))
+      .toDF("id", "v", "note", "kind")
+      .write.mode("append").insertInto(name)
+  }
+
+  test("DELETE removes matching rows, keeps NULL-condition rows") {
+    freshTable("mut_del", partitioned = false)
+    // note = 'a' is NULL for id 2 → condition NULL → row survives (CH)
+    ChMutations.mutate(spark, "ALTER TABLE mut_del DELETE WHERE note = 'a'")
+    val ids = spark.table("mut_del").select("id")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids === Seq(2, 3, 4, 5))
+  }
+
+  test("UPDATE applies only where the condition holds and keeps the type") {
+    freshTable("mut_upd", partitioned = false)
+    // integer-division expression would be INT; the declared column is
+    // DOUBLE — the cast-back keeps the schema
+    ChMutations.mutate(spark,
+      "ALTER TABLE mut_upd UPDATE v = v * 2, note = 'up' WHERE id <= 2")
+    val rows = spark.table("mut_upd").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(rows === Seq((1, 20.0, "up"), (2, 40.0, "up"), (3, 30.0, "c"),
+      (4, 40.0, "d"), (5, 50.0, "e")))
+    assert(spark.table("mut_upd").schema("v").dataType.typeName === "double")
+  }
+
+  test("partitioned DELETE rewrites only touched partitions") {
+    freshTable("mut_part", partitioned = true)
+    val n = ChMutations.mutate(spark,
+      "ALTER TABLE mut_part DELETE WHERE id = 3")
+    assert(n === 1) // only kind='y' touched
+    val rows = spark.table("mut_part").select("id")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows === Seq(1, 2, 4, 5))
+  }
+
+  test("DELETE that empties a partition drops it entirely") {
+    freshTable("mut_empty", partitioned = true)
+    ChMutations.mutate(spark, "ALTER TABLE mut_empty DELETE WHERE kind = 'z'")
+    val kinds = spark.table("mut_empty").select("kind")
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(kinds === Seq("x", "y"))
+    // the partition itself is gone, not just its rows
+    val parts = spark.sql("SHOW PARTITIONS mut_empty")
+      .collect().map(_.getString(0)).toSeq
+    assert(!parts.exists(_.contains("kind=z")))
+  }
+
+  test("UPDATE of a partition column refuses, like CH key mutation") {
+    freshTable("mut_key", partitioned = true)
+    val e = intercept[IllegalArgumentException](ChMutations.mutate(spark,
+      "ALTER TABLE mut_key UPDATE kind = 'w' WHERE id = 1"))
+    assert(e.getMessage.contains("partition column"))
+  }
+
+  test("no-WHERE and unknown statements throw") {
+    intercept[IllegalArgumentException](
+      ChMutations.mutate(spark, "ALTER TABLE t DELETE"))
+    intercept[IllegalArgumentException](
+      ChMutations.mutate(spark, "TRUNCATE TABLE t"))
+  }
+
+  test("UPDATE WHERE with zero matches leaves the table untouched") {
+    freshTable("mut_noop", partitioned = true)
+    val n = ChMutations.mutate(spark,
+      "ALTER TABLE mut_noop DELETE WHERE id = 999")
+    assert(n === 0)
+    assert(spark.table("mut_noop").count() === 5)
+  }
+}
