@@ -74,6 +74,7 @@ object SparkEntry {
     "r36_ch_limit_by" -> (RefQueries.ch_limit_by _),
     "r46_ch_asof" -> (RefQueries.ch_asof _),
     "r47_ch_mutation" -> (RefQueries.ch_mutation _),
+    "r48_ch_matview" -> (RefQueries.ch_matview _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -507,6 +508,13 @@ object SparkEntry {
                      THEN value * 2 ELSE value END AS value
          FROM events WHERE event_type <> 'error'
          ORDER BY event_id""",
+
+    // r48: the materialized view's merged read must equal one direct
+    // aggregation, regardless of how the inserts were split into blocks
+    "r48_ch_matview" ->
+      """SELECT user_id, count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "r21_rollup" ->
       """SELECT event_type, month_key,

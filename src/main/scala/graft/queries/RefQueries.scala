@@ -471,6 +471,34 @@ object RefQueries {
       .orderBy("event_id")
   }
 
+  // ---- ClickHouse CREATE MATERIALIZED VIEW run end-to-end: POPULATE
+  // backfills from the even-event_id half, the insert trigger
+  // (applyBlock) processes the odd half as one inserted block, and the
+  // read-side merge of the appended partials must equal one direct
+  // aggregation over everything — the mergeability contract that lets
+  // 1000 executors append partials with no coordination. DECIMAL-routed
+  // sum so the split-order doesn't produce FP drift vs the oracle. ----
+  def ch_matview(s: SparkSession, dir: String): DataFrame = {
+    val loc = java.nio.file.Files.createTempDirectory("mv_gate_").toString
+    s.sql("DROP TABLE IF EXISTS mv_events_rollup")
+    s.sql(s"""CREATE TABLE mv_events_rollup
+      (user_id BIGINT, cnt BIGINT, sv DECIMAL(22,2))
+      USING parquet LOCATION '$loc'""")
+    val ev = events(s, dir).select("event_id", "user_id", "value")
+    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView("mv_ev_src")
+    graft.functions.ChMatView.create(s, """
+      CREATE MATERIALIZED VIEW ev_mv TO mv_events_rollup
+      ENGINE = SummingMergeTree POPULATE AS
+      SELECT user_id, count(*) AS cnt,
+             sum(CAST(value AS DECIMAL(12,2))) AS sv
+      FROM mv_ev_src GROUP BY user_id""")
+    graft.functions.ChMatView.applyBlock(s, "ev_mv",
+      ev.filter(col("event_id") % 2 === 1))
+    graft.functions.ChMatView.readMerged(s, "ev_mv")
+      .selectExpr("user_id", "cnt", "CAST(sv AS DOUBLE) AS sv")
+      .orderBy("user_id")
+  }
+
   // ---- B-surface extension: range join — lineitems priced inside
   // each part's ±50 retail-price band. Interval bucketing turns the
   // theta condition into an equi-join on cell id (see RangeJoin);
