@@ -786,7 +786,32 @@ object ChCompat {
     "bitXor" -> (es => BitwiseXor(es(0), es(1))),
     "bitShiftLeft" -> (es => ShiftLeft(es(0), es(1))),
     "bitShiftRight" -> (es => ShiftRight(es(0), es(1))),
+    // CH divide() ALWAYS returns Float64 (7/2 = 3.5), unlike Spark's
+    // `/` on integers under some dialects — the cast makes it explicit
+    "divide" -> (es => Divide(Cast(es(0), DoubleType),
+      Cast(es(1), DoubleType), EvalMode.LEGACY)),
+    // best-effort timestamp parse: try the formats CH's
+    // parseDateTimeBestEffort actually sees in this domain (ISO with
+    // and without 'T'/zone, date-only, epoch seconds), first hit wins,
+    // NULL if none — the orNull variant's contract; CH proper throws,
+    // a distinction not worth a crashing executor here (documented).
+    "parseDateTimeBestEffort" -> parseBestEffort _,
+    "parseDateTimeBestEffortOrNull" -> parseBestEffort _,
   )
+
+  private def parseBestEffort(es: Seq[Expression]): Expression = {
+    val s = es.head
+    val fmts = Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
+      "yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-MM-dd HH:mm:ssXXX",
+      "yyyy/MM/dd HH:mm:ss", "yyyy-MM-dd", "dd/MM/yyyy HH:mm:ss")
+    val tries: Seq[Expression] = fmts.map(f =>
+      new ParseToTimestamp(s, Some(Literal(f)), TimestampType, None,
+        false)) :+
+      // all-digit strings are epoch seconds
+      If(RLike(s, Literal("^\\d{9,11}$")),
+        Cast(Cast(s, LongType), TimestampType), Literal(null, TimestampType))
+    Coalesce(tries)
+  }
 
   /** Translate a LITERAL ClickHouse %-style format to Spark's java
     * pattern (the common placeholders; unknown ones pass through).

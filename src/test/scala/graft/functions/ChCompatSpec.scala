@@ -673,6 +673,24 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getInt(30) === 16 && r.getInt(31) === 1)
   }
 
+  test("divide is always Float64; parseDateTimeBestEffort multi-format") {
+    ChCompat.registerAll(spark)
+    val r = spark.sql("""SELECT
+      divide(7, 2) AS d1,
+      parseDateTimeBestEffort('2015-03-04 12:30:00') AS t1,
+      parseDateTimeBestEffort('2015-03-04T12:30:00') AS t2,
+      parseDateTimeBestEffort('2015-03-04') AS t3,
+      parseDateTimeBestEffort('1425472200') AS t4,
+      parseDateTimeBestEffortOrNull('not a date') AS t5""").head
+    assert(r.getDouble(0) === 3.5)
+    val iso = r.getTimestamp(1).toString
+    assert(iso.startsWith("2015-03-04 12:30:00"))
+    assert(r.getTimestamp(2).toString.startsWith("2015-03-04 12:30:00"))
+    assert(r.getTimestamp(3).toString.startsWith("2015-03-04 00:00:00"))
+    assert(!r.isNullAt(4)) // epoch-seconds digits parse
+    assert(r.isNullAt(5))
+  }
+
   test("spark.sql.extensions=graft.GraftExtensions injects the surface") {
     import org.apache.spark.sql.SparkSession
     spark.sparkContext // ensure the shared context exists first
