@@ -35,10 +35,16 @@ object ChMutations {
     """(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+DELETE\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val updateRe =
     """(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+UPDATE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val dropPartRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+DROP\s+PARTITION\s+""" +
+      """(?:'([^']*)'|(\w+)|\(([^)]*)\))\s*;?\s*$""").r
+  private val optimizeRe =
+    """(?is)^\s*OPTIMIZE\s+TABLE\s+([`"\w.]+)(\s+FINAL)?\s*;?\s*$""".r
 
-  /** Parse and apply one mutation statement. Returns the number of
-    * partitions rewritten (0 = full-table rewrite of an unpartitioned
-    * table). The WHERE is mandatory, as in ClickHouse.
+  /** Parse and apply one mutation / maintenance statement. Returns the
+    * number of partitions rewritten (0 = full-table rewrite or a
+    * non-rewriting statement). The WHERE is mandatory on DELETE/UPDATE,
+    * as in ClickHouse.
     */
   def mutate(spark: SparkSession, sql: String): Int = sql match {
     case deleteRe(rawTable, cond) =>
@@ -49,10 +55,63 @@ object ChMutations {
         (c, ChSqlRewrite.rewriteExpr(e))
       }
       rewrite(spark, cleanName(rawTable), ChSqlRewrite.rewriteExpr(cond), assigns)
+    case dropPartRe(rawTable, quoted, bare, specList) =>
+      dropPartition(spark, cleanName(rawTable),
+        Option(quoted).orElse(Option(bare)), Option(specList))
+    case optimizeRe(rawTable, fin) =>
+      optimizeFinal(spark, cleanName(rawTable), fin != null)
     case _ => throw new IllegalArgumentException(
-      "ChMutations: expected `ALTER TABLE t DELETE WHERE c` or " +
+      "ChMutations: expected `ALTER TABLE t DELETE WHERE c`, " +
         "`ALTER TABLE t UPDATE a = e[, …] WHERE c` (WHERE is mandatory, " +
-        "as in ClickHouse)")
+        "as in ClickHouse), `ALTER TABLE t DROP PARTITION v`, or " +
+        "`OPTIMIZE TABLE t [FINAL]`")
+  }
+
+  /** CH `ALTER TABLE t DROP PARTITION '202401'` names a partition by
+    * VALUE (its single-column partition-id form); the parenthesized
+    * form `(k = v, …)` passes a full Spark partition spec through. The
+    * value form requires a single partition column — the common CH
+    * layout — and errors otherwise.
+    */
+  private def dropPartition(spark: SparkSession, table: String,
+      value: Option[String], spec: Option[String]): Int = {
+    val sqlSpec = spec.getOrElse {
+      val partCols = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .partitionColumnNames
+      if (partCols.length != 1) throw new IllegalArgumentException(
+        s"ChMutations: DROP PARTITION '<value>' needs exactly one " +
+          s"partition column on `$table` (found ${partCols.length}); " +
+          "use the (col = value, …) spec form")
+      s"`${partCols.head}` = '${value.get.replace("'", "''")}'"
+    }
+    spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS PARTITION ($sqlSpec)")
+    0
+  }
+
+  /** CH `OPTIMIZE TABLE t FINAL` forces the background merge that
+    * collapses ReplacingMergeTree duplicates NOW. Here: physically
+    * materialize the table's registered FINAL dedup (same contract
+    * `FROM t FINAL` applies at read time) via copy-on-write, so
+    * subsequent plain reads see deduplicated data and drop the
+    * read-side window. Without FINAL (or without a registered
+    * declaration) it is a no-op, like OPTIMIZE on an already-merged
+    * CH table.
+    */
+  private def optimizeFinal(spark: SparkSession, table: String,
+      fin: Boolean): Int = {
+    val decl = ChSqlRewrite.replacingDecl(table)
+    if (!fin || decl.isEmpty) return 0
+    val d = decl.get
+    val base = spark.table(table)
+    val deduped = graft.operators.Dedup.replacingDedup(
+      base, d.keys, org.apache.spark.sql.functions.expr(d.versionSql))
+    val staging = stageOut(deduped.select(base.columns.map(col): _*))
+    try spark.read.schema(base.schema).parquet(staging)
+      .write.mode("overwrite").insertInto(table)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(staging))
+    0
   }
 
   private def cleanName(raw: String): String =

@@ -133,6 +133,13 @@ object ChSqlRewrite {
       "events" -> ReplacingDecl(graft.ingest.EventsSchema.orderByKey,
         "struct(from_api, id)"))
 
+  /** The registered FINAL dedup contract for a table, if any
+    * (consulted by `FROM t FINAL` here and `OPTIMIZE TABLE t FINAL`
+    * in [[ChMutations]]).
+    */
+  def replacingDecl(table: String): Option[ReplacingDecl] =
+    replacingDecls.get(table.toLowerCase)
+
   /** Declare (or replace) a table's FINAL dedup contract. */
   def registerReplacing(table: String, keys: Seq[String],
       versionSql: String): Unit =

@@ -80,6 +80,33 @@ class ChMutationsSpec extends SparkTestBase {
     assert(e.getMessage.contains("partition column"))
   }
 
+  test("DROP PARTITION by value and by spec") {
+    freshTable("mut_dp", partitioned = true)
+    ChMutations.mutate(spark, "ALTER TABLE mut_dp DROP PARTITION 'x'")
+    ChMutations.mutate(spark, "ALTER TABLE mut_dp DROP PARTITION (kind = 'y')")
+    val kinds = spark.table("mut_dp").select("kind")
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(kinds === Seq("z"))
+  }
+
+  test("OPTIMIZE TABLE FINAL materializes the registered dedup") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS mut_opt")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("spark-warehouse/mut_opt"))
+    spark.sql(
+      "CREATE TABLE mut_opt (id INT, ver INT, v DOUBLE) USING parquet")
+    Seq((1, 1, 10.0), (1, 2, 11.0), (2, 1, 20.0))
+      .toDF("id", "ver", "v").write.mode("append").insertInto("mut_opt")
+    ChSqlRewrite.registerReplacing("mut_opt", Seq("id"), "ver")
+    ChMutations.mutate(spark, "OPTIMIZE TABLE mut_opt FINAL")
+    val rows = spark.table("mut_opt").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows === Seq((1, 2), (2, 1))) // max-version rows, physically
+    // without FINAL (or without a declaration): no-op
+    assert(ChMutations.mutate(spark, "OPTIMIZE TABLE mut_opt") === 0)
+  }
+
   test("no-WHERE and unknown statements throw") {
     intercept[IllegalArgumentException](
       ChMutations.mutate(spark, "ALTER TABLE t DELETE"))
