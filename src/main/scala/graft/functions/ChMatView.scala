@@ -155,18 +155,24 @@ object ChMatView {
   def applyBlock(spark: SparkSession, name: String, block: DataFrame): Unit = {
     val spec = get(name).getOrElse(
       throw new IllegalArgumentException(s"ChMatView: unknown view $name"))
+    // everything runs on the BLOCK's session: inside foreachBatch the
+    // micro-batch df belongs to the streaming clone session, whose
+    // temp-view catalog is separate — registering the block there and
+    // resolving the SELECT elsewhere would silently aggregate the
+    // caller's (possibly empty) binding instead of the block
+    val s = block.sparkSession
     // if the source name is currently a TEMP view, remember it so the
     // caller's binding survives the block evaluation
     val prior =
       try {
-        val t = spark.catalog.getTable(spec.sourceTable)
-        if (t.tableType == "TEMPORARY") Some(spark.table(spec.sourceTable))
+        val t = s.catalog.getTable(spec.sourceTable)
+        if (t.tableType == "TEMPORARY") Some(s.table(spec.sourceTable))
         else None
       } catch { case _: Exception => None }
     block.createOrReplaceTempView(spec.sourceTable)
-    try append(spark, spec, runSelect(spark, spec))
+    try append(s, spec, runSelect(s, spec))
     finally {
-      spark.catalog.dropTempView(spec.sourceTable)
+      s.catalog.dropTempView(spec.sourceTable)
       prior.foreach(_.createOrReplaceTempView(spec.sourceTable))
     }
   }
