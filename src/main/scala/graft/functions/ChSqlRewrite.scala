@@ -154,8 +154,8 @@ object ChSqlRewrite {
   def apply(sql: String): String =
     rewriteFunctions(rewriteLimitBy(rewriteWithTotals(rewriteArrayJoin(
       rewriteFinal(rewriteNumbers(rewriteAsofJoin(rewriteAnyJoin(
-        rewriteSample(rewritePrewhere(rewriteWithFill(stripGlobalAll(
-          stripSettingsFormat(sql)))))))))))))
+        rewriteUsingParens(rewriteSample(rewritePrewhere(rewriteWithFill(
+          stripGlobalAll(stripSettingsFormat(sql))))))))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -569,6 +569,65 @@ object ChSqlRewrite {
             }
           case _ => sql
         }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // JOIN … USING k1, k2  (ClickHouse's paren-less spelling)
+  // ---------------------------------------------------------------
+
+  /** ClickHouse accepts `USING k1, k2` bare; Spark's grammar demands
+    * `USING (k1, k2)`. Wraps the bare column list — simple identifiers
+    * separated by top-level commas, ending at the next clause keyword,
+    * join keyword, closing paren, or end of statement. `USING (` is
+    * untouched.
+    */
+  private def rewriteUsingParens(sql: String): String = {
+    val toks = wordTokens(sql)
+    val idx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("using") && {
+        var k = toks(i)._3
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        k < sql.length && sql.charAt(k) != '(' &&
+          (sql.charAt(k).isLetter || sql.charAt(k) == '_' ||
+            sql.charAt(k) == '`') &&
+          // `USING parquet` in DDL is not a join clause: require a
+          // JOIN keyword somewhere before at the same depth
+          toks.take(i).exists(t => t._4 == toks(i)._4 &&
+            t._1.equalsIgnoreCase("join"))
+      }
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        val d = toks(i)._4
+        // the column list: ident tokens at depth d joined by commas;
+        // ends before the first token that is not part of that shape
+        var end = toks(i)._3
+        var j = i + 1
+        var expectIdent = true
+        var done = false
+        while (!done && j < toks.length && toks(j)._4 == d) {
+          val between = sql.substring(end, toks(j)._2)
+          val sep = between.trim
+          if (expectIdent && (sep.isEmpty || sep == ",") &&
+            !clauseEnders.contains(toks(j)._1.toLowerCase) &&
+            !toks(j)._1.equalsIgnoreCase("using") &&
+            !toks(j)._1.equalsIgnoreCase("on")) {
+            end = toks(j)._3; expectIdent = false; j += 1
+            // a following comma re-opens the list
+            var k = end
+            while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+            if (k < sql.length && sql.charAt(k) == ',') expectIdent = true
+          } else done = true
+        }
+        // trim a trailing comma position back to the last ident end
+        val cols = sql.substring(toks(i)._3, end).trim
+        if (cols.isEmpty) sql
+        else rewriteUsingParens(
+          sql.substring(0, toks(i)._3) + " (" +
+            cols.split(',').map(_.trim).mkString(", ") + ")" +
+            sql.substring(end))
     }
   }
 

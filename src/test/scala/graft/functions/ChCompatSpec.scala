@@ -673,6 +673,25 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getInt(30) === 16 && r.getInt(31) === 1)
   }
 
+  test("paren-less USING gains parens; DDL USING parquet untouched") {
+    import spark.implicits._
+    Seq((1, "a", 5), (2, "b", 6)).toDF("k", "s", "v")
+      .createOrReplaceTempView("u_l")
+    Seq((1, "x"), (2, "y")).toDF("k", "t").createOrReplaceTempView("u_r")
+    val got = ChCompat.sql(spark,
+      "SELECT k, t FROM u_l JOIN u_r USING k ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got === Seq((1, "x"), (2, "y")))
+    // multi-column bare list
+    Seq((1, "a", 7)).toDF("k", "s", "w").createOrReplaceTempView("u_r2")
+    val got2 = ChCompat.sql(spark,
+      "SELECT k, s, w FROM u_l JOIN u_r2 USING k, s").collect()
+    assert(got2.length === 1 && got2.head.getInt(2) === 7)
+    // no JOIN before → not a join clause → untouched
+    assert(ChSqlRewrite("CREATE TABLE x (a INT) USING parquet") ===
+      "CREATE TABLE x (a INT) USING parquet")
+  }
+
   test("divide is always Float64; parseDateTimeBestEffort multi-format") {
     ChCompat.registerAll(spark)
     val r = spark.sql("""SELECT
