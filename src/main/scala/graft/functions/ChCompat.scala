@@ -844,23 +844,42 @@ object ChCompat {
         .createOrReplaceTempFunction(name, b, "built-in")
     }
 
-  /** Run ClickHouse-flavored SQL: [[ChSqlRewrite]] for the constructs
-    * Spark's parser rejects outright, then the registered aliases for
-    * everything else. Sessions configured with
-    * `spark.sql.extensions=graft.GraftExtensions` get the same rewrite
-    * transparently inside plain `spark.sql`. A `CREATE TABLE … ENGINE
-    * = …` statement (the reference's own DDL shape,
-    * app/service/log_importer.ts:120-127) routes through [[ChDdl]] —
-    * types mapped, Replacing* engines registered for FINAL.
+  /** Run ClickHouse-flavored SQL — ONE entry point for the whole CH
+    * statement surface: [[ChSqlRewrite]] for query constructs Spark's
+    * parser rejects outright, the registered aliases for everything
+    * else, and statement-level routing for the non-query surface:
+    *
+    *  - `CREATE TABLE … ENGINE = …` (the reference's own DDL shape,
+    *    app/service/log_importer.ts:120-127) → [[ChDdl]] — types
+    *    mapped, Replacing* engines registered for FINAL;
+    *  - `CREATE MATERIALIZED VIEW …` → [[ChMatView]] (POPULATE runs
+    *    immediately, as in CH);
+    *  - `ALTER TABLE … DELETE/UPDATE/DROP PARTITION` and
+    *    `OPTIMIZE TABLE … [FINAL]` → [[ChMutations]] copy-on-write.
+    *
+    * Sessions configured with
+    * `spark.sql.extensions=graft.GraftExtensions` get the query
+    * rewrite transparently inside plain `spark.sql`.
     */
   def sql(spark: SparkSession, chSql: String): org.apache.spark.sql.DataFrame =
-    if (chDdlRe.findFirstIn(chSql).isDefined) {
+    if (chMatViewRe.findFirstIn(chSql).isDefined) {
+      ChMatView.create(spark, chSql)
+      spark.emptyDataFrame
+    } else if (chDdlRe.findFirstIn(chSql).isDefined) {
       ChDdl.create(spark, chSql)
+      spark.emptyDataFrame
+    } else if (chMutationRe.findFirstIn(chSql).isDefined) {
+      ChMutations.mutate(spark, chSql)
       spark.emptyDataFrame
     } else spark.sql(ChSqlRewrite(chSql))
 
   private val chDdlRe =
     """(?is)^\s*CREATE\s+TABLE\s[\s\S]*\bENGINE\s*=""".r
+  private val chMatViewRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\b""".r
+  private val chMutationRe =
+    ("""(?is)^\s*(?:ALTER\s+TABLE\s+[`"\w.]+\s+""" +
+      """(?:DELETE|UPDATE|DROP\s+PARTITION)\b|OPTIMIZE\s+TABLE\b)""").r
 
   // Column-API forms for Scala callers.
   def toYYYYMM(c: Column): Column =

@@ -107,6 +107,17 @@ class ChMutationsSpec extends SparkTestBase {
     assert(ChMutations.mutate(spark, "OPTIMIZE TABLE mut_opt") === 0)
   }
 
+  test("ChCompat.sql routes the whole statement surface uniformly") {
+    freshTable("mut_route", partitioned = false)
+    ChCompat.sql(spark,
+      "ALTER TABLE mut_route DELETE WHERE id = 5")
+    ChCompat.sql(spark, "OPTIMIZE TABLE mut_route")
+    assert(spark.table("mut_route").count() === 4)
+    // and a plain query still goes through the dialect rewrite
+    assert(ChCompat.sql(spark,
+      "SELECT count() AS n FROM mut_route").head.getLong(0) === 4L)
+  }
+
   test("no-WHERE and unknown statements throw") {
     intercept[IllegalArgumentException](
       ChMutations.mutate(spark, "ALTER TABLE t DELETE"))
