@@ -75,6 +75,7 @@ object SparkEntry {
     "r46_ch_asof" -> (RefQueries.ch_asof _),
     "r47_ch_mutation" -> (RefQueries.ch_mutation _),
     "r48_ch_matview" -> (RefQueries.ch_matview _),
+    "r49_ch_funnel" -> (RefQueries.ch_funnel_sql _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -442,6 +443,38 @@ object SparkEntry {
     // r29: greedy earliest-next chains via correlated min-subqueries —
     // exact for this operator (see Funnel scaladoc)
     "r29_funnel" ->
+      """WITH s1 AS (SELECT user_id, ts AS t1 FROM events
+                     WHERE event_type = 'view'),
+           s2 AS (SELECT s1.user_id, t1,
+                    (SELECT min(ts) FROM events e
+                     WHERE e.user_id = s1.user_id
+                       AND e.event_type = 'click' AND e.ts > s1.t1) AS t2
+                  FROM s1),
+           s3 AS (SELECT s2.user_id, t1, t2,
+                    (SELECT min(ts) FROM events e
+                     WHERE e.user_id = s2.user_id
+                       AND e.event_type = 'purchase' AND e.ts > s2.t2) AS t3
+                  FROM s2),
+           lv AS (SELECT user_id,
+                    CASE
+                      WHEN t2 IS NOT NULL
+                           AND epoch(t2) - epoch(t1) <= 86400
+                           AND t3 IS NOT NULL
+                           AND epoch(t3) - epoch(t1) <= 86400 THEN 3
+                      WHEN t2 IS NOT NULL
+                           AND epoch(t2) - epoch(t1) <= 86400 THEN 2
+                      ELSE 1
+                    END AS lvl
+                  FROM s3)
+         SELECT u.user_id,
+                CAST(coalesce(max(lv.lvl), 0) AS INTEGER) AS level
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN lv ON u.user_id = lv.user_id
+         GROUP BY u.user_id ORDER BY u.user_id""",
+
+    // r49: identical oracle to r29 — the SQL-aggregate spelling of
+    // the same funnel must agree with the relational operator
+    "r49_ch_funnel" ->
       """WITH s1 AS (SELECT user_id, ts AS t1 FROM events
                      WHERE event_type = 'view'),
            s2 AS (SELECT s1.user_id, t1,

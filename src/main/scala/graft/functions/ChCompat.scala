@@ -776,6 +776,32 @@ object ChCompat {
     "chUniqUpTo" -> (es => Least(Seq(
       Size(aggregate.CollectSet(tupleOf(es.tail)).toAggregateExpression()),
       Add(Cast(es.head, IntegerType), Literal(1))))),
+    // chWindowFunnel(w, ts, c1, …): target of the curried
+    // windowFunnel(w)(ts, c1, …) rewrite — the funnel UDAF
+    "chWindowFunnel" -> (es => {
+      val w = es.head match {
+        case l: Literal => l.value match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"windowFunnel: window must be a numeric literal, got $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"windowFunnel: window must be a literal, got ${other.sql}")
+      }
+      WindowFunnelAgg(w, es(1), es.drop(2)).toAggregateExpression()
+    }),
+    // retention(c1, …, cN): r[0] = c1 fired on some row, r[i] = c1
+    // fired on some row AND c_i+1 fired on some (other) row — CH's
+    // UNORDERED cohort-retention aggregate (conditions are evaluated
+    // independently across the group's rows, no time constraint;
+    // ordered chains are windowFunnel's job)
+    "retention" -> (es => {
+      val anyC1 = aggregate.Max(es.head).toAggregateExpression()
+      CreateArray(
+        Cast(anyC1, IntegerType) +:
+          es.tail.map(c => Cast(And(anyC1,
+            aggregate.Max(c).toAggregateExpression()), IntegerType)))
+    }),
     // arithmetic/bit names
     "modulo" -> (es => Remainder(es(0), es(1), EvalMode.LEGACY)),
     "plus" -> (es => Add(es(0), es(1))),

@@ -115,7 +115,8 @@ object ChSqlRewrite {
     "quantileTiming" -> "chQuantile",
     "quantilesTDigest" -> "chQuantiles",
     "uniqUpTo" -> "chUniqUpTo",
-    "topK" -> "chTopK")
+    "topK" -> "chTopK",
+    "windowFunnel" -> "chWindowFunnel")
 
   /** A ReplacingMergeTree-style declaration for `FROM t FINAL`: the
     * dedup key columns and the version ORDER BY expression (SQL text —

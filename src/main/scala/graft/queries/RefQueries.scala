@@ -499,6 +499,21 @@ object RefQueries {
       .orderBy("user_id")
   }
 
+  // ---- ClickHouse windowFunnel run VERBATIM as a curried SQL
+  // aggregate: the same funnel as r29's relational operator, arriving
+  // as CH SQL text through the dialect front-end and executing as the
+  // WindowFunnelAgg UDAF (per-group matching-event buffer, greedy
+  // chain walk at finalization — CH's own execution shape). Two
+  // independent implementations, one oracle. ----
+  def ch_funnel_sql(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    events(s, dir).createOrReplaceTempView("events")
+    ChCompat.sql(s, """
+      SELECT user_id, windowFunnel(86400)(ts, event_type = 'view',
+        event_type = 'click', event_type = 'purchase') AS level
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  }
+
   // ---- B-surface extension: range join — lineitems priced inside
   // each part's ±50 retail-price band. Interval bucketing turns the
   // theta condition into an equi-join on cell id (see RangeJoin);

@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** windowFunnel(w)(ts, c1…cN) as a SQL aggregate: pinned golden cases
+  * for the strict-order/window contract, and equivalence with the
+  * relational [[graft.operators.Funnel]] operator (gate r29) on a
+  * seeded random event table — two independent implementations of the
+  * same semantics must agree user-for-user.
+  */
+class WindowFunnelAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def chSql(q: String) = {
+    ChCompat.registerAll(spark)
+    ChCompat.sql(spark, q)
+  }
+
+  test("golden cases: depth, strict order, window cutoff") {
+    Seq(
+      // u1: full chain within window
+      (1, "2024-01-01 00:00:00", "view"),
+      (1, "2024-01-01 00:10:00", "click"),
+      (1, "2024-01-01 00:20:00", "purchase"),
+      // u2: click BEFORE view — chain can't use it (strict order)
+      (2, "2024-01-01 00:10:00", "click"),
+      (2, "2024-01-01 00:20:00", "view"),
+      // u3: purchase outside the window of the view
+      (3, "2024-01-01 00:00:00", "view"),
+      (3, "2024-01-01 00:10:00", "click"),
+      (3, "2024-01-01 02:00:00", "purchase"),
+      // u4: same-timestamp click cannot advance (strictly after)
+      (4, "2024-01-01 00:00:00", "view"),
+      (4, "2024-01-01 00:00:00", "click"),
+      // u5: no step-1 event at all
+      (5, "2024-01-01 00:00:00", "click"))
+      .toDF("uid", "s", "et")
+      .withColumn("ts", to_timestamp(col("s")))
+      .createOrReplaceTempView("wf_events")
+    val got = chSql("""
+      SELECT uid, windowFunnel(3600)(ts, et = 'view', et = 'click',
+        et = 'purchase') AS level
+      FROM wf_events GROUP BY uid ORDER BY uid""")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got === Seq((1, 3), (2, 1), (3, 2), (4, 1), (5, 0)))
+  }
+
+  test("a LATER chain start can reach deeper than the first start") {
+    // start at 00:00 has no click in window; start at 02:00 does
+    Seq(
+      (1, "2024-01-01 00:00:00", "view"),
+      (1, "2024-01-01 02:00:00", "view"),
+      (1, "2024-01-01 02:30:00", "click"))
+      .toDF("uid", "s", "et")
+      .withColumn("ts", to_timestamp(col("s")))
+      .createOrReplaceTempView("wf_late")
+    val got = chSql("""
+      SELECT uid, windowFunnel(3600)(ts, et = 'view', et = 'click') AS level
+      FROM wf_late GROUP BY uid""").head.getInt(1)
+    assert(got === 2)
+  }
+
+  test("agrees with the relational Funnel operator on random events") {
+    val rnd = new scala.util.Random(7)
+    val types = Seq("view", "click", "purchase", "other")
+    val rows = (1 to 2000).map { _ =>
+      (rnd.nextInt(60), 1700000000L + rnd.nextInt(200000),
+        types(rnd.nextInt(types.length)))
+    }
+    val df = rows.toDF("uid", "epoch", "et")
+      .withColumn("ts", col("epoch").cast("timestamp")).cache()
+    df.createOrReplaceTempView("wf_rand")
+    val steps = Seq(col("et") === "view", col("et") === "click",
+      col("et") === "purchase")
+    val fromOp = graft.operators.Funnel
+      .windowFunnel(df, "uid", "ts", steps, windowSec = 50000L)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    val fromAgg = chSql("""
+      SELECT uid, windowFunnel(50000)(ts, et = 'view', et = 'click',
+        et = 'purchase') AS level
+      FROM wf_rand GROUP BY uid""")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(fromAgg === fromOp)
+  }
+
+  test("retention: unordered cohort flags") {
+    Seq(
+      (1, "2024-01-01", "signup"), (1, "2024-01-08", "active"),
+      (2, "2024-01-01", "signup"),
+      (3, "2024-01-08", "active"))
+      .toDF("uid", "d", "et").createOrReplaceTempView("ret_events")
+    val got = chSql("""
+      SELECT uid, retention(et = 'signup', et = 'active') AS r
+      FROM ret_events GROUP BY uid ORDER BY uid""")
+      .collect().map(r => (r.getInt(0), r.getSeq[Int](1))).toSeq
+    assert(got === Seq((1, Seq(1, 1)), (2, Seq(1, 0)), (3, Seq(0, 0))))
+  }
+}
