@@ -790,6 +790,43 @@ object ChCompat {
       }
       WindowFunnelAgg(w, es(1), es.drop(2)).toAggregateExpression()
     }),
+    // chSequenceMatch(pattern, ts, c1, …): target of the curried
+    // sequenceMatch('(?1)(?2)…')(ts, c1, …) rewrite. The supported
+    // pattern subset is the ordered-chain form — event refs in any
+    // order, optionally separated by `.*` (which adds nothing: the
+    // chain semantics already allow interleaved events, same contract
+    // as operators.Funnel.sequenceMatch, gate r31). Time-constrained
+    // patterns ((?t<=3600)) throw rather than mis-match. Rides on
+    // WindowFunnelAgg with an unbounded window: matched iff the
+    // deepest level equals the pattern length.
+    "chSequenceMatch" -> (es => {
+      val pat = es.head match {
+        case l: Literal if l.dataType == StringType =>
+          l.value.toString
+        case other => throw new IllegalArgumentException(
+          s"sequenceMatch: pattern must be a string literal, got ${other.sql}")
+      }
+      if (pat.contains("(?t")) throw new IllegalArgumentException(
+        "sequenceMatch: time-constrained patterns ((?t…)) are not " +
+          "supported — use windowFunnel for windowed chains")
+      val refRe = """\(\?(\d+)\)""".r
+      val refs = refRe.findAllMatchIn(pat).map(_.group(1).toInt).toSeq
+      val stripped = refRe.replaceAllIn(pat, "").replace(".*", "")
+      if (refs.isEmpty || stripped.trim.nonEmpty)
+        throw new IllegalArgumentException(
+          s"sequenceMatch: unsupported pattern `$pat` — only the " +
+            "ordered-chain form (?i)(?j)… with optional .* separators")
+      val conds = es.drop(2)
+      refs.find(r => r < 1 || r > conds.length).foreach(r =>
+        throw new IllegalArgumentException(
+          s"sequenceMatch: pattern references (?$r) but only " +
+            s"${conds.length} conditions given"))
+      val ordered = refs.map(r => conds(r - 1))
+      EqualTo(
+        WindowFunnelAgg(Long.MaxValue / 4000000L, es(1), ordered)
+          .toAggregateExpression(),
+        Literal(refs.length))
+    }),
     // retention(c1, …, cN): r[0] = c1 fired on some row, r[i] = c1
     // fired on some row AND c_i+1 fired on some (other) row — CH's
     // UNORDERED cohort-retention aggregate (conditions are evaluated

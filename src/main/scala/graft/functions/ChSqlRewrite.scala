@@ -116,7 +116,8 @@ object ChSqlRewrite {
     "quantilesTDigest" -> "chQuantiles",
     "uniqUpTo" -> "chUniqUpTo",
     "topK" -> "chTopK",
-    "windowFunnel" -> "chWindowFunnel")
+    "windowFunnel" -> "chWindowFunnel",
+    "sequenceMatch" -> "chSequenceMatch")
 
   /** A ReplacingMergeTree-style declaration for `FROM t FINAL`: the
     * dedup key columns and the version ORDER BY expression (SQL text —

@@ -84,6 +84,32 @@ class WindowFunnelAggSpec extends SparkTestBase {
     assert(fromAgg === fromOp)
   }
 
+  test("sequenceMatch: ordered chain, .* separators, ref reordering") {
+    Seq(
+      (1, 100L, "a"), (1, 200L, "b"), (1, 300L, "c"),
+      (2, 100L, "b"), (2, 200L, "a"), // wrong order for (?1)(?2)
+      (3, 100L, "a"))
+      .toDF("uid", "epoch", "et")
+      .withColumn("ts", col("epoch").cast("timestamp"))
+      .createOrReplaceTempView("sm_events")
+    val got = chSql("""
+      SELECT uid,
+        sequenceMatch('(?1)(?2)')(ts, et = 'a', et = 'b') AS ab,
+        sequenceMatch('(?1).*(?2)')(ts, et = 'a', et = 'c') AS ac,
+        sequenceMatch('(?2)(?1)')(ts, et = 'a', et = 'b') AS ba
+      FROM sm_events GROUP BY uid ORDER BY uid""")
+      .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3))).toSeq
+    assert(got === Seq((1, true, true, false), (2, false, false, true),
+      (3, false, false, false)))
+    // time-constrained and free-text patterns refuse
+    intercept[Exception](chSql(
+      "SELECT sequenceMatch('(?1)(?t<=10)(?2)')(ts, et='a', et='b') " +
+        "FROM sm_events").collect())
+    intercept[Exception](chSql(
+      "SELECT sequenceMatch('xyz')(ts, et='a') FROM sm_events").collect())
+  }
+
   test("retention: unordered cohort flags") {
     Seq(
       (1, "2024-01-01", "signup"), (1, "2024-01-08", "active"),
