@@ -839,6 +839,29 @@ object ChCompat {
           es.tail.map(c => Cast(And(anyC1,
             aggregate.Max(c).toAggregateExpression()), IntegerType)))
     }),
+    // -State / -Merge combinator SQL spellings — CH's two-phase
+    // pre-aggregation contract ([[graft.operators.Sketches]], r26,
+    // carries the DataFrame form). uniqState emits Spark's native
+    // binary HLL sketch (HLL_8), uniqMerge unions + estimates;
+    // sum/min/max partials merge by re-application, count partials
+    // merge by SUM (the classic corruption trap, spelled correctly
+    // here so SQL users can't hit it)
+    "uniqState" -> (es => new aggregate.HllSketchAgg(es.head)),
+    "uniqMerge" -> (es => HllSketchEstimate(
+      new aggregate.HllUnionAgg(es.head).toAggregateExpression())),
+    "sumState" -> (es => aggregate.Sum(es.head)),
+    "sumMerge" -> (es => aggregate.Sum(es.head)),
+    "minState" -> (es => aggregate.Min(es.head)),
+    "minMerge" -> (es => aggregate.Min(es.head)),
+    "maxState" -> (es => aggregate.Max(es.head)),
+    "maxMerge" -> (es => aggregate.Max(es.head)),
+    "countState" -> (es => if (es.isEmpty) aggregate.Count(Seq(Literal(1)))
+      else aggregate.Count(es)),
+    "countMerge" -> (es => aggregate.Sum(es.head)),
+    // sumCount(x): CH's fused (sum, count) pair
+    "sumCount" -> (es => CreateStruct(Seq(
+      aggregate.Sum(es.head).toAggregateExpression(),
+      aggregate.Count(es).toAggregateExpression()))),
     // arithmetic/bit names
     "modulo" -> (es => Remainder(es(0), es(1), EvalMode.LEGACY)),
     "plus" -> (es => Add(es(0), es(1))),

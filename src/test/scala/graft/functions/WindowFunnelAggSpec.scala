@@ -110,6 +110,33 @@ class WindowFunnelAggSpec extends SparkTestBase {
       "SELECT sequenceMatch('xyz')(ts, et='a') FROM sm_events").collect())
   }
 
+  test("-State/-Merge SQL spellings: two-phase equals one-phase") {
+    val df = (1 to 500).map(i => (i % 7, i % 50, i.toDouble))
+      .toDF("g", "u", "v")
+    df.createOrReplaceTempView("st_events")
+    // phase 1: per-(g, u%5) partials; phase 2: merge up to g
+    val merged = chSql("""
+      SELECT g, uniqMerge(us) AS uniq, sumMerge(sv) AS sv,
+             countMerge(cn) AS cnt
+      FROM (SELECT g, u % 5 AS shard, uniqState(u) AS us,
+              sumState(v) AS sv, countState() AS cn
+            FROM st_events GROUP BY g, u % 5)
+      GROUP BY g ORDER BY g""")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val flat = chSql("""
+      SELECT g, count(DISTINCT u) AS uniq, sum(v) AS sv, count(*) AS cnt
+      FROM st_events GROUP BY g ORDER BY g""")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(merged === flat) // 50 distinct << HLL exact regime
+    // sumCount: fused pair
+    val sc = chSql(
+      "SELECT sumCount(v) AS p FROM st_events").head.getStruct(0)
+    assert(sc.getDouble(0) === (1 to 500).map(_.toDouble).sum)
+    assert(sc.getLong(1) === 500L)
+  }
+
   test("retention: unordered cohort flags") {
     Seq(
       (1, "2024-01-01", "signup"), (1, "2024-01-08", "active"),
