@@ -957,7 +957,49 @@ object ChCompat {
     } else if (chMutationRe.findFirstIn(chSql).isDefined) {
       ChMutations.mutate(spark, chSql)
       spark.emptyDataFrame
-    } else spark.sql(ChSqlRewrite(chSql))
+    } else {
+      val rewritten = ChSqlRewrite(chSql)
+      if (rewritten.contains("__ch_system_"))
+        materializeSystemViews(spark, rewritten)
+      spark.sql(rewritten)
+    }
+
+  /** Fresh snapshots of the `system.*` introspection views a CH
+    * client queries on connect (rewritten to `__ch_system_<t>` by
+    * [[ChSqlRewrite]]). Catalog-metadata scale; rebuilt per statement
+    * so DDL run earlier in the session is visible.
+    */
+  private def materializeSystemViews(spark: SparkSession,
+      rewritten: String): Unit = {
+    import spark.implicits._
+    val db = spark.catalog.currentDatabase
+    if (rewritten.contains("__ch_system_databases"))
+      spark.catalog.listDatabases().select("name")
+        .createOrReplaceTempView("__ch_system_databases")
+    if (rewritten.contains("__ch_system_tables"))
+      spark.catalog.listTables()
+        .selectExpr(
+          "coalesce(nullif(array_join(namespace, '.'), ''), 'default') " +
+            "AS database",
+          "name", "tableType AS engine", "isTemporary AS is_temporary")
+        .createOrReplaceTempView("__ch_system_tables")
+    if (rewritten.contains("__ch_system_columns")) {
+      val cols = spark.catalog.listTables().collect()
+        .filterNot(_.name.startsWith("__ch_system_")).flatMap { t =>
+          try spark.catalog.listColumns(t.name).collect().zipWithIndex
+            .map { case (c, i) =>
+              (Option(t.database).getOrElse("default"), t.name, c.name,
+                c.dataType, i + 1)
+            }
+          catch { case _: Exception => Array.empty[(String, String,
+            String, String, Int)] }
+        }
+      cols.toSeq.toDF("database", "table", "name", "type", "position")
+        .createOrReplaceTempView("__ch_system_columns")
+    }
+    if (rewritten.contains("__ch_system_one"))
+      Seq(0).toDF("dummy").createOrReplaceTempView("__ch_system_one")
+  }
 
   private val chDdlRe =
     """(?is)^\s*CREATE\s+TABLE\s[\s\S]*\bENGINE\s*=""".r

@@ -157,7 +157,8 @@ object ChSqlRewrite {
     rewriteFunctions(rewriteLimitBy(rewriteWithTotals(rewriteArrayJoin(
       rewriteFinal(rewriteNumbers(rewriteAsofJoin(rewriteAnyJoin(
         rewriteUsingParens(rewriteSample(rewritePrewhere(rewriteWithFill(
-          stripGlobalAll(stripSettingsFormat(sql))))))))))))))
+          stripGlobalAll(stripSettingsFormat(
+            rewriteSystemTables(sql)))))))))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -571,6 +572,35 @@ object ChSqlRewrite {
             }
           case _ => sql
         }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // system.* introspection tables
+  // ---------------------------------------------------------------
+
+  /** The `system` schema names a ClickHouse client touches on connect
+    * (DataGrip/metabase-style introspection). Renamed to registered
+    * temp-view names; [[ChCompat.sql]] materializes them fresh from
+    * the Spark catalog before running the statement.
+    */
+  val systemTables: Set[String] =
+    Set("tables", "columns", "databases", "one")
+
+  private def rewriteSystemTables(sql: String): String = {
+    val toks = wordTokens(sql)
+    val idx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("system") && toks(i)._3 < sql.length &&
+        sql.charAt(toks(i)._3) == '.' && i + 1 < toks.length &&
+        toks(i + 1)._2 == toks(i)._3 + 1 &&
+        systemTables.contains(toks(i + 1)._1.toLowerCase)
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        rewriteSystemTables(sql.substring(0, toks(i)._2) +
+          "__ch_system_" + toks(i + 1)._1.toLowerCase +
+          sql.substring(toks(i + 1)._3))
     }
   }
 

@@ -673,6 +673,26 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getInt(30) === 16 && r.getInt(31) === 1)
   }
 
+  test("system.* introspection tables resolve against the catalog") {
+    import spark.implicits._
+    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("sys_probe")
+    val tables = ChCompat.sql(spark,
+      "SELECT name FROM system.tables WHERE name = 'sys_probe'")
+    assert(tables.count() === 1)
+    val cols = ChCompat.sql(spark,
+      "SELECT name, type FROM system.columns WHERE table = 'sys_probe' " +
+        "ORDER BY position")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols === Seq(("id", "int"), ("s", "string")))
+    assert(ChCompat.sql(spark, "SELECT dummy FROM system.one")
+      .head.getInt(0) === 0)
+    assert(ChCompat.sql(spark, "SELECT count(*) AS n FROM system.databases")
+      .head.getLong(0) >= 1L)
+    // a column literally named `system` is untouched
+    assert(ChSqlRewrite("SELECT system FROM t WHERE system = 1") ===
+      "SELECT system FROM t WHERE system = 1")
+  }
+
   test("paren-less USING gains parens; DDL USING parquet untouched") {
     import spark.implicits._
     Seq((1, "a", 5), (2, "b", 6)).toDF("k", "s", "v")
