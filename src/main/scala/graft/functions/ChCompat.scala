@@ -1007,7 +1007,8 @@ object ChCompat {
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\b""".r
   private val chMutationRe =
     ("""(?is)^\s*(?:ALTER\s+TABLE\s+[`"\w.]+\s+""" +
-      """(?:DELETE|UPDATE|DROP\s+PARTITION)\b|OPTIMIZE\s+TABLE\b)""").r
+      """(?:DELETE|UPDATE|DROP\s+PARTITION|ADD\s+COLUMN|DROP\s+COLUMN""" +
+      """|RENAME\s+COLUMN|MODIFY\s+COLUMN)\b|OPTIMIZE\s+TABLE\b)""").r
 
   // Column-API forms for Scala callers.
   def toYYYYMM(c: Column): Column =

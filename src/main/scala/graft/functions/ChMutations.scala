@@ -35,6 +35,19 @@ object ChMutations {
     """(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+DELETE\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val updateRe =
     """(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+UPDATE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val addColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+ADD\s+COLUMN\s+""" +
+      """(?:IF\s+NOT\s+EXISTS\s+)?[`"]?(\w+)[`"]?\s+([\w()',\s]+?)""" +
+      """(?:\s+DEFAULT\s+(.+?))?(?:\s+AFTER\s+[`"]?\w+[`"]?)?\s*;?\s*$""").r
+  private val dropColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+DROP\s+COLUMN\s+""" +
+      """(?:IF\s+EXISTS\s+)?[`"]?(\w+)[`"]?\s*;?\s*$""").r
+  private val renameColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+RENAME\s+COLUMN\s+""" +
+      """[`"]?(\w+)[`"]?\s+TO\s+[`"]?(\w+)[`"]?\s*;?\s*$""").r
+  private val modifyColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+MODIFY\s+COLUMN\s+""" +
+      """[`"]?(\w+)[`"]?\s+([\w()',\s]+?)\s*;?\s*$""").r
   private val dropPartRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+DROP\s+PARTITION\s+""" +
       """(?:'([^']*)'|(\w+)|\(([^)]*)\))\s*;?\s*$""").r
@@ -55,6 +68,19 @@ object ChMutations {
         (c, ChSqlRewrite.rewriteExpr(e))
       }
       rewrite(spark, cleanName(rawTable), ChSqlRewrite.rewriteExpr(cond), assigns)
+    case addColRe(rawTable, colName, chType, default) =>
+      addColumn(spark, cleanName(rawTable), colName, chType.trim,
+        Option(default).map(ChSqlRewrite.rewriteExpr))
+    case dropColRe(rawTable, colName) =>
+      schemaRewrite(spark, cleanName(rawTable), colName,
+        df => df.drop(colName))
+    case renameColRe(rawTable, from, to) =>
+      schemaRewrite(spark, cleanName(rawTable), from,
+        df => df.withColumnRenamed(from, to))
+    case modifyColRe(rawTable, colName, chType) =>
+      val (sparkType, _) = ChDdl.mapType(chType.trim)
+      schemaRewrite(spark, cleanName(rawTable), colName,
+        df => df.withColumn(colName, col(colName).cast(sparkType)))
     case dropPartRe(rawTable, quoted, bare, specList) =>
       dropPartition(spark, cleanName(rawTable),
         Option(quoted).orElse(Option(bare)), Option(specList))
@@ -65,6 +91,78 @@ object ChMutations {
         "`ALTER TABLE t UPDATE a = e[, …] WHERE c` (WHERE is mandatory, " +
         "as in ClickHouse), `ALTER TABLE t DROP PARTITION v`, or " +
         "`OPTIMIZE TABLE t [FINAL]`")
+  }
+
+  /** `ADD COLUMN name ChType [DEFAULT expr] [AFTER col]`: the type
+    * maps through [[ChDdl.mapType]] and the column appends via native
+    * `ALTER TABLE ADD COLUMNS` (metadata-only — existing files simply
+    * lack the column and read NULL, exactly CH's lazy-default
+    * materialization for NULL-defaulted columns). A DEFAULT expression
+    * triggers a physical backfill through the UPDATE copy-on-write
+    * path, since parquet has no read-time default to lean on. AFTER
+    * is parsed past and dropped: parquet resolves by name, not
+    * position.
+    */
+  private def addColumn(spark: SparkSession, table: String, name: String,
+      chType: String, default: Option[String]): Int = {
+    val (sparkType, _) = ChDdl.mapType(chType)
+    spark.sql(s"ALTER TABLE `$table` ADD COLUMNS (`$name` $sparkType)")
+    default.map { d =>
+      rewrite(spark, table, cond = "true", assignments = Seq(name -> d))
+    }.getOrElse(0)
+  }
+
+  /** DROP/RENAME/MODIFY COLUMN: v1 parquet tables can't evolve those
+    * in place, so this is the same copy-on-write CH performs for a
+    * column-touching mutation — transform every row, then RECREATE the
+    * table with the transformed schema (same provider, partitioning,
+    * and location class). Partition columns refuse, like the key
+    * mutations.
+    */
+  private def schemaRewrite(spark: SparkSession, table: String,
+      touchedCol: String, transform: DataFrame => DataFrame): Int = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    val partCols = meta.partitionColumnNames
+    val base = spark.table(table)
+    if (!base.columns.exists(_.equalsIgnoreCase(touchedCol)))
+      throw new IllegalArgumentException(
+        s"ChMutations: unknown column `$touchedCol` on `$table`")
+    if (partCols.exists(_.equalsIgnoreCase(touchedCol)))
+      throw new IllegalArgumentException(
+        s"ChMutations: cannot alter partition column `$touchedCol`")
+    val out = transform(base)
+    val staging = stageOut(out)
+    try {
+      val external =
+        meta.tableType == org.apache.spark.sql.catalyst.catalog
+          .CatalogTableType.EXTERNAL
+      val loc = meta.storage.locationUri
+      spark.sql(s"DROP TABLE `$table`")
+      if (external) loc.foreach { uri =>
+        // external DROP keeps files; clear them so the recreate starts
+        // from the rewritten data only
+        val p = new org.apache.hadoop.fs.Path(uri)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      val staged = spark.read.parquet(staging)
+      val part =
+        if (partCols.isEmpty) ""
+        else s" PARTITIONED BY (${partCols.map(c => s"`$c`").mkString(", ")})"
+      val locSql =
+        if (external) loc.map(u => s" LOCATION '$u'").getOrElse("") else ""
+      spark.sql(s"CREATE TABLE `$table` (${staged.schema.toDDL}) " +
+        s"USING ${meta.provider.getOrElse("parquet")}$part$locSql")
+      // v1 moves partition columns to the END of the table schema
+      val ordered = staged.columns.filterNot(c =>
+        partCols.exists(_.equalsIgnoreCase(c))) ++ partCols
+      staged.select(ordered.map(col): _*)
+        .write.mode("append").insertInto(table)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(staging))
+    0
   }
 
   /** CH `ALTER TABLE t DROP PARTITION '202401'` names a partition by

@@ -107,6 +107,44 @@ class ChMutationsSpec extends SparkTestBase {
     assert(ChMutations.mutate(spark, "OPTIMIZE TABLE mut_opt") === 0)
   }
 
+  test("ADD COLUMN: metadata-only without default, backfill with") {
+    freshTable("mut_addc", partitioned = false)
+    ChMutations.mutate(spark,
+      "ALTER TABLE mut_addc ADD COLUMN tag String")
+    assert(spark.table("mut_addc").filter("tag IS NULL").count() === 5)
+    ChMutations.mutate(spark,
+      "ALTER TABLE mut_addc ADD COLUMN v2 Float64 DEFAULT v * 10")
+    val got = spark.table("mut_addc").orderBy("id")
+      .select("v2").collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(100.0, 200.0, 300.0, 400.0, 500.0))
+  }
+
+  test("DROP/RENAME/MODIFY COLUMN recreate the table schema") {
+    freshTable("mut_colddl", partitioned = true)
+    ChMutations.mutate(spark,
+      "ALTER TABLE mut_colddl RENAME COLUMN note TO remark")
+    assert(spark.table("mut_colddl").columns.contains("remark"))
+    ChMutations.mutate(spark,
+      "ALTER TABLE mut_colddl MODIFY COLUMN v UInt32")
+    assert(spark.table("mut_colddl").schema("v").dataType.typeName
+      === "long") // UInt32 maps to BIGINT
+    ChMutations.mutate(spark,
+      "ALTER TABLE mut_colddl DROP COLUMN remark")
+    assert(!spark.table("mut_colddl").columns.contains("remark"))
+    // data and partitioning survived the three rewrites
+    val rows = spark.table("mut_colddl").orderBy("id")
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Long]("v"),
+        r.getAs[String]("kind"))).toSeq
+    assert(rows === Seq((1, 10L, "x"), (2, 20L, "x"), (3, 30L, "y"),
+      (4, 40L, "y"), (5, 50L, "z")))
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("mut_colddl"))
+      .partitionColumnNames === Seq("kind"))
+    // partition column refuses
+    intercept[IllegalArgumentException](ChMutations.mutate(spark,
+      "ALTER TABLE mut_colddl DROP COLUMN kind"))
+  }
+
   test("ChCompat.sql routes the whole statement surface uniformly") {
     freshTable("mut_route", partitioned = false)
     ChCompat.sql(spark,
