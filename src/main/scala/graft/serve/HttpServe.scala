@@ -180,8 +180,24 @@ class HttpServe(spark: SparkSession, port: Int,
 
     server.createContext("/query", (ex: HttpExchange) => {
       if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
-      else runAndRender(ex,
-        new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8))
+      else {
+        val body =
+          new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8)
+        // the CH HTTP protocol ships INSERT payloads in the same body
+        // as the statement (FORMAT JSONEachRow / Values) — route those
+        // to the data-bearing insert path, everything else to SQL
+        if (graft.functions.ChInsert.matches(body))
+          try {
+            val n = graft.functions.ChInsert.insert(spark, body)
+            respond(ex, 200, s"""{"written":$n}""")
+          } catch {
+            case e: Exception =>
+              respond(ex, 400, s"""{"error":"${jsonEscape(
+                Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .take(500))}"}""")
+          }
+        else runAndRender(ex, body)
+      }
     })
     server.start()
   }

@@ -140,6 +140,30 @@ class HttpServeSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("POST /query accepts the CH data-bearing INSERT protocol") {
+    spark.sql("DROP TABLE IF EXISTS serve_ins")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("spark-warehouse/serve_ins"))
+    spark.sql(
+      "CREATE TABLE serve_ins (id BIGINT, v DOUBLE) USING parquet")
+    val srv = new HttpServe(spark, 0)
+    try {
+      srv.start()
+      val port = srv.boundPort
+      val (c1, r1) = post(port, "/query",
+        "INSERT INTO serve_ins FORMAT JSONEachRow\n" +
+          "{\"id\": 1, \"v\": 1.5}\n{\"id\": 2, \"v\": 2.5}")
+      assert(c1 === 200 && r1.contains("\"written\":2"))
+      val (c2, r2) = post(port, "/query",
+        "SELECT sum(v) AS s FROM serve_ins")
+      assert(c2 === 200 && r2.contains("\"s\":4.0"))
+      // malformed insert reports an error, not a silent 200
+      val (c3, _) = post(port, "/query",
+        "INSERT INTO no_such_table FORMAT JSONEachRow\n{\"id\":1}")
+      assert(c3 === 400)
+    } finally srv.stop()
+  }
+
   test("POST /query streams with a row cap") {
     val srv = new HttpServe(spark, 0, maxRows = 3)
     try {
