@@ -800,32 +800,19 @@ object ChCompat {
     // WindowFunnelAgg with an unbounded window: matched iff the
     // deepest level equals the pattern length.
     "chSequenceMatch" -> (es => {
-      val pat = es.head match {
-        case l: Literal if l.dataType == StringType =>
-          l.value.toString
-        case other => throw new IllegalArgumentException(
-          s"sequenceMatch: pattern must be a string literal, got ${other.sql}")
-      }
-      if (pat.contains("(?t")) throw new IllegalArgumentException(
-        "sequenceMatch: time-constrained patterns ((?t…)) are not " +
-          "supported — use windowFunnel for windowed chains")
-      val refRe = """\(\?(\d+)\)""".r
-      val refs = refRe.findAllMatchIn(pat).map(_.group(1).toInt).toSeq
-      val stripped = refRe.replaceAllIn(pat, "").replace(".*", "")
-      if (refs.isEmpty || stripped.trim.nonEmpty)
-        throw new IllegalArgumentException(
-          s"sequenceMatch: unsupported pattern `$pat` — only the " +
-            "ordered-chain form (?i)(?j)… with optional .* separators")
-      val conds = es.drop(2)
-      refs.find(r => r < 1 || r > conds.length).foreach(r =>
-        throw new IllegalArgumentException(
-          s"sequenceMatch: pattern references (?$r) but only " +
-            s"${conds.length} conditions given"))
-      val ordered = refs.map(r => conds(r - 1))
+      val ordered = chainPatternConds(es, "sequenceMatch")
       EqualTo(
         WindowFunnelAgg(Long.MaxValue / 4000000L, es(1), ordered)
           .toAggregateExpression(),
-        Literal(refs.length))
+        Literal(ordered.length))
+    }),
+    // chSequenceCount(pattern, ts, c1, …): target of the curried
+    // sequenceCount('(?1)(?2)…')(ts, c1, …) rewrite — the number of
+    // DISJOINT ordered chains, same pattern subset as sequenceMatch
+    "chSequenceCount" -> (es => {
+      val ordered = chainPatternConds(es, "sequenceCount")
+      WindowFunnelAgg(Long.MaxValue / 4000000L, es(1), ordered,
+        countChains = true).toAggregateExpression()
     }),
     // retention(c1, …, cN): r[0] = c1 fired on some row, r[i] = c1
     // fired on some row AND c_i+1 fired on some (other) row — CH's
@@ -884,6 +871,38 @@ object ChCompat {
     "parseDateTimeBestEffort" -> parseBestEffort _,
     "parseDateTimeBestEffortOrNull" -> parseBestEffort _,
   )
+
+  /** Shared pattern parsing for sequenceMatch/sequenceCount: the
+    * ordered-chain subset — `(?i)(?j)…` refs in any order with
+    * optional `.*` separators (which add nothing: chain semantics
+    * already allow interleaved events). Time-constrained `(?t…)`
+    * forms throw rather than mis-match. Returns the step conditions
+    * in pattern order.
+    */
+  private def chainPatternConds(es: Seq[Expression],
+      fname: String): Seq[Expression] = {
+    val pat = es.head match {
+      case l: Literal if l.dataType == StringType => l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"$fname: pattern must be a string literal, got ${other.sql}")
+    }
+    if (pat.contains("(?t")) throw new IllegalArgumentException(
+      s"$fname: time-constrained patterns ((?t…)) are not supported — " +
+        "use windowFunnel for windowed chains")
+    val refRe = """\(\?(\d+)\)""".r
+    val refs = refRe.findAllMatchIn(pat).map(_.group(1).toInt).toSeq
+    val stripped = refRe.replaceAllIn(pat, "").replace(".*", "")
+    if (refs.isEmpty || stripped.trim.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$fname: unsupported pattern `$pat` — only the ordered-chain " +
+          "form (?i)(?j)… with optional .* separators")
+    val conds = es.drop(2)
+    refs.find(r => r < 1 || r > conds.length).foreach(r =>
+      throw new IllegalArgumentException(
+        s"$fname: pattern references (?$r) but only " +
+          s"${conds.length} conditions given"))
+    refs.map(r => conds(r - 1))
+  }
 
   private def parseBestEffort(es: Seq[Expression]): Expression = {
     val s = es.head

@@ -117,7 +117,8 @@ object ChSqlRewrite {
     "uniqUpTo" -> "chUniqUpTo",
     "topK" -> "chTopK",
     "windowFunnel" -> "chWindowFunnel",
-    "sequenceMatch" -> "chSequenceMatch")
+    "sequenceMatch" -> "chSequenceMatch",
+    "sequenceCount" -> "chSequenceCount")
 
   /** A ReplacingMergeTree-style declaration for `FROM t FINAL`: the
     * dedup key columns and the version ORDER BY expression (SQL text —

@@ -31,7 +31,7 @@ import org.apache.spark.sql.types._
   * group, no quadratic pairing.
   */
 case class WindowFunnelAgg(windowSec: Long, ts: Expression,
-    conds: Seq[Expression],
+    conds: Seq[Expression], countChains: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[
       scala.collection.mutable.ArrayBuffer[(Long, Int)]] {
@@ -68,9 +68,26 @@ case class WindowFunnelAgg(windowSec: Long, ts: Expression,
 
   override def merge(buf: Buf, other: Buf): Buf = { buf ++= other; buf }
 
+  /** sequenceCount mode: greedy left-to-right scan counting DISJOINT
+    * strict-order chains (earliest-completion-first maximizes the
+    * number of disjoint subsequence matches — the exchange argument:
+    * any solution can be rewritten to end its first chain no later).
+    */
+  private def countDisjointChains(evs: Array[(Long, Int)]): Int = {
+    var count = 0; var level = 0; var lastTs = Long.MinValue
+    evs.foreach { case (t, mask) =>
+      if ((mask & (1 << level)) != 0 && (level == 0 || t > lastTs)) {
+        level += 1; lastTs = t
+        if (level == conds.length) { count += 1; level = 0 }
+      }
+    }
+    count
+  }
+
   override def eval(buf: Buf): Any = {
     if (buf.isEmpty) return 0
     val evs = buf.sortBy(_._1).toArray
+    if (countChains) return countDisjointChains(evs)
     // strictly-after, truncated-seconds window — the Funnel contract
     def sec(m: Long) = Math.floorDiv(m, 1000000L)
     // level-1 chains: (start, last) at each cond1 event

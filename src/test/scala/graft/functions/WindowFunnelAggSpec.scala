@@ -110,6 +110,23 @@ class WindowFunnelAggSpec extends SparkTestBase {
       "SELECT sequenceMatch('xyz')(ts, et='a') FROM sm_events").collect())
   }
 
+  test("sequenceCount: disjoint ordered chains") {
+    Seq(
+      (1, 100L, "a"), (1, 200L, "b"), (1, 300L, "a"), (1, 400L, "b"),
+      (2, 100L, "a"), (2, 200L, "a"), (2, 300L, "b"),
+      (3, 100L, "b"))
+      .toDF("uid", "epoch", "et")
+      .withColumn("ts", col("epoch").cast("timestamp"))
+      .createOrReplaceTempView("sc_events")
+    val got = chSql("""
+      SELECT uid, sequenceCount('(?1)(?2)')(ts, et = 'a', et = 'b') AS n
+      FROM sc_events GROUP BY uid ORDER BY uid""")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // u1: two disjoint a→b chains; u2: one (second a can't reuse b);
+    // u3: none
+    assert(got === Seq((1, 2), (2, 1), (3, 0)))
+  }
+
   test("-State/-Merge SQL spellings: two-phase equals one-phase") {
     val df = (1 to 500).map(i => (i % 7, i % 50, i.toDouble))
       .toDF("g", "u", "v")
