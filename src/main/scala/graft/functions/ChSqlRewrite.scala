@@ -159,7 +159,7 @@ object ChSqlRewrite {
       rewriteFinal(rewriteNumbers(rewriteAsofJoin(rewriteAnyJoin(
         rewriteUsingParens(rewriteSample(rewritePrewhere(rewriteWithFill(
           stripGlobalAll(stripSettingsFormat(
-            rewriteSystemTables(sql)))))))))))))))
+            rewriteSystemTables(rewriteScalarWith(sql))))))))))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -574,6 +574,78 @@ object ChSqlRewrite {
           case _ => sql
         }
     }
+  }
+
+  // ---------------------------------------------------------------
+  // WITH <expr> AS <ident> scalar aliases
+  // ---------------------------------------------------------------
+
+  /** ClickHouse's scalar WITH — `WITH 100 AS k SELECT k * 2` — binds
+    * an EXPRESSION to a name and substitutes it wherever the name
+    * appears (shadowing columns, CH's own semantics). Spark's WITH
+    * only parses CTEs, so the scalar items are lifted out and
+    * textually substituted as a parenthesized expression at every
+    * standalone use of the name (token-level, quote-safe, skipping
+    * `x.name` member accesses and `name(` calls). Standard CTE items
+    * (`name AS (SELECT …)`) in the same WITH are left in place; a
+    * WITH that held only scalar items loses the clause entirely.
+    * Substitution runs AFTER extraction over the whole remaining
+    * statement — including inside later CTE bodies, as CH does.
+    */
+  private def rewriteScalarWith(sql: String): String = {
+    val toks = wordTokens(sql)
+    val wIdx = toks.indices.find(i => toks(i)._4 == 0 &&
+      toks(i)._1.equalsIgnoreCase("with"))
+    if (wIdx.isEmpty) return sql
+    val w = toks(wIdx.get)
+    // WITH items end at the depth-0 SELECT that follows them
+    val selTok = toks.find(t => t._2 > w._2 && t._4 == 0 &&
+      t._1.equalsIgnoreCase("select")).getOrElse(return sql)
+    val items = splitTopLevel(sql, w._3, selTok._2)
+    // classify: CTE = `name AS (SELECT…)` / scalar = `expr AS name`
+    val cteRe = """(?is)^[`"\w]+\s+AS\s*\(.*\)\s*$""".r
+    val scalarRe = """(?is)^(.+?)\s+AS\s+[`"]?(\w+)[`"]?$""".r
+    var ctes = Vector.empty[String]
+    var scalars = Vector.empty[(String, String)] // name -> expr
+    items.foreach {
+      case it if cteRe.findFirstIn(it).isDefined => ctes :+= it
+      case scalarRe(expr, name) => scalars :+= (name, expr.trim)
+      case _ => return sql // unrecognized item: leave untouched
+    }
+    if (scalars.isEmpty) return sql
+    val head = sql.substring(0, w._2)
+    val tail = sql.substring(selTok._2)
+    val kept =
+      if (ctes.isEmpty) ""
+      else s"WITH ${ctes.mkString(", ")} "
+    // substitute each scalar name at standalone ident positions
+    val byName = scalars.toMap
+    def substitute(s: String): String = {
+      val ts = wordTokens(s)
+      val out = new StringBuilder
+      var pos = 0
+      ts.foreach { t =>
+        val name = t._1
+        byName.get(byName.keys.find(_.equalsIgnoreCase(name))
+          .getOrElse("")) match {
+          case Some(expr)
+            // not `x.name` (member access) and not `name(` (call)
+            if !(t._2 > 0 && s.charAt(t._2 - 1) == '.') && {
+              var k = t._3
+              while (k < s.length && s.charAt(k).isWhitespace) k += 1
+              k >= s.length || s.charAt(k) != '('
+            } =>
+            out.append(s.substring(pos, t._2)).append(s"($expr)")
+            pos = t._3
+          case _ =>
+        }
+      }
+      out.append(s.substring(pos)).toString
+    }
+    // scalar aliases may reference each other left-to-right in CH;
+    // one substitution pass over the kept CTEs + tail covers the
+    // common case (CH substitutes inside CTE bodies too)
+    rewriteScalarWith(head + substitute(kept + tail))
   }
 
   // ---------------------------------------------------------------

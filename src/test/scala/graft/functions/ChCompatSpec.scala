@@ -673,6 +673,30 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getInt(30) === 16 && r.getInt(31) === 1)
   }
 
+  test("WITH scalar aliases substitute; CTEs pass through") {
+    import spark.implicits._
+    Seq((1, 50.0), (2, 150.0), (3, 250.0)).toDF("id", "v")
+      .createOrReplaceTempView("sw_t")
+    // pure scalar WITH
+    val a = ChCompat.sql(spark,
+      "WITH 100 AS threshold SELECT count(*) AS n FROM sw_t " +
+        "WHERE v > threshold").head.getLong(0)
+    assert(a === 2L)
+    // expression alias + member-access and call-position immunity
+    val b = ChCompat.sql(spark,
+      "WITH 10 * 10 AS k SELECT id, v + k AS vk FROM sw_t t " +
+        "WHERE t.id = 1").head.getDouble(1)
+    assert(b === 150.0)
+    // mixed: scalar + standard CTE in one WITH
+    val c = ChCompat.sql(spark,
+      """WITH 100 AS thr, big AS (SELECT * FROM sw_t WHERE v > thr)
+        |SELECT count(*) AS n FROM big""".stripMargin).head.getLong(0)
+    assert(c === 2L)
+    // plain CTE-only WITH is untouched text
+    val cteOnly = "WITH x AS (SELECT 1 AS a) SELECT a FROM x"
+    assert(ChSqlRewrite(cteOnly) === cteOnly)
+  }
+
   test("system.* introspection tables resolve against the catalog") {
     import spark.implicits._
     Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("sys_probe")
