@@ -155,11 +155,12 @@ object ChSqlRewrite {
   def rewriteExpr(e: String): String = rewriteFunctions(e)
 
   def apply(sql: String): String =
-    rewriteFunctions(rewriteLimitBy(rewriteWithTotals(rewriteArrayJoin(
+    rewriteFunctions(rewriteLimitBy(rewriteLimitOffset(rewriteWithTotals(
+      rewriteArrayJoin(
       rewriteFinal(rewriteNumbers(rewriteAsofJoin(rewriteAnyJoin(
         rewriteUsingParens(rewriteSample(rewritePrewhere(rewriteWithFill(
           stripGlobalAll(stripSettingsFormat(
-            rewriteSystemTables(rewriteScalarWith(sql))))))))))))))))
+            rewriteSystemTables(rewriteScalarWith(sql)))))))))))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -981,6 +982,30 @@ object ChSqlRewrite {
     * answer; ours is deterministic). The statement's ORDER BY and
     * trailing LIMIT are re-applied outside the window subquery.
     */
+  /** ClickHouse's MySQL-style `LIMIT offset, count` → Spark's
+    * `LIMIT count OFFSET offset`. Any depth; the comma form is never
+    * valid Spark so the rewrite can't collide. `LIMIT n BY col` is a
+    * different clause, handled by [[rewriteLimitBy]] AFTER this (the
+    * guard requires the second number, so `LIMIT 2 BY c` never
+    * matches here).
+    */
+  private def rewriteLimitOffset(sql: String): String = {
+    val m = """(?is)\bLIMIT\s+(\d+)\s*,\s*(\d+)""".r
+      .findFirstMatchIn(sql)
+    m match {
+      case None => sql
+      case Some(x) =>
+        // the regex cannot see quotes; confirm the span is outside
+        // quoted text by checking a word token lands at its start
+        val toks = wordTokens(sql)
+        if (!toks.exists(t => t._2 == x.start &&
+          t._1.equalsIgnoreCase("limit"))) sql
+        else rewriteLimitOffset(sql.substring(0, x.start) +
+          s"LIMIT ${x.group(2)} OFFSET ${x.group(1)}" +
+          sql.substring(x.end))
+    }
+  }
+
   private def rewriteLimitBy(sql: String): String = {
     val toks = wordTokens(sql).filter(_._4 == 0)
     // find LIMIT <digits> BY at depth 0

@@ -673,6 +673,21 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getInt(30) === 16 && r.getInt(31) === 1)
   }
 
+  test("LIMIT offset, count rewrites to LIMIT/OFFSET; LIMIT BY intact") {
+    import spark.implicits._
+    (1 to 10).map(i => (i, i * 10)).toDF("id", "v")
+      .createOrReplaceTempView("lo_t")
+    val got = ChCompat.sql(spark,
+      "SELECT id FROM lo_t ORDER BY id LIMIT 3, 2")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(4, 5)) // skip 3, take 2
+    assert(ChSqlRewrite("SELECT 1 LIMIT 3, 2") ===
+      "SELECT 1 LIMIT 2 OFFSET 3")
+    // quoted text is never rewritten
+    assert(ChSqlRewrite("SELECT 'LIMIT 1, 2' AS s") ===
+      "SELECT 'LIMIT 1, 2' AS s")
+  }
+
   test("WITH scalar aliases substitute; CTEs pass through") {
     import spark.implicits._
     Seq((1, 50.0), (2, 150.0), (3, 250.0)).toDF("id", "v")
