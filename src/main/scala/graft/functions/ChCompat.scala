@@ -341,6 +341,11 @@ object ChCompat {
     // to the exact interpolating Percentile aggregate — deterministic,
     // and a valid implementation of an approximate contract.
     "chQuantile" -> (es => aggregate.Percentile(es(1), es(0), Literal(1L))),
+    // quantileDeterministic(level)(x, det): the determinator only
+    // stabilizes CH's sampling — the exact interpolating percentile
+    // is deterministic already, so the third argument is ignored
+    "chQuantileDet" -> (es =>
+      aggregate.Percentile(es(1), es(0), Literal(1L))),
     "chQuantiles" -> (es => aggregate.Percentile(es.last,
       CreateArray(es.dropRight(1)), Literal(1L))),
     // chQuantileExact/chMedianExact: CH returns an ACTUAL ELEMENT, not
@@ -355,6 +360,31 @@ object ChCompat {
     // HyperLogLog++ contract as uniq, incl. multi-arg tuple form
     "uniqCombined" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
     "uniqHLL12" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
+    // uniqTheta: CH's theta-sketch estimator — same approximate
+    // distinct-count contract, served by the HLL++ estimator here
+    "uniqTheta" -> (es => aggregate.HyperLogLogPlusPlus(tupleOf(es))),
+    // group bitwise aggregates
+    "groupBitAnd" -> (es => aggregate.BitAndAgg(es.head)),
+    "groupBitOr" -> (es => aggregate.BitOrAgg(es.head)),
+    "groupBitXor" -> (es => aggregate.BitXorAgg(es.head)),
+    // the *Stable variants differ only in summation order (CH offers
+    // them for reproducibility); the statistic is identical
+    "corrStable" -> (es => aggregate.Corr(es(0), es(1))),
+    "varSampStable" -> (es => aggregate.VarianceSamp(es.head)),
+    "varPopStable" -> (es => aggregate.VariancePop(es.head)),
+    "covarPopStable" -> (es => aggregate.CovPopulation(es(0), es(1))),
+    "covarSampStable" -> (es => aggregate.CovSample(es(0), es(1))),
+    // avgWeighted(x, w) = sum(x*w) / sum(w), NULL on zero total weight
+    // (CH returns NaN there; NULL is Spark's honest spelling of the
+    // same undefined case and survives comparisons)
+    "avgWeighted" -> (es => {
+      val sumW = aggregate.Sum(Cast(es(1), DoubleType)).toAggregateExpression()
+      Divide(
+        aggregate.Sum(Multiply(Cast(es(0), DoubleType),
+          Cast(es(1), DoubleType))).toAggregateExpression(),
+        If(EqualTo(sumW, Literal(0.0d)), Literal(null, DoubleType), sumW),
+        EvalMode.LEGACY)
+    }),
     // external dictionaries (Dictionaries.register first): broadcast
     // hash-map probes that compose anywhere an expression can — incl.
     // GROUP BY keys, where a subquery rewrite would be rejected
@@ -578,6 +608,16 @@ object ChCompat {
           itemsOnly = true)
       case other => throw new IllegalArgumentException(
         s"topK: k must be an integer literal, got $other")
+    }),
+    // chTopKWeighted: curried topKWeighted(k)(x, w) — each row counts
+    // `w` times in the frequent-items sketch (same string-typed
+    // divergence as chTopK)
+    "chTopKWeighted" -> (es => es.head match {
+      case Literal(k: Int, IntegerType) =>
+        FreqTopK(Cast(es(1), StringType), k, maxMapSize = 1024,
+          itemsOnly = true, weight = Some(Cast(es(2), LongType)))
+      case other => throw new IllegalArgumentException(
+        s"topKWeighted: k must be an integer literal, got $other")
     }),
     "addDays" -> (es => DateAdd(Cast(es(0), DateType), es(1))),
     "subtractDays" -> (es => DateSub(Cast(es(0), DateType), es(1))),

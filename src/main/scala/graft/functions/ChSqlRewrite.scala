@@ -116,6 +116,8 @@ object ChSqlRewrite {
     "quantilesTDigest" -> "chQuantiles",
     "uniqUpTo" -> "chUniqUpTo",
     "topK" -> "chTopK",
+    "topKWeighted" -> "chTopKWeighted",
+    "quantileDeterministic" -> "chQuantileDet",
     "windowFunnel" -> "chWindowFunnel",
     "sequenceMatch" -> "chSequenceMatch",
     "sequenceCount" -> "chSequenceCount")

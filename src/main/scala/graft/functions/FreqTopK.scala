@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (and oracle-comparable in the unsaturated/exact regime).
   */
 case class FreqTopK(child: Expression, k: Int, maxMapSize: Int,
-    itemsOnly: Boolean = false,
+    itemsOnly: Boolean = false, weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ItemsSketch[String]] {
 
@@ -47,7 +47,14 @@ case class FreqTopK(child: Expression, k: Int, maxMapSize: Int,
   override def update(buf: ItemsSketch[String], row: InternalRow)
       : ItemsSketch[String] = {
     val v = child.eval(row)
-    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    if (v != null) weight match {
+      case None => buf.update(v.asInstanceOf[UTF8String].toString)
+      case Some(w) =>
+        // CH topKWeighted: each row counts `weight` times
+        val wv = w.eval(row)
+        if (wv != null) buf.update(v.asInstanceOf[UTF8String].toString,
+          wv.asInstanceOf[Number].longValue())
+    }
     buf
   }
 
@@ -75,10 +82,11 @@ case class FreqTopK(child: Expression, k: Int, maxMapSize: Int,
     else ArrayType(StructType(Seq(
       StructField("item", StringType), StructField("est", LongType))))
   override def nullable: Boolean = false
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head,
+      weight = if (newChildren.length > 1) Some(newChildren(1)) else None)
   override def withNewMutableAggBufferOffset(off: Int): FreqTopK =
     copy(mutableAggBufferOffset = off)
   override def withNewInputAggBufferOffset(off: Int): FreqTopK =

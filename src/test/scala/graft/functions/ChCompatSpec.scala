@@ -673,6 +673,37 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getInt(30) === 16 && r.getInt(31) === 1)
   }
 
+  test("seventh alias pass: bit aggs, stable variants, weighted forms") {
+    import spark.implicits._
+    Seq((1, 6, 2.0, 1L), (1, 3, 4.0, 3L), (2, 5, 10.0, 2L))
+      .toDF("g", "b", "x", "w").createOrReplaceTempView("al7_t")
+    ChCompat.registerAll(spark)
+    val r = ChCompat.sql(spark, """SELECT
+      groupBitAnd(b) AS band, groupBitOr(b) AS bor,
+      groupBitXor(b) AS bxor,
+      uniqTheta(g) AS ut,
+      CAST(varSampStable(x) AS DECIMAL(10,4)) AS vs,
+      avgWeighted(x, w) AS aw
+      FROM al7_t""").head
+    assert(r.getInt(0) === (6 & 3 & 5))
+    assert(r.getInt(1) === (6 | 3 | 5))
+    assert(r.getInt(2) === (6 ^ 3 ^ 5))
+    assert(r.getLong(3) === 2L)
+    assert(r.getDecimal(4).doubleValue() > 0)
+    // (2*1 + 4*3 + 10*2) / (1+3+2) = 34/6
+    assert(math.abs(r.getDouble(5) - 34.0 / 6) < 1e-12)
+    // zero total weight -> NULL, not a crash
+    val z = ChCompat.sql(spark,
+      "SELECT avgWeighted(x, 0) AS aw FROM al7_t").head
+    assert(z.isNullAt(0))
+    // curried weighted topK and deterministic quantile
+    val c = ChCompat.sql(spark, """SELECT
+      topKWeighted(1)(g, w) AS tw,
+      quantileDeterministic(0.5)(x, g) AS qd FROM al7_t""").head
+    assert(c.getSeq[String](0) === Seq("1")) // weight 1+3 beats 2
+    assert(c.getDouble(1) === 4.0)
+  }
+
   test("LIMIT offset, count rewrites to LIMIT/OFFSET; LIMIT BY intact") {
     import spark.implicits._
     (1 to 10).map(i => (i, i * 10)).toDF("id", "v")
