@@ -163,6 +163,16 @@ class HttpServe(spark: SparkSession, port: Int,
          |GROUP BY repo_id
          |ORDER BY repo_activity DESC, repo_id ASC LIMIT $n""".stripMargin)
 
+    // the ClickHouse HTTP health probe: load balancers and client
+    // libraries GET /ping and expect the literal text "Ok.\n"
+    server.createContext("/ping", (ex: HttpExchange) => {
+      val bytes = "Ok.\n".getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/plain")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+
     server.createContext("/status", (ex: HttpExchange) =>
       statusMeta match {
         case None => respond(ex, 200, """{"status":"ok"}""")

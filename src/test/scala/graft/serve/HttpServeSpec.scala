@@ -39,6 +39,10 @@ class HttpServeSpec extends SparkTestBase {
       val (c2, status) = get(port, "/status")
       assert(c2 === 200 && status.contains("ok"))
 
+      // the CH health probe returns the literal Ok.
+      val (cp, ping) = get(port, "/ping")
+      assert(cp === 200 && ping === "Ok.\n")
+
       val (c3, rows) = post(port, "/query",
         "SELECT id, name FROM serve_t ORDER BY id")
       assert(c3 === 200)
