@@ -1031,7 +1031,6 @@ object ChCompat {
   private def materializeSystemViews(spark: SparkSession,
       rewritten: String): Unit = {
     import spark.implicits._
-    val db = spark.catalog.currentDatabase
     if (rewritten.contains("__ch_system_databases"))
       spark.catalog.listDatabases().select("name")
         .createOrReplaceTempView("__ch_system_databases")

@@ -42,15 +42,37 @@ object ChInsert {
       case valuesFmtRe(rawTable, colList, values) =>
         val table = cleanName(rawTable)
         val cols = Option(colList).map(c => s" ($c)").getOrElse("")
-        val before = spark.table(table).count()
         spark.sql(s"INSERT INTO `$table`$cols VALUES $values")
-        spark.table(table).count() - before
+        countTopLevelTuples(values)
       case _ => throw new IllegalArgumentException(
         "ChInsert: not a FORMAT JSONEachRow / FORMAT Values insert")
     }
 
   private def cleanName(raw: String): String =
     raw.replace("`", "").replace("\"", "").split('.').last
+
+  /** Rows in a VALUES list = depth-0 `(` openers (quote-aware) — a
+    * lexical count, instead of two full-table count() scans that are
+    * both expensive and racy under concurrent writers.
+    */
+  private def countTopLevelTuples(values: String): Long = {
+    var n = 0L; var depth = 0; var j = 0
+    while (j < values.length) {
+      values.charAt(j) match {
+        case '(' => if (depth == 0) n += 1; depth += 1
+        case ')' => depth -= 1
+        case '\'' =>
+          j += 1
+          while (j < values.length && values.charAt(j) != '\'') {
+            if (values.charAt(j) == '\\') j += 1
+            j += 1
+          }
+        case _ =>
+      }
+      j += 1
+    }
+    n
+  }
 
   private def insertJson(spark: SparkSession, table: String,
       colList: Option[String], data: String): Long = {
@@ -65,7 +87,11 @@ object ChInsert {
     }
     val lines = data.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
     if (lines.isEmpty) return 0L
-    val parsed = spark.read.schema(readSchema).json(lines.toDS)
+    // FAILFAST: a malformed line must reject the batch (CH errors on
+    // bad rows) — PERMISSIVE would insert it as all-NULL and report
+    // it written, silent corruption on any truncated body
+    val parsed = spark.read.schema(readSchema)
+      .option("mode", "FAILFAST").json(lines.toDS)
     // full table column order; unlisted columns are NULL of their type
     val out = target.columns.map { c =>
       if (parsed.columns.exists(_.equalsIgnoreCase(c))) col(c)

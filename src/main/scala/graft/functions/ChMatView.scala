@@ -58,20 +58,24 @@ object ChMatView {
     Option(registry.get(name.toLowerCase))
 
   private val headerRe =
-    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """([`"\w.]+)\s*(?:ON\s+CLUSTER\s+\S+\s*)?(.*)$""").r
 
   /** Parse the DDL and register the view. When the statement carries
     * `POPULATE`, the backfill runs immediately (CH's behavior).
-    * Returns the parsed spec.
+    * `IF NOT EXISTS` against an already-registered name is a NO-OP
+    * returning the existing spec — critically, it must NOT re-run
+    * POPULATE, which would append a second full set of partials to
+    * the target (CH no-ops here too). Returns the parsed spec.
     */
   def create(spark: SparkSession, ddl: String): MatViewSpec = {
     val m = headerRe.findFirstMatchIn(ddl).getOrElse(
       throw new IllegalArgumentException(
         "ChMatView: not a CREATE MATERIALIZED VIEW statement"))
-    val name = m.group(1).replace("`", "").replace("\"", "")
+    val name = m.group(2).replace("`", "").replace("\"", "")
       .split('.').last.toLowerCase
-    val rest = m.group(2)
+    if (m.group(1) != null) get(name).foreach(existing => return existing)
+    val rest = m.group(3)
     // split the header tail from the AS SELECT at the first depth-0
     // `AS` followed by `SELECT`
     val asIdx = {
@@ -199,12 +203,17 @@ object ChMatView {
           s"ChMatView: GROUP BY entry `$k` is not a target column — " +
             "alias the key in the view SELECT")))
     val aggCols = df.columns.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
-    val aggSql = aggCols.map { c =>
-      val fn = mergeFns.getOrElse(c, "sum")
-      s"$fn(`$c`) AS `$c`"
-    }.mkString(", ")
-    spark.sql(
-      s"SELECT ${keys.map(k => s"`$k`").mkString(", ")}, $aggSql " +
-        s"FROM `$tgt` GROUP BY ${keys.map(k => s"`$k`").mkString(", ")}")
+    val keySql = keys.map(k => s"`$k`").mkString(", ")
+    if (aggCols.isEmpty)
+      // keys-only view (dedup-style MV): the merge is a DISTINCT
+      spark.sql(s"SELECT DISTINCT $keySql FROM `$tgt`")
+    else {
+      val aggSql = aggCols.map { c =>
+        val fn = mergeFns.getOrElse(c, "sum")
+        s"$fn(`$c`) AS `$c`"
+      }.mkString(", ")
+      spark.sql(
+        s"SELECT $keySql, $aggSql FROM `$tgt` GROUP BY $keySql")
+    }
   }
 }

@@ -34,7 +34,7 @@ object ChMutations {
   private val deleteRe =
     """(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+DELETE\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val updateRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+UPDATE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+UPDATE\s+(.+?)\s*;?\s*$""".r
   private val addColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+ADD\s+COLUMN\s+""" +
       """(?:IF\s+NOT\s+EXISTS\s+)?[`"]?(\w+)[`"]?\s+([\w()',\s]+?)""" +
@@ -63,7 +63,12 @@ object ChMutations {
     case deleteRe(rawTable, cond) =>
       rewrite(spark, cleanName(rawTable), ChSqlRewrite.rewriteExpr(cond),
         assignments = Nil)
-    case updateRe(rawTable, sets, cond) =>
+    case updateRe(rawTable, setsAndCond) =>
+      // split at the first TOP-LEVEL `WHERE` — a WHERE inside a
+      // subquery assignment sits at paren depth > 0 and is skipped
+      val (sets, cond) = splitAtTopLevelWhere(setsAndCond).getOrElse(
+        throw new IllegalArgumentException(
+          "ChMutations: UPDATE needs a WHERE, as in ClickHouse"))
       val assigns = splitAssignments(sets).map { case (c, e) =>
         (c, ChSqlRewrite.rewriteExpr(e))
       }
@@ -215,6 +220,31 @@ object ChMutations {
   private def cleanName(raw: String): String =
     raw.replace("`", "").replace("\"", "").split('.').last
 
+  /** (before, after) around the first depth-0, unquoted `WHERE`. */
+  private def splitAtTopLevelWhere(s: String): Option[(String, String)] = {
+    var j = 0; var depth = 0
+    while (j < s.length) {
+      s.charAt(j) match {
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case q @ ('\'' | '"' | '`') =>
+          j += 1
+          while (j < s.length && s.charAt(j) != q) {
+            if (s.charAt(j) == '\\') j += 1
+            j += 1
+          }
+          j += 1
+        case c if depth == 0 && (c == 'w' || c == 'W') &&
+          s.regionMatches(true, j, "where", 0, 5) &&
+          (j == 0 || !s.charAt(j - 1).isLetterOrDigit) &&
+          (j + 5 >= s.length || !s.charAt(j + 5).isLetterOrDigit) =>
+          return Some((s.substring(0, j).trim, s.substring(j + 5).trim))
+        case _ => j += 1
+      }
+    }
+    None
+  }
+
   /** top-level-comma split of `a = e1, b = e2`, quote/paren aware */
   private def splitAssignments(sets: String): Seq[(String, String)] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -259,6 +289,21 @@ object ChMutations {
       (p.substring(0, eq).trim.replace("`", ""), p.substring(eq + 1).trim)
     }
   }
+
+  /** SQL literal for a collected partition value: numerics/booleans
+    * bare, EVERYTHING else quoted — an unquoted `2024-01-02` parses as
+    * integer subtraction and silently matches nothing.
+    */
+  private def partLit(v: Any): String = v match {
+    case null => throw new IllegalArgumentException(
+      "ChMutations: NULL partition value has no SQL literal")
+    case _: java.lang.Number | _: java.lang.Boolean => v.toString
+    case x => s"'${x.toString.replace("'", "''")}'"
+  }
+
+  /** Null-safe equality predicate text for one partition column. */
+  private def partEq(c: String, v: Any): String =
+    if (v == null) s"`$c` IS NULL" else s"`$c` = ${partLit(v)}"
 
   /** DELETE keeps rows where the predicate is FALSE **or NULL** — CH
     * deletes only rows where the condition evaluates to true.
@@ -306,12 +351,7 @@ object ChMutations {
       if (touched.isEmpty) return 0
       val touchedPred = touched.map { r =>
         partCols.zipWithIndex.map { case (c, i) =>
-          val v = r.get(i)
-          val lit = v match {
-            case s: String => s"'${s.replace("'", "''")}'"
-            case x => x.toString
-          }
-          s"`$c` = $lit"
+          partEq(c, r.get(i))
         }.mkString(" AND ")
       }.mkString("(", ") OR (", ")")
       val transformed = {
@@ -348,16 +388,15 @@ object ChMutations {
             .distinct().collect().map(_.toSeq).toSet
           val emptied = touched.filterNot(r => produced.contains(r.toSeq))
           emptied.foreach { r =>
-            val specSql = partCols.zipWithIndex.map { case (c, i) =>
-              val v = r.get(i)
-              val lit = v match {
-                case s: String => s"'${s.replace("'", "''")}'"
-                case x => x.toString
-              }
-              s"`$c` = $lit"
-            }.mkString(", ")
-            spark.sql(
-              s"ALTER TABLE `$table` DROP IF EXISTS PARTITION ($specSql)")
+            // partition DDL cannot express a NULL partition value —
+            // such partitions keep their (empty) directory, harmless
+            if (partCols.indices.forall(i => r.get(i) != null)) {
+              val specSql = partCols.zipWithIndex.map { case (c, i) =>
+                s"`$c` = ${partLit(r.get(i))}"
+              }.mkString(", ")
+              spark.sql(
+                s"ALTER TABLE `$table` DROP IF EXISTS PARTITION ($specSql)")
+            }
           }
         }
       } finally org.apache.commons.io.FileUtils.deleteQuietly(

@@ -645,10 +645,17 @@ object ChSqlRewrite {
       }
       out.append(s.substring(pos)).toString
     }
-    // scalar aliases may reference each other left-to-right in CH;
-    // one substitution pass over the kept CTEs + tail covers the
-    // common case (CH substitutes inside CTE bodies too)
-    rewriteScalarWith(head + substitute(kept + tail))
+    // scalar aliases may reference each other left-to-right in CH
+    // (`WITH 100 AS a, a * 2 AS b …`): iterate substitution to a
+    // fixpoint — each pass resolves one chaining level, so the alias
+    // count bounds the iterations
+    var body = kept + tail
+    var passes = 0
+    var next = substitute(body)
+    while (next != body && passes < scalars.length + 1) {
+      body = next; next = substitute(body); passes += 1
+    }
+    rewriteScalarWith(head + next)
   }
 
   // ---------------------------------------------------------------
@@ -992,17 +999,16 @@ object ChSqlRewrite {
     * matches here).
     */
   private def rewriteLimitOffset(sql: String): String = {
-    val m = """(?is)\bLIMIT\s+(\d+)\s*,\s*(\d+)""".r
-      .findFirstMatchIn(sql)
-    m match {
+    // the regex cannot see quotes; keep only matches whose start is a
+    // real word token (a quoted 'LIMIT 1, 2' must not stop the scan
+    // from reaching a genuine later occurrence)
+    val toks = wordTokens(sql)
+    """(?is)\bLIMIT\s+(\d+)\s*,\s*(\d+)""".r.findAllMatchIn(sql)
+      .find(x => toks.exists(t => t._2 == x.start &&
+        t._1.equalsIgnoreCase("limit"))) match {
       case None => sql
       case Some(x) =>
-        // the regex cannot see quotes; confirm the span is outside
-        // quoted text by checking a word token lands at its start
-        val toks = wordTokens(sql)
-        if (!toks.exists(t => t._2 == x.start &&
-          t._1.equalsIgnoreCase("limit"))) sql
-        else rewriteLimitOffset(sql.substring(0, x.start) +
+        rewriteLimitOffset(sql.substring(0, x.start) +
           s"LIMIT ${x.group(2)} OFFSET ${x.group(1)}" +
           sql.substring(x.end))
     }

@@ -43,14 +43,16 @@ case class WindowFunnelAgg(windowSec: Long, ts: Expression,
 
   override def createAggregationBuffer(): Buf = new Buf()
 
-  /** event time in MICROS from a Timestamp(micros Long) or numeric
-    * epoch-seconds input
+  /** event time in MICROS — TIMESTAMP and TIMESTAMP_NTZ evaluate to
+    * micros Longs already, DATE to days, numerics to epoch seconds
     */
-  private def micros(v: Any): Long = v match {
-    case l: Long => if (ts.dataType == TimestampType) l else l * 1000000L
-    case i: Int => i * 1000000L
-    case other => throw new IllegalArgumentException(
-      s"windowFunnel: unsupported ts value $other")
+  private def micros(v: Any): Long = (v, ts.dataType) match {
+    case (l: Long, TimestampType | TimestampNTZType) => l
+    case (d: Int, DateType) => d * 86400L * 1000000L
+    case (l: Long, _) => l * 1000000L
+    case (i: Int, _) => i * 1000000L
+    case (other, dt) => throw new IllegalArgumentException(
+      s"windowFunnel: unsupported ts value $other of type $dt")
   }
 
   override def update(buf: Buf, row: InternalRow): Buf = {

@@ -741,6 +741,14 @@ class ChCompatSpec extends SparkTestBase {
     // plain CTE-only WITH is untouched text
     val cteOnly = "WITH x AS (SELECT 1 AS a) SELECT a FROM x"
     assert(ChSqlRewrite(cteOnly) === cteOnly)
+    // chained scalar aliases resolve to a fixpoint
+    val d = ChCompat.sql(spark,
+      "WITH 100 AS a, a * 2 AS b SELECT b + 1 AS r").head.getInt(0)
+    assert(d === 201)
+    // a quoted LIMIT-comma earlier in the text doesn't mask a real one
+    val masked = ChSqlRewrite(
+      "SELECT 'LIMIT 1, 2' AS s FROM t ORDER BY s LIMIT 3, 4")
+    assert(masked.endsWith("LIMIT 4 OFFSET 3"))
   }
 
   test("system.* introspection tables resolve against the catalog") {

@@ -46,6 +46,13 @@ class ChInsertSpec extends SparkTestBase {
     assert(spark.table("ins_vals").count() === 2)
   }
 
+  test("malformed JSON rejects the batch instead of writing NULLs") {
+    freshTarget("ins_bad")
+    intercept[Exception](ChInsert.insert(spark,
+      "INSERT INTO ins_bad FORMAT JSONEachRow\n{not valid json}"))
+    assert(spark.table("ins_bad").count() === 0)
+  }
+
   test("matches() only fires on data-bearing forms") {
     assert(ChInsert.matches("INSERT INTO t FORMAT JSONEachRow\n{}"))
     assert(ChInsert.matches("insert into t format values (1)"))

@@ -88,6 +88,35 @@ class ChMatViewSpec extends SparkTestBase {
     assert(got === Seq((1, 5.0, 20.0)))
   }
 
+  test("IF NOT EXISTS against an existing view never re-populates") {
+    import spark.implicits._
+    mkSource("mv_src5")
+    cleanup("mv5__inner")
+    val ddl = """CREATE MATERIALIZED VIEW IF NOT EXISTS mv5
+      |ENGINE = SummingMergeTree POPULATE AS
+      |SELECT uid, sum(v) AS sv FROM mv_src5 GROUP BY uid""".stripMargin
+    ChMatView.create(spark, ddl)
+    ChMatView.create(spark, ddl) // CH no-ops; a re-populate would double
+    val got = ChMatView.readMerged(spark, "mv5").orderBy("uid")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(got === Seq((1, 30.0), (2, 5.0), (3, 7.0)))
+  }
+
+  test("keys-only view merges as DISTINCT") {
+    import spark.implicits._
+    cleanup("mv6__inner")
+    Seq((1, 1.0), (1, 2.0), (2, 3.0)).toDF("uid", "v")
+      .createOrReplaceTempView("mv_src6")
+    ChMatView.create(spark,
+      """CREATE MATERIALIZED VIEW mv6 ENGINE = ReplacingMergeTree
+        |POPULATE AS SELECT uid FROM mv_src6 GROUP BY uid""".stripMargin)
+    ChMatView.applyBlock(spark, "mv6", Seq((1, 9.0), (3, 1.0))
+      .toDF("uid", "v"))
+    val got = ChMatView.readMerged(spark, "mv6").orderBy("uid")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(1, 2, 3))
+  }
+
   test("bad DDL throws") {
     intercept[IllegalArgumentException](
       ChMatView.create(spark, "CREATE VIEW not_mat AS SELECT 1"))

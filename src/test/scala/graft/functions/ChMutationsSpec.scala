@@ -156,6 +156,38 @@ class ChMutationsSpec extends SparkTestBase {
       "SELECT count() AS n FROM mut_route").head.getLong(0) === 4L)
   }
 
+  test("DATE-partitioned mutation: values quote correctly") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS mut_datep")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("spark-warehouse/mut_datep"))
+    spark.sql("CREATE TABLE mut_datep (id INT, d DATE) USING parquet " +
+      "PARTITIONED BY (d)")
+    Seq((1, "2024-01-02"), (2, "2024-01-02"), (3, "2024-02-03"))
+      .toDF("id", "s").selectExpr("id", "CAST(s AS DATE) AS d")
+      .write.mode("append").insertInto("mut_datep")
+    // an unquoted 2024-01-02 would parse as integer subtraction,
+    // match nothing, and silently lose this DELETE
+    val n = ChMutations.mutate(spark,
+      "ALTER TABLE mut_datep DELETE WHERE id = 1")
+    assert(n === 1)
+    assert(spark.table("mut_datep").count() === 2)
+    // and a partition-emptying DELETE on the date partition drops it
+    ChMutations.mutate(spark,
+      "ALTER TABLE mut_datep DELETE WHERE d = DATE'2024-02-03'")
+    assert(spark.table("mut_datep").select("d").distinct().count() === 1)
+  }
+
+  test("UPDATE with a WHERE inside a subquery assignment splits right") {
+    freshTable("mut_subq", partitioned = false)
+    ChMutations.mutate(spark,
+      "ALTER TABLE mut_subq UPDATE v = (SELECT max(id) FROM mut_subq " +
+        "WHERE id < 100) WHERE id = 1")
+    val got = spark.table("mut_subq").orderBy("id")
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(5.0, 20.0, 30.0, 40.0, 50.0))
+  }
+
   test("no-WHERE and unknown statements throw") {
     intercept[IllegalArgumentException](
       ChMutations.mutate(spark, "ALTER TABLE t DELETE"))
