@@ -76,6 +76,7 @@ object SparkEntry {
     "r47_ch_mutation" -> (RefQueries.ch_mutation _),
     "r48_ch_matview" -> (RefQueries.ch_matview _),
     "r49_ch_funnel" -> (RefQueries.ch_funnel_sql _),
+    "r50_ch_dialect_tail" -> (RefQueries.ch_dialect_tail _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -531,6 +532,15 @@ object SparkEntry {
          ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
            ON c.user_id = p.user_id AND c.ts >= p.ts
          ORDER BY event_id""",
+
+    // r50: the scalar-WITH/paren-less-USING/LIMIT-offset tail, stated
+    // in portable SQL (aliases expanded, LIMIT/OFFSET spelled out)
+    "r50_ch_dialect_tail" ->
+      """SELECT user_id, count(*) AS n_big,
+                CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_huge
+         FROM events WHERE value > 50
+         GROUP BY user_id ORDER BY user_id
+         LIMIT 20 OFFSET 5""",
 
     // r47: the mutated table's end state, stated declaratively — the
     // DELETE drops the error partition, the UPDATE doubles qualifying

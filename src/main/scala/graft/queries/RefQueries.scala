@@ -514,6 +514,24 @@ object RefQueries {
       FROM events GROUP BY user_id ORDER BY user_id""")
   }
 
+  // ---- Round-7 dialect tail run VERBATIM: scalar WITH aliases
+  // (expression-binding, chained), paren-less USING, and the
+  // two-number LIMIT — the everyday CH idioms beyond clause keywords.
+  // ----
+  def ch_dialect_tail(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    events(s, dir).createOrReplaceTempView("events")
+    ChCompat.sql(s, """
+      WITH 50 AS hi, hi * 2 AS hi2
+      SELECT user_id, count() AS n_big,
+             countIf(value > hi2) AS n_huge
+      FROM events
+      WHERE value > hi
+      GROUP BY user_id
+      ORDER BY user_id
+      LIMIT 5, 20""")
+  }
+
   // ---- B-surface extension: range join — lineitems priced inside
   // each part's ±50 retail-price band. Interval bucketing turns the
   // theta condition into an equi-join on cell id (see RangeJoin);
