@@ -157,12 +157,12 @@ object ChSqlRewrite {
   def rewriteExpr(e: String): String = rewriteFunctions(e)
 
   def apply(sql: String): String =
-    rewriteFunctions(rewriteLimitBy(rewriteLimitOffset(rewriteWithTotals(
-      rewriteArrayJoin(
+    rewriteFunctions(rewriteLimitBy(rewriteDistinctOn(rewriteLimitOffset(
+      rewriteWithTotals(rewriteArrayJoin(
       rewriteFinal(rewriteNumbers(rewriteAsofJoin(rewriteAnyJoin(
         rewriteUsingParens(rewriteSample(rewritePrewhere(rewriteWithFill(
           stripGlobalAll(stripSettingsFormat(
-            rewriteSystemTables(rewriteScalarWith(sql)))))))))))))))))
+            rewriteSystemTables(rewriteScalarWith(sql))))))))))))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -1011,6 +1011,47 @@ object ChSqlRewrite {
         rewriteLimitOffset(sql.substring(0, x.start) +
           s"LIMIT ${x.group(2)} OFFSET ${x.group(1)}" +
           sql.substring(x.end))
+    }
+  }
+
+  /** `SELECT DISTINCT ON (c1, c2) …` — ClickHouse documents it as the
+    * exact equivalent of `LIMIT 1 BY c1, c2`, so the rewrite strips
+    * the clause and appends that (before any trailing LIMIT n, which
+    * per CH applies after the per-group cut); [[rewriteLimitBy]] then
+    * expands it to the row_number window. Top-level statements only,
+    * same scope as LIMIT BY itself.
+    */
+  private def rewriteDistinctOn(sql: String): String = {
+    val toks = wordTokens(sql).filter(_._4 == 0)
+    val idx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("distinct") && i + 1 < toks.length &&
+        toks(i + 1)._1.equalsIgnoreCase("on") &&
+        i > 0 && toks(i - 1)._1.equalsIgnoreCase("select") && {
+          var k = toks(i + 1)._3
+          while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+          k < sql.length && sql.charAt(k) == '('
+        }
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        var k = toks(i + 1)._3
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        val close = matchParen(sql, k)
+        if (close < 0) return sql
+        val cols = sql.substring(k + 1, close - 1).trim
+        // insertion point for LIMIT 1 BY: before a trailing depth-0
+        // LIMIT (CH applies DISTINCT ON before LIMIT n), else at end
+        val stripped = sql.substring(0, toks(i)._2) + sql.substring(close)
+        val stoks = wordTokens(stripped).filter(_._4 == 0)
+        val limTok = stoks.find(t => t._1.equalsIgnoreCase("limit"))
+        limTok match {
+          case Some(t) =>
+            rewriteDistinctOn(stripped.substring(0, t._2) +
+              s"LIMIT 1 BY $cols " + stripped.substring(t._2))
+          case None =>
+            rewriteDistinctOn(stripped + s" LIMIT 1 BY $cols")
+        }
     }
   }
 

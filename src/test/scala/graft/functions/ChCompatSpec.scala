@@ -751,6 +751,26 @@ class ChCompatSpec extends SparkTestBase {
     assert(masked.endsWith("LIMIT 4 OFFSET 3"))
   }
 
+  test("DISTINCT ON rewrites to LIMIT 1 BY") {
+    import spark.implicits._
+    Seq((1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (2, 50, "d"))
+      .toDF("k", "v", "s").createOrReplaceTempView("don_t")
+    // highest v per k: DISTINCT ON keeps the first row per key in the
+    // statement's ORDER BY
+    val got = ChCompat.sql(spark,
+      "SELECT DISTINCT ON (k) k, v, s FROM don_t ORDER BY v DESC")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    assert(got === Seq((1, 20), (2, 50)))
+    // trailing LIMIT applies AFTER the per-group cut
+    val one = ChCompat.sql(spark,
+      "SELECT DISTINCT ON (k) k, v FROM don_t ORDER BY v DESC LIMIT 1")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(one === Seq((2, 50)))
+    // plain SELECT DISTINCT is untouched
+    val plain = "SELECT DISTINCT k FROM don_t"
+    assert(ChSqlRewrite(plain) === plain)
+  }
+
   test("system.* introspection tables resolve against the catalog") {
     import spark.implicits._
     Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("sys_probe")
