@@ -111,6 +111,7 @@ object SparkEntry {
     "t10_kll_bound" -> (PipelineQueries.kll_bound _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
+    "m03_audio_meta" -> (PipelineQueries.multimodal_audio _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -988,6 +989,19 @@ object SparkEntry {
          FROM (SELECT DISTINCT l_returnflag AS g FROM lineitem)
          CROSS JOIN (VALUES (0.25), (0.50), (0.75), (0.95)) t(p)
          ORDER BY g, p""",
+
+    // m03: the WAV round-trip's closed form — the JDK encoder wrote
+    // (doc_id % 1000 + 100) frames of 16-bit mono PCM at 8 kHz, so the
+    // parsed header must read back exactly this arithmetic
+    "m03_audio_meta" ->
+      """SELECT doc_id,
+                CAST(8000 AS INTEGER) AS sample_rate,
+                CAST(1 AS INTEGER) AS channels,
+                doc_id % 1000 + 100 AS n_frames,
+                CAST(round((doc_id % 1000 + 100) * 1000.0 / 8000) AS BIGINT)
+                  AS duration_ms,
+                'wave' AS format
+         FROM documents ORDER BY doc_id""",
 
     "m01_multimodal_meta" ->
       """SELECT doc_id,

@@ -95,6 +95,56 @@ object Multimodal {
     finally iis.close()
   }
 
+  /** Header-only AUDIO decode — the javax.sound.sampled analogue of
+    * [[decodeImageMeta]], again zero new dependencies: the JDK ships
+    * WAV/AIFF/AU readers. (sampleRate, channels, frameLength,
+    * fileType lowercased), or None when no installed reader
+    * recognizes the bytes.
+    */
+  def decodeAudioMeta(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    mapBinaryBatches(df, idCol, payloadCol) { it =>
+      it.map { case (id, bytes) =>
+        decodeAudioHeader(bytes) match {
+          case Some((rate, ch, frames, fmt)) =>
+            (id, Some(rate), Some(ch), Some(frames), Some(fmt))
+          case None => (id, None: Option[Float], None: Option[Int],
+            None: Option[Long], None: Option[String])
+        }
+      }
+    }.toDF("id", "sample_rate", "channels", "frames", "format")
+  }
+
+  def decodeAudioHeader(bytes: Array[Byte])
+      : Option[(Float, Int, Long, String)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      Some((f.getSampleRate, f.getChannels, aff.getFrameLength.toLong,
+        aff.getType.toString.toLowerCase))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic 16-bit PCM WAV payload (silence) — the test/gate
+    * synthesizer: real RIFF headers written by the JDK's own encoder,
+    * so [[decodeAudioHeader]] exercises a genuine round-trip.
+    */
+  def synthWav(frames: Int, sampleRate: Float, channels: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels,
+      true, false)
+    val pcm = new Array[Byte](frames * channels * 2)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Stub feature extraction via [[mapBinaryBatches]]: length + a
     * rolling byte checksum standing in for decoded features.
     */

@@ -481,6 +481,29 @@ object PipelineQueries {
   // inside the partition iterator, so a large payload never
   // materializes all its frames at once). Stub frames are fixed-size
   // byte windows; the oracle reproduces the window arithmetic. ----
+  // ---- multimodal AUDIO: a REAL decode round-trip with zero new
+  // dependencies — the JDK's own WAV encoder synthesizes deterministic
+  // PCM payloads per doc, javax.sound parses their RIFF headers back,
+  // and the oracle states the closed-form arithmetic (frames derived
+  // from doc_id, duration = frames/rate). Same map-only batch shape as
+  // the image decode (m01): header reads never materialize the PCM. ----
+  def multimodal_audio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wav = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        (id, graft.multimodal.Multimodal.synthWav(
+          frames = (id % 1000 + 100).toInt, sampleRate = 8000f,
+          channels = 1))
+      }.toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.decodeAudioMeta(wav, "doc_id", "payload")
+      .selectExpr("id AS doc_id",
+        "CAST(sample_rate AS INT) AS sample_rate", "channels",
+        "CAST(frames AS BIGINT) AS n_frames",
+        "CAST(round(frames * 1000.0 / sample_rate) AS BIGINT) AS duration_ms",
+        "format")
+      .orderBy("doc_id")
+  }
+
   def multimodal_frames(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.stubFrameSample(
         docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),

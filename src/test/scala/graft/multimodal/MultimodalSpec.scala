@@ -58,6 +58,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(4L) === ((-1, -1, "null")))
   }
 
+  test("decodeAudioMeta: REAL WAV header round-trip via javax.sound; " +
+      "non-audio bytes fall back to nulls") {
+    val rows = Seq(
+      (1L, Multimodal.synthWav(frames = 4000, sampleRate = 8000f,
+        channels = 1)),
+      (2L, Multimodal.synthWav(frames = 441, sampleRate = 44100f,
+        channels = 2)),
+      (3L, "not audio at all".getBytes("UTF-8")),
+      (4L, Array.empty[Byte]))
+      .toDF("id", "payload")
+      .repartition(2)
+    val got = Multimodal.decodeAudioMeta(rows, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1f else r.getFloat(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) "null" else r.getString(4))))
+      .toMap
+    assert(got(1L) === ((8000f, 1, 4000L, "wave")))
+    assert(got(2L) === ((44100f, 2, 441L, "wave")))
+    assert(got(3L) === ((-1f, -1, -1L, "null")))
+    assert(got(4L) === ((-1f, -1, -1L, "null")))
+  }
+
   test("stubFeatures: per-partition batch map produces one feature row per payload") {
     val f = Multimodal.stubFeatures(docs, "id", "payload")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
