@@ -112,6 +112,7 @@ object SparkEntry {
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
     "m03_audio_meta" -> (PipelineQueries.multimodal_audio _),
+    "m04_video_meta" -> (PipelineQueries.multimodal_video _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1001,6 +1002,15 @@ object SparkEntry {
                 CAST(round((doc_id % 1000 + 100) * 1000.0 / 8000) AS BIGINT)
                   AS duration_ms,
                 'wave' AS format
+         FROM documents ORDER BY doc_id""",
+
+    // m04: the MP4 box round-trip's closed form (timescale 1000 makes
+    // the duration math exact)
+    "m04_video_meta" ->
+      """SELECT doc_id,
+                doc_id % 5000 + 1000 AS duration_ms,
+                CAST(doc_id % 3 + 1 AS INTEGER) AS n_tracks,
+                'isom' AS brand
          FROM documents ORDER BY doc_id""",
 
     "m01_multimodal_meta" ->

@@ -145,6 +145,100 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Header-only VIDEO CONTAINER decode — MP4/ISO-BMFF is just
+    * length-prefixed boxes (ISO 14496-12, a public format), so
+    * duration and track count need no codec at all: walk the top
+    * level to `moov`, read `mvhd` (timescale + duration) and count
+    * `trak` children. (durationMs, nTracks, brand), or None for bytes
+    * that aren't an MP4 container. Frame/pixel decode stays honestly
+    * stubbed — THAT needs codecs the JVM lacks.
+    */
+  def decodeMp4Meta(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    mapBinaryBatches(df, idCol, payloadCol) { it =>
+      it.map { case (id, bytes) =>
+        decodeMp4Header(bytes) match {
+          case Some((ms, n, brand)) => (id, Some(ms), Some(n), Some(brand))
+          case None =>
+            (id, None: Option[Long], None: Option[Int], None: Option[String])
+        }
+      }
+    }.toDF("id", "duration_ms", "n_tracks", "brand")
+  }
+
+  def decodeMp4Header(bytes: Array[Byte]): Option[(Long, Int, String)] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(4) != "ftyp") return None
+    val brand = tag(8)
+    // walk top-level boxes to moov
+    var o = 0L
+    var moov = -1L; var moovEnd = -1L
+    while (o + 8 <= bytes.length && moov < 0) {
+      val size = u32(o.toInt)
+      if (size < 8) return None
+      if (tag(o.toInt + 4) == "moov") { moov = o + 8; moovEnd = o + size }
+      o += size
+    }
+    if (moov < 0) return None
+    // walk moov children: mvhd (v0: timescale@12 duration@16) + traks
+    var p = moov
+    var durMs = -1L; var tracks = 0
+    while (p + 8 <= moovEnd && p + 8 <= bytes.length) {
+      val size = u32(p.toInt)
+      if (size < 8) return None
+      tag(p.toInt + 4) match {
+        case "mvhd" if p + 24 <= bytes.length =>
+          val version = bytes(p.toInt + 8) & 0xff
+          if (version == 0) {
+            val timescale = u32(p.toInt + 20)
+            val duration = u32(p.toInt + 24)
+            if (timescale > 0)
+              durMs = math.round(duration * 1000.0 / timescale)
+          }
+        case "trak" => tracks += 1
+        case _ =>
+      }
+      p += size
+    }
+    if (durMs < 0) None else Some((durMs, tracks, brand))
+  }
+
+  /** Minimal well-formed MP4 container (ftyp + moov(mvhd, trak…)) —
+    * the test/gate synthesizer for [[decodeMp4Header]]. Box layout
+    * per ISO 14496-12; media data omitted (header-only contract).
+    */
+  def synthMp4(durationMs: Long, timescale: Long, nTracks: Int)
+      : Array[Byte] = {
+    def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val size = 8 + payload.length
+      val bb = java.nio.ByteBuffer.allocate(size)
+      bb.putInt(size).put(tag.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 1) ++
+        "isom".getBytes("US-ASCII"))
+    val mvhdPayload = {
+      val bb = java.nio.ByteBuffer.allocate(100) // v0 mvhd body
+      bb.putInt(0) // version+flags
+      bb.putInt(0).putInt(0) // creation, modification
+      bb.putInt(timescale.toInt)
+      bb.putInt(math.round(durationMs * timescale / 1000.0).toInt)
+      bb.array()
+    }
+    val traks = (0 until nTracks).map(_ => box("trak", Array[Byte]()))
+    val moov = box("moov",
+      box("mvhd", mvhdPayload) ++ traks.flatten)
+    ftyp ++ moov
+  }
+
   /** Stub feature extraction via [[mapBinaryBatches]]: length + a
     * rolling byte checksum standing in for decoded features.
     */

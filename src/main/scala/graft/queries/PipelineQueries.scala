@@ -504,6 +504,23 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- multimodal VIDEO CONTAINER: MP4/ISO-BMFF is length-prefixed
+  // boxes (a public format), so duration/track-count decode needs no
+  // codec — synthesize real containers per doc, walk the boxes back,
+  // closed-form oracle. Frame/pixel decode stays honestly stubbed. ----
+  def multimodal_video(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mp4 = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        (id, graft.multimodal.Multimodal.synthMp4(
+          durationMs = id % 5000 + 1000, timescale = 1000,
+          nTracks = (id % 3 + 1).toInt))
+      }.toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.decodeMp4Meta(mp4, "doc_id", "payload")
+      .selectExpr("id AS doc_id", "duration_ms", "n_tracks", "brand")
+      .orderBy("doc_id")
+  }
+
   def multimodal_frames(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.stubFrameSample(
         docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),

@@ -82,6 +82,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(4L) === ((-1f, -1, -1L, "null")))
   }
 
+  test("decodeMp4Meta: ISO-BMFF box walk reads mvhd + trak count; " +
+      "non-MP4 bytes fall back to nulls") {
+    val rows = Seq(
+      (1L, Multimodal.synthMp4(durationMs = 2000, timescale = 600,
+        nTracks = 2)),
+      (2L, Multimodal.synthMp4(durationMs = 90500, timescale = 1000,
+        nTracks = 1)),
+      (3L, "RIFFnope".getBytes("UTF-8")),
+      (4L, Array.empty[Byte]))
+      .toDF("id", "payload")
+      .repartition(2)
+    val got = Multimodal.decodeMp4Meta(rows, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) "null" else r.getString(3))))
+      .toMap
+    assert(got(1L) === ((2000L, 2, "isom")))
+    assert(got(2L) === ((90500L, 1, "isom")))
+    assert(got(3L) === ((-1L, -1, "null")))
+    assert(got(4L) === ((-1L, -1, "null")))
+  }
+
   test("stubFeatures: per-partition batch map produces one feature row per payload") {
     val f = Multimodal.stubFeatures(docs, "id", "payload")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
