@@ -1007,7 +1007,19 @@ object ChCompat {
     * rewrite transparently inside plain `spark.sql`.
     */
   def sql(spark: SparkSession, chSql: String): org.apache.spark.sql.DataFrame =
-    if (chMatViewRe.findFirstIn(chSql).isDefined) {
+    if (explainSyntaxRe.findFirstIn(chSql).isDefined) {
+      // CH's EXPLAIN SYNTAX shows the server's rewritten query — here
+      // that is literally the dialect front-end's output, the exact
+      // Spark SQL that would run (the debugging window into every
+      // rewrite this object applies)
+      import spark.implicits._
+      Seq(ChSqlRewrite(explainSyntaxRe.replaceFirstIn(chSql, "")))
+        .toDF("rewritten_sql")
+    } else if (explainPipeRe.findFirstIn(chSql).isDefined) {
+      // CH's EXPLAIN PIPELINE / PLAN ≈ the physical/optimized plan
+      spark.sql("EXPLAIN FORMATTED " +
+        ChSqlRewrite(explainPipeRe.replaceFirstIn(chSql, "")))
+    } else if (chMatViewRe.findFirstIn(chSql).isDefined) {
       ChMatView.create(spark, chSql)
       spark.emptyDataFrame
     } else if (chDdlRe.findFirstIn(chSql).isDefined) {
@@ -1059,6 +1071,9 @@ object ChCompat {
       Seq(0).toDF("dummy").createOrReplaceTempView("__ch_system_one")
   }
 
+  private val explainSyntaxRe = """(?is)^\s*EXPLAIN\s+SYNTAX\s+""".r
+  private val explainPipeRe =
+    """(?is)^\s*EXPLAIN\s+(?:PIPELINE|PLAN)\s+""".r
   private val chDdlRe =
     """(?is)^\s*CREATE\s+TABLE\s[\s\S]*\bENGINE\s*=""".r
   private val chMatViewRe =

@@ -751,6 +751,20 @@ class ChCompatSpec extends SparkTestBase {
     assert(masked.endsWith("LIMIT 4 OFFSET 3"))
   }
 
+  test("EXPLAIN SYNTAX returns the front-end's rewritten SQL") {
+    import spark.implicits._
+    Seq((1, 2.0)).toDF("id", "v").createOrReplaceTempView("ex_t")
+    val rewritten = ChCompat.sql(spark,
+      "EXPLAIN SYNTAX SELECT quantile(0.5)(v) FROM ex_t LIMIT 3, 2")
+      .head.getString(0)
+    assert(rewritten.contains("chQuantile(0.5, v)"))
+    assert(rewritten.contains("LIMIT 2 OFFSET 3"))
+    // EXPLAIN PLAN delegates to Spark's formatted explain
+    val plan = ChCompat.sql(spark,
+      "EXPLAIN PLAN SELECT count() FROM ex_t").head.getString(0)
+    assert(plan.contains("Physical Plan"))
+  }
+
   test("DISTINCT ON rewrites to LIMIT 1 BY") {
     import spark.implicits._
     Seq((1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (2, 50, "d"))
