@@ -889,6 +889,101 @@ object ChCompat {
     "sumCount" -> (es => CreateStruct(Seq(
       aggregate.Sum(es.head).toAggregateExpression(),
       aggregate.Count(es).toAggregateExpression()))),
+    // ---- eighth pass: date/string/float/map/JSON odds and ends ----
+    // fromUnixTimestamp: 1-arg → DateTime; 2-arg → formatted string
+    // (exactly Spark's from_unixtime contract for the 2-arg form)
+    "fromUnixTimestamp" -> (es =>
+      if (es.length == 1) Cast(Cast(es.head, LongType), TimestampType)
+      else FromUnixTime(es(0), chFormat(es(1)))),
+    "now64" -> (_ => CurrentTimestamp()),
+    "monthName" -> (es =>
+      DateFormatClass(Cast(es.head, TimestampType), Literal("MMMM"))),
+    // dateName('part', d) for the parts with string names; numeric
+    // parts return their number as string, like CH
+    "dateName" -> (es => es.head match {
+      case l: Literal if l.dataType == StringType =>
+        val d = Cast(es(1), TimestampType)
+        l.value.toString.toLowerCase match {
+          case "month" => DateFormatClass(d, Literal("MMMM"))
+          case "weekday" => DateFormatClass(d, Literal("EEEE"))
+          case "year" => DateFormatClass(d, Literal("yyyy"))
+          case "quarter" => Cast(Quarter(d), StringType)
+          case "day" => Cast(DayOfMonth(d), StringType)
+          case "hour" => Cast(Hour(d), StringType)
+          case "minute" => Cast(Minute(d), StringType)
+          case "second" => Cast(Second(d), StringType)
+          case other => throw new IllegalArgumentException(
+            s"dateName: unsupported part '$other'")
+        }
+      case other => throw new IllegalArgumentException(
+        s"dateName: part must be a string literal, got ${other.sql}")
+    }),
+    // MJD epoch is 1858-11-17
+    "toModifiedJulianDay" -> (es => DateDiff(Cast(es.head, DateType),
+      Cast(Literal("1858-11-17"), DateType))),
+    // timeSlot: floor to the half hour (CH's fixed 1800s slot)
+    "timeSlot" -> (es => SecondsToTimestamp(Multiply(IntegralDivide(
+      Cast(Cast(es.head, TimestampType), LongType), Literal(1800L),
+      EvalMode.LEGACY), Literal(1800L)))),
+    "leftUTF8" -> (es => Left(es(0), es(1))),
+    "rightUTF8" -> (es => Right(es(0), es(1))),
+    "reverseUTF8" -> (es => Reverse(es.head)),
+    "concatWithSeparator" -> (es => ConcatWs(es)),
+    // extractAll(h, re): all matches; CH takes the first capture group
+    // when the pattern has one, else the whole match
+    "extractAll" -> (es => {
+      val idx = es(1) match {
+        case l: Literal if l.dataType == StringType &&
+          """\((?!\?)""".r.findFirstIn(l.value.toString).isDefined =>
+          Literal(1)
+        case _ => Literal(0)
+      }
+      RegExpExtractAll(es(0), es(1), idx)
+    }),
+    // multiSearchAny(h, [n1, n2, …]) over an array literal
+    "multiSearchAny" -> (es => es(1) match {
+      case CreateArray(items, _) if items.nonEmpty =>
+        items.map(n => Contains(es.head, n): Expression).reduce(Or)
+      case other => throw new IllegalArgumentException(
+        "multiSearchAny: needles must be an array literal, got " +
+          other.sql)
+    }),
+    // float classification
+    "isFinite" -> (es => And(Not(IsNaN(es.head)),
+      Not(EqualTo(Abs(Cast(es.head, DoubleType)),
+        Literal(Double.PositiveInfinity))))),
+    "isInfinite" -> (es => EqualTo(Abs(Cast(es.head, DoubleType)),
+      Literal(Double.PositiveInfinity))),
+    "ifNotFinite" -> (es => If(
+      And(Not(IsNaN(es.head)),
+        Not(EqualTo(Abs(Cast(es.head, DoubleType)),
+          Literal(Double.PositiveInfinity)))),
+      es.head, es(1))),
+    "roundBankers" -> (es =>
+      if (es.length == 1) BRound(es.head, Literal(0))
+      else BRound(es(0), es(1))),
+    // map accessors (CH names; Spark's are map_keys/map_values/…)
+    "mapKeys" -> (es => MapKeys(es.head)),
+    "mapValues" -> (es => MapValues(es.head)),
+    "mapContains" -> (es => ArrayContains(MapKeys(es(0)), es(1))),
+    "bitTest" -> (es => Cast(BitwiseAnd(
+      ShiftRight(Cast(es(0), LongType), Cast(es(1), IntegerType)),
+      Literal(1L)), IntegerType)),
+    // JSON family: keys compose into a $.path; typed variants cast
+    "JSONExtractString" -> (es => GetJsonObject(es.head, jsonPath(es.tail))),
+    "JSONExtractInt" -> (es =>
+      Cast(GetJsonObject(es.head, jsonPath(es.tail)), LongType)),
+    "JSONExtractFloat" -> (es =>
+      Cast(GetJsonObject(es.head, jsonPath(es.tail)), DoubleType)),
+    "JSONExtractBool" -> (es =>
+      Cast(GetJsonObject(es.head, jsonPath(es.tail)), BooleanType)),
+    "JSONHas" -> (es =>
+      IsNotNull(GetJsonObject(es.head, jsonPath(es.tail)))),
+    // the legacy visitParam/simpleJSON names are single-key lookups
+    "visitParamExtractString" -> (es =>
+      GetJsonObject(es.head, jsonPath(es.tail))),
+    "simpleJSONExtractString" -> (es =>
+      GetJsonObject(es.head, jsonPath(es.tail))),
     // arithmetic/bit names
     "modulo" -> (es => Remainder(es(0), es(1), EvalMode.LEGACY)),
     "plus" -> (es => Add(es(0), es(1))),
@@ -911,6 +1006,24 @@ object ChCompat {
     "parseDateTimeBestEffort" -> parseBestEffort _,
     "parseDateTimeBestEffortOrNull" -> parseBestEffort _,
   )
+
+  /** `$`-path for the JSONExtract family: string-literal keys become
+    * `.key` members, integer-literal keys become 0-based `[i]` array
+    * indices (CH indices are 1-based; negatives unsupported here).
+    */
+  private def jsonPath(keys: Seq[Expression]): Expression = {
+    val parts = keys.map {
+      case l: Literal if l.dataType == StringType => s".${l.value}"
+      case l: Literal if l.dataType == IntegerType =>
+        val i = l.value.asInstanceOf[Int]
+        if (i < 1) throw new IllegalArgumentException(
+          "JSONExtract*: only positive 1-based array indices supported")
+        s"[${i - 1}]"
+      case other => throw new IllegalArgumentException(
+        s"JSONExtract*: keys must be literals, got ${other.sql}")
+    }
+    Literal("$" + parts.mkString)
+  }
 
   /** Shared pattern parsing for sequenceMatch/sequenceCount: the
     * ordered-chain subset — `(?i)(?j)…` refs in any order with

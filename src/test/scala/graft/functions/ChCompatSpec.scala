@@ -673,6 +673,52 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getInt(30) === 16 && r.getInt(31) === 1)
   }
 
+  test("eighth alias pass: date/string/float/map/JSON odds and ends") {
+    ChCompat.registerAll(spark)
+    val r = ChCompat.sql(spark, """SELECT
+      fromUnixTimestamp(1425472200) AS t1,
+      monthName(DATE'2015-03-04') AS mn,
+      dateName('weekday', DATE'2015-03-04') AS wd,
+      toModifiedJulianDay(DATE'1858-11-18') AS mjd,
+      leftUTF8('hello', 2) AS l2,
+      concatWithSeparator('-', 'a', 'b') AS cw,
+      extractAll('a1b22c', '\\d+') AS ea,
+      extractAll('a1b22c', '([a-z])\\d') AS eg,
+      multiSearchAny('haystack', array('xyz', 'stack')) AS ms,
+      isFinite(1.0) AS f1, isFinite(double('Infinity')) AS f2,
+      isInfinite(double('-Infinity')) AS inf,
+      ifNotFinite(double('NaN'), 42.0) AS inf42,
+      roundBankers(2.5) AS rb,
+      mapKeys(map('k', 1)) AS mk, mapContains(map('k', 1), 'k') AS mc,
+      bitTest(5, 2) AS bt1, bitTest(5, 1) AS bt0,
+      JSONExtractString('{"a":{"b":"x"}}', 'a', 'b') AS js,
+      JSONExtractInt('{"n": 7}', 'n') AS ji,
+      JSONHas('{"n": 7}', 'n') AS jh1, JSONHas('{"n": 7}', 'z') AS jh0,
+      visitParamExtractString('{"p":"q"}', 'p') AS vp,
+      timeSlot(timestamp'2024-01-01 10:44:00') AS ts""")
+      .head
+    assert(!r.isNullAt(0))
+    assert(r.getString(1) === "March")
+    assert(r.getString(2) === "Wednesday")
+    assert(r.getInt(3) === 1)
+    assert(r.getString(4) === "he")
+    assert(r.getString(5) === "a-b")
+    assert(r.getSeq[String](6) === Seq("1", "22"))
+    assert(r.getSeq[String](7) === Seq("a", "b"))
+    assert(r.getBoolean(8))
+    assert(r.getBoolean(9) && !r.getBoolean(10))
+    assert(r.getBoolean(11))
+    assert(r.getDouble(12) === 42.0)
+    assert(r.getDecimal(13).doubleValue() === 2.0) // banker's rounding
+    assert(r.getSeq[String](14) === Seq("k") && r.getBoolean(15))
+    assert(r.getInt(16) === 1 && r.getInt(17) === 0)
+    assert(r.getString(18) === "x")
+    assert(r.getLong(19) === 7L)
+    assert(r.getBoolean(20) && !r.getBoolean(21))
+    assert(r.getString(22) === "q")
+    assert(r.getTimestamp(23).toString.startsWith("2024-01-01 10:30:00"))
+  }
+
   test("seventh alias pass: bit aggs, stable variants, weighted forms") {
     import spark.implicits._
     Seq((1, 6, 2.0, 1L), (1, 3, 4.0, 3L), (2, 5, 10.0, 2L))
