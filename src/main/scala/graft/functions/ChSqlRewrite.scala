@@ -78,6 +78,9 @@ package graft.functions
   *    join keyword follows).
   *  - `numbers(n)` / `numbers(offset, n)` table function → a derived
   *    table over Spark's `range`, aliased `numbers(number)`.
+  *  - `[a, b, …]` array literals → `array(a, b, …)`, keeping
+  *    subscripts (`arr[1]`, `m['k']`, `f(x)[0]`) untouched by
+  *    looking at what precedes the bracket.
   *  - `ORDER BY x WITH FILL FROM a TO b [STEP s]` — a generated spine
   *    FULL-joined to the statement; fill rows carry NULL in the other
   *    columns (CH emits type defaults — NULL is the honest Spark
@@ -162,7 +165,8 @@ object ChSqlRewrite {
       rewriteFinal(rewriteNumbers(rewriteAsofJoin(rewriteAnyJoin(
         rewriteUsingParens(rewriteSample(rewritePrewhere(rewriteWithFill(
           stripGlobalAll(stripSettingsFormat(
-            rewriteSystemTables(rewriteScalarWith(sql))))))))))))))))))
+            rewriteSystemTables(rewriteScalarWith(
+              rewriteArrayLiterals(sql)))))))))))))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -577,6 +581,80 @@ object ChSqlRewrite {
           case _ => sql
         }
     }
+  }
+
+  // ---------------------------------------------------------------
+  // [a, b, …] array literals
+  // ---------------------------------------------------------------
+
+  /** keywords after which a `[` must be an array LITERAL (an
+    * identifier or closing bracket before `[` means subscript)
+    */
+  private val beforeLiteralKeywords = Set(
+    "select", "from", "where", "and", "or", "not", "in", "when",
+    "then", "else", "end", "as", "on", "by", "having", "limit",
+    "union", "all", "distinct", "values", "between", "is", "like",
+    "ilike", "case", "if", "array", "settings", "order", "group",
+    "join", "using", "with", "interval", "return", "exists")
+
+  /** ClickHouse spells array literals `[1, 2]`; Spark wants
+    * `array(1, 2)`. A `[` is a SUBSCRIPT (left alone) when it follows
+    * an identifier, `)`, `]`, or a quoted span — a literal when it
+    * follows a keyword, an operator, `(`, `,`, another `[`, or the
+    * start of the statement. Nested literals convert inside-out.
+    */
+  private def rewriteArrayLiterals(sql: String): String = {
+    val out = new StringBuilder
+    var j = 0
+    def isLiteralHere(pos: Int): Boolean = {
+      var k = pos - 1
+      while (k >= 0 && sql.charAt(k).isWhitespace) k -= 1
+      if (k < 0) return true
+      val c = sql.charAt(k)
+      if (c == ')' || c == ']' || c == '\'' || c == '"' || c == '`')
+        return false
+      if (isIdent(c)) {
+        var st = k
+        while (st > 0 && isIdent(sql.charAt(st - 1))) st -= 1
+        return beforeLiteralKeywords.contains(
+          sql.substring(st, k + 1).toLowerCase)
+      }
+      true // operator, comma, paren, bracket, start
+    }
+    while (j < sql.length) {
+      val ck = commentKind(sql, j)
+      if (ck != 0) {
+        val e = commentEnd(sql, j, ck)
+        out.append(sql.substring(j, e)); j = e
+      } else sql.charAt(j) match {
+        case '\'' | '"' | '`' =>
+          val e = quotedEnd(sql, j)
+          out.append(sql.substring(j, e)); j = e
+        case '[' if isLiteralHere(j) =>
+          // find the matching ] (quote/comment/nesting aware)
+          var d = 0; var k = j
+          var close = -1
+          while (k < sql.length && close < 0) {
+            val ck2 = commentKind(sql, k)
+            if (ck2 != 0) k = commentEnd(sql, k, ck2)
+            else sql.charAt(k) match {
+              case '[' => d += 1; k += 1
+              case ']' => d -= 1; if (d == 0) close = k else k += 1
+              case '\'' | '"' | '`' => k = quotedEnd(sql, k)
+              case _ => k += 1
+            }
+          }
+          if (close < 0) { out.append(sql.charAt(j)); j += 1 }
+          else {
+            out.append("array(")
+              .append(rewriteArrayLiterals(sql.substring(j + 1, close)))
+              .append(")")
+            j = close + 1
+          }
+        case c => out.append(c); j += 1
+      }
+    }
+    out.toString
   }
 
   // ---------------------------------------------------------------

@@ -673,6 +673,28 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getInt(30) === 16 && r.getInt(31) === 1)
   }
 
+  test("bracket array literals convert; subscripts untouched") {
+    ChCompat.registerAll(spark)
+    val r = ChCompat.sql(spark, """SELECT
+      [1, 2, 3] AS a,
+      [[1], [2, 3]] AS nested,
+      ['x,y', 'z'] AS strs,
+      [1, 2][1] AS sub,
+      has([10, 20], 20) AS h""").head
+    assert(r.getSeq[Int](0) === Seq(1, 2, 3))
+    assert(r.getSeq[Seq[Int]](1) === Seq(Seq(1), Seq(2, 3)))
+    assert(r.getSeq[String](2) === Seq("x,y", "z")) // comma in quotes
+    // literal then SUBSCRIPT after ] — note the DOCUMENTED divergence:
+    // bracket subscripts stay Spark-0-based ([1] = second element);
+    // CH's 1-based element access is arrayElement(arr, n)
+    assert(r.getInt(3) === 2)
+    assert(r.getBoolean(4))
+    // identifier subscripts never convert
+    assert(ChSqlRewrite("SELECT arr[1] FROM t") === "SELECT arr[1] FROM t")
+    assert(ChSqlRewrite("SELECT f(x)[0] FROM t") ===
+      "SELECT f(x)[0] FROM t")
+  }
+
   test("eighth alias pass: date/string/float/map/JSON odds and ends") {
     ChCompat.registerAll(spark)
     val r = ChCompat.sql(spark, """SELECT
@@ -684,7 +706,7 @@ class ChCompatSpec extends SparkTestBase {
       concatWithSeparator('-', 'a', 'b') AS cw,
       extractAll('a1b22c', '\\d+') AS ea,
       extractAll('a1b22c', '([a-z])\\d') AS eg,
-      multiSearchAny('haystack', array('xyz', 'stack')) AS ms,
+      multiSearchAny('haystack', ['xyz', 'stack']) AS ms,
       isFinite(1.0) AS f1, isFinite(double('Infinity')) AS f2,
       isInfinite(double('-Infinity')) AS inf,
       ifNotFinite(double('NaN'), 42.0) AS inf42,
