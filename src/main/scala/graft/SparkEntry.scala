@@ -77,6 +77,7 @@ object SparkEntry {
     "r48_ch_matview" -> (RefQueries.ch_matview _),
     "r49_ch_funnel" -> (RefQueries.ch_funnel_sql _),
     "r50_ch_dialect_tail" -> (RefQueries.ch_dialect_tail _),
+    "r51_ch_json" -> (RefQueries.ch_json _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -543,6 +544,17 @@ object SparkEntry {
          FROM events WHERE value > 50
          GROUP BY user_id ORDER BY user_id
          LIMIT 20 OFFSET 5""",
+
+    // r51: the JSONExtract family + bracket literals, portable form
+    "r51_ch_json" ->
+      """SELECT event_id,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                json_extract(props, '$.k') IS NOT NULL AS has_k,
+                (event_type = 'click' OR event_type = 'view') AS is_cv
+         FROM events
+         WHERE json_extract(props, '$.k') IS NOT NULL
+         ORDER BY event_id
+         LIMIT 500""",
 
     // r47: the mutated table's end state, stated declaratively — the
     // DELETE drops the error partition, the UPDATE doubles qualifying

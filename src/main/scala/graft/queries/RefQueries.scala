@@ -532,6 +532,23 @@ object RefQueries {
       LIMIT 5, 20""")
   }
 
+  // ---- JSONExtract family + bracket array literals run VERBATIM:
+  // the CH spellings over the events props JSON column, oracle in
+  // DuckDB's JSON functions. ----
+  def ch_json(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    events(s, dir).createOrReplaceTempView("events")
+    ChCompat.sql(s, """
+      SELECT event_id,
+             JSONExtractInt(props, 'k') AS k,
+             JSONHas(props, 'k') AS has_k,
+             multiSearchAny(event_type, ['click', 'view']) AS is_cv
+      FROM events
+      WHERE JSONExtractInt(props, 'k') IS NOT NULL
+      ORDER BY event_id
+      LIMIT 500""")
+  }
+
   // ---- B-surface extension: range join — lineitems priced inside
   // each part's ±50 retail-price band. Interval bucketing turns the
   // theta condition into an equi-join on cell id (see RangeJoin);
