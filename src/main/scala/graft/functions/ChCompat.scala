@@ -984,6 +984,54 @@ object ChCompat {
       GetJsonObject(es.head, jsonPath(es.tail))),
     "simpleJSONExtractString" -> (es =>
       GetJsonObject(es.head, jsonPath(es.tail))),
+    // toInterval*: CH's interval constructors → Spark interval types
+    // (day-time for sub-month units, year-month above)
+    "toIntervalSecond" -> (es => new MakeDTInterval(Literal(0),
+      Literal(0), Literal(0), Cast(es.head, DecimalType(18, 6)))),
+    "toIntervalMinute" -> (es => new MakeDTInterval(Literal(0),
+      Literal(0), Cast(es.head, IntegerType))),
+    "toIntervalHour" -> (es => new MakeDTInterval(Literal(0),
+      Cast(es.head, IntegerType))),
+    "toIntervalDay" -> (es =>
+      new MakeDTInterval(Cast(es.head, IntegerType))),
+    "toIntervalWeek" -> (es => new MakeDTInterval(
+      Multiply(Cast(es.head, IntegerType), Literal(7)))),
+    "toIntervalMonth" -> (es =>
+      MakeYMInterval(Literal(0), Cast(es.head, IntegerType))),
+    "toIntervalQuarter" -> (es => MakeYMInterval(Literal(0),
+      Multiply(Cast(es.head, IntegerType), Literal(3)))),
+    "toIntervalYear" -> (es =>
+      MakeYMInterval(Cast(es.head, IntegerType), Literal(0))),
+    // formatReadableSize: CH's human-readable byte formatter — nested
+    // threshold CASE, '1.00 MiB' style (binary units, 2 decimals)
+    "formatReadableSize" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
+      def fmt(scaled: Expression, unit: String): Expression =
+        Concat(Seq(FormatNumber(scaled, Literal(2)), Literal(" " + unit)))
+      units.zipWithIndex.init.foldRight(
+        fmt(Divide(x, Literal(math.pow(1024.0, units.length - 1)),
+          EvalMode.LEGACY), units.last): Expression) {
+        case ((u, i), rest) =>
+          If(LessThan(Abs(x), Literal(math.pow(1024.0, i + 1))),
+            fmt(Divide(x, Literal(math.pow(1024.0, i)), EvalMode.LEGACY),
+              u), rest)
+      }
+    }),
+    // formatReadableQuantity: thousands/millions/billions, CH style
+    "formatReadableQuantity" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      val units = Seq(("", 1.0), (" thousand", 1e3), (" million", 1e6),
+        (" billion", 1e9), (" trillion", 1e12))
+      def fmt(scale: Double, unit: String): Expression =
+        Concat(Seq(FormatNumber(Divide(x, Literal(scale),
+          EvalMode.LEGACY), Literal(2)), Literal(unit)))
+      units.init.foldRight(
+        fmt(units.last._2, units.last._1): Expression) {
+        case ((u, s), rest) =>
+          If(LessThan(Abs(x), Literal(s * 1e3)), fmt(s, u), rest)
+      }
+    }),
     // arithmetic/bit names
     "modulo" -> (es => Remainder(es(0), es(1), EvalMode.LEGACY)),
     "plus" -> (es => Add(es(0), es(1))),

@@ -673,6 +673,27 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getInt(30) === 16 && r.getInt(31) === 1)
   }
 
+  test("toInterval* constructors and readable formatters") {
+    ChCompat.registerAll(spark)
+    val r = ChCompat.sql(spark, """SELECT
+      timestamp'2024-01-01 00:00:00' + toIntervalDay(3) AS d3,
+      timestamp'2024-01-01 00:00:00' + toIntervalHour(2) AS h2,
+      DATE'2024-01-31' + toIntervalMonth(1) AS m1,
+      formatReadableSize(1536) AS s1,
+      formatReadableSize(1048576) AS s2,
+      formatReadableSize(12) AS s3,
+      formatReadableQuantity(1234567) AS q1,
+      formatReadableQuantity(999) AS q2""").head
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-04 00:00:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-01-01 02:00:00"))
+    assert(r.getDate(2).toString === "2024-02-29") // month-end clamp
+    assert(r.getString(3) === "1.50 KiB")
+    assert(r.getString(4) === "1.00 MiB")
+    assert(r.getString(5) === "12.00 B")
+    assert(r.getString(6) === "1.23 million")
+    assert(r.getString(7) === "999.00")
+  }
+
   test("bracket array literals convert; subscripts untouched") {
     ChCompat.registerAll(spark)
     val r = ChCompat.sql(spark, """SELECT
