@@ -162,11 +162,12 @@ object ChSqlRewrite {
   def apply(sql: String): String =
     rewriteFunctions(rewriteLimitBy(rewriteDistinctOn(rewriteLimitOffset(
       rewriteWithTotals(rewriteArrayJoin(
-      rewriteFinal(rewriteNumbers(rewriteAsofJoin(rewriteAnyJoin(
+      rewriteFinal(rewriteNumbers(rewriteAsofJoin(rewriteAnyJoinOn(
+        rewriteAnyJoin(
         rewriteUsingParens(rewriteSample(rewritePrewhere(rewriteWithFill(
           stripGlobalAll(stripSettingsFormat(
             rewriteSystemTables(rewriteScalarWith(
-              rewriteArrayLiterals(sql)))))))))))))))))))
+              rewriteArrayLiterals(sql))))))))))))))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -864,6 +865,126 @@ object ChSqlRewrite {
     * unaffected), and right rows DUPLICATED on (keys, t) get an empty
     * validity window — CH documents duplicate asof keys as undefined.
     */
+  /** `ANY [LEFT|INNER] JOIN r [alias] ON l.k = r.k [AND …]` — the ON
+    * spelling of the at-most-one-right-row join (the USING form lives
+    * in [[rewriteAnyJoin]]). Rewrites ONLY when every conjunct is an
+    * equality with a bare `alias.col` on one side: the right relation
+    * dedups by that full key set (row_number, arbitrary survivor —
+    * exactly CH's ANY contract), the ON text stays as written. Any
+    * other shape (inequalities, ORs, non-column operands) passes
+    * through to fail loudly — dedup-by-key is only equivalent to
+    * per-left-row pick when matching is key-determined.
+    */
+  private def rewriteAnyJoinOn(sql: String, n: Int = 0): String = {
+    val toks = wordTokens(sql)
+    val idx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("any") && i + 1 < toks.length &&
+        toks(i)._4 == toks(i + 1)._4 && {
+          val w1 = toks(i + 1)._1.toLowerCase
+          w1 == "join" || ((w1 == "left" || w1 == "inner") &&
+            i + 2 < toks.length && toks(i + 2)._1.equalsIgnoreCase("join") &&
+            toks(i + 2)._4 == toks(i)._4)
+        } && {
+          // ON form only: an ON token must precede any USING at depth
+          val joinIdx =
+            if (toks(i + 1)._1.equalsIgnoreCase("join")) i + 1 else i + 2
+          val d = toks(i)._4
+          val after = toks.drop(joinIdx + 1)
+            .filter(t => t._4 == d)
+            .map(_._1.toLowerCase)
+          val on = after.indexOf("on"); val using = after.indexOf("using")
+          on >= 0 && (using < 0 || on < using)
+        }
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        val d = toks(i)._4
+        val joinIdx =
+          if (toks(i + 1)._1.equalsIgnoreCase("join")) i + 1 else i + 2
+        val keepKw =
+          if (joinIdx == i + 1) "JOIN"
+          else sql.substring(toks(i + 1)._2, toks(joinIdx)._3)
+        var j = toks(joinIdx)._3
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        val (relInner, afterRel) =
+          if (j < sql.length && sql.charAt(j) == '(') {
+            val e = matchParen(sql, j)
+            if (e < 0) return sql
+            (sql.substring(j, e), e)
+          } else {
+            val relTok = toks.find(t => t._2 >= j).getOrElse(return sql)
+            (sql.substring(j, relTok._3), relTok._3)
+          }
+        val onTok = toks.find(t => t._2 >= afterRel && t._4 == d &&
+          t._1.equalsIgnoreCase("on")).getOrElse(return sql)
+        val aliasToks = toks.filter(t => t._2 >= afterRel &&
+          t._3 <= onTok._2 && t._4 == d && !t._1.equalsIgnoreCase("as"))
+        if (aliasToks.length > 1) return sql
+        val alias = aliasToks.headOption.map(_._1).getOrElse {
+          if (relInner.startsWith("(")) return sql
+          else relInner.split('.').last
+        }
+        val condStart = onTok._3
+        val condEnd = {
+          val stop = toks.find { t =>
+            t._2 >= condStart && t._4 == d &&
+              clauseEnders.contains(t._1.toLowerCase) && {
+                var k = t._3
+                while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+                k >= sql.length || sql.charAt(k) != '('
+              }
+          }.map(_._2)
+          math.min(stop.getOrElse(sql.length), scopeEndAt(sql, condStart, d))
+        }
+        val cond = sql.substring(condStart, condEnd)
+        val condToks = wordTokens(cond)
+        if (condToks.exists(t => t._4 == 0 && t._1.equalsIgnoreCase("or")))
+          return sql
+        val andToks = condToks.filter(t => t._4 == 0 &&
+          t._1.equalsIgnoreCase("and"))
+        val cuts = (0 +: andToks.flatMap(t => Seq(t._2, t._3))) :+ cond.length
+        val conjuncts = cuts.grouped(2).map { case Seq(a, b) =>
+          cond.substring(a, b).trim }.filter(_.nonEmpty).toSeq
+        val qualRe = java.util.regex.Pattern.quote(alias)
+        val rightColRe = s"(?i)^$qualRe\\.([A-Za-z_][A-Za-z_0-9]*)$$".r
+        val keys = conjuncts.map { c =>
+          val eq = {
+            var k = 0; var depth = 0; var found = -1
+            while (k < c.length && found < 0) {
+              c.charAt(k) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1
+                case '\'' | '"' | '`' =>
+                  k = quotedEnd(c, k) - 1
+                case '=' if depth == 0 && k > 0 &&
+                  !"<>!=".contains(c.charAt(k - 1)) &&
+                  (k + 1 >= c.length || c.charAt(k + 1) != '=') => found = k
+                case _ =>
+              }
+              k += 1
+            }
+            found
+          }
+          if (eq < 0) return sql
+          val (l, r) = (c.substring(0, eq).trim, c.substring(eq + 1).trim)
+          (l, r) match {
+            case (rightColRe(col), _) => col
+            case (_, rightColRe(col)) => col
+            case _ => return sql
+          }
+        }
+        val rn = s"__any_rn$n"
+        val dedup = s"(SELECT * EXCEPT ($rn) FROM (SELECT *, " +
+          s"row_number() OVER (PARTITION BY ${keys.mkString(", ")} " +
+          s"ORDER BY ${keys.mkString(", ")}) AS $rn FROM $relInner) " +
+          s"WHERE $rn = 1) AS $alias"
+        rewriteAnyJoinOn(
+          sql.substring(0, toks(i)._2) + keepKw + " " + dedup +
+            " ON " + cond.trim + " " + sql.substring(condEnd), n + 1)
+    }
+  }
+
   private def rewriteAsofJoin(sql: String, n: Int = 0): String = {
     val toks = wordTokens(sql)
     val idx = toks.indices.find { i =>
@@ -1012,7 +1133,7 @@ object ChSqlRewrite {
           s"FROM $relInner) AS $alias"
         rewriteAsofJoin(
           sql.substring(0, toks(i)._2) + keepKw + " " + wrapped + " ON " +
-            cond.trim + s" AND ($alias.$endCol IS NULL OR $endCond)" +
+            cond.trim + s" AND ($alias.$endCol IS NULL OR $endCond) " +
             sql.substring(condEnd), n + 1)
     }
   }

@@ -123,6 +123,25 @@ class ChAsofJoinSpec extends SparkTestBase {
     assert(e3.getMessage.contains("ASOF JOIN"))
   }
 
+  test("ANY JOIN ON form: at most one right row per key") {
+    import spark.implicits._
+    Seq((1, "l1"), (2, "l2"), (3, "l3")).toDF("k", "lv")
+      .createOrReplaceTempView("anyon_l")
+    Seq((1, "r1a"), (1, "r1b"), (2, "r2")).toDF("k", "rv")
+      .createOrReplaceTempView("anyon_r")
+    val got = chSql(
+      """SELECT l.k, r.rv FROM anyon_l l ANY LEFT JOIN anyon_r r
+        |  ON l.k = r.k ORDER BY l.k""".stripMargin)
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSeq
+    // exactly ONE row per left key; k=1 keeps SOME right value
+    assert(got.map(_._1) === Seq(1, 2, 3))
+    assert(got(0)._2.exists(v => v == "r1a" || v == "r1b"))
+    assert(got(1)._2 === Some("r2") && got(2)._2 === None)
+    // non-equality ON passes through untouched (fails loudly later)
+    val s = "SELECT 1 FROM a ANY JOIN b ON a.k > b.k"
+    assert(ChSqlRewrite(s) === s)
+  }
+
   test("non-ASOF SQL is untouched (asof as a column name survives)") {
     val s = "SELECT asof, k FROM some_table WHERE asof > 3"
     assert(ChSqlRewrite(s) === s)
