@@ -44,9 +44,12 @@ package graft.functions
   *    columns and ordered by the query's ORDER BY (top-level
   *    statements only; a nested LIMIT BY fails to parse rather than
   *    mis-executing).
-  *  - `ANY [LEFT|INNER] JOIN r USING (k)` — at most one right row per
-  *    key; the right side dedups by the USING columns (ON form passes
-  *    through — its key set isn't recoverable lexically).
+  *  - `ANY [LEFT|INNER] JOIN r USING (k)` / `… ON l.k = r.k [AND …]`
+  *    — at most one right row per key; the right side dedups by the
+  *    USING columns or by the equality key set extracted from an
+  *    all-equality ON (other ON shapes pass through to fail loudly —
+  *    dedup-by-key is only equivalent when matching is
+  *    key-determined).
   *  - `ASOF [LEFT|INNER] JOIN r ON l.k = r.k AND l.t >= r.t` — the
   *    closest-time match. The right side is interval-ized with a
   *    `lead(t)` window so the join stays a single-match EQUI-join
