@@ -951,6 +951,12 @@ class ChCompatSpec extends SparkTestBase {
       val r = s2.sql(
         "SELECT toYYYYMM(timestamp'2015-03-04 00:00:00') AS m").head
       assert(r.getInt(0) === 201503)
+      // the round-7 lexical passes ride the same injected parser:
+      // bracket literals, scalar WITH, LIMIT offset,count
+      val r7 = s2.sql(
+        "WITH 2 AS two SELECT x FROM (SELECT explode([1, 2, 3]) AS x) " +
+          "WHERE x <= two ORDER BY x LIMIT 1, 5").head
+      assert(r7.getInt(0) === 2)
     } finally {
       prev.foreach(SparkSession.setDefaultSession)
       prev.foreach(SparkSession.setActiveSession)
