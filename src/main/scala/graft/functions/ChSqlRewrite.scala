@@ -1340,9 +1340,8 @@ object ChSqlRewrite {
           throw new IllegalArgumentException(
             "WITH FILL: no owning ORDER BY"))
         var colText = sql.substring(toks(obIdx + 1)._3, toks(i)._2).trim
-        if (colText.toLowerCase.endsWith(" desc"))
-          throw new IllegalArgumentException(
-            "WITH FILL: descending fill unsupported (use ASC)")
+        val desc = colText.toLowerCase.endsWith(" desc")
+        if (desc) colText = colText.dropRight(5).trim
         if (colText.toLowerCase.endsWith(" asc"))
           colText = colText.dropRight(4).trim
         if (colText.contains(",") || !simpleIdentRe.matches(colText) ||
@@ -1382,16 +1381,19 @@ object ChSqlRewrite {
           case Some(sk) if toks(sk)._2 == afterTo &&
               toks(sk)._1.equalsIgnoreCase("step") =>
             exprAfter(sk)
-          case _ => ("1", afterTo)
+          case _ => (if (desc) "-1" else "1", afterTo)
         }
         val inner = sql.substring(0, toks(obIdx)._2).trim
         val tail = sql.substring(fillEnd)
+        // TO is exclusive in both directions (CH's half-open contract)
+        val bound = if (desc) ">" else "<"
         val spine = s"(SELECT __fv AS $colText FROM (SELECT " +
           s"explode(sequence(($fromExpr), ($toExpr), ($stepExpr))) AS __fv) " +
-          s"WHERE __fv < ($toExpr))"
+          s"WHERE __fv $bound ($toExpr))"
+        val ord = if (desc) s"$colText DESC" else colText
         rewriteWithFill(
           s"SELECT * FROM $spine AS __fill FULL JOIN ($inner) AS __q " +
-            s"USING ($colText) ORDER BY $colText" +
+            s"USING ($colText) ORDER BY $ord" +
             (if (tail.trim.isEmpty) "" else s" $tail"))
     }
   }

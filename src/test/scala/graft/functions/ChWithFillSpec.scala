@@ -55,15 +55,25 @@ class ChWithFillSpec extends SparkTestBase {
       ("2015-03-07 13:00:00.0", 4L)))
   }
 
-  test("loud rejections: data-driven bounds, DESC, INTERPOLATE, literals safe") {
+  test("descending fill: FROM high TO low, exclusive bound, DESC order") {
+    import spark.implicits._
+    Seq((8, 1.0), (5, 2.0)).toDF("b", "v")
+      .createOrReplaceTempView("wfd_t")
+    val got = ChCompat.sql(spark,
+      """SELECT b, sum(v) AS sv FROM wfd_t GROUP BY b
+        |ORDER BY b DESC WITH FILL FROM 9 TO 4""".stripMargin)
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toSeq
+    // spine 9..5 (TO 4 exclusive), descending; data rows merge in
+    assert(got === Seq((9, -1.0), (8, 1.0), (7, -1.0), (6, -1.0),
+      (5, 2.0)))
+  }
+
+  test("loud rejections: data-driven bounds, INTERPOLATE, literals safe") {
     val e1 = intercept[IllegalArgumentException] {
       ChSqlRewrite("SELECT b FROM t ORDER BY b WITH FILL")
     }
     assert(e1.getMessage.contains("data-driven"))
-    val e2 = intercept[IllegalArgumentException] {
-      ChSqlRewrite("SELECT b FROM t ORDER BY b DESC WITH FILL FROM 9 TO 0")
-    }
-    assert(e2.getMessage.contains("descending"))
     val e3 = intercept[IllegalArgumentException] {
       ChSqlRewrite(
         "SELECT b FROM t ORDER BY b WITH FILL FROM 0 TO 5 INTERPOLATE (x)")
