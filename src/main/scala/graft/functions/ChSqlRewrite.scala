@@ -84,10 +84,10 @@ package graft.functions
   *  - `[a, b, …]` array literals → `array(a, b, …)`, keeping
   *    subscripts (`arr[1]`, `m['k']`, `f(x)[0]`) untouched by
   *    looking at what precedes the bracket.
-  *  - `ORDER BY x WITH FILL FROM a TO b [STEP s]` — a generated spine
-  *    FULL-joined to the statement; fill rows carry NULL in the other
-  *    columns (CH emits type defaults — NULL is the honest Spark
-  *    spelling). Explicit-bounds ascending single-column form only.
+  *  - `ORDER BY x [DESC] WITH FILL FROM a TO b [STEP s]` — a generated
+  *    spine FULL-joined to the statement; fill rows carry NULL in the
+  *    other columns (CH emits type defaults — NULL is the honest Spark
+  *    spelling). Explicit-bounds single-column form, either direction.
   *
   * The rewrite is purely lexical but STRING- and COMMENT-SAFE:
   * single-quoted, double-quoted, and backquoted spans (including
