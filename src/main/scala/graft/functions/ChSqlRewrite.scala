@@ -163,14 +163,14 @@ object ChSqlRewrite {
   def rewriteExpr(e: String): String = rewriteFunctions(e)
 
   def apply(sql: String): String =
-    rewriteFunctions(rewriteLimitBy(rewriteDistinctOn(rewriteLimitOffset(
-      rewriteWithTotals(rewriteArrayJoin(
+    rewriteFunctions(rewriteLimitBy(rewriteLimitTies(rewriteDistinctOn(
+      rewriteLimitOffset(rewriteWithTotals(rewriteArrayJoin(
       rewriteFinal(rewriteNumbers(rewriteAsofJoin(rewriteAnyJoinOn(
         rewriteAnyJoin(
         rewriteUsingParens(rewriteSample(rewritePrewhere(rewriteWithFill(
           stripGlobalAll(stripSettingsFormat(
             rewriteSystemTables(rewriteScalarWith(
-              rewriteArrayLiterals(sql))))))))))))))))))))
+              rewriteArrayLiterals(sql)))))))))))))))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers
@@ -1254,6 +1254,41 @@ object ChSqlRewrite {
           case None =>
             rewriteDistinctOn(stripped + s" LIMIT 1 BY $cols")
         }
+    }
+  }
+
+  /** `ORDER BY … LIMIT n WITH TIES` — keep every row tying with the
+    * n-th. Spark has no WITH TIES; rewritten to a rank() window over
+    * the statement's ORDER BY (rank, not row_number: ties share a
+    * rank, which is exactly the TIES contract). Top-level only.
+    */
+  private def rewriteLimitTies(sql: String): String = {
+    val toks = wordTokens(sql).filter(_._4 == 0)
+    val idx = toks.indices.find { i =>
+      toks(i)._1.equalsIgnoreCase("limit") && i + 2 < toks.length &&
+        toks(i + 1)._1.equalsIgnoreCase("with") &&
+        toks(i + 2)._1.equalsIgnoreCase("ties") && {
+          val span = sql.substring(toks(i)._3, toks(i + 1)._2).trim
+          span.nonEmpty && span.forall(_.isDigit)
+        }
+    }
+    idx match {
+      case None => sql
+      case Some(i) =>
+        val n = sql.substring(toks(i)._3, toks(i + 1)._2).trim
+        val obIdx = toks.indices.filter(j => j < i &&
+          toks(j)._1.equalsIgnoreCase("order") && j + 1 < toks.length &&
+          toks(j + 1)._1.equalsIgnoreCase("by")).lastOption.getOrElse(
+          throw new IllegalArgumentException(
+            "LIMIT WITH TIES: needs an ORDER BY"))
+        val ord = sql.substring(toks(obIdx + 1)._3, toks(i)._2).trim
+        val body = sql.substring(0, toks(obIdx)._2).trim
+        val tail = sql.substring(toks(i + 2)._3)
+        rewriteLimitTies(
+          s"SELECT * EXCEPT (__ties_rk) FROM (SELECT *, rank() OVER " +
+            s"(ORDER BY $ord) AS __ties_rk FROM ($body)) " +
+            s"WHERE __ties_rk <= $n ORDER BY $ord" +
+            (if (tail.trim.isEmpty) "" else s" $tail"))
     }
   }
 

@@ -794,6 +794,20 @@ class ChCompatSpec extends SparkTestBase {
     assert(c.getDouble(1) === 4.0)
   }
 
+  test("LIMIT n WITH TIES keeps rows tying with the n-th") {
+    import spark.implicits._
+    Seq((1, 30), (2, 20), (3, 20), (4, 10)).toDF("id", "score")
+      .createOrReplaceTempView("ties_t")
+    val got = ChCompat.sql(spark,
+      "SELECT id, score FROM ties_t ORDER BY score DESC LIMIT 2 WITH TIES")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // rank 2 is shared by ids 2 and 3 → three rows survive
+    assert(got.map(_._2) === Seq(30, 20, 20))
+    assert(got.map(_._1).toSet === Set(1, 2, 3))
+    // plain LIMIT is untouched
+    assert(ChSqlRewrite("SELECT 1 LIMIT 2") === "SELECT 1 LIMIT 2")
+  }
+
   test("LIMIT offset, count rewrites to LIMIT/OFFSET; LIMIT BY intact") {
     import spark.implicits._
     (1 to 10).map(i => (i, i * 10)).toDF("id", "v")
