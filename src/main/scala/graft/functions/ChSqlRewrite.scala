@@ -43,7 +43,10 @@ package graft.functions
   *    a row_number window over the base query partitioned by the BY
   *    columns and ordered by the query's ORDER BY (top-level
   *    statements only; a nested LIMIT BY fails to parse rather than
-  *    mis-executing).
+  *    mis-executing). Related LIMIT forms: `LIMIT offset, count` →
+  *    `LIMIT count OFFSET offset`; `LIMIT n WITH TIES` → a rank()
+  *    window cut; `SELECT DISTINCT ON (cols)` → `LIMIT 1 BY cols`
+  *    (CH's own documented equivalence).
   *  - `ANY [LEFT|INNER] JOIN r USING (k)` / `… ON l.k = r.k [AND …]`
   *    — at most one right row per key; the right side dedups by the
   *    USING columns or by the equality key set extracted from an
