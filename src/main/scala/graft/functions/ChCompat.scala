@@ -932,10 +932,15 @@ object ChCompat {
     // extractAll(h, re): all matches; CH takes the first capture group
     // when the pattern has one, else the whole match
     "extractAll" -> (es => {
+      // CH takes the first capture group when the pattern HAS one,
+      // else the whole match. Ask the regex compiler itself — a
+      // lexical paren sniff miscounts \( escapes and [(] classes.
       val idx = es(1) match {
-        case l: Literal if l.dataType == StringType &&
-          """\((?!\?)""".r.findFirstIn(l.value.toString).isDefined =>
-          Literal(1)
+        case l: Literal if l.dataType == StringType =>
+          try {
+            if (java.util.regex.Pattern.compile(l.value.toString)
+              .matcher("").groupCount() > 0) Literal(1) else Literal(0)
+          } catch { case _: Exception => Literal(0) }
         case _ => Literal(0)
       }
       RegExpExtractAll(es(0), es(1), idx)
@@ -977,8 +982,29 @@ object ChCompat {
       Cast(GetJsonObject(es.head, jsonPath(es.tail)), DoubleType)),
     "JSONExtractBool" -> (es =>
       Cast(GetJsonObject(es.head, jsonPath(es.tail)), BooleanType)),
-    "JSONHas" -> (es =>
-      IsNotNull(GetJsonObject(es.head, jsonPath(es.tail)))),
+    // JSONHas must see a key holding JSON null as PRESENT (CH returns
+    // 1): membership comes from the parent's key list / array length,
+    // not from the value lookup (which yields NULL for both missing
+    // and null)
+    "JSONHas" -> (es => es.last match {
+      case l: Literal if l.dataType == StringType =>
+        val parent =
+          if (es.length == 2) es.head
+          else GetJsonObject(es.head, jsonPath(es.tail.dropRight(1)))
+        Coalesce(Seq(
+          ArrayContains(JsonObjectKeys(parent), l),
+          Literal(false)))
+      case l: Literal if l.dataType == IntegerType =>
+        val i = l.value.asInstanceOf[Int]
+        val parent =
+          if (es.length == 2) es.head
+          else GetJsonObject(es.head, jsonPath(es.tail.dropRight(1)))
+        Coalesce(Seq(
+          GreaterThanOrEqual(LengthOfJsonArray(parent), Literal(i)),
+          Literal(false)))
+      case other => throw new IllegalArgumentException(
+        s"JSONHas: keys must be literals, got ${other.sql}")
+    }),
     // the legacy visitParam/simpleJSON names are single-key lookups
     "visitParamExtractString" -> (es =>
       GetJsonObject(es.head, jsonPath(es.tail))),
@@ -1007,8 +1033,9 @@ object ChCompat {
     "formatReadableSize" -> (es => {
       val x = Cast(es.head, DoubleType)
       val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
+      // printf, not format_number: CH never emits grouping commas
       def fmt(scaled: Expression, unit: String): Expression =
-        Concat(Seq(FormatNumber(scaled, Literal(2)), Literal(" " + unit)))
+        FormatString(Literal("%.2f " + unit) +: Seq(scaled): _*)
       units.zipWithIndex.init.foldRight(
         fmt(Divide(x, Literal(math.pow(1024.0, units.length - 1)),
           EvalMode.LEGACY), units.last): Expression) {
@@ -1024,8 +1051,8 @@ object ChCompat {
       val units = Seq(("", 1.0), (" thousand", 1e3), (" million", 1e6),
         (" billion", 1e9), (" trillion", 1e12))
       def fmt(scale: Double, unit: String): Expression =
-        Concat(Seq(FormatNumber(Divide(x, Literal(scale),
-          EvalMode.LEGACY), Literal(2)), Literal(unit)))
+        FormatString(Literal("%.2f" + unit) +:
+          Seq(Divide(x, Literal(scale), EvalMode.LEGACY)): _*)
       units.init.foldRight(
         fmt(units.last._2, units.last._1): Expression) {
         case ((u, s), rest) =>
@@ -1177,9 +1204,12 @@ object ChCompat {
       Seq(ChSqlRewrite(explainSyntaxRe.replaceFirstIn(chSql, "")))
         .toDF("rewritten_sql")
     } else if (explainPipeRe.findFirstIn(chSql).isDefined) {
-      // CH's EXPLAIN PIPELINE / PLAN ≈ the physical/optimized plan
-      spark.sql("EXPLAIN FORMATTED " +
-        ChSqlRewrite(explainPipeRe.replaceFirstIn(chSql, "")))
+      // CH's EXPLAIN PIPELINE / PLAN ≈ the physical/optimized plan;
+      // system.* views must exist for the explain just as for the run
+      val rewritten = ChSqlRewrite(explainPipeRe.replaceFirstIn(chSql, ""))
+      if (rewritten.contains("__ch_system_"))
+        materializeSystemViews(spark, rewritten)
+      spark.sql("EXPLAIN FORMATTED " + rewritten)
     } else if (chMatViewRe.findFirstIn(chSql).isDefined) {
       ChMatView.create(spark, chSql)
       spark.emptyDataFrame

@@ -920,7 +920,14 @@ object ChSqlRewrite {
             (sql.substring(j, e), e)
           } else {
             val relTok = toks.find(t => t._2 >= j).getOrElse(return sql)
-            (sql.substring(j, relTok._3), relTok._3)
+            var e = relTok._3
+            while (e < sql.length && sql.charAt(e) == '.') {
+              // dotted name: consume `.ident` (same loop as asof)
+              var k = e + 1
+              while (k < sql.length && isIdent(sql.charAt(k))) k += 1
+              e = k
+            }
+            (sql.substring(j, e), e)
           }
         val onTok = toks.find(t => t._2 >= afterRel && t._4 == d &&
           t._1.equalsIgnoreCase("on")).getOrElse(return sql)
@@ -974,9 +981,15 @@ object ChSqlRewrite {
           }
           if (eq < 0) return sql
           val (l, r) = (c.substring(0, eq).trim, c.substring(eq + 1).trim)
+          // key-determined ONLY if the non-key side carries no
+          // reference to the right alias: `r.a = l.b + r.c` must NOT
+          // dedup by a (the match depends on c, which dedup may drop)
+          val aliasRefRe = s"(?i)\\b$qualRe\\s*\\.".r
           (l, r) match {
-            case (rightColRe(col), _) => col
-            case (_, rightColRe(col)) => col
+            case (rightColRe(col), other)
+              if aliasRefRe.findFirstIn(other).isEmpty => col
+            case (other, rightColRe(col))
+              if aliasRefRe.findFirstIn(other).isEmpty => col
             case _ => return sql
           }
         }
@@ -1240,16 +1253,24 @@ object ChSqlRewrite {
     idx match {
       case None => sql
       case Some(i) =>
+        // a set operation makes the LIMIT 1 BY scope ambiguous (it
+        // would wrap the whole union, not this branch) — pass through
+        // to fail loudly at parse instead of silently mis-scoping
+        if (toks.exists(t => Set("union", "except", "intersect")
+          .contains(t._1.toLowerCase))) return sql
         var k = toks(i + 1)._3
         while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
         val close = matchParen(sql, k)
         if (close < 0) return sql
         val cols = sql.substring(k + 1, close - 1).trim
-        // insertion point for LIMIT 1 BY: before a trailing depth-0
-        // LIMIT (CH applies DISTINCT ON before LIMIT n), else at end
+        // insertion point for LIMIT 1 BY: before the first depth-0
+        // LIMIT AFTER this clause (CH applies DISTINCT ON before
+        // LIMIT n), else at end — an earlier set-operation branch's
+        // LIMIT must not catch the insert
         val stripped = sql.substring(0, toks(i)._2) + sql.substring(close)
         val stoks = wordTokens(stripped).filter(_._4 == 0)
-        val limTok = stoks.find(t => t._1.equalsIgnoreCase("limit"))
+        val limTok = stoks.find(t => t._2 >= toks(i)._2 &&
+          t._1.equalsIgnoreCase("limit"))
         limTok match {
           case Some(t) =>
             rewriteDistinctOn(stripped.substring(0, t._2) +

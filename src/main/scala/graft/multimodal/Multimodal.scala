@@ -109,7 +109,7 @@ object Multimodal {
       it.map { case (id, bytes) =>
         decodeAudioHeader(bytes) match {
           case Some((rate, ch, frames, fmt)) =>
-            (id, Some(rate), Some(ch), Some(frames), Some(fmt))
+            (id, Some(rate), Some(ch), frames, Some(fmt))
           case None => (id, None: Option[Float], None: Option[Int],
             None: Option[Long], None: Option[String])
         }
@@ -118,13 +118,18 @@ object Multimodal {
   }
 
   def decodeAudioHeader(bytes: Array[Byte])
-      : Option[(Float, Int, Long, String)] = {
+      : Option[(Float, Int, Option[Long], String)] = {
     if (bytes == null || bytes.isEmpty) return None
     try {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
       val f = aff.getFormat
-      Some((f.getSampleRate, f.getChannels, aff.getFrameLength.toLong,
+      // AudioSystem reports NOT_SPECIFIED (-1) when the reader cannot
+      // determine frame length — that is a NULL, not a frame count
+      // (a -1 passed through poisons duration arithmetic downstream)
+      val frames = aff.getFrameLength.toLong
+      Some((f.getSampleRate, f.getChannels,
+        if (frames < 0) None else Some(frames),
         aff.getType.toString.toLowerCase))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -168,7 +173,16 @@ object Multimodal {
     }.toDF("id", "duration_ms", "n_tracks", "brand")
   }
 
-  def decodeMp4Header(bytes: Array[Byte]): Option[(Long, Int, String)] = {
+  def decodeMp4Header(bytes: Array[Byte]): Option[(Long, Int, String)] =
+    try decodeMp4Header0(bytes)
+    catch {
+      // truncated/garbled boxes must honor the None contract, never
+      // crash an executor on malformed user data
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  private def decodeMp4Header0(bytes: Array[Byte])
+      : Option[(Long, Int, String)] = {
     if (bytes == null || bytes.length < 16) return None
     def u32(o: Int): Long =
       ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
@@ -194,7 +208,7 @@ object Multimodal {
       val size = u32(p.toInt)
       if (size < 8) return None
       tag(p.toInt + 4) match {
-        case "mvhd" if p + 24 <= bytes.length =>
+        case "mvhd" if p + 28 <= bytes.length =>
           val version = bytes(p.toInt + 8) & 0xff
           if (version == 0) {
             val timescale = u32(p.toInt + 20)

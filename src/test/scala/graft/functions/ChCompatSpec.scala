@@ -674,6 +674,37 @@ class ChCompatSpec extends SparkTestBase {
     assert(r.getInt(30) === 16 && r.getInt(31) === 1)
   }
 
+  test("review fixes: escaped parens, no grouping commas, JSON null, " +
+      "ANY-ON guards, DISTINCT ON after a UNION branch") {
+    ChCompat.registerAll(spark)
+    val r = ChCompat.sql(spark, """SELECT
+      extractAll('a(b(c', '\\(') AS ea,
+      formatReadableSize(1000) AS fs,
+      formatReadableQuantity(2.0e15) AS fq,
+      JSONHas('{"n": null}', 'n') AS jn,
+      JSONHas('{"n": null}', 'z') AS jz,
+      JSONHas('[1,2,3]', 2) AS ja,
+      JSONHas('[1]', 2) AS ja0""").head
+    assert(r.getSeq[String](0) === Seq("(", "("))
+    assert(r.getString(1) === "1000.00 B") // no grouping comma
+    assert(r.getString(2) === "2000.00 trillion")
+    assert(r.getBoolean(3)) // JSON null is PRESENT
+    assert(!r.getBoolean(4))
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+    // non-key-determined ANY ... ON passes through (fails loudly)
+    val s1 = "SELECT 1 FROM l ANY JOIN r ON r.a = l.b + r.c"
+    assert(ChSqlRewrite(s1) === s1)
+    // dotted right relation keeps its full name
+    assert(ChSqlRewrite("SELECT 1 FROM l ANY JOIN db.r ON l.k = r.k")
+      .contains("FROM db.r)"))
+    // DISTINCT ON inside a set operation cannot be scoped lexically:
+    // it passes through untouched (fails loudly) instead of wrapping
+    // the whole union in the per-group cut
+    val u = "SELECT a FROM t LIMIT 5 UNION ALL " +
+      "SELECT DISTINCT ON (k) k FROM u ORDER BY k"
+    assert(ChSqlRewrite(u) === u)
+  }
+
   test("toInterval* constructors and readable formatters") {
     ChCompat.registerAll(spark)
     val r = ChCompat.sql(spark, """SELECT

@@ -103,6 +103,12 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(2L) === ((90500L, 1, "isom")))
     assert(got(3L) === ((-1L, -1, "null")))
     assert(got(4L) === ((-1L, -1, "null")))
+    // truncated container: None, never a crash (the ftyp/moov headers
+    // survive but mvhd is cut mid-duration-field)
+    val whole = Multimodal.synthMp4(2000, 1000, 1)
+    (16 to whole.length by 7).foreach { cut =>
+      Multimodal.decodeMp4Header(whole.take(cut)) // must not throw
+    }
   }
 
   test("stubFeatures: per-partition batch map produces one feature row per payload") {
