@@ -188,6 +188,28 @@ class ChMutationsSpec extends SparkTestBase {
     assert(got === Seq(5.0, 20.0, 30.0, 40.0, 50.0))
   }
 
+  test("statement routing edges: native DDL is NOT captured") {
+    import spark.implicits._
+    // Spark's plural ADD COLUMNS must route to spark.sql, not the
+    // mutation regex (singular COLUMN with a word boundary)
+    freshTable("mut_route2", partitioned = false)
+    ChCompat.sql(spark,
+      "ALTER TABLE mut_route2 ADD COLUMNS (extra INT, extra2 STRING)")
+    assert(spark.table("mut_route2").columns.contains("extra2"))
+    // CREATE TABLE without ENGINE= is plain Spark DDL
+    spark.sql("DROP TABLE IF EXISTS route_plain")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("spark-warehouse/route_plain"))
+    ChCompat.sql(spark, "CREATE TABLE route_plain (a INT) USING parquet")
+    assert(spark.catalog.tableExists("route_plain"))
+    // a SELECT mentioning the keywords is never mis-routed
+    Seq(("CREATE TABLE x ENGINE = MergeTree", 1)).toDF("s", "n")
+      .createOrReplaceTempView("route_sel")
+    assert(ChCompat.sql(spark,
+      "SELECT n FROM route_sel WHERE s LIKE 'CREATE TABLE%ENGINE%'")
+      .head.getInt(0) === 1)
+  }
+
   test("no-WHERE and unknown statements throw") {
     intercept[IllegalArgumentException](
       ChMutations.mutate(spark, "ALTER TABLE t DELETE"))
