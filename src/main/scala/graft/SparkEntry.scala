@@ -452,12 +452,12 @@ object SparkEntry {
            s2 AS (SELECT s1.user_id, t1,
                     (SELECT min(ts) FROM events e
                      WHERE e.user_id = s1.user_id
-                       AND e.event_type = 'click' AND e.ts > s1.t1) AS t2
+                       AND e.event_type = 'click' AND e.ts >= s1.t1) AS t2
                   FROM s1),
            s3 AS (SELECT s2.user_id, t1, t2,
                     (SELECT min(ts) FROM events e
                      WHERE e.user_id = s2.user_id
-                       AND e.event_type = 'purchase' AND e.ts > s2.t2) AS t3
+                       AND e.event_type = 'purchase' AND e.ts >= s2.t2) AS t3
                   FROM s2),
            lv AS (SELECT user_id,
                     CASE
@@ -484,12 +484,12 @@ object SparkEntry {
            s2 AS (SELECT s1.user_id, t1,
                     (SELECT min(ts) FROM events e
                      WHERE e.user_id = s1.user_id
-                       AND e.event_type = 'click' AND e.ts > s1.t1) AS t2
+                       AND e.event_type = 'click' AND e.ts >= s1.t1) AS t2
                   FROM s1),
            s3 AS (SELECT s2.user_id, t1, t2,
                     (SELECT min(ts) FROM events e
                      WHERE e.user_id = s2.user_id
-                       AND e.event_type = 'purchase' AND e.ts > s2.t2) AS t3
+                       AND e.event_type = 'purchase' AND e.ts >= s2.t2) AS t3
                   FROM s2),
            lv AS (SELECT user_id,
                     CASE

@@ -816,8 +816,13 @@ object ChCompat {
     "chUniqUpTo" -> (es => Least(Seq(
       Size(aggregate.CollectSet(tupleOf(es.tail)).toAggregateExpression()),
       Add(Cast(es.head, IntegerType), Literal(1))))),
-    // chWindowFunnel(w, ts, c1, …): target of the curried
-    // windowFunnel(w)(ts, c1, …) rewrite — the funnel UDAF
+    // chWindowFunnel(w[, 'mode'…], ts, c1, …): target of the curried
+    // windowFunnel(w[, 'mode'…])(ts, c1, …) rewrite — the funnel UDAF.
+    // Default ordering is CH's: non-decreasing timestamps between
+    // steps; the 'strict_increase' mode opts into strictly-later.
+    // CH's other modes (strict_order, strict_deduplication) change
+    // which events may INTERLEAVE a chain, not its time comparison —
+    // unimplemented, so they throw rather than silently mis-match.
     "chWindowFunnel" -> (es => {
       val w = es.head match {
         case l: Literal => l.value match {
@@ -828,7 +833,20 @@ object ChCompat {
         case other => throw new IllegalArgumentException(
           s"windowFunnel: window must be a literal, got ${other.sql}")
       }
-      WindowFunnelAgg(w, es(1), es.drop(2)).toAggregateExpression()
+      val modes = es.drop(1).takeWhile {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
+          => true
+        case _ => false
+      }.map(_.asInstanceOf[Literal].value.toString)
+      val strict = modes.map {
+        case "strict_increase" => true
+        case other => throw new IllegalArgumentException(
+          s"windowFunnel: unsupported mode '$other' " +
+            "(only 'strict_increase' is implemented)")
+      }.contains(true)
+      val rest = es.drop(1 + modes.length)
+      WindowFunnelAgg(w, rest.head, rest.tail, strictIncrease = strict)
+        .toAggregateExpression()
     }),
     // chSequenceMatch(pattern, ts, c1, …): target of the curried
     // sequenceMatch('(?1)(?2)…')(ts, c1, …) rewrite. The supported
@@ -838,21 +856,28 @@ object ChCompat {
     // as operators.Funnel.sequenceMatch, gate r31). Time-constrained
     // patterns ((?t<=3600)) throw rather than mis-match. Rides on
     // WindowFunnelAgg with an unbounded window: matched iff the
-    // deepest level equals the pattern length.
+    // deepest level equals the pattern length. Equal-timestamp events
+    // sit in "undefined order" in CH's sequenceMatch contract; this
+    // engine resolves the ambiguity DETERMINISTICALLY as
+    // strictly-increasing (equal-time events never chain) — a pinned
+    // choice inside CH's undefined space, unlike windowFunnel where
+    // CH defines equal-time chaining and the default matches it.
     "chSequenceMatch" -> (es => {
       val ordered = chainPatternConds(es, "sequenceMatch")
       EqualTo(
-        WindowFunnelAgg(Long.MaxValue / 4000000L, es(1), ordered)
+        WindowFunnelAgg(Long.MaxValue / 4000000L, es(1), ordered,
+          strictIncrease = true)
           .toAggregateExpression(),
         Literal(ordered.length))
     }),
     // chSequenceCount(pattern, ts, c1, …): target of the curried
     // sequenceCount('(?1)(?2)…')(ts, c1, …) rewrite — the number of
-    // DISJOINT ordered chains, same pattern subset as sequenceMatch
+    // DISJOINT ordered chains, same pattern subset (and same pinned
+    // strict equal-time resolution) as sequenceMatch
     "chSequenceCount" -> (es => {
       val ordered = chainPatternConds(es, "sequenceCount")
       WindowFunnelAgg(Long.MaxValue / 4000000L, es(1), ordered,
-        countChains = true).toAggregateExpression()
+        countChains = true, strictIncrease = true).toAggregateExpression()
     }),
     // retention(c1, …, cN): r[0] = c1 fired on some row, r[i] = c1
     // fired on some row AND c_i+1 fired on some (other) row — CH's

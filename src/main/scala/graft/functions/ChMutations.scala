@@ -139,6 +139,11 @@ object ChMutations {
         s"ChMutations: cannot alter partition column `$touchedCol`")
     val out = transform(base)
     val staging = stageOut(out)
+    // NO finally-cleanup here, deliberately: once the DROP TABLE below
+    // runs, staging holds the ONLY copy of the data. If the recreate or
+    // the insert fails, staging must survive so the data is recoverable
+    // — deleting it on the failure path would make a transient write
+    // error permanent data loss. Cleanup happens only after success.
     try {
       val external =
         meta.tableType == org.apache.spark.sql.catalyst.catalog
@@ -152,7 +157,7 @@ object ChMutations {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true)
       }
-      val staged = spark.read.parquet(staging)
+      val staged = spark.read.schema(out.schema).parquet(staging)
       val part =
         if (partCols.isEmpty) ""
         else s" PARTITIONED BY (${partCols.map(c => s"`$c`").mkString(", ")})"
@@ -165,8 +170,13 @@ object ChMutations {
         partCols.exists(_.equalsIgnoreCase(c))) ++ partCols
       staged.select(ordered.map(col): _*)
         .write.mode("append").insertInto(table)
-    } finally org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(staging))
+    } catch {
+      case e: Throwable => throw new RuntimeException(
+        s"ChMutations: schema rewrite of `$table` failed mid-swap; the " +
+          s"rewritten data is preserved at $staging — if the table was " +
+          "already dropped, recreate it from that directory", e)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
     0
   }
 
@@ -408,7 +418,10 @@ object ChMutations {
         if (assignments.isEmpty) keepRows(base, cond)
         else applyAssignments(base)
       val staging = stageOut(out.select(base.columns.map(col): _*))
-      try spark.read.parquet(staging).write.mode("overwrite").insertInto(table)
+      // schema pinned: a DELETE matching every row leaves staging with
+      // zero files, where inference fails but truncation is the intent
+      try spark.read.schema(base.schema).parquet(staging)
+        .write.mode("overwrite").insertInto(table)
       finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(staging))
       0

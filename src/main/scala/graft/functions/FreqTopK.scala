@@ -50,10 +50,18 @@ case class FreqTopK(child: Expression, k: Int, maxMapSize: Int,
     if (v != null) weight match {
       case None => buf.update(v.asInstanceOf[UTF8String].toString)
       case Some(w) =>
-        // CH topKWeighted: each row counts `weight` times
+        // CH topKWeighted: each row counts `weight` times. The sketch
+        // rejects non-positive counts with an executor-killing
+        // exception, so weight 0 is skipped (a zero-count observation
+        // is a no-op by definition) and negative weights get a clear
+        // caller-facing error instead.
         val wv = w.eval(row)
-        if (wv != null) buf.update(v.asInstanceOf[UTF8String].toString,
-          wv.asInstanceOf[Number].longValue())
+        if (wv != null) {
+          val n = wv.asInstanceOf[Number].longValue()
+          if (n < 0) throw new IllegalArgumentException(
+            s"topKWeighted: negative weight $n (weights must be >= 0)")
+          if (n > 0) buf.update(v.asInstanceOf[UTF8String].toString, n)
+        }
     }
     buf
   }

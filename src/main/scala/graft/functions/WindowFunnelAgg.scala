@@ -11,9 +11,14 @@ import org.apache.spark.sql.types._
   *
   * Same semantics as the relational [[graft.operators.Funnel]] (gate
   * r29): deepest step K such that some chain of events matching
-  * conds 1…K occurs in STRICTLY increasing time order within
-  * `windowSec` seconds (truncated-seconds difference, matching
-  * `unix_timestamp` arithmetic) of the chain's first event. CH's own
+  * conds 1…K occurs in NON-DECREASING time order within `windowSec`
+  * seconds (truncated-seconds difference, matching `unix_timestamp`
+  * arithmetic) of the chain's first event. Non-decreasing is
+  * ClickHouse's default — two steps may share a timestamp (and one
+  * event matching consecutive conditions may satisfy both, exactly as
+  * CH's per-(timestamp, condition) event entries chain at equal time);
+  * `strictIncrease = true` is the `'strict_increase'` mode, requiring
+  * every step strictly later than the previous. CH's own
   * implementation buffers the group's qualifying events in memory and
   * resolves the funnel at finalization; so does this one — the buffer
   * carries only events matching at least one condition, as (micros,
@@ -32,6 +37,7 @@ import org.apache.spark.sql.types._
   */
 case class WindowFunnelAgg(windowSec: Long, ts: Expression,
     conds: Seq[Expression], countChains: Boolean = false,
+    strictIncrease: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[
       scala.collection.mutable.ArrayBuffer[(Long, Int)]] {
@@ -71,14 +77,16 @@ case class WindowFunnelAgg(windowSec: Long, ts: Expression,
   override def merge(buf: Buf, other: Buf): Buf = { buf ++= other; buf }
 
   /** sequenceCount mode: greedy left-to-right scan counting DISJOINT
-    * strict-order chains (earliest-completion-first maximizes the
-    * number of disjoint subsequence matches — the exchange argument:
-    * any solution can be rewritten to end its first chain no later).
+    * ordered chains (earliest-completion-first maximizes the number
+    * of disjoint subsequence matches — the exchange argument: any
+    * solution can be rewritten to end its first chain no later).
     */
   private def countDisjointChains(evs: Array[(Long, Int)]): Int = {
     var count = 0; var level = 0; var lastTs = Long.MinValue
     evs.foreach { case (t, mask) =>
-      if ((mask & (1 << level)) != 0 && (level == 0 || t > lastTs)) {
+      val ordered = level == 0 ||
+        (if (strictIncrease) t > lastTs else t >= lastTs)
+      if ((mask & (1 << level)) != 0 && ordered) {
         level += 1; lastTs = t
         if (level == conds.length) { count += 1; level = 0 }
       }
@@ -90,7 +98,9 @@ case class WindowFunnelAgg(windowSec: Long, ts: Expression,
     if (buf.isEmpty) return 0
     val evs = buf.sortBy(_._1).toArray
     if (countChains) return countDisjointChains(evs)
-    // strictly-after, truncated-seconds window — the Funnel contract
+    // truncated-seconds window — the Funnel contract. Step ordering is
+    // non-decreasing by default (CH), strictly-after under
+    // strict_increase.
     def sec(m: Long) = Math.floorDiv(m, 1000000L)
     // level-1 chains: (start, last) at each cond1 event
     var chains = evs.filter(e => (e._2 & 1) != 0).map(e => (e._1, e._1))
@@ -105,7 +115,8 @@ case class WindowFunnelAgg(windowSec: Long, ts: Expression,
       val advanced =
         new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       chains.foreach { case (start, last) =>
-        while (j < nxt.length && nxt(j) <= last) j += 1
+        while (j < nxt.length &&
+          (if (strictIncrease) nxt(j) <= last else nxt(j) < last)) j += 1
         if (j < nxt.length && sec(nxt(j)) - sec(start) <= windowSec)
           advanced += ((start, nxt(j)))
       }

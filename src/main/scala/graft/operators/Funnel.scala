@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Sequential-conversion funnel — ClickHouse's `windowFunnel`
   * re-expressed relationally: the deepest step K such that some chain
-  * of events matching `steps(0) … steps(K-1)` occurs in strictly
-  * increasing time order within `windowSec` seconds of the chain's
-  * first event.
+  * of events matching `steps(0) … steps(K-1)` occurs in
+  * non-decreasing time order (ClickHouse's default — two steps may
+  * share a timestamp; `strictIncrease = true` is CH's
+  * `'strict_increase'` mode, every step strictly later) within
+  * `windowSec` seconds of the chain's first event.
   *
   * Execution shape: NOT a per-user array fold (collect_list of a
   * user's full history is unbounded state at 100 TB) and NOT a theta
@@ -26,14 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** Next event time strictly after `tCol` matching `cond`, per key:
-    * heads(side 1) ∪ candidate events(side 0), ordered by (t, side
-    * ASC) so an equal-time candidate (side 0) sorts BEFORE the head
-    * (side 1) and stays out of the head's strictly-following frame.
+  /** Next event time at-or-after (default) / strictly after (strict
+    * mode) `tCol` matching `cond`, per key: heads(side 1) ∪ candidate
+    * events(side 0). The equal-time contract lives entirely in the
+    * sort's side tie-break — strict: side ASC puts an equal-time
+    * candidate BEFORE the head, outside the head's following frame;
+    * default: side DESC puts it AFTER the head, inside the frame, so
+    * same-timestamp steps chain as ClickHouse's default mode defines.
     */
   private def nextAfter(heads: DataFrame, events: DataFrame, cond: Column,
-      userCol: String, tsCol: String, tCol: String, outCol: String)
-      : DataFrame = {
+      userCol: String, tsCol: String, tCol: String, outCol: String,
+      strictIncrease: Boolean): DataFrame = {
     val headCols = heads.columns
     val h = heads
       .withColumn("__t", col(tCol))
@@ -43,8 +48,10 @@ object Funnel {
       .select(Seq(col(userCol), col(tsCol).as("__t"), lit(0).as("__side"),
         col(tsCol).as("__et")) ++
         headCols.filterNot(_ == userCol).map(c => lit(null).as(c)): _*)
+    val sideOrder =
+      if (strictIncrease) col("__side").asc else col("__side").desc
     val w = Window.partitionBy(userCol)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, sideOrder)
       .rowsBetween(1, Window.unboundedFollowing)
     h.unionByName(e.select(h.columns.map(col): _*))
       .withColumn(outCol, min(col("__et")).over(w))
@@ -62,13 +69,14 @@ object Funnel {
     *         with level in [0, steps.length]
     */
   def windowFunnel(events: DataFrame, userCol: String, tsCol: String,
-      steps: Seq[Column], windowSec: Long): DataFrame = {
+      steps: Seq[Column], windowSec: Long,
+      strictIncrease: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "windowFunnel needs at least one step")
     var chains = events.filter(steps.head)
       .select(col(userCol), col(tsCol).as("t1"))
     steps.zipWithIndex.drop(1).foreach { case (cond, i) =>
       chains = nextAfter(chains, events, cond, userCol, tsCol,
-        s"t$i", s"t${i + 1}")
+        s"t$i", s"t${i + 1}", strictIncrease)
     }
     // level of each chain: climb while each t_i exists and lands
     // within the window of t1; stop at the first miss (a later t_j
@@ -92,11 +100,14 @@ object Funnel {
     * chain matching every step, with no window bound — windowFunnel
     * with an unbounded window, matched iff the deepest level is N.
     * (Other events may interleave, as in the CH semantics for a
-    * pattern without `.*` constraints.)
+    * pattern without `.*` constraints. CH leaves equal-timestamp
+    * ordering UNDEFINED for sequenceMatch; this engine pins the
+    * deterministic strict resolution — equal-time events never chain —
+    * matching the chSequenceMatch SQL spelling.)
     */
   def sequenceMatch(events: DataFrame, userCol: String, tsCol: String,
       steps: Seq[Column]): DataFrame =
     windowFunnel(events, userCol, tsCol, steps,
-        windowSec = Long.MaxValue / 4)
+        windowSec = Long.MaxValue / 4, strictIncrease = true)
       .select(col(userCol), (col("level") === steps.length).as("matched"))
 }

@@ -650,8 +650,8 @@ object RefQueries {
   }
 
   // ---- B-surface extension: ClickHouse windowFunnel — deepest
-  // view→click→purchase chain per user in strictly increasing time
-  // order within 24h of the chain's first event. Greedy forward
+  // view→click→purchase chain per user in non-decreasing time order
+  // (CH's default mode) within 24h of the chain's first event. Greedy forward
   // next-event lookups (one keyed window per step), exact per the
   // operator's argument; full relational oracle via correlated
   // min-subqueries. ----

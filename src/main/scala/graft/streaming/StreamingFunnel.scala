@@ -18,10 +18,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * DP state per user is O(steps) longs: best(i) = the LATEST chain
   * start among chains that have reached step i+1 (later starts leave
-  * more window room, so they dominate). Equal-timestamp groups are
-  * applied against the pre-group state so a same-instant next step
-  * can never extend a chain (strict increase — pinned equal to the
-  * batch operator by spec). The pending buffer is bounded by the
+  * more window room, so they dominate). Equal-timestamp groups drain
+  * atomically in step order against the EVOLVING state, so
+  * same-instant steps chain — ClickHouse's default non-decreasing
+  * mode, pinned equal to the batch operator by spec; under
+  * `strictIncrease` the group applies against the pre-group snapshot
+  * instead, so a same-instant next step never extends a chain. The
+  * pending buffer is bounded by the
   * watermark horizon × per-user event rate, NOT the stream's
   * lifetime; drained events leave state immediately.
   *
@@ -47,7 +50,8 @@ object StreamingFunnel {
     * @param lateness  watermark horizon
     */
   def funnel(events: DataFrame, nSteps: Int, windowSec: Long,
-      lateness: String = "10 minutes"): Dataset[FunnelProgress] = {
+      lateness: String = "10 minutes",
+      strictIncrease: Boolean = false): Dataset[FunnelProgress] = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -60,13 +64,14 @@ object StreamingFunnel {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FState, FunnelProgress](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
-        processGroup(nSteps, windowSec))
+        processGroup(nSteps, windowSec, strictIncrease))
   }
 
   /** The per-group state transition — factored out so the timeout /
     * state-removal contract is unit-testable with `TestGroupState`.
     */
-  private[streaming] def processGroup(nSteps: Int, windowSec: Long)(
+  private[streaming] def processGroup(nSteps: Int, windowSec: Long,
+      strictIncrease: Boolean = false)(
       user: Long, rows: Iterator[StepEvent],
       state: GroupState[FState]): Iterator[FunnelProgress] = {
     // a group is only invoked when it has input rows OR a timeout
@@ -90,16 +95,20 @@ object StreamingFunnel {
     ready.groupBy(_._1).toSeq.sortBy(_._1)
       .foreach { case (t, group) =>
         val before = best
-        group.foreach { case (_, step) =>
+        // default (CH non-decreasing): apply in step order against
+        // the EVOLVING state, so a same-instant next step chains;
+        // strict: read the pre-group snapshot, so it never does
+        group.sortBy(_._2).foreach { case (_, step) =>
+          val base = if (strictIncrease) before else best
           if (step == 0)
             best = best.updated(0, math.max(best(0), t))
           // window check floors each side to whole seconds THEN
           // diffs — the batch operator's unix_timestamp form;
           // diff-then-floor disagrees on sub-second fractions
-          else if (before(step - 1) != UNSET &&
-              t / 1000L - before(step - 1) / 1000L <= windowSec)
+          else if (base(step - 1) != UNSET &&
+              t / 1000L - base(step - 1) / 1000L <= windowSec)
             best = best.updated(step,
-              math.max(best(step), before(step - 1)))
+              math.max(best(step), base(step - 1)))
         }
         val reached = best.lastIndexWhere(_ != UNSET) + 1
         if (reached > level) { level = reached; levelAt = t }

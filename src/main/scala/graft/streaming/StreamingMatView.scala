@@ -55,26 +55,47 @@ object StreamingMatView {
 
   private def pointer(dir: String) = new Path(dir, "_mv_last_batch")
 
+  private def tmpPointer(dir: String) = new Path(dir, "_mv_last_batch.tmp")
+
   def lastBatchId(spark: SparkSession, dir: String): Long = {
-    val f = fs(spark, dir); val p = pointer(dir)
-    if (!f.exists(p)) -1L
-    else {
-      val in = f.open(p)
-      try {
-        val s = scala.io.Source.fromInputStream(in).mkString.trim
-        if (s.isEmpty) -1L else s.toLong
-      } finally in.close()
-    }
+    val f = fs(spark, dir)
+    def readLong(p: Path): Option[Long] =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        // a torn tmp write can leave non-numeric bytes — treat as absent
+        try scala.util.Try(
+          scala.io.Source.fromInputStream(in).mkString.trim.toLong).toOption
+        finally in.close()
+      }
+    // The .tmp fallback covers the commit crash window: a fully-written
+    // tmp that never got renamed still records the applied batch, so a
+    // restart doesn't lose the replay guard entirely. A pointer AND a
+    // newer tmp can coexist (crash between write and rename) — take max.
+    (readLong(pointer(dir)).toSeq ++ readLong(tmpPointer(dir)).toSeq)
+      .foldLeft(-1L)(math.max)
   }
 
   private def commitBatchId(spark: SparkSession, dir: String,
       id: Long): Unit = {
     val f = fs(spark, dir)
-    val tmp = new Path(dir, s"_mv_last_batch.tmp")
+    val tmp = tmpPointer(dir)
     val out = f.create(tmp, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
-    // rename is atomic on a real filesystem; overwrite the old pointer
-    f.delete(pointer(dir), false)
-    f.rename(tmp, pointer(dir))
+    // Overwriting rename, atomic where the filesystem supports it: via
+    // FileContext + Options.Rename.OVERWRITE there is NO delete-then-
+    // rename window in which the pointer is absent. If FileContext is
+    // unavailable for the scheme, fall back to delete+rename — the
+    // lastBatchId tmp fallback still closes that crash window.
+    try {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, pointer(dir),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        f.delete(pointer(dir), false)
+        f.rename(tmp, pointer(dir))
+    }
   }
 }

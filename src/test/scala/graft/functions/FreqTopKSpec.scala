@@ -94,4 +94,22 @@ class FreqTopKSpec extends SparkTestBase {
       .as[(String, Long)].collect().toSeq
     assert(got === exact(5))
   }
+
+  test("topKWeighted: zero weights are no-ops, negative weights refuse") {
+    ChCompat.registerAll(spark)
+    Seq(("a", 5L), ("b", 3L), ("a", 0L), ("c", 0L), ("b", 1L))
+      .toDF("v", "w").createOrReplaceTempView("tkw_src")
+    // c appears ONLY with weight 0 — it must not surface at all, and
+    // the zero rows must not crash the sketch's positive-count check
+    val got = ChCompat.sql(spark,
+      "SELECT topKWeighted(2)(v, w) AS top FROM tkw_src")
+      .head.getSeq[String](0)
+    assert(got === Seq("a", "b"))
+    val err = intercept[Exception] {
+      Seq(("a", -1L)).toDF("v", "w").createOrReplaceTempView("tkw_neg")
+      ChCompat.sql(spark,
+        "SELECT topKWeighted(1)(v, w) FROM tkw_neg").collect()
+    }
+    assert(err.getMessage != null)
+  }
 }

@@ -4,10 +4,11 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
 /** windowFunnel(w)(ts, c1…cN) as a SQL aggregate: pinned golden cases
-  * for the strict-order/window contract, and equivalence with the
-  * relational [[graft.operators.Funnel]] operator (gate r29) on a
-  * seeded random event table — two independent implementations of the
-  * same semantics must agree user-for-user.
+  * for the step-order/window contract (non-decreasing by default,
+  * strictly-later under 'strict_increase' — ClickHouse's modes), and
+  * equivalence with the relational [[graft.operators.Funnel]] operator
+  * (gate r29) on a seeded random event table — two independent
+  * implementations of the same semantics must agree user-for-user.
   */
 class WindowFunnelAggSpec extends SparkTestBase {
   import spark.implicits._
@@ -17,20 +18,21 @@ class WindowFunnelAggSpec extends SparkTestBase {
     ChCompat.sql(spark, q)
   }
 
-  test("golden cases: depth, strict order, window cutoff") {
+  test("golden cases: depth, step order, window cutoff, equal-ts modes") {
     Seq(
       // u1: full chain within window
       (1, "2024-01-01 00:00:00", "view"),
       (1, "2024-01-01 00:10:00", "click"),
       (1, "2024-01-01 00:20:00", "purchase"),
-      // u2: click BEFORE view — chain can't use it (strict order)
+      // u2: click BEFORE view — chain can't use it (ordered)
       (2, "2024-01-01 00:10:00", "click"),
       (2, "2024-01-01 00:20:00", "view"),
       // u3: purchase outside the window of the view
       (3, "2024-01-01 00:00:00", "view"),
       (3, "2024-01-01 00:10:00", "click"),
       (3, "2024-01-01 02:00:00", "purchase"),
-      // u4: same-timestamp click cannot advance (strictly after)
+      // u4: same-timestamp click — chains by default (CH
+      // non-decreasing), not under 'strict_increase'
       (4, "2024-01-01 00:00:00", "view"),
       (4, "2024-01-01 00:00:00", "click"),
       // u5: no step-1 event at all
@@ -43,7 +45,17 @@ class WindowFunnelAggSpec extends SparkTestBase {
         et = 'purchase') AS level
       FROM wf_events GROUP BY uid ORDER BY uid""")
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
-    assert(got === Seq((1, 3), (2, 1), (3, 2), (4, 1), (5, 0)))
+    assert(got === Seq((1, 3), (2, 1), (3, 2), (4, 2), (5, 0)))
+    val strict = chSql("""
+      SELECT uid, windowFunnel(3600, 'strict_increase')(ts, et = 'view',
+        et = 'click', et = 'purchase') AS level
+      FROM wf_events GROUP BY uid ORDER BY uid""")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(strict === Seq((1, 3), (2, 1), (3, 2), (4, 1), (5, 0)))
+    // unimplemented CH modes refuse rather than silently mis-match
+    intercept[Exception](chSql("""
+      SELECT uid, windowFunnel(3600, 'strict_order')(ts, et = 'view',
+        et = 'click') AS level FROM wf_events GROUP BY uid""").collect())
   }
 
   test("a LATER chain start can reach deeper than the first start") {

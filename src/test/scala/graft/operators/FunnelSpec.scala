@@ -4,8 +4,9 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
-/** windowFunnel semantics: strict time increase, window anchored at
-  * the chain's first event, per-user max over chain starts, level-0
+/** windowFunnel semantics: non-decreasing time between steps (CH
+  * default) with strict_increase opt-in, window anchored at the
+  * chain's first event, per-user max over chain starts, level-0
   * users, and agreement with an exhaustive reference on a randomized
   * corpus (the greedy-is-exact claim).
   */
@@ -14,11 +15,12 @@ class FunnelSpec extends SparkTestBase {
 
   private def ts(min: Int) = new Timestamp(min * 60000L)
 
-  private def run(rows: Seq[(Long, Timestamp, String)], windowSec: Long) =
+  private def run(rows: Seq[(Long, Timestamp, String)], windowSec: Long,
+      strict: Boolean = false) =
     Funnel.windowFunnel(rows.toDF("user_id", "ts", "event_type"),
         "user_id", "ts",
         Seq(col("event_type") === "a", col("event_type") === "b",
-          col("event_type") === "c"), windowSec)
+          col("event_type") === "c"), windowSec, strictIncrease = strict)
       .as[(Long, Int)].collect().toMap
 
   test("full chain within window reaches level 3; broken chains stop") {
@@ -40,9 +42,11 @@ class FunnelSpec extends SparkTestBase {
     assert(run(rows2, 3600) === Map(1L -> 3))
   }
 
-  test("strict increase: an equal-timestamp next step does not count") {
+  test("equal-timestamp next step: chains by default (CH), not under " +
+      "strict_increase") {
     val rows = Seq((1L, ts(0), "a"), (1L, ts(0), "b"), (1L, ts(5), "c"))
-    assert(run(rows, 3600) === Map(1L -> 1))
+    assert(run(rows, 3600) === Map(1L -> 3))
+    assert(run(rows, 3600, strict = true) === Map(1L -> 1))
   }
 
   test("out-of-order steps do not count") {
@@ -59,20 +63,21 @@ class FunnelSpec extends SparkTestBase {
         (u.toLong, ts(rnd.nextInt(200)), types(rnd.nextInt(4))))
     }
     val windowSec = 60L * 60 // 60 minutes
-    val got = run(rows, windowSec)
-    // exhaustive reference: try every (t1, t2, t3) combination
+    // exhaustive reference: try every (t1, t2, t3) combination, once
+    // per time-comparison mode
     val byUser = rows.groupBy(_._1)
-    val want = byUser.map { case (u, evs) =>
+    def want(after: (Long, Long) => Boolean) = byUser.map { case (u, evs) =>
       val a = evs.filter(_._3 == "a").map(_._2.getTime).sorted
       val b = evs.filter(_._3 == "b").map(_._2.getTime).sorted
       val c = evs.filter(_._3 == "c").map(_._2.getTime).sorted
       val w = windowSec * 1000
-      val l3 = a.exists(t1 => b.exists(t2 => t2 > t1 && t2 - t1 <= w &&
-        c.exists(t3 => t3 > t2 && t3 - t1 <= w)))
-      val l2 = a.exists(t1 => b.exists(t2 => t2 > t1 && t2 - t1 <= w))
+      val l3 = a.exists(t1 => b.exists(t2 => after(t2, t1) && t2 - t1 <= w &&
+        c.exists(t3 => after(t3, t2) && t3 - t1 <= w)))
+      val l2 = a.exists(t1 => b.exists(t2 => after(t2, t1) && t2 - t1 <= w))
       u -> (if (l3) 3 else if (l2) 2 else if (a.nonEmpty) 1 else 0)
     }
-    assert(got === want)
+    assert(run(rows, windowSec) === want(_ >= _))
+    assert(run(rows, windowSec, strict = true) === want(_ > _))
   }
 
   test("sequenceMatch: unbounded-window full-chain existence") {

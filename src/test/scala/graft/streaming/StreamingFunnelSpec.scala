@@ -94,22 +94,37 @@ class StreamingFunnelSpec extends SparkTestBase {
     assert(s2.isRemoved)
   }
 
-  test("same-instant next step does not count (strict increase)") {
-    val in = MemoryStream[(Long, java.sql.Timestamp, Int)](spark)
-    val out = StreamingFunnel.funnel(
-      in.toDF.toDF("user_id", "ts", "step"),
-      nSteps = 2, windowSec = 3600, lateness = "5 minutes")
-    val q = out.writeStream.format("memory").queryName("sf_strict")
-      .outputMode(OutputMode.Update).start()
-    try {
-      in.addData((1L, ts(0), 0), (1L, ts(0), 1))
-      q.processAllAvailable()
-      in.addData((9L, ts(5000), 0)); q.processAllAvailable()
-      in.addData((9L, ts(9000), 0)); q.processAllAvailable()
-      val got = spark.table("sf_strict")
-        .filter(col("user_id") === 1L)
-        .agg(max("level")).as[Int].collect().toSeq
-      assert(got.headOption.getOrElse(0) === 1)
-    } finally q.stop()
+  test("same-instant next step chains by default (CH non-decreasing), " +
+      "not under strict_increase — both equal to the batch operator") {
+    def run(strict: Boolean, name: String): Int = {
+      val in = MemoryStream[(Long, java.sql.Timestamp, Int)](spark)
+      val out = StreamingFunnel.funnel(
+        in.toDF.toDF("user_id", "ts", "step"),
+        nSteps = 2, windowSec = 3600, lateness = "5 minutes",
+        strictIncrease = strict)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try {
+        in.addData((1L, ts(0), 0), (1L, ts(0), 1))
+        q.processAllAvailable()
+        in.addData((9L, ts(5000), 0)); q.processAllAvailable()
+        in.addData((9L, ts(9000), 0)); q.processAllAvailable()
+        spark.table(name).filter(col("user_id") === 1L)
+          .agg(max("level")).as[Int].collect()
+          .headOption.getOrElse(0)
+      } finally q.stop()
+    }
+    assert(run(strict = false, "sf_default") === 2)
+    assert(run(strict = true, "sf_strict") === 1)
+    // both modes pinned to the batch operator on the same events
+    val batchDf = Seq((1L, ts(0), "a"), (1L, ts(0), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val steps = Seq(col("event_type") === "a", col("event_type") === "b")
+    def batch(strict: Boolean) = graft.operators.Funnel
+      .windowFunnel(batchDf, "user_id", "ts", steps, 3600,
+        strictIncrease = strict)
+      .as[(Long, Int)].collect().toMap.apply(1L)
+    assert(batch(strict = false) === 2)
+    assert(batch(strict = true) === 1)
   }
 }
