@@ -678,6 +678,49 @@ object SparkEntry {
                / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6
          ORDER BY id_a, id_b""",
 
+    // d02/d03 recall gates: the oracle is the EXHAUSTIVE exact
+    // shingle-Jaccard pair set at J >= 0.8 — distinct 5-char windows
+    // of the lowercased text (the same windows ShingleHashSorted
+    // hashes: all n-byte windows for len >= n, the whole string as
+    // one window below that — the corpus is pure ASCII, so DuckDB's
+    // char-indexed substr sees exactly Spark's byte windows), pair
+    // intersections via an inverted shingle→doc join rather than an
+    // O(N²) cross. The Spark side reaches the same set THROUGH the
+    // LSH/SimHash candidate machinery, so a row mismatch means lost
+    // recall, not formatting. Both emit (inter, un) as integers —
+    // exact Jaccard pinned without any float in the compared output.
+    "d02_minhash_lsh" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         s AS (SELECT doc_id, unnest(list_distinct(
+                 [substr(t, i, 5) FOR i IN range(1, greatest(length(t)-4, 1) + 1)]
+               )) AS sh FROM d),
+         sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+               FROM s a JOIN s b ON a.sh = b.sh AND b.doc_id > a.doc_id
+               GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(inter AS INTEGER) AS inter,
+                CAST(sa.n + sb.n - inter AS INTEGER) AS un
+         FROM p JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "d03_simhash" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         s AS (SELECT doc_id, unnest(list_distinct(
+                 [substr(t, i, 5) FOR i IN range(1, greatest(length(t)-4, 1) + 1)]
+               )) AS sh FROM d),
+         sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+               FROM s a JOIN s b ON a.sh = b.sh AND b.doc_id > a.doc_id
+               GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(inter AS INTEGER) AS inter,
+                CAST(sa.n + sb.n - inter AS INTEGER) AS un
+         FROM p JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         ORDER BY id_a, id_b""",
+
     // g05: same edge definition as d04, closed into triangles; the
     // Spark side's degree orientation is count-invariant
     "g05_triangles" ->

@@ -107,3 +107,43 @@ object SortedLongJaccard {
     ColumnBridge.column(
       SortedLongJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Intersection SIZE of two sorted distinct long arrays — the integer
+  * numerator of [[SortedLongJaccard]], exposed separately so recall
+  * gates can emit (inter, union) as INTEGERS: an oracle comparing
+  * integer set sizes is immune to any float formatting/rounding
+  * divergence between engines, while still pinning the Jaccard value
+  * exactly (j = inter / (|a|+|b|-inter)).
+  */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val nx = xs.numElements()
+    val ny = ys.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val x = xs.getLong(i)
+      val y = ys.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object SortedLongIntersect {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedLongIntersect(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -23,8 +23,19 @@ object PipelineQueries {
       .orderBy("keep_id")
       .select("keep_id", "dups", "h")
 
-  // ---- MinHash + LSH near-dup candidates, verified with exact Jaccard.
-  // Rows-only oracle: the signature hashing isn't SQL-portable. ----
+  // ---- MinHash + LSH near-dup detection, verified with exact Jaccard
+  // — run as a RECALL GATE with a full DuckDB oracle. The output is
+  // the exact shingle-Jaccard pair set at J >= 0.8, reached THROUGH
+  // the banded-LSH candidate machinery: bands=16 × rows=4 puts the
+  // S-curve's miss probability at (1-J⁴)¹⁶ ≤ 2.2e-4 for J = 0.8
+  // (~4e-8 at 0.9), and the corpus's near-dup pairs are bimodal
+  // (nothing between ~0.5 and ~0.8), so banding recall is 1 here and
+  // the candidate∩exact set EQUALS the oracle's exhaustive exact pair
+  // set — any banding miss, hashing drift, or verify bug breaks the
+  // row match. (inter, un) are emitted as integers: they pin the
+  // Jaccard value exactly with no cross-engine float formatting risk.
+  // The signature path is deterministic (seed-42 XXH64), so this is a
+  // hard equality gate, not a statistical one. ----
   def minhash_lsh_dedup(s: SparkSession, dir: String): DataFrame = {
     // signatures via the native MinHashSig expression (one tight
     // primitive loop per row — ~25× the HOF pipeline); the
@@ -54,36 +65,58 @@ object PipelineQueries {
     val a = t.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = t.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard",
-        graft.functions.SortedLongJaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.35)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .withColumn("inter",
+        graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
+      .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter").cast("double") / col("un") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("inter"), col("un"))
       .orderBy("id_a", "id_b")
   }
 
-  // ---- SimHash near-dup pairs (banded hamming ≤ 12). Rows-only.
-  // Native SimHashSig expression (value-identical to the HOF form,
-  // pinned by spec) — one primitive pass per doc. ----
+  // ---- SimHash near-dup detection (banded hamming ≤ 12), run as a
+  // RECALL GATE like d02: the banded candidate pairs are verified with
+  // exact shingle Jaccard at J >= 0.8, and the gate output — the
+  // candidate∩exact set — must equal the oracle's exhaustive exact
+  // pair set. The two dedup flagships thus share ONE ground truth
+  // reached through two independent candidate generators (MinHash
+  // banding there vs sign-vote fingerprints + byte-pair blocking here):
+  // a pass proves this corpus's J >= 0.8 pairs all sit within
+  // hamming ≤ 12 AND collide on a block-pair key — exactly the recall
+  // property the SimHash detector claims at this threshold. Native SimHashSig
+  // expression (value-identical to the HOF form, pinned by spec) —
+  // one primitive pass per doc. ----
   def simhash_dedup(s: SparkSession, dir: String): DataFrame = {
     val sigs = docs(s, dir).select(col("doc_id"),
       graft.functions.SimHashSig(col("text")).as("sig"))
-    // band on 16-bit chunks: near-dups must agree on ≥1 chunk
+    // Byte-pair blocking (see TextDedup.simhashBlockPairKeys): recall 1
+    // for hamming ≤ 6 by pigeonhole, 2¹⁶-value buckets so candidate
+    // volume stays ≈ 28N²/2¹⁷ — the 4×16 quarter-band alternative
+    // measurably lost 2 of the 25 J ≥ 0.8 pairs (hamming 4–5 spread
+    // over all four quarters), and single-byte bands blew candidates
+    // up 50× (N²/2⁹ on 2⁸-value buckets).
     val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("band"),
-          shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*))
-        .as("bb"))
+      explode(TextDedup.simhashBlockPairKeys(col("sig"))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
       .withColumn("hamming", TextDedup.hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= 12)
-      .select("id_a", "id_b", "hamming")
+      .select("id_a", "id_b")
+    val t = docs(s, dir).select(col("doc_id"),
+      graft.functions.ShingleHashSorted(col("text"), 5).as("sh"))
+    cand
+      .join(t.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter",
+        graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
+      .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter").cast("double") / col("un") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("inter"), col("un"))
       .orderBy("id_a", "id_b")
   }
 

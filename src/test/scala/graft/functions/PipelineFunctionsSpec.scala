@@ -52,6 +52,30 @@ class PipelineFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("SortedLongIntersect is the integer numerator of SortedLongJaccard") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over a lazy dog"),
+      ("", "x"), ("same", "same"), ("abcde", "vwxyz"))
+      .toDF("a", "b")
+      .select(ShingleHashSorted(col("a"), 5).as("sa"),
+        ShingleHashSorted(col("b"), 5).as("sb"))
+    val rows = df.select(
+      SortedLongIntersect(col("sa"), col("sb")).as("inter"),
+      size(col("sa")).as("na"), size(col("sb")).as("nb"),
+      SortedLongJaccard(col("sa"), col("sb")).as("j")).collect()
+    rows.foreach { r =>
+      val (inter, na, nb, j) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))
+      assert(inter >= 0 && inter <= math.min(na, nb))
+      val un = na + nb - inter
+      // the d02/d03 gates emit (inter, un) instead of j precisely
+      // because this identity reconstructs j exactly from integers
+      if (un > 0) assert(j == inter.toDouble / un) else assert(j == 1.0)
+    }
+    // identical sets: inter == |a|, disjoint sets: inter == 0
+    assert(rows(2).getInt(0) == rows(2).getInt(1))
+    assert(rows(3).getInt(0) == 0)
+  }
+
   test("SQL text-analysis functions match the Column API") {
     registered()
     val df = Seq("The quick brown fox, it is said, jumps over the lazy dog!",

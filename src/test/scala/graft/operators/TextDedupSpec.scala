@@ -141,6 +141,33 @@ class TextDedupSpec extends SparkTestBase {
     assert(h === Seq(64, 1, 0))
   }
 
+  test("simhashBlockPairKeys: 28 keys, recall 1 for hamming <= 6 (pigeonhole)") {
+    // adversarial pairs: flip exactly 6 bits chosen to dirty 6 distinct
+    // bytes (the pigeonhole worst case), plus randoms from a fixed seed
+    val rnd = new scala.util.Random(7)
+    val adversarial = Seq.tabulate(20) { _ =>
+      val base = rnd.nextLong()
+      val bytes = rnd.shuffle((0 until 8).toList).take(6)
+      val flipped = bytes.foldLeft(base)((v, b) => v ^ (1L << (b * 8 + rnd.nextInt(8))))
+      (base, flipped)
+    }
+    val random = Seq.tabulate(20)(_ => (rnd.nextLong(), rnd.nextLong()))
+    val df = (adversarial ++ random).toDF("a", "b")
+    val rows = df.select(
+      TextDedup.hamming64(col("a"), col("b")).as("h"),
+      arrays_overlap(TextDedup.simhashBlockPairKeys(col("a")),
+        TextDedup.simhashBlockPairKeys(col("b"))).as("collides"),
+      size(TextDedup.simhashBlockPairKeys(col("a"))).as("n"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(2) === 28)
+      if (r.getInt(0) <= 6)
+        assert(r.getBoolean(1), s"hamming ${r.getInt(0)} pair must collide on a byte-pair key")
+    }
+    // at least the 20 adversarial pairs exercised the h <= 6 branch
+    assert(rows.count(_.getInt(0) <= 6) >= 20)
+  }
+
   test("minhash signature: deterministic, right length, identical for identical sets") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
