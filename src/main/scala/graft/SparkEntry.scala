@@ -112,6 +112,8 @@ object SparkEntry {
     "t10_kll_bound" -> (PipelineQueries.kll_bound _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
+    "m05_image_pixels" -> (PipelineQueries.multimodal_pixels _),
+    "m06_y4m_frames" -> (PipelineQueries.multimodal_y4m _),
     "m03_audio_meta" -> (PipelineQueries.multimodal_audio _),
     "m04_video_meta" -> (PipelineQueries.multimodal_video _),
   )
@@ -1109,6 +1111,44 @@ object SparkEntry {
                 octet_length(encode(text))%480 AS height,
                 CASE WHEN octet_length(encode(text))%2=0 THEN 'png' ELSE 'jpeg' END AS format
          FROM documents ORDER BY doc_id""",
+
+    // m05: the checkerboard PNG's closed form — even width w means
+    // every row holds exactly w/2 pixels of each color, so each
+    // channel sum is (w·h/2)(c0+c1) exactly (PNG is lossless; the
+    // decoded raster is bit-identical to what the JDK encoder drew)
+    "m05_image_pixels" ->
+      """WITH d AS (SELECT doc_id,
+             CAST((doc_id%16)*2+16 AS INTEGER) AS w,
+             CAST(doc_id%24+8 AS INTEGER) AS h,
+             (doc_id%256 + doc_id*3%256) AS rr,
+             (doc_id*7%256 + doc_id*5%256) AS gg,
+             (doc_id*13%256 + doc_id*11%256) AS bb
+           FROM documents)
+         SELECT doc_id, w AS width, h AS height,
+                CAST(w*h//2*rr AS BIGINT) AS sum_r,
+                CAST(w*h//2*gg AS BIGINT) AS sum_g,
+                CAST(w*h//2*bb AS BIGINT) AS sum_b,
+                CAST(299*(w*h//2*rr) + 587*(w*h//2*gg) + 114*(w*h//2*bb)
+                     AS BIGINT) AS luma_sum_x1000
+         FROM d ORDER BY doc_id""",
+
+    // m06: the Y4M synth's closed form — frame k's luma plane is the
+    // constant (doc_id + 17k) mod 256, so its sum is w·h·that; only
+    // even k survives the everyNth=2 sampler
+    "m06_y4m_frames" ->
+      """WITH d AS (SELECT doc_id,
+             CAST((doc_id%8)*2+8 AS INTEGER) AS w,
+             CAST((doc_id%6)*2+6 AS INTEGER) AS h,
+             doc_id%7+3 AS nf
+           FROM documents),
+         f AS (SELECT doc_id, w, h,
+                 unnest(generate_series(0, nf - 1)) AS k
+               FROM d)
+         SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+                w AS width, h AS height,
+                CAST(w*h*((doc_id + 17*k)%256) AS BIGINT) AS y_sum
+         FROM f WHERE k%2 = 0
+         ORDER BY doc_id, frame_idx""",
 
     // m02: fixed-size byte windows, every 3rd — the oracle reproduces
     // the frame arithmetic (last frame is the remainder)

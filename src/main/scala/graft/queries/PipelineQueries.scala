@@ -554,6 +554,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- m05: REAL image PIXEL math. Synthesize a deterministic
+  // checkerboard PNG per doc (lossless, even width → exact closed-form
+  // channel sums), decode the full raster back through javax.imageio,
+  // and emit integer sums — the oracle is pure SQL arithmetic, no
+  // float tolerance. This is the image path with NO stub left: real
+  // encoder, real decoder, real per-pixel work. ----
+  def multimodal_pixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val png = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val (r0, g0, b0) = ((id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+        val (r1, g1, b1) = ((id * 3 % 256).toInt, (id * 5 % 256).toInt, (id * 11 % 256).toInt)
+        (id, graft.multimodal.Multimodal.synthCheckerPng(
+          w = ((id % 16) * 2 + 16).toInt, h = (id % 24 + 8).toInt,
+          c0 = (r0 << 16) | (g0 << 8) | b0, c1 = (r1 << 16) | (g1 << 8) | b1))
+      }.toDF("doc_id", "payload")
+    graft.multimodal.Multimodal
+      .decodeImagePixelStats(png, "doc_id", "payload")
+      .selectExpr("id AS doc_id", "width", "height",
+        "sum_r", "sum_g", "sum_b", "luma_sum_x1000")
+      .orderBy("doc_id")
+  }
+
+  // ---- m06: REAL video FRAME pixels via Y4M (raw YUV, codec-free).
+  // Frame sampling with actual per-frame luma sums replaces the m02
+  // stub's "frames are just byte windows" fiction for the one video
+  // format the JVM can honestly read. everyNth=2 exercises the
+  // sampling arithmetic, not just the parse. ----
+  def multimodal_y4m(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val y4m = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        (id, graft.multimodal.Multimodal.synthY4m(
+          w = ((id % 8) * 2 + 8).toInt, h = ((id % 6) * 2 + 6).toInt,
+          nFrames = (id % 7 + 3).toInt, seed = id))
+      }.toDF("doc_id", "payload")
+    graft.multimodal.Multimodal
+      .decodeY4mFrames(y4m, "doc_id", "payload", everyNth = 2)
+      .selectExpr("id AS doc_id", "frame_idx", "width", "height", "y_sum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   def multimodal_frames(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.stubFrameSample(
         docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),

@@ -130,6 +130,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(new String(p1, "UTF-8") === ("abcdef" * 6).take(32))
   }
 
+  test("imagePixelSums: checkerboard PNG round-trip hits the closed form") {
+    // w=6,h=4, colors (10,20,30)/(40,50,60): 12 pixels of each →
+    // sum_r = 12*(10+40), etc.
+    val png = Multimodal.synthCheckerPng(6, 4, (10 << 16) | (20 << 8) | 30,
+      (40 << 16) | (50 << 8) | 60)
+    assert(Multimodal.imagePixelSums(png) ===
+      Some((6, 4, 12L * 50, 12L * 70, 12L * 90)))
+    // garbage bytes → None, empty → None
+    assert(Multimodal.imagePixelSums("not an image".getBytes) === None)
+    assert(Multimodal.imagePixelSums(Array.emptyByteArray) === None)
+  }
+
+  test("decodeImagePixelStats: luma fixed-point and null row for bad bytes") {
+    import spark.implicits._
+    val png = Multimodal.synthCheckerPng(4, 2, 0xFFFFFF, 0x000000)
+    val df = Seq((1L, png), (2L, "junk".getBytes)).toDF("id", "payload")
+    val rows = Multimodal.decodeImagePixelStats(df, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 4 white + 4 black pixels: each channel sums 4*255
+    assert(rows(1L).getLong(3) === 4L * 255)
+    assert(rows(1L).getLong(6) === (299L + 587L + 114L) * 4 * 255)
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(6))
+  }
+
+  test("y4mFrames: C420 round-trip, sampling, and torn-payload honesty") {
+    val y4m = Multimodal.synthY4m(w = 8, h = 6, nFrames = 4, seed = 100)
+    val frames = Multimodal.y4mFrames(y4m)
+    assert(frames.map(_._3) ===
+      List.tabulate(4)(k => 8L * 6 * ((100 + 17 * k) % 256)))
+    assert(frames.forall(f => f._1 == 8 && f._2 == 6))
+    // a torn last frame parses only the complete prefix
+    assert(Multimodal.y4mFrames(y4m.dropRight(5)).length === 3)
+    assert(Multimodal.y4mFrames("RIFF1234".getBytes) === Nil)
+    // decodeY4mFrames everyNth=2 keeps frames 0 and 2
+    import spark.implicits._
+    val df = Seq((7L, y4m)).toDF("id", "payload")
+    val sampled = Multimodal.decodeY4mFrames(df, "id", "payload", everyNth = 2)
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(sampled === Seq(0, 2))
+  }
+
   test("stubFrameSample: one row per sampled frame, never all frames in one row") {
     val frames = Multimodal.stubFrameSample(docs, "id", "payload",
       everyNth = 2, frameBytes = 1000)
