@@ -1237,55 +1237,114 @@ object ChCompat {
       spark.sql("EXPLAIN FORMATTED " + rewritten)
     } else if (chMatViewRe.findFirstIn(chSql).isDefined) {
       ChMatView.create(spark, chSql)
+      invalidateSystemViews(spark)
       spark.emptyDataFrame
     } else if (chDdlRe.findFirstIn(chSql).isDefined) {
       ChDdl.create(spark, chSql)
+      invalidateSystemViews(spark)
       spark.emptyDataFrame
     } else if (chMutationRe.findFirstIn(chSql).isDefined) {
       ChMutations.mutate(spark, chSql)
+      invalidateSystemViews(spark)
       spark.emptyDataFrame
     } else {
       val rewritten = ChSqlRewrite(chSql)
       if (rewritten.contains("__ch_system_"))
         materializeSystemViews(spark, rewritten)
-      spark.sql(rewritten)
+      val out = spark.sql(rewritten)
+      // a passthrough statement that isn't a read (CREATE/DROP/INSERT/
+      // …) executes eagerly inside spark.sql, so by now the catalog
+      // may differ from any cached system.* snapshot
+      if (readOnlyRe.findFirstIn(rewritten).isEmpty)
+        invalidateSystemViews(spark)
+      out
     }
 
-  /** Fresh snapshots of the `system.*` introspection views a CH
-    * client queries on connect (rewritten to `__ch_system_<t>` by
-    * [[ChSqlRewrite]]). Catalog-metadata scale; rebuilt per statement
-    * so DDL run earlier in the session is visible.
+  /** Snapshots of the `system.*` introspection views a CH client
+    * queries on connect (rewritten to `__ch_system_<t>` by
+    * [[ChSqlRewrite]]), cached per (session, catalog epoch): a CH
+    * client's on-connect chatter probes `system.columns` repeatedly,
+    * and each rebuild is a full listTables+listColumns catalog walk —
+    * O(tables) driver RPCs that caching reduces to one per epoch.
+    * Every catalog-changing statement routed through [[sql]] bumps the
+    * session's epoch; code that mutates the catalog AROUND sql() (the
+    * specs' bare spark.sql DDL, direct ChDdl/ChMutations calls) must
+    * call [[invalidateSystemViews]] — or simply route through sql() —
+    * for the next probe to see its tables.
     */
+  private val systemViewEpoch =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val systemViewsBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+  /** Instrumentation for ChCompatSpec: total catalog snapshot builds. */
+  private[graft] val systemViewBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  // identity-hash key: sessions are long-lived objects and the maps
+  // hold only a counter + name set per session, so no weak-ref dance
+  private def systemViewSessionKey(spark: SparkSession): String =
+    System.identityHashCode(spark).toHexString
+
+  /** Bump the session's catalog epoch: the next `system.*` probe
+    * rebuilds its snapshots instead of serving the cache.
+    */
+  def invalidateSystemViews(spark: SparkSession): Unit =
+    systemViewEpoch.merge(systemViewSessionKey(spark), 1L, (a, b) =>
+      java.lang.Long.valueOf(a + b))
+
   private def materializeSystemViews(spark: SparkSession,
       rewritten: String): Unit = {
-    import spark.implicits._
-    if (rewritten.contains("__ch_system_databases"))
-      spark.catalog.listDatabases().select("name")
-        .createOrReplaceTempView("__ch_system_databases")
-    if (rewritten.contains("__ch_system_tables"))
-      spark.catalog.listTables()
-        .selectExpr(
-          "coalesce(nullif(array_join(namespace, '.'), ''), 'default') " +
-            "AS database",
-          "name", "tableType AS engine", "isTemporary AS is_temporary")
-        .createOrReplaceTempView("__ch_system_tables")
-    if (rewritten.contains("__ch_system_columns")) {
-      val cols = spark.catalog.listTables().collect()
-        .filterNot(_.name.startsWith("__ch_system_")).flatMap { t =>
-          try spark.catalog.listColumns(t.name).collect().zipWithIndex
-            .map { case (c, i) =>
-              (Option(t.database).getOrElse("default"), t.name, c.name,
-                c.dataType, i + 1)
-            }
-          catch { case _: Exception => Array.empty[(String, String,
-            String, String, Int)] }
-        }
-      cols.toSeq.toDF("database", "table", "name", "type", "position")
-        .createOrReplaceTempView("__ch_system_columns")
-    }
-    if (rewritten.contains("__ch_system_one"))
-      Seq(0).toDF("dummy").createOrReplaceTempView("__ch_system_one")
+    val needed = Seq("databases", "tables", "columns", "one")
+      .filter(t => rewritten.contains(s"__ch_system_$t"))
+    val key = systemViewSessionKey(spark)
+    val epoch: Long =
+      Option(systemViewEpoch.get(key)).map(_.longValue).getOrElse(0L)
+    val built = Option(systemViewsBuilt.get(key))
+      .collect { case (e, vs) if e == epoch => vs }.getOrElse(Set.empty)
+    val missing = needed.filterNot(built)
+    missing.foreach(buildSystemView(spark, _))
+    if (missing.nonEmpty)
+      systemViewsBuilt.put(key, (epoch, built ++ missing))
   }
+
+  private def buildSystemView(spark: SparkSession, view: String): Unit = {
+    import spark.implicits._
+    systemViewBuilds.incrementAndGet()
+    view match {
+      case "databases" =>
+        spark.catalog.listDatabases().select("name")
+          .createOrReplaceTempView("__ch_system_databases")
+      case "tables" =>
+        spark.catalog.listTables()
+          .selectExpr(
+            "coalesce(nullif(array_join(namespace, '.'), ''), 'default') " +
+              "AS database",
+            "name", "tableType AS engine", "isTemporary AS is_temporary")
+          .createOrReplaceTempView("__ch_system_tables")
+      case "columns" =>
+        val cols = spark.catalog.listTables().collect()
+          .filterNot(_.name.startsWith("__ch_system_")).flatMap { t =>
+            try spark.catalog.listColumns(t.name).collect().zipWithIndex
+              .map { case (c, i) =>
+                (Option(t.database).getOrElse("default"), t.name, c.name,
+                  c.dataType, i + 1)
+              }
+            catch { case _: Exception => Array.empty[(String, String,
+              String, String, Int)] }
+          }
+        cols.toSeq.toDF("database", "table", "name", "type", "position")
+          .createOrReplaceTempView("__ch_system_columns")
+      case "one" =>
+        Seq(0).toDF("dummy").createOrReplaceTempView("__ch_system_one")
+    }
+  }
+
+  /** A statement whose execution cannot change the catalog — safe to
+    * serve system.* snapshots across. Anything else (CREATE/DROP/
+    * INSERT/SET/…) conservatively bumps the epoch.
+    */
+  private val readOnlyRe =
+    """(?is)^\s*\(*\s*(?:SELECT|WITH|VALUES|TABLE|SHOW|DESC(?:RIBE)?|EXPLAIN)\b""".r
 
   private val explainSyntaxRe = """(?is)^\s*EXPLAIN\s+SYNTAX\s+""".r
   private val explainPipeRe =

@@ -940,6 +940,35 @@ class ChCompatSpec extends SparkTestBase {
       "SELECT system FROM t WHERE system = 1")
   }
 
+  test("system.* snapshots are cached per catalog epoch, DDL invalidates") {
+    import spark.implicits._
+    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("sys_cache_probe")
+    ChCompat.invalidateSystemViews(spark) // see the view created above
+    val before = ChCompat.systemViewBuilds.get()
+    ChCompat.sql(spark,
+      "SELECT count(*) AS n FROM system.columns WHERE table = 'sys_cache_probe'")
+      .collect()
+    val afterFirst = ChCompat.systemViewBuilds.get()
+    assert(afterFirst > before, "first probe must walk the catalog")
+    // repeated probes in the same epoch serve the snapshot — NO builds
+    (1 to 3).foreach { _ =>
+      ChCompat.sql(spark, "SELECT count(*) FROM system.columns").collect()
+      ChCompat.sql(spark, "SELECT count(*) FROM system.tables").count()
+    }
+    // system.tables was not yet built this epoch — exactly one more
+    assert(ChCompat.systemViewBuilds.get() === afterFirst + 1)
+    // a catalog-changing statement routed through sql() bumps the epoch:
+    // the next probe rebuilds and SEES the new table
+    ChCompat.sql(spark,
+      "CREATE TABLE sys_cache_t2 (k INT) USING parquet " +
+        s"LOCATION '${java.nio.file.Files.createTempDirectory("sysc")}'")
+    val n = ChCompat.sql(spark,
+      "SELECT count(*) AS n FROM system.tables WHERE name = 'sys_cache_t2'")
+      .head.getLong(0)
+    assert(n === 1L)
+    spark.sql("DROP TABLE sys_cache_t2")
+  }
+
   test("paren-less USING gains parens; DDL USING parquet untouched") {
     import spark.implicits._
     Seq((1, "a", 5), (2, "b", 6)).toDF("k", "s", "v")
