@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * page fetcher is injected as a function — production supplies an
   * HTTP implementation, tests supply canned pages. Everything
   * relational (watermarks, normalization, dedup-merge) is engine code.
+  * Retry/backoff and the reference's rotating-proxy option compose in
+  * front of the injection point:
+  * `Retry.rotatingFetcher(proxyPolicy, retryPolicy)(httpFetch)` is a
+  * `PageFetcher` (see [[graft.pipeline.Retry.rotatingFetcher]];
+  * reference proxy interface request_executor.ts:30-47).
   */
 object GiteeSource {
 
