@@ -75,6 +75,8 @@ object PipelineFunctions {
     "shingle_hashes_sorted" -> (es => ShingleHashSorted(es(0),
       litInt(es, 1, "shingle_hashes_sorted"))),
     "sorted_jaccard" -> (es => SortedLongJaccard(es(0), es(1))),
+    "sorted_intersect" -> (es => SortedLongIntersect(es(0), es(1))),
+    "token_hashes_sorted" -> (es => TokenHashSorted(es(0))),
     "hamming64" -> viaColumns(cs => TextDedup.hamming64(cs(0), cs(1))),
     // embeddings
     "cosine_sim" -> viaColumns(cs => Similarity.cosine(cs(0), cs(1))),

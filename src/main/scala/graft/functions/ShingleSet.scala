@@ -108,6 +108,79 @@ object SortedLongJaccard {
       SortedLongJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
+/** The distinct 64-bit hashes of a text's whitespace-separated TOKENS
+  * (lowercased), as a SORTED primitive long array — the word-set
+  * analogue of [[ShingleHashSorted]], powering the d04/d06/p02/g05
+  * candidate-verify family.
+  *
+  * Semantics mirror `array_distinct(split(trim(lower(text)), "\s+"))`
+  * exactly, modulo hashing: runs of ASCII whitespace separate tokens,
+  * leading/trailing whitespace is trimmed (so a whitespace-only text
+  * yields the single empty token, hashed, same as `split`'s [""]).
+  * With 64-bit XXH64 a cross-token collision needs ~2³² distinct
+  * tokens in ONE document to reach coin-flip odds — set sizes (and
+  * hence Jaccard/overlap against the word-set oracles) are exact in
+  * any real corpus.
+  *
+  * Why: the window-candidate detectors shuffle each doc's token set
+  * ~20× and compare ~100k pairs; string arrays pay UTF8String
+  * equality per element and ~10× the bytes of a packed long array.
+  * One tokenize+hash pass per doc here, then [[SortedLongJaccard]] /
+  * [[SortedLongIntersect]]'s primitive merges per pair.
+  */
+case class TokenHashSorted(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && isWs(bytes(lo))) lo += 1
+    while (hi > lo && isWs(bytes(hi - 1))) hi -= 1
+    val hashes = scala.collection.mutable.ArrayBuilder.make[Long]
+    if (lo == hi) {
+      // trim left an empty string: split yields [""], one empty token
+      hashes += XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, 0, 42L)
+    } else {
+      var i = lo
+      var start = lo
+      while (i <= hi) {
+        if (i == hi || isWs(bytes(i))) {
+          if (i > start)
+            hashes += XXH64.hashUnsafeBytes(bytes,
+              Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+          // skip the whitespace run
+          while (i < hi && isWs(bytes(i))) i += 1
+          start = i
+          if (i == hi) i += 1
+        } else i += 1
+      }
+    }
+    val arr = hashes.result()
+    java.util.Arrays.sort(arr)
+    var w = 0
+    var r = 1
+    while (r < arr.length) {
+      if (arr(r) != arr(w)) { w += 1; arr(w) = arr(r) }
+      r += 1
+    }
+    ArrayData.toArrayData(
+      java.util.Arrays.copyOf(arr, math.min(w + 1, arr.length)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TokenHashSorted {
+  def apply(text: Column): Column =
+    ColumnBridge.column(TokenHashSorted(ColumnBridge.expression(text)))
+}
+
 /** Intersection SIZE of two sorted distinct long arrays — the integer
   * numerator of [[SortedLongJaccard]], exposed separately so recall
   * gates can emit (inter, union) as INTEGERS: an oracle comparing

