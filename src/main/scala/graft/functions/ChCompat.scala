@@ -1262,52 +1262,78 @@ object ChCompat {
 
   /** Snapshots of the `system.*` introspection views a CH client
     * queries on connect (rewritten to `__ch_system_<t>` by
-    * [[ChSqlRewrite]]), cached per (session, catalog epoch): a CH
-    * client's on-connect chatter probes `system.columns` repeatedly,
-    * and each rebuild is a full listTables+listColumns catalog walk —
-    * O(tables) driver RPCs that caching reduces to one per epoch.
-    * Every catalog-changing statement routed through [[sql]] bumps the
-    * session's epoch; code that mutates the catalog AROUND sql() (the
-    * specs' bare spark.sql DDL, direct ChDdl/ChMutations calls) must
-    * call [[invalidateSystemViews]] — or simply route through sql() —
-    * for the next probe to see its tables.
+    * [[ChSqlRewrite]]), cached per session and SELF-VALIDATED against a
+    * catalog fingerprint: a CH client's on-connect chatter probes
+    * `system.columns` repeatedly, and each rebuild is a full
+    * listTables+listColumns catalog walk — O(tables) driver RPCs. The
+    * fingerprint (sorted database/name/isTemporary over one cheap
+    * listTables) is recomputed on every probe, so catalog changes made
+    * AROUND [[sql]] — bare `createOrReplaceTempView`, direct
+    * `spark.sql` DDL, ChDdl/ChMutations calls — are picked up without
+    * any caller-side invalidation; only the expensive O(tables)
+    * listColumns walk is reused while the fingerprint is unchanged.
+    * Limitation: a mutation that changes COLUMNS but not the table list
+    * (ALTER TABLE ADD COLUMN on an existing name) is invisible to the
+    * fingerprint — every such path routed through [[sql]] calls
+    * [[invalidateSystemViews]] explicitly; external callers doing the
+    * same outside sql() should too.
+    *
+    * Keyed by the session OBJECT in a synchronized WeakHashMap:
+    * identity semantics (SparkSession doesn't override equals), so two
+    * live sessions can never collide, and entries die with their
+    * session instead of accumulating.
     */
-  private val systemViewEpoch =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private val systemViewsBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+  private case class SystemViewSnapshot(fingerprint: String,
+      built: Set[String])
+  private val systemViewCache: java.util.Map[SparkSession, SystemViewSnapshot] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SystemViewSnapshot]())
   /** Instrumentation for ChCompatSpec: total catalog snapshot builds. */
   private[graft] val systemViewBuilds =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  // identity-hash key: sessions are long-lived objects and the maps
-  // hold only a counter + name set per session, so no weak-ref dance
-  private def systemViewSessionKey(spark: SparkSession): String =
-    System.identityHashCode(spark).toHexString
-
-  /** Bump the session's catalog epoch: the next `system.*` probe
-    * rebuilds its snapshots instead of serving the cache.
+  /** Drop the session's cached snapshots: the next `system.*` probe
+    * rebuilds instead of serving the cache. Only REQUIRED for
+    * column-shape mutations that keep the table list identical (see
+    * the cache doc above); table create/drop/replace is caught by the
+    * fingerprint automatically.
     */
   def invalidateSystemViews(spark: SparkSession): Unit =
-    systemViewEpoch.merge(systemViewSessionKey(spark), 1L, (a, b) =>
-      java.lang.Long.valueOf(a + b))
+    systemViewCache.remove(spark)
+
+  /** One cheap catalog pass; `__ch_system_*` views are excluded so the
+    * snapshot views' own creation doesn't churn the fingerprint.
+    */
+  private def catalogFingerprint(
+      tables: Array[org.apache.spark.sql.catalog.Table]): String = {
+    val sig = tables.iterator
+      .filterNot(_.name.startsWith("__ch_system_"))
+      .map(t => Option(t.database).getOrElse("") + "" + t.name +
+        "" + t.isTemporary)
+      .toArray
+    java.util.Arrays.sort(sig, java.util.Comparator.naturalOrder[String]())
+    sig.length + ":" +
+      scala.util.hashing.MurmurHash3.arrayHash(sig).toHexString
+  }
 
   private def materializeSystemViews(spark: SparkSession,
       rewritten: String): Unit = {
     val needed = Seq("databases", "tables", "columns", "one")
       .filter(t => rewritten.contains(s"__ch_system_$t"))
-    val key = systemViewSessionKey(spark)
-    val epoch: Long =
-      Option(systemViewEpoch.get(key)).map(_.longValue).getOrElse(0L)
-    val built = Option(systemViewsBuilt.get(key))
-      .collect { case (e, vs) if e == epoch => vs }.getOrElse(Set.empty)
+    if (needed.isEmpty) return
+    val tables = spark.catalog.listTables().collect()
+    val fp = catalogFingerprint(tables)
+    val built = Option(systemViewCache.get(spark))
+      .collect { case s if s.fingerprint == fp => s.built }
+      .getOrElse(Set.empty[String])
     val missing = needed.filterNot(built)
-    missing.foreach(buildSystemView(spark, _))
+    missing.foreach(buildSystemView(spark, _, tables))
     if (missing.nonEmpty)
-      systemViewsBuilt.put(key, (epoch, built ++ missing))
+      systemViewCache.put(spark, SystemViewSnapshot(fp, built ++ missing))
   }
 
-  private def buildSystemView(spark: SparkSession, view: String): Unit = {
+  private def buildSystemView(spark: SparkSession, view: String,
+      tables: Array[org.apache.spark.sql.catalog.Table]): Unit = {
     import spark.implicits._
     systemViewBuilds.incrementAndGet()
     view match {
@@ -1322,7 +1348,9 @@ object ChCompat {
             "name", "tableType AS engine", "isTemporary AS is_temporary")
           .createOrReplaceTempView("__ch_system_tables")
       case "columns" =>
-        val cols = spark.catalog.listTables().collect()
+        // reuses the fingerprint's listTables pass — only the O(tables)
+        // listColumns RPC walk is paid here
+        val cols = tables
           .filterNot(_.name.startsWith("__ch_system_")).flatMap { t =>
             try spark.catalog.listColumns(t.name).collect().zipWithIndex
               .map { case (c, i) =>

@@ -113,10 +113,16 @@ object SortedLongJaccard {
   * analogue of [[ShingleHashSorted]], powering the d04/d06/p02/g05
   * candidate-verify family.
   *
-  * Semantics mirror `array_distinct(split(trim(lower(text)), "\s+"))`
-  * exactly, modulo hashing: runs of ASCII whitespace separate tokens,
-  * leading/trailing whitespace is trimmed (so a whitespace-only text
-  * yields the single empty token, hashed, same as `split`'s [""]).
+  * Semantics: runs of ASCII whitespace separate tokens, leading and
+  * trailing ASCII whitespace is stripped, and a whitespace-only text
+  * yields the single empty token (hashed), matching `split`'s [""].
+  * This mirrors `array_distinct(split(trim(lower(text)), "\s+"))` for
+  * text whose edge whitespace is spaces (0x20) — the shipped corpus —
+  * but NOT byte-for-byte for edge tabs/newlines: SQL `trim` (Spark and
+  * DuckDB alike) strips only spaces, so `"\tfoo"` gains a leading
+  * empty token under the SQL expression that this expression does not
+  * emit. The gates' oracles share the corpus, so this is a documented
+  * corpus assumption, not a gate divergence.
   * With 64-bit XXH64 a cross-token collision needs ~2³² distinct
   * tokens in ONE document to reach coin-flip odds — set sizes (and
   * hence Jaccard/overlap against the word-set oracles) are exact in

@@ -387,10 +387,14 @@ object Multimodal {
       case None => Nil
       case Some((w, h)) =>
         val chroma = tag('C').getOrElse("420")
+        // exact known tags only: C444alpha has a 4th (alpha) plane, so a
+        // prefix match would size frames at 3·w·h and silently misalign
+        // every frame after the first — reject it like 422/mono instead
         val frameLen = chroma match {
-          case c if c.startsWith("444") => 3 * w * h
-          case c if c.startsWith("420") => w * h + 2 * ((w / 2) * (h / 2))
-          case _ => return Nil // 422/mono/etc: unsupported here
+          case "444" => 3 * w * h
+          case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
+            w * h + 2 * ((w / 2) * (h / 2))
+          case _ => return Nil // 444alpha/422/mono/etc: unsupported here
         }
         val frames = List.newBuilder[(Int, Int, Long)]
         var pos = hdrEnd + 1

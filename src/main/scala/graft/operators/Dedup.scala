@@ -142,7 +142,7 @@ object Dedup {
       // dominates the loop: measured on sf0.1's chain-shaped p02
       // graph, 2 hops = 5 rounds / 3 hops = 4 rounds, net win; a 4th
       // hop no longer saves a round.
-      val updated = (1 to 4).foldLeft(stepped) { (cur, _) =>
+      val updated = (1 to 3).foldLeft(stepped) { (cur, _) =>
         val parent = cur.select(col("id").as("comp"), col("comp").as("pcomp"))
         cur.join(parent, Seq("comp"), "left")
           .select(col("id"), col("prev"),

@@ -95,7 +95,13 @@ object StreamingMatView {
     } catch {
       case _: UnsupportedOperationException | _: java.io.IOException =>
         f.delete(pointer(dir), false)
-        f.rename(tmp, pointer(dir))
+        // rename can fail by RETURNING false (no exception) on some
+        // filesystems — surface it: a silently-absent pointer would
+        // leave only the .tmp fallback guarding replay
+        if (!f.rename(tmp, pointer(dir)))
+          throw new java.io.IOException(
+            s"matview pointer swap failed: rename($tmp -> ${pointer(dir)}) " +
+              "returned false; the .tmp fallback still records the batch")
     }
   }
 }

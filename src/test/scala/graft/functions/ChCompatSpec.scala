@@ -969,6 +969,32 @@ class ChCompatSpec extends SparkTestBase {
     spark.sql("DROP TABLE sys_cache_t2")
   }
 
+  test("system.* snapshots self-validate: bare-API temp view between " +
+      "two probes is seen by the second") {
+    import spark.implicits._
+    // prime the cache with a probe that does NOT know about the view yet
+    ChCompat.sql(spark, "SELECT count(*) FROM system.tables").collect()
+    // mutate the catalog AROUND ChCompat.sql — no invalidate call: this
+    // is the exact order-dependent staleness the fingerprint must catch
+    Seq((1, "x")).toDF("id", "s")
+      .createOrReplaceTempView("sys_fingerprint_probe")
+    val n = ChCompat.sql(spark,
+      "SELECT count(*) AS n FROM system.tables " +
+        "WHERE name = 'sys_fingerprint_probe'").head.getLong(0)
+    assert(n === 1L, "second probe must see the bare-API temp view")
+    // and system.columns re-walks too (it shares the fingerprint)
+    val cols = ChCompat.sql(spark,
+      "SELECT name FROM system.columns " +
+        "WHERE table = 'sys_fingerprint_probe' ORDER BY position")
+      .collect().map(_.getString(0)).toSeq
+    assert(cols === Seq("id", "s"))
+    // unchanged catalog → snapshot served, no extra builds
+    val before = ChCompat.systemViewBuilds.get()
+    ChCompat.sql(spark, "SELECT count(*) FROM system.tables").collect()
+    ChCompat.sql(spark, "SELECT count(*) FROM system.columns").collect()
+    assert(ChCompat.systemViewBuilds.get() === before)
+  }
+
   test("paren-less USING gains parens; DDL USING parquet untouched") {
     import spark.implicits._
     Seq((1, "a", 5), (2, "b", 6)).toDF("k", "s", "v")
