@@ -880,6 +880,42 @@ object SparkEntry {
          QUALIFY rank <= 10
          ORDER BY query_id, rank""",
 
+    // s03: the probe is a pure function of the persisted centroids
+    // (written by the query itself at fit time — the index-build
+    // artifact), so DuckDB replays it end-to-end: nearest-centroid
+    // assignment by squared L2 summed dim-by-dim in array order (ties
+    // to the lower cluster_id, exactly Spark's array_sort(struct(d,i))
+    // cut), 2-probe bucket selection for queries, then the s01/s02
+    // cosine + (cos DESC, id ASC) top-k
+    "s03_ann_ivf_kmeans" ->
+      """WITH c AS (SELECT cluster_id, centroid
+           FROM '/tmp/graft_s03_centroids/sf0.01/*.parquet'),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         dist AS (SELECT vec_id, v, cluster_id,
+             list_sum(list_transform(list_zip(centroid, v),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           FROM e CROSS JOIN c),
+         assigned AS (SELECT vec_id, v, cluster_id AS block FROM dist
+           QUALIFY row_number() OVER
+             (PARTITION BY vec_id ORDER BY d2, cluster_id) = 1),
+         qprobe AS (SELECT vec_id AS query_id, v AS qv, cluster_id AS block
+           FROM dist WHERE vec_id < 10
+           QUALIFY row_number() OVER
+             (PARTITION BY vec_id ORDER BY d2, cluster_id) <= 2),
+         scored AS (SELECT query_id, a.vec_id AS neighbor_id,
+             list_inner_product(qv, a.v)
+               / (sqrt(list_inner_product(qv,qv))*sqrt(list_inner_product(a.v,a.v))) AS cos
+           FROM qprobe q JOIN assigned a ON a.block = q.block
+             AND a.vec_id != q.query_id)
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id
+         FROM scored
+         QUALIFY rank <= 10
+         ORDER BY query_id, rank""",
+
     "t01_lang_id" ->
       s"""WITH sw(sw_lang, sw_word) AS (VALUES ${graft.functions.TextFunctions.stopwords
              .map { case (l, w) => s"('$l','$w')" }.mkString(",")}),

@@ -270,20 +270,37 @@ object PipelineQueries {
   }
 
   // ---- trained-quantizer IVF (k-means coarse quantizer, nProbe=2).
-  // Rows-only: the trained centroids aren't portable SQL; recall ≥0.95
-  // on clustered data is pinned by SimilaritySpec. Train and probe are
-  // SEPARATE phases: the quantizer is fit once per corpus (sample-
-  // bounded) and cached here — exactly the 100-TB contract, where
-  // centroids are persisted at index-build time and queries only
-  // probe. Repeat invocations (bench pass 2, repeated API calls) run
-  // zero ML work. ----
+  // FULL oracle: k-means init is randomized, but the PROBE path is a
+  // pure function of the centroids — so the fit persists its centroids
+  // to a per-SF parquet ([[s03CentroidsPath]], the index-build artifact
+  // a 100-TB deployment writes anyway) and the DuckDB oracle reads the
+  // SAME centroids back, replaying assignment (argmin squared-L2, ties
+  // by cluster_id), the 2-probe selection, and the (cos DESC, id ASC)
+  // top-k cut. Train and probe stay SEPARATE phases: the quantizer is
+  // fit once per corpus (sample-bounded) and cached here — exactly the
+  // 100-TB contract, where centroids are persisted at index-build time
+  // and queries only probe. Repeat invocations (bench pass 2, repeated
+  // API calls) run zero ML work. ----
   private val quantizerCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  /** Where s03 persists its trained centroids, keyed by the SF dir's
+    * basename so concurrent SFs never clobber each other; the oracle
+    * SQL reads the sf0.01 instance (the driver's verify SF).
+    */
+  def s03CentroidsPath(dir: String): String =
+    s"/tmp/graft_s03_centroids/${new java.io.File(dir).getName}"
+
   def ann_ivf_kmeans(s: SparkSession, dir: String): DataFrame = {
     val corpus = embs(s, dir)
-    val centroids = quantizerCache.computeIfAbsent(dir, _ =>
-      Similarity.trainQuantizer(corpus, nClusters = 8, maxTrainRows = 20000L))
+    val centroids = quantizerCache.computeIfAbsent(dir, _ => {
+      val c = Similarity.trainQuantizer(corpus, nClusters = 8,
+        maxTrainRows = 20000L)
+      // persisted INSIDE the fit: the dump always matches the centroids
+      // this JVM probes with, even if a refit elsewhere would drift
+      Similarity.saveQuantizer(s, c, s03CentroidsPath(dir))
+      c
+    })
     val queries = corpus.filter(col("vec_id") < 10)
     Similarity.ivfTopKByCentroids(corpus, queries, k = 10, centroids, nProbe = 2)
       .orderBy("query_id", "rank")
