@@ -99,11 +99,13 @@ object Dedup {
     // over half the operator's wall-clock
     val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint()
+    // the symmetrized edge set stays a lazy VIEW over the checkpointed
+    // pairs: union+flip is map-only over the cache, so a second
+    // checkpoint job (and the distinct's shuffle) would buy nothing —
+    // every consumer (seed init, per-round neighbor-min) aggregates
+    // with min() and is duplicate-tolerant by construction
     val edges = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    unpersistCheckpoint(p)
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(f"CC edges checkpoint: ${(System.nanoTime() - tE) / 1e9}%.2fs")
     val tL = System.nanoTime()
@@ -124,12 +126,16 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIter) {
       val tR = System.nanoTime()
+      // neighbor-min then join-back: measured FASTER than fusing both
+      // into one union+groupBy (the fused form pushes N+2E rows through
+      // the wide aggregation and the hops' 2^h duplication amplifies
+      // it — rounds doubled when tried). `prev` rides along so
+      // convergence needs no extra join — just a compare on the
+      // materialized rows.
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy("src").agg(min("comp").as("ncomp"))
         .withColumnRenamed("src", "id")
-      // carry the pre-step label as `prev` so convergence needs no
-      // extra join — just a compare on the materialized rows
       val stepped = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev"),
@@ -137,11 +143,17 @@ object Dedup {
       // pointer jumping, three times per round: follow my
       // representative's label, then the result's, then again. Each
       // hop doubles the followed distance (log8-ish rounds instead of
-      // log2) — an extra hash join per round buys a whole round, and
-      // the fixed per-round cost (the materialization job) is what
-      // dominates the loop: measured on sf0.1's chain-shaped p02
-      // graph, 2 hops = 5 rounds / 3 hops = 4 rounds, net win; a 4th
-      // hop no longer saves a round.
+      // log2) — an extra hash join per round buys a whole round:
+      // measured on sf0.1's chain-shaped p02 graph, 2 hops = 5 rounds
+      // / 3 hops = 4 rounds, net win; a 4th hop no longer saves a
+      // round. The self-join consumes `cur` twice, so the subtree
+      // re-executes 2^hops times per round — measured CHEAPER than
+      // deduplicating it at this state size: per-hop persist() lifted
+      // rounds from ~0.7s to ~1.2s (columnar encode + extra stage
+      // boundaries beat the recompute of a tiny cached base), and 6
+      // un-persisted hops (64 scans) tripled the round. 3 plain hops
+      // is the measured optimum; revisit persist only if per-round
+      // state stops fitting a cache partition.
       val updated = (1 to 3).foldLeft(stepped) { (cur, _) =>
         val parent = cur.select(col("id").as("comp"), col("comp").as("pcomp"))
         cur.join(parent, Seq("comp"), "left")
@@ -177,7 +189,7 @@ object Dedup {
       converged = acc.value == 0
       i += 1
     }
-    unpersistCheckpoint(edges)
+    unpersistCheckpoint(p)
     labels.select("id", "comp")
   }
 }
