@@ -32,4 +32,87 @@ class PlanContractSpec extends SparkTestBase {
         s"$name drops out of the optimized columnar path")
     }
   }
+
+  // ---- formatted-plan contracts: the per-operator detail blocks name
+  // every Exchange's input attributes, so shuffle hygiene is checkable
+  // without executing (AdaptiveSparkPlanExec is a leaf node, which
+  // hides the tree from plan.collect — string contracts see it all) ----
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  /** (opNumber, opName, detailBlock) for each numbered operator in a
+    * formatted explain. Numbers are assigned bottom-up: a child's
+    * number is LOWER than its parent's.
+    */
+  private def opBlocks(fmt: String): Seq[(Int, String, String)] = {
+    val hdr = """(?m)^\((\d+)\) ([A-Za-z]+)""".r
+    val ms = hdr.findAllMatchIn(fmt).toSeq
+    ms.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < ms.size) ms(i + 1).start else fmt.length
+      (m.group(1).toInt, m.group(2), fmt.substring(m.start, end))
+    }
+  }
+
+  private def exchangeInputs(fmt: String): Seq[String] =
+    opBlocks(fmt).collect {
+      case (_, "Exchange", block) =>
+        """Input \[\d+\]: \[([^\]]*)\]""".r
+          .findFirstMatchIn(block).map(_.group(1)).getOrElse("")
+    }
+
+  test("dedup-family shuffles never carry raw text") {
+    Seq("d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
+      "d04_jaccard_pairs", "d06_containment", "d07_decontaminate",
+      "p02_neardup_groups").foreach { n =>
+      exchangeInputs(formatted(n)).foreach { in =>
+        assert(!in.contains("text#"),
+          s"$n shuffles the raw text column: [$in]")
+      }
+    }
+  }
+
+  test("d02/d03 shuffle only candidate evidence: pair ids, scalar sigs, " +
+      "integer (inter, union) — never shingle/token arrays") {
+    Seq("d02_minhash_lsh", "d03_simhash").foreach { n =>
+      val ins = exchangeInputs(formatted(n))
+      assert(ins.nonEmpty, s"$n plans no shuffle at all — plan reshaped?")
+      ins.foreach { in =>
+        val width = in.count(_ == ',') + 1
+        assert(width <= 4,
+          s"$n shuffles $width columns — wider than candidate evidence: [$in]")
+        assert(!in.contains("hash") && !in.contains("text#"),
+          s"$n shuffles precomputed hash arrays instead of joining them " +
+            s"map-side: [$in]")
+      }
+    }
+  }
+
+  test("m05/m06 decode strictly below any shuffle — binary never moves") {
+    Seq("m05_image_pixels", "m06_y4m_frames").foreach { n =>
+      val ops = opBlocks(formatted(n))
+      val decodes = ops.collect { case (i, "MapPartitions", _) => i }
+      val shuffles = ops.collect { case (i, "Exchange", _) => i }
+      assert(decodes.nonEmpty, s"$n lost its mapPartitions decode stage")
+      shuffles.foreach { e =>
+        assert(decodes.forall(_ < e),
+          s"$n plans a shuffle below the decode — binary bytes would move")
+      }
+    }
+  }
+
+  test("r28's bloom probe filters sit below the semi-join") {
+    val ops = opBlocks(formatted("r28_bloom_semijoin"))
+    val joins = ops.collect { case (i, op, _) if op.contains("Join") => i }
+    val bloomFilters = ops.collect {
+      case (i, "Filter", block) if block.contains("might_contain") => i
+    }
+    assert(joins.nonEmpty && bloomFilters.nonEmpty,
+      "r28 plan lost its join or bloom probe")
+    bloomFilters.foreach { f =>
+      assert(f < joins.min,
+        "bloom probe planned above the join — rows reach the shuffle unfiltered")
+    }
+  }
 }
