@@ -16,6 +16,15 @@ import java.util.zip.GZIPOutputStream
   * records/sec and the records/hour equivalent.
   *
   * Usage: runMain graft.IngestBench [hours] [perHour] [outDir]
+  *    or: runMain graft.IngestBench sweep [repeats] [outFile]
+  *
+  * `sweep` runs the batch-size ladder the README reports (1 M → 3 M
+  * records) with min-of-N timing and writes a structured
+  * `bench_ingest.json` the driver can trend — each run carries the
+  * batch shape, min ingest seconds, derived records/hour, and a
+  * stored-row verification flag (parquet row count read back ==
+  * records generated; the Replacing-merge must neither drop nor
+  * duplicate).
   */
 object IngestBench {
 
@@ -58,7 +67,53 @@ object IngestBench {
     }
   }
 
+  private def timedIngest(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], table: String): (Double, Long) = {
+    val t1 = System.nanoTime()
+    ingest.EventsWriter.ingestHours(spark, files, table)
+    val sec = (System.nanoTime() - t1) / 1e9
+    (sec, spark.read.parquet(table).count())
+  }
+
+  private def sweep(repeats: Int, outFile: String): Unit = {
+    val spark = GraftSession.getOrCreate(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    // the README's reported ladder: throughput should RISE with batch
+    // size (fixed per-batch costs amortize; per-row path flat)
+    val configs = Seq((8, 125000), (8, 250000), (12, 250000))
+    val work = java.nio.file.Files.createTempDirectory("ingest_sweep")
+    val runs = configs.zipWithIndex.map { case ((hours, perHour), ci) =>
+      val files = generate(new File(work.toFile, s"archive_$ci"), hours, perHour)
+      val total = hours.toLong * perHour
+      val timings = (1 to repeats).map { r =>
+        val (sec, stored) = timedIngest(spark, files,
+          new File(work.toFile, s"events_${ci}_$r").getAbsolutePath)
+        (sec, stored)
+      }
+      val minSec = timings.map(_._1).min
+      val storedOk = timings.forall(_._2 == total)
+      val recPerHour = (total / minSec * 3600).toLong
+      println(s"[sweep] ${total / 1000}k records: min ${f"$minSec%.1f"}s " +
+        s"over $repeats runs = $recPerHour rec/hr stored_ok=$storedOk")
+      s"""{"records":$total,"hour_files":$hours,"per_hour":$perHour,""" +
+        s""""min_ingest_sec":${(minSec * 100).round / 100.0},""" +
+        s""""records_per_hour":$recPerHour,"stored_ok":$storedOk}"""
+    }
+    val json = s"""{"metric":"ingest_records_per_hour","repeats":$repeats,""" +
+      s""""baseline_records_per_hour":75000000,""" +
+      s""""runs":[${runs.mkString(",")}]}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    println(json)
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("sweep")) {
+      sweep(args.lift(1).map(_.toInt).getOrElse(2),
+        args.lift(2).getOrElse("bench_ingest.json"))
+      return
+    }
     val hours = args.headOption.map(_.toInt).getOrElse(8)
     val perHour = args.lift(1).map(_.toInt).getOrElse(125000)
     val outDir = args.lift(2).getOrElse(

@@ -229,6 +229,21 @@ object SparkEntry {
                 count(*) AS cnt
          FROM events GROUP BY k ORDER BY k""",
 
+    // r16: DuckDB DESCRIBEs the same parquet; the only canonicalization
+    // needed is two type-name spellings (VARCHAR→STRING and the
+    // testdata's nanos timestamps, which Tables.load surfaces as
+    // TIMESTAMP on the Spark side) — a fair normalization, not a
+    // contrived bridge, so the former spec-only gate carries a full
+    // rows+schema+hash oracle now
+    "r16_db_schema" ->
+      """SELECT column_name,
+                CASE column_type
+                  WHEN 'VARCHAR' THEN 'STRING'
+                  WHEN 'TIMESTAMP_NS' THEN 'TIMESTAMP'
+                  ELSE column_type END AS data_type
+         FROM (DESCRIBE SELECT * FROM events)
+         ORDER BY column_name""",
+
     "r17_param" ->
       """SELECT event_id, user_id, value AS amount FROM events
          WHERE event_type='purchase' AND value>100.0 ORDER BY event_id""",

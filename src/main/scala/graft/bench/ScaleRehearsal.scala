@@ -5,22 +5,33 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale rehearsal for the dedup path (SCALE.md): blow the sf corpus
-  * up M× and measure d02 (MinHash+LSH) and p02 (candidate pairs →
-  * connected components) wall-time and shuffle volume, so the
-  * "LSH/CC curves bend sub-quadratically" claim is a measurement, not
-  * a design argument.
+/** Scale rehearsal (SCALE.md): blow the sf data up M× with structure
+  * held constant and measure wall-time + shuffle volume, so the
+  * "curves bend sub-quadratically" claims are measurements, not
+  * design arguments.
   *
-  * The blow-up is M salted copies unioned: copy k offsets doc_id by
-  * k·10⁷ (windowed candidate generators never pair across copies) and
-  * rewrites the text through a copy-specific alphabet ROTATION —
-  * `translate(text, a..z, rot_k(a..z))` changes essentially every
-  * 5-char shingle, so cross-copy similarity is ~0 and the corpus's
-  * near-dup DENSITY stays constant while N grows. (Plain copies would
-  * instead add N·C(M,2) exact-dup pairs — measuring the corpus's
-  * duplication blow-up, not the algorithm's scaling.)
+  * Mode `dedup` — d02 (MinHash+LSH) and p02 (candidate pairs →
+  * connected components) over M salted copies of `documents`: copy k
+  * offsets doc_id by k·10⁷ (windowed candidate generators never pair
+  * across copies) and rewrites the text through a copy-specific
+  * alphabet ROTATION — `translate(text, a..z, rot_k(a..z))` changes
+  * essentially every 5-char shingle, so cross-copy similarity is ~0
+  * and the corpus's near-dup DENSITY stays constant while N grows.
+  * (Plain copies would instead add N·C(M,2) exact-dup pairs —
+  * measuring the corpus's duplication blow-up, not the algorithm's
+  * scaling.)
   *
-  * Usage: runMain graft.bench.ScaleRehearsal <sfDir> <mult> [workDir]
+  * Mode `graph` — the iterative graph engines: g04's 5-round PageRank
+  * + residual over M salted copies of the consolidated events edge
+  * list (BOTH endpoints offset by k·10⁷, so the blown-up graph is M
+  * disjoint replicas of the same hub structure — degree distribution
+  * and diameter constant while node/edge count grows), and g05's
+  * degree-oriented triangle count over the same salted documents
+  * corpus as the dedup mode (the similarity graph it closes into
+  * triangles keeps constant density by the rotation argument above).
+  *
+  * Usage: runMain graft.bench.ScaleRehearsal <sfDir> <mult> [mode] [workDir]
+  * (mode ∈ dedup|graph, default dedup)
   * Prints one JSON line: wall seconds + shuffle read/write MB per query.
   */
 object ScaleRehearsal {
@@ -49,6 +60,24 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
   }
 
+  /** M disjoint replicas of the g04 edge list: both endpoints offset
+    * per copy, so every copy is the same hub graph and the union's
+    * degree distribution is independent of M.
+    */
+  def saltedEdges(spark: SparkSession, sfDir: String, mult: Int) = {
+    val base = graft.graph.GraphProjection.consolidate(
+        graft.Tables.load(spark, sfDir, "events")
+          .withColumn("src", col("user_id"))
+          .withColumn("dst",
+            get_json_object(col("props"), "$.k").cast("int").cast("long") % 10),
+        Seq("src", "dst"), col("ts"), Seq("event_type"))
+      .select("src", "dst")
+    (0 until mult).map { k =>
+      val off = lit(k.toLong * 10000000L)
+      base.select((col("src") + off).as("src"), (col("dst") + off).as("dst"))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val mult = args(1).toInt
@@ -57,15 +86,13 @@ object ScaleRehearsal {
     // salting is there to avoid (measured: M=30 tripled d02's pair
     // count via the 4 wrapped copies)
     require(mult >= 1 && mult <= 26, "mult must be in [1, 26]")
-    val work = if (args.length > 2) args(2)
+    val mode = args.lift(2).getOrElse("dedup")
+    require(mode == "dedup" || mode == "graph", s"unknown mode $mode")
+    val work = if (args.length > 3) args(3)
       else java.nio.file.Files.createTempDirectory("scale").toString
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
-      .parquet(s"$work/documents.parquet")
-    val nDocs = spark.read.parquet(s"$work/documents.parquet").count()
 
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
@@ -82,15 +109,38 @@ object ScaleRehearsal {
         ((meter.read - r0) / 1e6 * 10).round / 10.0,
         ((meter.written - w0) / 1e6 * 10).round / 10.0, rows)
     }
+    def jq(t: (Double, Double, Double, Long)): String =
+      s"""{"sec":${t._1},"shuffle_read_mb":${t._2},""" +
+        s""""shuffle_write_mb":${t._3},"rows":${t._4}}"""
 
-    val (d02s, d02r, d02w, d02n) =
-      time(graft.queries.PipelineQueries.minhash_lsh_dedup(spark, work).count())
-    val (p02s, p02r, p02w, p02n) =
-      time(graft.queries.PipelineQueries.neardup_groups(spark, work).count())
-
-    println(s"""{"mult":$mult,"docs":$nDocs,""" +
-      s""""d02":{"sec":$d02s,"shuffle_read_mb":$d02r,"shuffle_write_mb":$d02w,"rows":$d02n},""" +
-      s""""p02":{"sec":$p02s,"shuffle_read_mb":$p02r,"shuffle_write_mb":$p02w,"rows":$p02n}}""")
+    if (mode == "dedup") {
+      saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
+        .parquet(s"$work/documents.parquet")
+      val nDocs = spark.read.parquet(s"$work/documents.parquet").count()
+      val d02 =
+        time(graft.queries.PipelineQueries.minhash_lsh_dedup(spark, work).count())
+      val p02 =
+        time(graft.queries.PipelineQueries.neardup_groups(spark, work).count())
+      println(s"""{"mult":$mult,"docs":$nDocs,""" +
+        s""""d02":${jq(d02)},"p02":${jq(p02)}}""")
+    } else {
+      // salted inputs land in parquet FIRST so the measured section is
+      // the engine, not the salting union
+      saltedEdges(spark, sfDir, mult).write.mode("overwrite")
+        .parquet(s"$work/edges.parquet")
+      saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
+        .parquet(s"$work/documents.parquet")
+      val edges = spark.read.parquet(s"$work/edges.parquet")
+      val nEdges = edges.count()
+      val g04 = time {
+        val ranks = graft.graph.PageRank.run(edges, iterations = 5)
+        graft.graph.PageRank.withResidual(edges, ranks).count()
+      }
+      val g05 =
+        time(graft.queries.PipelineQueries.neardup_triangles(spark, work).count())
+      println(s"""{"mult":$mult,"edges":$nEdges,""" +
+        s""""g04":${jq(g04)},"g05":${jq(g05)}}""")
+    }
     spark.stop()
   }
 }

@@ -343,7 +343,9 @@ object RefQueries {
       Map("etype" -> "purchase", "minv" -> 100.0))
   }
 
-  // ---- B19: schema introspection (GET /query/db_schema shape) ----
+  // ---- B19: schema introspection (GET /query/db_schema shape).
+  // Oracled since round 9: DuckDB DESCRIBEs the same parquet with a
+  // two-arm type-name canonicalization (see SparkEntry.oracleSql). ----
   def db_schema(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     events(s, dir).schema.fields
