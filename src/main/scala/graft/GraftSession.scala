@@ -25,6 +25,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Naive (no-tz) parquet timestamps read as TIMESTAMP, not
+      // TIMESTAMP_NTZ: the engine's surface type is tz-aware (the
+      // reference stores UTC DateTimes), and with the session tz pinned
+      // to UTC the wall-clock values are identical either way.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
 

@@ -16,16 +16,25 @@ object Tables {
     "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // the driver's testdata stores event timestamps as nanos-since-epoch
-    // longs (parquet nanos unit); a user-supplied table with a real
-    // TIMESTAMP column needs no conversion
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    // Normalize timestamp layouts across testdata generations:
+    //  - events.ts as nanos-since-epoch longs (parquet nanos unit);
+    //  - any naive (NTZ) timestamp column, read by a session that has
+    //    inferTimestampNTZ on — cast to TIMESTAMP, lossless because the
+    //    engine pins the session tz to UTC (GraftSession).
+    val tsFixed =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else df
+    val ntzCols = tsFixed.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntzCols.foldLeft(tsFixed)((d, c) =>
+      d.withColumn(c, col(c).cast(TimestampType)))
   }
 
   /** Register every table as a temp view so `spark.sql` works against the

@@ -16,10 +16,12 @@ object Verify {
     graft.functions.ChCompat.registerAll(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -38,6 +40,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A gate that failed to execute leaves no parquet dir; a runner that
+    // only globs output dirs would silently drop it from the round's
+    // artifact. Record failures explicitly so a dropped gate reads as an
+    // error, never as absence.
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size}/${selected.size} gates FAILED: " +
+          failed.keys.mkString(", "))
     spark.stop()
   }
 }
