@@ -30,8 +30,15 @@ import org.apache.spark.sql.functions._
   * corpus as the dedup mode (the similarity graph it closes into
   * triangles keeps constant density by the rotation argument above).
   *
+  * Mode `ann` — the similarity path: s02's IVF probe over M salted
+  * copies of `embeddings` under BOTH growth regimes (index grows with
+  * the corpus → probe cost flat; index fixed → bucket size ∝ M,
+  * scoring linear), plus d05's blocked near-dup pair join. Copies
+  * circular-shift the vector (a coordinate rotation: norms and
+  * intra-copy cosines bit-identical, cross-copy decorrelated).
+  *
   * Usage: runMain graft.bench.ScaleRehearsal <sfDir> <mult> [mode] [workDir]
-  * (mode ∈ dedup|graph, default dedup)
+  * (mode ∈ dedup|graph|ann, default dedup)
   * Prints one JSON line: wall seconds + shuffle read/write MB per query.
   */
 object ScaleRehearsal {
@@ -57,6 +64,39 @@ object ScaleRehearsal {
         (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
         translate(col("text"), alpha, rot).as("text"),
         col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Salted embeddings corpus: copy k offsets vec_id by k·10⁷ and
+    * CIRCULAR-SHIFTS the vector by k positions — a rotation of the
+    * coordinate axes, so every norm and every intra-copy cosine is
+    * bit-identical to copy 0 while cross-copy vectors decorrelate
+    * (plain copies would make every probe return M identical twins,
+    * measuring duplication, not the index). Two label treatments map
+    * to the two ways a real corpus grows:
+    *  - `growIndex = true`: labels offset by k·1000 — the coarse
+    *    quantizer grows WITH the corpus (nlist ∝ N, bucket size
+    *    constant), the 100-TB deployment shape;
+    *  - `growIndex = false`: labels shared — nlist fixed, bucket
+    *    size ∝ N, the degenerate shape whose cost must be shown
+    *    linear (not quadratic) before anyone trusts the index.
+    */
+  def saltedEmbeddings(spark: SparkSession, sfDir: String, mult: Int,
+      growIndex: Boolean) = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until mult).map { k =>
+      val dim = 64 // testdata embedding dim (TESTDATA.md)
+      val shift = k % dim
+      val vec =
+        if (shift == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), shift + 1, dim - shift),
+          slice(col("embedding"), 1, shift))
+      base.select(
+        (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+        vec.as("embedding"),
+        (if (growIndex) col("label") + lit(k * 1000) else col("label"))
+          .as("label"))
     }.reduce(_ unionAll _)
   }
 
@@ -87,7 +127,7 @@ object ScaleRehearsal {
     // count via the 4 wrapped copies)
     require(mult >= 1 && mult <= 26, "mult must be in [1, 26]")
     val mode = args.lift(2).getOrElse("dedup")
-    require(mode == "dedup" || mode == "graph", s"unknown mode $mode")
+    require(Seq("dedup", "graph", "ann").contains(mode), s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else java.nio.file.Files.createTempDirectory("scale").toString
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -113,7 +153,31 @@ object ScaleRehearsal {
       s"""{"sec":${t._1},"shuffle_read_mb":${t._2},""" +
         s""""shuffle_write_mb":${t._3},"rows":${t._4}}"""
 
-    if (mode == "dedup") {
+    if (mode == "ann") {
+      // salted corpora land in parquet first (same rationale as graph
+      // mode); queries stay the copy-0 probe set, the realistic shape
+      // where the corpus grows under a fixed query workload
+      saltedEmbeddings(spark, sfDir, mult, growIndex = true)
+        .write.mode("overwrite").parquet(s"$work/replica/embeddings.parquet")
+      saltedEmbeddings(spark, sfDir, mult, growIndex = false)
+        .write.mode("overwrite").parquet(s"$work/grown/embeddings.parquet")
+      val nVecs = spark.read
+        .parquet(s"$work/replica/embeddings.parquet").count()
+      // index grows with corpus (bucket size constant): probe cost
+      // should be FLAT in M apart from the broadcast-join scan
+      val s02Replica = time(
+        graft.queries.PipelineQueries.ann_ivf(spark, s"$work/replica").count())
+      // index fixed (bucket size ∝ M): scoring volume must be ∝ M
+      val s02Grown = time(
+        graft.queries.PipelineQueries.ann_ivf(spark, s"$work/grown").count())
+      // blocked near-dup pair join: within-block pairs constant per
+      // block, blocks ∝ M → linear total
+      val d05 = time(graft.queries.PipelineQueries
+        .embedding_neardup(spark, s"$work/replica").count())
+      println(s"""{"mult":$mult,"vectors":$nVecs,""" +
+        s""""s02_replica":${jq(s02Replica)},"s02_grown":${jq(s02Grown)},""" +
+        s""""d05":${jq(d05)}}""")
+    } else if (mode == "dedup") {
       saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
         .parquet(s"$work/documents.parquet")
       val nDocs = spark.read.parquet(s"$work/documents.parquet").count()
