@@ -23,8 +23,9 @@ import java.util.zip.GZIPOutputStream
   * `bench_ingest.json` the driver can trend — each run carries the
   * batch shape, min ingest seconds, derived records/hour, and a
   * stored-row verification flag (parquet row count read back ==
-  * records generated; the Replacing-merge must neither drop nor
-  * duplicate).
+  * the source's distinct ORDER-BY-key count — the Replacing-merge
+  * invariant; `generated` is the wrong oracle because the reference's
+  * merge key collapses same-key events within a month by design).
   */
 object IngestBench {
 
@@ -86,17 +87,31 @@ object IngestBench {
     val runs = configs.zipWithIndex.map { case ((hours, perHour), ci) =>
       val files = generate(new File(work.toFile, s"archive_$ci"), hours, perHour)
       val total = hours.toLong * perHour
+      // The Replacing-merge invariant, NOT stored==generated: the
+      // ORDER BY key (reference's ReplacingMergeTree) omits the event
+      // id and sub-month time, so two watch events by one actor on one
+      // repo in one month legitimately collapse to one stored row —
+      // exactly what ClickHouse's background merge does. Verified
+      // expectation = distinct key count of the parsed source,
+      // computed once per config through the same parser (untimed).
+      val expected = ingest.EventsWriter
+        .withMonthKey(ingest.GhEventParser.ingest(spark, files))
+        .select(ingest.EventsSchema.orderByKey.map(
+          org.apache.spark.sql.functions.col): _*)
+        .distinct().count()
       val timings = (1 to repeats).map { r =>
         val (sec, stored) = timedIngest(spark, files,
           new File(work.toFile, s"events_${ci}_$r").getAbsolutePath)
         (sec, stored)
       }
       val minSec = timings.map(_._1).min
-      val storedOk = timings.forall(_._2 == total)
+      val storedOk = timings.forall(_._2 == expected)
       val recPerHour = (total / minSec * 3600).toLong
       println(s"[sweep] ${total / 1000}k records: min ${f"$minSec%.1f"}s " +
-        s"over $repeats runs = $recPerHour rec/hr stored_ok=$storedOk")
+        s"over $repeats runs = $recPerHour rec/hr " +
+        s"stored_ok=$storedOk (distinct_keys=$expected)")
       s"""{"records":$total,"hour_files":$hours,"per_hour":$perHour,""" +
+        s""""distinct_keys":$expected,""" +
         s""""min_ingest_sec":${(minSec * 100).round / 100.0},""" +
         s""""records_per_hour":$recPerHour,"stored_ok":$storedOk}"""
     }
