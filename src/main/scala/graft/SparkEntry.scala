@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{PipelineQueries, RefQueries}
+import graft.queries.{PipelineQueries, RefQueries, StreamingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract (SURVEY §7 + builder prompt).
@@ -78,6 +78,8 @@ object SparkEntry {
     "r49_ch_funnel" -> (RefQueries.ch_funnel_sql _),
     "r50_ch_dialect_tail" -> (RefQueries.ch_dialect_tail _),
     "r51_ch_json" -> (RefQueries.ch_json _),
+    "r52_stream_window" -> (StreamingQueries.stream_window _),
+    "r53_stream_dedup" -> (StreamingQueries.stream_dedup _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -572,6 +574,19 @@ object SparkEntry {
          WHERE json_extract(props, '$.k') IS NOT NULL
          ORDER BY event_id
          LIMIT 500""",
+
+    // r52/r53: the streaming gates' oracles are plain batch SQL — the
+    // streaming run drains a static source with AvailableNow, so its
+    // result must equal the one-shot aggregation/projection
+    "r52_stream_window" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    "r53_stream_dedup" ->
+      """SELECT event_id, user_id, event_type
+         FROM events ORDER BY event_id""",
 
     // r47: the mutated table's end state, stated declaratively — the
     // DELETE drops the error partition, the UPDATE doubles qualifying

@@ -1,0 +1,87 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Oracle-gated Structured Streaming queries — the REAL streaming
+  * engine path (`readStream` → stateful transform → `writeStream`),
+  * not batch code wearing a streaming name. The reference's streaming
+  * face is its continuously-scheduled hourly import loop (reference:
+  * app/schedule/update_log.ts, app/schedule/update_gitee.ts); these
+  * gates run the Spark-native equivalent over the driver's static
+  * events dir with `Trigger.AvailableNow`, which drains the source and
+  * terminates — so the result is a pure function of the input and a
+  * plain batch SQL oracle can hash-compare it.
+  *
+  * Determinism notes (what makes these oracle-able):
+  *  - AvailableNow processes every available file then stops; no
+  *    wall-clock triggers, no partial reads.
+  *  - r52 aggregates in complete mode: the final state is independent
+  *    of micro-batch boundaries.
+  *  - r53's dedup output is one row per key; WHICH arrival wins is
+  *    irrelevant because the doubled legs are identical rows.
+  *  - sums go through DECIMAL (exact, order-independent), the same
+  *    parity rule as every batch gate.
+  *
+  * Scale notes: the window aggregation state is one row per
+  * (day, type) — O(output), not O(input); the memory sink is
+  * gate-only plumbing (a deployment writes to a real table, as
+  * [[graft.streaming.StreamingRollup]] does with exactly-once
+  * generation dirs). r53's dropDuplicates keeps per-key state; at
+  * 100 TB that state is bounded by a watermark on the dedup columns
+  * ([[graft.streaming.StreamingDedup]] specs the watermarked form) —
+  * the gate runs unbounded because the drained source is finite.
+  */
+object StreamingQueries {
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    // schema from the batch loader so the NTZ/nanos normalization
+    // rules (Tables.load) apply identically on the streaming path
+    val schema = graft.Tables.load(s, dir, "events").schema
+    // the testdata stores each table as ONE parquet file, which the
+    // file stream source rejects (its basePath must be a directory).
+    // The single-char glob makes Spark treat the CONTAINING dir as
+    // basePath while still matching only the events file.
+    s.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+  }
+
+  /** r52: streaming daily rollup — windowed count + exact sum per
+    * (1-day window, event_type), complete-mode memory sink.
+    */
+  def stream_window(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).as("sv"))
+    val q = agg.writeStream.format("memory").queryName("r52_sink")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("r52_sink")
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("cnt"), col("sv").cast("double").as("sv"))
+      .orderBy("day", "event_type")
+  }
+
+  /** r53: streaming deduplication — every event arrives TWICE (two
+    * independent streaming reads of the same dir, unioned), so the
+    * stateful dropDuplicates must collapse each key to exactly one
+    * row across micro-batch and leg boundaries. Append-mode parquet
+    * sink with a checkpoint — the production sink shape — then read
+    * back for the compare.
+    */
+  def stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    val doubled = eventsStream(s, dir).union(eventsStream(s, dir))
+    val deduped = doubled.dropDuplicates("event_id")
+      .select("event_id", "user_id", "event_type")
+    val out = Files.createTempDirectory("r53_out").toString
+    val cp = Files.createTempDirectory("r53_cp").toString
+    val q = deduped.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy("event_id")
+  }
+}
