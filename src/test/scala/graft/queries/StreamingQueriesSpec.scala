@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** The streaming gates (r52/r53) against their batch equivalents —
+  * the same identity the driver's DuckDB oracle checks, pinned in the
+  * suite so a streaming-path regression fails `sbt test` locally.
+  */
+class StreamingQueriesSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("r52 streaming windowed rollup == batch GROUP BY on day/type") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.stream_window(spark, dir).collect()
+    val batch = graft.Tables.load(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"))
+      .orderBy("day", "event_type").collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("r53 streaming dedup collapses the doubled stream to one row per id") {
+    assume(new java.io.File(dir).isDirectory)
+    val got = StreamingQueries.stream_dedup(spark, dir)
+    val events = graft.Tables.load(spark, dir, "events")
+    assert(got.count() === events.count())
+    // key uniqueness in the sink, not just the count
+    assert(got.groupBy("event_id").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0L)
+  }
+}
