@@ -116,6 +116,7 @@ object SparkEntry {
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
     "m05_image_pixels" -> (PipelineQueries.multimodal_pixels _),
     "m06_y4m_frames" -> (PipelineQueries.multimodal_y4m _),
+    "m07_image_dedup" -> (PipelineQueries.multimodal_image_dedup _),
     "m03_audio_meta" -> (PipelineQueries.multimodal_audio _),
     "m04_video_meta" -> (PipelineQueries.multimodal_video _),
   )
@@ -1182,6 +1183,16 @@ object SparkEntry {
     // every row holds exactly w/2 pixels of each color, so each
     // channel sum is (w·h/2)(c0+c1) exactly (PNG is lossless; the
     // decoded raster is bit-identical to what the JDK encoder drew)
+    // m07: the dedup groups' closed form — docs sharing doc_id%97
+    // share an identical synth image (distinct colors per key), so
+    // content-hash dedup must recover exactly that grouping
+    "m07_image_dedup" ->
+      """WITH g AS (SELECT doc_id, doc_id % 97 AS k FROM documents)
+         SELECT min(doc_id) AS keep_id, count(*) AS dups,
+                CAST((k % 16) * 2 + 16 AS INTEGER) AS width,
+                CAST(k % 24 + 8 AS INTEGER) AS height
+         FROM g GROUP BY k ORDER BY keep_id""",
+
     "m05_image_pixels" ->
       """WITH d AS (SELECT doc_id,
              CAST((doc_id%16)*2+16 AS INTEGER) AS w,

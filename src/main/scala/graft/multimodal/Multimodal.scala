@@ -287,6 +287,59 @@ object Multimodal {
       "luma_sum_x1000")
   }
 
+  /** Image CONTENT dedup key: decode the full raster and hash its
+    * canonical form — (width, height, row-major RGB triplets) through
+    * FNV-1a 64. Hashing the DECODED raster, not the file bytes, is
+    * the point: two encodings of the same pixels (different PNG
+    * filter/compression choices, stripped ancillary chunks, a
+    * re-encode) collapse to one key, which raw-byte hashing misses.
+    * Map-only; the shuffle downstream carries 8 bytes per image,
+    * never the raster — the property that makes image dedup viable
+    * over a 100-TB binary column (pair with d01's hash-groupBy).
+    */
+  def rasterContentHash(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    mapBinaryBatches(df, idCol, payloadCol) { it =>
+      it.map { case (id, bytes) =>
+        rasterHash(bytes) match {
+          case Some((w, h, k)) => (id, Some(w), Some(h), Some(k))
+          case None => (id, None: Option[Int], None: Option[Int],
+            None: Option[Long])
+        }
+      }
+    }.toDF("id", "width", "height", "raster_hash")
+  }
+
+  /** FNV-1a 64 over the canonical raster; None when unreadable. */
+  def rasterHash(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var hash = 0xcbf29ce484222325L
+        @inline def mix(v: Int): Unit = {
+          hash ^= (v & 0xFFL); hash *= 0x100000001b3L
+          hash ^= ((v >> 8) & 0xFFL); hash *= 0x100000001b3L
+          hash ^= ((v >> 16) & 0xFFL); hash *= 0x100000001b3L
+          hash ^= ((v >> 24) & 0xFFL); hash *= 0x100000001b3L
+        }
+        mix(w); mix(h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { mix(img.getRGB(x, y) & 0xFFFFFF); x += 1 }
+          y += 1
+        }
+        Some((w, h, hash))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decode one payload's full raster and sum the RGB channels.
     * None when no installed reader recognizes the bytes.
     */

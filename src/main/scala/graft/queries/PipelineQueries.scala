@@ -609,6 +609,37 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- m07: image dedup by DECODED-raster content hash — the
+  // standard multimodal-pipeline step (exact image dedup that
+  // survives re-encoding), run end-to-end: synth PNGs keyed by
+  // doc_id % 97 (distinct colors per key, so exactly the docs sharing
+  // a key share an image; real PNG encode), real javax.imageio
+  // decode, canonical-raster FNV-1a, hash-groupBy dedup. The Spark
+  // side groups ONLY by the hash it computed from pixels — the
+  // oracle's closed-form doc_id%97 grouping is recovered, proving the
+  // decode+hash actually normalizes content. Shuffle carries
+  // (hash, id), never rasters. ----
+  def multimodal_image_dedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val png = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val k = id % 97
+        val c0 = (((k % 256).toInt) << 16) | (((k * 7 % 256).toInt) << 8) |
+          (k * 13 % 256).toInt
+        val c1 = (((k * 3 % 256).toInt) << 16) | (((k * 5 % 256).toInt) << 8) |
+          (k * 11 % 256).toInt
+        (id, graft.multimodal.Multimodal.synthCheckerPng(
+          w = ((k % 16) * 2 + 16).toInt, h = (k % 24 + 8).toInt,
+          c0 = c0, c1 = c1))
+      }.toDF("doc_id", "payload")
+    graft.multimodal.Multimodal
+      .rasterContentHash(png, "doc_id", "payload")
+      .groupBy("raster_hash", "width", "height")
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dups"))
+      .select("keep_id", "dups", "width", "height")
+      .orderBy("keep_id")
+  }
+
   // ---- m06: REAL video FRAME pixels via Y4M (raw YUV, codec-free).
   // Frame sampling with actual per-frame luma sums replaces the m02
   // stub's "frames are just byte windows" fiction for the one video

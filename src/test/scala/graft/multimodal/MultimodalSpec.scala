@@ -171,6 +171,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(sampled === Seq(0, 2))
   }
 
+  test("rasterHash: invariant under re-encode, sensitive to pixels/dims") {
+    val png = Multimodal.synthCheckerPng(16, 8, 0xAA3311, 0x115599)
+    // re-encode through a decode→write round trip: different PNG
+    // bytes (encoder choices differ), SAME canonical raster
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      { val c = new java.awt.image.BufferedImage(16, 8,
+          java.awt.image.BufferedImage.TYPE_INT_ARGB) // different color model
+        val g = c.getGraphics; g.drawImage(img, 0, 0, null); g.dispose(); c },
+      "png", out)
+    val reenc = out.toByteArray
+    assert(!java.util.Arrays.equals(png, reenc), "re-encode must differ in bytes")
+    assert(Multimodal.rasterHash(png) === Multimodal.rasterHash(reenc))
+    // one pixel's color flips the hash; so do swapped dims
+    assert(Multimodal.rasterHash(png) !==
+      Multimodal.rasterHash(Multimodal.synthCheckerPng(16, 8, 0xAA3312, 0x115599)))
+    assert(Multimodal.rasterHash(Multimodal.synthCheckerPng(16, 8, 0, 0)).map(_._3) !==
+      Multimodal.rasterHash(Multimodal.synthCheckerPng(8, 16, 0, 0)).map(_._3))
+    // unreadable bytes → None
+    assert(Multimodal.rasterHash("not an image".getBytes) === None)
+  }
+
   test("stubFrameSample: one row per sampled frame, never all frames in one row") {
     val frames = Multimodal.stubFrameSample(docs, "id", "payload",
       everyNth = 2, frameBytes = 1000)
