@@ -115,9 +115,35 @@ object IngestBench {
         s""""min_ingest_sec":${(minSec * 100).round / 100.0},""" +
         s""""records_per_hour":$recPerHour,"stored_ok":$storedOk}"""
     }
+    // The continuous-deployment shape: the SAME hour files through the
+    // Structured Streaming ingest (checkpointed file discovery,
+    // micro-batched via maxFilesPerTrigger — the reference's cron loop
+    // + meta.json, subsumed). Append-mode, so stored == generated
+    // exactly (Replacing compaction is a separate step there).
+    val streamJson = {
+      val (hours, perHour) = configs.last
+      val srcDir = new File(work.toFile,
+        s"archive_${configs.size - 1}").getAbsolutePath
+      val total = hours.toLong * perHour
+      val sDir = new File(work.toFile, "stream").getAbsolutePath
+      val t0 = System.nanoTime()
+      val q = streaming.StreamingIngest.ingestAvailable(spark, srcDir,
+        s"$sDir/events", s"$sDir/cp", maxFilesPerTrigger = Some(2))
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      val stored = spark.read.parquet(s"$sDir/events").count()
+      val rph = (total / sec * 3600).toLong
+      println(s"[sweep] streaming ${total / 1000}k records: " +
+        f"$sec%.1fs over $batches micro-batches = $rph rec/hr " +
+        s"stored_ok=${stored == total}")
+      s"""{"records":$total,"sec":${(sec * 100).round / 100.0},""" +
+        s""""micro_batches":$batches,"records_per_hour":$rph,""" +
+        s""""stored_ok":${stored == total}}"""
+    }
     val json = s"""{"metric":"ingest_records_per_hour","repeats":$repeats,""" +
       s""""baseline_records_per_hour":75000000,""" +
-      s""""runs":[${runs.mkString(",")}]}"""
+      s""""runs":[${runs.mkString(",")}],"streaming":$streamJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

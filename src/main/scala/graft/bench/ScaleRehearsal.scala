@@ -37,8 +37,16 @@ import org.apache.spark.sql.functions._
   * circular-shift the vector (a coordinate rotation: norms and
   * intra-copy cosines bit-identical, cross-copy decorrelated).
   *
+  * Mode `text` — the text-analysis path over the same salted corpus
+  * as `dedup`: t07 (TF-IDF — tokenize → explode → doc-frequency join,
+  * the shuffle-heavy member), t06 (vocab — global token aggregation)
+  * and t04 (fingerprint — map-only contrast). The rotation changes
+  * every token, so vocab SIZE grows ~linearly with M while per-doc
+  * token counts stay constant — the adversarial direction for
+  * dictionary-building operators.
+  *
   * Usage: runMain graft.bench.ScaleRehearsal <sfDir> <mult> [mode] [workDir]
-  * (mode ∈ dedup|graph|ann, default dedup)
+  * (mode ∈ dedup|graph|ann|text, default dedup)
   * Prints one JSON line: wall seconds + shuffle read/write MB per query.
   */
 object ScaleRehearsal {
@@ -127,7 +135,8 @@ object ScaleRehearsal {
     // count via the 4 wrapped copies)
     require(mult >= 1 && mult <= 26, "mult must be in [1, 26]")
     val mode = args.lift(2).getOrElse("dedup")
-    require(Seq("dedup", "graph", "ann").contains(mode), s"unknown mode $mode")
+    require(Seq("dedup", "graph", "ann", "text").contains(mode),
+      s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else java.nio.file.Files.createTempDirectory("scale").toString
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -177,6 +186,18 @@ object ScaleRehearsal {
       println(s"""{"mult":$mult,"vectors":$nVecs,""" +
         s""""s02_replica":${jq(s02Replica)},"s02_grown":${jq(s02Grown)},""" +
         s""""d05":${jq(d05)}}""")
+    } else if (mode == "text") {
+      saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
+        .parquet(s"$work/documents.parquet")
+      val nDocs = spark.read.parquet(s"$work/documents.parquet").count()
+      val t07 =
+        time(graft.queries.PipelineQueries.tfidf(spark, work).count())
+      val t06 =
+        time(graft.queries.PipelineQueries.vocab(spark, work).count())
+      val t04 =
+        time(graft.queries.PipelineQueries.fingerprint(spark, work).count())
+      println(s"""{"mult":$mult,"docs":$nDocs,""" +
+        s""""t07":${jq(t07)},"t06":${jq(t06)},"t04":${jq(t04)}}""")
     } else if (mode == "dedup") {
       saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
         .parquet(s"$work/documents.parquet")

@@ -21,24 +21,32 @@ object StreamingIngest {
 
   /** Unbounded stream of parsed event rows from a GH Archive
     * directory tree (base/YYYY/MM/DD/, hour files ending .json.gz).
+    * `maxFilesPerTrigger` bounds each micro-batch's file intake — the
+    * backpressure knob a continuous deployment sets so one giant
+    * backfill drop doesn't become one giant batch.
     */
-  def readEvents(spark: SparkSession, baseDir: String): DataFrame =
+  def readEvents(spark: SparkSession, baseDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .schema(GhArchiveSchema.envelope)
+      .option("pathGlobFilter", "*.json.gz")
+      .option("recursiveFileLookup", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
     GhEventParser.parse(
-      spark.readStream
-        .schema(GhArchiveSchema.envelope)
-        .option("pathGlobFilter", "*.json.gz")
-        .option("recursiveFileLookup", "true")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
+      maxFilesPerTrigger
+        .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
         .json(baseDir))
+  }
 
   /** Ingest everything currently available, then stop (AvailableNow);
     * re-running resumes from the checkpoint — the idempotent
     * incremental behavior meta.json provides in the reference.
     */
   def ingestAvailable(spark: SparkSession, baseDir: String,
-      tablePath: String, checkpoint: String): StreamingQuery =
-    EventsWriter.withMonthKey(readEvents(spark, baseDir))
+      tablePath: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    EventsWriter.withMonthKey(readEvents(spark, baseDir, maxFilesPerTrigger))
       .writeStream
       .partitionBy(EventsWriter.partitionCol)
       .option("checkpointLocation", checkpoint)
