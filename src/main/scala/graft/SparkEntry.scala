@@ -1179,10 +1179,6 @@ object SparkEntry {
                 CASE WHEN octet_length(encode(text))%2=0 THEN 'png' ELSE 'jpeg' END AS format
          FROM documents ORDER BY doc_id""",
 
-    // m05: the checkerboard PNG's closed form — even width w means
-    // every row holds exactly w/2 pixels of each color, so each
-    // channel sum is (w·h/2)(c0+c1) exactly (PNG is lossless; the
-    // decoded raster is bit-identical to what the JDK encoder drew)
     // m07: the dedup groups' closed form — docs sharing doc_id%97
     // share an identical synth image (distinct colors per key), so
     // content-hash dedup must recover exactly that grouping
@@ -1193,6 +1189,10 @@ object SparkEntry {
                 CAST(k % 24 + 8 AS INTEGER) AS height
          FROM g GROUP BY k ORDER BY keep_id""",
 
+    // m05: the checkerboard PNG's closed form — even width w means
+    // every row holds exactly w/2 pixels of each color, so each
+    // channel sum is (w·h/2)(c0+c1) exactly (PNG is lossless; the
+    // decoded raster is bit-identical to what the JDK encoder drew)
     "m05_image_pixels" ->
       """WITH d AS (SELECT doc_id,
              CAST((doc_id%16)*2+16 AS INTEGER) AS w,

@@ -16,15 +16,23 @@ object Tables {
     "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize(name, spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Normalize timestamp layouts across testdata generations:
+    *  - events.ts as nanos-since-epoch longs (parquet nanos unit);
+    *  - any naive (NTZ) timestamp column, read by a session that has
+    *    inferTimestampNTZ on — cast to TIMESTAMP, lossless because the
+    *    engine pins the session tz to UTC (GraftSession).
+    * Shared with the STREAMING readers (StreamingQueries), which must
+    * apply the same expressions on top of the RAW file schema — a
+    * schema-only carry-over would make the streaming scan reject the
+    * layouts this function exists to absorb.
+    */
+  def normalize(name: String, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Normalize timestamp layouts across testdata generations:
-    //  - events.ts as nanos-since-epoch longs (parquet nanos unit);
-    //  - any naive (NTZ) timestamp column, read by a session that has
-    //    inferTimestampNTZ on — cast to TIMESTAMP, lossless because the
-    //    engine pins the session tz to UTC (GraftSession).
     val tsFixed =
       if (name == "events" && df.schema("ts").dataType == LongType)
         df.withColumn("ts",

@@ -296,6 +296,10 @@ object Multimodal {
     * Map-only; the shuffle downstream carries 8 bytes per image,
     * never the raster — the property that makes image dedup viable
     * over a 100-TB binary column (pair with d01's hash-groupBy).
+    * Unreadable payloads yield a NULL hash: consumers must exclude
+    * nulls before grouping (null means "could not decode", and
+    * grouping nulls together would declare all undecodable images
+    * duplicates of each other).
     */
   def rasterContentHash(df: DataFrame, idCol: String,
       payloadCol: String): DataFrame = {

@@ -634,6 +634,11 @@ object PipelineQueries {
       }.toDF("doc_id", "payload")
     graft.multimodal.Multimodal
       .rasterContentHash(png, "doc_id", "payload")
+      // null hash = UNREADABLE, not dedupable: grouping nulls together
+      // would mark N distinct undecodable images as duplicates of each
+      // other (unreachable for the synth PNGs, load-bearing for the
+      // helper's general use)
+      .filter(col("raster_hash").isNotNull)
       .groupBy("raster_hash", "width", "height")
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dups"))
       .select("keep_id", "dups", "width", "height")

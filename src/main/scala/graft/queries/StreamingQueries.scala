@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -37,22 +35,33 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    // schema from the batch loader so the NTZ/nanos normalization
-    // rules (Tables.load) apply identically on the streaming path
-    val schema = graft.Tables.load(s, dir, "events").schema
+  /** The RAW file schema — what the streaming scan must be told
+    * (resolved once per gate; each batch relation costs a footer
+    * read). Normalization then happens on the streaming DataFrame
+    * itself via the SAME Tables.normalize expressions as the batch
+    * path; carrying the batch loader's post-normalization schema into
+    * readStream would make the scan reject exactly the layouts
+    * (nanos-long ts, NTZ) the normalizer exists to absorb.
+    */
+  private def rawEventsSchema(s: SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet").schema
+  }
+
+  private def eventsStream(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
     // the testdata stores each table as ONE parquet file, which the
     // file stream source rejects (its basePath must be a directory).
     // The single-char glob makes Spark treat the CONTAINING dir as
     // basePath while still matching only the events file.
-    s.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
-  }
+    graft.Tables.normalize("events",
+      s.readStream.schema(schema).parquet(s"$dir/events.parque[t]"))
 
   /** r52: streaming daily rollup — windowed count + exact sum per
     * (1-day window, event_type), complete-mode memory sink.
     */
   def stream_window(s: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(s, dir)
+    val agg = eventsStream(s, dir, rawEventsSchema(s, dir))
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(12,2)")).as("sv"))
@@ -73,15 +82,27 @@ object StreamingQueries {
     * back for the compare.
     */
   def stream_dedup(s: SparkSession, dir: String): DataFrame = {
-    val doubled = eventsStream(s, dir).union(eventsStream(s, dir))
+    val schema = rawEventsSchema(s, dir)
+    val doubled = eventsStream(s, dir, schema)
+      .union(eventsStream(s, dir, schema))
     val deduped = doubled.dropDuplicates("event_id")
       .select("event_id", "user_id", "event_type")
-    val out = Files.createTempDirectory("r53_out").toString
-    val cp = Files.createTempDirectory("r53_cp").toString
+    // pinned per-SF dirs (the s03CentroidsPath pattern), CLEARED per
+    // run: a reused checkpoint would skip already-seen files — and
+    // silently re-ingest (duplicating the sink) if the driver
+    // regenerates the testdata under the same filename. Fresh dirs per
+    // run also stop /tmp from accumulating a copy per invocation.
+    val base = new java.io.File(
+      s"/tmp/graft_r53/${new java.io.File(dir).getName}")
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val cp = new java.io.File(base, "cp").getAbsolutePath
     val q = deduped.writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", cp)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.read.parquet(out).orderBy("event_id")
+    // schema pinned on read-back: an empty source commits no data
+    // files, and schema inference over an empty dir would throw
+    s.read.schema(deduped.schema).parquet(out).orderBy("event_id")
   }
 }

@@ -24,6 +24,31 @@ class StreamingQueriesSpec extends SparkTestBase {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming reads normalize the legacy nanos-long ts layout " +
+      "identically to Tables.load") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the pre-regeneration testdata layout: ts as nanos-since-epoch
+    // longs — the streaming path must apply the same Tables.normalize
+    // conversion, not just carry the batch loader's schema
+    val dir = java.nio.file.Files.createTempDirectory("nanos_ev").toString
+    val base = 1700000000000000L // micros
+    (0 until 40).map { i =>
+      (i.toLong, (base + i.toLong * 3600L * 1000000L) * 1000L,
+        (i % 5).toLong, if (i % 2 == 0) "click" else "view",
+        i.toDouble, """{"k":1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val streamed = StreamingQueries.stream_window(spark, dir).collect()
+    val batch = graft.Tables.load(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"))
+      .orderBy("day", "event_type").collect()
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
   test("r53 streaming dedup collapses the doubled stream to one row per id") {
     assume(new java.io.File(dir).isDirectory)
     val got = StreamingQueries.stream_dedup(spark, dir)
