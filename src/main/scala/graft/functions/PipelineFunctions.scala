@@ -90,6 +90,8 @@ object PipelineFunctions {
     // containment dedup
     "overlap_coefficient" -> viaColumns(cs =>
       TextDedup.overlapCoefficient(cs(0), cs(1))),
+    // multimodal: image content-dedup key (decoded-raster FNV-1a)
+    "raster_hash" -> (es => RasterHash(es.head)),
     // deterministic sampling/splits: split weights are (name, weight)
     // literal pairs — split_label(id, 'train', 0.9, 'val', 0.1)
     // heavy hitters: freq_topk(x, k[, maxMapSize]) — bounded-memory

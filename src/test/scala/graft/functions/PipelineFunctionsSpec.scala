@@ -177,6 +177,21 @@ class PipelineFunctionsSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("integer literal")))
   }
 
+  test("raster_hash from SQL matches the Dataset helper; null-safe") {
+    PipelineFunctions.registerAll(spark)
+    import spark.implicits._
+    val png = graft.multimodal.Multimodal.synthCheckerPng(
+      16, 8, 0x112233, 0x445566)
+    Seq((1L, png), (2L, "junk".getBytes), (3L, null: Array[Byte]))
+      .toDF("id", "payload").createOrReplaceTempView("pf_img")
+    val rows = spark.sql(
+      "SELECT id, raster_hash(payload) AS h FROM pf_img ORDER BY id")
+      .collect()
+    assert(rows(0).getLong(1) ===
+      graft.multimodal.Multimodal.rasterHash(png).get._3)
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
+  }
+
   test("extensions channel injects the pipeline functions too") {
     import org.apache.spark.sql.SparkSession
     spark.sparkContext // ensure the shared context exists first
