@@ -761,6 +761,19 @@ object ChCompat {
     }),
     "replaceAll" -> (es => StringReplace(es(0), es(1), es(2))),
     "replaceRegexpAll" -> (es => RegExpReplace(es(0), es(1), es(2))),
+    // replaceOne: first occurrence only — Spark has no replace-first
+    // builtin, so compose it: h[1..pos) ++ r ++ h[pos+len(p)..] when
+    // the needle occurs, else h unchanged (empty needle: instr=1 per
+    // CH/Spark convention, degenerating to prepend — matches CH)
+    "replaceOne" -> (es => {
+      val pos = StringLocate(es(1), es(0), Literal(1))
+      If(GreaterThan(pos, Literal(0)),
+        Concat(Seq(
+          Substring(es(0), Literal(1), Subtract(pos, Literal(1))),
+          es(2),
+          Substring(es(0), Add(pos, Length(es(1))), Literal(Int.MaxValue)))),
+        es(0))
+    }),
     // empty needle is defined as 0, not a NULL from divide-by-zero
     "countSubstrings" -> (es => If(EqualTo(Length(es(1)), Literal(0)),
       Literal(0),
