@@ -350,6 +350,8 @@ object RefQueries {
     import s.implicits._
     events(s, dir).schema.fields
       .map(f => (f.name, f.dataType.sql)).toSeq
+      .sortBy(_._1) // oracle ORDER BY column_name; sorted here, not via a
+      // Sort node — the frame is a 6-row local relation
       .toDF("column_name", "data_type")
   }
 
