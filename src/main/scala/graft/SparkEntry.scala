@@ -80,6 +80,7 @@ object SparkEntry {
     "r51_ch_json" -> (RefQueries.ch_json _),
     "r52_stream_window" -> (StreamingQueries.stream_window _),
     "r53_stream_dedup" -> (StreamingQueries.stream_dedup _),
+    "r54_stream_join" -> (StreamingQueries.stream_join _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -94,11 +95,13 @@ object SparkEntry {
     "d05_embedding_neardup" -> (PipelineQueries.embedding_neardup _),
     "d06_containment" -> (PipelineQueries.containment_pairs _),
     "d07_decontaminate" -> (PipelineQueries.decontaminate _),
+    "d08_url_dedup" -> (PipelineQueries.url_dedup _),
     "p01_clean_corpus" -> (PipelineQueries.clean_corpus _),
     "p02_neardup_groups" -> (PipelineQueries.neardup_groups _),
     "p03_shard_pack" -> (PipelineQueries.shard_pack _),
     "p04_source_mix" -> (PipelineQueries.source_mix _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
+    "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -112,6 +115,7 @@ object SparkEntry {
     "t08_repetition" -> (PipelineQueries.repetition _),
     "t09_topk_sketch" -> (PipelineQueries.topk_sketch _),
     "t10_kll_bound" -> (PipelineQueries.kll_bound _),
+    "t11_pii_scrub" -> (PipelineQueries.pii_scrub _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
     "m05_image_pixels" -> (PipelineQueries.multimodal_pixels _),
@@ -589,6 +593,18 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type
          FROM events ORDER BY event_id""",
 
+    // r54: the stream-stream interval join drains a finite source, so
+    // the attribution pairs equal the batch self-join's
+    "r54_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+                p.event_id AS purchase_id,
+                c.ts AS click_ts, p.ts AS purchase_ts
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+         ORDER BY c.user_id, click_id, purchase_id""",
+
     // r47: the mutated table's end state, stated declaratively — the
     // DELETE drops the error partition, the UPDATE doubles qualifying
     // purchase rows; everything else must round-trip untouched.
@@ -718,6 +734,20 @@ object SparkEntry {
                   / least(len(t.w), len(e.w)) AS DECIMAL(20,10)),4) AS DOUBLE) >= 0.8
             OR t.fp = e.fp
          ORDER BY train_id, eval_id""",
+
+    // d08: the synthesized crawl URLs vary only in junk (case, default
+    // port, tracking params, param order, fragment, trailing slash)
+    // within each doc_id%100 group — the oracle derives the canonical
+    // string in CLOSED FORM, independently of the regex pipeline, so
+    // any canonicalization bug breaks the group hash
+    "d08_url_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             'https://www.site' || CAST(doc_id%10 AS VARCHAR)
+               || '.com/Articles/' || CAST(doc_id%100 AS VARCHAR)
+               || '?ref=' || CAST(doc_id%4 AS VARCHAR) AS canonical_url
+           FROM documents)
+         SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS dups
+         FROM d GROUP BY canonical_url ORDER BY keep_id""",
 
     "g01_graph_nodes" ->
       """SELECT user_id AS node_id, arg_max(event_type, ts) AS last_type,
@@ -1125,6 +1155,65 @@ object SparkEntry {
                 CAST(SUM((((k1 >> i) & 1) << (2*i))
                          + (((k2 >> i) & 1) << (2*i+1))) AS BIGINT) AS zkey
          FROM d CROSS JOIN s GROUP BY d.doc_id ORDER BY d.doc_id""",
+
+    // p06: the oracle recomputes the corpus-frequency boilerplate
+    // dedup INDEPENDENTLY (string_split → GROUP BY para HAVING
+    // count(DISTINCT doc) >= 5 → NOT IN → ordered string_agg), not
+    // from the synthesis closed form — two derivations of the same
+    // cleaning semantics must agree on the reassembled text
+    "p06_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+             'intro-' || CAST(doc_id AS VARCHAR) || ' ' || substr(text,1,48)
+               || chr(10)||chr(10) || 'brought to you by the ' || source || ' network'
+               || chr(10)||chr(10) || 'all rights reserved worldwide'
+               || CASE WHEN doc_id%3=0
+                       THEN chr(10)||chr(10) || 'subscribe for updates'
+                       ELSE '' END AS t
+           FROM documents),
+         p AS (SELECT doc_id,
+                 unnest(string_split(t, chr(10)||chr(10))) AS para,
+                 unnest(generate_series(1,
+                   len(string_split(t, chr(10)||chr(10))))) AS pos
+               FROM d),
+         b AS (SELECT para FROM p GROUP BY para
+               HAVING count(DISTINCT doc_id) >= 5),
+         tot AS (SELECT doc_id, count(*) AS n_total FROM p GROUP BY doc_id),
+         k AS (SELECT doc_id, pos, para FROM p
+               WHERE para NOT IN (SELECT para FROM b))
+         SELECT k.doc_id,
+                string_agg(k.para, chr(10)||chr(10) ORDER BY k.pos) AS clean_text,
+                count(*) AS n_kept,
+                max(tot.n_total) - count(*) AS n_removed
+         FROM k JOIN tot ON k.doc_id = tot.doc_id
+         GROUP BY k.doc_id ORDER BY k.doc_id""",
+
+    // t11: PII splice + scrub — the oracle synthesizes the same raw
+    // text, then runs DuckDB's OWN regex engine (RE2) over patterns
+    // written in the Java∩RE2 common subset; the redacted text itself
+    // hash-compares, not just the counts
+    "t11_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+               || '@mail-' || CAST(doc_id%7 AS VARCHAR)
+               || '.example.com or call 555-'
+               || lpad(CAST(doc_id%1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(doc_id*3%10000 AS VARCHAR), 4, '0')
+               || ' from 10.' || CAST(doc_id%256 AS VARCHAR)
+               || '.' || CAST(doc_id*3%256 AS VARCHAR)
+               || '.' || CAST(doc_id%250 AS VARCHAR) || '.' AS raw
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+                CAST(len(regexp_extract_all(raw,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
+                CAST(len(regexp_extract_all(raw,
+                  '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phone,
+                regexp_replace(regexp_replace(regexp_replace(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+         FROM d ORDER BY doc_id""",
 
     // t09: exact in the unsaturated sketch regime; same deterministic
     // (count desc, item asc) cut on both sides

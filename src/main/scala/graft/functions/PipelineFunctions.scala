@@ -87,6 +87,11 @@ object PipelineFunctions {
     "token_counts" -> viaColumns(cs =>
       struct(TextFunctions.tokenCounts(cs(0)): _*)),
     "doc_fingerprint" -> viaColumns(cs => TextFunctions.fingerprint(cs(0))),
+    // corpus cleaning: PII redaction + web-corpus URL canonicalization
+    "scrub_pii" -> viaColumns(cs => ScrubFunctions.scrubPii(cs(0))),
+    "pii_counts" -> viaColumns(cs =>
+      struct(ScrubFunctions.piiCounts(cs(0)): _*)),
+    "canonical_url" -> viaColumns(cs => ScrubFunctions.canonicalUrl(cs(0))),
     // containment dedup
     "overlap_coefficient" -> viaColumns(cs =>
       TextDedup.overlapCoefficient(cs(0), cs(1))),

@@ -248,4 +248,52 @@ object TextDedup {
           .as("bucket"))
     }: _*)
   }
+
+  /** Corpus-level boilerplate removal (the CCNet/RefinedWeb paragraph
+    * dedup): a paragraph that recurs across ≥ `minDocs` DISTINCT
+    * documents is boilerplate (headers, cookie banners, license
+    * footers) and is dropped from every document; survivors are
+    * reassembled in original order. Documents whose every paragraph is
+    * boilerplate disappear entirely — the desired cleaning semantics.
+    *
+    * Scale shape:
+    *   1. split + posexplode — map-only over the text scan;
+    *   2. frequency count groups by `md5(paragraph)`, so the shuffle
+    *      carries 32-hex-char keys + ids, never paragraph text (same
+    *      hash-not-content discipline as [[Dedup.exactDedup]]; md5
+    *      collisions are the usual 2⁻¹²⁸ non-concern);
+    *   3. the boilerplate set after the ≥ minDocs filter is bounded by
+    *      total_paragraphs / minDocs distinct hashes and in practice
+    *      tiny (high-frequency by definition) → BROADCAST anti-join,
+    *      no second text shuffle;
+    *   4. one groupBy(id) reassembly shuffle of surviving text — the
+    *      irreducible cost of emitting cleaned documents.
+    *
+    * Output: (idCol, clean_text, n_kept, n_removed), one row per
+    * document that kept ≥ 1 paragraph.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n", minDocs: Long = 5L): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "pos", "para")
+      .withColumn("ph", md5(col("para")))
+    val boiler = paras.groupBy("ph")
+      .agg(count_distinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("ph")
+    val totals = paras.groupBy(idCol).agg(count(lit(1)).as("n_total"))
+    paras.join(broadcast(boiler), Seq("ph"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x("para")),
+          sep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(totals, idCol)
+      .withColumn("n_removed", col("n_total") - col("n_kept"))
+      .drop("n_total")
+  }
 }

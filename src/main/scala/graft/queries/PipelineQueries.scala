@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Packing, Sampling, Similarity, TextDedup}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators as gate queries: deduplication
@@ -671,4 +671,83 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("frame_idx"),
         octet_length(col("frame")).as("n_bytes"))
       .orderBy("doc_id", "frame_idx")
+
+  // ---- t11: PII scrub. The corpus text is digit-free by
+  // construction, so the gate splices deterministic closed-form PII
+  // (email, dashed phone, dotted-quad IP derived from doc_id) into
+  // every document — the m05 pattern: both engines synthesize the
+  // same input, then each runs its own scrubber and the redacted TEXT
+  // itself must hash-match, along with per-category counts. Map-only,
+  // fully codegen'd (ScrubFunctions). ----
+  private def piiRaw: Column = concat(
+    col("text"),
+    lit(" contact u"), col("doc_id"),
+    lit("@mail-"), col("doc_id") % 7, lit(".example.com or call 555-"),
+    lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+    lpad((col("doc_id") * 3 % 10000).cast("string"), 4, "0"),
+    lit(" from 10."), col("doc_id") % 256,
+    lit("."), col("doc_id") * 3 % 256,
+    lit("."), col("doc_id") % 250, lit("."))
+
+  def pii_scrub(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), piiRaw.as("raw"))
+    d.select(
+        col("doc_id") +:
+          graft.functions.ScrubFunctions.piiCounts(col("raw")) :+
+          graft.functions.ScrubFunctions.scrubPii(col("raw")).as("scrubbed"): _*)
+      .orderBy("doc_id")
+  }
+
+  // ---- p06: corpus-level boilerplate removal. Synthesized input
+  // gives every doc a unique intro paragraph plus per-source and
+  // global boilerplate paragraphs (25× / 500× / ~167× recurrence at
+  // sf0.01); paragraphs in ≥ 5 distinct docs must vanish and the
+  // unique intro survive, order preserved. The oracle recomputes the
+  // corpus-frequency dedup independently (string_split + GROUP BY
+  // para + NOT IN), not from the closed form — an independent
+  // derivation of the same cleaning semantics. ----
+  private def boilerDoc: Column = concat(
+    lit("intro-"), col("doc_id"), lit(" "), substring(col("text"), 1, 48),
+    lit("\n\nbrought to you by the "), col("source"), lit(" network"),
+    lit("\n\nall rights reserved worldwide"),
+    when(col("doc_id") % 3 === 0, lit("\n\nsubscribe for updates"))
+      .otherwise(lit("")))
+
+  def boilerplate_clean(s: SparkSession, dir: String): DataFrame =
+    TextDedup.removeBoilerplate(
+        docs(s, dir).select(col("doc_id"), boilerDoc.as("text")),
+        "doc_id", "text", sep = "\n\n", minDocs = 5L)
+      .select("doc_id", "clean_text", "n_kept", "n_removed")
+      .orderBy("doc_id")
+
+  // ---- d08: URL canonicalization dedup (web-crawl recrawl collapse).
+  // Synthesized URLs vary only in junk — scheme/host case, default
+  // port, tracking params, param order, fragment, trailing slash —
+  // within each doc_id%100 group, so canonical-URL grouping must
+  // recover exactly those groups. The oracle derives the canonical
+  // string in closed form, independently of the regex pipeline: any
+  // canonicalization bug (fragment kept, utm_* retained, port kept,
+  // case not folded, slash kept) breaks the hash. ----
+  private def crawlUrl: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+    when(col("doc_id") % 3 === 0, lit("WWW.SITE")).otherwise(lit("www.site")),
+    col("doc_id") % 10, lit(".COM"),
+    when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+    lit("/Articles/"), col("doc_id") % 100,
+    when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+    lit("?"),
+    when(col("doc_id") % 2 === 0,
+      concat(lit("ref="), col("doc_id") % 4, lit("&utm_source=feed")))
+      .otherwise(concat(lit("utm_campaign=x&ref="), col("doc_id") % 4)),
+    when(col("doc_id") % 7 === 0, concat(lit("#section"), col("doc_id") % 5))
+      .otherwise(lit("")))
+
+  def url_dedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), crawlUrl.as("url"))
+      .select(col("doc_id"),
+        graft.functions.ScrubFunctions.canonicalUrl(col("url"))
+          .as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+      .orderBy("keep_id")
 }

@@ -105,4 +105,34 @@ object StreamingQueries {
     // files, and schema inference over an empty dir would throw
     s.read.schema(deduped.schema).parquet(out).orderBy("event_id")
   }
+
+  /** r54: watermarked stream-stream interval join — attribute each
+    * purchase to the clicks that preceded it within 6 hours, through
+    * [[graft.streaming.StreamJoin.attribution]]. Two independent
+    * streaming reads of the same drained source (one per side); the
+    * result of an INNER interval join is a pure function of the
+    * inputs, so a plain batch self-join SQL oracle hash-compares it.
+    * The single-file source makes each side one micro-batch, so the
+    * starting watermark (epoch 0) can never discard input — the gate
+    * exercises the state-bounded join path without late-drop
+    * nondeterminism.
+    */
+  def stream_join(s: SparkSession, dir: String): DataFrame = {
+    val schema = rawEventsSchema(s, dir)
+    def side(tpe: String, idAs: String, tsAs: String) =
+      eventsStream(s, dir, schema)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+    val joined = graft.streaming.StreamJoin.attribution(
+      side("click", "click_id", "click_ts"),
+      side("purchase", "purchase_id", "purchase_ts"),
+      window = "6 hours", lateness = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("r54_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("r54_sink")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
 }

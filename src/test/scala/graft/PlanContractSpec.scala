@@ -65,6 +65,11 @@ class PlanContractSpec extends SparkTestBase {
   test("dedup-family shuffles never carry raw text") {
     Seq("d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
       "d04_jaccard_pairs", "d06_containment", "d07_decontaminate",
+      // d08 groups by the derived canonical URL — short and bounded,
+      // never the document text (p06 is deliberately absent: its
+      // reassembly shuffle carries surviving paragraph text because
+      // the OUTPUT is the cleaned document)
+      "d08_url_dedup",
       "p02_neardup_groups").foreach { n =>
       exchangeInputs(formatted(n)).foreach { in =>
         assert(!in.contains("text#"),

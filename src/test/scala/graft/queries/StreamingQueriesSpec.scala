@@ -49,6 +49,27 @@ class StreamingQueriesSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
   }
 
+  test("r54 stream-stream interval join == batch self-join") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.stream_join(spark, dir).collect()
+    val ev = graft.Tables.load(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = c.join(p,
+        c("user_id") === p("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 6 hours"))
+      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+      .orderBy("user_id", "click_id", "purchase_id").collect()
+    assert(streamed.nonEmpty && streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("r53 streaming dedup collapses the doubled stream to one row per id") {
     assume(new java.io.File(dir).isDirectory)
     val got = StreamingQueries.stream_dedup(spark, dir)
