@@ -45,8 +45,15 @@ import org.apache.spark.sql.functions._
   * token counts stay constant — the adversarial direction for
   * dictionary-building operators.
   *
+  * Mode `clean` — the corpus-cleaning path over the same salted
+  * corpus: p06 boilerplate removal (constant boilerplate set →
+  * broadcast side flat in M; reassembly shuffle linear), d08 URL
+  * canonicalization dedup (constant canonical-group count, dups ∝ M
+  * → partial aggregation must bound shuffle rows by partitions ×
+  * groups, not input rows) and t11 PII scrub (map-only contrast).
+  *
   * Usage: runMain graft.bench.ScaleRehearsal <sfDir> <mult> [mode] [workDir]
-  * (mode ∈ dedup|graph|ann|text, default dedup)
+  * (mode ∈ dedup|graph|ann|text|clean, default dedup)
   * Prints one JSON line: wall seconds + shuffle read/write MB per query.
   */
 object ScaleRehearsal {
@@ -135,7 +142,7 @@ object ScaleRehearsal {
     // count via the 4 wrapped copies)
     require(mult >= 1 && mult <= 26, "mult must be in [1, 26]")
     val mode = args.lift(2).getOrElse("dedup")
-    require(Seq("dedup", "graph", "ann", "text").contains(mode),
+    require(Seq("dedup", "graph", "ann", "text", "clean").contains(mode),
       s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else java.nio.file.Files.createTempDirectory("scale").toString
@@ -198,6 +205,26 @@ object ScaleRehearsal {
         time(graft.queries.PipelineQueries.fingerprint(spark, work).count())
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
         s""""t07":${jq(t07)},"t06":${jq(t06)},"t04":${jq(t04)}}""")
+    } else if (mode == "clean") {
+      // the corpus-cleaning path: p06 boilerplate removal (its
+      // boilerplate paragraph SET stays ~22 entries at every M —
+      // sources are shared across copies — so the broadcast anti-join
+      // side must stay constant while the reassembly shuffle grows
+      // linearly), d08 URL dedup (100 canonical groups at every M,
+      // dups ∝ M: partial aggregation must keep shuffle rows bounded
+      // by partitions × groups, NOT input rows), and t11 PII scrub
+      // (map-only contrast leg — shuffle ~0 at every M)
+      saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
+        .parquet(s"$work/documents.parquet")
+      val nDocs = spark.read.parquet(s"$work/documents.parquet").count()
+      val p06 = time(
+        graft.queries.PipelineQueries.boilerplate_clean(spark, work).count())
+      val d08 = time(
+        graft.queries.PipelineQueries.url_dedup(spark, work).count())
+      val t11 = time(
+        graft.queries.PipelineQueries.pii_scrub(spark, work).count())
+      println(s"""{"mult":$mult,"docs":$nDocs,""" +
+        s""""p06":${jq(p06)},"d08":${jq(d08)},"t11":${jq(t11)}}""")
     } else if (mode == "dedup") {
       saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
         .parquet(s"$work/documents.parquet")

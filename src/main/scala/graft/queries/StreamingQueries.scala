@@ -48,6 +48,22 @@ object StreamingQueries {
     s.read.parquet(s"$dir/events.parquet").schema
   }
 
+  /** Run `body` with a small state-partition count, restoring the
+    * session's shuffle partitions after. The shuffle-partition conf at
+    * query START is pinned into the checkpoint as the stateful
+    * operator's state partition count — a DEPLOYMENT knob (≈ cluster
+    * cores at 100 TB), not a semantics knob. The gates pin it low
+    * because each state partition costs per-micro-batch store
+    * open/commit I/O: on the drained single-file source, 32 partitions
+    * spend 3-4× the gate's wall-clock on empty-store bookkeeping
+    * (measured on r54: 16-19 s at 32 vs ~5 s at 8, identical rows).
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def eventsStream(s: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     // the testdata stores each table as ONE parquet file, which the
@@ -65,9 +81,11 @@ object StreamingQueries {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(12,2)")).as("sv"))
-    val q = agg.writeStream.format("memory").queryName("r52_sink")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.format("memory").queryName("r52_sink")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table("r52_sink")
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("cnt"), col("sv").cast("double").as("sv"))
@@ -97,10 +115,12 @@ object StreamingQueries {
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     val out = new java.io.File(base, "out").getAbsolutePath
     val cp = new java.io.File(base, "cp").getAbsolutePath
-    val q = deduped.writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", cp)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = deduped.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // schema pinned on read-back: an empty source commits no data
     // files, and schema inference over an empty dir would throw
     s.read.schema(deduped.schema).parquet(out).orderBy("event_id")
@@ -127,9 +147,11 @@ object StreamingQueries {
       side("click", "click_id", "click_ts"),
       side("purchase", "purchase_id", "purchase_ts"),
       window = "6 hours", lateness = "10 minutes")
-    val q = joined.writeStream.format("memory").queryName("r54_sink")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream.format("memory").queryName("r54_sink")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table("r54_sink")
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
