@@ -81,6 +81,7 @@ object SparkEntry {
     "r52_stream_window" -> (StreamingQueries.stream_window _),
     "r53_stream_dedup" -> (StreamingQueries.stream_dedup _),
     "r54_stream_join" -> (StreamingQueries.stream_join _),
+    "r55_stream_sessionize" -> (StreamingQueries.stream_sessionize _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
+    "s04_pq_codes" -> (PipelineQueries.pq_codes _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
     "t03_token_count" -> (PipelineQueries.token_count _),
@@ -605,6 +607,39 @@ object SparkEntry {
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
          ORDER BY c.user_id, click_id, purchase_id""",
 
+    // r55: batch sessions + the streaming EMISSION contract — a
+    // non-final session was closed in-batch by a later event; a final
+    // session emits iff its ms-floored timeout (last + 8h) lies
+    // strictly before the final watermark (ms(max_ts) - 10 min).
+    // Emitted timestamps are ms-truncated Timestamp state.
+    "r55_stream_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         y AS (SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts)-epoch_us(prev_ts) > 28800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM x),
+         z AS (SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM y),
+         sess AS (SELECT user_id, session_idx,
+                 date_trunc('milliseconds', min(ts)) AS session_start,
+                 date_trunc('milliseconds', max(ts)) AS session_end,
+                 count(*) AS n_events,
+                 epoch_us(max(ts))//1000 AS end_ms
+               FROM z GROUP BY 1,2),
+         m AS (SELECT epoch_us(max(ts))//1000 AS wm_ms FROM events)
+         SELECT user_id, session_start, session_end, n_events
+         FROM (SELECT s.*,
+                 max(session_idx) OVER (PARTITION BY user_id) AS max_idx
+               FROM sess s), m
+         WHERE session_idx < max_idx
+            OR end_ms + 28800000 < wm_ms - 600000
+         ORDER BY user_id, session_start""",
+
     // r47: the mutated table's end state, stated declaratively — the
     // DELETE drops the error partition, the UPDATE doubles qualifying
     // purchase rows; everything else must round-trip untouched.
@@ -976,6 +1011,35 @@ object SparkEntry {
          FROM scored
          QUALIFY rank <= 10
          ORDER BY query_id, rank""",
+
+    // s04: every PQ code re-derived from the persisted codebook with
+    // the same left-to-right squared-distance sum and lowest-id tie
+    // rule; any drift in training persistence, slicing, or argmin
+    // breaks 500 rows × 8 codes of exact equality
+    "s04_pq_codes" ->
+      """WITH c AS (SELECT sub_idx, cluster_id, centroid
+           FROM '/tmp/graft_s04_pq/sf0.01/*.parquet'),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         dist AS (SELECT vec_id, sub_idx, cluster_id,
+             list_sum(list_transform(
+               list_zip(centroid, v[sub_idx*8+1 : sub_idx*8+8]),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           FROM e CROSS JOIN c),
+         best AS (SELECT vec_id, sub_idx, cluster_id FROM dist
+           QUALIFY row_number() OVER
+             (PARTITION BY vec_id, sub_idx ORDER BY d2, cluster_id) = 1)
+         SELECT vec_id,
+                CAST(max(CASE WHEN sub_idx=0 THEN cluster_id END) AS INTEGER) AS c0,
+                CAST(max(CASE WHEN sub_idx=1 THEN cluster_id END) AS INTEGER) AS c1,
+                CAST(max(CASE WHEN sub_idx=2 THEN cluster_id END) AS INTEGER) AS c2,
+                CAST(max(CASE WHEN sub_idx=3 THEN cluster_id END) AS INTEGER) AS c3,
+                CAST(max(CASE WHEN sub_idx=4 THEN cluster_id END) AS INTEGER) AS c4,
+                CAST(max(CASE WHEN sub_idx=5 THEN cluster_id END) AS INTEGER) AS c5,
+                CAST(max(CASE WHEN sub_idx=6 THEN cluster_id END) AS INTEGER) AS c6,
+                CAST(max(CASE WHEN sub_idx=7 THEN cluster_id END) AS INTEGER) AS c7
+         FROM best GROUP BY vec_id ORDER BY vec_id""",
 
     "t01_lang_id" ->
       s"""WITH sw(sw_lang, sw_word) AS (VALUES ${graft.functions.TextFunctions.stopwords

@@ -227,6 +227,70 @@ object Similarity {
       .map(_._2.toArray)
   }
 
+  /** Product quantizer: `m` independent sub-quantizers, one per
+    * contiguous `dim/m`-dim slice of the vector, each a seeded k-means
+    * with `kPerSub` centroids over a bounded training sample. The PQ
+    * compression story at 100 TB: a 64-float vector (256 B) encodes as
+    * m codes (m bytes at kPerSub ≤ 256) — a 32× shrink that makes the
+    * re-rank candidate set fit in memory, with asymmetric distances
+    * computable from m table lookups instead of a 64-mult dot product
+    * (Jégou/Douze/Schmid, PAMI'11 — the IVF-PQ standard). Same
+    * train/probe split as [[trainQuantizer]]: fit offline on a sample,
+    * persist the tiny codebook, encode/probe as pure DataFrame work.
+    */
+  def trainProductQuantizer(corpus: DataFrame, m: Int, kPerSub: Int,
+      vecCol: String = "embedding", seed: Long = 42L,
+      maxTrainRows: Long = 100000L): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+    val d = dim / m
+    // distinct seed per subspace: identically-seeded fits on correlated
+    // slices would produce correlated codebooks
+    (0 until m).toArray.map { j =>
+      trainQuantizer(
+        corpus.select(slice(col(vecCol), j * d + 1, d).as(vecCol)),
+        kPerSub, vecCol, seed + j, maxTrainRows)
+    }
+  }
+
+  /** Persist a product codebook as one tiny parquet
+    * (sub_idx, cluster_id, centroid) — the offline index-build
+    * artifact, m × kPerSub × (dim/m) doubles.
+    */
+  def saveProductQuantizer(spark: org.apache.spark.sql.SparkSession,
+      pq: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    pq.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("sub_idx", "cluster_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Encode every vector as its m nearest-sub-centroid codes — the PQ
+    * compression pass. Codebooks enter as literals, so this is a
+    * map-only projection over the scan (no join, no shuffle, no ML
+    * model): per subspace, squared distances to the kPerSub centroids
+    * via the same left-to-right zip_with/aggregate arithmetic the IVF
+    * assignment uses (cross-engine bit-parity), argmin by
+    * `array_min` over (distance, index) structs — ties break to the
+    * lowest cluster_id, the same rule as the oracle's QUALIFY.
+    */
+  def pqEncode(corpus: DataFrame, pq: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = pq(0)(0).length
+    val codeCols = pq.zipWithIndex.map { case (cents, j) =>
+      val sub = slice(col(vecCol), j * d + 1, d)
+      val centersLit = array(cents.map(c => typedLit(c.toSeq)): _*)
+      val dists = centroidDists(sub, centersLit)
+      array_min(zip_with(dists,
+          sequence(lit(0), lit(cents.length - 1)),
+          (dd, i) => struct(dd.as("d"), i.as("i"))))
+        .getField("i").cast("int").as(s"c$j")
+    }
+    corpus.select(col(idCol) +: codeCols: _*)
+  }
+
   /** Squared-L2 distances from `vec` to each centroid of `centersLit`
     * (an array-of-array literal), as an array column. */
   private def centroidDists(vec: Column, centersLit: Column): Column =

@@ -306,6 +306,29 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- s04: product-quantization codes — the PQ compression pass of
+  // IVF-PQ. Same persisted-codebook contract as s03: the 8×16
+  // codebook is fit once (sample-bounded, seeded), dumped to parquet,
+  // and the encode is a map-only projection; the oracle re-derives
+  // every code from the SAME codebook parquet with the same
+  // left-to-right distance arithmetic and low-id tie rule. ----
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+
+  def s04PqPath(dir: String): String =
+    s"/tmp/graft_s04_pq/${new java.io.File(dir).getName}"
+
+  def pq_codes(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    val pq = pqCache.computeIfAbsent(dir, _ => {
+      val p = Similarity.trainProductQuantizer(corpus, m = 8, kPerSub = 16,
+        maxTrainRows = 20000L)
+      Similarity.saveProductQuantizer(s, p, s04PqPath(dir))
+      p
+    })
+    Similarity.pqEncode(corpus, pq).orderBy("vec_id")
+  }
+
   // ---- text analysis ----
   def lang_id(s: SparkSession, dir: String): DataFrame =
     TextFunctions.languageId(docs(s, dir), "doc_id", "text")

@@ -157,4 +157,35 @@ object StreamingQueries {
         col("click_ts"), col("purchase_ts"))
       .orderBy("user_id", "click_id", "purchase_id")
   }
+
+  /** r55: streaming gap sessionization — the custom-state
+    * `flatMapGroupsWithState` path ([[graft.streaming.StreamingSessionize]]),
+    * same 8-hour-gap semantics as the batch r18 query. What makes the
+    * drained run oracle-able is stating the EMISSION contract exactly:
+    *  - every non-final session per user is closed in-batch by the
+    *    next event arriving past the gap — emitted regardless of
+    *    watermark;
+    *  - a user's final session emits only via EventTimeTimeout, i.e.
+    *    iff ms(last_event) + gap < ms(max_ts) - lateness (strict —
+    *    Spark fires when the watermark passes the timeout timestamp);
+    *  - emitted timestamps are ms-truncated (`Timestamp.getTime`
+    *    state), which the oracle mirrors with date_trunc.
+    * The oracle computes batch sessions and applies that filter — the
+    * honest semantics of a stream that never "ends".
+    */
+  def stream_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val schema = rawEventsSchema(s, dir)
+    val sessions = graft.streaming.StreamingSessionize.sessions(
+      eventsStream(s, dir, schema), gap = "8 hours", lateness = "10 minutes")
+    withStatePartitions(s, 8) {
+      val q = sessions.toDF().writeStream.format("memory")
+        .queryName("r55_sink")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table("r55_sink")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Product quantization (s04): train/persist/encode contract. */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 40 deterministic 16-dim vectors clustered around 4 corners, so
+  // sub-quantizers have real structure to find
+  private lazy val corpus = {
+    val rows = (0 until 40).map { i =>
+      val base = (i % 4).toDouble * 10.0
+      (i.toLong, (0 until 16).map(j => (base + ((i * 7 + j * 3) % 5) * 0.1).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("pqEncode: every code is the argmin sub-centroid, ties to lowest id") {
+    val pq = Similarity.trainProductQuantizer(corpus, m = 4, kPerSub = 4,
+      maxTrainRows = 1000L)
+    assert(pq.length === 4 && pq.forall(_.length === 4)
+      && pq.forall(_.forall(_.length === 4)))
+    val codes = Similarity.pqEncode(corpus, pq).collect()
+    val vecs = corpus.as[(Long, Seq[Float])].collect().toMap
+    codes.foreach { r =>
+      val v = vecs(r.getLong(0))
+      (0 until 4).foreach { j =>
+        val sub = v.slice(j * 4, j * 4 + 4).map(_.toDouble)
+        def d2(c: Array[Double]) =
+          c.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum
+        val code = r.getInt(1 + j)
+        val dists = pq(j).map(d2)
+        // argmin with lowest-index tie rule
+        val want = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+        assert(code === want, s"vec ${r.getLong(0)} sub $j")
+      }
+    }
+  }
+
+  test("save/load round-trips the codebook exactly") {
+    val pq = Similarity.trainProductQuantizer(corpus, m = 2, kPerSub = 3,
+      maxTrainRows = 1000L)
+    val path = java.nio.file.Files.createTempDirectory("pq").toString + "/cb"
+    Similarity.saveProductQuantizer(spark, pq, path)
+    val back = spark.read.parquet(path)
+      .orderBy("sub_idx", "cluster_id")
+      .as[(Int, Int, Seq[Double])].collect()
+    assert(back.length === 6)
+    back.foreach { case (j, i, c) => assert(c.toArray.sameElements(pq(j)(i))) }
+  }
+
+  test("encode is a map-only projection — no shuffle, no join") {
+    val pq = Similarity.trainProductQuantizer(corpus, m = 4, kPerSub = 4,
+      maxTrainRows = 1000L)
+    val plan = Similarity.pqEncode(corpus, pq)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"PQ encode should be map-only:\n$plan")
+  }
+}

@@ -70,6 +70,34 @@ class StreamingQueriesSpec extends SparkTestBase {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("r55 streaming sessionize == batch sessions under the emission contract") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.stream_sessionize(spark, dir).collect()
+    // batch sessions (the r18 computation) + the streaming emission
+    // contract: non-final sessions always emit; a final session emits
+    // iff ms(end) + gap < ms(max_ts) - lateness (strict)
+    val sess = RefQueries.sessionize(spark, dir)
+    val ev = graft.Tables.load(spark, dir, "events")
+    val wmMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime - 600000L
+    val batch = sess
+      .withColumn("max_idx",
+        max(col("session_idx")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")))
+      .filter(col("session_idx") < col("max_idx") ||
+        (floor(unix_micros(col("session_end")) / 1000) + 28800000L) <
+          lit(wmMs))
+      .select(col("user_id"),
+        timestamp_millis(floor(unix_micros(col("session_start")) / 1000))
+          .as("session_start"),
+        timestamp_millis(floor(unix_micros(col("session_end")) / 1000))
+          .as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start").collect()
+    assert(streamed.nonEmpty && streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("r53 streaming dedup collapses the doubled stream to one row per id") {
     assume(new java.io.File(dir).isDirectory)
     val got = StreamingQueries.stream_dedup(spark, dir)
