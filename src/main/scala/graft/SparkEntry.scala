@@ -107,6 +107,7 @@ object SparkEntry {
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
     "s04_pq_codes" -> (PipelineQueries.pq_codes _),
+    "s05_pq_adc" -> (PipelineQueries.pq_adc _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
     "t03_token_count" -> (PipelineQueries.token_count _),
@@ -1040,6 +1041,45 @@ object SparkEntry {
                 CAST(max(CASE WHEN sub_idx=6 THEN cluster_id END) AS INTEGER) AS c6,
                 CAST(max(CASE WHEN sub_idx=7 THEN cluster_id END) AS INTEGER) AS c7
          FROM best GROUP BY vec_id ORDER BY vec_id""",
+
+    // s05: codes AND per-query distance tables re-derived from the
+    // same codebook; ADC per neighbor summed over subspaces in
+    // sub_idx order (list(… ORDER BY sub_idx) → list_sum) to match
+    // the Spark side's fixed j-ascending fold bit-for-bit
+    "s05_pq_adc" ->
+      """WITH c AS (SELECT sub_idx, cluster_id, centroid
+           FROM '/tmp/graft_s04_pq/sf0.01/*.parquet'),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         dist AS (SELECT vec_id, sub_idx, cluster_id,
+             list_sum(list_transform(
+               list_zip(centroid, v[sub_idx*8+1 : sub_idx*8+8]),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           FROM e CROSS JOIN c),
+         codes AS (SELECT vec_id, sub_idx, cluster_id FROM dist
+           QUALIFY row_number() OVER
+             (PARTITION BY vec_id, sub_idx ORDER BY d2, cluster_id) = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         dt AS (SELECT q.query_id, c.sub_idx, c.cluster_id,
+             list_sum(list_transform(
+               list_zip(c.centroid, q.qv[c.sub_idx*8+1 : c.sub_idx*8+8]),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dq
+           FROM q CROSS JOIN c),
+         adc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+             list_sum(list(dq ORDER BY dt.sub_idx)) AS adc
+           FROM codes
+           JOIN dt ON dt.sub_idx = codes.sub_idx
+                  AND dt.cluster_id = codes.cluster_id
+           GROUP BY 1, 2)
+         SELECT query_id,
+                CAST(row_number() OVER
+                  (PARTITION BY query_id ORDER BY adc, neighbor_id)
+                  AS INTEGER) AS rank,
+                neighbor_id
+         FROM adc WHERE neighbor_id != query_id
+         QUALIFY rank <= 10
+         ORDER BY query_id, rank""",
 
     "t01_lang_id" ->
       s"""WITH sw(sw_lang, sw_word) AS (VALUES ${graft.functions.TextFunctions.stopwords

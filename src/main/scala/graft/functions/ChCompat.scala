@@ -1118,7 +1118,82 @@ object ChCompat {
     // a distinction not worth a crashing executor here (documented).
     "parseDateTimeBestEffort" -> parseBestEffort _,
     "parseDateTimeBestEffortOrNull" -> parseBestEffort _,
+
+    // ---- third widening pass (round 10 probe batch 2 gaps) ----
+    "bitNot" -> (es => BitwiseNot(es.head)),
+    // CH's OrZero division variants: x/0 -> 0 instead of an error
+    "intDivOrZero" -> (es => If(
+      EqualTo(Cast(es(1), LongType), Literal(0L)), Literal(0L),
+      IntegralDivide(es(0), es(1), EvalMode.LEGACY))),
+    "moduloOrZero" -> (es => If(
+      EqualTo(Cast(es(1), LongType), Literal(0L)), Literal(0L),
+      Cast(Remainder(es(0), es(1), EvalMode.LEGACY), LongType))),
+    "base64Encode" -> (es => Base64(Cast(es.head, BinaryType))),
+    "base64Decode" -> (es => Cast(UnBase64(es.head), StringType)),
+    "toDayOfYear" -> (es => DayOfYear(Cast(es.head, DateType))),
+    // Spark's weekofyear IS the ISO week; ISO year = calendar year of
+    // that week's Thursday (date + (4 - isoWeekday)), weekday() is Mon=0
+    "toISOWeek" -> (es => WeekOfYear(Cast(es.head, DateType))),
+    "toISOYear" -> (es => Year(DateAdd(Cast(es.head, DateType),
+      Subtract(Literal(3), WeekDay(Cast(es.head, DateType)))))),
+    // unsigned ints: Spark has no unsigned types — each maps to the
+    // narrowest SIGNED type that holds the full unsigned range
+    // (UInt64 maps to Long, the one lossy corner, documented)
+    "toUInt8" -> (es => Cast(es.head, ShortType)),
+    "toUInt16" -> (es => Cast(es.head, IntegerType)),
+    "toUInt32" -> (es => Cast(es.head, LongType)),
+    "toUInt64" -> (es => Cast(es.head, LongType)),
+    // dotted-quad <-> UInt32, pure integer/string arithmetic
+    "IPv4NumToString" -> (es => {
+      def octet(shift: Int): Expression = Cast(BitwiseAnd(
+        ShiftRight(Cast(es.head, LongType), Literal(shift)),
+        Literal(255L)), StringType)
+      Concat(Seq(octet(24), Literal("."), octet(16), Literal("."),
+        octet(8), Literal("."), octet(0)))
+    }),
+    "IPv4StringToNum" -> (es => {
+      val parts = StringSplit(es.head, Literal("\\."), Literal(-1))
+      def octet(i: Int): Expression =
+        Cast(ElementAt(parts, Literal(i)), LongType)
+      Add(Add(Add(
+        Multiply(octet(1), Literal(16777216L)),
+        Multiply(octet(2), Literal(65536L))),
+        Multiply(octet(3), Literal(256L))), octet(4))
+    }),
+    // logical-operator FUNCTION spellings (CH allows and(a,b,...))
+    "not" -> (es => Not(Cast(es.head, BooleanType))),
+    "and" -> (es => es.map(e => Cast(e, BooleanType): Expression)
+      .reduceLeft(And(_, _))),
+    "or" -> (es => es.map(e => Cast(e, BooleanType): Expression)
+      .reduceLeft(Or(_, _))),
+    "xor" -> (es => es.map(e => Cast(e, BooleanType): Expression)
+      .reduceLeft((a, b) => Not(EqualTo(a, b)))),
+    // Shannon entropy of the value distribution. Composed over
+    // collect_list (per-group buffer ∝ group size, same bound class
+    // as uniqExact's collect_set — the ad-hoc convenience spelling;
+    // a distinct-bounded production form is the two-level
+    // count-per-value GROUP BY).
+    "entropy" -> viaCols { cs =>
+      import org.apache.spark.sql.functions._
+      val l = collect_list(cs.head.cast("string"))
+      val n = size(l).cast("double")
+      negate(aggregate(transform(array_distinct(l), v => {
+        val p = size(filter(l, e => e === v)).cast("double") / n
+        p * log2(p)
+      }), lit(0.0), (acc, x) => acc + x))
+    },
+    // groupArraySample(k[, seed])(x): bounded arbitrary-subset sample.
+    // "Any k elements" satisfies the contract; this takes the first k
+    // of the collection order (CH's own pick is unspecified too).
+    "chGroupArraySample" -> (es => Slice(
+      aggregate.CollectList(es.last).toAggregateExpression(),
+      Literal(1), Cast(es.head, IntegerType))),
   )
+
+  /** Lift a Column-API composition into a registry builder (the
+    * [[PipelineFunctions]] viaColumns pattern). */
+  private def viaCols(f: Seq[Column] => Column): Seq[Expression] => Expression =
+    es => ColumnBridge.expression(f(es.map(ColumnBridge.column)))
 
   /** `$`-path for the JSONExtract family: string-literal keys become
     * `.key` members, integer-literal keys become 0-based `[i]` array

@@ -127,6 +127,7 @@ object ChSqlRewrite {
     "topK" -> "chTopK",
     "topKWeighted" -> "chTopKWeighted",
     "quantileDeterministic" -> "chQuantileDet",
+    "groupArraySample" -> "chGroupArraySample",
     "windowFunnel" -> "chWindowFunnel",
     "sequenceMatch" -> "chSequenceMatch",
     "sequenceCount" -> "chSequenceCount")
@@ -1755,7 +1756,8 @@ object ChSqlRewrite {
               if (k < n && sql.charAt(k) == ')') {
                 out ++= "count(*)"; i = k + 1
               } else out ++= word
-            } else if (lower == "arraycount" || lower == "arrayfirst") {
+            } else if (lower == "arraycount" || lower == "arrayfirst"
+                || lower == "arrayfirstindex") {
               // CH lambda-first forms whose Spark equivalent needs a
               // non-HOF wrapper (size / try_element_at) — the analyzer
               // only accepts lambdas whose resolved root is a HOF, so
@@ -1774,6 +1776,10 @@ object ChSqlRewrite {
                   sql.substring(spans(1)._1, spans(1)._2).trim)
                 out ++= (if (lower == "arraycount")
                   s"size(filter($arr, $lam))"
+                else if (lower == "arrayfirstindex")
+                  // index of first lambda hit; array_position's
+                  // 0-when-absent IS CH's no-match value
+                  s"array_position(transform($arr, $lam), true)"
                 else s"try_element_at(filter($arr, $lam), 1)")
                 i = matchParen(sql, j)
               } else out ++= word

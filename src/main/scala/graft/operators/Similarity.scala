@@ -291,6 +291,55 @@ object Similarity {
     corpus.select(col(idCol) +: codeCols: _*)
   }
 
+  /** IVF-PQ's query path: asymmetric distance computation (ADC) top-k
+    * over PQ codes. Per query, a distance TABLE (m × kPerSub doubles:
+    * exact squared distance from the query's j-th slice to every j-th
+    * sub-centroid) is computed driver-side from the codebook — the
+    * tiny per-query artifact ADC is named for — and the corpus scan
+    * scores each row with m array lookups summed in fixed subspace
+    * order (ties broken by neighbor id). The broadcast cross join of
+    * the few-row query table against the codes scan is the DESIGNED
+    * plan, same rationale as s01's brute-force: every corpus row must
+    * meet every query, and the query side is tiny. At 100 TB the IVF
+    * stage prunes the scan to probed buckets first; the scoring pass
+    * itself reads 1 byte/subspace instead of 4 bytes/dim — the whole
+    * point of PQ.
+    *
+    * @param codes   (idCol, c0..c{m-1}) — [[pqEncode]] output
+    * @param queries (query_id, full query vector) — driver-side, few
+    * @param pq      the codebook the codes were produced with
+    */
+  def pqAdcTopK(codes: DataFrame, queries: Array[(Long, Array[Double])],
+      pq: Array[Array[Array[Double]]], k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val d = pq(0)(0).length
+    val m = pq.length
+    // dtable[j][i] = ||q_sub_j - centroid_j_i||²; summed left-to-right
+    // over dims, the same order the oracle's list_sum uses
+    val qTables = queries.toSeq.map { case (qid, qv) =>
+      (qid, pq.zipWithIndex.map { case (cents, j) =>
+        cents.toSeq.map { c =>
+          c.zip(qv.slice(j * d, j * d + d))
+            .foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
+        }
+      }.toSeq)
+    }
+    val qdf = broadcast(qTables.toDF("query_id", "dtable"))
+    val adc = (0 until m)
+      .map(j => element_at(element_at(col("dtable"), j + 1), col(s"c$j") + 1))
+      .reduce(_ + _) // fixed j-ascending fold — cross-engine order parity
+    codes.crossJoin(qdf)
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("adc"), col("neighbor_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Squared-L2 distances from `vec` to each centroid of `centersLit`
     * (an array-of-array literal), as an array column. */
   private def centroidDists(vec: Column, centersLit: Column): Column =

@@ -318,15 +318,34 @@ object PipelineQueries {
   def s04PqPath(dir: String): String =
     s"/tmp/graft_s04_pq/${new java.io.File(dir).getName}"
 
-  def pq_codes(s: SparkSession, dir: String): DataFrame = {
-    val corpus = embs(s, dir)
-    val pq = pqCache.computeIfAbsent(dir, _ => {
-      val p = Similarity.trainProductQuantizer(corpus, m = 8, kPerSub = 16,
-        maxTrainRows = 20000L)
+  private def pqFor(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent(dir, _ => {
+      val p = Similarity.trainProductQuantizer(embs(s, dir), m = 8,
+        kPerSub = 16, maxTrainRows = 20000L)
       Similarity.saveProductQuantizer(s, p, s04PqPath(dir))
       p
     })
-    Similarity.pqEncode(corpus, pq).orderBy("vec_id")
+
+  def pq_codes(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(embs(s, dir), pqFor(s, dir)).orderBy("vec_id")
+
+  // ---- s05: the ADC probe over those codes — IVF-PQ's query side.
+  // Query vectors are the same 10-row probe set as s01-s03 (bounded
+  // driver fetch, the "centroids pattern"); output ranks are exact
+  // under the codebook, so the oracle recomputes codes AND distance
+  // tables from the persisted codebook and must reproduce every
+  // (query, rank, neighbor) triple. ----
+  def pq_adc(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    val pq = pqFor(s, dir)
+    import s.implicits._
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+    Similarity.pqAdcTopK(Similarity.pqEncode(corpus, pq), queries, pq, k = 10)
+      .orderBy("query_id", "rank")
   }
 
   // ---- text analysis ----

@@ -10,8 +10,10 @@ class PlanContractSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   // s01 is the deliberate broadcast cross join (10 broadcast queries ×
-  // one corpus scan) — the correct plan for brute-force ANN.
-  private val allowedCross = Set("s01_ann_topk")
+  // one corpus scan) — the correct plan for brute-force ANN. s05's ADC
+  // scoring pass broadcasts the few-row per-query distance tables
+  // against the codes scan for the same reason.
+  private val allowedCross = Set("s01_ann_topk", "s05_pq_adc")
 
   test("no gate query plans BroadcastNestedLoopJoin or CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

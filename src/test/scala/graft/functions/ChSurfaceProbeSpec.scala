@@ -69,6 +69,104 @@ class ChSurfaceProbeSpec extends SparkTestBase {
     "SELECT arraySort(array(3,1,2)), arrayUniq(array(1,1,2))"
   )
 
+  // Batch 2 (round 10): URL/IP, deeper array algebra, string utils,
+  // math, datetime parts, and conditional-aggregate spellings.
+  private val probes2 = Seq(
+    "SELECT domain('https://www.ex.com/a?b=1'), protocol('https://ex.com/')",
+    "SELECT path('https://ex.com/a/b?c=1'), queryString('https://ex.com/a?c=1&d=2')",
+    "SELECT extractURLParameter('https://ex.com/?k=v&x=1', 'k')",
+    "SELECT cutQueryString('https://ex.com/a?c=1')",
+    "SELECT topLevelDomain('https://www.ex.com/a')",
+    "SELECT IPv4NumToString(3232235777), IPv4StringToNum('192.168.1.1')",
+    "SELECT arrayExists(x -> x > 2, array(1,2,3)), arrayAll(x -> x > 0, array(1,2,3))",
+    "SELECT arrayCount(x -> x > 1, array(1,2,3)), arrayFirst(x -> x > 1, array(1,2,3))",
+    "SELECT arrayFirstIndex(x -> x > 1, array(1,2,3))",
+    "SELECT arraySlice(array(1,2,3,4), 2, 2), arrayPushBack(array(1,2), 3)",
+    "SELECT arrayPushFront(array(2,3), 1), arrayPopBack(array(1,2,3))",
+    "SELECT arrayFlatten(array(array(1,2), array(3)))",
+    "SELECT arrayCompact(array(1,1,2,2,3))",
+    "SELECT arrayDifference(array(1,4,9)), arrayCumSum(array(1,2,3))",
+    "SELECT arrayIntersect(array(1,2,3), array(2,3,4))",
+    "SELECT hasAll(array(1,2,3), array(1,2)), hasAny(array(1,2), array(2,9))",
+    "SELECT arrayZip(array(1,2), array('a','b'))",
+    "SELECT arrayAvg(array(1,2,3)), arrayMin(array(1,2,3)), arrayMax(array(1,2,3))",
+    "SELECT arrayEnumerate(array('a','b','c'))",
+    "SELECT arrayReduce('sum', array(1,2,3))",
+    "SELECT trimBoth('  x  '), trimLeft('  x'), trimRight('x  ')",
+    "SELECT leftPad('7', 3, '0'), rightPad('7', 3, '0'), repeat('ab', 3)",
+    "SELECT position('hello', 'll'), positionCaseInsensitive('HeLLo', 'll')",
+    "SELECT left('hello', 2), right('hello', 2)",
+    "SELECT concatWithSeparator('-', 'a', 'b', 'c')",
+    "SELECT base64Encode('abc'), base64Decode('YWJj')",
+    "SELECT pow(2, 10), exp(1), ln(2.718), log2(8), log10(100)",
+    "SELECT sqrt(16), cbrt(27), abs(-3), sign(-5)",
+    "SELECT e(), pi()",
+    "SELECT intDivOrZero(7, 0), moduloOrZero(7, 0)",
+    "SELECT bitShiftLeft(1, 4), bitShiftRight(16, 2), bitNot(0), bitCount(255)",
+    "SELECT toYYYYMMDD(now()), toYYYYMMDDhhmmss(now())",
+    "SELECT toHour(now()), toMinute(now()), toSecond(now())",
+    "SELECT toDayOfWeek(now()), toDayOfMonth(now()), toDayOfYear(now())",
+    "SELECT toQuarter(now()), toISOWeek(now()), toISOYear(now())",
+    "SELECT today(), yesterday()",
+    "SELECT dateDiff('day', toDate('2024-01-01'), toDate('2024-02-01'))",
+    "SELECT toStartOfMinute(now()), toStartOfFiveMinutes(now()), toStartOfFifteenMinutes(now())",
+    "SELECT toMonday(now()), toLastDayOfMonth(now())",
+    "SELECT addHours(now(), 2), addMinutes(now(), 30), subtractDays(now(), 7)",
+    "SELECT maxIf(value, event_type='click'), minIf(value, value>0) FROM events",
+    "SELECT groupUniqArray(event_type) FROM (SELECT event_type FROM events LIMIT 20)",
+    "SELECT groupArraySample(3)(event_type) FROM events",
+    "SELECT any(event_type), median(value) FROM events",
+    "SELECT quantileExact(0.5)(value), quantileTDigest(0.9)(value) FROM events",
+    "SELECT corr(value, user_id), covarPop(value, user_id) FROM events",
+    "SELECT entropy(event_type) FROM events",
+    "SELECT tuple(1, 'a'), tupleElement(tuple(1, 'a'), 2)",
+    "SELECT toUInt8('7'), toInt64('42'), toFloat32('1.5')",
+    "SELECT isNull(NULL), isNotNull(1), coalesce(NULL, 2)",
+    "SELECT xor(true, false), not(false), and(true, true), or(false, true)"
+  )
+
+  test("CH dialect breadth batch 2: every probe parses and executes") {
+    assume(ready)
+    val failures = probes2.flatMap { q =>
+      try { ChCompat.sql(spark, q).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$q\n   -> ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size}/${probes2.size} probes failed:\n" +
+        failures.mkString("\n"))
+  }
+
+  test("batch-2 gap fills: pinned semantics") {
+    assume(ready)
+    val r = ChCompat.sql(spark,
+      """SELECT IPv4NumToString(3232235777) AS ip,
+                IPv4StringToNum('192.168.1.1') AS ipn,
+                arrayFirstIndex(x -> x > 1, array(1,2,3)) AS afi,
+                arrayFirstIndex(x -> x > 9, array(1,2,3)) AS afi0,
+                intDivOrZero(7, 0) AS dz, intDivOrZero(7, 2) AS dv,
+                moduloOrZero(7, 0) AS mz,
+                base64Decode(base64Encode('abc')) AS b64,
+                toISOYear(toDate('2021-01-01')) AS isoy,
+                toISOWeek(toDate('2021-01-01')) AS isow,
+                toUInt8('200') AS u8,
+                xor(true, true) AS x2,
+                entropy(v) AS ent
+         FROM (SELECT explode(array('a','a','b','b')) AS v)""").head
+    assert(r.getString(0) === "192.168.1.1")
+    assert(r.getLong(1) === 3232235777L)
+    assert(r.getLong(2) === 2L && r.getLong(3) === 0L) // CH 0-if-none
+    assert(r.getLong(4) === 0L && r.getLong(5) === 3L && r.getLong(6) === 0L)
+    assert(r.getString(7) === "abc")
+    // 2021-01-01 is a Friday of ISO week 53 of ISO year 2020
+    assert(r.getInt(8) === 2020 && r.getInt(9) === 53)
+    assert(r.getShort(10) === 200)
+    assert(r.getBoolean(11) === false)
+    // two values, equal mass: exactly 1 bit
+    assert(math.abs(r.getDouble(12) - 1.0) < 1e-12)
+  }
+
   test("replaceOne replaces exactly the first occurrence") {
     assume(ready)
     val r = ChCompat.sql(spark,

@@ -51,6 +51,36 @@ class PqSpec extends SparkTestBase {
     back.foreach { case (j, i, c) => assert(c.toArray.sameElements(pq(j)(i))) }
   }
 
+  test("pqAdcTopK == brute-force distances to PQ reconstructions") {
+    val pq = Similarity.trainProductQuantizer(corpus, m = 4, kPerSub = 4,
+      maxTrainRows = 1000L)
+    val vecs = corpus.as[(Long, Seq[Float])].collect().toMap
+    val queries = Seq(0L, 1L).map(q => (q, vecs(q).map(_.toDouble).toArray)).toArray
+    val got = Similarity.pqAdcTopK(
+        Similarity.pqEncode(corpus, pq), queries, pq, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long)].collect()
+    // ADC(q, v) = ||q - reconstruction(v)||² exactly, so ranking by ADC
+    // must equal ranking by distance to each vector's code centroids
+    def codesOf(v: Seq[Float]): Seq[Array[Double]] = (0 until 4).map { j =>
+      val sub = v.slice(j * 4, j * 4 + 4).map(_.toDouble)
+      pq(j).minBy(c => c.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    val want = queries.flatMap { case (qid, qv) =>
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          val d = codesOf(v).zipWithIndex.map { case (c, j) =>
+            c.zip(qv.slice(j * 4, j * 4 + 4))
+              .map { case (a, b) => (a - b) * (a - b) }.sum
+          }.sum
+          (qid, id, d)
+        }
+        .sortBy { case (_, id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((q, id, _), i) => (q, i + 1, id) }
+    }
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("encode is a map-only projection — no shuffle, no join") {
     val pq = Similarity.trainProductQuantizer(corpus, m = 4, kPerSub = 4,
       maxTrainRows = 1000L)
