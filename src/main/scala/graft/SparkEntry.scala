@@ -97,6 +97,7 @@ object SparkEntry {
     "d06_containment" -> (PipelineQueries.containment_pairs _),
     "d07_decontaminate" -> (PipelineQueries.decontaminate _),
     "d08_url_dedup" -> (PipelineQueries.url_dedup _),
+    "d09_semantic_dedup" -> (PipelineQueries.semantic_dedup _),
     "p01_clean_corpus" -> (PipelineQueries.clean_corpus _),
     "p02_neardup_groups" -> (PipelineQueries.neardup_groups _),
     "p03_shard_pack" -> (PipelineQueries.shard_pack _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
     "s04_pq_codes" -> (PipelineQueries.pq_codes _),
     "s05_pq_adc" -> (PipelineQueries.pq_adc _),
+    "s06_ann_recall" -> (PipelineQueries.ann_recall _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
     "t03_token_count" -> (PipelineQueries.token_count _),
@@ -126,6 +128,7 @@ object SparkEntry {
     "m07_image_dedup" -> (PipelineQueries.multimodal_image_dedup _),
     "m03_audio_meta" -> (PipelineQueries.multimodal_audio _),
     "m04_video_meta" -> (PipelineQueries.multimodal_video _),
+    "m08_audio_features" -> (PipelineQueries.multimodal_audio_features _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -940,6 +943,59 @@ object SparkEntry {
          SELECT src AS doc_id, min(node) AS comp
          FROM reach GROUP BY src ORDER BY doc_id""",
 
+    // d09: SemDeDup replay — same persisted centroids + assignment
+    // arithmetic as s03, then the intra-cell lower-id cosine threshold;
+    // outputs are all integers (ids + cell), so no float formatting risk
+    "d09_semantic_dedup" ->
+      """WITH c AS (SELECT cluster_id, centroid
+           FROM '/tmp/graft_s03_centroids/sf0.01/*.parquet'),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         dist AS (SELECT vec_id, v, cluster_id,
+             list_sum(list_transform(list_zip(centroid, v),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           FROM e CROSS JOIN c),
+         assigned AS (SELECT vec_id, v, cluster_id AS cell FROM dist
+           QUALIFY row_number() OVER
+             (PARTITION BY vec_id ORDER BY d2, cluster_id) = 1)
+         SELECT b.vec_id AS drop_id, min(a.vec_id) AS witness_id,
+                min(a.cell) AS cell
+         FROM assigned a JOIN assigned b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE list_inner_product(a.v,b.v)
+               / (sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.35
+         GROUP BY b.vec_id ORDER BY drop_id""",
+
+    // s06: recall@10 of the label-blocked IVF vs exact — the s01 and
+    // s02 oracles composed, reduced to integer hit counts per query
+    "s06_ann_recall" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label, v AS qv
+               FROM e WHERE vec_id < 10),
+         exsc AS (SELECT query_id, e.vec_id AS neighbor_id,
+             list_inner_product(qv,v)
+               / (sqrt(list_inner_product(qv,qv))*sqrt(list_inner_product(v,v))) AS cos
+           FROM q CROSS JOIN e WHERE e.vec_id != query_id),
+         ex AS (SELECT query_id, neighbor_id FROM exsc
+           QUALIFY row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10),
+         ivsc AS (SELECT query_id, e.vec_id AS neighbor_id,
+             list_inner_product(qv,v)
+               / (sqrt(list_inner_product(qv,qv))*sqrt(list_inner_product(v,v))) AS cos
+           FROM q JOIN e ON e.label = q.label AND e.vec_id != query_id),
+         iv AS (SELECT query_id, neighbor_id FROM ivsc
+           QUALIFY row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10),
+         h AS (SELECT ex.query_id, count(*) AS n_hits
+               FROM ex JOIN iv USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT q.query_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+         FROM q LEFT JOIN h ON h.query_id = q.query_id
+         ORDER BY q.query_id""",
+
     "s01_ann_topk" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1419,6 +1475,30 @@ object SparkEntry {
                 CAST(w*h*((doc_id + 17*k)%256) AS BIGINT) AS y_sum
          FROM f WHERE k%2 = 0
          ORDER BY doc_id, frame_idx""",
+
+    // m08: the sawtooth WAV's closed form — sample i of doc d is
+    // ((d*31 + 17i) mod 4096) - 2048, so every windowed stat is exact
+    // integer arithmetic the oracle can regenerate with generate_series;
+    // zero-crossings are within-window sign flips (lag over i)
+    "m08_audio_features" ->
+      """WITH d AS (SELECT doc_id, doc_id % 1000 + 100 AS nf FROM documents),
+         s AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS i
+               FROM d),
+         v AS (SELECT doc_id, i, CAST(i // 256 AS INTEGER) AS window_idx,
+                 CAST((doc_id*31 + 17*i) % 4096 - 2048 AS INTEGER) AS v
+               FROM s),
+         w AS (SELECT doc_id, window_idx, i, v,
+                 lag(v) OVER (PARTITION BY doc_id, window_idx ORDER BY i)
+                   AS pv
+               FROM v)
+         SELECT doc_id, window_idx,
+                CAST(count(*) AS INTEGER) AS n_samples,
+                CAST(sum(CAST(v AS BIGINT)*v) AS BIGINT) AS sum_sq,
+                CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv<0) <> (v<0))
+                              THEN 1 ELSE 0 END) AS INTEGER) AS zero_cross,
+                CAST(max(abs(v)) AS INTEGER) AS peak
+         FROM w GROUP BY doc_id, window_idx
+         ORDER BY doc_id, window_idx""",
 
     // m02: fixed-size byte windows, every 3rd — the oracle reproduces
     // the frame arithmetic (last frame is the remainder)

@@ -356,24 +356,79 @@ object Similarity {
     * nothing driver-side beyond the tiny array. This is the 100-TB
     * query path; [[trainQuantizer]] is the offline index build.
     */
-  def ivfTopKByCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroids: Array[Array[Double]], nProbe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The `n` nearest centroid ids for `vec`, ties to the lower
+    * cluster_id (array_sort on struct(d, i) is lexicographic) — the
+    * shared assignment arithmetic of every centroid-blocked operator,
+    * and exactly what the DuckDB oracles replay.
+    */
+  private def nearestCells(vec: Column, centroids: Array[Array[Double]],
+      n: Int): Column = {
     val centersLit = array(centroids.map(c =>
       array(c.map(v => lit(v)): _*)): _*)
     val idxSeq = sequence(lit(0), lit(centroids.length - 1))
-    def probes(vec: Column, n: Int): Column =
-      slice(transform(
-        array_sort(zip_with(centroidDists(vec, centersLit), idxSeq,
-          (d, i) => struct(d.as("d"), i.as("i")))),
-        s => s.getField("i")), 1, n)
+    slice(transform(
+      array_sort(zip_with(centroidDists(vec, centersLit), idxSeq,
+        (d, i) => struct(d.as("d"), i.as("i")))),
+      s => s.getField("i")), 1, n)
+  }
+
+  def ivfTopKByCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // corpus: single nearest centroid (assignment pass, map-only)
     val blocked = corpus
-      .withColumn("__block", element_at(probes(col(vecCol), 1), 1))
+      .withColumn("__block", element_at(nearestCells(col(vecCol), centroids, 1), 1))
     // queries: nProbe nearest centroids, one probe row each
     val qBlocked = queries
-      .withColumn("__block", explode(probes(col(vecCol), nProbe)))
+      .withColumn("__block", explode(nearestCells(col(vecCol), centroids, nProbe)))
     ivfTopK(blocked, qBlocked, k, "__block", idCol, vecCol)
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023's shape): assign
+    * every embedding to its nearest coarse-quantizer cell, then WITHIN
+    * each cell drop any id that has a lower-id neighbor at cosine ≥
+    * `threshold`; the reported witness is the smallest such lower id.
+    * The cluster blocking is the whole scale story — the pair join is
+    * O(Σ cell²), never O(N²), and at 100 TB you raise the cluster count
+    * so cells stay bounded while assignment remains one map-only pass
+    * against a broadcast centroid literal. Output: (drop_id,
+    * witness_id, cell), one row per dropped embedding.
+    */
+  def semanticDedup(corpus: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = corpus.withColumn("__cell",
+      element_at(nearestCells(col(vecCol), centroids, 1), 1))
+    val unit = withUnitVector(assigned, col(vecCol), "uv")
+      .select(col("__cell").as("cell"), col(idCol), col("uv"))
+    val a = unit.select(col("cell"), col(idCol).as("id_a"), col("uv").as("v_a"))
+    val b = unit.select(col("cell"), col(idCol).as("id_b"), col("uv").as("v_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id_b").as("drop_id"))
+      // min(cell) == the (unique) shared cell; min avoids first()'s
+      // order-dependence
+      .agg(min("id_a").as("witness_id"), min("cell").as("cell"))
+      .select("drop_id", "witness_id", "cell")
+  }
+
+  /** Recall@k evaluation harness: how much of the exact top-k does an
+    * approximate index recover, per query. The eval every ANN rollout
+    * needs before trading scan cost for recall; both sides run as the
+    * production operators ([[bruteForceTopK]] / [[ivfTopK]]), so the
+    * number measures the shipped plans, not a model of them.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
   /** Convenience train+probe in one call (small-data / test path):

@@ -291,19 +291,51 @@ object PipelineQueries {
   def s03CentroidsPath(dir: String): String =
     s"/tmp/graft_s03_centroids/${new java.io.File(dir).getName}"
 
-  def ann_ivf_kmeans(s: SparkSession, dir: String): DataFrame = {
-    val corpus = embs(s, dir)
-    val centroids = quantizerCache.computeIfAbsent(dir, _ => {
-      val c = Similarity.trainQuantizer(corpus, nClusters = 8,
+  /** The shared trained coarse quantizer (fit once per SF, persisted
+    * for the oracles) — s03's probe and d09's semantic dedup both hang
+    * off the SAME index-build artifact, as a real deployment would.
+    */
+  private def centroidsFor(s: SparkSession, dir: String): Array[Array[Double]] =
+    quantizerCache.computeIfAbsent(dir, _ => {
+      val c = Similarity.trainQuantizer(embs(s, dir), nClusters = 8,
         maxTrainRows = 20000L)
       // persisted INSIDE the fit: the dump always matches the centroids
       // this JVM probes with, even if a refit elsewhere would drift
       Similarity.saveQuantizer(s, c, s03CentroidsPath(dir))
       c
     })
+
+  def ann_ivf_kmeans(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
     val queries = corpus.filter(col("vec_id") < 10)
-    Similarity.ivfTopKByCentroids(corpus, queries, k = 10, centroids, nProbe = 2)
+    Similarity.ivfTopKByCentroids(corpus, queries, k = 10,
+      centroidsFor(s, dir), nProbe = 2)
       .orderBy("query_id", "rank")
+  }
+
+  // ---- d09: SemDeDup — semantic dedup by coarse-quantizer blocking
+  // (assign to nearest k-means cell, drop within-cell cosine near-dups
+  // keeping the lowest id). Reuses s03's persisted centroids, so the
+  // oracle replays assignment + the intra-cell pair threshold from the
+  // same parquet. The cluster blocking bounds the pair space (Σ cell²,
+  // not N²) — THE property that separates semantic dedup that runs at
+  // 100 TB from one that doesn't. ----
+  def semantic_dedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(embs(s, dir), centroidsFor(s, dir),
+      threshold = 0.35)
+      .orderBy("drop_id")
+
+  // ---- s06: recall@10 eval of the label-blocked IVF probe against
+  // exact brute force — the acceptance gate of any ANN rollout, run
+  // over the production operators themselves. Integer outputs
+  // (n_exact, n_hits) so the oracle comparison is drift-free. ----
+  def ann_recall(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    val queries = corpus.filter(col("vec_id") < 10)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(corpus, queries, k = 10),
+      Similarity.ivfTopK(corpus, queries, k = 10, blockCol = "label"))
+      .orderBy("query_id")
   }
 
   // ---- s04: product-quantization codes — the PQ compression pass of
@@ -704,6 +736,27 @@ object PipelineQueries {
       .decodeY4mFrames(y4m, "doc_id", "payload", everyNth = 2)
       .selectExpr("id AS doc_id", "frame_idx", "width", "height", "y_sum")
       .orderBy("doc_id", "frame_idx")
+  }
+
+  // ---- m08: REAL windowed audio features. Synthesize a deterministic
+  // 16-bit PCM sawtooth per doc (closed-form samples), decode it back
+  // through javax.sound's WAV reader, and reduce 256-sample windows to
+  // exact integer energy / zero-crossing / peak stats — the oracle
+  // regenerates the waveform with DuckDB's range() and states the same
+  // window arithmetic in SQL. The audio path's m05 analogue: real
+  // encoder, real container parse, real per-sample work, no floats. ----
+  def multimodal_audio_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wav = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        (id, graft.multimodal.Multimodal.synthWavWave(
+          frames = (id % 1000 + 100).toInt, sampleRate = 8000f, seed = id))
+      }.toDF("doc_id", "payload")
+    graft.multimodal.Multimodal
+      .decodeAudioWindows(wav, "doc_id", "payload", window = 256)
+      .selectExpr("id AS doc_id", "window_idx", "n_samples",
+        "sum_sq", "zero_cross", "peak")
+      .orderBy("doc_id", "window_idx")
   }
 
   def multimodal_frames(s: SparkSession, dir: String): DataFrame =

@@ -13,7 +13,9 @@ class PlanContractSpec extends SparkTestBase {
   // one corpus scan) — the correct plan for brute-force ANN. s05's ADC
   // scoring pass broadcasts the few-row per-query distance tables
   // against the codes scan for the same reason.
-  private val allowedCross = Set("s01_ann_topk", "s05_pq_adc")
+  // s06 embeds s01's brute-force side verbatim (it measures that very
+  // plan's recall), so it inherits the same deliberate cross.
+  private val allowedCross = Set("s01_ann_topk", "s05_pq_adc", "s06_ann_recall")
 
   test("no gate query plans BroadcastNestedLoopJoin or CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

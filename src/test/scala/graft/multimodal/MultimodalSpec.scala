@@ -195,6 +195,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.rasterHash("not an image".getBytes) === None)
   }
 
+  test("audioWindows: WAV round-trip matches the closed form; honest Nil") {
+    // 300 samples at seed 5 → windows of 256 and 44
+    val wav = Multimodal.synthWavWave(frames = 300, sampleRate = 8000f, seed = 5)
+    val ws = Multimodal.audioWindows(wav, 256)
+    assert(ws.map(_._1) === List(256, 44))
+    // recompute the closed form independently and compare every stat
+    def sample(i: Int): Int = ((5L * 31 + 17L * i) % 4096 - 2048).toInt
+    def stats(from: Int, until: Int): (Int, Long, Int, Int) = {
+      val vs = (from until until).map(sample)
+      val zc = vs.sliding(2).count { case Seq(a, b) => (a < 0) != (b < 0) }
+      (vs.length, vs.map(v => v.toLong * v).sum, zc, vs.map(math.abs).max)
+    }
+    assert(ws === List(stats(0, 256), stats(256, 300)))
+    // window independence: crossings at the window seam are NOT counted
+    val whole = Multimodal.audioWindows(wav, 300).head
+    assert(whole._2 === ws.map(_._2).sum) // energy is seam-free
+    // non-audio bytes and unsupported shapes → Nil, not garbage
+    assert(Multimodal.audioWindows("not audio".getBytes, 256) === Nil)
+    assert(Multimodal.audioWindows(
+      Multimodal.synthWav(10, 8000f, channels = 2), 256) === Nil)
+  }
+
   test("stubFrameSample: one row per sampled frame, never all frames in one row") {
     val frames = Multimodal.stubFrameSample(docs, "id", "payload",
       everyNth = 2, frameBytes = 1000)
