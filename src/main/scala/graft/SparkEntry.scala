@@ -121,6 +121,7 @@ object SparkEntry {
     "t09_topk_sketch" -> (PipelineQueries.topk_sketch _),
     "t10_kll_bound" -> (PipelineQueries.kll_bound _),
     "t11_pii_scrub" -> (PipelineQueries.pii_scrub _),
+    "t12_lm_score" -> (PipelineQueries.lm_score _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
     "m05_image_pixels" -> (PipelineQueries.multimodal_pixels _),
@@ -1225,6 +1226,31 @@ object SparkEntry {
                 CAST(sum(tf) AS BIGINT) AS term_freq
          FROM pd GROUP BY term
          ORDER BY doc_freq DESC, term_freq DESC, term ASC LIMIT 100""",
+
+    // t12: mean unigram log2-prob — each summand DECIMAL-rounded before
+    // an explicit fold over the SORTED list, so both engines add the
+    // same doubles in the same order (bit-reproducible, see the Spark
+    // side's rationale)
+    "t12_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS term
+           FROM documents),
+         tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+         dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1,2),
+         w AS (SELECT doc_id, c,
+             CAST(round(CAST(c * (log2(tf) - log2(total))
+               AS DECIMAL(28,10)), 9) AS DOUBLE) AS w
+           FROM dt JOIN tf USING (term) CROSS JOIN n),
+         agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             list_reduce(list_sort(list(w)), (acc, x) -> acc + x) AS s
+           FROM w GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+                CAST(round(CAST(s / n_tokens AS DECIMAL(28,10)), 4)
+                  AS DOUBLE) AS lm_score
+         FROM agg ORDER BY doc_id""",
 
     "t07_tfidf" ->
       """WITH toks AS (SELECT doc_id,

@@ -158,6 +158,36 @@ object ChCompat {
   private def chTsPlusSeconds(ts: Expression, secs: Expression): Expression =
     Cast(Add(Cast(Cast(ts, TimestampType), LongType), secs), TimestampType)
 
+  /** TRY-mode cast: null instead of error/garbage on unparseable input. */
+  private def tryCastTo(e: Expression, t: DataType): Expression =
+    Cast(e, t, None, EvalMode.TRY)
+
+  /** Column-side dot product / squared L2 — the same one-fold shape the
+    * ANN operators use (codegen'd zip_with + aggregate).
+    */
+  private def vecDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  private def vecL2Sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** rotate left by n (mod size); empty arrays pass through */
+  private def arrayRotate(a: Column, n: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val sz = size(a)
+    val k = pmod(n.cast("int"), sz)
+    when(sz <= 0, a).otherwise(
+      when(k === 0, a).otherwise(
+        concat(slice(a, k + 1, sz - k), slice(a, lit(1), k))))
+  }
+
   /** CH quantileExact: the ELEMENT at sorted index floor(level·n),
     * 0-based and clamped — no interpolation (quantileExact([1,2,3,4],
     * 0.5) = 3, where interpolating percentile gives 2.5).
@@ -1188,6 +1218,182 @@ object ChCompat {
     "chGroupArraySample" -> (es => Slice(
       aggregate.CollectList(es.last).toAggregateExpression(),
       Literal(1), Cast(es.head, IntegerType))),
+
+    // ---- third widening pass: cryptographic hashes, vector distances,
+    // map accessors, string search/split, readable formatting, OrZero/
+    // OrNull safe casts, bit tests, relative-time numbers, and the
+    // aggregate spellings (avgWeighted, -Array combinators, sumCount).
+    // Same contract: codegen'd Catalyst compositions via builders or
+    // the Column bridge; the two formatReadable shims are the only
+    // interpreted additions. ----
+    // CH's crypto hashes return FixedString binary — mapped to
+    // unhex(<spark hex digest>) so the idiomatic `hex(MD5(x))` spelling
+    // round-trips to the same uppercase hex CH prints. Registered under
+    // ch-prefixed names (ChSqlRewrite renames the case-SENSITIVE
+    // uppercase spellings): the registry is case-insensitive, so a
+    // bare "MD5" entry would hijack Spark's hex-string md5() that the
+    // dedup operators and gates emit. Raw Catalyst construction, not
+    // viaCols — a registry round-trip here would resolve back to this
+    // very builder and loop the analyzer.
+    "chMD5" -> (es => Unhex(Md5(Cast(es.head, BinaryType)))),
+    "chSHA1" -> (es => Unhex(Sha1(Cast(es.head, BinaryType)))),
+    "chSHA256" -> (es =>
+      Unhex(Sha2(Cast(es.head, BinaryType), Literal(256)))),
+    // same CONTRACT note as cityHash64: a stable 64-bit hash, not CH's
+    // exact bit pattern (Spark's xxhash64 seeds differently)
+    "xxHash64" -> (es => XxHash64(es, 42L)),
+    // vector arithmetic (the CH array-distance family) — one fold per
+    // pair via zip_with/aggregate, the same codegen'd shape the ANN
+    // operators use
+    "dotProduct" -> viaCols(cs => vecDot(cs(0), cs(1))),
+    "L1Distance" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      aggregate(zip_with(cs(0), cs(1),
+        (x, y) => abs(x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    }),
+    "L2SquaredDistance" -> viaCols(cs => vecL2Sq(cs(0), cs(1))),
+    "L2Distance" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      sqrt(vecL2Sq(cs(0), cs(1)))
+    }),
+    "LinfDistance" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      array_max(zip_with(cs(0), cs(1),
+        (x, y) => abs(x.cast("double") - y.cast("double"))))
+    }),
+    "L2Norm" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      sqrt(vecDot(cs.head, cs.head))
+    }),
+    "normalizeL2" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      val n = sqrt(vecDot(cs.head, cs.head))
+      when(n === 0.0, transform(cs.head, x => x.cast("double")))
+        .otherwise(transform(cs.head, x => x.cast("double") / n))
+    }),
+    "cosineDistance" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      lit(1.0) - vecDot(cs(0), cs(1)) /
+        (sqrt(vecDot(cs(0), cs(0))) * sqrt(vecDot(cs(1), cs(1))))
+    }),
+    // map construction from parallel key/value arrays
+    "mapFromArrays" -> (es => MapFromArrays(es(0), es(1))),
+    // string search / split additions (match/multiSearchAny/
+    // countSubstrings/splitByString/alphaTokens shipped in earlier
+    // passes — see above)
+    "positionUTF8" -> (es => StringLocate(es(1), es(0), Literal(1))),
+    "tokens" -> (es =>
+      RegExpExtractAll(es.head, Literal("[A-Za-z0-9]+"), Literal(0))),
+    "ngrams" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      val s = cs(0); val n = cs(1).cast("int")
+      when(length(s) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(s) - n + 1),
+          i => s.substr(i, n)))
+    }),
+    // CH char() takes MANY codepoints ('AB' from char(65,66)); the
+    // single-arg form matches Spark's chr
+    "char" -> (es => Concat(es.map(e => Chr(Cast(e, LongType)): Expression))),
+    // safe-cast family: TRY-mode casts (null on failure), OrZero
+    // coalesces to the type's zero — CH's ingestion workhorses
+    "toInt32OrNull" -> (es => tryCastTo(es.head, IntegerType)),
+    "toInt32OrZero" -> (es =>
+      Coalesce(Seq(tryCastTo(es.head, IntegerType), Literal(0)))),
+    "toInt64OrNull" -> (es => tryCastTo(es.head, LongType)),
+    "toInt64OrZero" -> (es =>
+      Coalesce(Seq(tryCastTo(es.head, LongType), Literal(0L)))),
+    "toFloat64OrNull" -> (es => tryCastTo(es.head, DoubleType)),
+    "toFloat64OrZero" -> (es =>
+      Coalesce(Seq(tryCastTo(es.head, DoubleType), Literal(0.0)))),
+    "toDateOrNull" -> (es => tryCastTo(es.head, DateType)),
+    "toDateTimeOrNull" -> (es => tryCastTo(es.head, TimestampType)),
+    // math
+    "exp2" -> (es => Pow(Literal(2.0), Cast(es.head, DoubleType))),
+    "exp10" -> (es => Pow(Literal(10.0), Cast(es.head, DoubleType))),
+    "intExp2" -> (es => ShiftLeft(Literal(1L), Cast(es.head, IntegerType))),
+    "intExp10" -> (es => Cast(
+      Pow(Literal(10.0), Cast(es.head, DoubleType)), LongType)),
+    "isNaN" -> (es => IsNaN(Cast(es.head, DoubleType))),
+    // bit-test combinators (bitTest itself shipped earlier)
+    "bitTestAll" -> (es => es.tail.map(i =>
+      EqualTo(BitwiseAnd(ShiftRightUnsigned(Cast(es.head, LongType),
+        Cast(i, IntegerType)), Literal(1L)), Literal(1L)): Expression)
+      .reduceLeft(And(_, _))),
+    "bitTestAny" -> (es => es.tail.map(i =>
+      EqualTo(BitwiseAnd(ShiftRightUnsigned(Cast(es.head, LongType),
+        Cast(i, IntegerType)), Literal(1L)), Literal(1L)): Expression)
+      .reduceLeft(Or(_, _))),
+    "bitRotateLeft" -> (es => BitwiseOr(
+      ShiftLeft(Cast(es(0), LongType), Cast(es(1), IntegerType)),
+      ShiftRightUnsigned(Cast(es(0), LongType),
+        Subtract(Literal(64), Cast(es(1), IntegerType))))),
+    "bitRotateRight" -> (es => BitwiseOr(
+      ShiftRightUnsigned(Cast(es(0), LongType), Cast(es(1), IntegerType)),
+      ShiftLeft(Cast(es(0), LongType),
+        Subtract(Literal(64), Cast(es(1), IntegerType))))),
+    "bitHammingDistance" -> (es => BitwiseCount(
+      BitwiseXor(Cast(es(0), LongType), Cast(es(1), LongType)))),
+    // CH toTime: same wall-clock time re-anchored on 1970-01-02
+    "toTime" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      concat(lit("1970-01-02 "), date_format(cs.head, "HH:mm:ss"))
+        .cast("timestamp")
+    }),
+    // aggregate spellings
+    "anyIf" -> (es => aggregate.First(
+      If(es(1), es(0), Literal.create(null, NullType)),
+      ignoreNulls = true)),
+    "sumArray" -> (es =>
+      aggregate.Sum(builders("arraySum")(Seq(es.head)))),
+    "minArray" -> (es => aggregate.Min(ArrayMin(es.head))),
+    "maxArray" -> (es => aggregate.Max(ArrayMax(es.head))),
+    "countArray" -> (es =>
+      aggregate.Sum(Cast(Size(es.head), LongType))),
+    "avgArray" -> (es => Divide(
+      aggregate.Sum(Cast(builders("arraySum")(Seq(es.head)), DoubleType))
+        .toAggregateExpression(),
+      aggregate.Sum(Cast(Size(es.head), DoubleType))
+        .toAggregateExpression())),
+    // CH's OTHER transform: value mapping through parallel from/to
+    // arrays with a default (4-arg) or passthrough (3-arg); the Spark
+    // higher-order transform(arr, lambda) keeps working through the
+    // same name via arity/lambda dispatch
+    "transform" -> (es => es match {
+      case Seq(arr, l: LambdaFunction) => ArrayTransform(arr, l)
+      case Seq(x, from, to) => Coalesce(Seq(
+        ElementAt(MapFromArrays(from, to), x, None, failOnError = false), x))
+      case Seq(x, from, to, default) => Coalesce(Seq(
+        ElementAt(MapFromArrays(from, to), x, None, failOnError = false),
+        default))
+    }),
+    // introspection + environment
+    "toTypeName" -> (es => TypeOf(es.head)),
+    "version" -> (_ => SparkVersion()),
+    "hostName" -> (_ =>
+      Literal(java.net.InetAddress.getLocalHost.getHostName)),
+    // array widening, part 3
+    "arrayWithConstant" -> (es =>
+      ArrayRepeat(es(1), Cast(es(0), IntegerType))),
+    "arrayReverseSort" -> (es => SortArray(es.head, Literal(false))),
+    "arrayRotateLeft" -> viaCols(cs => arrayRotate(cs(0), cs(1))),
+    "arrayRotateRight" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      arrayRotate(cs(0), -cs(1).cast("int") + size(cs(0)))
+    }),
+    "arrayJaccardIndex" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      size(array_intersect(cs(0), cs(1))).cast("double") /
+        size(array_union(cs(0), cs(1))).cast("double")
+    }),
+    "arrayResize" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      val a = cs(0); val n = cs(1).cast("int")
+      val pad = if (cs.length > 2) cs(2)
+        else lit(null).cast("string") // 2-arg: null pad (CH pads type default)
+      when(size(a) >= n, slice(a, lit(1), n))
+        .otherwise(concat(a, array_repeat(pad, n - size(a))))
+    }),
   )
 
   /** Lift a Column-API composition into a registry builder (the

@@ -1738,7 +1738,14 @@ object ChSqlRewrite {
           val lower = word.toLowerCase
           if (j < n && sql.charAt(j) == '(' &&
               (start == 0 || !isIdent(sql.charAt(start - 1)))) {
-            if (lower == "datediff" || lower == "date_diff") {
+            if (word == "MD5" || word == "SHA1" || word == "SHA256") {
+              // case-SENSITIVE: CH's uppercase digest spellings return
+              // FixedString binary (ChCompat's ch-prefixed builders);
+              // lowercase md5()/sha1() keep Spark's hex-string
+              // semantics — the registry alone can't split these (its
+              // lookup is case-insensitive)
+              out ++= "ch" + word; i = j
+            } else if (lower == "datediff" || lower == "date_diff") {
               // only the CH form: quoted first arg AND 3-4 args (the
               // 4th is CH's optional timezone) — Spark's 2-arg
               // datediff('2024-01-05', d) passes through

@@ -395,6 +395,36 @@ object PipelineQueries {
       .select(col("doc_id") +: TextFunctions.tokenCounts(col("text")): _*)
       .orderBy("doc_id")
 
+  // ---- t12: unigram language-model scoring — the model-based quality
+  // filter of a training-data pipeline (perplexity proxy), engine-sized:
+  // the LM is the corpus's own unigram distribution, the score is mean
+  // log2 p(token). Two aggregations plus one broadcast join — the
+  // "model" (term→logprob) is vocabulary-sized and ships with the task,
+  // exactly how a 100-TB run ships its KenLM/fastText scorer. Cross-
+  // engine float discipline: each summand is DECIMAL-rounded FIRST
+  // (kills 1-ULP libm log drift), then summed by an explicit fold over
+  // the SORTED summand list — both engines add identical doubles in
+  // identical order, so the sum is bit-reproducible, not just close. ----
+  def lm_score(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val total = toks.count().toDouble
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val dt = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    dt.join(broadcast(tf), "term")
+      .withColumn("w",
+        round((col("c") * (log2(col("tf")) - log2(lit(total))))
+          .cast("decimal(28,10)"), 9).cast("double"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        aggregate(sort_array(collect_list(col("w"))), lit(0.0),
+          (acc, x) => acc + x).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("s") / col("n_tokens")).cast("decimal(28,10)"), 4)
+          .cast("double").as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))

@@ -125,6 +125,134 @@ class ChSurfaceProbeSpec extends SparkTestBase {
     "SELECT xor(true, false), not(false), and(true, true), or(false, true)"
   )
 
+  // Batch 3 (round 10): crypto hashes, vector distances, map
+  // accessors, string search/split/ngrams, readable formatting,
+  // OrZero/OrNull safe casts, bit tests, relative-time numbers, CH's
+  // 4-arg transform, and the aggregate spellings (avgWeighted,
+  // -Array combinators, sumCount, groupBit*).
+  private val probes3 = Seq(
+    "SELECT hex(MD5('abc')), hex(SHA256('abc')), xxHash64('abc')",
+    "SELECT dotProduct(array(1,2), array(3,4))",
+    "SELECT L1Distance(array(1,2), array(2,4)), L2Distance(array(0,0), array(3,4))",
+    "SELECT L2SquaredDistance(array(0,0), array(3,4)), LinfDistance(array(1,2), array(2,9))",
+    "SELECT L2Norm(array(3,4)), cosineDistance(array(1,0), array(0,1))",
+    "SELECT normalizeL2(array(3,4))",
+    "SELECT mapKeys(map('a',1,'b',2)), mapValues(map('a',1))",
+    "SELECT mapContains(map('a',1), 'a'), mapFromArrays(array('x'), array(9))",
+    "SELECT match('a1b', '[0-9]'), multiSearchAny('hello', array('he','xx'))",
+    "SELECT countSubstrings('aaaa', 'aa'), positionUTF8('hello', 'll')",
+    "SELECT splitByString('::', 'a::b::c'), alphaTokens('ab1cd2'), tokens('a b,c')",
+    "SELECT ngrams('abcd', 2), char(65, 66)",
+    "SELECT formatReadableSize(1024), formatReadableQuantity(1234567)",
+    "SELECT toInt32OrZero('x'), toInt32OrNull('x'), toInt64OrZero('42')",
+    "SELECT toFloat64OrZero('1.5'), toFloat64OrNull('nope')",
+    "SELECT toDateOrNull('bad'), toDateTimeOrNull('2024-01-02 03:04:05')",
+    "SELECT parseDateTimeBestEffort('2024-01-02 03:04:05')",
+    "SELECT exp2(10), exp10(3), intExp2(4), intExp10(3)",
+    "SELECT roundBankers(2.5), roundBankers(3.14159, 2)",
+    "SELECT isNaN(0.0), isFinite(1.0), isInfinite(1.0), ifNotFinite(1.0, 9)",
+    "SELECT bitTest(5, 0), bitTestAll(7, 0, 1), bitTestAny(4, 0, 1)",
+    "SELECT bitRotateLeft(1, 1), bitRotateRight(2, 1), bitHammingDistance(5, 6)",
+    "SELECT toStartOfTenMinutes(now()), timeSlot(now())",
+    "SELECT toRelativeHourNum(now()), toRelativeMinuteNum(now()), toRelativeDayNum(now())",
+    "SELECT toTime(now()), monthName(toDate('2024-03-05')), now64()",
+    "SELECT toTimeZone(now(), 'UTC')",
+    "SELECT age('day', toDate('2024-01-01'), toDate('2024-02-15'))",
+    "SELECT age('month', toDate('2024-01-31'), toDate('2024-02-28'))",
+    "SELECT avgWeighted(value, user_id) FROM events",
+    "SELECT anyIf(event_type, value > 50) FROM events",
+    "SELECT sumArray(a), minArray(a), maxArray(a), countArray(a), avgArray(a) " +
+      "FROM (SELECT array(1,2,3) AS a UNION ALL SELECT array(4))",
+    "SELECT groupBitAnd(v), groupBitOr(v), groupBitXor(v) " +
+      "FROM (SELECT 12 AS v UNION ALL SELECT 10)",
+    "SELECT skewPop(value), kurtPop(value) FROM events",
+    "SELECT sumCount(value) FROM events",
+    "SELECT transform(2, array(1,2,3), array('a','b','c'), 'other')",
+    "SELECT transform(9, array(1,2), array(10,20))",
+    "SELECT transform(array(1,2,3), x -> x + 1)",
+    "SELECT toTypeName(42), toTypeName('x'), version(), hostName()",
+    "SELECT emptyArrayString(), emptyArrayInt32(), emptyArrayInt64(), emptyArrayFloat64()",
+    "SELECT arrayWithConstant(3, 'x'), arrayReverseSort(array(1,3,2))",
+    "SELECT arrayRotateLeft(array(1,2,3,4), 1), arrayRotateRight(array(1,2,3,4), 1)",
+    "SELECT arrayJaccardIndex(array(1,2), array(2,3))",
+    "SELECT arrayResize(array(1,2), 4, 0), arrayResize(array(1,2,3), 2, 0)"
+  )
+
+  test("CH dialect breadth batch 3: every probe parses and executes") {
+    assume(ready)
+    val failures = probes3.flatMap { q =>
+      try { ChCompat.sql(spark, q).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$q\n   -> ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size}/${probes3.size} probes failed:\n" +
+        failures.mkString("\n"))
+  }
+
+  test("batch-3 gap fills: pinned semantics") {
+    assume(ready)
+    val r = ChCompat.sql(spark,
+      """SELECT hex(MD5('abc')) AS md5hex,
+                L2Distance(array(0,0), array(3,4)) AS l2,
+                cosineDistance(array(1,2), array(1,2)) AS cosSelf,
+                countSubstrings('aaaa', 'aa') AS cnt,
+                splitByString('::', 'a::b::c') AS sbs,
+                splitByString('.', 'a.b') AS sbsDot,
+                ngrams('abcd', 2) AS ng,
+                char(72, 73) AS ch,
+                formatReadableSize(1024) AS frs,
+                formatReadableQuantity(1234567) AS frq,
+                toInt32OrZero('x') AS z,
+                toInt32OrNull('x') AS nl,
+                roundBankers(2.5) AS rb,
+                bitTest(5, 1) AS bt,
+                bitRotateLeft(1, 64) AS brl,
+                age('month', toDate('2024-01-31'), toDate('2024-02-28')) AS agem,
+                age('day', toDate('2024-01-01'), toDate('2024-02-15')) AS aged,
+                transform(2, array(1,2,3), array('a','b','c'), 'other') AS tr,
+                transform(9, array(1,2), array(10,20)) AS trKeep,
+                arrayRotateLeft(array(1,2,3,4), 1) AS arl,
+                arrayJaccardIndex(array(1,2), array(2,3)) AS aj,
+                arrayResize(array(1,2), 4, 0) AS arUp""").head
+    assert(r.getString(0) === "900150983CD24FB0D6963F7D28E17F72")
+    assert(r.getDouble(1) === 5.0)
+    assert(math.abs(r.getDouble(2)) < 1e-12)
+    assert(r.getAs[Number](3).longValue === 2L)
+    assert(r.getSeq[String](4) === Seq("a", "b", "c"))
+    // literal split: '.' must NOT behave as regex-any
+    assert(r.getSeq[String](5) === Seq("a", "b"))
+    assert(r.getSeq[String](6) === Seq("ab", "bc", "cd"))
+    assert(r.getString(7) === "HI")
+    assert(r.getString(8) === "1.00 KiB")
+    assert(r.getString(9) === "1.23 million")
+    assert(r.getInt(10) === 0 && r.isNullAt(11))
+    assert(r.getDecimal(12).doubleValue === 2.0) // banker's: to even
+    assert(r.getInt(13) === 0) // bit 1 of 5 (101b)
+    assert(r.getLong(14) === 1L) // full rotation is identity
+    // Jan 31 -> Feb 28: not a complete month (CH age truncates)
+    assert(r.getAs[Number](15).longValue === 0L)
+    assert(r.getAs[Number](16).longValue === 45L)
+    assert(r.getString(17) === "b")
+    assert(r.getAs[Number](18).intValue === 9) // 3-arg transform: passthrough on miss
+    assert(r.getSeq[Int](19) === Seq(2, 3, 4, 1))
+    assert(math.abs(r.getDouble(20) - 1.0 / 3) < 1e-12)
+    assert(r.getSeq[Any](21) === Seq(1, 2, 0, 0))
+    // aggregate spellings: weighted average and the -Array combinators
+    val a = ChCompat.sql(spark,
+      """SELECT avgWeighted(x, w) AS aw, sumCount(x) AS sc
+         FROM (SELECT 10 AS x, 1 AS w UNION ALL SELECT 20, 3)""").head
+    assert(a.getDouble(0) === 17.5)
+    assert(a.getStruct(1).getLong(0) === 30L && a.getStruct(1).getLong(1) === 2L)
+    val arr = ChCompat.sql(spark,
+      """SELECT sumArray(a) AS s, avgArray(a) AS av, countArray(a) AS c
+         FROM (SELECT array(1,2,3) AS a UNION ALL SELECT array(4))""").head
+    assert(arr.getDouble(0) === 10.0)
+    assert(arr.getDouble(1) === 2.5)
+    assert(arr.getLong(2) === 4L)
+  }
+
   test("CH dialect breadth batch 2: every probe parses and executes") {
     assume(ready)
     val failures = probes2.flatMap { q =>
