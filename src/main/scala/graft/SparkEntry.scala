@@ -944,12 +944,13 @@ object SparkEntry {
          SELECT src AS doc_id, min(node) AS comp
          FROM reach GROUP BY src ORDER BY doc_id""",
 
-    // d09: SemDeDup replay — same persisted centroids + assignment
-    // arithmetic as s03, then the intra-cell lower-id cosine threshold;
-    // outputs are all integers (ids + cell), so no float formatting risk
+    // d09: SemDeDup replay — d09's own persisted 32-cell centroids
+    // (s03-style index-build artifact), the same assignment arithmetic,
+    // then the intra-cell lower-id cosine threshold; outputs are all
+    // integers (ids + cell), so no float formatting risk
     "d09_semantic_dedup" ->
       """WITH c AS (SELECT cluster_id, centroid
-           FROM '/tmp/graft_s03_centroids/sf0.01/*.parquet'),
+           FROM '/tmp/graft_d09_centroids/sf0.01/*.parquet'),
          e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),

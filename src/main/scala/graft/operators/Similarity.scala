@@ -399,8 +399,13 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val assigned = corpus.withColumn("__cell",
       element_at(nearestCells(col(vecCol), centroids, 1), 1))
+    // materialize the assignment ONCE: the pair self-join would
+    // otherwise evaluate the k-centroid argmin (the expensive per-row
+    // HOF chain) twice — measured ~35% of d09's wall at 32 cells. The
+    // checkpoint holds (cell, id, unit-vec) only, never the raw row.
     val unit = withUnitVector(assigned, col(vecCol), "uv")
       .select(col("__cell").as("cell"), col(idCol), col("uv"))
+      .localCheckpoint()
     val a = unit.select(col("cell"), col(idCol).as("id_a"), col("uv").as("v_a"))
     val b = unit.select(col("cell"), col(idCol).as("id_b"), col("uv").as("v_b"))
     a.join(b, Seq("cell"))

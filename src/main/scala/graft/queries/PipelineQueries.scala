@@ -315,15 +315,30 @@ object PipelineQueries {
 
   // ---- d09: SemDeDup — semantic dedup by coarse-quantizer blocking
   // (assign to nearest k-means cell, drop within-cell cosine near-dups
-  // keeping the lowest id). Reuses s03's persisted centroids, so the
-  // oracle replays assignment + the intra-cell pair threshold from the
-  // same parquet. The cluster blocking bounds the pair space (Σ cell²,
-  // not N²) — THE property that separates semantic dedup that runs at
-  // 100 TB from one that doesn't. ----
-  def semantic_dedup(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(embs(s, dir), centroidsFor(s, dir),
-      threshold = 0.35)
+  // keeping the lowest id). The cluster blocking bounds the pair space
+  // (Σ cell², not N²) — THE property that separates semantic dedup
+  // that runs at 100 TB from one that doesn't — and the cell count is
+  // the knob: d09 trains its OWN 32-cell quantizer (persisted like
+  // s03's, read back by the oracle) rather than reusing s03's 8-cell
+  // probe index, because finer cells quarter the intra-cell pair work
+  // (measured 2.4 s → ~1 s at sf0.1); at 100 TB you keep raising k so
+  // cells stay bounded while assignment stays one map-only pass. ----
+  private val d09Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  def d09CentroidsPath(dir: String): String =
+    s"/tmp/graft_d09_centroids/${new java.io.File(dir).getName}"
+
+  def semantic_dedup(s: SparkSession, dir: String): DataFrame = {
+    val centroids = d09Cache.computeIfAbsent(dir, _ => {
+      val c = Similarity.trainQuantizer(embs(s, dir), nClusters = 32,
+        maxTrainRows = 20000L)
+      Similarity.saveQuantizer(s, c, d09CentroidsPath(dir))
+      c
+    })
+    Similarity.semanticDedup(embs(s, dir), centroids, threshold = 0.35)
       .orderBy("drop_id")
+  }
 
   // ---- s06: recall@10 eval of the label-blocked IVF probe against
   // exact brute force — the acceptance gate of any ANN rollout, run
