@@ -82,6 +82,7 @@ object SparkEntry {
     "r53_stream_dedup" -> (StreamingQueries.stream_dedup _),
     "r54_stream_join" -> (StreamingQueries.stream_join _),
     "r55_stream_sessionize" -> (StreamingQueries.stream_sessionize _),
+    "r56_stream_enrich" -> (StreamingQueries.stream_enrich _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -599,6 +600,16 @@ object SparkEntry {
     "r53_stream_dedup" ->
       """SELECT event_id, user_id, event_type
          FROM events ORDER BY event_id""",
+
+    // r56: the drained stream-static enrichment equals the batch
+    // dim join + daily rollup
+    "r56_stream_enrich" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+                CAST(c_nationkey AS INTEGER) AS nation_key,
+                count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY day, nation_key""",
 
     // r54: the stream-stream interval join drains a finite source, so
     // the attribution pairs equal the batch self-join's

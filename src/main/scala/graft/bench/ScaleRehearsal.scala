@@ -52,8 +52,12 @@ import org.apache.spark.sql.functions._
   * → partial aggregation must bound shuffle rows by partitions ×
   * groups, not input rows) and t11 PII scrub (map-only contrast).
   *
+  * Mode `semantic` — d09's SemDeDup pair join (Σ cell²) under the two
+  * cell-count regimes: fixed cells (pair work ∝ M², the anti-pattern)
+  * vs cells raised ∝ M (linear, the deployment contract).
+  *
   * Usage: runMain graft.bench.ScaleRehearsal <sfDir> <mult> [mode] [workDir]
-  * (mode ∈ dedup|graph|ann|text|clean, default dedup)
+  * (mode ∈ dedup|graph|ann|text|clean|semantic, default dedup)
   * Prints one JSON line: wall seconds + shuffle read/write MB per query.
   */
 object ScaleRehearsal {
@@ -142,8 +146,8 @@ object ScaleRehearsal {
     // count via the 4 wrapped copies)
     require(mult >= 1 && mult <= 26, "mult must be in [1, 26]")
     val mode = args.lift(2).getOrElse("dedup")
-    require(Seq("dedup", "graph", "ann", "text", "clean").contains(mode),
-      s"unknown mode $mode")
+    require(Seq("dedup", "graph", "ann", "text", "clean", "semantic")
+      .contains(mode), s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else java.nio.file.Files.createTempDirectory("scale").toString
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -203,8 +207,39 @@ object ScaleRehearsal {
         time(graft.queries.PipelineQueries.vocab(spark, work).count())
       val t04 =
         time(graft.queries.PipelineQueries.fingerprint(spark, work).count())
+      // t12 LM scoring: the rotation grows the VOCABULARY ∝ M (every
+      // token changes per copy) while per-doc token counts stay flat —
+      // the broadcast model side must grow linearly, the per-doc side
+      // not at all
+      val t12 =
+        time(graft.queries.PipelineQueries.lm_score(spark, work).count())
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
-        s""""t07":${jq(t07)},"t06":${jq(t06)},"t04":${jq(t04)}}""")
+        s""""t07":${jq(t07)},"t06":${jq(t06)},"t04":${jq(t04)},""" +
+        s""""t12":${jq(t12)}}""")
+    } else if (mode == "semantic") {
+      // d09 SemDeDup: intra-cell pair work is Σ cell². Two regimes:
+      //  - cells FIXED (32) while the corpus grows M× → cell size ∝ M,
+      //    pair work ∝ M² — the shape that must be AVOIDED at scale;
+      //  - cells RAISED ∝ M (32·M) → cell size constant, pair work
+      //    linear — the 100-TB contract (SemDeDup's own k≈10⁵ on 8B
+      //    docs is this regime). The literal-centroid probe is the
+      //    moderate-k form; past ~1k cells assignment becomes a
+      //    broadcast-table join, same plan shape.
+      saltedEmbeddings(spark, sfDir, mult, growIndex = true)
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+      val corpus = spark.read.parquet(s"$work/embeddings.parquet")
+      val nVecs = corpus.count()
+      val cFixed = graft.operators.Similarity.trainQuantizer(
+        corpus, nClusters = 32, maxTrainRows = 20000L)
+      val dFixed = time(graft.operators.Similarity
+        .semanticDedup(corpus, cFixed, threshold = 0.35).count())
+      val cGrown = graft.operators.Similarity.trainQuantizer(
+        corpus, nClusters = 32 * mult, maxTrainRows = 20000L)
+      val dGrown = time(graft.operators.Similarity
+        .semanticDedup(corpus, cGrown, threshold = 0.35).count())
+      println(s"""{"mult":$mult,"vectors":$nVecs,""" +
+        s""""d09_fixed_cells":${jq(dFixed)},""" +
+        s""""d09_grown_cells":${jq(dGrown)}}""")
     } else if (mode == "clean") {
       // the corpus-cleaning path: p06 boilerplate removal (its
       // boilerplate paragraph SET stays ~22 entries at every M —

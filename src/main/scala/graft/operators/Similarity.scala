@@ -357,20 +357,20 @@ object Similarity {
     * query path; [[trainQuantizer]] is the offline index build.
     */
   /** The `n` nearest centroid ids for `vec`, ties to the lower
-    * cluster_id (array_sort on struct(d, i) is lexicographic) — the
-    * shared assignment arithmetic of every centroid-blocked operator,
-    * and exactly what the DuckDB oracles replay.
+    * cluster_id — the shared assignment arithmetic of every
+    * centroid-blocked operator, and exactly what the DuckDB oracles
+    * replay. Backed by [[graft.functions.NearestCells]], a primitive-
+    * loop expression: the HOF spelling (array_sort over zip_with over
+    * per-centroid aggregate) allocated k arrays + a k-struct sort per
+    * row and dominated d09's wall at 32+ cells (scale-rehearsal
+    * measurement in SCALE.md).
     */
   private def nearestCells(vec: Column, centroids: Array[Array[Double]],
-      n: Int): Column = {
-    val centersLit = array(centroids.map(c =>
-      array(c.map(v => lit(v)): _*)): _*)
-    val idxSeq = sequence(lit(0), lit(centroids.length - 1))
-    slice(transform(
-      array_sort(zip_with(centroidDists(vec, centersLit), idxSeq,
-        (d, i) => struct(d.as("d"), i.as("i")))),
-      s => s.getField("i")), 1, n)
-  }
+      n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.NearestCells(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+        centroids, n))
 
   def ivfTopKByCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
       centroids: Array[Array[Double]], nProbe: Int,

@@ -158,6 +158,36 @@ object StreamingQueries {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** r56: stream–static enrichment — the single most common production
+    * streaming shape (fact stream joined to a dimension table, then a
+    * windowed rollup). The dim side is STATIC and broadcast: no join
+    * state at all — the stream stays append-only through the join and
+    * only the windowed aggregation keeps state (O(windows × nations)).
+    * At 100 TB/day the dim table re-broadcasts per micro-batch, which
+    * is exactly the deployment semantics for slowly-changing dims
+    * (each batch sees the dim as-of its start).
+    */
+  def stream_enrich(s: SparkSession, dir: String): DataFrame = {
+    val schema = rawEventsSchema(s, dir)
+    val dim = graft.Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val agg = eventsStream(s, dir, schema)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 day"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).as("sv"))
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.format("memory").queryName("r56_sink")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table("r56_sink")
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("c_nationkey").cast("int").as("nation_key"),
+        col("cnt"), col("sv").cast("double").as("sv"))
+      .orderBy("day", "nation_key")
+  }
+
   /** r55: streaming gap sessionization — the custom-state
     * `flatMapGroupsWithState` path ([[graft.streaming.StreamingSessionize]]),
     * same 8-hour-gap semantics as the batch r18 query. What makes the

@@ -98,6 +98,22 @@ class StreamingQueriesSpec extends SparkTestBase {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("r56 stream-static enrichment == batch dim join + rollup") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.stream_enrich(spark, dir).collect()
+    val dim = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val batch = graft.Tables.load(spark, dir, "events")
+      .join(dim, Seq("user_id"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("c_nationkey").cast("int").as("nation_key"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"))
+      .orderBy("day", "nation_key").collect()
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
   test("r53 streaming dedup collapses the doubled stream to one row per id") {
     assume(new java.io.File(dir).isDirectory)
     val got = StreamingQueries.stream_dedup(spark, dir)
