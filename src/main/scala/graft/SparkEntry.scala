@@ -111,6 +111,7 @@ object SparkEntry {
     "s04_pq_codes" -> (PipelineQueries.pq_codes _),
     "s05_pq_adc" -> (PipelineQueries.pq_adc _),
     "s06_ann_recall" -> (PipelineQueries.ann_recall _),
+    "s07_ivf_pq" -> (PipelineQueries.pq_ivf_adc _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
     "t03_token_count" -> (PipelineQueries.token_count _),
@@ -1008,6 +1009,63 @@ object SparkEntry {
                 CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
          FROM q LEFT JOIN h ON h.query_id = q.query_id
          ORDER BY q.query_id""",
+
+    // s07: the combined IVF-PQ probe — the s03 assignment CTEs (cells +
+    // 2-probe selection from the persisted coarse centroids) glued to
+    // the s05 ADC CTEs (codes + distance tables from the persisted
+    // codebook); candidates are rows whose cell is probed by the query
+    "s07_ivf_pq" ->
+      """WITH cc AS (SELECT cluster_id, centroid
+           FROM '/tmp/graft_s03_centroids/sf0.01/*.parquet'),
+         pc AS (SELECT sub_idx, cluster_id, centroid
+           FROM '/tmp/graft_s04_pq/sf0.01/*.parquet'),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         celld AS (SELECT vec_id, cluster_id,
+             list_sum(list_transform(list_zip(centroid, v),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           FROM e CROSS JOIN cc),
+         assigned AS (SELECT vec_id, cluster_id AS cell FROM celld
+           QUALIFY row_number() OVER
+             (PARTITION BY vec_id ORDER BY d2, cluster_id) = 1),
+         qprobe AS (SELECT vec_id AS query_id, cluster_id AS cell
+           FROM celld WHERE vec_id < 10
+           QUALIFY row_number() OVER
+             (PARTITION BY vec_id ORDER BY d2, cluster_id) <= 2),
+         dist AS (SELECT vec_id, sub_idx, cluster_id,
+             list_sum(list_transform(
+               list_zip(centroid, v[sub_idx*8+1 : sub_idx*8+8]),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           FROM e CROSS JOIN pc),
+         codes AS (SELECT vec_id, sub_idx, cluster_id FROM dist
+           QUALIFY row_number() OVER
+             (PARTITION BY vec_id, sub_idx ORDER BY d2, cluster_id) = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         dt AS (SELECT q.query_id, pc.sub_idx, pc.cluster_id,
+             list_sum(list_transform(
+               list_zip(pc.centroid, q.qv[pc.sub_idx*8+1 : pc.sub_idx*8+8]),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dq
+           FROM q CROSS JOIN pc),
+         cand AS (SELECT qprobe.query_id, assigned.vec_id
+           FROM qprobe JOIN assigned ON assigned.cell = qprobe.cell
+           WHERE assigned.vec_id != qprobe.query_id),
+         adc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+             list_sum(list(dq ORDER BY dt.sub_idx)) AS adc
+           FROM codes
+           JOIN cand ON cand.vec_id = codes.vec_id
+           JOIN dt ON dt.query_id = cand.query_id
+                  AND dt.sub_idx = codes.sub_idx
+                  AND dt.cluster_id = codes.cluster_id
+           GROUP BY 1, 2)
+         SELECT query_id,
+                CAST(row_number() OVER
+                  (PARTITION BY query_id ORDER BY adc, neighbor_id)
+                  AS INTEGER) AS rank,
+                neighbor_id
+         FROM adc
+         QUALIFY rank <= 10
+         ORDER BY query_id, rank""",
 
     "s01_ann_topk" ->
       """WITH e AS (SELECT vec_id,

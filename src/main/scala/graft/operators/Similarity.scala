@@ -277,7 +277,8 @@ object Similarity {
     * lowest cluster_id, the same rule as the oracle's QUALIFY.
     */
   def pqEncode(corpus: DataFrame, pq: Array[Array[Array[Double]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      keep: Seq[String] = Nil): DataFrame = {
     val d = pq(0)(0).length
     val codeCols = pq.zipWithIndex.map { case (cents, j) =>
       val sub = slice(col(vecCol), j * d + 1, d)
@@ -288,7 +289,7 @@ object Similarity {
           (dd, i) => struct(dd.as("d"), i.as("i"))))
         .getField("i").cast("int").as(s"c$j")
     }
-    corpus.select(col(idCol) +: codeCols: _*)
+    corpus.select(col(idCol) +: keep.map(col) ++: codeCols: _*)
   }
 
   /** IVF-PQ's query path: asymmetric distance computation (ADC) top-k
@@ -340,6 +341,80 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Driver-side twin of [[graft.functions.NearestCells]] for the
+    * few-row query set: same strict-< scan, same lower-id tie rule —
+    * probes computed here MUST match the corpus-side assignment
+    * expression bit for bit.
+    */
+  private[operators] def nearestCellsLocal(vec: Array[Double],
+      centroids: Array[Array[Double]], n: Int): Seq[Int] = {
+    val bestD = Array.fill(n)(Double.PositiveInfinity)
+    val bestI = new Array[Int](n)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val dim = math.min(vec.length, cent.length)
+      var d2 = 0.0
+      var i = 0
+      while (i < dim) { val d = cent(i) - vec(i); d2 += d * d; i += 1 }
+      if (d2 < bestD(n - 1)) {
+        var p = n - 1
+        while (p > 0 && d2 < bestD(p - 1)) {
+          bestD(p) = bestD(p - 1); bestI(p) = bestI(p - 1); p -= 1
+        }
+        bestD(p) = d2; bestI(p) = c
+      }
+      c += 1
+    }
+    bestI.toSeq
+  }
+
+  /** The COMBINED IVF-PQ probe — the full architecture s02–s05 build
+    * toward, in one plan: the coarse quantizer prunes the scan to each
+    * query's `nProbe` cells (an EQUI-join on cell, no cross join left
+    * anywhere), then ADC ranks the survivors from their PQ codes with
+    * m table lookups per row. At 100 TB this is the deployed shape:
+    * the scan reads only probed partitions, and reads 1 byte/subspace
+    * instead of 4 bytes/dim. Recall is bounded by the probe (cells
+    * missed stay missed) — rank order within candidates is exact under
+    * the codebook, which is what the oracle replays.
+    *
+    * @param codes (idCol, cellCol, c0..c{m-1}) — [[pqEncode]] with the
+    *              cell kept
+    */
+  def pqAdcTopKBlocked(codes: DataFrame,
+      queries: Array[(Long, Array[Double])],
+      centroids: Array[Array[Double]], pq: Array[Array[Array[Double]]],
+      k: Int, nProbe: Int, idCol: String = "vec_id",
+      cellCol: String = "cell"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val d = pq(0)(0).length
+    val m = pq.length
+    val qRows = queries.toSeq.flatMap { case (qid, qv) =>
+      val dtable = pq.zipWithIndex.map { case (cents, j) =>
+        cents.toSeq.map { c =>
+          c.zip(qv.slice(j * d, j * d + d))
+            .foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
+        }
+      }.toSeq
+      nearestCellsLocal(qv, centroids, nProbe)
+        .map(cell => (qid, cell, dtable))
+    }
+    val qdf = broadcast(qRows.toDF("query_id", "__qcell", "dtable"))
+    val adc = (0 until m)
+      .map(j => element_at(element_at(col("dtable"), j + 1), col(s"c$j") + 1))
+      .reduce(_ + _) // fixed j-ascending fold — cross-engine order parity
+    codes.join(qdf, col(cellCol) === col("__qcell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("adc"), col("neighbor_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Squared-L2 distances from `vec` to each centroid of `centersLit`
     * (an array-of-array literal), as an array column. */
   private def centroidDists(vec: Column, centersLit: Column): Column =
@@ -371,6 +446,12 @@ object Similarity {
       graft.functions.NearestCells(
         org.apache.spark.sql.graft.ColumnBridge.expression(vec),
         centroids, n))
+
+  /** Nearest-cell assignment as a column (map-only; the IVF index
+    * build's corpus-side pass). */
+  def assignCells(corpus: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding", out: String = "cell"): DataFrame =
+    corpus.withColumn(out, element_at(nearestCells(col(vecCol), centroids, 1), 1))
 
   def ivfTopKByCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
       centroids: Array[Array[Double]], nProbe: Int,

@@ -395,6 +395,30 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- s07: the COMBINED IVF-PQ probe — coarse cells (s03's persisted
+  // quantizer) prune the scan to each query's 2 probed buckets, ADC
+  // (s04's persisted codebook) ranks the survivors. One equi-join plan,
+  // no cross join anywhere: the deployed ANN shape s02–s05 build up to.
+  // Oracle recomputes cells, codes, and distance tables from the same
+  // two parquet artifacts and must reproduce every (query, rank,
+  // neighbor) triple. ----
+  def pq_ivf_adc(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    val centroids = centroidsFor(s, dir)
+    val pq = pqFor(s, dir)
+    import s.implicits._
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+    val codes = Similarity.pqEncode(
+      Similarity.assignCells(corpus, centroids), pq, keep = Seq("cell"))
+    Similarity.pqAdcTopKBlocked(codes, queries, centroids, pq,
+      k = 10, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- text analysis ----
   def lang_id(s: SparkSession, dir: String): DataFrame =
     TextFunctions.languageId(docs(s, dir), "doc_id", "text")

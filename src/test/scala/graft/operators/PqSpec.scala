@@ -81,6 +81,43 @@ class PqSpec extends SparkTestBase {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("pqAdcTopKBlocked == pqAdcTopK restricted to the probed cells") {
+    val pq = Similarity.trainProductQuantizer(corpus, m = 4, kPerSub = 4,
+      maxTrainRows = 1000L)
+    val centroids = Similarity.trainQuantizer(corpus, nClusters = 4,
+      maxTrainRows = 1000L)
+    val vecs = corpus.as[(Long, Seq[Float])].collect().toMap
+    val queries = Seq(0L, 1L).map(q => (q, vecs(q).map(_.toDouble).toArray)).toArray
+    val got = Similarity.pqAdcTopKBlocked(
+        Similarity.pqEncode(Similarity.assignCells(corpus, centroids), pq,
+          keep = Seq("cell")),
+        queries, centroids, pq, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long)].collect()
+    // reference: full ADC ranking, filtered to vectors whose assigned
+    // cell is one of the query's 2 probes, re-ranked
+    val assigned = Similarity.assignCells(corpus, centroids)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val full = Similarity.pqAdcTopK(
+        Similarity.pqEncode(corpus, pq), queries, pq, k = 40)
+      .as[(Long, Int, Long)].collect()
+    val want = queries.flatMap { case (qid, qv) =>
+      val probes = Similarity.nearestCellsLocal(qv, centroids, 2).toSet
+      full.filter(_._1 == qid).sortBy(_._2)
+        .filter { case (_, _, id) => probes.contains(assigned(id)) }
+        .take(5).zipWithIndex.map { case ((q, _, id), i) => (q, i + 1, id) }
+    }
+    assert(got.toSeq === want.toSeq)
+    // the plan is equi-join only: the IVF stage removed the cross join
+    val plan = Similarity.pqAdcTopKBlocked(
+        Similarity.pqEncode(Similarity.assignCells(corpus, centroids), pq,
+          keep = Seq("cell")),
+        queries, centroids, pq, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"expected equi-join plan:\n$plan")
+  }
+
   test("encode is a map-only projection — no shuffle, no join") {
     val pq = Similarity.trainProductQuantizer(corpus, m = 4, kPerSub = 4,
       maxTrainRows = 1000L)
