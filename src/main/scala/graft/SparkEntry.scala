@@ -99,12 +99,14 @@ object SparkEntry {
     "d07_decontaminate" -> (PipelineQueries.decontaminate _),
     "d08_url_dedup" -> (PipelineQueries.url_dedup _),
     "d09_semantic_dedup" -> (PipelineQueries.semantic_dedup _),
+    "d10_dup_passages" -> (PipelineQueries.dup_passages _),
     "p01_clean_corpus" -> (PipelineQueries.clean_corpus _),
     "p02_neardup_groups" -> (PipelineQueries.neardup_groups _),
     "p03_shard_pack" -> (PipelineQueries.shard_pack _),
     "p04_source_mix" -> (PipelineQueries.source_mix _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
+    "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -112,6 +114,7 @@ object SparkEntry {
     "s05_pq_adc" -> (PipelineQueries.pq_adc _),
     "s06_ann_recall" -> (PipelineQueries.ann_recall _),
     "s07_ivf_pq" -> (PipelineQueries.pq_ivf_adc _),
+    "s08_ann_lsh" -> (PipelineQueries.ann_lsh _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
     "t03_token_count" -> (PipelineQueries.token_count _),
@@ -1083,6 +1086,46 @@ object SparkEntry {
          QUALIFY rank <= 10
          ORDER BY query_id, rank""",
 
+    // s08: banded hyperplane LSH — DuckDB regenerates the md5-derived
+    // ±1 planes, the exact-integer sign projections over the
+    // micro-quantized vectors (floor(x·1e6+0.5): integer sums can
+    // never drift between engines), the 4×4-bit band buckets, the
+    // OR-of-bands candidate union, and the s01-style cosine top-k cut
+    "s08_ann_lsh" ->
+      """WITH planes AS (
+             SELECT j, list(CASE WHEN substr(md5('lsh_'||j||'_'||k),1,1) < '8'
+                                 THEN 1 ELSE -1 END ORDER BY k) AS s
+             FROM range(16) t(j) CROSS JOIN range(64) u(k) GROUP BY j),
+         e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS iv
+               FROM embeddings),
+         sigs AS (SELECT vec_id,
+                 CAST(sum(CASE WHEN list_inner_product(s, iv) >= 0
+                               THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                               ELSE 0 END) AS BIGINT) AS sig
+               FROM e CROSS JOIN planes GROUP BY vec_id),
+         bb AS (SELECT vec_id, b, (sig >> CAST(4*b AS INTEGER)) & 15 AS bucket
+               FROM sigs CROSS JOIN range(4) r(b)),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM bb q JOIN bb c ON q.b = c.b AND q.bucket = c.bucket
+               WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+         scored AS (SELECT query_id, neighbor_id,
+                 list_inner_product(qe.v, ne.v)
+                   / (sqrt(list_inner_product(qe.v,qe.v))
+                      * sqrt(list_inner_product(ne.v,ne.v))) AS cos
+               FROM cand
+               JOIN e qe ON qe.vec_id = query_id
+               JOIN e ne ON ne.vec_id = neighbor_id)
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id
+         FROM scored
+         QUALIFY rank <= 10
+         ORDER BY query_id, rank""",
+
     // s02: single-probe label-blocked IVF is EXACT within the block
     // (it scans the query's whole bucket), so the full top-k oracle
     // applies — same cosine + (cos DESC, id ASC) cut as s01, but the
@@ -1286,6 +1329,40 @@ object SparkEntry {
             OR (source = 'src2' AND bkt < '8000')
             OR (source NOT IN ('src0','src1','src2') AND bkt < '4000')
          ORDER BY doc_id""",
+
+    // p07: temperature mixing — budgets from sqrt(n) weights (sqrt is
+    // correctly rounded per IEEE-754, so both engines compute the
+    // same doubles), selection by md5 rank within source
+    "p07_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS q FROM c),
+         t AS (SELECT sum(q) AS sq FROM w),
+         tgt AS (SELECT source, CAST(floor(200.0 * q / sq) AS BIGINT) AS target_rows
+                 FROM w, t),
+         r AS (SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+               FROM documents)
+         SELECT r.doc_id, r.source, rk
+         FROM r JOIN tgt USING (source)
+         WHERE rk <= target_rows
+         ORDER BY source, rk""",
+
+    // d10: duplicate-passage detection — 8-token window hashes,
+    // windows in >= 2 distinct docs are duplicated; integer counts
+    "d10_dup_passages" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS t
+           FROM documents),
+         w AS (SELECT doc_id,
+             unnest(list_transform(range(len(t)-7),
+               i -> md5(array_to_string(t[i+1:i+8],' ')))) AS g
+           FROM toks WHERE len(t) >= 8),
+         d AS (SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                CAST(count(*) FILTER (WHERE g IN (SELECT g FROM d)) AS BIGINT)
+                  AS dup_windows
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
 
     "t06_vocab" ->
       """WITH toks AS (SELECT doc_id,

@@ -539,6 +539,94 @@ object Similarity {
     * the earlier unrolled form was O(nBits × dim) (≈50k nodes at 64
     * bits × 768 dims, far past codegen limits).
     */
+  /** Deterministic ±1 hyperplane matrix for [[bandedLshTopK]]:
+    * sign(j,k) = +1 iff the first hex nibble of md5("lsh_<j>_<k>") is
+    * < 8. One line regenerates the matrix in ANY engine (Spark,
+    * DuckDB, Python, CH) — no model artifact ships, unlike the s03
+    * k-means centroids. Each nibble is an independent fair coin over
+    * md5's output, so the planes are iid Rademacher — exactly the
+    * sign-random-projection family (Charikar '02 simhash/SRP).
+    */
+  def hyperplaneSigns(nPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { j =>
+      (0 until dim).map { k =>
+        val h = md.digest(s"lsh_${j}_${k}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+      }
+    }
+  }
+
+  /** Micro-quantized integer copy of a float vector:
+    * round(x·1e6) as BIGINT via floor(x·1e6 + 0.5) — `floor` has ONE
+    * definition everywhere, so this sidesteps the engines' different
+    * round-half conventions. ±1-plane dots over these are exact
+    * integer sums (|Σ| < 64·4e6 ≪ 2^53 even through a double
+    * accumulator), so bucket signs are bit-identical in any engine
+    * and any summation order — what lets the LSH path carry a full
+    * DuckDB oracle where the float-weighted [[rhpSignature]] cannot
+    * (an fp projection near 0 could flip a bucket between engines; an
+    * integer one cannot).
+    */
+  def microQuantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** nPlanes-bit SRP signature of an already-[[microQuantize]]d
+    * vector. The planes are compile-time literals: each bit is one
+    * codegen'd `aggregate(zip_with(...))` integer fold — no join, no
+    * shuffle, no per-row hashing of the plane matrix.
+    */
+  def signedProjectionSig(ivec: Column, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val lits = array(p.map(lit(_)): _*)
+      when(aggregate(zip_with(lits, ivec, (sgn, x) => sgn.cast("long") * x),
+        lit(0L), (a, x) => a + x) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Banded hyperplane-LSH ANN — the OR-amplified variant of RHP
+    * blocking: the nPlanes-bit SRP signature splits into `bands`
+    * bands of nPlanes/bands bits; a corpus vector is a candidate for
+    * a query if ANY band bucket matches (vs [[ivfTopKByRhp]]'s
+    * single-bucket AND over all bits). Banding trades precision for
+    * recall exactly like MinHash-LSH banding does for Jaccard: match
+    * probability 1-(1-p^r)^b with p = 1 - θ/π. Candidates then rank
+    * by exact cosine — so the output is the true top-k OF the
+    * candidate set, and the whole path (signs, buckets, candidates,
+    * ranking) is deterministically reproducible cross-engine.
+    *
+    * Scale shape: the banded corpus (N·bands rows of (band, bucket,
+    * id)) hash-joins the broadcast banded queries — no shuffle of
+    * vectors; only candidate ids shuffle for the distinct. Scoring
+    * re-joins the corpus vectors by id and the final cut is the
+    * two-phase bounded top-k (≤ k rows per partition move).
+    */
+  def bandedLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int, bands: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val bitsPerBand = nPlanes / bands
+    val mask = (1 << bitsPerBand) - 1
+    val planes = hyperplaneSigns(nPlanes, dim)
+    def banded(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out), microQuantize(col(vecCol)).as("__iv"))
+        .select(col(out), signedProjectionSig(col("__iv"), planes).as("__sig"))
+        .select(col(out), col("__sig"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .select(col(out), col("band"),
+          expr(s"shiftright(__sig, band * $bitsPerBand) & $mask").as("bucket"))
+    val cand = banded(corpus, "neighbor_id")
+      .join(broadcast(banded(queries, "query_id")), Seq("band", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val unit = withUnitVector(corpus, col(vecCol), "n_vec")
+      .select(col(idCol).as("neighbor_id"), col("n_vec"))
+    val q = broadcast(withUnitVector(queries, col(vecCol), "q_vec")
+      .select(col(idCol).as("query_id"), col("q_vec")))
+    val scored = cand.join(unit, "neighbor_id").join(q, "query_id")
+      .withColumn("cos", dot(col("q_vec"), col("n_vec")))
+    boundedTopK(scored, k)
+  }
+
   def rhpSignature(vec: Column, nBits: Int, seed: Int = 42): Column = {
     import org.apache.spark.sql.catalyst.expressions.ShiftLeft
     import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}

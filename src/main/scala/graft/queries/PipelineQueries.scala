@@ -242,6 +242,38 @@ object PipelineQueries {
       .orderBy("train_id", "eval_id")
   }
 
+  // ---- d10: duplicate-PASSAGE detection — the span-level complement
+  // of whole-doc dedup (the "dedup the substring, keep the doc"
+  // family of Lee et al. 2022's exact-substring dedup, expressed
+  // relationally): every 8-token sliding window is hashed map-side,
+  // windows whose hash occurs in ≥ 2 distinct docs are duplicated
+  // passages, and each doc reports its total vs duplicated window
+  // counts — the signal a cleaning pipeline thresholds on (drop docs
+  // that are mostly boilerplate spans, trim the spans otherwise).
+  // Scale shape: the shuffle carries (hash, doc_id) pairs only, never
+  // window text; the dup-marker join keys on the SAME hash column the
+  // count aggregated on, so Catalyst reuses one exchange for both.
+  // Index-explode + per-row slice for the windows (not
+  // explode(transform(...)) — see TextDedup.gramRows' measured
+  // trap). Integer-only output: no cross-engine float risk. ----
+  def dup_passages(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val t = docs(s, dir).select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    val w = t.select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) >= n,
+          sequence(lit(1), size(col("toks")) - (n - 1)))).as("__i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("__i"), lit(n)), " ")).as("g"))
+    val dup = w.groupBy("g").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select(col("g"), lit(1).as("isdup"))
+    w.join(dup, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("isdup"), lit(0))).cast("long").as("dup_windows"))
+      .orderBy("doc_id")
+  }
+
   // ---- embedding cosine near-dup, IVF-blocked by `label`. Threshold
   // 0.35 verified ≥5e-5 away from every pair's cosine at all SFs, so
   // cross-engine double noise cannot flip membership. ----
@@ -419,6 +451,21 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- s08: banded hyperplane-LSH ANN — the OR-amplified LSH-bucket
+  // scale path (4 bands × 4 sign-projection bits), fully
+  // engine-reproducible: the ±1 planes regenerate from md5 in any
+  // engine and the projections are exact integer sums over the
+  // micro-quantized vectors, so candidate buckets can never drift
+  // between Spark and DuckDB (see Similarity.microQuantize). FULL
+  // oracle: DuckDB rebuilds the same planes, signatures, band
+  // buckets, candidate union, and (cos DESC, id ASC) top-k cut. ----
+  def ann_lsh(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    Similarity.bandedLshTopK(corpus, corpus.filter(col("vec_id") < 10),
+        k = 10, nPlanes = 16, bands = 4, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- text analysis ----
   def lang_id(s: SparkSession, dir: String): DataFrame =
     TextFunctions.languageId(docs(s, dir), "doc_id", "text")
@@ -535,6 +582,40 @@ object PipelineQueries {
         Sampling.splitLabel(col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
       .select("doc_id", "source", "split")
       .orderBy("doc_id")
+
+  // ---- p07: temperature-weighted source mixing (the multinomial
+  // upsampling rule of multilingual/multi-source LM training:
+  // sample source s proportionally to n_s^α, α = 0.5 — flattens the
+  // source distribution so small sources aren't drowned). Unlike
+  // p04's FIXED per-source fractions, the rates here are COMPUTED
+  // from the corpus itself: count per source → n^0.5 weight →
+  // exact integer row budget per source → deterministic selection of
+  // exactly that many rows by md5 rank. sqrt (not pow) on purpose:
+  // IEEE-754 sqrt is correctly rounded in every engine, so the
+  // budgets are bit-identical cross-engine. Scale shape: the budget
+  // table is sources-sized (broadcast); selection ranks per source —
+  // at 100 TB you pre-filter with Sampling.hashBucket to ~1.2× the
+  // budget first (map-only) so the per-source sort ranks a sliver,
+  // not the corpus; the sliver rank is exact and the same rows win. ----
+  def temperature_mix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val weights = d.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("q", sqrt(col("n").cast("double")))
+    val tot = weights.agg(sum("q").as("sq"))
+    val targets = weights.crossJoin(broadcast(tot))
+      .withColumn("target_rows",
+        floor(lit(200.0) * col("q") / col("sq")).cast("long"))
+      .select("source", "target_rows")
+    d.withColumn("rk",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("long"))
+      .join(broadcast(targets), "source")
+      .filter(col("rk") <= col("target_rows"))
+      .select("doc_id", "source", "rk")
+      .orderBy("source", "rk")
+  }
 
   // ---- vocabulary build: term → document frequency + collection
   // frequency, the tokenizer-training / IDF precompute. Two-level

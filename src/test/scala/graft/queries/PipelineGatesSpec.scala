@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Planted-data tests for the d10 (duplicate passages) and p07
+  * (temperature mixing) gates: each test writes a tiny
+  * `documents.parquet` with hand-computable structure into a temp SF
+  * dir and checks the gate output against the hand computation — the
+  * oracle gate then re-proves the same logic against DuckDB at
+  * sf0.01, so together the two pin both the semantics and the
+  * cross-engine reproducibility.
+  */
+class PipelineGatesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpSf(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gates").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d10 dup_passages: planted shared span is counted window-exactly") {
+    // doc 0: 10 tokens a0..a9            -> 3 windows, none duplicated
+    // doc 1: 9 tokens  b0..b5 s0 s1 s2   -> 2 windows
+    // doc 2: 9 tokens  s0 s1 s2 c0..c5   -> 2 windows
+    // docs 1 and 2 share only a 3-token span — shorter than the
+    // 8-token window, so STILL no duplicated window (span-level
+    // sensitivity: only full 8-token agreement counts)
+    // doc 3: exact copy of doc 0         -> all 3 windows duplicated,
+    //                                       and doc 0's flip to duplicated too
+    // doc 4: 7 tokens                    -> below window width, absent
+    val a = (0 until 10).map("a" + _).mkString(" ")
+    val d = tmpSf(Seq(
+      (0L, a, "en", "src0", 1L),
+      (1L, ((0 until 6).map("b" + _) ++ Seq("s0", "s1", "s2")).mkString(" "), "en", "src0", 1L),
+      (2L, (Seq("s0", "s1", "s2") ++ (0 until 6).map("c" + _)).mkString(" "), "en", "src0", 1L),
+      (3L, a, "en", "src1", 1L),
+      (4L, (0 until 7).map("d" + _).mkString(" "), "en", "src0", 1L)))
+    val got = PipelineQueries.dup_passages(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 3L), (1L, 2L, 0L), (2L, 2L, 0L), (3L, 3L, 3L)))
+  }
+
+  test("p07 temperature_mix: sqrt-weighted budgets, md5-rank selection") {
+    // sources: big=400 docs, small=4 docs. q = 20 and 2, sq = 22:
+    //   target(big)   = floor(200·20/22) = 181  (the cut bites)
+    //   target(small) = floor(200·2/22)  = 18   (> 4, keeps all)
+    val rows = (0L until 400L).map(i => (i, s"t $i", "en", "big", 1L)) ++
+      (400L until 404L).map(i => (i, s"t $i", "en", "small", 1L))
+    val d = tmpSf(rows)
+    val got = PipelineQueries.temperature_mix(spark, d)
+      .as[(Long, String, Long)].collect().toSeq
+    val bySource = got.groupBy(_._2)
+    assert(bySource("big").size == 181)
+    assert(bySource("small").size == 4)
+    // ranks are 1..n contiguous within each source
+    assert(bySource("big").map(_._3).sorted == (1L to 181L))
+    // selection is EXACTLY the 181 lowest md5(doc_id) of the big source
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectBig = (0L until 400L)
+      .sortBy(i => (md5hex(i.toString), i))
+      .take(181).toSet
+    assert(bySource("big").map(_._1).toSet == expectBig)
+    // determinism: a second run returns the identical selection
+    val again = PipelineQueries.temperature_mix(spark, d)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(again == got)
+  }
+}
