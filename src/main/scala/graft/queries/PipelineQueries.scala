@@ -251,9 +251,10 @@ object PipelineQueries {
   // counts — the signal a cleaning pipeline thresholds on (drop docs
   // that are mostly boilerplate spans, trim the spans otherwise).
   // Scale shape: the shuffle carries (hash, doc_id) pairs only, never
-  // window text; the dup-marker join keys on the SAME hash column the
-  // count aggregated on, so Catalyst reuses one exchange for both.
-  // Index-explode + per-row slice for the windows (not
+  // window text (pinned by PlanContractSpec); the dup-marker side is
+  // duplicated-grams-sized — a sliver of the corpus — so it
+  // broadcasts here and hash-joins co-keyed on `g` past the
+  // broadcast threshold. Index-explode + per-row slice for the windows (not
   // explode(transform(...)) — see TextDedup.gramRows' measured
   // trap). Integer-only output: no cross-engine float risk. ----
   def dup_passages(s: SparkSession, dir: String): DataFrame = {

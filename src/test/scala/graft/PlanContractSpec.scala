@@ -15,7 +15,10 @@ class PlanContractSpec extends SparkTestBase {
   // against the codes scan for the same reason.
   // s06 embeds s01's brute-force side verbatim (it measures that very
   // plan's recall), so it inherits the same deliberate cross.
-  private val allowedCross = Set("s01_ann_topk", "s05_pq_adc", "s06_ann_recall")
+  // p07's cross is the 1-row corpus-total broadcast against the
+  // sources-sized weight table — a scalar fan-in, not a pair blowup.
+  private val allowedCross =
+    Set("s01_ann_topk", "s05_pq_adc", "s06_ann_recall", "p07_temperature_mix")
 
   test("no gate query plans BroadcastNestedLoopJoin or CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -74,6 +77,9 @@ class PlanContractSpec extends SparkTestBase {
       // reassembly shuffle carries surviving paragraph text because
       // the OUTPUT is the cleaned document)
       "d08_url_dedup",
+      // d10 shuffles (window-hash, doc_id) pairs — windows are hashed
+      // map-side, their text never moves
+      "d10_dup_passages",
       "p02_neardup_groups").foreach { n =>
       exchangeInputs(formatted(n)).foreach { in =>
         assert(!in.contains("text#"),
@@ -108,6 +114,16 @@ class PlanContractSpec extends SparkTestBase {
         assert(decodes.forall(_ < e),
           s"$n plans a shuffle below the decode — binary bytes would move")
       }
+    }
+  }
+
+  test("s08's shuffles carry candidate ids and top-k buffers — never vectors") {
+    val ins = exchangeInputs(formatted("s08_ann_lsh"))
+    assert(ins.nonEmpty, "s08 plans no shuffle at all — plan reshaped?")
+    ins.foreach { in =>
+      assert(!in.contains("embedding#") && !in.contains("__iv") &&
+        !in.contains("q_vec") && !in.contains("n_vec"),
+        s"s08 shuffles vector payload: [$in]")
     }
   }
 
