@@ -56,8 +56,12 @@ import org.apache.spark.sql.functions._
   * cell-count regimes: fixed cells (pair work ∝ M², the anti-pattern)
   * vs cells raised ∝ M (linear, the deployment contract).
   *
+  * Mode `passages` — d10 duplicate-passage detection (+ p07
+  * temperature mixing) over the salted corpus: rotation keeps
+  * duplicated-window density constant while window count grows ∝ M.
+  *
   * Usage: runMain graft.bench.ScaleRehearsal <sfDir> <mult> [mode] [workDir]
-  * (mode ∈ dedup|graph|ann|text|clean|semantic, default dedup)
+  * (mode ∈ dedup|graph|ann|text|clean|semantic|passages, default dedup)
   * Prints one JSON line: wall seconds + shuffle read/write MB per query.
   */
 object ScaleRehearsal {
@@ -146,8 +150,8 @@ object ScaleRehearsal {
     // count via the 4 wrapped copies)
     require(mult >= 1 && mult <= 26, "mult must be in [1, 26]")
     val mode = args.lift(2).getOrElse("dedup")
-    require(Seq("dedup", "graph", "ann", "text", "clean", "semantic")
-      .contains(mode), s"unknown mode $mode")
+    require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
+      "passages").contains(mode), s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else java.nio.file.Files.createTempDirectory("scale").toString
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -194,9 +198,14 @@ object ScaleRehearsal {
       // block, blocks ∝ M → linear total
       val d05 = time(graft.queries.PipelineQueries
         .embedding_neardup(spark, s"$work/replica").count())
+      // banded LSH: fixed 4×16-bucket table, so per-band collision
+      // probability is ~flat and candidates ∝ N·Q — the candidate
+      // shuffle (ids only) must grow linearly while vectors never move
+      val s08 = time(graft.queries.PipelineQueries
+        .ann_lsh(spark, s"$work/replica").count())
       println(s"""{"mult":$mult,"vectors":$nVecs,""" +
         s""""s02_replica":${jq(s02Replica)},"s02_grown":${jq(s02Grown)},""" +
-        s""""d05":${jq(d05)}}""")
+        s""""d05":${jq(d05)},"s08":${jq(s08)}}""")
     } else if (mode == "text") {
       saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
         .parquet(s"$work/documents.parquet")
@@ -270,6 +279,29 @@ object ScaleRehearsal {
         time(graft.queries.PipelineQueries.neardup_groups(spark, work).count())
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
         s""""d02":${jq(d02)},"p02":${jq(p02)}}""")
+    } else if (mode == "passages") {
+      // d10 duplicate passages: rotation changes every token, so
+      // cross-copy windows never collide — duplicated-window DENSITY
+      // stays constant while windows grow ∝ M; the (hash, id) shuffle
+      // must grow linearly and the dup-marker side with it. p07
+      // temperature mixing rides along: sources are SHARED across
+      // copies, so per-source partitions grow ∝ M and the md5-rank
+      // selection must stay sort-bound within each source (the
+      // 100-TB form pre-filters with Sampling.hashBucket first).
+      saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
+        .parquet(s"$work/documents.parquet")
+      val nDocs = spark.read.parquet(s"$work/documents.parquet").count()
+      // NOT .count(): under count, Catalyst eliminates d10's left
+      // outer join outright (the dup side's key is an aggregation key,
+      // hence unique — the join can't change cardinality) and the
+      // whole duplicate-detection pipeline vanishes from the measured
+      // plan. Summing the output columns forces full evaluation.
+      val d10 = time(graft.queries.PipelineQueries.dup_passages(spark, work)
+        .agg(sum("dup_windows"), sum("n_windows")).first().getLong(0))
+      val p07 =
+        time(graft.queries.PipelineQueries.temperature_mix(spark, work).count())
+      println(s"""{"mult":$mult,"docs":$nDocs,""" +
+        s""""d10":${jq(d10)},"p07":${jq(p07)}}""")
     } else {
       // salted inputs land in parquet FIRST so the measured section is
       // the engine, not the salting union
