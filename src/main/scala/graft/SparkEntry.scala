@@ -107,6 +107,7 @@ object SparkEntry {
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
+    "p08_curriculum" -> (PipelineQueries.curriculum _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "t10_kll_bound" -> (PipelineQueries.kll_bound _),
     "t11_pii_scrub" -> (PipelineQueries.pii_scrub _),
     "t12_lm_score" -> (PipelineQueries.lm_score _),
+    "t13_bigram_lm" -> (PipelineQueries.bigram_lm _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
     "m05_image_pixels" -> (PipelineQueries.multimodal_pixels _),
@@ -135,6 +137,7 @@ object SparkEntry {
     "m03_audio_meta" -> (PipelineQueries.multimodal_audio _),
     "m04_video_meta" -> (PipelineQueries.multimodal_video _),
     "m08_audio_features" -> (PipelineQueries.multimodal_audio_features _),
+    "m09_scene_cuts" -> (PipelineQueries.multimodal_scenes _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1347,6 +1350,76 @@ object SparkEntry {
          FROM r JOIN tgt USING (source)
          WHERE rk <= target_rows
          ORDER BY source, rk""",
+
+    // t13: bigram LM with add-one smoothing — same DECIMAL-round +
+    // sorted-fold float discipline as t12; V from a distinct-unigram
+    // scalar subquery
+    "t13_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS t
+           FROM documents),
+         idx AS (SELECT doc_id, t,
+             unnest(range(CAST(len(t)-1 AS BIGINT))) AS i
+           FROM toks WHERE len(t) >= 2),
+         bg AS (SELECT doc_id, t[i+1] AS prev, t[i+2] AS term FROM idx),
+         v AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS vocab
+           FROM (SELECT unnest(t) AS u FROM toks)),
+         bf AS (SELECT prev, term, CAST(count(*) AS BIGINT) AS bf
+           FROM bg GROUP BY 1,2),
+         pf AS (SELECT prev, CAST(count(*) AS BIGINT) AS pf
+           FROM bg GROUP BY 1),
+         dt AS (SELECT doc_id, prev, term, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1,2,3),
+         w AS (SELECT doc_id, c,
+             CAST(round(CAST(c * (log2(bf + 1) - log2(pf + vocab))
+               AS DECIMAL(28,10)), 9) AS DOUBLE) AS w
+           FROM dt JOIN bf USING (prev, term) JOIN pf USING (prev)
+           CROSS JOIN v),
+         agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             list_reduce(list_sort(list(w)), (acc, x) -> acc + x) AS s
+           FROM w GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+                CAST(round(CAST(s / n_bigrams AS DECIMAL(28,10)), 4)
+                  AS DOUBLE) AS lm2_score
+         FROM agg ORDER BY doc_id""",
+
+    // p08: curriculum ordering — ntile length deciles (SQL-standard
+    // remainder-to-first-buckets in both engines), md5-ranked batches
+    "p08_curriculum" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)),'\s+'))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         d AS (SELECT doc_id, n_tokens,
+             CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS INTEGER)
+               AS decile
+           FROM t)
+         SELECT doc_id, n_tokens, decile,
+                CAST(row_number() OVER (PARTITION BY decile
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                  AS batch
+         FROM d ORDER BY batch, decile, doc_id""",
+
+    // m09: scene cuts — the Y4M synth's luma ramps +17/frame mod 256,
+    // so cuts are exactly the wrap points; closed-form replay
+    "m09_scene_cuts" ->
+      """WITH d AS (SELECT doc_id,
+             doc_id%13+16 AS nf
+           FROM documents),
+         f AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS k
+               FROM d),
+         l AS (SELECT doc_id, k, (doc_id + 17*k)%256 AS luma FROM f),
+         j AS (SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+                 lag(luma) OVER (PARTITION BY doc_id ORDER BY k) AS prev_luma,
+                 luma
+               FROM l)
+         SELECT doc_id, frame_idx,
+                CAST(prev_luma AS BIGINT) AS prev_luma,
+                CAST(luma AS BIGINT) AS luma,
+                CAST(abs(luma - prev_luma) AS BIGINT) AS jump
+         FROM j
+         WHERE prev_luma IS NOT NULL AND abs(luma - prev_luma) >= 100
+         ORDER BY doc_id, frame_idx""",
 
     // d10: duplicate-passage detection — 8-token window hashes,
     // windows in >= 2 distinct docs are duplicated; integer counts

@@ -512,6 +512,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- t13: BIGRAM language-model scoring with add-one smoothing —
+  // the next rung of the t12 ladder and the shape of every n-gram
+  // perplexity filter (CCNet/KenLM-style): the model is the corpus's
+  // own bigram table, P(term|prev) = (c(prev,term)+1)/(c(prev)+V),
+  // score = mean log2 P over a doc's bigram instances. Model tables
+  // (bigram counts + context counts) are vocabulary-sized → broadcast,
+  // exactly how a real run ships its ARPA table. Same cross-engine
+  // float discipline as t12: DECIMAL-round each summand, fold the
+  // SORTED list, so both engines add identical doubles in identical
+  // order. Index-explode for bigrams (the gramRows lambda-scope trap
+  // applies to any HOF-built pair array too). ----
+  def bigram_lm(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    val bg = t.select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) >= 2,
+          sequence(lit(1), size(col("toks")) - 1))).as("__i"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("__i")).as("prev"),
+        element_at(col("toks"), col("__i") + 1).as("term"))
+    // V = unigram vocabulary size — one count-distinct job, the
+    // model's single scalar hyperparameter (ships as a literal)
+    val vocab = t.select(explode(col("toks")).as("u"))
+      .agg(countDistinct("u")).first().getLong(0).toDouble
+    val bf = bg.groupBy("prev", "term").agg(count(lit(1)).as("bf"))
+    val pf = bg.groupBy("prev").agg(count(lit(1)).as("pf"))
+    val dt = bg.groupBy("doc_id", "prev", "term").agg(count(lit(1)).as("c"))
+    dt.join(broadcast(bf), Seq("prev", "term"))
+      .join(broadcast(pf), Seq("prev"))
+      .withColumn("w",
+        round((col("c") * (log2(col("bf") + 1) - log2(col("pf") + lit(vocab))))
+          .cast("decimal(28,10)"), 9).cast("double"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        aggregate(sort_array(collect_list(col("w"))), lit(0.0),
+          (acc, x) => acc + x).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round((col("s") / col("n_bigrams")).cast("decimal(28,10)"), 4)
+          .cast("double").as("lm2_score"))
+      .orderBy("doc_id")
+  }
+
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -616,6 +658,32 @@ object PipelineQueries {
       .filter(col("rk") <= col("target_rows"))
       .select("doc_id", "source", "rk")
       .orderBy("source", "rk")
+  }
+
+  // ---- p08: curriculum ordering — length-staged training with
+  // quality-mixed batches: docs are cut into 10 length deciles
+  // (short→long = easy→hard, the classic curriculum axis), then each
+  // "batch" takes one doc per decile in deterministic md5 order, so
+  // batch b is a difficulty-balanced draw and batches sweep the
+  // corpus without replacement. Output order (batch, decile) IS the
+  // curriculum; everything is integer/window arithmetic, so the
+  // oracle replays it exactly. Scale note: the global ntile here is
+  // the oracle-exact form — at 100 TB the decile CUT-POINTS come from
+  // a two-pass (or approx_percentile) precompute and assignment
+  // becomes a map-only CASE, same downstream plan; the per-decile
+  // row_number stays partition-parallel either way. ----
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(s, dir).select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    val d = t.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("n_tokens"), col("doc_id"))))
+    d.withColumn("batch",
+        row_number().over(Window.partitionBy("decile")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("long"))
+      .select("doc_id", "n_tokens", "decile", "batch")
+      .orderBy("batch", "decile", "doc_id")
   }
 
   // ---- vocabulary build: term → document frequency + collection
@@ -886,6 +954,44 @@ object PipelineQueries {
     graft.multimodal.Multimodal
       .decodeY4mFrames(y4m, "doc_id", "payload", everyNth = 2)
       .selectExpr("id AS doc_id", "frame_idx", "width", "height", "y_sum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // ---- m09: scene-change detection over REAL decoded video frames —
+  // the temporal-analysis step of a video-pipeline (cut detection for
+  // clip segmentation / frame sampling), run end-to-end on Y4M: real
+  // frame decode (m06's codec-free parse), per-frame mean luma from
+  // the exact plane sum, a lag window over (video, frame) for the
+  // inter-frame jump, threshold ≥ 100 flags the cut. The synth's luma
+  // ramps +17/frame mod 256, so the detector must fire exactly at the
+  // wrap points — the oracle replays the closed form and every missed
+  // or spurious cut breaks the row match. Scale shape: decode is
+  // map-only below the window's (video)-partitioned shuffle, which
+  // carries one (id, frame_idx, luma) row per frame — never pixels;
+  // videos parallelize across, frames within a video stay together
+  // (the locality a temporal op needs). ----
+  def multimodal_scenes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val y4m = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        (id, graft.multimodal.Multimodal.synthY4m(
+          w = ((id % 4) * 2 + 8).toInt, h = ((id % 3) * 2 + 6).toInt,
+          nFrames = (id % 13 + 16).toInt, seed = id))
+      }.toDF("doc_id", "payload")
+    val frames = graft.multimodal.Multimodal
+      .decodeY4mFrames(y4m, "doc_id", "payload", everyNth = 1)
+      // exact for any constant-plane frame; real footage would keep
+      // the scaled sum (y_sum vs w·h·threshold) to stay integer-exact
+      .withColumn("luma", expr("y_sum div (width * height)"))
+    frames
+      .withColumn("prev_luma",
+        lag("luma", 1).over(Window.partitionBy("id").orderBy("frame_idx")))
+      .filter(col("prev_luma").isNotNull &&
+        abs(col("luma") - col("prev_luma")) >= 100)
+      .select(col("id").as("doc_id"), col("frame_idx"),
+        col("prev_luma"), col("luma"),
+        abs(col("luma") - col("prev_luma")).as("jump"))
       .orderBy("doc_id", "frame_idx")
   }
 

@@ -43,6 +43,62 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(got == Seq((0L, 3L, 3L), (1L, 2L, 0L), (2L, 2L, 0L), (3L, 3L, 3L)))
   }
 
+  test("t13 bigram_lm: micro-corpus equals a BigDecimal reference") {
+    // corpus: doc0 = "a b a b" (bigrams ab, ba, ab), doc1 = "a b".
+    // bf(a,b)=3, bf(b,a)=1; pf(a)=3, pf(b)=1; V=2.
+    val d = tmpSf(Seq(
+      (0L, "a b a b", "en", "src0", 1L),
+      (1L, "a b", "en", "src0", 1L)))
+    val got = PipelineQueries.bigram_lm(spark, d)
+      .as[(Long, Long, Double)].collect().toSeq
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def r(x: Double, p: Int) = BigDecimal(x)
+      .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wAB = r(log2(4.0) - log2(5.0), 9)  // P(b|a) = (3+1)/(3+2)
+    val wBA = r(log2(2.0) - log2(3.0), 9)  // P(a|b) = (1+1)/(1+2)
+    val doc0 = r((Seq(2 * wAB, wBA).sorted.sum) / 3.0, 4)
+    val doc1 = r(wAB / 1.0, 4)
+    assert(got == Seq((0L, 3L, doc0), (1L, 1L, doc1)))
+  }
+
+  test("p08 curriculum: decile balance, batch sweep, full coverage") {
+    // 43 docs with token counts 1..43: deciles of sizes 5,5,5,4,...
+    // (SQL ntile remainder-to-first), batches take one doc per decile
+    val rows = (0L until 43L).map(i =>
+      (i, (0 to i.toInt).map(_ => "w").mkString(" "), "en", "src0", 1L))
+    val d = tmpSf(rows)
+    val got = PipelineQueries.curriculum(spark, d)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(got.map(_._1).toSet == (0L until 43L).toSet) // every doc once
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert((1 to 3).forall(sizes(_) == 5) && (4 to 10).forall(sizes(_) == 4))
+    // token counts are non-decreasing across decile boundaries
+    val maxPerDecile = got.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minPerDecile = got.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    (1 to 9).foreach(dc => assert(maxPerDecile(dc) <= minPerDecile(dc + 1)))
+    // batches are 1..size(decile) within each decile
+    got.groupBy(_._3).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted == (1L to g.size.toLong))
+    }
+  }
+
+  test("m09 scene_cuts: fires exactly at the synth's mod-256 wraps") {
+    val d = tmpSf((0L until 40L).map(i => (i, "t", "en", "src0", 1L)))
+    val got = PipelineQueries.multimodal_scenes(spark, d)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    val expected = (0L until 40L).flatMap { id =>
+      val nf = (id % 13 + 16).toInt
+      (1 until nf).flatMap { k =>
+        val prev = (id + 17 * (k - 1)) % 256
+        val cur = (id + 17 * k) % 256
+        val jump = math.abs(cur - prev)
+        if (jump >= 100) Some((id, k, prev, cur, jump)) else None
+      }
+    }
+    assert(got == expected)
+    assert(got.nonEmpty && got.forall(_._5 == 239)) // every wrap is |17-256|
+  }
+
   test("p07 temperature_mix: sqrt-weighted budgets, md5-rank selection") {
     // sources: big=400 docs, small=4 docs. q = 20 and 2, sq = 22:
     //   target(big)   = floor(200·20/22) = 181  (the cut bites)
