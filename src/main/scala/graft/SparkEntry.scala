@@ -90,6 +90,7 @@ object SparkEntry {
     "g03_degree_topk" -> (RefQueries.graph_degree_topk _),
     "g04_pagerank" -> (RefQueries.graph_pagerank _),
     "g05_triangles" -> (PipelineQueries.neardup_triangles _),
+    "g06_label_prop" -> (PipelineQueries.label_prop _),
     "d01_exact_dedup" -> (PipelineQueries.exact_dedup _),
     "d02_minhash_lsh" -> (PipelineQueries.minhash_lsh_dedup _),
     "d03_simhash" -> (PipelineQueries.simhash_dedup _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "t11_pii_scrub" -> (PipelineQueries.pii_scrub _),
     "t12_lm_score" -> (PipelineQueries.lm_score _),
     "t13_bigram_lm" -> (PipelineQueries.bigram_lm _),
+    "t14_bpe_pairs" -> (PipelineQueries.bpe_pairs _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
     "m05_image_pixels" -> (PipelineQueries.multimodal_pixels _),
@@ -1420,6 +1422,51 @@ object SparkEntry {
          FROM j
          WHERE prev_luma IS NOT NULL AND abs(luma - prev_luma) >= 100
          ORDER BY doc_id, frame_idx""",
+
+    // t14: one BPE training iteration — word freqs, char-pair weights
+    // over the distinct word table, deterministic (weight, pair) top-100
+    "t14_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM toks GROUP BY 1),
+         idx AS (SELECT w, wf, unnest(range(CAST(length(w)-1 AS BIGINT))) AS i
+           FROM wf WHERE length(w) >= 2),
+         p AS (SELECT substr(w, CAST(i+1 AS INTEGER), 2) AS pair, wf FROM idx)
+         SELECT pair, CAST(sum(wf) AS BIGINT) AS weight
+         FROM p GROUP BY pair
+         ORDER BY weight DESC, pair ASC LIMIT 100""",
+
+    // g06: 3 synchronized LPA rounds over the d04 pair graph, unrolled —
+    // mode pick = row_number over (cnt DESC, lbl ASC), the same
+    // (most-frequent, smallest-on-tie) rule as Spark's max(struct(cnt,-lbl))
+    "g06_label_prop" ->
+      """WITH d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+         r1 AS (SELECT e.src, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l0 l ON l.id = e.dst GROUP BY 1,2),
+         l1 AS (SELECT src AS id, lbl FROM r1
+                QUALIFY row_number() OVER (PARTITION BY src
+                  ORDER BY cnt DESC, lbl ASC) = 1),
+         r2 AS (SELECT e.src, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l1 l ON l.id = e.dst GROUP BY 1,2),
+         l2 AS (SELECT src AS id, lbl FROM r2
+                QUALIFY row_number() OVER (PARTITION BY src
+                  ORDER BY cnt DESC, lbl ASC) = 1),
+         r3 AS (SELECT e.src, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l2 l ON l.id = e.dst GROUP BY 1,2),
+         l3 AS (SELECT src AS id, lbl FROM r3
+                QUALIFY row_number() OVER (PARTITION BY src
+                  ORDER BY cnt DESC, lbl ASC) = 1)
+         SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community
+         FROM l3 ORDER BY doc_id""",
 
     // d10: duplicate-passage detection — 8-token window hashes,
     // windows in >= 2 distinct docs are duplicated; integer counts

