@@ -143,21 +143,24 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // pointer jumping, three times per round: follow my
-      // representative's label, then the result's, then again. Each
-      // hop doubles the followed distance (log8-ish rounds instead of
-      // log2) — an extra hash join per round buys a whole round:
-      // measured on sf0.1's chain-shaped p02 graph, 2 hops = 5 rounds
-      // / 3 hops = 4 rounds, net win; a 4th hop no longer saves a
-      // round. The self-join consumes `cur` twice, so the subtree
+      // pointer jumping, FOUR times per round: follow my
+      // representative's label, then the result's, and so on. Each
+      // hop doubles the followed distance — an extra hash join per
+      // round can buy a whole round: on sf0.1's chain-shaped p02
+      // graph, 2 hops = 5 rounds / 3 hops = 4 rounds / 4 hops = 3
+      // rounds (re-measured after the fused init + pre-partitioned
+      // edges; before those, the 4th hop bought nothing) — best warm
+      // 3.5s vs 3.7s at 3 hops. A 5th hop does NOT reach 2 rounds
+      // (changed=3282 persists) and its 2^5 recompute pushes rounds
+      // to ~1.4s — measured 5.1s total, a clear loss.
+      // The self-join consumes `cur` twice, so the subtree
       // re-executes 2^hops times per round — measured CHEAPER than
       // deduplicating it at this state size: per-hop persist() lifted
       // rounds from ~0.7s to ~1.2s (columnar encode + extra stage
-      // boundaries beat the recompute of a tiny cached base), and 6
-      // un-persisted hops (64 scans) tripled the round. 3 plain hops
-      // is the measured optimum; revisit persist only if per-round
-      // state stops fitting a cache partition.
-      val updated = (1 to 3).foldLeft(stepped) { (cur, _) =>
+      // boundaries beat the recompute of a tiny cached base). 4 plain
+      // hops is the measured optimum; revisit persist only if
+      // per-round state stops fitting a cache partition.
+      val updated = (1 to 4).foldLeft(stepped) { (cur, _) =>
         val parent = cur.select(col("id").as("comp"), col("comp").as("pcomp"))
         cur.join(parent, Seq("comp"), "left")
           .select(col("id"), col("prev"),
