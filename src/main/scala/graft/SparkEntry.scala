@@ -109,6 +109,7 @@ object SparkEntry {
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
     "p08_curriculum" -> (PipelineQueries.curriculum _),
+    "p09_chunking" -> (PipelineQueries.chunk_docs _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -1401,6 +1402,21 @@ object SparkEntry {
                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
                   AS batch
          FROM d ORDER BY batch, decile, doc_id""",
+
+    // p09: 64-token chunks at stride 48 — chunk count floor((n-1)/48)+1,
+    // per-chunk token span and md5 of the joined window
+    "p09_chunking" ->
+      """WITH t AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, toks, len(toks) AS n,
+             unnest(range((len(toks)-1)//48 + 1)) AS ci
+           FROM t)
+         SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+                CAST(ci*48 + 1 AS BIGINT) AS start_tok,
+                CAST(least(ci*48 + 64, n) - ci*48 AS BIGINT) AS n_toks,
+                md5(array_to_string(toks[ci*48+1 : ci*48+64], ' ')) AS chunk_hash
+         FROM c ORDER BY doc_id, chunk_idx""",
 
     // m09: scene cuts — the Y4M synth's luma ramps +17/frame mod 256,
     // so cuts are exactly the wrap points; closed-form replay

@@ -719,6 +719,30 @@ object PipelineQueries {
       .orderBy("batch", "decile", "doc_id")
   }
 
+  // ---- p09: document chunking — fixed 64-token windows with
+  // 16-token overlap (stride 48), the standard pretraining/RAG
+  // chunker. Map-only: the chunk index explodes per row and each
+  // chunk's hash is computed in place, so the only data movement is
+  // the output itself; at 100 TB this runs inside the scan stage.
+  // chunk i covers tokens [1+48i, min(64+48i, n)]; the count is
+  // floor((n-1)/48)+1, so a final short chunk is kept (its tokens
+  // would otherwise never train) and no chunk is pure overlap.
+  // Hash instead of text in the output: integer/hex columns only. ----
+  def chunk_docs(s: SparkSession, dir: String): DataFrame = {
+    val C = 64; val S = 48
+    val t = docs(s, dir).select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    t.select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+        explode(expr(s"sequence(0, (size(toks)-1) div $S)")).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        (col("ci") * S + 1).cast("long").as("start_tok"),
+        least(col("ci") * S + C, col("n")).minus(col("ci") * S)
+          .cast("long").as("n_toks"),
+        md5(array_join(slice(col("toks"), col("ci") * S + 1, lit(C)), " "))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---- vocabulary build: term → document frequency + collection
   // frequency, the tokenizer-training / IDF precompute. Two-level
   // aggregate: the (term, doc_id) distinct collapses per-doc repeats

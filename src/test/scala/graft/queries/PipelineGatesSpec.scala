@@ -136,6 +136,22 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(got.size == 6)
   }
 
+  test("p09 chunking: 64-token windows at stride 48, short tail kept") {
+    val d = tmpSf(Seq(
+      (0L, (1 to 100).map("t" + _).mkString(" "), "en", "src0", 1L),
+      (1L, (1 to 5).map("s" + _).mkString(" "), "en", "src0", 1L)))
+    val got = PipelineQueries.chunk_docs(spark, d)
+      .select("doc_id", "chunk_idx", "start_tok", "n_toks")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 1L, 64L), (0L, 1L, 49L, 52L), (0L, 2L, 97L, 4L),
+      (1L, 0L, 1L, 5L)))
+    // overlap invariant: consecutive chunks share exactly 16 planned
+    // positions (start advances by 48 on a 64-wide window)
+    val starts = got.filter(_._1 == 0L).map(_._3)
+    assert(starts == Seq(1L, 49L, 97L))
+  }
+
   test("p07 temperature_mix: sqrt-weighted budgets, md5-rank selection") {
     // sources: big=400 docs, small=4 docs. q = 20 and 2, sq = 22:
     //   target(big)   = floor(200·20/22) = 181  (the cut bites)
