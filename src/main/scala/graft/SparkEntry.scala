@@ -110,6 +110,7 @@ object SparkEntry {
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
     "p08_curriculum" -> (PipelineQueries.curriculum _),
     "p09_chunking" -> (PipelineQueries.chunk_docs _),
+    "p10_pipeline" -> (PipelineQueries.pipeline_end_to_end _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -946,6 +947,61 @@ object SparkEntry {
          WHERE l.pred_lang = 'en' AND q.quality_score >= 0.42
          GROUP BY md5(d.text)
          ORDER BY keep_id""",
+
+    // p10: the composed pipeline — p01's clean CTEs, p09's chunk
+    // arithmetic, p03's packing window, chained
+    "p10_pipeline" ->
+      s"""WITH sw(sw_lang, sw_word) AS (VALUES ${graft.functions.TextFunctions.stopwords
+             .map { case (l, w) => s"('$l','$w')" }.mkString(",")}),
+         tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),'\\s+')) AS tok
+           FROM documents),
+         hits AS (SELECT doc_id, sw_lang, count(*) AS hits
+           FROM tok JOIN sw ON tok = sw_word GROUP BY 1,2),
+         best AS (SELECT doc_id, sw_lang FROM hits
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, sw_lang) = 1),
+         lang AS (SELECT d.doc_id, coalesce(b.sw_lang,'und') AS pred_lang
+           FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id),
+         f AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             regexp_split_to_array(trim(lower(text)),'\\s+') AS toks,
+             length(text) - length(regexp_replace(text,'[^a-zA-Z0-9\\s]','','g')) AS punct,
+             length(regexp_replace(text,'\\s+','','g')) AS alpha_chars
+           FROM documents),
+         g AS (SELECT doc_id, n_chars_m,
+             CASE WHEN len(toks)=0 THEN 0.0
+                  ELSE CAST(alpha_chars AS DOUBLE)/len(toks) END AS avg_tl,
+             CASE WHEN len(toks)=0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)/len(toks) END AS stop_r,
+             CASE WHEN n_chars_m=0 THEN 0.0
+                  ELSE CAST(punct AS DOUBLE)/n_chars_m END AS punct_r
+           FROM f),
+         q AS (SELECT doc_id,
+             CAST(round(CAST(0.5*stop_r + 0.3*(1.0-punct_r)
+                   + 0.2*least(avg_tl/10.0, 1.0) AS DECIMAL(20,10)), 4) AS DOUBLE) AS quality_score
+           FROM g),
+         survivors AS (SELECT min(d.doc_id) AS doc_id
+           FROM documents d
+           JOIN lang l ON d.doc_id = l.doc_id
+           JOIN q ON d.doc_id = q.doc_id
+           WHERE l.pred_lang = 'en' AND q.quality_score >= 0.42
+           GROUP BY md5(d.text)),
+         t AS (SELECT d.doc_id,
+             regexp_split_to_array(trim(lower(d.text)),'\\s+') AS toks
+           FROM documents d JOIN survivors s ON d.doc_id = s.doc_id),
+         c AS (SELECT doc_id, toks, len(toks) AS n,
+             unnest(range((len(toks)-1)//48 + 1)) AS ci
+           FROM t),
+         ch AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+             CAST(least(ci*48 + 64, n) - ci*48 AS BIGINT) AS n_toks
+           FROM c)
+         SELECT doc_id, chunk_idx, n_toks,
+                CAST(sum(n_toks) OVER (ORDER BY doc_id, chunk_idx
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                CAST(floor((sum(n_toks) OVER (ORDER BY doc_id, chunk_idx
+                  ROWS UNBOUNDED PRECEDING) - n_toks) / 2048.0) AS BIGINT)
+                  AS shard_id
+         FROM ch ORDER BY doc_id, chunk_idx""",
 
     "p02_neardup_groups" ->
       """WITH RECURSIVE

@@ -743,6 +743,45 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // ---- p10: the pipeline END-TO-END, one declarative plan — language
+  // filter → quality filter → exact dedup (min-id survivor) → chunking
+  // → token-budget shard packing. This is the composition story: every
+  // stage is the same operator its standalone gate proves, Catalyst
+  // fuses the map-side stages (filters + chunk explode run inside the
+  // scan), and the only shuffles are the dedup hash-groupBy, the
+  // survivor re-join, and the packing window. A 100-TB run partitions
+  // the packing window by (source, date); the single global window
+  // here is the oracle-exact form on one logical group. ----
+  def pipeline_end_to_end(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lang = TextFunctions.languageId(d, "doc_id", "text")
+    val quality = d.select(col("doc_id") +:
+      TextFunctions.qualityFeatures(col("text")): _*)
+      .select("doc_id", "quality_score")
+    val survivors = d.select("doc_id", "text")
+      .join(lang, "doc_id").join(quality, "doc_id")
+      .filter(col("pred_lang") === "en" && col("quality_score") >= 0.42)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val chunks = d.join(survivors, "doc_id")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+        explode(expr("sequence(0, (size(toks)-1) div 48)")).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        least(col("ci") * 48 + 64, col("n")).minus(col("ci") * 48)
+          .cast("long").as("n_toks"))
+      // single sortable key so the packing window's ORDER BY matches
+      // (doc_id, chunk_idx) exactly; chunk counts are < 10^5 per doc
+      // by construction (64-token chunks of a bounded doc)
+      .withColumn("ord", col("doc_id") * 100000L + col("chunk_idx"))
+    Packing.packByTokenBudget(
+        chunks.withColumn("g", lit("all")), "g", "ord", "n_toks",
+        budget = 2048L)
+      .select("doc_id", "chunk_idx", "n_toks", "cum_tokens", "shard_id")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---- vocabulary build: term → document frequency + collection
   // frequency, the tokenizer-training / IDF precompute. Two-level
   // aggregate: the (term, doc_id) distinct collapses per-doc repeats
