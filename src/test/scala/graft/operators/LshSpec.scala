@@ -101,6 +101,33 @@ class LshSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("property: signatures match the reference on random vectors " +
+      "(negatives, zeros, sub-quantum values)") {
+    // raw ScalaCheck Gen with fixed seeds (offline deps have no
+    // scalatestplus bridge — same pattern as ChSqlRewritePropertySpec);
+    // one DataFrame pass scores all generated vectors at once
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genVec: Gen[Array[Float]] = Gen.containerOfN[Array, Float](dim,
+      Gen.oneOf(
+        Gen.chooseNum(-2.0f, 2.0f),
+        Gen.const(0.0f),
+        // below the 1e-6 quantum: must quantize to 0 and never flip signs
+        Gen.chooseNum(-4.0e-7f, 4.0e-7f)))
+    val rnd = (0 until 120).flatMap(i =>
+      genVec.apply(Gen.Parameters.default, Seed(1000L + i)))
+    val planes = refSigns
+    val df = rnd.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = df
+      .select(col("vec_id"), Similarity.microQuantize(col("embedding")).as("iv"))
+      .select(col("vec_id"), Similarity.signedProjectionSig(col("iv"), planes).as("sig"))
+      .as[(Long, Int)].collect().toMap
+    rnd.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i.toLong) == refSig(v), s"sig mismatch on random vec $i")
+    }
+  }
+
   test("banding is OR-amplified: single-bucket RHP candidates are a subset") {
     // every pair colliding on ALL 16 bits trivially collides on each
     // 4-bit band — so the banded candidate set can only be larger

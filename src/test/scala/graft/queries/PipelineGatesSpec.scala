@@ -152,6 +152,28 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(starts == Seq(1L, 49L, 97L))
   }
 
+  test("p09 property: chunk spans tile every doc length exactly") {
+    // one doc per length 1..200; invariants for all: starts at
+    // 1+48i, 1 <= n_toks <= 64, last chunk ends at n, consecutive
+    // chunks overlap by exactly 16 except a shorter tail
+    val rows = (1 to 200).map(n =>
+      (n.toLong, (1 to n).map("x" + _).mkString(" "), "en", "s", 1L))
+    val d = tmpSf(rows)
+    val got = PipelineQueries.chunk_docs(spark, d)
+      .select("doc_id", "chunk_idx", "start_tok", "n_toks")
+      .as[(Long, Long, Long, Long)].collect().toSeq.groupBy(_._1)
+    (1 to 200).foreach { n =>
+      val ch = got(n.toLong).sortBy(_._2)
+      assert(ch.map(_._2) == ch.indices.map(_.toLong)) // contiguous idx
+      ch.foreach { case (_, ci, st, nt) =>
+        assert(st == 1 + 48 * ci && nt >= 1 && nt <= 64)
+      }
+      assert(ch.last._3 + ch.last._4 - 1 == n)   // tail reaches n
+      assert(ch.size == (n - 1) / 48 + 1)
+      ch.init.foreach { case (_, _, st, nt) => assert(st + nt - 1 >= st + 47) }
+    }
+  }
+
   test("p07 temperature_mix: sqrt-weighted budgets, md5-rank selection") {
     // sources: big=400 docs, small=4 docs. q = 20 and 2, sq = 22:
     //   target(big)   = floor(200·20/22) = 181  (the cut bites)
