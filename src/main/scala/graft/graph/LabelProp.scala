@@ -42,6 +42,12 @@ object LabelProp {
         .select(col("src").as("id"),
           negate(col("m.nl")).cast("long").as("lbl"))
     }
-    labels
+    // materialize the result eagerly so the pair-detector checkpoint
+    // can be FREED here — a checkpoint returned inside a lazy plan
+    // would otherwise stay pinned in executor storage for the session
+    // (the jaccardPairsRaw leak note, avoided)
+    val out = labels.localCheckpoint()
+    graft.operators.Dedup.unpersistCheckpoint(p)
+    out
   }
 }
