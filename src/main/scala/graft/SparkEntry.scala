@@ -83,6 +83,7 @@ object SparkEntry {
     "r54_stream_join" -> (StreamingQueries.stream_join _),
     "r55_stream_sessionize" -> (StreamingQueries.stream_sessionize _),
     "r56_stream_enrich" -> (StreamingQueries.stream_enrich _),
+    "r57_stream_topk" -> (StreamingQueries.stream_topk _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -621,6 +622,20 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2 ORDER BY day, nation_key""",
+
+    // r57: drained streaming top-k sketch == exact per-day
+    // (count DESC, item ASC) top-5 — sketch exact while unsaturated
+    "r57_stream_topk" ->
+      """WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                           json_extract_string(props, '$.k') AS item,
+                           count(*) AS est
+                    FROM events GROUP BY 1, 2),
+           r AS (SELECT day, item, est,
+                   row_number() OVER (PARTITION BY day
+                     ORDER BY est DESC, item ASC) AS rank
+                 FROM c)
+         SELECT day, CAST(rank AS INTEGER) AS rank, item, est
+         FROM r WHERE rank <= 5 ORDER BY day, rank""",
 
     // r54: the stream-stream interval join drains a finite source, so
     // the attribution pairs equal the batch self-join's

@@ -92,6 +92,40 @@ object StreamingQueries {
       .orderBy("day", "event_type")
   }
 
+  /** r57: the custom TypedImperativeAggregate ([[graft.functions.FreqTopK]])
+    * running INSIDE streaming aggregation state — per-day heavy
+    * hitters maintained incrementally across micro-batches. This is
+    * the capability the batch t09 gate cannot prove: the sketch
+    * buffer serializes into the state store between batches
+    * (TypedImperativeAggregate.serialize/deserialize), merges with
+    * each batch's partials, and stays exact in the unsaturated
+    * regime, so the drained result hash-compares against the exact
+    * per-day (count DESC, item ASC) top-5. State is one sketch per
+    * day window — O(days × maxMapSize), not O(input).
+    */
+  def stream_topk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val agg = eventsStream(s, dir, rawEventsSchema(s, dir))
+      .select(window(col("ts"), "1 day").as("w"),
+        get_json_object(col("props"), "$.k").as("kv"))
+      .groupBy("w")
+      .agg(ColumnBridge.column(
+        graft.functions.FreqTopK(
+          ColumnBridge.expression(col("kv")), k = 5, maxMapSize = 1024)
+          .toAggregateExpression()).as("top"))
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.format("memory").queryName("r57_sink")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table("r57_sink")
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("day"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.item").as("item"), col("t.est").as("est"))
+      .orderBy("day", "rank")
+  }
+
   /** r53: streaming deduplication — every event arrives TWICE (two
     * independent streaming reads of the same dir, unioned), so the
     * stateful dropDuplicates must collapse each key to exactly one

@@ -114,6 +114,24 @@ class StreamingQueriesSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
   }
 
+  test("r57 streaming top-k sketch == exact per-day batch top-5") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val streamed = StreamingQueries.stream_topk(spark, dir).collect()
+    val batch = graft.Tables.load(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .groupBy("day", "item").agg(count(lit(1)).as("est"))
+      .withColumn("rank", row_number().over(Window.partitionBy("day")
+        .orderBy(col("est").desc, col("item").asc)).cast("int"))
+      .filter(col("rank") <= 5)
+      .select("day", "rank", "item", "est")
+      .orderBy("day", "rank").collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("r53 streaming dedup collapses the doubled stream to one row per id") {
     assume(new java.io.File(dir).isDirectory)
     val got = StreamingQueries.stream_dedup(spark, dir)
