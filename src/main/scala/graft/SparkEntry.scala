@@ -1412,9 +1412,14 @@ object SparkEntry {
     // same doubles), selection by md5 rank within source
     "p07_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-         w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS q FROM c),
-         t AS (SELECT sum(q) AS sq FROM w),
-         tgt AS (SELECT source, CAST(floor(200.0 * q / sq) AS BIGINT) AS target_rows
+         w AS (SELECT source,
+                 CAST(round(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(28,10)), 9)
+                   AS DECIMAL(28,9)) AS q
+               FROM c),
+         t AS (SELECT CAST(sum(q) AS DECIMAL(28,9)) AS sq FROM w),
+         tgt AS (SELECT source,
+                   CAST(floor(200.0 * CAST(q AS DOUBLE) / CAST(sq AS DOUBLE))
+                     AS BIGINT) AS target_rows
                  FROM w, t),
          r AS (SELECT doc_id, source,
                  CAST(row_number() OVER (PARTITION BY source

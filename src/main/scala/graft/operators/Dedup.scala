@@ -196,6 +196,7 @@ object Dedup {
       i += 1
     }
     unpersistCheckpoint(p)
+    unpersistCheckpoint(edges)
     labels.select("id", "comp")
   }
 }

@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   def packByTokenBudget(df: DataFrame, partitionCols: Seq[String],
-      orderCol: String, tokensCol: String, budget: Long): DataFrame = {
+      orderCols: Seq[String], tokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(partitionCols.nonEmpty, "need at least one partition column")
-    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+    require(orderCols.nonEmpty, "need at least one order column")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .withColumn("shard_id",
@@ -38,5 +40,5 @@ object Packing {
 
   def packByTokenBudget(df: DataFrame, partitionCol: String,
       orderCol: String, tokensCol: String, budget: Long): DataFrame =
-    packByTokenBudget(df, Seq(partitionCol), orderCol, tokensCol, budget)
+    packByTokenBudget(df, Seq(partitionCol), Seq(orderCol), tokensCol, budget)
 }

@@ -62,7 +62,7 @@ object CorpusWriter {
     val labeled = deduped
       .withColumn("split", Sampling.splitLabel(col("doc_id"), splits))
     val packed = Packing.packByTokenBudget(
-      labeled, Seq("split", "lang"), "doc_id", "n_tokens", budget)
+      labeled, Seq("split", "lang"), Seq("doc_id"), "n_tokens", budget)
 
     packed
       .repartitionByRange(col("split"), col("lang"), col("shard_id"), col("doc_id"))

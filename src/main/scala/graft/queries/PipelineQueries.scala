@@ -666,9 +666,10 @@ object PipelineQueries {
   // p04's FIXED per-source fractions, the rates here are COMPUTED
   // from the corpus itself: count per source → n^0.5 weight →
   // exact integer row budget per source → deterministic selection of
-  // exactly that many rows by md5 rank. sqrt (not pow) on purpose:
-  // IEEE-754 sqrt is correctly rounded in every engine, so the
-  // budgets are bit-identical cross-engine. Scale shape: the budget
+  // exactly that many rows by md5 rank. sqrt (not pow) on purpose
+  // (IEEE-754 sqrt is correctly rounded in every engine), and the
+  // weights go through DECIMAL before the total so the sum is exact
+  // and order-independent — see the inline note. Scale shape: the budget
   // table is sources-sized (broadcast); selection ranks per source —
   // at 100 TB you pre-filter with Sampling.hashBucket to ~1.2× the
   // budget first (map-only) so the per-source sort ranks a sliver,
@@ -676,12 +677,20 @@ object PipelineQueries {
   def temperature_mix(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
+    // q is DECIMAL-rounded before the total: a raw double sum(q) adds
+    // in partition/engine-dependent order, and a total one ulp off
+    // can flip a floor() budget. DECIMAL addition is exact and
+    // order-independent, so sq — and every budget — is bit-identical
+    // everywhere (the t12/t13 summation discipline, applied here).
     val weights = d.groupBy("source").agg(count(lit(1)).as("n"))
-      .withColumn("q", sqrt(col("n").cast("double")))
+      .withColumn("q",
+        round(sqrt(col("n").cast("double")).cast("decimal(28,10)"), 9)
+          .cast("decimal(28,9)"))
     val tot = weights.agg(sum("q").as("sq"))
     val targets = weights.crossJoin(broadcast(tot))
       .withColumn("target_rows",
-        floor(lit(200.0) * col("q") / col("sq")).cast("long"))
+        floor(lit(200.0) * col("q").cast("double") / col("sq").cast("double"))
+          .cast("long"))
       .select("source", "target_rows")
     d.withColumn("rk",
         row_number().over(Window.partitionBy("source")
@@ -728,20 +737,29 @@ object PipelineQueries {
   // floor((n-1)/48)+1, so a final short chunk is kept (its tokens
   // would otherwise never train) and no chunk is pure overlap.
   // Hash instead of text in the output: integer/hex columns only. ----
-  def chunk_docs(s: SparkSession, dir: String): DataFrame = {
-    val C = 64; val S = 48
-    val t = docs(s, dir).select(col("doc_id"),
-      TextFunctions.tokens(col("text")).as("toks"))
+  /** Shared chunk-span arithmetic for p09/p10: from a (doc_id, toks)
+    * frame, one row per chunk with (chunk_idx, start_tok, n_toks) and
+    * `toks` still in scope for hashing. ONE definition so the
+    * standalone gate and the composed pipeline can never drift.
+    */
+  private def chunkSpans(t: DataFrame, C: Int, S: Int): DataFrame =
     t.select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
         explode(expr(s"sequence(0, (size(toks)-1) div $S)")).as("ci"))
-      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+      .select(col("doc_id"), col("toks"),
+        col("ci").cast("long").as("chunk_idx"),
         (col("ci") * S + 1).cast("long").as("start_tok"),
         least(col("ci") * S + C, col("n")).minus(col("ci") * S)
-          .cast("long").as("n_toks"),
-        md5(array_join(slice(col("toks"), col("ci") * S + 1, lit(C)), " "))
+          .cast("long").as("n_toks"))
+
+  def chunk_docs(s: SparkSession, dir: String): DataFrame =
+    chunkSpans(docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks")), C = 64, S = 48)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_toks"),
+        md5(array_join(
+            slice(col("toks"), col("start_tok").cast("int"), lit(64)), " "))
           .as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
-  }
 
   // ---- p10: the pipeline END-TO-END, one declarative plan — language
   // filter → quality filter → exact dedup (min-id survivor) → chunking
@@ -764,20 +782,13 @@ object PipelineQueries {
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val chunks = d.join(survivors, "doc_id")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
-        explode(expr("sequence(0, (size(toks)-1) div 48)")).as("ci"))
-      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
-        least(col("ci") * 48 + 64, col("n")).minus(col("ci") * 48)
-          .cast("long").as("n_toks"))
-      // single sortable key so the packing window's ORDER BY matches
-      // (doc_id, chunk_idx) exactly; chunk counts are < 10^5 per doc
-      // by construction (64-token chunks of a bounded doc)
-      .withColumn("ord", col("doc_id") * 100000L + col("chunk_idx"))
+    val chunks = chunkSpans(d.join(survivors, "doc_id")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks")),
+        C = 64, S = 48)
+      .select("doc_id", "chunk_idx", "n_toks")
     Packing.packByTokenBudget(
-        chunks.withColumn("g", lit("all")), "g", "ord", "n_toks",
-        budget = 2048L)
+        chunks.withColumn("g", lit("all")), Seq("g"),
+        Seq("doc_id", "chunk_idx"), "n_toks", budget = 2048L)
       .select("doc_id", "chunk_idx", "n_toks", "cum_tokens", "shard_id")
       .orderBy("doc_id", "chunk_idx")
   }
