@@ -1394,7 +1394,179 @@ object ChCompat {
       when(size(a) >= n, slice(a, lit(1), n))
         .otherwise(concat(a, array_repeat(pad, n - size(a))))
     }),
+
+    // ---- fourth widening pass (round 10 probe batch 4 gaps) ----
+    // countDistinct is CH's canonical alias of uniqExact
+    "countDistinct" -> (es => Size(
+      aggregate.CollectSet(tupleOf(es)).toAggregateExpression())),
+    // Kahan summation is a single-node float trick; the distributed
+    // parity form is a plain double sum (partials merge exactly the
+    // same way CH's combinators do)
+    "sumKahan" -> (es => aggregate.Sum(Cast(es.head, DoubleType))),
+    "arrayShuffle" -> (es => Shuffle(es.head)),
+    // CH only promises the first n elements are the n smallest,
+    // sorted; a fully sorted array satisfies that contract
+    "arrayPartialSort" -> (es => SortArray(es(1), Literal(true))),
+    // CH counts quarters from year 0: year*4 + (month-1)/3
+    "toRelativeQuarterNum" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      val d = cs.head.cast("date")
+      (year(d) * 4 + floor((month(d) - 1) / 3)).cast("long")
+    }),
+    "bar" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      // full-block approximation of CH's eighth-block bar
+      repeat(lit("█"),
+        floor((cs(0) - cs(1)) / (cs(2) - cs(1)) * cs(3)).cast("int"))
+    }),
+    "caseWithExpression" -> (es => {
+      val scrutinee = es.head
+      val rest = es.tail
+      val (pairs, default) =
+        if (rest.length % 2 == 1) (rest.init, Some(rest.last))
+        else (rest, None)
+      CaseWhen(pairs.grouped(2).map { case Seq(k, v) =>
+        (EqualTo(scrutinee, k), v) }.toSeq, default)
+    }),
+    "editDistance" -> (es => Levenshtein(es(0), es(1))),
+    "levenshteinDistance" -> (es => Levenshtein(es(0), es(1))),
+    "damerauLevenshteinDistance" -> (es => DamerauLevenshtein(es(0), es(1))),
+    "jaroSimilarity" -> (es => JaroSimilarity(es(0), es(1))),
+    "jaroWinklerSimilarity" -> (es =>
+      JaroSimilarity(es(0), es(1), winkler = true)),
+    "reinterpretAsUInt8" -> (es => ReinterpretAsUInt(es.head, 1)),
+    "reinterpretAsUInt16" -> (es => ReinterpretAsUInt(es.head, 2)),
+    "reinterpretAsUInt32" -> (es => ReinterpretAsUInt(es.head, 4)),
+    "reinterpretAsUInt64" -> (es => ReinterpretAsUInt(es.head, 8)),
+    "base58Encode" -> (es => Base58Encode(es.head)),
+    // byte-set Jaccard (exact for single-byte encodings; CH computes
+    // over bytes, this over characters — identical on ASCII corpora)
+    "stringJaccardIndex" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      val a = array_distinct(split(cs(0), ""))
+      val b = array_distinct(split(cs(1), ""))
+      size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double")
+    }),
+    // haversine on CH's sphere radius (6372797.560856 m); CH's
+    // geoDistance applies an ellipsoid correction on top — the
+    // spherical form is documented-approximate for it
+    "greatCircleDistance" -> viaCols(greatCircle),
+    "geoDistance" -> viaCols(greatCircle),
+    "toDecimal32" -> (es => Cast(es(0),
+      DecimalType(9, litInt(es(1), "toDecimal32 scale")))),
+    "toDecimal64" -> (es => Cast(es(0),
+      DecimalType(18, litInt(es(1), "toDecimal64 scale")))),
+    "toDecimal128" -> (es => Cast(es(0),
+      DecimalType(38, litInt(es(1), "toDecimal128 scale")))),
+    // CH pads FixedString with null bytes
+    "toFixedString" -> (es => StringRPad(es(0), es(1), Literal("\u0000"))),
+    "generateUUIDv4" -> (_ => Uuid()),
+    "isValidJSON" -> (es => IsNotNull(GetJsonObject(es.head, Literal("$")))),
+    "JSONArrayLength" -> (es => LengthOfJsonArray(es.head)),
+    // lenient decode (CH's try* contract: garbage in, empty-ish out —
+    // Spark's unbase64 is itself lenient)
+    "tryBase64Decode" -> (es => Cast(UnBase64(es.head), StringType)),
+    // literal scrubbing: quoted strings then bare numbers become '?'
+    // (CH additionally collapses ?-lists; fingerprint-compatible, not
+    // byte-identical to CH's own normalizer)
+    "normalizeQuery" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      regexp_replace(
+        regexp_replace(cs.head, "'[^']*'", "?"),
+        "\\b\\d+(\\.\\d+)?\\b", "?")
+    }),
+    // stable 64-bit fingerprint of the normalized query (CH hashes
+    // with its own function — fingerprint semantics, not bit parity)
+    "normalizedQueryHash" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      xxhash64(regexp_replace(
+        regexp_replace(cs.head, "'[^']*'", "?"),
+        "\\b\\d+(\\.\\d+)?\\b", "?"))
+    }),
+    // CH's simhash fingerprints, served by our native SimHashSig —
+    // fingerprint SEMANTICS (near-dup docs get near signatures), not
+    // CH's bit values (CH hashes with CityHash; cross-system simhash
+    // values were never comparable anyway)
+    "wordShingleSimHash" -> (es => SimHashSig(es.head)),
+    "ngramSimHash" -> (es => SimHashSig(es.head)),
+    // UUID text → its 16 raw bytes
+    "UUIDStringToNum" -> (es => Unhex(StringReplace(es.head,
+      Literal("-"), Literal("")))),
+    "erf" -> viaCols(cs => erfCol(cs.head.cast("double"))),
+    "erfc" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      lit(1.0) - erfCol(cs.head.cast("double"))
+    }),
+    "lgamma" -> viaCols(cs => lgammaCol(cs.head.cast("double"))),
+    "tgamma" -> viaCols(cs => {
+      import org.apache.spark.sql.functions._
+      exp(lgammaCol(cs.head.cast("double")))
+    }),
+
+    // slope of the (min-x, its y) → (max-x, its y) chord
+    "boundingRatio" -> (es => Divide(
+      Subtract(
+        Cast(MaxBy(es(1), es(0)).toAggregateExpression(), DoubleType),
+        Cast(MinBy(es(1), es(0)).toAggregateExpression(), DoubleType)),
+      Subtract(
+        Cast(aggregate.Max(es(0)).toAggregateExpression(), DoubleType),
+        Cast(aggregate.Min(es(0)).toAggregateExpression(), DoubleType)))),
   )
+
+  /** Abramowitz & Stegun 7.1.26 rational approximation of erf —
+    * max absolute error 1.5e-7, the standard no-libm form (CH's own
+    * erf is an approximation too; no engine promises bit equality).
+    */
+  private def erfCol(x: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val ax = abs(x)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * ax)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+      lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    val e = lit(1.0) - poly * exp(negate(ax * ax))
+    when(x >= 0, e).otherwise(negate(e))
+  }
+
+  /** Lanczos (g=7, n=9) log-gamma for positive arguments — ~1e-13
+    * relative error; non-positive inputs return NULL (CH throws;
+    * NULL is the engine's SQL-friendly analogue).
+    */
+  private def lgammaCol(x: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val g = Seq(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    val z = x - lit(1.0)
+    val a0 = g.zipWithIndex.tail.foldLeft(lit(g.head)) { case (acc, (c, i)) =>
+      acc + lit(c) / (z + lit(i.toDouble))
+    }
+    val t = z + lit(7.5)
+    val res = lit(0.5 * math.log(2 * math.Pi)) +
+      (z + lit(0.5)) * log(t) - t + log(a0)
+    when(x > 0, res).otherwise(lit(null).cast("double"))
+  }
+
+  /** Haversine great-circle distance in meters on ClickHouse's sphere
+    * radius; CH argument order (lon1, lat1, lon2, lat2).
+    */
+  private def greatCircle(cs: Seq[Column]): Column = {
+    import org.apache.spark.sql.functions._
+    val R = 6372797.560856
+    val lon1 = radians(cs(0).cast("double")); val lat1 = radians(cs(1).cast("double"))
+    val lon2 = radians(cs(2).cast("double")); val lat2 = radians(cs(3).cast("double"))
+    val h = pow(sin((lat2 - lat1) / 2), 2) +
+      cos(lat1) * cos(lat2) * pow(sin((lon2 - lon1) / 2), 2)
+    lit(2 * R) * asin(sqrt(h))
+  }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Lift a Column-API composition into a registry builder (the
     * [[PipelineFunctions]] viaColumns pattern). */

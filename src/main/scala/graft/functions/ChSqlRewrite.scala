@@ -174,7 +174,70 @@ object ChSqlRewrite {
         rewriteUsingParens(rewriteSample(rewritePrewhere(rewriteWithFill(
           stripGlobalAll(stripSettingsFormat(
             rewriteSystemTables(rewriteScalarWith(
-              rewriteArrayLiterals(sql)))))))))))))))))))))
+              rewriteArrayLiterals(rewriteCastTypes(sql))))))))))))))))))))))
+
+  // ---------------------------------------------------------------
+  // CH type names in casts: CAST(x AS Float64) / x::UInt32
+  // ---------------------------------------------------------------
+
+  /** ClickHouse scalar type name → Spark SQL type, for the two cast
+    * spellings. Case-SENSITIVE on purpose: CH spells types with this
+    * exact casing, and a case-blind match would rewrite legitimate
+    * lower-case Spark type names or aliases. The `AS <type>` form is
+    * only rewritten when the type is immediately followed by `)` —
+    * i.e. inside CAST — so `SELECT x AS String` aliases survive.
+    */
+  private val chCastTypes: Map[String, String] = Map(
+    "UInt8" -> "SMALLINT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
+    "UInt64" -> "BIGINT", "Int8" -> "TINYINT", "Int16" -> "SMALLINT",
+    "Int32" -> "INT", "Int64" -> "BIGINT", "Float32" -> "FLOAT",
+    "Float64" -> "DOUBLE", "String" -> "STRING", "Date32" -> "DATE",
+    "DateTime" -> "TIMESTAMP", "DateTime64" -> "TIMESTAMP",
+    "Bool" -> "BOOLEAN", "UUID" -> "STRING")
+
+  private def rewriteCastTypes(sql: String): String = {
+    val out = new StringBuilder
+    var j = 0
+    while (j < sql.length) {
+      val ck = commentKind(sql, j)
+      if (ck != 0) {
+        val e = commentEnd(sql, j, ck)
+        out.append(sql.substring(j, e)); j = e
+      } else sql.charAt(j) match {
+        case '\'' | '"' | '`' =>
+          val e = quotedEnd(sql, j)
+          out.append(sql.substring(j, e)); j = e
+        case c if isIdent(c) && !isIdent(sql.charAt(math.max(j - 1, 0))) || (j == 0 && isIdent(c)) =>
+          var e = j
+          while (e < sql.length && isIdent(sql.charAt(e))) e += 1
+          val word = sql.substring(j, e)
+          chCastTypes.get(word) match {
+            case Some(spark) =>
+              // context: `:: <type>` — always a cast
+              var k = j - 1
+              while (k > 0 && sql.charAt(k).isWhitespace) k -= 1
+              val afterColons = k >= 1 &&
+                sql.charAt(k) == ':' && sql.charAt(k - 1) == ':'
+              // context: `AS <type> )` — CAST's closing paren
+              var kw = k
+              var kwEnd = kw
+              while (kw >= 0 && isIdent(sql.charAt(kw))) kw -= 1
+              val prevWord = sql.substring(kw + 1, kwEnd + 1)
+              var n = e
+              while (n < sql.length && sql.charAt(n).isWhitespace) n += 1
+              val beforeParen = n < sql.length && sql.charAt(n) == ')'
+              if (afterColons ||
+                  (prevWord.equalsIgnoreCase("AS") && beforeParen))
+                out.append(spark)
+              else out.append(word)
+            case None => out.append(word)
+          }
+          j = e
+        case c => out.append(c); j += 1
+      }
+    }
+    out.toString
+  }
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware lexing helpers

@@ -178,6 +178,118 @@ class ChSurfaceProbeSpec extends SparkTestBase {
     "SELECT arrayResize(array(1,2), 4, 0), arrayResize(array(1,2,3), 2, 0)"
   )
 
+  private val probes4 = Seq(
+    "SELECT countDistinct(event_type) FROM events",
+    "SELECT sumKahan(value) FROM events",
+    "SELECT boundingRatio(CAST(event_id AS Float64), value) FROM events",
+    "SELECT arrayShuffle(array(1,2,3))",
+    "SELECT arrayPartialSort(2, array(3,1,2))",
+    "SELECT toRelativeQuarterNum(toDate('2020-02-15'))",
+    "SELECT bar(5, 0, 10, 10)",
+    "SELECT caseWithExpression(1, 1, 'one', 2, 'two', 'other')",
+    "SELECT editDistance('kitten', 'sitting')",
+    "SELECT damerauLevenshteinDistance('ab', 'ba')",
+    "SELECT jaroSimilarity('martha', 'marhta')",
+    "SELECT jaroWinklerSimilarity('martha', 'marhta')",
+    "SELECT stringJaccardIndex('apple', 'applet')",
+    "SELECT greatCircleDistance(0.0, 0.0, 0.0, 1.0)",
+    "SELECT geoDistance(0.0, 0.0, 1.0, 1.0)",
+    "SELECT toDecimal64('3.14', 2)",
+    "SELECT toFixedString('ab', 4)",
+    "SELECT generateUUIDv4()",
+    "SELECT isValidJSON('{}')",
+    "SELECT JSONArrayLength('[1,2,3]')",
+    "SELECT tryBase64Decode('YWJj')",
+    "SELECT normalizeQuery('SELECT 1 + 2')",
+    "SELECT normalizedQueryHash('SELECT 1')",
+    "SELECT wordShingleSimHash('a b c d e f')",
+    "SELECT ngramSimHash('abcdef')",
+    "SELECT UUIDStringToNum('00010203-0405-0607-0809-0a0b0c0d0e0f')",
+    "SELECT reinterpretAsUInt32('abcd')",
+    "SELECT base58Encode('abc')",
+    "SELECT erf(1.0), erfc(1.0)",
+    "SELECT lgamma(5.0), tgamma(5.0)",
+    "SELECT CAST(event_id AS Float64) FROM events LIMIT 1",
+    "SELECT CAST(value AS UInt32) FROM events LIMIT 1",
+    "SELECT lgamma(5.0) AS lg")
+
+  test("CH dialect breadth batch 4: every probe parses and executes") {
+    assume(ready)
+    val failures = probes4.flatMap { q =>
+      try { ChCompat.sql(spark, q).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$q\n   -> ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size}/${probes4.size} probes failed:\n" +
+        failures.mkString("\n"))
+  }
+
+  test("batch-4 gap fills: pinned semantics") {
+    assume(ready)
+    val r = ChCompat.sql(spark,
+      """SELECT damerauLevenshteinDistance('ab', 'ba') AS dl1,
+                editDistance('kitten', 'sitting') AS ed,
+                jaroSimilarity('martha', 'marhta') AS js,
+                jaroWinklerSimilarity('martha', 'marhta') AS jw,
+                base58Encode('abc') AS b58,
+                reinterpretAsUInt32('abcd') AS ri32,
+                reinterpretAsUInt16('abcd') AS ri16,
+                erf(1.0) AS erf1,
+                erfc(1.0) AS erfc1,
+                lgamma(5.0) AS lg5,
+                tgamma(5.0) AS tg5,
+                greatCircleDistance(0.0, 0.0, 0.0, 1.0) AS gcd1,
+                arrayPartialSort(2, array(3,1,2)) AS aps,
+                toRelativeQuarterNum(toDate('2020-02-15')) AS rqn,
+                bar(5, 0, 10, 10) AS bar5,
+                caseWithExpression(1, 1, 'one', 2, 'two', 'other') AS cw1,
+                caseWithExpression(3, 1, 'one', 2, 'two', 'other') AS cwD,
+                stringJaccardIndex('apple', 'applet') AS sj,
+                length(toFixedString('ab', 4)) AS tfs,
+                isValidJSON('{}') AS vj1, isValidJSON('{') AS vj0,
+                JSONArrayLength('[1,2,3]') AS jal,
+                tryBase64Decode('YWJj') AS b64,
+                normalizeQuery('SELECT ''x'', 42') AS nq,
+                length(UUIDStringToNum('00010203-0405-0607-0809-0a0b0c0d0e0f')) AS un,
+                CAST('7' AS UInt32) AS c32""").head
+    assert(r.getInt(0) === 1)                       // one transposition
+    assert(r.getInt(1) === 3)                       // classic levenshtein
+    assert(math.abs(r.getDouble(2) - 0.9444444444444445) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.9611111111111111) < 1e-12)
+    assert(r.getString(4) === "ZiCa")               // known base58 vector
+    assert(r.getLong(5) === 0x64636261L)            // little-endian 'abcd'
+    assert(r.getLong(6) === 0x6261L)
+    assert(math.abs(r.getDouble(7) - 0.8427007929) < 2e-7)  // A&S bound
+    assert(math.abs(r.getDouble(8) - 0.1572992071) < 2e-7)
+    assert(math.abs(r.getDouble(9) - math.log(24.0)) < 1e-10)
+    assert(math.abs(r.getDouble(10) - 24.0) < 1e-8)
+    // 1 degree of latitude on CH's sphere radius: R·π/180 ≈ 111226.3 m
+    assert(math.abs(r.getDouble(11) - 111226.3) < 1.0)
+    assert(r.getSeq[Int](12) === Seq(1, 2, 3))
+    assert(r.getLong(13) === 8080L)                 // 2020·4 + Q1
+    assert(r.getString(14) === "█████")
+    assert(r.getString(15) === "one" && r.getString(16) === "other")
+    assert(math.abs(r.getDouble(17) - 0.8) < 1e-12) // {a,p,l,e} vs +t
+    assert(r.getInt(18) === 4)
+    assert(r.getBoolean(19) && !r.getBoolean(20))
+    assert(r.getAs[Number](21).intValue === 3)
+    assert(r.getString(22) === "abc")
+    assert(r.getString(23) === "SELECT ?, ?")
+    assert(r.getInt(24) === 16)                     // 16 raw UUID bytes
+    assert(r.getLong(25) === 7L)                    // CH type name in CAST
+    // arrayShuffle preserves the multiset
+    val sh = ChCompat.sql(spark,
+      "SELECT arrayShuffle(array(3,1,2)) AS a").head.getSeq[Int](0)
+    assert(sh.sorted === Seq(1, 2, 3))
+    // boundingRatio = chord slope over (min-x, max-x)
+    val br = ChCompat.sql(spark,
+      """SELECT boundingRatio(x, y) AS br FROM
+         (SELECT 0.0 AS x, 0.0 AS y UNION ALL SELECT 2.0, 4.0)""").head
+    assert(math.abs(br.getDouble(0) - 2.0) < 1e-12)
+  }
+
   test("CH dialect breadth batch 3: every probe parses and executes") {
     assume(ready)
     val failures = probes3.flatMap { q =>
