@@ -1439,6 +1439,10 @@ object ChCompat {
     "reinterpretAsUInt32" -> (es => ReinterpretAsUInt(es.head, 4)),
     "reinterpretAsUInt64" -> (es => ReinterpretAsUInt(es.head, 8)),
     "base58Encode" -> (es => Base58Encode(es.head)),
+    "javaHash" -> (es => JavaHashString(es.head)),
+    // Spark ships Hive's hash natively; for strings it IS Java's
+    // hashCode, matching CH's hiveHash docs
+    "hiveHash" -> (es => HiveHash(es)),
     // byte-set Jaccard (exact for single-byte encodings; CH computes
     // over bytes, this over characters — identical on ASCII corpora)
     "stringJaccardIndex" -> viaCols(cs => {

@@ -132,6 +132,19 @@ case class ReinterpretAsUInt(child: Expression, width: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Exact `java.lang.String.hashCode` of a string — CH's javaHash
+  * (which documents Java's semantics, UTF-16 chars and int
+  * wraparound included). A native expression because the arithmetic
+  * needs silent 32-bit overflow, which ANSI-mode SQL refuses.
+  */
+case class JavaHashString(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    input.asInstanceOf[UTF8String].toString.hashCode
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Bitcoin-alphabet Base58 encoding of a string's bytes.
   * CH: base58Encode.
   */

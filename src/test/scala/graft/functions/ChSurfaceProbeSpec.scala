@@ -211,7 +211,8 @@ class ChSurfaceProbeSpec extends SparkTestBase {
     "SELECT lgamma(5.0), tgamma(5.0)",
     "SELECT CAST(event_id AS Float64) FROM events LIMIT 1",
     "SELECT CAST(value AS UInt32) FROM events LIMIT 1",
-    "SELECT lgamma(5.0) AS lg")
+    "SELECT lgamma(5.0) AS lg",
+    "SELECT javaHash('x'), hiveHash('x')")
 
   test("CH dialect breadth batch 4: every probe parses and executes") {
     assume(ready)
@@ -283,6 +284,11 @@ class ChSurfaceProbeSpec extends SparkTestBase {
     val sh = ChCompat.sql(spark,
       "SELECT arrayShuffle(array(3,1,2)) AS a").head.getSeq[Int](0)
     assert(sh.sorted === Seq(1, 2, 3))
+    // javaHash is exactly String.hashCode; hiveHash agrees on strings
+    val jh = ChCompat.sql(spark,
+      "SELECT javaHash('GitHub') AS j, hiveHash('GitHub') AS h").head
+    assert(jh.getInt(0) === "GitHub".hashCode)
+    assert(jh.getInt(1) === "GitHub".hashCode)
     // boundingRatio = chord slope over (min-x, max-x)
     val br = ChCompat.sql(spark,
       """SELECT boundingRatio(x, y) AS br FROM
