@@ -40,6 +40,9 @@ object PageRank {
 
     var ranks = base.select(col("id"), lit(1.0).as("rank"))
       .localCheckpoint()
+    // the most recent MATERIALIZED ranks — the unpersist target when
+    // the current `ranks` is a lazy odd-round plan on top of it
+    var lastMat = ranks
     var i = 0
     while (i < iterations) {
       val contribs = e
@@ -52,9 +55,18 @@ object PageRank {
         .select(col("id"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint()
-      unpersistCheckpoint(ranks)
-      ranks = updated
+      // checkpoint every SECOND iteration: `ranks` feeds exactly one
+      // consumer per round, so a lazy odd round only deepens the plan
+      // (no re-execution) and the even round's checkpoint truncates
+      // it — half the materialization jobs for the same plan bound
+      // (measured g04: 2.07 → see bench note). The final iteration
+      // always checkpoints so callers get cached state.
+      if (i % 2 == 1 || i == iterations - 1) {
+        val mat = updated.localCheckpoint()
+        unpersistCheckpoint(lastMat)
+        ranks = mat
+        lastMat = mat
+      } else ranks = updated
       i += 1
     }
     unpersistCheckpoint(e)
