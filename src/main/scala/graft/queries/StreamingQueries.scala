@@ -105,7 +105,20 @@ object StreamingQueries {
     */
   def stream_topk(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val agg = eventsStream(s, dir, rawEventsSchema(s, dir))
+    // split the drained source into 4 files and trigger per-file, so
+    // AvailableNow processes FOUR micro-batches — the sketch buffer
+    // provably serializes into the state store and merges with the
+    // next batch's partials (a single-file source would fold
+    // everything inside one batch and never exercise the cross-batch
+    // merge this gate exists to prove)
+    val schema = rawEventsSchema(s, dir)
+    val splitDir = java.nio.file.Files.createTempDirectory("r57_src").toString
+    s.read.schema(schema).parquet(s"$dir/events.parquet")
+      .repartition(4).write.mode("overwrite").parquet(splitDir)
+    val stream = graft.Tables.normalize("events",
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(splitDir))
+    val agg = stream
       .select(window(col("ts"), "1 day").as("w"),
         get_json_object(col("props"), "$.k").as("kv"))
       .groupBy("w")
