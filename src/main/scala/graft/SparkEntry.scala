@@ -120,6 +120,7 @@ object SparkEntry {
     "s06_ann_recall" -> (PipelineQueries.ann_recall _),
     "s07_ivf_pq" -> (PipelineQueries.pq_ivf_adc _),
     "s08_ann_lsh" -> (PipelineQueries.ann_lsh _),
+    "s09_ann_rerank" -> (PipelineQueries.pq_ivf_rerank _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
     "t03_token_count" -> (PipelineQueries.token_count _),
@@ -1144,6 +1145,70 @@ object SparkEntry {
                   AS INTEGER) AS rank,
                 neighbor_id
          FROM adc
+         QUALIFY rank <= 10
+         ORDER BY query_id, rank""",
+
+    // s09: s07's ADC CTEs shortlist 30, then the s01-style exact
+    // cosine rerank cuts the final 10
+    "s09_ann_rerank" ->
+      """WITH cc AS (SELECT cluster_id, centroid
+           FROM '/tmp/graft_s03_centroids/sf0.01/*.parquet'),
+         pc AS (SELECT sub_idx, cluster_id, centroid
+           FROM '/tmp/graft_s04_pq/sf0.01/*.parquet'),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         celld AS (SELECT vec_id, cluster_id,
+             list_sum(list_transform(list_zip(centroid, v),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           FROM e CROSS JOIN cc),
+         assigned AS (SELECT vec_id, cluster_id AS cell FROM celld
+           QUALIFY row_number() OVER
+             (PARTITION BY vec_id ORDER BY d2, cluster_id) = 1),
+         qprobe AS (SELECT vec_id AS query_id, cluster_id AS cell
+           FROM celld WHERE vec_id < 10
+           QUALIFY row_number() OVER
+             (PARTITION BY vec_id ORDER BY d2, cluster_id) <= 2),
+         dist AS (SELECT vec_id, sub_idx, cluster_id,
+             list_sum(list_transform(
+               list_zip(centroid, v[sub_idx*8+1 : sub_idx*8+8]),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           FROM e CROSS JOIN pc),
+         codes AS (SELECT vec_id, sub_idx, cluster_id FROM dist
+           QUALIFY row_number() OVER
+             (PARTITION BY vec_id, sub_idx ORDER BY d2, cluster_id) = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         dt AS (SELECT q.query_id, pc.sub_idx, pc.cluster_id,
+             list_sum(list_transform(
+               list_zip(pc.centroid, q.qv[pc.sub_idx*8+1 : pc.sub_idx*8+8]),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dq
+           FROM q CROSS JOIN pc),
+         cand AS (SELECT qprobe.query_id, assigned.vec_id
+           FROM qprobe JOIN assigned ON assigned.cell = qprobe.cell
+           WHERE assigned.vec_id != qprobe.query_id),
+         adc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+             list_sum(list(dq ORDER BY dt.sub_idx)) AS adc
+           FROM codes
+           JOIN cand ON cand.vec_id = codes.vec_id
+           JOIN dt ON dt.query_id = cand.query_id
+                  AND dt.sub_idx = codes.sub_idx
+                  AND dt.cluster_id = codes.cluster_id
+           GROUP BY 1, 2),
+         shortlist AS (SELECT query_id, neighbor_id FROM adc
+           QUALIFY row_number() OVER
+             (PARTITION BY query_id ORDER BY adc, neighbor_id) <= 30),
+         rer AS (SELECT s.query_id, s.neighbor_id,
+             list_inner_product(qe.v, ne.v)
+               / (sqrt(list_inner_product(qe.v,qe.v))
+                  * sqrt(list_inner_product(ne.v,ne.v))) AS cos
+           FROM shortlist s
+           JOIN e qe ON qe.vec_id = s.query_id
+           JOIN e ne ON ne.vec_id = s.neighbor_id)
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id
+         FROM rer
          QUALIFY rank <= 10
          ORDER BY query_id, rank""",
 

@@ -415,6 +415,40 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Two-stage IVF-PQ search with EXACT re-ranking — the deployed
+    * production shape (FAISS's search-then-refine): the ADC pass over
+    * PQ codes cheaply ranks the probed cells' candidates, the top
+    * `rerank` shortlist re-scores against the ORIGINAL vectors, and
+    * the final cut is exact cosine. Fixes ADC's quantization error at
+    * the top of the list for the price of `rerank` full-vector reads
+    * per query.
+    *
+    * Scale shape: the shortlist is Q×rerank rows — broadcast — so the
+    * refine join STREAMS the corpus (vectors never shuffle, the s08
+    * lesson); the bounded top-k moves ≤ k rows per partition.
+    */
+  def pqAdcRerankTopK(codes: DataFrame, corpus: DataFrame,
+      queries: Array[(Long, Array[Double])],
+      centroids: Array[Array[Double]], pq: Array[Array[Array[Double]]],
+      k: Int, nProbe: Int, rerank: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", cellCol: String = "cell"): DataFrame = {
+    require(rerank >= k, "rerank shortlist must be at least k")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val shortlist = pqAdcTopKBlocked(codes, queries, centroids, pq,
+      k = rerank, nProbe = nProbe, idCol = idCol, cellCol = cellCol)
+      .select("query_id", "neighbor_id")
+    val qdf = broadcast(withUnitVector(
+      queries.toSeq.map { case (id, v) => (id, v) }.toDF("query_id", "qv"),
+      col("qv"), "q_vec").select(col("query_id"), col("q_vec")))
+    val unit = withUnitVector(corpus, col(vecCol), "n_vec")
+      .select(col(idCol).as("neighbor_id"), col("n_vec"))
+    val scored = unit.join(broadcast(shortlist), "neighbor_id")
+      .join(qdf, "query_id")
+      .withColumn("cos", dot(col("q_vec"), col("n_vec")))
+    boundedTopK(scored, k)
+  }
+
   /** Squared-L2 distances from `vec` to each centroid of `centersLit`
     * (an array-of-array literal), as an array column. */
   private def centroidDists(vec: Column, centersLit: Column): Column =

@@ -452,6 +452,30 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- s09: IVF-PQ with EXACT re-ranking — the production two-stage
+  // search (FAISS search-then-refine): s07's ADC pass shortlists 30
+  // candidates per query, the shortlist re-scores against the raw
+  // vectors, exact cosine cuts the final top-10. The refine join
+  // broadcasts the Q×30 shortlist and STREAMS the corpus — vectors
+  // never shuffle. Oracle composes s07's ADC CTEs (same two parquet
+  // artifacts) with the s01-style exact rerank. ----
+  def pq_ivf_rerank(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    val centroids = centroidsFor(s, dir)
+    val pq = pqFor(s, dir)
+    import s.implicits._
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+    val codes = Similarity.pqEncode(
+      Similarity.assignCells(corpus, centroids), pq, keep = Seq("cell"))
+    Similarity.pqAdcRerankTopK(codes, corpus, queries, centroids, pq,
+        k = 10, nProbe = 2, rerank = 30)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- s08: banded hyperplane-LSH ANN — the OR-amplified LSH-bucket
   // scale path (4 bands × 4 sign-projection bits), fully
   // engine-reproducible: the ±1 planes regenerate from md5 in any

@@ -118,6 +118,40 @@ class PqSpec extends SparkTestBase {
       !plan.contains("CartesianProduct"), s"expected equi-join plan:\n$plan")
   }
 
+  test("pqAdcRerankTopK == exact-cosine ranking of the ADC shortlist") {
+    val pq = Similarity.trainProductQuantizer(corpus, m = 4, kPerSub = 4,
+      maxTrainRows = 1000L)
+    val centroids = Similarity.trainQuantizer(corpus, nClusters = 4,
+      maxTrainRows = 1000L)
+    val vecs = corpus.as[(Long, Seq[Float])].collect().toMap
+    val queries = Seq(0L, 1L).map(q => (q, vecs(q).map(_.toDouble).toArray)).toArray
+    val codes = Similarity.pqEncode(Similarity.assignCells(corpus, centroids),
+      pq, keep = Seq("cell"))
+    val got = Similarity.pqAdcRerankTopK(codes, corpus, queries, centroids,
+        pq, k = 3, nProbe = 2, rerank = 8)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long)].collect()
+    // reference: the same ADC shortlist, re-ranked by exact cosine
+    val shortlist = Similarity.pqAdcTopKBlocked(codes, queries, centroids,
+        pq, k = 8, nProbe = 2)
+      .as[(Long, Int, Long)].collect()
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      def unit(x: Seq[Float]) = {
+        val d = x.map(_.toDouble)
+        val n = math.sqrt(d.map(v => v * v).sum)
+        if (n == 0) d else d.map(_ / n)
+      }
+      unit(a).zip(unit(b)).map { case (x, y) => x * y }.sum
+    }
+    val want = queries.flatMap { case (qid, _) =>
+      shortlist.filter(_._1 == qid)
+        .map { case (_, _, id) => (id, cosine(vecs(qid), vecs(id))) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(3).zipWithIndex.map { case ((id, _), i) => (qid, i + 1, id) }
+    }
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("encode is a map-only projection — no shuffle, no join") {
     val pq = Similarity.trainProductQuantizer(corpus, m = 4, kPerSub = 4,
       maxTrainRows = 1000L)
