@@ -203,9 +203,20 @@ object ScaleRehearsal {
       // shuffle (ids only) must grow linearly while vectors never move
       val s08 = time(graft.queries.PipelineQueries
         .ann_lsh(spark, s"$work/replica").count())
+      // two-stage refine: the ADC stage scans probed cells (∝ cell
+      // size), the refine streams the corpus against a broadcast
+      // Q×30 shortlist — wall should track s07's, shuffle stay tiny.
+      // Index BUILD (k-means + PQ fit on the fresh rehearsal corpus)
+      // is warmed OUTSIDE the timer — it is a one-time sample-bounded
+      // cost, and timing it would drown the probe curve this leg is
+      // meant to read (first measured run: 17-35 s of which ~95% was
+      // training)
+      graft.queries.PipelineQueries.pq_ivf_rerank(spark, s"$work/replica")
+      val s09 = time(graft.queries.PipelineQueries
+        .pq_ivf_rerank(spark, s"$work/replica").count())
       println(s"""{"mult":$mult,"vectors":$nVecs,""" +
         s""""s02_replica":${jq(s02Replica)},"s02_grown":${jq(s02Grown)},""" +
-        s""""d05":${jq(d05)},"s08":${jq(s08)}}""")
+        s""""d05":${jq(d05)},"s08":${jq(s08)},"s09":${jq(s09)}}""")
     } else if (mode == "text") {
       saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
         .parquet(s"$work/documents.parquet")
