@@ -212,6 +212,10 @@ object ScaleRehearsal {
       // meant to read (first measured run: 17-35 s of which ~95% was
       // training)
       graft.queries.PipelineQueries.pq_ivf_rerank(spark, s"$work/replica")
+      // settle the async listener bus so the warm-up's training-stage
+      // completion events can't leak into the timed leg's shuffle
+      // numbers (time() only settles AFTER its body)
+      Thread.sleep(1500)
       val s09 = time(graft.queries.PipelineQueries
         .pq_ivf_rerank(spark, s"$work/replica").count())
       println(s"""{"mult":$mult,"vectors":$nVecs,""" +

@@ -1415,9 +1415,11 @@ object ChCompat {
     }),
     "bar" -> viaCols(cs => {
       import org.apache.spark.sql.functions._
-      // full-block approximation of CH's eighth-block bar
+      // full-block approximation of CH's eighth-block bar; CH's
+      // width argument is optional (default 80)
+      val width = if (cs.length > 3) cs(3) else lit(80)
       repeat(lit("█"),
-        floor((cs(0) - cs(1)) / (cs(2) - cs(1)) * cs(3)).cast("int"))
+        floor((cs(0) - cs(1)) / (cs(2) - cs(1)) * width).cast("int"))
     }),
     "caseWithExpression" -> (es => {
       val scrutinee = es.head
@@ -1474,19 +1476,15 @@ object ChCompat {
     // literal scrubbing: quoted strings then bare numbers become '?'
     // (CH additionally collapses ?-lists; fingerprint-compatible, not
     // byte-identical to CH's own normalizer)
-    "normalizeQuery" -> viaCols(cs => {
-      import org.apache.spark.sql.functions._
-      regexp_replace(
-        regexp_replace(cs.head, "'[^']*'", "?"),
-        "\\b\\d+(\\.\\d+)?\\b", "?")
-    }),
+    "normalizeQuery" -> viaCols(cs => normalizeQueryCol(cs.head)),
     // stable 64-bit fingerprint of the normalized query (CH hashes
-    // with its own function — fingerprint semantics, not bit parity)
+    // with its own function — fingerprint semantics, not bit parity);
+    // SHARES the normalizer so the CH guarantee
+    // normalizedQueryHash(q) == hash(normalizeQuery(q)) holds by
+    // construction
     "normalizedQueryHash" -> viaCols(cs => {
       import org.apache.spark.sql.functions._
-      xxhash64(regexp_replace(
-        regexp_replace(cs.head, "'[^']*'", "?"),
-        "\\b\\d+(\\.\\d+)?\\b", "?"))
+      xxhash64(normalizeQueryCol(cs.head))
     }),
     // CH's simhash fingerprints, served by our native SimHashSig —
     // fingerprint SEMANTICS (near-dup docs get near signatures), not
@@ -1498,10 +1496,7 @@ object ChCompat {
     "UUIDStringToNum" -> (es => Unhex(StringReplace(es.head,
       Literal("-"), Literal("")))),
     "erf" -> viaCols(cs => erfCol(cs.head.cast("double"))),
-    "erfc" -> viaCols(cs => {
-      import org.apache.spark.sql.functions._
-      lit(1.0) - erfCol(cs.head.cast("double"))
-    }),
+    "erfc" -> viaCols(cs => erfcCol(cs.head.cast("double"))),
     "lgamma" -> viaCols(cs => lgammaCol(cs.head.cast("double"))),
     "tgamma" -> viaCols(cs => {
       import org.apache.spark.sql.functions._
@@ -1518,18 +1513,43 @@ object ChCompat {
         Cast(aggregate.Min(es(0)).toAggregateExpression(), DoubleType)))),
   )
 
+  /** Shared query-literal scrubber for normalizeQuery/-Hash. */
+  private def normalizeQueryCol(q: Column): Column = {
+    import org.apache.spark.sql.functions._
+    regexp_replace(
+      regexp_replace(q, "'[^']*'", "?"),
+      "\\b\\d+(\\.\\d+)?\\b", "?")
+  }
+
+  /** A&S 7.1.26 tail polynomial: poly(|x|)·e^(−x²) = erfc(|x|) —
+    * max absolute error 1.5e-7. Kept as the TAIL form so erfc keeps
+    * relative accuracy for large x (1−erf cancels to exactly 0 past
+    * x≈6.5 where the true tail is ~1e-23).
+    */
+  private def erfcTail(ax: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * ax)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+      lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    poly * exp(negate(ax * ax))
+  }
+
   /** Abramowitz & Stegun 7.1.26 rational approximation of erf —
     * max absolute error 1.5e-7, the standard no-libm form (CH's own
     * erf is an approximation too; no engine promises bit equality).
     */
   private def erfCol(x: Column): Column = {
     import org.apache.spark.sql.functions._
-    val ax = abs(x)
-    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * ax)
-    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
-      lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
-    val e = lit(1.0) - poly * exp(negate(ax * ax))
+    val e = lit(1.0) - erfcTail(abs(x))
     when(x >= 0, e).otherwise(negate(e))
+  }
+
+  /** erfc via the tail form directly — algebraically the same
+    * identity, but no 1−erf cancellation for large positive x.
+    */
+  private def erfcCol(x: Column): Column = {
+    import org.apache.spark.sql.functions._
+    when(x >= 0, erfcTail(x)).otherwise(lit(2.0) - erfcTail(negate(x)))
   }
 
   /** Lanczos (g=7, n=9) log-gamma for positive arguments — ~1e-13

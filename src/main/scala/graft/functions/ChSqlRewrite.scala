@@ -184,19 +184,54 @@ object ChSqlRewrite {
     * spellings. Case-SENSITIVE on purpose: CH spells types with this
     * exact casing, and a case-blind match would rewrite legitimate
     * lower-case Spark type names or aliases. The `AS <type>` form is
-    * only rewritten when the type is immediately followed by `)` —
-    * i.e. inside CAST — so `SELECT x AS String` aliases survive.
+    * only rewritten when the innermost open paren was opened by a
+    * CAST-family keyword — so `SELECT x AS String` aliases survive
+    * even as the last item of a parenthesized subquery.
     */
   private val chCastTypes: Map[String, String] = Map(
     "UInt8" -> "SMALLINT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
     "UInt64" -> "BIGINT", "Int8" -> "TINYINT", "Int16" -> "SMALLINT",
     "Int32" -> "INT", "Int64" -> "BIGINT", "Float32" -> "FLOAT",
     "Float64" -> "DOUBLE", "String" -> "STRING", "Date32" -> "DATE",
-    "DateTime" -> "TIMESTAMP", "DateTime64" -> "TIMESTAMP",
-    "Bool" -> "BOOLEAN", "UUID" -> "STRING")
+    "DateTime" -> "TIMESTAMP", "Bool" -> "BOOLEAN", "UUID" -> "STRING")
+
+  /** Map one CH type token (possibly parameterized / wrapped) to a
+    * Spark type: DateTime64(p) → TIMESTAMP, FixedString(n) → STRING,
+    * Nullable/LowCardinality(T) unwrap, Array(T) → ARRAY<T>. Returns
+    * None for names this pass does not own (Decimal(p,s) parses in
+    * Spark as-is; unknown names stay untouched).
+    */
+  private def mapChType(name: String, args: Option[String]): Option[String] =
+    (name, args) match {
+      case ("DateTime64", _) => Some("TIMESTAMP")
+      case ("FixedString", _) => Some("STRING")
+      case ("Nullable" | "LowCardinality", Some(inner)) =>
+        Some(mapChTypeToken(inner.trim))
+      case ("Array", Some(inner)) =>
+        Some(s"ARRAY<${mapChTypeToken(inner.trim)}>")
+      case (n, None) => chCastTypes.get(n)
+      case _ => None
+    }
+
+  /** Map a bare inner type token, recursing one wrapper level. */
+  private def mapChTypeToken(t: String): String = {
+    val p = t.indexOf('(')
+    if (p < 0) chCastTypes.getOrElse(t, t)
+    else {
+      val name = t.substring(0, p).trim
+      val inner = t.substring(p + 1, t.lastIndexOf(')').max(p + 1))
+      mapChType(name, Some(inner)).getOrElse(t)
+    }
+  }
+
+  private val castKeywords =
+    Set("cast", "try_cast", "accuratecast", "accuratecastornull")
 
   private def rewriteCastTypes(sql: String): String = {
     val out = new StringBuilder
+    // open-paren stack: true = the paren was opened by a CAST-family
+    // keyword, so an `AS <type>` before ITS closing paren is a cast
+    var parenStack = List.empty[Boolean]
     var j = 0
     while (j < sql.length) {
       val ck = commentKind(sql, j)
@@ -207,32 +242,59 @@ object ChSqlRewrite {
         case '\'' | '"' | '`' =>
           val e = quotedEnd(sql, j)
           out.append(sql.substring(j, e)); j = e
+        case '(' =>
+          // which word opened this paren? (look back in the OUTPUT,
+          // which is already-rewritten text)
+          var k = out.length - 1
+          while (k >= 0 && out.charAt(k).isWhitespace) k -= 1
+          var st = k
+          while (st >= 0 && isIdent(out.charAt(st))) st -= 1
+          val opener = out.substring(st + 1, k + 1).toLowerCase
+          parenStack = castKeywords.contains(opener) :: parenStack
+          out.append('('); j += 1
+        case ')' =>
+          if (parenStack.nonEmpty) parenStack = parenStack.tail
+          out.append(')'); j += 1
         case c if isIdent(c) && !isIdent(sql.charAt(math.max(j - 1, 0))) || (j == 0 && isIdent(c)) =>
           var e = j
           while (e < sql.length && isIdent(sql.charAt(e))) e += 1
           val word = sql.substring(j, e)
-          chCastTypes.get(word) match {
+          // optional parenthesized argument: DateTime64(3), Nullable(T)…
+          val paramEnd: Option[Int] =
+            if (e < sql.length && sql.charAt(e) == '(' &&
+                Set("DateTime64", "FixedString", "Nullable",
+                  "LowCardinality", "Array").contains(word)) {
+              var depth = 0; var p = e
+              var stop = -1
+              while (p < sql.length && stop < 0) {
+                if (sql.charAt(p) == '(') depth += 1
+                else if (sql.charAt(p) == ')') { depth -= 1; if (depth == 0) stop = p }
+                p += 1
+              }
+              if (stop >= 0) Some(stop + 1) else None
+            } else None
+          val args = paramEnd.map(pe => sql.substring(e + 1, pe - 1))
+          val tokenEnd = paramEnd.getOrElse(e)
+          mapChType(word, args) match {
             case Some(spark) =>
               // context: `:: <type>` — always a cast
               var k = j - 1
               while (k > 0 && sql.charAt(k).isWhitespace) k -= 1
               val afterColons = k >= 1 &&
                 sql.charAt(k) == ':' && sql.charAt(k - 1) == ':'
-              // context: `AS <type> )` — CAST's closing paren
+              // context: `AS <type>` with the innermost paren opened
+              // by a CAST-family keyword
               var kw = k
-              var kwEnd = kw
+              val kwEnd = kw
               while (kw >= 0 && isIdent(sql.charAt(kw))) kw -= 1
               val prevWord = sql.substring(kw + 1, kwEnd + 1)
-              var n = e
-              while (n < sql.length && sql.charAt(n).isWhitespace) n += 1
-              val beforeParen = n < sql.length && sql.charAt(n) == ')'
-              if (afterColons ||
-                  (prevWord.equalsIgnoreCase("AS") && beforeParen))
+              val inCast = parenStack.headOption.contains(true)
+              if (afterColons || (prevWord.equalsIgnoreCase("AS") && inCast))
                 out.append(spark)
-              else out.append(word)
+              else out.append(sql.substring(j, tokenEnd))
             case None => out.append(word)
           }
-          j = e
+          j = if (mapChType(word, args).isDefined) tokenEnd else e
         case c => out.append(c); j += 1
       }
     }

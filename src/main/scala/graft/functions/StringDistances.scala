@@ -113,7 +113,11 @@ case class JaroSimilarity(left: Expression, right: Expression,
 
 /** Little-endian reinterpretation of a string's leading bytes as an
   * unsigned integer (CH reinterpretAsUInt32/64 family: missing bytes
-  * read as zero, extra bytes ignored).
+  * read as zero, extra bytes ignored). Widths 1/2/4 always fit a
+  * signed Long; width 8 returns the two's-complement Long, so byte
+  * patterns ≥ 2^63 read NEGATIVE here where CH shows the unsigned
+  * value — the bits are identical, the rendering differs (the same
+  * documented divergence as the engine-wide UInt64→BIGINT mapping).
   */
 case class ReinterpretAsUInt(child: Expression, width: Int)
     extends UnaryExpression with CodegenFallback {

@@ -439,7 +439,7 @@ object Similarity {
       k = rerank, nProbe = nProbe, idCol = idCol, cellCol = cellCol)
       .select("query_id", "neighbor_id")
     val qdf = broadcast(withUnitVector(
-      queries.toSeq.map { case (id, v) => (id, v) }.toDF("query_id", "qv"),
+      queries.toSeq.toDF("query_id", "qv"),
       col("qv"), "q_vec").select(col("query_id"), col("q_vec")))
     val unit = withUnitVector(corpus, col(vecCol), "n_vec")
       .select(col(idCol).as("neighbor_id"), col("n_vec"))

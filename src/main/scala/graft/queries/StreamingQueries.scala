@@ -112,7 +112,13 @@ object StreamingQueries {
     // everything inside one batch and never exercise the cross-batch
     // merge this gate exists to prove)
     val schema = rawEventsSchema(s, dir)
-    val splitDir = java.nio.file.Files.createTempDirectory("r57_src").toString
+    // pinned per-SF dir, cleared per run (the r53 pattern) — a fresh
+    // temp dir per invocation would accumulate a full copy of the
+    // source in /tmp every run
+    val base = new java.io.File(
+      s"/tmp/graft_r57/${new java.io.File(dir).getName}")
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val splitDir = s"$base/src"
     s.read.schema(schema).parquet(s"$dir/events.parquet")
       .repartition(4).write.mode("overwrite").parquet(splitDir)
     val stream = graft.Tables.normalize("events",

@@ -212,7 +212,12 @@ class ChSurfaceProbeSpec extends SparkTestBase {
     "SELECT CAST(event_id AS Float64) FROM events LIMIT 1",
     "SELECT CAST(value AS UInt32) FROM events LIMIT 1",
     "SELECT lgamma(5.0) AS lg",
-    "SELECT javaHash('x'), hiveHash('x')")
+    "SELECT javaHash('x'), hiveHash('x')",
+    "SELECT CAST(ts AS DateTime64(3)) FROM events LIMIT 1",
+    "SELECT CAST(event_id AS Nullable(Int64)) FROM events LIMIT 1",
+    "SELECT CAST(event_type AS LowCardinality(String)) FROM events LIMIT 1",
+    "SELECT CAST(event_type AS FixedString(16)) FROM events LIMIT 1",
+    "SELECT bar(5, 0, 10)")
 
   test("CH dialect breadth batch 4: every probe parses and executes") {
     assume(ready)
@@ -284,6 +289,22 @@ class ChSurfaceProbeSpec extends SparkTestBase {
     val sh = ChCompat.sql(spark,
       "SELECT arrayShuffle(array(3,1,2)) AS a").head.getSeq[Int](0)
     assert(sh.sorted === Seq(1, 2, 3))
+    // cast-type rewriting: parameterized/wrapped CH types map, the
+    // `::` spelling maps, and an alias that merely LOOKS like a type
+    // name survives — even as the last item of a parenthesized
+    // subquery (the CAST-context guard)
+    val ct = ChCompat.sql(spark,
+      """SELECT CAST('3.5' AS Float64) AS f,
+                CAST('7' AS Nullable(Int64)) AS n,
+                '9'::UInt32 AS c,
+                (SELECT 42 AS UUID) AS alias_kept""").head
+    assert(ct.getDouble(0) === 3.5)
+    assert(ct.getLong(1) === 7L)
+    assert(ct.getLong(2) === 9L)
+    assert(ct.getInt(3) === 42)     // inner alias NOT rewritten to STRING
+    // erfc keeps the tail: 1-erf would round to 0 past x≈6.5
+    val tail = ChCompat.sql(spark, "SELECT erfc(7.0) AS t").head.getDouble(0)
+    assert(tail > 0.0 && tail < 1e-20)
     // javaHash is exactly String.hashCode; hiveHash agrees on strings
     val jh = ChCompat.sql(spark,
       "SELECT javaHash('GitHub') AS j, hiveHash('GitHub') AS h").head
