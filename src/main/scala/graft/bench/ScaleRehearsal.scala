@@ -165,10 +165,9 @@ object ScaleRehearsal {
       val t0 = System.nanoTime()
       val rows = fn
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously; settle before reading
-      // (listenerBus is private — a short fixed drain window suffices
-      // for a measurement harness)
-      Thread.sleep(1500)
+      // listener events drain asynchronously; flush the bus before
+      // reading the meter so no in-flight task-end event is missed
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
       ((sec * 100).round / 100.0,
         ((meter.read - r0) / 1e6 * 10).round / 10.0,
         ((meter.written - w0) / 1e6 * 10).round / 10.0, rows)
@@ -212,10 +211,10 @@ object ScaleRehearsal {
       // meant to read (first measured run: 17-35 s of which ~95% was
       // training)
       graft.queries.PipelineQueries.pq_ivf_rerank(spark, s"$work/replica")
-      // settle the async listener bus so the warm-up's training-stage
+      // flush the async listener bus so the warm-up's training-stage
       // completion events can't leak into the timed leg's shuffle
-      // numbers (time() only settles AFTER its body)
-      Thread.sleep(1500)
+      // numbers (time() only flushes AFTER its body)
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
       val s09 = time(graft.queries.PipelineQueries
         .pq_ivf_rerank(spark, s"$work/replica").count())
       println(s"""{"mult":$mult,"vectors":$nVecs,""" +

@@ -641,7 +641,21 @@ object Similarity {
     val bitsPerBand = nPlanes / bands
     val mask = (1 << bitsPerBand) - 1
     val planes = hyperplaneSigns(nPlanes, dim)
-    def banded(df: DataFrame, idOut: String, vecOut: String): DataFrame =
+    // Fail-fast dim guard: a vector shorter/longer than the plane
+    // matrix would make zip_with null-pad, the per-bit aggregate go
+    // null, and every bit fall to otherwise(0) — ALL signatures
+    // collapse to 0, every vector collides in every band, and the
+    // LSH path silently degrades to full O(N·Q) scoring. raise_error
+    // inside the row pipeline surfaces the mismatch as a job failure
+    // instead; the `when` branch costs one codegen'd size() compare.
+    def guarded(df: DataFrame): DataFrame =
+      df.withColumn(vecCol,
+        when(size(col(vecCol)) === lit(dim), col(vecCol))
+          .otherwise(raise_error(concat(
+            lit(s"bandedLshTopK: embedding length "), size(col(vecCol)).cast("string"),
+            lit(s" != dim $dim — signatures would silently collapse to 0")))))
+    def banded(df0: DataFrame, idOut: String, vecOut: String): DataFrame = {
+      val df = guarded(df0)
       withUnitVector(df, col(vecCol), vecOut)
         .select(col(idCol).as(idOut), col(vecOut),
           microQuantize(col(vecCol)).as("__iv"))
@@ -651,6 +665,7 @@ object Similarity {
           explode(sequence(lit(0), lit(bands - 1))).as("band"))
         .select(col(idOut), col(vecOut), col("band"),
           expr(s"shiftright(__sig, band * $bitsPerBand) & $mask").as("bucket"))
+    }
     // Score DURING the band join: the corpus streams map-side into the
     // broadcast bucket match and each hit is scored in place, so
     // vectors never enter a shuffle at ANY corpus size (a

@@ -64,6 +64,29 @@ object StreamingQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Scratch dir for streaming sources/checkpoints/sinks, scoped by
+    * the Spark application id so two concurrent runs on one box can't
+    * cross-contaminate each other's state (the pinned `/tmp/graft_r5x`
+    * form collided). Within one session repeated invocations of the
+    * same gate reuse — and clear — the same dir, so /tmp doesn't
+    * accumulate per call; the whole per-app root is removed by a
+    * shutdown hook at JVM exit. NOT used for the s03/s04/d09 persisted
+    * index artifacts: those paths are read back by the driver's DuckDB
+    * oracle as literal SQL strings and must stay pinned.
+    */
+  private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def scratchDir(s: SparkSession, gate: String, sfDir: String): java.io.File = {
+    val root = new java.io.File(
+      s"/tmp/graft_stream_${s.sparkContext.applicationId}")
+    if (hookInstalled.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(root)))
+    val d = new java.io.File(root,
+      s"$gate/${new java.io.File(sfDir).getName}")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d
+  }
+
   private def eventsStream(s: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     // the testdata stores each table as ONE parquet file, which the
@@ -112,26 +135,43 @@ object StreamingQueries {
     // everything inside one batch and never exercise the cross-batch
     // merge this gate exists to prove)
     val schema = rawEventsSchema(s, dir)
-    // pinned per-SF dir, cleared per run (the r53 pattern) — a fresh
-    // temp dir per invocation would accumulate a full copy of the
-    // source in /tmp every run
-    val base = new java.io.File(
-      s"/tmp/graft_r57/${new java.io.File(dir).getName}")
-    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    // app-scoped per-SF dir, cleared per invocation (see [[scratchDir]])
+    val base = scratchDir(s, "r57", dir)
     val splitDir = s"$base/src"
     s.read.schema(schema).parquet(s"$dir/events.parquet")
       .repartition(4).write.mode("overwrite").parquet(splitDir)
     val stream = graft.Tables.normalize("events",
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(splitDir))
+    val maxMapSize = 1024
     val agg = stream
       .select(window(col("ts"), "1 day").as("w"),
         get_json_object(col("props"), "$.k").as("kv"))
       .groupBy("w")
       .agg(ColumnBridge.column(
         graft.functions.FreqTopK(
-          ColumnBridge.expression(col("kv")), k = 5, maxMapSize = 1024)
+          ColumnBridge.expression(col("kv")), k = 5, maxMapSize = maxMapSize)
           .toAggregateExpression()).as("top"))
+    // The exact-equality oracle holds only while the sketch stays
+    // EXACT — i.e. no counter was ever evicted. ItemsSketch evicts
+    // only when its active-item count exceeds 0.75·maxMapSize, and
+    // any partial or batch-merged sketch for one day tracks at most
+    // that day's distinct keys — so per-day distinct ≤ the purge
+    // threshold guarantees exactness through every micro-batch and
+    // state-store merge. Assert it from a cheap batch scan of the
+    // same source, so saturation at a larger SF surfaces as a clear
+    // named failure instead of a silent hash mismatch.
+    val maxDistinct = graft.Tables.normalize("events",
+        s.read.schema(schema).parquet(splitDir))
+      .select(window(col("ts"), "1 day").as("w"),
+        get_json_object(col("props"), "$.k").as("kv"))
+      .groupBy("w").agg(countDistinct(col("kv")).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L))).first().getLong(0)
+    require(maxDistinct <= maxMapSize * 3 / 4,
+      s"r57: per-day distinct keys ($maxDistinct) exceed the FreqTopK " +
+        s"purge threshold (${maxMapSize * 3 / 4}) — the sketch would " +
+        "saturate and the exact top-k oracle no longer applies; raise " +
+        "maxMapSize for this SF")
     withStatePartitions(s, 8) {
       val q = agg.writeStream.format("memory").queryName("r57_sink")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -158,14 +198,11 @@ object StreamingQueries {
       .union(eventsStream(s, dir, schema))
     val deduped = doubled.dropDuplicates("event_id")
       .select("event_id", "user_id", "event_type")
-    // pinned per-SF dirs (the s03CentroidsPath pattern), CLEARED per
-    // run: a reused checkpoint would skip already-seen files — and
-    // silently re-ingest (duplicating the sink) if the driver
-    // regenerates the testdata under the same filename. Fresh dirs per
-    // run also stop /tmp from accumulating a copy per invocation.
-    val base = new java.io.File(
-      s"/tmp/graft_r53/${new java.io.File(dir).getName}")
-    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    // app-scoped per-SF dir, CLEARED per invocation (see
+    // [[scratchDir]]): a reused checkpoint would skip already-seen
+    // files — and silently re-ingest (duplicating the sink) if the
+    // driver regenerates the testdata under the same filename.
+    val base = scratchDir(s, "r53", dir)
     val out = new java.io.File(base, "out").getAbsolutePath
     val cp = new java.io.File(base, "cp").getAbsolutePath
     withStatePartitions(s, 8) {
