@@ -112,6 +112,7 @@ object SparkEntry {
     "p08_curriculum" -> (PipelineQueries.curriculum _),
     "p09_chunking" -> (PipelineQueries.chunk_docs _),
     "p10_pipeline" -> (PipelineQueries.pipeline_end_to_end _),
+    "p11_curriculum_scale" -> (PipelineQueries.curriculum_scale _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -1543,6 +1544,36 @@ object SparkEntry {
                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
                   AS batch
          FROM d ORDER BY batch, decile, doc_id""",
+
+    // p11: the scale-safe curriculum — decile assignment from
+    // value-at-rank cut-points (rank_d = d*(N div 10) + least(d, N mod
+    // 10), ntile's bucket-end ranks; integer-only; ties to the LOWER
+    // decile via strict >) instead of a global ntile; the oracle
+    // recomputes the same cut-points from the same histogram sweep,
+    // so the gate is exact end-to-end
+    "p11_curriculum_scale" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)),'\s+'))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         h AS (SELECT n_tokens, count(*) AS cnt FROM t GROUP BY 1),
+         c AS (SELECT n_tokens,
+             sum(cnt) OVER (ORDER BY n_tokens) AS cum FROM h),
+         n AS (SELECT count(*) AS total FROM t),
+         cuts AS (SELECT d, min(n_tokens) AS cut
+           FROM c CROSS JOIN n
+           CROSS JOIN (SELECT unnest(range(1, 10)) AS d)
+           WHERE cum >= d * (total // 10) + least(d, total % 10)
+           GROUP BY d),
+         dd AS (SELECT t.doc_id, t.n_tokens,
+             CAST(1 + (SELECT count(*) FROM cuts
+               WHERE t.n_tokens > cuts.cut) AS INTEGER) AS decile
+           FROM t)
+         SELECT doc_id, n_tokens, decile,
+                CAST(row_number() OVER (PARTITION BY decile
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                  AS batch
+         FROM dd ORDER BY batch, decile, doc_id""",
 
     // p09: 64-token chunks at stride 48 — chunk count floor((n-1)/48)+1,
     // per-chunk token span and md5 of the joined window

@@ -236,9 +236,18 @@ object ScaleRehearsal {
       // not at all
       val t12 =
         time(graft.queries.PipelineQueries.lm_score(spark, work).count())
+      // p11 scale-safe curriculum: histogram pass is ∝ distinct
+      // lengths (flat-ish), decile CASE is map-only, batch rank is
+      // two-level bucketed — per-doc cost must stay flat in M, and no
+      // single task may see more than a (decile, md5-prefix) slice.
+      // Aggregate the output (not count()) so Catalyst can't prune
+      // the rank join/window subtree (the d10 lesson).
+      val p11 = time(graft.queries.PipelineQueries
+        .curriculum_scale(spark, work)
+        .agg(sum(col("batch")), max(col("decile"))).count())
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
         s""""t07":${jq(t07)},"t06":${jq(t06)},"t04":${jq(t04)},""" +
-        s""""t12":${jq(t12)}}""")
+        s""""t12":${jq(t12)},"p11":${jq(p11)}}""")
     } else if (mode == "semantic") {
       // d09 SemDeDup: intra-cell pair work is Σ cell². Two regimes:
       //  - cells FIXED (32) while the corpus grows M× → cell size ∝ M,

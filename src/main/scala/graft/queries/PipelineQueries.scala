@@ -734,10 +734,10 @@ object PipelineQueries {
   // corpus without replacement. Output order (batch, decile) IS the
   // curriculum; everything is integer/window arithmetic, so the
   // oracle replays it exactly. Scale note: the global ntile here is
-  // the oracle-exact form — at 100 TB the decile CUT-POINTS come from
-  // a two-pass (or approx_percentile) precompute and assignment
-  // becomes a map-only CASE, same downstream plan; the per-decile
-  // row_number stays partition-parallel either way. ----
+  // the oracle-exact form kept for ntile's SQL-standard tie split;
+  // the 100-TB form — cut-points from a two-pass precompute, map-only
+  // CASE assignment, two-level bucketed batch rank — is implemented
+  // as [[curriculum_scale]] (gate p11) with its own full oracle. ----
   def curriculum(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docs(s, dir).select(col("doc_id"),
@@ -748,6 +748,75 @@ object PipelineQueries {
         row_number().over(Window.partitionBy("decile")
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
           .cast("long"))
+      .select("doc_id", "n_tokens", "decile", "batch")
+      .orderBy("batch", "decile", "doc_id")
+  }
+
+  // ---- p11: the scale-safe curriculum — same curriculum semantics
+  // as p08 but with every global funnel removed, the form you would
+  // run at 100 TB:
+  //  1. decile CUT-POINTS from a two-pass precompute: a length
+  //     histogram (one row per DISTINCT length — bounded by max doc
+  //     length, not corpus size) collapses driver-side into 9
+  //     value-at-rank cut-points (rank_d = ceil(d·N/10), integer
+  //     arithmetic only, so any engine replays it bit-exactly);
+  //  2. decile assignment becomes a map-only chain of 9 codegen'd
+  //     comparisons (1 + #cuts strictly below the length) — fused
+  //     into the scan, zero data movement;
+  //  3. the per-decile batch rank is TWO-LEVEL: rank within
+  //     (decile, md5-prefix bucket) in parallel, then add the
+  //     per-bucket offset (cumulative counts over a 10×256-row frame,
+  //     broadcast back). Because the bucket is a PREFIX of the md5
+  //     sort key, (bucket, md5) order ≡ md5 order, so the final ranks
+  //     equal p08's per-decile row_number exactly — but no reducer
+  //     ever sees more than one bucket's slice (~N/2560 rows) instead
+  //     of a whole decile (N/10).
+  // Ties at a cut-point land in the LOWER decile (strict >), the one
+  // place the semantics deliberately differ from ntile's
+  // row-number-based split — cut-point assignment is value-determined,
+  // which is what makes it map-only. p08 stays as the oracle-exact
+  // ntile form; this gate carries its own full oracle with the same
+  // cut-point rule. ----
+  def curriculum_scale(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(s, dir).select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    // pass 1+2: histogram → driver-side cumulative sweep → 9 cuts.
+    // The collect is bounded metadata (distinct lengths), the same
+    // contract as the s03 centroid collect.
+    val hist = t.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+      .orderBy("n_tokens").collect()
+    val total = hist.iterator.map(_.getLong(1)).sum
+    // cut_d = value at the LAST rank of ntile-bucket d (N = 10q+r →
+    // bucket d ends at dq + min(d, r), SQL ntile's
+    // remainder-to-first-buckets rule) — so on all-distinct lengths
+    // this gate's deciles equal p08's ntile deciles exactly, and the
+    // two differ only where ties straddle a boundary
+    val ranks = (1 to 9).map(d => d * (total / 10) + math.min(d, total % 10))
+    val cuts = Array.fill(9)(0L)
+    var cum = 0L; var di = 0
+    hist.foreach { row =>
+      cum += row.getLong(1)
+      while (di < 9 && cum >= ranks(di)) { cuts(di) = row.getLong(0); di += 1 }
+    }
+    require(di == 9 || total == 0, s"curriculum_scale: cut sweep ended at $di")
+    // map-only decile: 1 + number of cut-points strictly below x
+    val decile = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col("n_tokens") > lit(c), lit(1)).otherwise(lit(0)) }
+    val keyed = t.withColumn("decile", decile.cast("int"))
+      .withColumn("mk", md5(col("doc_id").cast("string")))
+      .withColumn("bkt", substring(col("mk"), 1, 2))
+    // per-(decile, bucket) offsets: ≤ 10×256 rows, so the window over
+    // them is driver-trivial; broadcast back for the map-side add
+    val off = keyed.groupBy("decile", "bkt").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.partitionBy("decile").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("decile"), col("bkt"), col("off"))
+    keyed.join(broadcast(off), Seq("decile", "bkt"))
+      .withColumn("batch",
+        (row_number().over(Window.partitionBy("decile", "bkt")
+          .orderBy(col("mk"), col("doc_id"))).cast("long") + col("off")))
       .select("doc_id", "n_tokens", "decile", "batch")
       .orderBy("batch", "decile", "doc_id")
   }

@@ -82,6 +82,33 @@ class PipelineGatesSpec extends SparkTestBase {
     }
   }
 
+  test("p11 curriculum_scale == p08 curriculum on all-distinct lengths") {
+    // distinct token counts → the cut-point deciles coincide with
+    // ntile's (cut ranks ARE ntile's bucket-end ranks), and the
+    // two-level (decile, md5-prefix-bucket) rank must reproduce the
+    // per-decile md5 row_number exactly — so the whole rows match
+    val rows = (0L until 43L).map(i =>
+      (i, (0 to i.toInt).map(_ => "w").mkString(" "), "en", "src0", 1L))
+    val d = tmpSf(rows)
+    val p08 = PipelineQueries.curriculum(spark, d)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val p11 = PipelineQueries.curriculum_scale(spark, d)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(p11 == p08)
+  }
+
+  test("p11 curriculum_scale: boundary ties land in the LOWER decile") {
+    // 20 docs, ALL the same length: one cut value, every x > cut is
+    // false → every doc is decile 1 and the batch rank sweeps 1..20
+    // (ntile would split 2 per decile — the documented difference)
+    val rows = (0L until 20L).map(i => (i, "a b c", "en", "src0", 1L))
+    val d = tmpSf(rows)
+    val got = PipelineQueries.curriculum_scale(spark, d)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(got.forall(_._3 == 1))
+    assert(got.map(_._4).sorted == (1L to 20L))
+  }
+
   test("m09 scene_cuts: fires exactly at the synth's mod-256 wraps") {
     val d = tmpSf((0L until 40L).map(i => (i, "t", "en", "src0", 1L)))
     val got = PipelineQueries.multimodal_scenes(spark, d)
