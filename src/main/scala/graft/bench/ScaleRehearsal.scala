@@ -60,8 +60,16 @@ import org.apache.spark.sql.functions._
   * temperature mixing) over the salted corpus: rotation keeps
   * duplicated-window density constant while window count grows ∝ M.
   *
+  * Mode `streaming` — the streaming STATE path (r53 stateful dedup,
+  * r55 sessionize, r57 sketch-in-state) on the RocksDB state store
+  * over M salted copies of `events` (ids/users offset per copy, days
+  * shared), reporting per-gate state rows/bytes from
+  * `StreamingQueryProgress.stateOperators` — dedup/session state must
+  * grow ∝ M while the per-day sketch state stays flat.
+  *
   * Usage: runMain graft.bench.ScaleRehearsal <sfDir> <mult> [mode] [workDir]
-  * (mode ∈ dedup|graph|ann|text|clean|semantic|passages, default dedup)
+  * (mode ∈ dedup|graph|ann|text|clean|semantic|passages|streaming,
+  * default dedup)
   * Prints one JSON line: wall seconds + shuffle read/write MB per query.
   */
 object ScaleRehearsal {
@@ -151,7 +159,7 @@ object ScaleRehearsal {
     require(mult >= 1 && mult <= 26, "mult must be in [1, 26]")
     val mode = args.lift(2).getOrElse("dedup")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
-      "passages").contains(mode), s"unknown mode $mode")
+      "passages", "streaming").contains(mode), s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else java.nio.file.Files.createTempDirectory("scale").toString
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -272,6 +280,57 @@ object ScaleRehearsal {
       println(s"""{"mult":$mult,"vectors":$nVecs,""" +
         s""""d09_fixed_cells":${jq(dFixed)},""" +
         s""""d09_grown_cells":${jq(dGrown)}}""")
+    } else if (mode == "streaming") {
+      // The streaming STATE path — the gates' own code (r53 stateful
+      // dedup, r55 flatMapGroupsWithState sessionize, r57 sketch-in-
+      // state), RocksDB state store, measured through
+      // StreamingQueryProgress.stateOperators. Salting: copy k
+      // offsets event_id AND user_id by k·10⁷ while ts/props are
+      // SHARED — so the three state regimes separate cleanly:
+      //  - r53 dedup state = one key per distinct event id → rows ∝ M
+      //    (the store must scale with the corpus; RocksDB puts that
+      //    on disk, not heap — the 100-TB constraint this leg exists
+      //    to measure);
+      //  - r55 session state = one row per ACTIVE user → rows ∝ M
+      //    (users ∝ M), emitted sessions ∝ M;
+      //  - r57 sketch state = one bounded sketch per day → rows FLAT
+      //    in M (days shared), the whole point of sketch aggregation.
+      val base = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until mult).map { k =>
+        val off = lit(k.toLong * 10000000L)
+        base.select((col("event_id") + off).as("event_id"), col("ts"),
+          (col("user_id") + off).as("user_id"), col("event_type"),
+          col("value"), col("props"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$work/events.parquet")
+      val nEvents = spark.read.parquet(s"$work/events.parquet").count()
+      def stateJson(gate: String): String = {
+        val progs = graft.queries.StreamingQueries.progressByGate
+          .getOrElse(gate, Seq.empty)
+        val withOps = progs.filter(_.stateOperators.nonEmpty)
+        def maxOver(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+          withOps.map(_.stateOperators.map(f).sum).foldLeft(0L)(math.max)
+        val rows = maxOver(_.numRowsTotal)
+        val mem = maxOver(_.memoryUsedBytes)
+        val sst = maxOver(p => Option(p.customMetrics)
+          .flatMap(m => Option(m.get("rocksdbSstFileSize")))
+          .map(_.longValue).getOrElse(0L))
+        s"""{"batches":${withOps.size},"state_rows":$rows,""" +
+          s""""state_mem_bytes":$mem,"rocksdb_sst_bytes":$sst}"""
+      }
+      val r53 = time(
+        graft.queries.StreamingQueries.stream_dedup(spark, work).count())
+      val s53 = stateJson("r53")
+      val r55 = time(
+        graft.queries.StreamingQueries.stream_sessionize(spark, work).count())
+      val s55 = stateJson("r55")
+      val r57 = time(
+        graft.queries.StreamingQueries.stream_topk(spark, work).count())
+      val s57 = stateJson("r57")
+      println(s"""{"mult":$mult,"events":$nEvents,""" +
+        s""""r53":${jq(r53)},"r53_state":$s53,""" +
+        s""""r55":${jq(r55)},"r55_state":$s55,""" +
+        s""""r57":${jq(r57)},"r57_state":$s57}""")
     } else if (mode == "clean") {
       // the corpus-cleaning path: p06 boilerplate removal (its
       // boilerplate paragraph SET stays ~22 entries at every M —

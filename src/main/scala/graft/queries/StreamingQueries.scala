@@ -60,8 +60,39 @@ object StreamingQueries {
     */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption(ProviderConf)
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // RocksDB state store: state lives off-heap in a native LSM with
+    // changelog/snapshot files under the checkpoint — the store whose
+    // capacity is DISK, not executor heap. The default HDFS-backed
+    // store keeps every key in a JVM hash map, which is exactly the
+    // thing that OOMs first when streaming state grows with the corpus
+    // (r53's dedup state is one key per distinct event id). The gates
+    // run the same provider a 100-TB deployment would, and the
+    // streaming-mode scale rehearsal measures its state growth.
+    s.conf.set(ProviderConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProv match {
+        case Some(p) => s.conf.set(ProviderConf, p)
+        case None => s.conf.unset(ProviderConf)
+      }
+    }
+  }
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Per-gate micro-batch progress of the most recent drain — state
+    * rows/bytes per batch for the scale rehearsal (metrics only;
+    * gates still return plain data).
+    */
+  @volatile private[graft] var progressByGate:
+      Map[String, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]] =
+    Map.empty
+  private def drain(gate: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    progressByGate += gate -> q.recentProgress.toSeq
   }
 
   /** Scratch dir for streaming sources/checkpoints/sinks, scoped by
@@ -107,7 +138,7 @@ object StreamingQueries {
     withStatePartitions(s, 8) {
       val q = agg.writeStream.format("memory").queryName("r52_sink")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drain("r52", q)
     }
     s.table("r52_sink")
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
@@ -175,7 +206,7 @@ object StreamingQueries {
     withStatePartitions(s, 8) {
       val q = agg.writeStream.format("memory").queryName("r57_sink")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drain("r57", q)
     }
     s.table("r57_sink")
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
@@ -209,7 +240,7 @@ object StreamingQueries {
       val q = deduped.writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", cp)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drain("r53", q)
     }
     // schema pinned on read-back: an empty source commits no data
     // files, and schema inference over an empty dir would throw
@@ -240,7 +271,7 @@ object StreamingQueries {
     withStatePartitions(s, 8) {
       val q = joined.writeStream.format("memory").queryName("r54_sink")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drain("r54", q)
     }
     s.table("r54_sink")
       .select(col("user_id"), col("click_id"), col("purchase_id"),
@@ -269,7 +300,7 @@ object StreamingQueries {
     withStatePartitions(s, 8) {
       val q = agg.writeStream.format("memory").queryName("r56_sink")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drain("r56", q)
     }
     s.table("r56_sink")
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
@@ -301,7 +332,7 @@ object StreamingQueries {
       val q = sessions.toDF().writeStream.format("memory")
         .queryName("r55_sink")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drain("r55", q)
     }
     s.table("r55_sink")
       .select(col("user_id"), col("session_start"), col("session_end"),
