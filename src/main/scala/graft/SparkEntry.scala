@@ -102,6 +102,7 @@ object SparkEntry {
     "d08_url_dedup" -> (PipelineQueries.url_dedup _),
     "d09_semantic_dedup" -> (PipelineQueries.semantic_dedup _),
     "d10_dup_passages" -> (PipelineQueries.dup_passages _),
+    "d11_keep_best" -> (PipelineQueries.neardup_keep_best _),
     "p01_clean_corpus" -> (PipelineQueries.clean_corpus _),
     "p02_neardup_groups" -> (PipelineQueries.neardup_groups _),
     "p03_shard_pack" -> (PipelineQueries.shard_pack _),
@@ -1037,6 +1038,59 @@ object SparkEntry {
            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
          SELECT src AS doc_id, min(node) AS comp
          FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // d11: representative election over the p02 component structure —
+    // same recursive reach + the t02 quality arithmetic, election by
+    // (quantized score DESC, doc_id ASC); singletons keep themselves
+    "d11_keep_best" ->
+      """WITH RECURSIVE
+         d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(src, node) AS (
+           SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+         cc AS (SELECT src AS doc_id, min(node) AS comp
+                FROM reach GROUP BY src),
+         f AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS toks,
+             length(text) - length(regexp_replace(text,'[^a-zA-Z0-9\s]','','g')) AS punct,
+             length(regexp_replace(text,'\s+','','g')) AS alpha_chars
+           FROM documents),
+         g AS (SELECT doc_id,
+             CASE WHEN len(toks)=0 THEN 0.0
+                  ELSE CAST(alpha_chars AS DOUBLE)/len(toks) END AS avg_tl,
+             CASE WHEN len(toks)=0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)/len(toks) END AS stop_r,
+             CASE WHEN n_chars_m=0 THEN 0.0
+                  ELSE CAST(punct AS DOUBLE)/n_chars_m END AS punct_r
+           FROM f),
+         q AS (SELECT doc_id,
+             CAST(floor(CAST(round(CAST(0.5*stop_r + 0.3*(1.0-punct_r)
+                    + 0.2*least(avg_tl/10.0, 1.0) AS DECIMAL(20,10)), 4)
+                  AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qi
+           FROM g),
+         a AS (SELECT doc.doc_id, coalesce(cc.comp, doc.doc_id) AS comp, q.qi
+           FROM documents doc
+           JOIN q ON doc.doc_id = q.doc_id
+           LEFT JOIN cc ON doc.doc_id = cc.doc_id),
+         e AS (SELECT comp, doc_id AS kept_doc,
+             row_number() OVER (PARTITION BY comp
+               ORDER BY qi DESC, doc_id ASC) AS rn
+           FROM a)
+         SELECT a.doc_id, a.comp, e.kept_doc,
+                a.doc_id = e.kept_doc AS kept
+         FROM a JOIN (SELECT comp, kept_doc FROM e WHERE rn = 1) e
+           ON a.comp = e.comp
+         ORDER BY a.doc_id""",
 
     // d09: SemDeDup replay — d09's own persisted 32-cell centroids
     // (s03-style index-build artifact), the same assignment arithmetic,

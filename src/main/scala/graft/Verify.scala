@@ -4,7 +4,65 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Order-independent equality hash of a gate result: columns sorted
+    * by name (the driver's compare convention), rows xxhash64'd, then
+    * combined with order-insensitive aggregates (count + exact DECIMAL
+    * sum + xor) — so the hash is a pure function of the result SET and
+    * two runs compare without materializing either.
+    */
+  private def resultHash(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    val cols = df.columns.sorted
+      .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+    val r = df
+      .select(xxhash64(concat_ws("\u0001", cols: _*)).as("h"))
+      .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)")),
+        expr("bit_xor(h)"))
+      .first()
+    s"n=${r.get(0)} sum=${r.get(1)} xor=${r.get(2)}"
+  }
+
+  /** `--twice <sfDir> [names...]`: run every gate TWICE in one JVM and
+    * compare result hashes — the double-run determinism gate (VERDICT
+    * r10 #7). Catches what the single-pass driver structurally cannot:
+    * scratch-dir reuse (r53/r57 streaming state dirs), persisted-index
+    * clobbering (s03 centroids, s04 codebooks), temp-view collisions,
+    * and any accumulated-state dependence. Exit 1 on any mismatch or
+    * error.
+    */
+  private def runTwice(sfDir: String, names: Seq[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus).getOrCreate()
+    graft.functions.ChCompat.registerAll(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val selected =
+      if (names.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => names.contains(k) }
+    var bad = List.empty[String]
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val h1 = resultHash(fn(spark, sfDir))
+        val h2 = resultHash(fn(spark, sfDir))
+        if (h1 != h2) {
+          bad ::= name
+          System.err.println(s"[twice] MISMATCH $name: [$h1] vs [$h2]")
+        } else println(s"[twice] ok $name $h1")
+      } catch { case e: Throwable =>
+        bad ::= name
+        System.err.println(s"[twice] ERROR $name: ${e.getMessage}")
+      }
+    }
+    println(s"""{"twice_total":${selected.size},"twice_bad":${bad.size},""" +
+      s""""bad":[${bad.sorted.map("\"" + _ + "\"").mkString(",")}]}""")
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--twice")) {
+      runTwice(args(1), args.drop(2)); return
+    }
     val Array(sfDir, outDir, rest @ _*) = args
     // optional extra args = subset of query names (dev iteration);
     // the driver passes two args and gets the full dump

@@ -639,6 +639,38 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy("doc_id")
 
+  // ---- d11: near-dup cluster representative election ("fuzzy dedup,
+  // keep the best copy") — the step a curation pipeline runs AFTER
+  // near-dup clustering: within each connected component of the
+  // verified-Jaccard graph keep exactly ONE document — the highest
+  // t02 quality score, ties to the smallest doc_id; docs outside any
+  // pair are their own component and keep themselves. The election is
+  // one aggregation — max(struct(qi, -doc_id)) per component, the
+  // LPA argmax trick: no window, no per-component sort, and qi is the
+  // integer-quantized score (floor(q·10⁴ + ½) on the 4dp-rounded
+  // value, the microQuantize discipline), so the argmax is
+  // bit-deterministic in any engine. Scale: CC is the measured
+  // pointer-jumping path (SCALE.md); scoring is map-only; election +
+  // re-join shuffle on comp reuses one partitioning. At 100 TB the
+  // scored frame is a persisted table, not recomputed per leg. ----
+  def neardup_keep_best(s: SparkSession, dir: String): DataFrame = {
+    val cc = Dedup.connectedComponents(jaccardPairsRaw(s, dir))
+      .select(col("id").as("doc_id"), col("comp"))
+    val scored = docs(s, dir)
+      .select(col("doc_id"),
+        floor(TextFunctions.qualityScore(col("text")) * 1e4 + lit(0.5))
+          .cast("long").as("qi"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val elected = scored.groupBy("comp")
+      .agg(max(struct(col("qi").as("q"), (-col("doc_id")).as("nid"))).as("w"))
+      .select(col("comp"), (-col("w.nid")).as("kept_doc"))
+    scored.join(elected, "comp")
+      .select(col("doc_id"), col("comp"), col("kept_doc"),
+        (col("doc_id") === col("kept_doc")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   // ---- triangle census over the near-dup pair graph: triples of
   // MUTUALLY near-duplicate docs (d04's verified edges). Degree-
   // oriented wedge join — candidate rows bounded by m^1.5 regardless

@@ -82,6 +82,33 @@ class PipelineGatesSpec extends SparkTestBase {
     }
   }
 
+  test("d11 keep_best: elects the max-quality doc per component; " +
+      "singletons keep themselves") {
+    // docs 0 and 1 are near-dups (Jaccard 10/13 ≈ 0.77 ≥ 0.6 within
+    // the id window); doc 50 is a singleton outside every pair
+    val rows = Seq(
+      (0L, "the and of to a in is it alpha beta", "en", "src0", 1L),
+      (1L, "the and of to a in is it alpha beta zzz !!!! ????", "en", "src0", 1L),
+      (50L, "lonely document completely different tokens here", "en", "src0", 1L))
+    val d = tmpSf(rows)
+    val got = PipelineQueries.neardup_keep_best(spark, d)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 50L))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 == 0L && byId(1L)._2 == 0L) // one comp, min-id label
+    assert(byId(50L)._2 == 50L && byId(50L)._3 == 50L && byId(50L)._4)
+    // the elected doc is the argmax of (quality, -id), recomputed
+    // through the same scorer the operator uses
+    val q = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val expectKept = Seq(0L, 1L).maxBy(id => (q(id), -id))
+    assert(byId(0L)._3 == expectKept && byId(1L)._3 == expectKept)
+    assert(got.count(_._4) == 2) // exactly one kept per component
+    assert(byId(expectKept)._4 && !byId(1L - expectKept)._4)
+  }
+
   test("p11 curriculum_scale == p08 curriculum on all-distinct lengths") {
     // distinct token counts → the cut-point deciles coincide with
     // ntile's (cut ranks ARE ntile's bucket-end ranks), and the
