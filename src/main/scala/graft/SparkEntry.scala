@@ -84,6 +84,7 @@ object SparkEntry {
     "r55_stream_sessionize" -> (StreamingQueries.stream_sessionize _),
     "r56_stream_enrich" -> (StreamingQueries.stream_enrich _),
     "r57_stream_topk" -> (StreamingQueries.stream_topk _),
+    "r58_stream_ann_ingest" -> (StreamingQueries.stream_ann_ingest _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -639,6 +640,28 @@ object SparkEntry {
                  FROM c)
          SELECT day, CAST(rank AS INTEGER) AS rank, item, est
          FROM r WHERE rank <= 5 ORDER BY day, rank""",
+
+    // r58: drained streaming cell ingestion == batch assignment over
+    // the same persisted s03 centroids (argmin squared-L2, ties to the
+    // lower cluster id) rolled up to per-cell integer checksums
+    "r58_stream_ann_ingest" ->
+      """WITH cc AS (SELECT cluster_id, centroid
+           FROM '/tmp/graft_s03_centroids/sf0.01/*.parquet'),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         celld AS (SELECT vec_id, cluster_id,
+             list_sum(list_transform(list_zip(centroid, v),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           FROM e CROSS JOIN cc),
+         assigned AS (SELECT vec_id, cluster_id AS cell FROM celld
+           QUALIFY row_number() OVER
+             (PARTITION BY vec_id ORDER BY d2, cluster_id) = 1)
+         SELECT CAST(cell AS INTEGER) AS cell,
+                count(*) AS n_vecs,
+                CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+                min(vec_id) AS min_id, max(vec_id) AS max_id
+         FROM assigned GROUP BY cell ORDER BY cell""",
 
     // r54: the stream-stream interval join drains a finite source, so
     // the attribution pairs equal the batch self-join's

@@ -328,7 +328,7 @@ object PipelineQueries {
     * for the oracles) — s03's probe and d09's semantic dedup both hang
     * off the SAME index-build artifact, as a real deployment would.
     */
-  private def centroidsFor(s: SparkSession, dir: String): Array[Array[Double]] =
+  private[queries] def centroidsFor(s: SparkSession, dir: String): Array[Array[Double]] =
     quantizerCache.computeIfAbsent(dir, _ => {
       val c = Similarity.trainQuantizer(embs(s, dir), nClusters = 8,
         maxTrainRows = 20000L)

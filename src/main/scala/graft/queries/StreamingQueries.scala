@@ -216,6 +216,48 @@ object StreamingQueries {
       .orderBy("day", "rank")
   }
 
+  /** r58: streaming ANN index ingestion — the index-MAINTENANCE path
+    * of a 100-TB ANN deployment: embeddings arrive as a stream, each
+    * is assigned map-side to its nearest coarse-quantizer cell (the
+    * SAME persisted s03 index-build artifact the batch probes use —
+    * the centroids are compile-time literals in a codegen'd
+    * expression, so assignment adds NO join and NO shuffle below the
+    * rollup), and a streaming aggregation maintains per-cell shard
+    * occupancy (count + integer id checksums) across micro-batches.
+    * State is one row per CELL — O(nlist), not O(vectors ingested):
+    * the directory a real deployment keeps while cell shards grow on
+    * disk. Four forced micro-batches (the r57 pattern) prove the
+    * per-cell counters merge through the state store. All outputs are
+    * integers; the oracle replays assignment from the same centroid
+    * parquet with the argmin/low-id tie rule and aggregates the same
+    * checksums.
+    */
+  def stream_ann_ingest(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val base = scratchDir(s, "r58", dir)
+    val splitDir = s"$base/src"
+    s.read.schema(schema).parquet(s"$dir/embeddings.parquet")
+      .repartition(4).write.mode("overwrite").parquet(splitDir)
+    // fit-or-load the shared quantizer BEFORE the stream starts (also
+    // persists the parquet the oracle reads — the s03 contract)
+    val centroids = PipelineQueries.centroidsFor(s, dir)
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(splitDir)
+    val agg = graft.operators.Similarity.assignCells(stream, centroids)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"),
+        min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.format("memory").queryName("r58_sink")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      drain("r58", q)
+    }
+    s.table("r58_sink")
+      .select(col("cell").cast("int").as("cell"), col("n_vecs"),
+        col("sum_ids"), col("min_id"), col("max_id"))
+      .orderBy("cell")
+  }
+
   /** r53: streaming deduplication — every event arrives TWICE (two
     * independent streaming reads of the same dir, unioned), so the
     * stateful dropDuplicates must collapse each key to exactly one

@@ -114,6 +114,30 @@ class StreamingQueriesSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
   }
 
+  test("r58 streaming cell ingestion == batch assignment rollup, " +
+      "state one row per cell") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.stream_ann_ingest(spark, dir).collect()
+    val centroids = PipelineQueries.centroidsFor(spark, dir)
+    val batch = graft.operators.Similarity.assignCells(
+        graft.Tables.load(spark, dir, "embeddings"), centroids)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"),
+        min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+      .select(col("cell").cast("int"), col("n_vecs"), col("sum_ids"),
+        col("min_id"), col("max_id"))
+      .orderBy("cell").collect()
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+    // the index-directory contract: state rows == cells, not vectors
+    val progs = StreamingQueries.progressByGate("r58")
+      .filter(_.stateOperators.nonEmpty)
+    assert(progs.nonEmpty)
+    val finalRows = progs.last.stateOperators.map(_.numRowsTotal).sum
+    assert(finalRows === batch.length.toLong,
+      s"state rows $finalRows != cell count ${batch.length}")
+  }
+
   test("r57 streaming top-k sketch == exact per-day batch top-5") {
     assume(new java.io.File(dir).isDirectory)
     import org.apache.spark.sql.functions._
