@@ -327,10 +327,23 @@ object ScaleRehearsal {
       val r57 = time(
         graft.queries.StreamingQueries.stream_topk(spark, work).count())
       val s57 = stateJson("r57")
-      println(s"""{"mult":$mult,"events":$nEvents,""" +
+      // r58 leg: M salted copies of embeddings through the streaming
+      // cell-ingestion gate. The cell set is fixed by centroidsFor's
+      // nClusters=8 regardless of the label treatment (the gate never
+      // reads `label`; growIndex only varies the labels), so per-cell
+      // occupancy state must stay FLAT at nlist rows while ingested
+      // vectors grow ∝ M
+      saltedEmbeddings(spark, sfDir, mult, growIndex = false)
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+      val nVecs = spark.read.parquet(s"$work/embeddings.parquet").count()
+      val r58 = time(graft.queries.StreamingQueries
+        .stream_ann_ingest(spark, work).count())
+      val s58 = stateJson("r58")
+      println(s"""{"mult":$mult,"events":$nEvents,"vectors":$nVecs,""" +
         s""""r53":${jq(r53)},"r53_state":$s53,""" +
         s""""r55":${jq(r55)},"r55_state":$s55,""" +
-        s""""r57":${jq(r57)},"r57_state":$s57}""")
+        s""""r57":${jq(r57)},"r57_state":$s57,""" +
+        s""""r58":${jq(r58)},"r58_state":$s58}""")
     } else if (mode == "clean") {
       // the corpus-cleaning path: p06 boilerplate removal (its
       // boilerplate paragraph SET stays ~22 entries at every M —
