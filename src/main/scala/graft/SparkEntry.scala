@@ -115,6 +115,7 @@ object SparkEntry {
     "p09_chunking" -> (PipelineQueries.chunk_docs _),
     "p10_pipeline" -> (PipelineQueries.pipeline_end_to_end _),
     "p11_curriculum_scale" -> (PipelineQueries.curriculum_scale _),
+    "t15_cdc_chunks" -> (PipelineQueries.cdc_chunks _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -1651,6 +1652,28 @@ object SparkEntry {
                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
                   AS batch
          FROM dd ORDER BY batch, decile, doc_id""",
+
+    // t15: content-defined chunking — a token whose md5 hex starts
+    // with '0' ends its chunk; chunk ids are the prefix-count of
+    // PRECEDING boundary tokens, hashes fold tokens in position order
+    "t15_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS toks
+           FROM documents),
+         p AS (SELECT doc_id, i AS pos, toks[i] AS tok
+           FROM t, LATERAL unnest(range(1, len(toks)+1)) AS u(i)),
+         c AS (SELECT doc_id, pos, tok,
+             coalesce(sum(CASE WHEN substr(md5(tok),1,1)='0'
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS chunk_idx
+           FROM p)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                count(*) AS n_toks,
+                md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+         FROM c GROUP BY doc_id, chunk_idx
+         ORDER BY doc_id, chunk_idx""",
 
     // p09: 64-token chunks at stride 48 — chunk count floor((n-1)/48)+1,
     // per-chunk token span and md5 of the joined window

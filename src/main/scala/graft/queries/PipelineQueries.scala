@@ -1019,6 +1019,36 @@ object PipelineQueries {
       FROM ranks ORDER BY g, p""")
   }
 
+  // ---- t15: content-defined chunking (gear/FastCDC-style) — chunk
+  // boundaries chosen by token CONTENT, not position: a token whose
+  // md5 hex starts with '0' (p = 1/16 → ~16-token expected chunks)
+  // ENDS its chunk. Unlike p09's fixed-stride windows, an insertion
+  // shifts only the one chunk it lands in — every later boundary
+  // re-synchronizes — which is what makes CDC chunks the right unit
+  // for insertion-robust dedup (rsync/LBFS/FastCDC lineage; the
+  // production min/max clamps are a sequential scan and are
+  // deliberately omitted — they would serialize the parallel prefix).
+  // Plan shape: posexplode → per-doc window prefix-sum of boundary
+  // flags (partition-parallel on doc_id) → one groupBy; the chunk
+  // hash folds tokens in position order via sorted structs, so the
+  // whole gate is deterministic integer/hex arithmetic. ----
+  def cdc_chunks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(s, dir).select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary =
+      when(substring(md5(col("tok")), 1, 1) === "0", lit(1L)).otherwise(lit(0L))
+    t.withColumn("chunk_idx", coalesce(sum(boundary).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_toks"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---- Z-order layout key: the Morton interleave that drives the
   // multi-dimensional write clustering (see operators.Zorder — per-
   // file bounding boxes tight in BOTH dims, pinned by ZorderSpec).

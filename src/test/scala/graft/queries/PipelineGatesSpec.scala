@@ -136,6 +136,28 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(got.map(_._4).sorted == (1L to 20L))
   }
 
+  test("t15 cdc_chunks: boundaries exactly at md5-'0' tokens; " +
+      "insertion shifts only one chunk") {
+    // 'dog' / 'ink' / 'oak' have md5 starting '0' (boundary tokens —
+    // each ENDS its chunk); 'the' / 'word' do not
+    val doc0 = "the word dog the ink word word oak the"
+    //          chunk0: the word dog | chunk1: the ink | chunk2: word word oak | chunk3: the
+    val doc1 = "the word word dog the ink word word oak the" // +1 token in chunk0
+    val d = tmpSf(Seq((0L, doc0, "en", "src0", 1L), (1L, doc1, "en", "src0", 1L)))
+    val got = PipelineQueries.cdc_chunks(spark, d)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val c0 = got.filter(_._1 == 0L)
+    assert(c0.map(c => (c._2, c._3)) == Seq((0L, 3L), (1L, 2L), (2L, 3L), (3L, 1L)))
+    val c1 = got.filter(_._1 == 1L)
+    assert(c1.map(c => (c._2, c._3)) == Seq((0L, 4L), (1L, 2L), (2L, 3L), (3L, 1L)))
+    // the CDC property: the insertion changed ONLY chunk 0's hash —
+    // every later chunk re-synchronized to an identical hash
+    val h0 = c0.map(c => c._2 -> c._4).toMap
+    val h1 = c1.map(c => c._2 -> c._4).toMap
+    assert(h0(0L) != h1(0L))
+    (1L to 3L).foreach(i => assert(h0(i) == h1(i), s"chunk $i diverged"))
+  }
+
   test("m09 scene_cuts: fires exactly at the synth's mod-256 wraps") {
     val d = tmpSf((0L until 40L).map(i => (i, "t", "en", "src0", 1L)))
     val got = PipelineQueries.multimodal_scenes(spark, d)
