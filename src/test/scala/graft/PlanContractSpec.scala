@@ -183,6 +183,53 @@ class PlanContractSpec extends SparkTestBase {
         s"$filesInMonth — partition pruning regressed")
   }
 
+  test("partition-less Windows appear ONLY in the audited whitelist — " +
+      "a global sort funnel in any other gate is a regression") {
+    // Each whitelisted gate's global window runs over a BOUNDED or
+    // deliberately-global frame (audited in PLANS.md / VERDICT r10):
+    //  - p08: the oracle-exact ntile form (p11 is the scale-safe one)
+    //  - p10/g04: single-logical-group packing / residual ranking,
+    //    parameterized by partition columns in the operator API
+    //  - s05/s07/s09: per-query shortlist frames (≤ Q×cells rows)
+    //  - r35/r36: CH FINAL / LIMIT BY rewrites over gate-sized groups
+    // Anything else planning a window with NO partition spec funnels
+    // the whole input through one task — the p08 scale-killer class.
+    val allowedGlobalWindow = Set("p08_curriculum", "p10_pipeline",
+      "g04_pagerank", "s05_pq_adc", "s07_ivf_pq", "s09_ann_rerank",
+      "r35_ch_final", "r36_ch_limit_by")
+    // a formatted Window block prints `Arguments: [fns], [part], [ord]`
+    // when partitioned and only `[fns], [ord]` when global
+    def topGroups(s: String): Int = {
+      var depth = 0; var n = 0
+      s.foreach {
+        case '[' => if (depth == 0) n += 1; depth += 1
+        case ']' => depth -= 1
+        case _ => ()
+      }
+      n
+    }
+    // streaming gates excluded: building their DataFrame DRAINS the
+    // stream (minutes across the family), and their returned frame is
+    // a memory-sink projection, not the stateful plan itself
+    val streamingGates = Set("r52_stream_window", "r53_stream_dedup",
+      "r54_stream_join", "r55_stream_sessionize", "r56_stream_enrich",
+      "r57_stream_topk", "r58_stream_ann_ingest")
+    val offenders = (SparkEntry.queries.keys.toSet -- streamingGates)
+        .toSeq.sorted.flatMap { name =>
+      val lines = formatted(name).linesIterator.toVector
+      val global = lines.indices.exists { i =>
+        lines(i).trim.matches("\\(\\d+\\) Window(GroupLimit)?.*") &&
+          (i + 1 until math.min(i + 5, lines.length)).exists { j =>
+            lines(j).contains("Arguments: ") &&
+              topGroups(lines(j).dropWhile(_ != '[')) == 2
+          }
+      }
+      if (global && !allowedGlobalWindow(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"gates plan partition-less Windows outside the whitelist: $offenders")
+  }
+
   test("r28's bloom probe filters sit below the semi-join") {
     val ops = opBlocks(formatted("r28_bloom_semijoin"))
     val joins = ops.collect { case (i, op, _) if op.contains("Join") => i }
