@@ -148,6 +148,7 @@ object SparkEntry {
     "m04_video_meta" -> (PipelineQueries.multimodal_video _),
     "m08_audio_features" -> (PipelineQueries.multimodal_audio_features _),
     "m09_scene_cuts" -> (PipelineQueries.multimodal_scenes _),
+    "m10_silence_runs" -> (PipelineQueries.multimodal_silence _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2080,6 +2081,32 @@ object SparkEntry {
                 CAST(max(abs(v)) AS INTEGER) AS peak
          FROM w GROUP BY doc_id, window_idx
          ORDER BY doc_id, window_idx""",
+
+    // m10: silence runs over the same closed-form sawtooth — islands
+    // of |v| < 256 lasting >= 4 samples via the i - row_number() trick
+    "m10_silence_runs" ->
+      """WITH d AS (SELECT doc_id, doc_id % 1000 + 100 AS nf FROM documents),
+         s AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS i
+               FROM d),
+         v AS (SELECT doc_id, i,
+                 (doc_id*31 + 17*i) % 4096 - 2048 AS v
+               FROM s),
+         sil AS (SELECT doc_id, i FROM v WHERE abs(v) < 256),
+         g AS (SELECT doc_id, i,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                   AS grp
+               FROM sil),
+         runs AS (SELECT doc_id, min(i) AS start_sample,
+                    count(*) AS n_samples
+                  FROM g GROUP BY doc_id, grp),
+         keep AS (SELECT doc_id, start_sample, n_samples
+                  FROM runs WHERE n_samples >= 4)
+         SELECT doc_id,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY start_sample) - 1 AS INTEGER) AS seg_idx,
+                CAST(start_sample AS INTEGER) AS start_sample,
+                CAST(n_samples AS INTEGER) AS n_samples
+         FROM keep ORDER BY doc_id, seg_idx""",
 
     // m02: fixed-size byte windows, every 3rd — the oracle reproduces
     // the frame arithmetic (last frame is the remainder)

@@ -520,6 +520,65 @@ object Multimodal {
     }.toDF("id", "window_idx", "n_samples", "sum_sq", "zero_cross", "peak")
   }
 
+  /** Silence-run segmentation (the VAD-style activity gate an audio
+    * training pipeline runs before feature extraction): contiguous
+    * runs of |sample| < threshold lasting ≥ minRun samples, as
+    * (seg_idx, start_sample, n_samples) per payload. The scan is
+    * sequential PER PAYLOAD inside the decode partition — runs are an
+    * inherently serial property of one waveform, but payloads stay
+    * embarrassingly parallel and nothing shuffles below the rollup.
+    * Same decode contract as [[audioWindows]] (16-bit signed mono LE
+    * PCM through the real RIFF parser; anything else → no rows).
+    */
+  def decodeSilenceRuns(df: DataFrame, idCol: String, payloadCol: String,
+      threshold: Int, minRun: Int): DataFrame = {
+    require(threshold > 0 && minRun >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    mapBinaryBatches(df, idCol, payloadCol) { it =>
+      it.flatMap { case (id, bytes) =>
+        silenceRuns(bytes, threshold, minRun).iterator.zipWithIndex.map {
+          case ((start, len), idx) => (id, idx, start, len)
+        }
+      }
+    }.toDF("id", "seg_idx", "start_sample", "n_samples")
+  }
+
+  /** (start, length) of each qualifying silence run — see
+    * [[decodeSilenceRuns]] for the contract.
+    */
+  def silenceRuns(bytes: Array[Byte], threshold: Int, minRun: Int)
+      : List[(Int, Int)] = {
+    if (bytes == null || bytes.isEmpty) return Nil
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+          f.isBigEndian ||
+          f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return Nil
+      val data = ais.readAllBytes()
+      val nSamples = data.length / 2
+      val out = List.newBuilder[(Int, Int)]
+      var i = 0
+      var runStart = -1
+      while (i <= nSamples) {
+        val silent = i < nSamples && {
+          val v = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toInt
+          math.abs(v) < threshold
+        }
+        if (silent && runStart < 0) runStart = i
+        else if (!silent && runStart >= 0) {
+          if (i - runStart >= minRun) out += ((runStart, i - runStart))
+          runStart = -1
+        }
+        i += 1
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
   /** Decode a WAV payload to per-window (n, Σv², zero-crossings, peak).
     * Only the exact shape the pipeline synthesizes is accepted (16-bit
     * signed mono little-endian PCM) — anything else yields Nil, the

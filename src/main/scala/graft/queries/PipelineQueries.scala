@@ -1278,6 +1278,28 @@ object PipelineQueries {
       .orderBy("doc_id", "window_idx")
   }
 
+  // ---- m10: silence-run segmentation (VAD-style activity gating) —
+  // the audio pipeline's cleaning pass: contiguous |v| < 256 runs of
+  // ≥ 4 samples over the SAME synthesized-then-really-decoded sawtooth
+  // as m08. The run scan is serial per waveform inside the decode
+  // partition (runs are a serial property of one signal; payloads stay
+  // parallel); the oracle regenerates the closed-form samples and
+  // finds the same islands with the i − row_number() gaps trick. All
+  // integers. ----
+  def multimodal_silence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wav = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        (id, graft.multimodal.Multimodal.synthWavWave(
+          frames = (id % 1000 + 100).toInt, sampleRate = 8000f, seed = id))
+      }.toDF("doc_id", "payload")
+    graft.multimodal.Multimodal
+      .decodeSilenceRuns(wav, "doc_id", "payload", threshold = 256, minRun = 4)
+      .selectExpr("id AS doc_id", "CAST(seg_idx AS INT) AS seg_idx",
+        "start_sample", "n_samples")
+      .orderBy("doc_id", "seg_idx")
+  }
+
   def multimodal_frames(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.stubFrameSample(
         docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),

@@ -217,6 +217,36 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.synthWav(10, 8000f, channels = 2), 256) === Nil)
   }
 
+  test("silenceRuns: islands of |v|<T, >= minRun, match the closed form; " +
+      "honest Nil") {
+    val seed = 5L; val frames = 900
+    val wav = Multimodal.synthWavWave(frames, 8000f, seed)
+    def sample(i: Int): Int = ((seed * 31 + 17L * i) % 4096 - 2048).toInt
+    // independent reference: gaps-and-islands over the closed form
+    def ref(threshold: Int, minRun: Int): List[(Int, Int)] = {
+      val silent = (0 until frames).map(i => math.abs(sample(i)) < threshold)
+      val runs = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      var start = -1
+      for (i <- 0 to frames) {
+        val s = i < frames && silent(i)
+        if (s && start < 0) start = i
+        else if (!s && start >= 0) {
+          if (i - start >= minRun) runs += ((start, i - start)); start = -1
+        }
+      }
+      runs.toList
+    }
+    val got = Multimodal.silenceRuns(wav, threshold = 256, minRun = 4)
+    assert(got === ref(256, 4) && got.nonEmpty)
+    // run lengths: the sawtooth steps +17 per sample, so a silence
+    // band of width 511 yields ~30-sample runs — all must qualify
+    assert(got.forall(_._2 >= 4))
+    // a run ending AT the payload end is still emitted (the i==n flush)
+    val trunc = Multimodal.silenceRuns(wav, threshold = 4096, minRun = 4)
+    assert(trunc === List((0, frames))) // everything silent → one run
+    assert(Multimodal.silenceRuns("not audio".getBytes, 256, 4) === Nil)
+  }
+
   test("stubFrameSample: one row per sampled frame, never all frames in one row") {
     val frames = Multimodal.stubFrameSample(docs, "id", "payload",
       everyNth = 2, frameBytes = 1000)
