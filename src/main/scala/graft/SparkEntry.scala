@@ -116,6 +116,7 @@ object SparkEntry {
     "p10_pipeline" -> (PipelineQueries.pipeline_end_to_end _),
     "p11_curriculum_scale" -> (PipelineQueries.curriculum_scale _),
     "t15_cdc_chunks" -> (PipelineQueries.cdc_chunks _),
+    "d12_cdc_dup_chunks" -> (PipelineQueries.cdc_dup_chunks _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -1675,6 +1676,36 @@ object SparkEntry {
                 md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
          FROM c GROUP BY doc_id, chunk_idx
          ORDER BY doc_id, chunk_idx""",
+
+    // d12: chunk-granular duplication over the t15 CDC chunks —
+    // same chunk CTEs, then hashes shared by >= 2 distinct docs
+    "d12_cdc_dup_chunks" ->
+      """WITH t AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS toks
+           FROM documents),
+         p AS (SELECT doc_id, i AS pos, toks[i] AS tok
+           FROM t, LATERAL unnest(range(1, len(toks)+1)) AS u(i)),
+         c AS (SELECT doc_id, pos, tok,
+             coalesce(sum(CASE WHEN substr(md5(tok),1,1)='0'
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS chunk_idx
+           FROM p),
+         ch AS (SELECT doc_id, chunk_idx,
+                  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+                FROM c GROUP BY doc_id, chunk_idx),
+         dup AS (SELECT chunk_hash FROM ch
+                 GROUP BY chunk_hash
+                 HAVING count(DISTINCT doc_id) >= 2),
+         pd AS (SELECT doc_id, count(*) AS n_chunks
+                FROM ch GROUP BY doc_id),
+         dd AS (SELECT ch.doc_id, count(*) AS n_dup_chunks
+                FROM ch JOIN dup USING (chunk_hash) GROUP BY ch.doc_id)
+         SELECT pd.doc_id, pd.n_chunks,
+                coalesce(dd.n_dup_chunks, 0) AS n_dup_chunks
+         FROM pd LEFT JOIN dd ON pd.doc_id = dd.doc_id
+         ORDER BY pd.doc_id""",
 
     // p09: 64-token chunks at stride 48 — chunk count floor((n-1)/48)+1,
     // per-chunk token span and md5 of the joined window

@@ -1049,6 +1049,29 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // ---- d12: cross-document duplicate CDC chunks — what t15's chunks
+  // exist FOR: chunk-granular duplication detection that survives
+  // insertions (a fixed-stride scheme mis-aligns after one inserted
+  // token; CDC boundaries re-synchronize, so shared spans still hash
+  // equal). Per doc: total chunks and how many of its chunk INSTANCES
+  // have a hash shared with ≥2 distinct docs. Shuffle carries
+  // (chunk_hash, doc_id) only — never text; the dup-hash side joins
+  // back co-partitioned on the hash it aggregated on (exchange
+  // reuse), the d10 scale argument verbatim. ----
+  def cdc_dup_chunks(s: SparkSession, dir: String): DataFrame = {
+    val ch = cdc_chunks(s, dir).select("doc_id", "chunk_hash")
+    val dup = ch.groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+      .select("chunk_hash")
+    val perDoc = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val dupPerDoc = ch.join(dup, "chunk_hash")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
+
   // ---- Z-order layout key: the Morton interleave that drives the
   // multi-dimensional write clustering (see operators.Zorder — per-
   // file bounding boxes tight in BOTH dims, pinned by ZorderSpec).

@@ -158,6 +158,21 @@ class PipelineGatesSpec extends SparkTestBase {
     (1L to 3L).foreach(i => assert(h0(i) == h1(i), s"chunk $i diverged"))
   }
 
+  test("d12 cdc_dup_chunks: re-synchronized chunks count as duplicates " +
+      "despite the insertion") {
+    // same planted pair as the t15 spec: doc1 = doc0 with one token
+    // inserted in chunk 0 — chunks 1..3 re-align and hash equal, so
+    // each doc has 4 chunks of which 3 are duplicated; doc 50 has none
+    val doc0 = "the word dog the ink word word oak the"
+    val doc1 = "the word word dog the ink word word oak the"
+    val d = tmpSf(Seq((0L, doc0, "en", "src0", 1L),
+      (1L, doc1, "en", "src0", 1L),
+      (50L, "lonely words only here", "en", "src0", 1L)))
+    val got = PipelineQueries.cdc_dup_chunks(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 4L, 3L), (1L, 4L, 3L), (50L, 1L, 0L)))
+  }
+
   test("m09 scene_cuts: fires exactly at the synth's mod-256 wraps") {
     val d = tmpSf((0L until 40L).map(i => (i, "t", "en", "src0", 1L)))
     val got = PipelineQueries.multimodal_scenes(spark, d)
