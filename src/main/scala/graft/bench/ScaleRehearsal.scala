@@ -395,8 +395,19 @@ object ScaleRehearsal {
         .agg(sum("dup_windows"), sum("n_windows")).first().getLong(0))
       val p07 =
         time(graft.queries.PipelineQueries.temperature_mix(spark, work).count())
+      // t15/d12 CDC legs: the same rotation argument — cross-copy
+      // chunk hashes never collide, so chunk-duplication DENSITY
+      // stays constant while chunks grow ∝ M. t15 is explode +
+      // per-doc prefix-sum + one groupBy (shuffle ∝ tokens); d12 adds
+      // the (hash, id) dup join ∝ chunks. Aggregate outputs (not
+      // count) so the left join / windows can't be pruned.
+      val t15 = time(graft.queries.PipelineQueries.cdc_chunks(spark, work)
+        .agg(sum("n_toks")).first().getLong(0))
+      val d12 = time(graft.queries.PipelineQueries.cdc_dup_chunks(spark, work)
+        .agg(sum("n_dup_chunks"), sum("n_chunks")).first().getLong(0))
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
-        s""""d10":${jq(d10)},"p07":${jq(p07)}}""")
+        s""""d10":${jq(d10)},"p07":${jq(p07)},""" +
+        s""""t15":${jq(t15)},"d12":${jq(d12)}}""")
     } else {
       // salted inputs land in parquet FIRST so the measured section is
       // the engine, not the salting union
