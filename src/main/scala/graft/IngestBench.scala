@@ -143,7 +143,7 @@ object IngestBench {
       println(s"[sweep] streaming mfpt=$mfpt ${total / 1000}k records: " +
         f"$sec%.1fs over $batches micro-batches = $rph rec/hr " +
         s"stored_ok=${stored == total}")
-      (rph,
+      (if (stored == total) rph else 0L, // only verified runs can lead
         s"""{"max_files_per_trigger":$mfpt,"records":$total,""" +
         s""""sec":${(sec * 100).round / 100.0},""" +
         s""""micro_batches":$batches,"records_per_hour":$rph,""" +

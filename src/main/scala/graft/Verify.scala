@@ -61,6 +61,7 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--twice")) {
+      require(args.length >= 2, "usage: Verify --twice <sfDir> [names...]")
       runTwice(args(1), args.drop(2)); return
     }
     val Array(sfDir, outDir, rest @ _*) = args

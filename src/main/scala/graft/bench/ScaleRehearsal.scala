@@ -248,11 +248,13 @@ object ScaleRehearsal {
       // lengths (flat-ish), decile CASE is map-only, batch rank is
       // two-level bucketed — per-doc cost must stay flat in M, and no
       // single task may see more than a (decile, md5-prefix) slice.
-      // Aggregate the output (not count()) so Catalyst can't prune
-      // the rank join/window subtree (the d10 lesson).
+      // Consume sum(batch) via first() (NOT .count(): a trailing
+      // count() lets Catalyst prune the unused rank window — the very
+      // subtree this leg measures — out of the executed plan; the
+      // d10 lesson, which the first cut of this leg re-learned)
       val p11 = time(graft.queries.PipelineQueries
         .curriculum_scale(spark, work)
-        .agg(sum(col("batch")), max(col("decile"))).count())
+        .agg(sum(col("batch"))).first().getLong(0))
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
         s""""t07":${jq(t07)},"t06":${jq(t06)},"t04":${jq(t04)},""" +
         s""""t12":${jq(t12)},"p11":${jq(p11)}}""")

@@ -544,12 +544,14 @@ object Multimodal {
     }.toDF("id", "seg_idx", "start_sample", "n_samples")
   }
 
-  /** (start, length) of each qualifying silence run — see
-    * [[decodeSilenceRuns]] for the contract.
+  /** The ONE decode contract of the audio family, shared by
+    * [[audioWindows]] and [[silenceRuns]] so the accepted-format guard
+    * and the LE sample extraction can never diverge between gates:
+    * a real RIFF parse accepting exactly 16-bit signed mono LE PCM;
+    * anything else → null (the family's honest reject).
     */
-  def silenceRuns(bytes: Array[Byte], threshold: Int, minRun: Int)
-      : List[(Int, Int)] = {
-    if (bytes == null || bytes.isEmpty) return Nil
+  private def pcm16MonoSamples(bytes: Array[Byte]): Array[Int] = {
+    if (bytes == null || bytes.isEmpty) return null
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -557,26 +559,38 @@ object Multimodal {
       if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
           f.isBigEndian ||
           f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-        return Nil
+        return null
       val data = ais.readAllBytes()
-      val nSamples = data.length / 2
-      val out = List.newBuilder[(Int, Int)]
+      val out = new Array[Int](data.length / 2)
       var i = 0
-      var runStart = -1
-      while (i <= nSamples) {
-        val silent = i < nSamples && {
-          val v = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toInt
-          math.abs(v) < threshold
-        }
-        if (silent && runStart < 0) runStart = i
-        else if (!silent && runStart >= 0) {
-          if (i - runStart >= minRun) out += ((runStart, i - runStart))
-          runStart = -1
-        }
+      while (i < out.length) {
+        out(i) = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toInt
         i += 1
       }
-      out.result()
-    } catch { case scala.util.control.NonFatal(_) => Nil }
+      out
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** (start, length) of each qualifying silence run — see
+    * [[decodeSilenceRuns]] for the contract.
+    */
+  def silenceRuns(bytes: Array[Byte], threshold: Int, minRun: Int)
+      : List[(Int, Int)] = {
+    val samples = pcm16MonoSamples(bytes)
+    if (samples == null) return Nil
+    val out = List.newBuilder[(Int, Int)]
+    var i = 0
+    var runStart = -1
+    while (i <= samples.length) {
+      val silent = i < samples.length && math.abs(samples(i)) < threshold
+      if (silent && runStart < 0) runStart = i
+      else if (!silent && runStart >= 0) {
+        if (i - runStart >= minRun) out += ((runStart, i - runStart))
+        runStart = -1
+      }
+      i += 1
+    }
+    out.result()
   }
 
   /** Decode a WAV payload to per-window (n, Σv², zero-crossings, peak).
@@ -589,41 +603,32 @@ object Multimodal {
     */
   def audioWindows(bytes: Array[Byte], window: Int)
       : List[(Int, Long, Int, Int)] = {
-    if (bytes == null || bytes.isEmpty) return Nil
-    try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val f = ais.getFormat
-      if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
-          f.isBigEndian ||
-          f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-        return Nil
-      val data = ais.readAllBytes()
-      val nSamples = data.length / 2
-      val out = List.newBuilder[(Int, Long, Int, Int)]
-      var w0 = 0
-      while (w0 < nSamples) {
-        val w1 = math.min(w0 + window, nSamples)
-        var i = w0
-        var sumSq = 0L
-        var zc = 0
-        var peak = 0
-        var prevNeg = false
-        while (i < w1) {
-          val v = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toInt
-          sumSq += v.toLong * v
-          val a = math.abs(v)
-          if (a > peak) peak = a
-          val neg = v < 0
-          if (i > w0 && neg != prevNeg) zc += 1
-          prevNeg = neg
-          i += 1
-        }
-        out += ((w1 - w0, sumSq, zc, peak))
-        w0 = w1
+    val samples = pcm16MonoSamples(bytes)
+    if (samples == null) return Nil
+    val nSamples = samples.length
+    val out = List.newBuilder[(Int, Long, Int, Int)]
+    var w0 = 0
+    while (w0 < nSamples) {
+      val w1 = math.min(w0 + window, nSamples)
+      var i = w0
+      var sumSq = 0L
+      var zc = 0
+      var peak = 0
+      var prevNeg = false
+      while (i < w1) {
+        val v = samples(i)
+        sumSq += v.toLong * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        val neg = v < 0
+        if (i > w0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        i += 1
       }
-      out.result()
-    } catch { case scala.util.control.NonFatal(_) => Nil }
+      out += ((w1 - w0, sumSq, zc, peak))
+      w0 = w1
+    }
+    out.result()
   }
 
   /** Deterministic 16-bit mono PCM WAV whose samples follow the closed

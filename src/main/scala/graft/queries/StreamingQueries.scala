@@ -105,13 +105,27 @@ object StreamingQueries {
     * index artifacts: those paths are read back by the driver's DuckDB
     * oracle as literal SQL strings and must stay pinned.
     */
-  private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val hookedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def scratchDir(s: SparkSession, gate: String, sfDir: String): java.io.File = {
     val root = new java.io.File(
       s"/tmp/graft_stream_${s.sparkContext.applicationId}")
-    if (hookInstalled.compareAndSet(false, true))
+    if (hookedRoots.add(root.getPath)) {
+      // one hook PER ROOT: a JVM that opens a second session (new app
+      // id) still cleans both roots at exit
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(root)))
+      // reclaim siblings a SIGKILLed run left behind (shutdown hooks
+      // never fired there): app-id-scoped names never collide across
+      // live runs, so anything untouched for 6h is garbage — without
+      // this sweep /tmp accumulates a full per-gate source copy per
+      // crashed run, which the old pinned-path scheme overwrote free
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_stream_") &&
+          f.getPath != root.getPath &&
+          f.lastModified < System.currentTimeMillis - 6L * 3600 * 1000)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    }
     val d = new java.io.File(root,
       s"$gate/${new java.io.File(sfDir).getName}")
     org.apache.commons.io.FileUtils.deleteQuietly(d)

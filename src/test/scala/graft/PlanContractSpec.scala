@@ -190,23 +190,24 @@ class PlanContractSpec extends SparkTestBase {
     //  - p08: the oracle-exact ntile form (p11 is the scale-safe one)
     //  - p10/g04: single-logical-group packing / residual ranking,
     //    parameterized by partition columns in the operator API
-    //  - s05/s07/s09: per-query shortlist frames (≤ Q×cells rows)
-    //  - r35/r36: CH FINAL / LIMIT BY rewrites over gate-sized groups
     // Anything else planning a window with NO partition spec funnels
     // the whole input through one task — the p08 scale-killer class.
-    val allowedGlobalWindow = Set("p08_curriculum", "p10_pipeline",
-      "g04_pagerank", "s05_pq_adc", "s07_ivf_pq", "s09_ann_rerank",
-      "r35_ch_final", "r36_ch_limit_by")
-    // a formatted Window block prints `Arguments: [fns], [part], [ord]`
-    // when partitioned and only `[fns], [ord]` when global
-    def topGroups(s: String): Int = {
-      var depth = 0; var n = 0
-      s.foreach {
-        case '[' => if (depth == 0) n += 1; depth += 1
-        case ']' => depth -= 1
+    val allowedGlobalWindow =
+      Set("p08_curriculum", "p10_pipeline", "g04_pagerank")
+    // formatted print forms differ by node kind:
+    //  - Window:           `Arguments: [fns], [part], [ord]` when
+    //    partitioned; only `[fns], [ord]` (2 groups) when global
+    //  - WindowGroupLimit: `Arguments: [part], [ord], fn, k, mode` —
+    //    always 2 bracket groups; global iff the FIRST group is `[]`
+    def topGroups(s: String): Seq[String] = {
+      var depth = 0; var start = -1
+      val out = Seq.newBuilder[String]
+      s.zipWithIndex.foreach {
+        case ('[', i) => if (depth == 0) start = i; depth += 1
+        case (']', i) => depth -= 1; if (depth == 0) out += s.substring(start, i + 1)
         case _ => ()
       }
-      n
+      out.result()
     }
     // streaming gates excluded: building their DataFrame DRAINS the
     // stream (minutes across the family), and their returned frame is
@@ -214,15 +215,23 @@ class PlanContractSpec extends SparkTestBase {
     val streamingGates = Set("r52_stream_window", "r53_stream_dedup",
       "r54_stream_join", "r55_stream_sessionize", "r56_stream_enrich",
       "r57_stream_topk", "r58_stream_ann_ingest")
+    val nodeRe = "\\((\\d+)\\) (Window|WindowGroupLimit)\\b.*".r
     val offenders = (SparkEntry.queries.keys.toSet -- streamingGates)
         .toSeq.sorted.flatMap { name =>
       val lines = formatted(name).linesIterator.toVector
       val global = lines.indices.exists { i =>
-        lines(i).trim.matches("\\(\\d+\\) Window(GroupLimit)?.*") &&
-          (i + 1 until math.min(i + 5, lines.length)).exists { j =>
-            lines(j).contains("Arguments: ") &&
-              topGroups(lines(j).dropWhile(_ != '[')) == 2
-          }
+        lines(i).trim match {
+          case nodeRe(_, kind) =>
+            (i + 1 until math.min(i + 5, lines.length)).exists { j =>
+              lines(j).contains("Arguments: ") && {
+                val gs = topGroups(
+                  lines(j).substring(lines(j).indexOf("Arguments: ") + 11))
+                if (kind == "Window") gs.length == 2
+                else gs.headOption.contains("[]")
+              }
+            }
+          case _ => false
+        }
       }
       if (global && !allowedGlobalWindow(name)) Some(name) else None
     }
