@@ -117,6 +117,7 @@ object SparkEntry {
     "p11_curriculum_scale" -> (PipelineQueries.curriculum_scale _),
     "t15_cdc_chunks" -> (PipelineQueries.cdc_chunks _),
     "d12_cdc_dup_chunks" -> (PipelineQueries.cdc_dup_chunks _),
+    "g07_kcore" -> (PipelineQueries.kcore _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
     "s03_ann_ivf_kmeans" -> (PipelineQueries.ann_ivf_kmeans _),
@@ -1064,6 +1065,33 @@ object SparkEntry {
            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
          SELECT src AS doc_id, min(node) AS comp
          FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // g07: 3 unrolled rounds of the k=2 peel over the same verified-
+    // Jaccard edge list as p02/g05/g06; survivors with final degree
+    "g07_kcore" ->
+      """WITH d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
+         e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+         k0 AS (SELECT src AS node FROM e0 GROUP BY src
+                HAVING count(*) >= 2),
+         e1 AS (SELECT e.src, e.dst FROM e0 e
+                JOIN k0 a ON e.src = a.node JOIN k0 b ON e.dst = b.node),
+         k1 AS (SELECT src AS node FROM e1 GROUP BY src
+                HAVING count(*) >= 2),
+         e2 AS (SELECT e.src, e.dst FROM e1 e
+                JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node),
+         k2 AS (SELECT src AS node FROM e2 GROUP BY src
+                HAVING count(*) >= 2),
+         e3 AS (SELECT e.src, e.dst FROM e2 e
+                JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node)
+         SELECT src AS node_id, count(*) AS degree
+         FROM e3 GROUP BY src ORDER BY node_id""",
 
     // d11: representative election over the p02 component structure —
     // same recursive reach + the t02 quality arithmetic, election by

@@ -689,6 +689,16 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("lbl").as("community"))
       .orderBy("doc_id")
 
+  // ---- g07: k-core peeling over the near-dup graph — the degeneracy
+  // filter (drop nodes that can't sustain k connections once their
+  // weak neighbors peel; what survives 3 synchronized rounds of the
+  // k=2 peel is the densely-duplicated cluster structure curation
+  // acts on). Deterministic by fixed rounds, so the oracle unrolls
+  // the same 3 rounds relationally. ----
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    graft.graph.KCore.peel(jaccardPairsRaw(s, dir), k = 2, rounds = 3)
+      .orderBy("node_id")
+
   // ---- token-budget shard packing: cleaned docs → fixed-budget
   // training shards, greedily in doc_id order within each language.
   // One window per (lang) group — running sum and shard id share a
