@@ -127,6 +127,7 @@ object SparkEntry {
     "s07_ivf_pq" -> (PipelineQueries.pq_ivf_adc _),
     "s08_ann_lsh" -> (PipelineQueries.ann_lsh _),
     "s09_ann_rerank" -> (PipelineQueries.pq_ivf_rerank _),
+    "s10_sq8_topk" -> (PipelineQueries.sq8_topk _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
     "t03_token_count" -> (PipelineQueries.token_count _),
@@ -1332,6 +1333,40 @@ object SparkEntry {
            FROM q CROSS JOIN e WHERE e.vec_id != query_id)
          SELECT query_id,
                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id
+         FROM scored
+         QUALIFY rank <= 10
+         ORDER BY query_id, rank""",
+
+    // s10: int8 scalar quantization — unit vector, per-row symmetric
+    // codes round(u*127/maxAbs), integer dots rescaled by the two
+    // per-row scales; rank-only output so no float ever hashes
+    "s10_sq8_topk" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         u AS (SELECT vec_id,
+                 CASE WHEN nrm = 0 THEN v
+                      ELSE list_transform(v, x -> x / nrm) END AS uv
+               FROM n),
+         m AS (SELECT vec_id, uv,
+                 list_max(list_transform(uv, x -> abs(x))) AS ma FROM u),
+         q8 AS (SELECT vec_id,
+                 CASE WHEN ma = 0 THEN list_transform(uv, x -> 0)
+                      ELSE list_transform(uv,
+                        x -> CAST(round(x * 127.0 / ma) AS INTEGER)) END AS c,
+                 ma / 127.0 AS sc
+               FROM m),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 (CAST(list_inner_product(q.c, c.c) AS DOUBLE) * q.sc)
+                   * c.sc AS cos
+               FROM q8 q JOIN q8 c ON c.vec_id != q.vec_id
+               WHERE q.vec_id < 10)
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
                 neighbor_id
          FROM scored
          QUALIFY rank <= 10

@@ -290,6 +290,21 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- s10: scalar-quantized (int8) brute-force top-k — the third
+  // member of the quantization family (IVF cells s02/s03, PQ codes
+  // s04/s05, SQ8 here): per-row symmetric int8 codes over the unit
+  // vector, integer dots rescaled once per pair. The 4× storage/
+  // shuffle shrink is the 100-TB lever; ranking is exact integer
+  // arithmetic × two deterministic double scales, so the oracle
+  // replays codes and ranks bit-for-bit. Output is (query, rank,
+  // neighbor) — integers only, the s01 convention. ----
+  def sq8_topk(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    val queries = corpus.filter(col("vec_id") < 10)
+    graft.operators.Quantize.bruteForceTopKInt8(corpus, queries, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- IVF-blocked ANN (single-probe; the 100-TB path). Carries a
   // FULL oracle: single-probe over a natural block column scans the
   // query's entire bucket, so within-block top-k is exact and DuckDB

@@ -17,8 +17,11 @@ class PlanContractSpec extends SparkTestBase {
   // plan's recall), so it inherits the same deliberate cross.
   // p07's cross is the 1-row corpus-total broadcast against the
   // sources-sized weight table — a scalar fan-in, not a pair blowup.
+  // s10 is s01's brute-force shape over int8 codes — same deliberate
+  // broadcast cross join
   private val allowedCross =
-    Set("s01_ann_topk", "s05_pq_adc", "s06_ann_recall", "p07_temperature_mix")
+    Set("s01_ann_topk", "s05_pq_adc", "s06_ann_recall", "p07_temperature_mix",
+      "s10_sq8_topk")
 
   test("no gate query plans BroadcastNestedLoopJoin or CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
