@@ -425,8 +425,14 @@ object ScaleRehearsal {
       }
       val g05 =
         time(graft.queries.PipelineQueries.neardup_triangles(spark, work).count())
+      // g07 k-core leg over the same salted near-dup graph: per round
+      // one degree agg + two semi-joins, edge list only shrinks —
+      // cost must be ∝ edges per round (aggregate the output so the
+      // semi-join chain can't be pruned under count)
+      val g07 = time(graft.queries.PipelineQueries.kcore(spark, work)
+        .agg(sum(col("degree"))).first().getLong(0))
       println(s"""{"mult":$mult,"edges":$nEdges,""" +
-        s""""g04":${jq(g04)},"g05":${jq(g05)}}""")
+        s""""g04":${jq(g04)},"g05":${jq(g05)},"g07":${jq(g07)}}""")
     }
     spark.stop()
   }
