@@ -115,6 +115,7 @@ object SparkEntry {
     "p09_chunking" -> (PipelineQueries.chunk_docs _),
     "p10_pipeline" -> (PipelineQueries.pipeline_end_to_end _),
     "p11_curriculum_scale" -> (PipelineQueries.curriculum_scale _),
+    "p12_soft_dedup" -> (PipelineQueries.soft_dedup _),
     "t15_cdc_chunks" -> (PipelineQueries.cdc_chunks _),
     "d12_cdc_dup_chunks" -> (PipelineQueries.cdc_dup_chunks _),
     "g07_kcore" -> (PipelineQueries.kcore _),
@@ -1066,6 +1067,40 @@ object SparkEntry {
            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
          SELECT src AS doc_id, min(node) AS comp
          FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // p12: unbiased duplicate downweighting — p02's components, then
+    // an integer-exact md5 coin (u32·|comp| < 2^32 keeps with
+    // probability 1/|comp|); the hex parse is a strpos fold
+    "p12_soft_dedup" ->
+      """WITH RECURSIVE
+         d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(src, node) AS (
+           SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+         cc AS (SELECT src AS doc_id, min(node) AS comp
+                FROM reach GROUP BY src),
+         a AS (SELECT doc.doc_id, coalesce(cc.comp, doc.doc_id) AS comp
+           FROM documents doc LEFT JOIN cc ON doc.doc_id = cc.doc_id),
+         sz AS (SELECT comp, count(*) AS csize FROM a GROUP BY comp),
+         u AS (SELECT a.doc_id, a.comp, sz.csize,
+             list_sum(list_transform(range(1, 9), i ->
+               CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(a.doc_id AS VARCHAR)),
+                   CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS u32
+           FROM a JOIN sz ON a.comp = sz.comp)
+         SELECT doc_id, comp, csize,
+                u32 * csize < 4294967296 AS kept
+         FROM u ORDER BY doc_id""",
 
     // g07: 3 unrolled rounds of the k=2 peel over the same verified-
     // Jaccard edge list as p02/g05/g06; survivors with final degree

@@ -686,6 +686,30 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- p12: soft dedup — probabilistic duplicate DOWNWEIGHTING, the
+  // alternative to d11's hard keep-one: each doc survives with
+  // probability 1/|its near-dup component| (expected ONE survivor per
+  // cluster, unbiased across the cluster — what a pipeline uses when
+  // it wants duplicate MASS reduced without always privileging the
+  // same representative). The coin is md5-derived and INTEGER-exact:
+  // u32 = first 8 md5 hex digits of the doc id as an integer, keep
+  // iff u32 · |comp| < 2³², so both engines decide every coin
+  // identically with no float division anywhere. ----
+  def soft_dedup(s: SparkSession, dir: String): DataFrame = {
+    val cc = Dedup.connectedComponents(jaccardPairsRaw(s, dir))
+      .select(col("id").as("doc_id"), col("comp"))
+    val all = docs(s, dir).select("doc_id").join(cc, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val sized = all.groupBy("comp").agg(count(lit(1)).as("csize"))
+    all.join(sized, "comp")
+      .withColumn("u32",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("kept", col("u32") * col("csize") < lit(4294967296L))
+      .select("doc_id", "comp", "csize", "kept")
+      .orderBy("doc_id")
+  }
+
   // ---- triangle census over the near-dup pair graph: triples of
   // MUTUALLY near-duplicate docs (d04's verified edges). Degree-
   // oriented wedge join — candidate rows bounded by m^1.5 regardless

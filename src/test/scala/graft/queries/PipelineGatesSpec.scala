@@ -109,6 +109,26 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(byId(expectKept)._4 && !byId(1L - expectKept)._4)
   }
 
+  test("p12 soft_dedup: singleton always kept; pair coins match the " +
+      "integer md5 rule") {
+    val doc0 = "the word dog the ink word word oak the"
+    val doc1 = "the word word dog the ink word word oak the"
+    val d = tmpSf(Seq((0L, doc0, "en", "src0", 1L),
+      (1L, doc1, "en", "src0", 1L),
+      (50L, "lonely words only here", "en", "src0", 1L)))
+    val got = PipelineQueries.soft_dedup(spark, d)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    def u32(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    val expect = Seq(
+      (0L, 0L, 2L, u32(0L) * 2 < 4294967296L),
+      (1L, 0L, 2L, u32(1L) * 2 < 4294967296L),
+      (50L, 50L, 1L, true)) // u32 < 2^32 always: singletons never drop
+    assert(got == expect)
+  }
+
   test("p11 curriculum_scale == p08 curriculum on all-distinct lengths") {
     // distinct token counts → the cut-point deciles coincide with
     // ntile's (cut ranks ARE ntile's bucket-end ranks), and the
