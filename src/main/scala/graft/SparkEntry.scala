@@ -118,6 +118,7 @@ object SparkEntry {
     "p12_soft_dedup" -> (PipelineQueries.soft_dedup _),
     "t15_cdc_chunks" -> (PipelineQueries.cdc_chunks _),
     "d12_cdc_dup_chunks" -> (PipelineQueries.cdc_dup_chunks _),
+    "d13_oph_lsh" -> (PipelineQueries.oph_lsh_dedup _),
     "g07_kcore" -> (PipelineQueries.kcore _),
     "s01_ann_topk" -> (PipelineQueries.ann_topk _),
     "s02_ann_ivf" -> (PipelineQueries.ann_ivf _),
@@ -896,6 +897,25 @@ object SparkEntry {
     // recall, not formatting. Both emit (inter, un) as integers —
     // exact Jaccard pinned without any float in the compared output.
     "d02_minhash_lsh" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         s AS (SELECT doc_id, unnest(list_distinct(
+                 [substr(t, i, 5) FOR i IN range(1, greatest(length(t)-4, 1) + 1)]
+               )) AS sh FROM d),
+         sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+               FROM s a JOIN s b ON a.sh = b.sh AND b.doc_id > a.doc_id
+               GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(inter AS INTEGER) AS inter,
+                CAST(sa.n + sb.n - inter AS INTEGER) AS un
+         FROM p JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    // d13: same exhaustive exact ground truth as d02/d03 — the THIRD
+    // independent candidate generator (densified OPH) must lose no
+    // J >= 0.8 pair either
+    "d13_oph_lsh" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
          s AS (SELECT doc_id, unnest(list_distinct(
                  [substr(t, i, 5) FOR i IN range(1, greatest(length(t)-4, 1) + 1)]

@@ -73,6 +73,36 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- d13: densified-OPH MinHash-LSH — d02's recall-gate structure
+  // through the one-hash-per-shingle signature family (OPH, Li/Owen/
+  // Zhang 2012 + rotation densification, Shrivastava/Li 2014): the
+  // signature costs ONE xxhash64 per window where d02's MinHashSig
+  // pays 64, banding and exact verify are identical, and the output
+  // must equal the SAME exhaustive exact-Jaccard pair set as d02/d03
+  // — three independent candidate generators, one ground truth. A
+  // pass proves densified-OPH banding loses none of this corpus's
+  // J ≥ 0.8 pairs; this is the signature to switch to when
+  // |shingles| ≫ nBins and signature hashing (not the verify join)
+  // dominates — the long-document regime named in d02's A/B note. ----
+  def oph_lsh_dedup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = docs(s, dir).select(col("doc_id"),
+      graft.functions.OphSig(col("text"), 5, 64).as("sig"))
+    val cand = TextDedup.candidatePairs(
+      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
+      "doc_id")
+    val t = docs(s, dir).select(col("doc_id"),
+      graft.functions.ShingleHashSorted(col("text"), 5).as("sh"))
+    val a = t.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = t.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter",
+        graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
+      .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter").cast("double") / col("un") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("inter"), col("un"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ---- SimHash near-dup detection (banded hamming ≤ 12), run as a
   // RECALL GATE like d02: the banded candidate pairs are verified with
   // exact shingle Jaccard at J >= 0.8, and the gate output — the
