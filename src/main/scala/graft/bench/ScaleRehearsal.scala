@@ -152,12 +152,17 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val mult = args(1).toInt
-    // 26 distinct alphabet rotations exist; copy 26 would be an EXACT
-    // clone of copy 0 and re-introduce the cross-copy dup blow-up the
-    // salting is there to avoid (measured: M=30 tripled d02's pair
-    // count via the 4 wrapped copies)
-    require(mult >= 1 && mult <= 26, "mult must be in [1, 26]")
     val mode = args.lift(2).getOrElse("dedup")
+    // 26 distinct alphabet rotations exist; corpus copy 26 would be an
+    // EXACT clone of copy 0 and re-introduce the cross-copy dup
+    // blow-up the salting is there to avoid (measured: M=30 tripled
+    // d02's pair count via the 4 wrapped copies). The cap binds only
+    // the ROTATION-salted modes; `streaming` salts by numeric id
+    // offsets (k·10⁷, no wrap below M=1000) and may go far past it —
+    // that is where the state-store curves get interesting.
+    val maxMult = if (mode == "streaming") 1000 else 26
+    require(mult >= 1 && mult <= maxMult,
+      s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
       "passages", "streaming").contains(mode), s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
