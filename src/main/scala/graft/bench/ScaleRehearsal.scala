@@ -435,7 +435,7 @@ object ScaleRehearsal {
       // cost must be ∝ edges per round (aggregate the output so the
       // semi-join chain can't be pruned under count)
       val g07 = time(graft.queries.PipelineQueries.kcore(spark, work)
-        .agg(sum(col("degree"))).first().getLong(0))
+        .agg(coalesce(sum(col("degree")), lit(0L))).first().getLong(0))
       println(s"""{"mult":$mult,"edges":$nEdges,""" +
         s""""g04":${jq(g04)},"g05":${jq(g05)},"g07":${jq(g07)}}""")
     }
