@@ -144,6 +144,9 @@ object SparkEntry {
     "t12_lm_score" -> (PipelineQueries.lm_score _),
     "t13_bigram_lm" -> (PipelineQueries.bigram_lm _),
     "t14_bpe_pairs" -> (PipelineQueries.bpe_pairs _),
+    "t16_token_entropy" -> (PipelineQueries.token_entropy _),
+    "p13_group_split" -> (PipelineQueries.group_split _),
+    "g08_twohop" -> (PipelineQueries.twohop _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
     "m05_image_pixels" -> (PipelineQueries.multimodal_pixels _),
@@ -1956,6 +1959,84 @@ object SparkEntry {
                 CAST(round(CAST(s / n_tokens AS DECIMAL(28,10)), 4)
                   AS DOUBLE) AS lm_score
          FROM agg ORDER BY doc_id""",
+
+    // t16: same rounded-summand/sorted-fold discipline as t12 —
+    // H = (Σ c·(log2 n − log2 c)) / n over the per-doc count list
+    "t16_token_entropy" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS term
+           FROM documents),
+         tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1,2),
+         l AS (SELECT doc_id, list(c) AS cs FROM tc GROUP BY doc_id),
+         a AS (SELECT doc_id,
+             CAST(list_sum(cs) AS BIGINT) AS n_tokens,
+             CAST(len(cs) AS BIGINT) AS n_distinct,
+             list_reduce(list_sort(list_transform(cs, c ->
+               CAST(round(CAST(c * (log2(CAST(list_sum(cs) AS DOUBLE))
+                   - log2(CAST(c AS DOUBLE))) AS DECIMAL(28,10)), 9)
+                 AS DOUBLE))), (acc, x) -> acc + x) AS s
+           FROM l)
+         SELECT doc_id, n_tokens, n_distinct,
+                CAST(round(CAST(s / n_tokens AS DECIMAL(28,10)), 4)
+                  AS DOUBLE) AS entropy
+         FROM a ORDER BY doc_id""",
+
+    // p13: p02's recursive-reach components + p12's integer md5 coin
+    // thrown on the COMPONENT id; thresholds are floor(0.90·2³²) and
+    // floor(0.95·2³²) as exact integer literals
+    "p13_group_split" ->
+      """WITH RECURSIVE
+         d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(src, node) AS (
+           SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+         cc AS (SELECT src AS doc_id, min(node) AS comp
+                FROM reach GROUP BY src),
+         a AS (SELECT doc.doc_id, coalesce(cc.comp, doc.doc_id) AS comp
+           FROM documents doc LEFT JOIN cc ON doc.doc_id = cc.doc_id),
+         u AS (SELECT doc_id, comp,
+             list_sum(list_transform(range(1, 9), i ->
+               CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(comp AS VARCHAR)),
+                   CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS u32
+           FROM a)
+         SELECT doc_id, comp,
+                CASE WHEN u32 < 3865470566 THEN 'train'
+                     WHEN u32 < 4080218931 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM u ORDER BY doc_id""",
+
+    // g08: symmetric edges, one self-join, distinct union of 1- and
+    // 2-hop neighbors (self excluded from the 2-hop leg)
+    "g08_twohop" ->
+      """WITH d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         two AS (SELECT e1.src AS src, e2.dst AS nb
+                 FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                 WHERE e1.src <> e2.dst),
+         r AS (SELECT DISTINCT src, nb FROM
+                 (SELECT src, dst AS nb FROM e UNION ALL
+                  SELECT src, nb FROM two))
+         SELECT src AS node_id, CAST(count(*) AS BIGINT) AS n_reach2
+         FROM r GROUP BY src ORDER BY node_id""",
 
     "t07_tfidf" ->
       """WITH toks AS (SELECT doc_id,

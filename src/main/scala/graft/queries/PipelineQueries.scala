@@ -623,6 +623,39 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- t16: token-distribution Shannon entropy — the diversity
+  // signal a quality filter pairs with t08's repetition ratios (low
+  // entropy = templated/boilerplate/spam text, high = diverse prose).
+  // For a doc with per-term counts c over n tokens,
+  // H = Σ (c/n)·log2(n/c) = (Σ c·(log2 n − log2 c)) / n; the inner
+  // sum folds ROUNDED summands in SORTED order (the t12 discipline:
+  // DECIMAL-round kills 1-ULP libm log drift, the sorted fold makes
+  // the float addition order identical in every engine). Shape: one
+  // explode + (doc,term) count + per-doc HOF fold over the collected
+  // count list — the list is doc-vocabulary-sized (bounded by doc
+  // length, never corpus-sized), the shuffle carries counts not text,
+  // and there is NO join: n comes from folding the same list. ----
+  def token_entropy(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(collect_list(col("c")).as("cs"))
+      .withColumn("n_tokens",
+        aggregate(col("cs"), lit(0L), (acc, x) => acc + x))
+      .withColumn("n_distinct", size(col("cs")).cast("long"))
+      .withColumn("s",
+        aggregate(
+          sort_array(transform(col("cs"), c =>
+            round((c * (log2(col("n_tokens")) - log2(c)))
+              .cast("decimal(28,10)"), 9).cast("double"))),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round((col("s") / col("n_tokens")).cast("decimal(28,10)"), 4)
+          .cast("double").as("entropy"))
+      .orderBy("doc_id")
+  }
+
   // ---- t14: BPE merge-pair counting — ONE iteration of byte-pair-
   // encoding tokenizer training, engine-shaped: word frequencies come
   // off the corpus once (the shuffle carries (word, count), not
@@ -738,6 +771,57 @@ object PipelineQueries {
       .withColumn("kept", col("u32") * col("csize") < lit(4294967296L))
       .select("doc_id", "comp", "csize", "kept")
       .orderBy("doc_id")
+  }
+
+  // ---- p13: leakage-free train/val/test split — assignment is by
+  // NEAR-DUP COMPONENT, not by document: every near-duplicate of a
+  // training doc lands in the SAME split, closing the contamination
+  // channel a doc-level random split leaves open (eval paraphrases of
+  // train docs). The coin is p12's integer-exact md5 form, thrown on
+  // the COMPONENT id so the whole cluster moves together:
+  // u32 < floor(0.90·2³²) → train, < floor(0.95·2³²) → val, else
+  // test — no float division, the same docs land in the same split in
+  // any engine, on any cluster size, on any run. CC is the measured
+  // pointer-jumping path (SCALE.md dedup leg); the coin + CASE are
+  // map-only on top of the component frame. ----
+  def group_split(s: SparkSession, dir: String): DataFrame = {
+    val cc = Dedup.connectedComponents(jaccardPairsRaw(s, dir))
+      .select(col("id").as("doc_id"), col("comp"))
+    docs(s, dir).select("doc_id").join(cc, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .withColumn("u32",
+        conv(substring(md5(col("comp").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("split",
+        when(col("u32") < lit(3865470566L), "train")
+          .when(col("u32") < lit(4080218931L), "val")
+          .otherwise("test"))
+      .select("doc_id", "comp", "split")
+      .orderBy("doc_id")
+  }
+
+  // ---- g08: two-hop neighborhood size over the near-dup graph — the
+  // "cluster halo" signal (how much structure sits within distance 2
+  // of each doc; curation uses it to spot template families whose
+  // members don't all pairwise-match). One self-join on the symmetric
+  // edge list + distinct + count. Scale: the join is Σ deg² — on a
+  // power-law graph that term is hub-dominated, so at 100 TB the
+  // standard guard applies (cap or sample hub adjacency, exactly the
+  // Triangles degree-orientation trick); the ±window detector's
+  // bounded degrees keep the gate instance skew-free, and the shuffle
+  // carries only (id, id) pairs. ----
+  def twohop(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairsRaw(s, dir)
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+    val two = e.as("e1").join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("nb"))
+      .filter(col("src") =!= col("nb"))
+    e.select(col("src"), col("dst").as("nb")).union(two)
+      .distinct()
+      .groupBy("src").agg(count(lit(1)).as("n_reach2"))
+      .select(col("src").as("node_id"), col("n_reach2"))
+      .orderBy("node_id")
   }
 
   // ---- triangle census over the near-dup pair graph: triples of
