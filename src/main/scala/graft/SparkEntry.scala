@@ -145,6 +145,7 @@ object SparkEntry {
     "t13_bigram_lm" -> (PipelineQueries.bigram_lm _),
     "t14_bpe_pairs" -> (PipelineQueries.bpe_pairs _),
     "t16_token_entropy" -> (PipelineQueries.token_entropy _),
+    "d14_bloom_prefilter" -> (PipelineQueries.bloom_prefilter _),
     "p13_group_split" -> (PipelineQueries.group_split _),
     "g08_twohop" -> (PipelineQueries.twohop _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
@@ -1981,6 +1982,37 @@ object SparkEntry {
                 CAST(round(CAST(s / n_tokens AS DECIMAL(28,10)), 4)
                   AS DOUBLE) AS entropy
          FROM a ORDER BY doc_id""",
+
+    // d14: the Bloom positions replay as the p12 md5 strpos fold, mod
+    // m=1024; corpus = even ids, batch = odd; count(hit)=4 ≡ all-set
+    "d14_bloom_prefilter" ->
+      """WITH j AS (SELECT unnest(range(4)) AS j),
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+         cb AS (SELECT DISTINCT
+             list_sum(list_transform(range(1, 9), i ->
+               CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(j.j AS VARCHAR) || corpus.text),
+                   CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+               * CAST(pow(16, 8 - i) AS BIGINT))) % 1024 AS bit
+           FROM corpus, j),
+         pb AS (SELECT batch.doc_id,
+             list_sum(list_transform(range(1, 9), i ->
+               CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(j.j AS VARCHAR) || batch.text),
+                   CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+               * CAST(pow(16, 8 - i) AS BIGINT))) % 1024 AS bit
+           FROM batch, j),
+         mb AS (SELECT pb.doc_id, count(cb.bit) = 4 AS maybe_dup
+           FROM pb LEFT JOIN cb ON pb.bit = cb.bit
+           GROUP BY pb.doc_id),
+         ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+         ex AS (SELECT b.doc_id, count(ch.h) > 0 AS hit
+           FROM batch b LEFT JOIN ch ON md5(b.text) = ch.h
+           GROUP BY b.doc_id)
+         SELECT mb.doc_id, mb.maybe_dup,
+                mb.maybe_dup AND coalesce(ex.hit, false) AS is_dup
+         FROM mb JOIN ex USING (doc_id) ORDER BY doc_id""",
 
     // p13: p02's recursive-reach components + p12's integer md5 coin
     // thrown on the COMPONENT id; thresholds are floor(0.90·2³²) and

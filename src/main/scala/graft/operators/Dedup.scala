@@ -61,6 +61,27 @@ object Dedup {
       .groupBy("h")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dups"))
 
+  /** The `k` Bloom-filter bit positions of a value: position j is the
+    * first-8-hex-digit integer of md5(j ++ value), mod `m`. Fully
+    * deterministic and engine-portable (the same md5/strpos arithmetic
+    * replays in any SQL engine), unlike library Bloom filters whose
+    * hash mixing is implementation-private.
+    *
+    * Intended use is the incremental-dedup pre-filter: the CORPUS side
+    * reduces to its distinct set positions — at most `m` rows no
+    * matter how many documents set them, so the "filter" is a
+    * broadcastable relation whose size is a knob, not a function of
+    * corpus size. A new batch probes it with a broadcast join and only
+    * bloom-positive docs proceed to the exact (content-hash) verify —
+    * at 100 TB that's the difference between joining every new doc
+    * against the corpus and joining ~the true-dup fraction plus the
+    * chosen false-positive rate. No false negatives by construction.
+    */
+  def bloomPositions(value: Column, k: Int, m: Int): Column =
+    array((0 until k).map(j =>
+      (conv(substring(md5(concat(lit(j.toString), value)), 1, 8), 16, 10)
+        .cast("long") % m).cast("int")): _*)
+
   /** Near-dup GROUP resolution: the near-dup detectors (MinHash/SimHash/
     * Jaccard/embedding) emit verified PAIRS; this folds pairs into
     * connected components so each duplicate cluster keeps one canonical

@@ -773,6 +773,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- d14: Bloom-filter dedup PRE-FILTER — the incremental-ingest
+  // pattern: an existing corpus (even doc_ids) is summarized as a
+  // deterministic Bloom bit set (k=4 md5-derived positions, m=1024),
+  // a new batch (odd doc_ids) probes it, and ONLY bloom-positive docs
+  // pay the exact content-hash verify. The bit set is a ≤m-row
+  // relation REGARDLESS of corpus size — broadcast, so the probe is
+  // map-side; the exact verify's join input is cut to the
+  // bloom-positive fraction (true dups + the m-controlled FP rate).
+  // m=1024 is deliberately small so the gate exercises real false
+  // positives at sf0.01 and visible saturation at sf0.1 — the knob a
+  // deployment sizes as ~10 bits/doc. Every position is integer-exact
+  // md5 arithmetic: the oracle replays bit-for-bit. ----
+  def bloom_prefilter(s: SparkSession, dir: String): DataFrame = {
+    val (k, m) = (4, 1024)
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+    val bits = corpus
+      .select(explode(Dedup.bloomPositions(col("text"), k, m)).as("bit"))
+      .distinct().withColumn("__set", lit(1))
+    val maybe = batch
+      .select(col("doc_id"),
+        explode(Dedup.bloomPositions(col("text"), k, m)).as("bit"))
+      .join(broadcast(bits), Seq("bit"), "left")
+      .groupBy("doc_id")
+      .agg((count(col("__set")) === k).as("maybe_dup"))
+    // exact verify ONLY on bloom-positive docs — the whole point of
+    // the pre-filter; bloom has no false negatives, so is_dup is
+    // complete despite the filter
+    val corpusHashes = corpus.select(md5(col("text")).as("h")).distinct()
+      .withColumn("__hit", lit(1))
+    val verified = batch.join(maybe.filter(col("maybe_dup")), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpusHashes, Seq("h"), "left")
+      .groupBy("doc_id").agg((count(col("__hit")) > 0).as("__dup"))
+    maybe.join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("maybe_dup"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   // ---- p13: leakage-free train/val/test split — assignment is by
   // NEAR-DUP COMPONENT, not by document: every near-duplicate of a
   // training doc lands in the SAME split, closing the contamination

@@ -312,4 +312,67 @@ class PipelineGatesSpec extends SparkTestBase {
       .as[(Long, String, Long)].collect().toSeq
     assert(again == got)
   }
+
+  test("t16 token_entropy: closed-form docs") {
+    // "a a b b": H = (2·(log2 4 − log2 2))·2 / 4 = 1.0
+    // "a b c d": H = log2 4 = 2.0;  "a a a a": H = 0.0
+    val d = tmpSf(Seq(
+      (0L, "a a b b", "en", "s", 1L),
+      (1L, "a b c d", "en", "s", 1L),
+      (2L, "a a a a", "en", "s", 1L)))
+    val got = PipelineQueries.token_entropy(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 4L, 2L, 1.0), (1L, 4L, 4L, 2.0),
+      (2L, 4L, 1L, 0.0)))
+  }
+
+  test("p13 group_split: components move together, singletons covered") {
+    // docs 0,1,2 identical -> one component {0,1,2}; docs 30,31
+    // distinct texts far apart -> singletons (outside the ±20 window
+    // of anything similar)
+    val d = tmpSf(Seq(
+      (0L, "a b c d e", "en", "s", 1L),
+      (1L, "a b c d e", "en", "s", 1L),
+      (2L, "a b c d e", "en", "s", 1L),
+      (30L, "p q r s t", "en", "s", 1L),
+      (31L, "v w x y z", "en", "s", 1L)))
+    val got = PipelineQueries.group_split(spark, d)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(0L, 1L, 2L, 30L, 31L))
+    // every component carries exactly one split value
+    got.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.size == 1)
+    }
+    assert(got.filter(_._1 <= 2L).map(_._2).toSet == Set(0L))
+    assert(got.forall(r => Set("train", "val", "test").contains(r._3)))
+  }
+
+  test("g08 twohop: triangle reaches 2, isolated node absent") {
+    val d = tmpSf(Seq(
+      (0L, "a b c d e", "en", "s", 1L),
+      (1L, "a b c d e", "en", "s", 1L),
+      (2L, "a b c d e", "en", "s", 1L),
+      (30L, "v w x y z", "en", "s", 1L)))
+    val got = PipelineQueries.twohop(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L), (1L, 2L), (2L, 2L)))
+  }
+
+  test("d14 bloom_prefilter: exact dup flagged, no false negatives") {
+    // doc 1 (batch) copies doc 0 (corpus) -> maybe_dup AND is_dup;
+    // doc 3 (batch) is unique -> is_dup false; bloom admits no false
+    // negatives, so is_dup ⇒ maybe_dup everywhere
+    val d = tmpSf(Seq(
+      (0L, "the quick brown fox", "en", "s", 1L),
+      (1L, "the quick brown fox", "en", "s", 1L),
+      (2L, "lorem ipsum dolor sit", "en", "s", 1L),
+      (3L, "entirely different content here", "en", "s", 1L)))
+    val got = PipelineQueries.bloom_prefilter(spark, d)
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    val byId = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId.keySet == Set(1L, 3L))       // batch = odd ids only
+    assert(byId(1L) == (true, true))         // exact dup caught
+    assert(got.forall(r => !r._3 || r._2))   // is_dup ⇒ maybe_dup
+    assert(!byId(3L)._2)                     // unique doc is not a dup
+  }
 }
