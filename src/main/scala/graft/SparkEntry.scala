@@ -158,6 +158,7 @@ object SparkEntry {
     "m08_audio_features" -> (PipelineQueries.multimodal_audio_features _),
     "m09_scene_cuts" -> (PipelineQueries.multimodal_scenes _),
     "m10_silence_runs" -> (PipelineQueries.multimodal_silence _),
+    "m11_resize" -> (PipelineQueries.multimodal_resize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2301,6 +2302,33 @@ object SparkEntry {
                 CAST(299*(w*h//2*rr) + 587*(w*h//2*gg) + 114*(w*h//2*bb)
                      AS BIGINT) AS luma_sum_x1000
          FROM d ORDER BY doc_id""",
+
+    // m11: the stripe PNG's closed form — column x carries
+    // ((id+7x)%256, (id·3+11x)%256, (id·5+13x)%256) constant down the
+    // column, so cell (cy,cx) sums to bh·Σ_{x∈block}(…); w,h are
+    // multiples of 4, so blocks are exactly w/4 × h/4
+    "m11_resize" ->
+      """WITH d AS (SELECT doc_id,
+             CAST((doc_id%12)*4+16 AS INTEGER) AS w,
+             CAST((doc_id%6)*4+8 AS INTEGER) AS h
+           FROM documents),
+         xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
+         cols AS (SELECT doc_id, w, h,
+             CAST(x // (w//4) AS INTEGER) AS cx,
+             (doc_id + 7*x) % 256 AS r,
+             (doc_id*3 + 11*x) % 256 AS g,
+             (doc_id*5 + 13*x) % 256 AS b
+           FROM xs),
+         cs AS (SELECT doc_id, w, h, cx,
+             sum(r) AS sr, sum(g) AS sg, sum(b) AS sb
+           FROM cols GROUP BY 1,2,3,4)
+         SELECT doc_id, CAST(cy.cy AS INTEGER) AS cy, cx,
+                CAST((w//4)*(h//4) AS BIGINT) AS px,
+                CAST((h//4)*sr AS BIGINT) AS sum_r,
+                CAST((h//4)*sg AS BIGINT) AS sum_g,
+                CAST((h//4)*sb AS BIGINT) AS sum_b
+         FROM cs, (SELECT unnest(range(4)) AS cy) cy
+         ORDER BY doc_id, cy, cx""",
 
     // m06: the Y4M synth's closed form — frame k's luma plane is the
     // constant (doc_id + 17k) mod 256, so its sum is w·h·that; only

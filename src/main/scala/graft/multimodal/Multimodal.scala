@@ -400,6 +400,102 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL image RESIZE (box-filter downsample): decode the full
+    * raster and average-pool it onto a `grid`×`grid` thumbnail,
+    * emitting one row per output cell with INTEGER channel sums and
+    * the cell's pixel count — the caller divides for means, and
+    * because PNG decode is lossless the sums are exact, so the m11
+    * gate hash-compares against closed-form SQL with no float
+    * tolerance (the m05 discipline applied to a one-to-many op).
+    * Cell x-range is [cx·w/grid, (cx+1)·w/grid) in integer arithmetic
+    * — exact equal blocks when grid | w, floor-split otherwise.
+    * One-to-many inside mapPartitions: the raster lives only in the
+    * task, grid² small rows leave it; downstream shuffles carry cell
+    * stats, never pixels.
+    */
+  def decodeImagePool(df: DataFrame, idCol: String, payloadCol: String,
+      grid: Int): DataFrame = {
+    require(grid >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    mapBinaryBatches(df, idCol, payloadCol) { it =>
+      it.flatMap { case (id, bytes) =>
+        poolCells(bytes, grid).iterator.flatten.map {
+          case (cy, cx, px, sr, sg, sb) => (id, cy, cx, px, sr, sg, sb)
+        }
+      }
+    }.toDF("id", "cy", "cx", "px", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Average-pool one payload's raster to grid×grid integer cell
+    * sums; None when undecodable or smaller than the grid.
+    */
+  def poolCells(bytes: Array[Byte], grid: Int)
+      : Option[List[(Int, Int, Long, Long, Long, Long)]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < grid || img.getHeight < grid) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = List.newBuilder[(Int, Int, Long, Long, Long, Long)]
+        var cy = 0
+        while (cy < grid) {
+          val y0 = cy * h / grid; val y1 = (cy + 1) * h / grid
+          var cx = 0
+          while (cx < grid) {
+            val x0 = cx * w / grid; val x1 = (cx + 1) * w / grid
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xFF
+                sg += (rgb >> 8) & 0xFF
+                sb += rgb & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            out += ((cy, cx, (x1 - x0).toLong * (y1 - y0), sr, sg, sb))
+            cx += 1
+          }
+          cy += 1
+        }
+        Some(out.result())
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic vertical-stripe PNG — the m11 synthesizer: column
+    * x carries RGB ((seed+7x)%256, (seed·3+11x)%256, (seed·5+13x)%256)
+    * constant down the column, so any pooled cell's channel sum has
+    * the closed form bh·Σ_{x∈cell}(…%256) — integer-exact SQL, while
+    * the Spark side does a REAL encode→decode→pool round trip.
+    * (The m05 checkerboard is useless here: its per-cell means are all
+    * identical; stripes give every cell a distinct, position-dependent
+    * value, so the oracle actually pins the pooling geometry.)
+    */
+  def synthStripePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      val r = ((seed + 7L * x) % 256).toInt
+      val g = ((seed * 3 + 11L * x) % 256).toInt
+      val b = ((seed * 5 + 13L * x) % 256).toInt
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** REAL uncompressed-video frame decode: Y4M (YUV4MPEG2) is a plain
     * ASCII header + `FRAME\n`-delimited raw YUV planes — a public
     * codec-free format, so actual frame PIXELS are readable with zero

@@ -1392,6 +1392,30 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- m11: REAL image RESIZE — synth a vertical-stripe PNG per doc
+  // (position-dependent colors, so pooling geometry is pinned, unlike
+  // the flat-mean checkerboard), decode it back through javax.imageio
+  // and average-pool onto a 4×4 thumbnail with INTEGER cell sums. The
+  // resize every multimodal pipeline runs before feature extraction,
+  // with the full m05 exactness discipline: lossless codec + integer
+  // sums = closed-form SQL oracle, no float tolerance. w,h are
+  // multiples of 4 so blocks divide exactly (the decoder itself
+  // handles the floor-split general case; spec'd separately). ----
+  def multimodal_resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val png = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        (id, graft.multimodal.Multimodal.synthStripePng(
+          w = ((id % 12) * 4 + 16).toInt, h = ((id % 6) * 4 + 8).toInt,
+          seed = id))
+      }.toDF("doc_id", "payload")
+    graft.multimodal.Multimodal
+      .decodeImagePool(png, "doc_id", "payload", grid = 4)
+      .selectExpr("id AS doc_id", "cy", "cx", "px",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy("doc_id", "cy", "cx")
+  }
+
   // ---- m07: image dedup by DECODED-raster content hash — the
   // standard multimodal-pipeline step (exact image dedup that
   // survives re-encoding), run end-to-end: synth PNGs keyed by

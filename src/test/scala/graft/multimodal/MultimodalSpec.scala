@@ -259,4 +259,28 @@ class MultimodalSpec extends SparkTestBase {
     // id=3: empty payload → no frames
     assert(!byId.contains(3L))
   }
+
+  test("poolCells: stripe closed form, floor-split geometry, honest None") {
+    // 8×4 stripe, grid 2: columns x=0..7 carry r=(5+7x)%256; cell
+    // (cy,cx) sums rows 0..1 over its 4-column block
+    val png = Multimodal.synthStripePng(8, 4, seed = 5L)
+    val cells = Multimodal.poolCells(png, 2).get
+    def r(x: Int) = (5 + 7 * x) % 256
+    val left = (0 to 3).map(r).sum.toLong * 2   // bh = 2 rows
+    val right = (4 to 7).map(r).sum.toLong * 2
+    assert(cells.size === 4)
+    val byCell = cells.map(c => (c._1, c._2) -> c).toMap
+    assert(byCell((0, 0))._4 === left && byCell((0, 1))._4 === right)
+    assert(byCell((1, 0))._4 === left && byCell((1, 1))._4 === right)
+    assert(cells.forall(_._3 === 8L))           // px = 4×2 per cell
+    // floor-split: 5×3 over grid 2 → x blocks [0,2),[2,5); y [0,1),[1,3)
+    val odd = Multimodal.poolCells(Multimodal.synthStripePng(5, 3, 0L), 2).get
+    assert(odd.map(c => ((c._1, c._2), c._3)).toMap ===
+      Map((0, 0) -> 2L, (0, 1) -> 3L, (1, 0) -> 4L, (1, 1) -> 6L))
+    // px covers the full raster exactly once
+    assert(odd.map(_._3).sum === 15L)
+    // undecodable / sub-grid images → None
+    assert(Multimodal.poolCells("junk".getBytes, 2) === None)
+    assert(Multimodal.poolCells(Multimodal.synthStripePng(1, 1, 0L), 2) === None)
+  }
 }
