@@ -85,6 +85,7 @@ object SparkEntry {
     "r56_stream_enrich" -> (StreamingQueries.stream_enrich _),
     "r57_stream_topk" -> (StreamingQueries.stream_topk _),
     "r58_stream_ann_ingest" -> (StreamingQueries.stream_ann_ingest _),
+    "r59_stream_decontam" -> (StreamingQueries.stream_decontam _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -638,6 +639,17 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2 ORDER BY day, nation_key""",
+
+    // r59: the drained stream-static ANTI join equals batch
+    // decontamination — kept docs are those whose content hash is
+    // absent from the doc_id%97 eval set
+    "r59_stream_decontam" ->
+      """SELECT source, count(*) AS n_kept,
+                CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         WHERE md5(text) NOT IN
+           (SELECT md5(text) FROM documents WHERE doc_id % 97 = 0)
+         GROUP BY source ORDER BY source""",
 
     // r57: drained streaming top-k sketch == exact per-day
     // (count DESC, item ASC) top-5 — sketch exact while unsaturated

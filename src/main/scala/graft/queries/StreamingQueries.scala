@@ -365,6 +365,41 @@ object StreamingQueries {
       .orderBy("day", "nation_key")
   }
 
+  /** r59: streaming DECONTAMINATION — the d07 operator as a stream:
+    * documents arrive continuously, the eval/benchmark set is a
+    * static relation reduced to its content hashes, and a
+    * stream–static LEFT ANTI broadcast join drops every doc whose
+    * md5(text) appears in it — the shape a training-data intake runs
+    * so benchmark text never enters a shard. The anti join keeps NO
+    * state (the static side re-broadcasts per micro-batch, dim-table
+    * semantics); only the per-source rollup holds state, O(sources).
+    * At 100 TB the eval set stays hash-only — kilobytes per thousand
+    * benchmark docs — so the broadcast never grows with the corpus.
+    * Output is the deterministic integer checksum form (count + sum
+    * of kept ids) the streaming oracle discipline requires.
+    */
+  def stream_decontam(s: SparkSession, dir: String): DataFrame = {
+    val docsStatic = graft.Tables.load(s, dir, "documents")
+    val contaminated = docsStatic.filter(col("doc_id") % 97 === 0)
+      .select(md5(col("text")).as("h")).distinct()
+    val stream = graft.Tables.normalize("documents",
+        s.readStream.schema(docsStatic.schema)
+          .parquet(s"$dir/documents.parque[t]"))
+      .withColumn("h", md5(col("text")))
+    val agg = stream.join(broadcast(contaminated), Seq("h"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.format("memory").queryName("r59_sink")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      drain("r59", q)
+    }
+    s.table("r59_sink")
+      .select(col("source"), col("n_kept"),
+        col("sum_ids").cast("long").as("sum_ids"))
+      .orderBy("source")
+  }
+
   /** r55: streaming gap sessionization — the custom-state
     * `flatMapGroupsWithState` path ([[graft.streaming.StreamingSessionize]]),
     * same 8-hour-gap semantics as the batch r18 query. What makes the

@@ -114,6 +114,24 @@ class StreamingQueriesSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
   }
 
+  test("r59 streaming decontamination == batch anti-join rollup") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.stream_decontam(spark, dir).collect()
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val contaminated = docs.filter(col("doc_id") % 97 === 0)
+      .select(md5(col("text")).as("h")).distinct()
+    val batch = docs.withColumn("h", md5(col("text")))
+      .join(contaminated, Seq("h"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+      .orderBy("source").collect()
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+    // the eval set itself never survives: kept count < total docs
+    assert(streamed.map(_.getLong(1)).sum < docs.count())
+  }
+
   test("r58 streaming cell ingestion == batch assignment rollup, " +
       "state one row per cell") {
     assume(new java.io.File(dir).isDirectory)
