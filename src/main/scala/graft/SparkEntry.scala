@@ -131,6 +131,7 @@ object SparkEntry {
     "s08_ann_lsh" -> (PipelineQueries.ann_lsh _),
     "s09_ann_rerank" -> (PipelineQueries.pq_ivf_rerank _),
     "s10_sq8_topk" -> (PipelineQueries.sq8_topk _),
+    "s11_knn_graph" -> (PipelineQueries.knn_graph _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
     "t03_token_count" -> (PipelineQueries.token_count _),
@@ -1488,6 +1489,25 @@ object SparkEntry {
     // (it scans the query's whole bucket), so the full top-k oracle
     // applies — same cosine + (cos DESC, id ASC) cut as s01, but the
     // scored set restricted to the query's label
+    // s11: the s02 replay with EVERY vector as a query (block-keyed
+    // self-join), rank cut at 3 — the corpus k-NN graph
+    "s11_knn_graph" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_inner_product(q.v,e.v)
+               / (sqrt(list_inner_product(q.v,q.v))
+                  *sqrt(list_inner_product(e.v,e.v))) AS cos
+           FROM e q JOIN e ON e.label = q.label AND e.vec_id != q.vec_id)
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id
+         FROM scored
+         QUALIFY rank <= 3
+         ORDER BY query_id, rank""",
+
     "s02_ann_ivf" ->
       """WITH e AS (SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

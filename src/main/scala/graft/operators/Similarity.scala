@@ -128,6 +128,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** k-NN GRAPH construction: every vector's top-k neighbors within
+    * its IVF block — the all-to-all sibling of [[ivfTopK]] and the
+    * substrate of SemDeDup-style clustering, NN-descent seeding, and
+    * graph-based ANN indexes. Unlike ivfTopK (which broadcasts a
+    * small query set), BOTH sides here are corpus-sized, so the shape
+    * is a block-keyed self-join — no broadcast anywhere, candidate
+    * count Σ|block|², and [[boundedTopK]] caps what leaves each
+    * partition at k rows per vector. At 100 TB the block is the
+    * trained coarse quantizer with nlist ∝ N, which holds |block|
+    * (and so per-vector candidate cost) flat — the same scaling
+    * argument SCALE.md measures for the s02 probe path.
+    */
+  def knnGraph(df: DataFrame, k: Int, blockCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val unit = withUnitVector(df, col(vecCol), "uv")
+      .select(col(blockCol).as("b"), col(idCol), col("uv"))
+    val q = unit.select(col("b"), col(idCol).as("query_id"),
+      col("uv").as("q_vec"))
+    val c = unit.select(col("b"), col(idCol).as("neighbor_id"),
+      col("uv").as("n_vec"))
+    val scored = q.join(c, Seq("b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("q_vec"), col("n_vec")))
+    boundedTopK(scored, k)
+  }
+
   /** IVF ANN with a COMPUTED block: when no natural partition column
     * exists, the coarse quantizer is the random-hyperplane LSH bucket
     * ([[rhpSignature]]) — the same deterministic expression buckets

@@ -347,6 +347,18 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- s11: corpus k-NN GRAPH — every vector's top-3 neighbors
+  // within its IVF block, the all-to-all construction SemDeDup
+  // clustering and NN-descent/graph-ANN seeding start from. Block-
+  // keyed SELF-join (both sides corpus-sized → no broadcast), bounded
+  // top-k so only k rows per vector leave any partition; nlist ∝ N
+  // keeps per-vector cost flat at scale (the measured s02 argument).
+  // Output carries no floats — (query, rank, neighbor), ties by
+  // (cos DESC, id ASC) — so the oracle hash-compares exactly. ----
+  def knn_graph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(embs(s, dir), k = 3, blockCol = "label")
+      .orderBy("query_id", "rank")
+
   // ---- trained-quantizer IVF (k-means coarse quantizer, nProbe=2).
   // FULL oracle: k-means init is randomized, but the PROBE path is a
   // pure function of the centroids — so the fit persists its centroids

@@ -56,6 +56,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfSets === bf)
   }
 
+  test("knnGraph: every vector gets k in-block neighbors matching " +
+      "the window-form reference; no broadcast of the corpus side") {
+    val got = Similarity.knnGraph(corpus, k = 3, blockCol = "label")
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long)].collect().toSeq
+    // every vector is a query (blocks have 10 members ≥ k+1)
+    assert(got.map(_._1).distinct.size === 40)
+    assert(got.groupBy(_._1).forall(_._2.size == 3))
+    // reference: in-block scored set + row_number window
+    import org.apache.spark.sql.expressions.Window
+    val u = corpus.select(col("label").as("b"), col("vec_id"), col("embedding"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val exp = u.select(col("b"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(u.select(col("b"), col("vec_id").as("neighbor_id"), col("embedding").as("nv")), Seq("b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got === exp)
+    // scale contract: the self-join must be a hash join, never a
+    // broadcast nested loop (both sides are corpus-sized)
+    val plan = Similarity.knnGraph(corpus, k = 3, blockCol = "label")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("rhpSignature: deterministic, block-stable, O(nBits) expression") {
     val sigs = corpus
       .select(col("vec_id"), Similarity.rhpSignature(col("embedding"), 16).as("sig"))
