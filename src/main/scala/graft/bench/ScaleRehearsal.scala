@@ -230,9 +230,17 @@ object ScaleRehearsal {
       org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
       val s09 = time(graft.queries.PipelineQueries
         .pq_ivf_rerank(spark, s"$work/replica").count())
+      // s11 k-NN graph on the grown-index corpus: every vector is a
+      // query, so total candidate volume is N·|block| — with nlist ∝ N
+      // (growIndex) block size is constant and the leg must be LINEAR
+      // in M; sum(rank) forces the bounded-top-k pipeline to run
+      val s11 = time(graft.queries.PipelineQueries
+        .knn_graph(spark, s"$work/replica")
+        .agg(sum("rank")).first().getLong(0))
       println(s"""{"mult":$mult,"vectors":$nVecs,""" +
         s""""s02_replica":${jq(s02Replica)},"s02_grown":${jq(s02Grown)},""" +
-        s""""d05":${jq(d05)},"s08":${jq(s08)},"s09":${jq(s09)}}""")
+        s""""d05":${jq(d05)},"s08":${jq(s08)},"s09":${jq(s09)},""" +
+        s""""s11":${jq(s11)}}""")
     } else if (mode == "text") {
       saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
         .parquet(s"$work/documents.parquet")
@@ -379,8 +387,18 @@ object ScaleRehearsal {
         time(graft.queries.PipelineQueries.minhash_lsh_dedup(spark, work).count())
       val p02 =
         time(graft.queries.PipelineQueries.neardup_groups(spark, work).count())
+      // d14 bloom pre-filter: the corpus bit set is capped at m=1024
+      // rows at EVERY M (the broadcast side must not grow), while the
+      // batch probe is map-side ∝ M; as the filter saturates the
+      // maybe_dup fraction climbs toward 1 — the curve that tells a
+      // deployment to re-size m ∝ corpus. Aggregate the booleans so
+      // the probe join can't be pruned under count.
+      val d14 = time(graft.queries.PipelineQueries
+        .bloom_prefilter(spark, work)
+        .agg(sum(when(col("maybe_dup"), 1L).otherwise(0L)),
+          count(lit(1))).first().getLong(0))
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
-        s""""d02":${jq(d02)},"p02":${jq(p02)}}""")
+        s""""d02":${jq(d02)},"p02":${jq(p02)},"d14":${jq(d14)}}""")
     } else if (mode == "passages") {
       // d10 duplicate passages: rotation changes every token, so
       // cross-copy windows never collide — duplicated-window DENSITY
@@ -436,8 +454,14 @@ object ScaleRehearsal {
       // semi-join chain can't be pruned under count)
       val g07 = time(graft.queries.PipelineQueries.kcore(spark, work)
         .agg(coalesce(sum(col("degree")), lit(0L))).first().getLong(0))
+      // g08 two-hop leg: copies are disjoint, so Σ deg² is ∝ M and the
+      // wedge join + distinct must track it linearly (the distinct's
+      // shuffle carries (id, id) pairs only)
+      val g08 = time(graft.queries.PipelineQueries.twohop(spark, work)
+        .agg(coalesce(sum(col("n_reach2")), lit(0L))).first().getLong(0))
       println(s"""{"mult":$mult,"edges":$nEdges,""" +
-        s""""g04":${jq(g04)},"g05":${jq(g05)},"g07":${jq(g07)}}""")
+        s""""g04":${jq(g04)},"g05":${jq(g05)},"g07":${jq(g07)},""" +
+        s""""g08":${jq(g08)}}""")
     }
     spark.stop()
   }

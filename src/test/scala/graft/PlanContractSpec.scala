@@ -107,8 +107,38 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
+  test("d14's probe is a broadcast hash join — the bloom bit set never " +
+      "shuffles the batch side") {
+    val fmt = formatted("d14_bloom_prefilter")
+    assert(fmt.contains("BroadcastHashJoin"),
+      "d14 lost the broadcast probe — the ≤m-row bit set must broadcast")
+    // no Exchange may carry document text: the probe and verify joins
+    // move hashes/bits/ids only
+    exchangeInputs(fmt).foreach { in =>
+      assert(!in.contains("text#"), s"d14 shuffles raw text: [$in]")
+    }
+  }
+
+  test("s11: each vector crosses the wire once (block co-location); " +
+      "scored PAIRS never shuffle") {
+    val ins = exchangeInputs(formatted("s11_knn_graph"))
+    assert(ins.nonEmpty, "s11 plans no shuffle at all — plan reshaped?")
+    // the two pre-join exchanges each carry ONE side's unit vector
+    // (linear: every vector moves once to its block partition); an
+    // exchange carrying BOTH sides would mean pair-sized shuffle,
+    // |block|× the data volume
+    ins.foreach { in =>
+      assert(!(in.contains("q_vec") && in.contains("n_vec")),
+        s"s11 shuffles scored pairs: [$in]")
+    }
+    // the top-k merge exchanges carry only (query_id, buffers)
+    assert(ins.exists(in => !in.contains("q_vec") && !in.contains("n_vec")),
+      "s11 lost the bounded top-k merge exchange")
+  }
+
   test("m05/m06/m09 decode strictly below any shuffle — binary never moves") {
-    Seq("m05_image_pixels", "m06_y4m_frames", "m09_scene_cuts").foreach { n =>
+    Seq("m05_image_pixels", "m06_y4m_frames", "m09_scene_cuts", "m11_resize")
+      .foreach { n =>
       val ops = opBlocks(formatted(n))
       val decodes = ops.collect { case (i, "MapPartitions", _) => i }
       val shuffles = ops.collect { case (i, "Exchange", _) => i }
