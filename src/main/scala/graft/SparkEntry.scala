@@ -132,6 +132,7 @@ object SparkEntry {
     "s09_ann_rerank" -> (PipelineQueries.pq_ivf_rerank _),
     "s10_sq8_topk" -> (PipelineQueries.sq8_topk _),
     "s11_knn_graph" -> (PipelineQueries.knn_graph _),
+    "s12_mmr_rerank" -> (PipelineQueries.mmr_rerank _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
     "t03_token_count" -> (PipelineQueries.token_count _),
@@ -1489,6 +1490,84 @@ object SparkEntry {
     // (it scans the query's whole bucket), so the full top-k oracle
     // applies — same cosine + (cos DESC, id ASC) cut as s01, but the
     // scored set restricted to the query's label
+    // s12: MMR unrolled — quantized cosines (floor(cos·1e6+0.5)) make
+    // every greedy comparison integer-exact; each step picks
+    // max(0.7·cq − (1−0.7)·max-sim-to-selected), ties to smaller id.
+    // (1 - 0.7), NOT 0.3: the Spark side computes 1.0−λ in doubles
+    // and 1−0.7 ≠ 0.3 exactly, so the oracle must spell it the same
+    "s12_mmr_rerank" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         scored AS (SELECT query_id, e.vec_id AS nid,
+             CAST(floor(list_inner_product(qv,v)
+               / (sqrt(list_inner_product(qv,qv))*sqrt(list_inner_product(v,v)))
+               * 1000000 + 0.5) AS BIGINT) AS cq
+           FROM q JOIN e ON e.vec_id != query_id),
+         sl AS (SELECT query_id, nid, cq FROM scored
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY cq DESC, nid) <= 10),
+         ps AS (SELECT a.query_id, a.nid AS i, b.nid AS j,
+             CAST(floor(list_inner_product(ea.v,eb.v)
+               / (sqrt(list_inner_product(ea.v,ea.v))*sqrt(list_inner_product(eb.v,eb.v)))
+               * 1000000 + 0.5) AS BIGINT) AS sq
+           FROM sl a JOIN sl b
+             ON a.query_id = b.query_id AND a.nid <> b.nid
+           JOIN e ea ON ea.vec_id = a.nid
+           JOIN e eb ON eb.vec_id = b.nid),
+         s1 AS (SELECT query_id, nid FROM sl
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY cq DESC, nid) = 1),
+         c2 AS (SELECT sl.query_id, sl.nid, sl.cq, max(ps.sq) AS pen
+           FROM sl JOIN s1 ON s1.query_id = sl.query_id
+           JOIN ps ON ps.query_id = sl.query_id AND ps.i = sl.nid
+             AND ps.j = s1.nid
+           WHERE sl.nid <> s1.nid GROUP BY 1,2,3),
+         s2 AS (SELECT query_id, nid FROM c2
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY 0.7*cq - (1 - 0.7)*pen DESC, nid) = 1),
+         sel2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+         c3 AS (SELECT sl.query_id, sl.nid, sl.cq, max(ps.sq) AS pen
+           FROM sl
+           JOIN ps ON ps.query_id = sl.query_id AND ps.i = sl.nid
+           JOIN sel2 sp ON sp.query_id = sl.query_id AND sp.nid = ps.j
+           WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+             WHERE x.query_id = sl.query_id AND x.nid = sl.nid)
+           GROUP BY 1,2,3),
+         s3 AS (SELECT query_id, nid FROM c3
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY 0.7*cq - (1 - 0.7)*pen DESC, nid) = 1),
+         sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM s3),
+         c4 AS (SELECT sl.query_id, sl.nid, sl.cq, max(ps.sq) AS pen
+           FROM sl
+           JOIN ps ON ps.query_id = sl.query_id AND ps.i = sl.nid
+           JOIN sel3 sp ON sp.query_id = sl.query_id AND sp.nid = ps.j
+           WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+             WHERE x.query_id = sl.query_id AND x.nid = sl.nid)
+           GROUP BY 1,2,3),
+         s4 AS (SELECT query_id, nid FROM c4
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY 0.7*cq - (1 - 0.7)*pen DESC, nid) = 1),
+         sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM s4),
+         c5 AS (SELECT sl.query_id, sl.nid, sl.cq, max(ps.sq) AS pen
+           FROM sl
+           JOIN ps ON ps.query_id = sl.query_id AND ps.i = sl.nid
+           JOIN sel4 sp ON sp.query_id = sl.query_id AND sp.nid = ps.j
+           WHERE NOT EXISTS (SELECT 1 FROM sel4 x
+             WHERE x.query_id = sl.query_id AND x.nid = sl.nid)
+           GROUP BY 1,2,3),
+         s5 AS (SELECT query_id, nid FROM c5
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY 0.7*cq - (1 - 0.7)*pen DESC, nid) = 1)
+         SELECT query_id, rank, nid AS neighbor_id FROM (
+           SELECT query_id, CAST(1 AS INTEGER) AS rank, nid FROM s1
+           UNION ALL SELECT query_id, CAST(2 AS INTEGER), nid FROM s2
+           UNION ALL SELECT query_id, CAST(3 AS INTEGER), nid FROM s3
+           UNION ALL SELECT query_id, CAST(4 AS INTEGER), nid FROM s4
+           UNION ALL SELECT query_id, CAST(5 AS INTEGER), nid FROM s5)
+         ORDER BY query_id, rank""",
+
     // s11: the s02 replay with EVERY vector as a query (block-keyed
     // self-join), rank cut at 3 — the corpus k-NN graph
     "s11_knn_graph" ->

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Maximal-Marginal-Relevance selection over a per-query candidate
+  * shortlist — the diversified re-rank step retrieval pipelines run
+  * after ANN search so the k results aren't k near-duplicates of each
+  * other (the retrieval-side twin of SemDeDup: relevance λ·sim(q,d)
+  * traded against redundancy (1−λ)·max_{s∈S} sim(d,s)).
+  *
+  * Input: `array<struct<neg_cq: long, nid: long, vec: array<double>>>`
+  * — the bounded-top-k shortlist buffer (negated quantized
+  * query-cosine, candidate id, UNIT vector), at most tens of entries
+  * per query. Output: the `k` selected ids in selection order.
+  *
+  * Runs entirely inside one row: the O(shortlist²) pairwise-similarity
+  * work never touches the corpus — MMR over a 100-TB corpus is exactly
+  * "ANN shortlist per query, then this per-row greedy", so the
+  * expensive part stays the measured ANN path and this adds a
+  * per-query constant. Greedy is inherently sequential in k; k and the
+  * shortlist are both small constants, which is why this is a scalar
+  * expression and not an operator.
+  *
+  * Cross-engine determinism: query-cosines arrive PRE-QUANTIZED
+  * (floor(cos·10⁶ + ½) as long, the microQuantize discipline) and
+  * pairwise cosines are quantized the same way here, so every
+  * comparison is over exact integers scaled by IEEE-exact constants —
+  * a DuckDB oracle unrolls the same greedy bit-for-bit. Ties break to
+  * the smaller candidate id at every step.
+  */
+case class MmrSelect(child: Expression, k: Int, lambda: Double)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "k must be positive")
+  require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val cq = new Array[Long](n)
+    val nid = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val st = arr.getStruct(i, 3)
+      cq(i) = -st.getLong(0) // stored negated for the ascending sort
+      nid(i) = st.getLong(1)
+      val va = st.getArray(2)
+      val m = va.numElements()
+      val vec = new Array[Double](m)
+      var d = 0
+      while (d < m) { vec(d) = va.getDouble(d); d += 1 }
+      vecs(i) = vec
+      i += 1
+    }
+    // pairwise quantized cosines, computed lazily and memoized — the
+    // greedy only ever reads pairs (candidate, already-selected)
+    val sq = Array.fill(n * n)(Long.MinValue)
+    def pairSim(a: Int, b: Int): Long = {
+      val idx = a * n + b
+      if (sq(idx) == Long.MinValue) {
+        val (va, vb) = (vecs(a), vecs(b))
+        val m = math.min(va.length, vb.length)
+        var s = 0.0
+        var d = 0
+        while (d < m) { s += va(d) * vb(d); d += 1 }
+        val q = math.floor(s * 1e6 + 0.5).toLong
+        sq(idx) = q; sq(b * n + a) = q
+      }
+      sq(idx)
+    }
+    val oneMinus = 1.0 - lambda // the ORACLE must write (1 - λ) too:
+    // 1-0.7 ≠ 0.3 in doubles, and both engines must use the same value
+    val taken = new Array[Boolean](n)
+    val out = new Array[Long](math.min(k, n))
+    var t = 0
+    while (t < out.length) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < n) {
+        if (!taken(c)) {
+          var pen = 0L // empty-S diversity term is 0 (first pick = max cq)
+          var s2 = 0
+          var first = true
+          while (s2 < n) {
+            if (taken(s2)) {
+              val p = pairSim(c, s2)
+              if (first || p > pen) { pen = p; first = false }
+            }
+            s2 += 1
+          }
+          val score = lambda * cq(c) - oneMinus * pen
+          if (score > bestScore ||
+              (score == bestScore && (best < 0 || nid(c) < nid(best)))) {
+            bestScore = score; best = c
+          }
+        }
+        c += 1
+      }
+      taken(best) = true
+      out(t) = nid(best)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MmrSelect =
+    copy(child = c)
+}

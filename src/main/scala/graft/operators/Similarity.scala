@@ -154,6 +154,48 @@ object Similarity {
     boundedTopK(scored, k)
   }
 
+  /** MMR diversified re-rank: exact top-`kShortlist` per query (the
+    * bounded-top-k path, with the candidate's UNIT VECTOR riding in
+    * the top-k buffer — ≤ kShortlist vectors per partition ever move),
+    * then [[graft.functions.MmrSelect]] greedily picks `kSelect` of
+    * them trading relevance against redundancy per row. The corpus
+    * never participates in the O(shortlist²) diversity work — at
+    * 100 TB the expensive leg stays the measured ANN scan and MMR
+    * adds a per-query constant. Query cosines are quantized
+    * (floor(cos·10⁶+½)) BEFORE ranking so shortlist membership, order,
+    * and the greedy itself all replay integer-exactly in the oracle.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, kShortlist: Int,
+      kSelect: Int, lambda: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val q = broadcast(withUnitVector(queries, col(vecCol), "q_vec")
+      .select(col(idCol).as("query_id"), col("q_vec")))
+    val scored = withUnitVector(corpus, col(vecCol), "n_vec")
+      .select(col(idCol).as("neighbor_id"), col("n_vec"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cq",
+        floor(dot(col("q_vec"), col("n_vec")) * 1e6 + lit(0.5)).cast("long"))
+    val key = struct(negate(col("cq")).as("neg_cq"),
+      col("neighbor_id").as("nid"), col("n_vec").as("vec"))
+    val local = scored
+      .withColumn("pid", spark_partition_id())
+      .groupBy("query_id", "pid")
+      .agg(slice(array_sort(collect_list(key)), 1, kShortlist).as("cands"))
+    val merged = local
+      .select(col("query_id"), explode(col("cands")).as("c"))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(col("c"))), 1, kShortlist).as("cands"))
+    merged
+      .select(col("query_id"),
+        posexplode(ColumnBridge.column(graft.functions.MmrSelect(
+          ColumnBridge.expression(col("cands")), kSelect, lambda)))
+          .as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("neighbor_id"))
+  }
+
   /** IVF ANN with a COMPUTED block: when no natural partition column
     * exists, the coarse quantizer is the random-hyperplane LSH bucket
     * ([[rhpSignature]]) — the same deterministic expression buckets

@@ -359,6 +359,21 @@ object PipelineQueries {
     Similarity.knnGraph(embs(s, dir), k = 3, blockCol = "label")
       .orderBy("query_id", "rank")
 
+  // ---- s12: MMR diversified re-rank — brute top-10 shortlist per
+  // query (the s01 broadcast-cross scan, vectors riding in the
+  // bounded top-k buffer), then the [[graft.functions.MmrSelect]]
+  // greedy picks 5 trading relevance (λ=0.7) against redundancy to
+  // already-picked results — retrieval's answer to near-duplicate
+  // result lists. All comparisons run over pre-quantized integer
+  // cosines, so the DuckDB oracle unrolls the same 5 greedy steps
+  // bit-for-bit. ----
+  def mmr_rerank(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    Similarity.mmrRerank(corpus, corpus.filter(col("vec_id") < 10),
+        kShortlist = 10, kSelect = 5, lambda = 0.7)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- trained-quantizer IVF (k-means coarse quantizer, nProbe=2).
   // FULL oracle: k-means init is randomized, but the PROBE path is a
   // pure function of the centroids — so the fit persists its centroids

@@ -21,7 +21,11 @@ class PlanContractSpec extends SparkTestBase {
   // broadcast cross join
   private val allowedCross =
     Set("s01_ann_topk", "s05_pq_adc", "s06_ann_recall", "p07_temperature_mix",
-      "s10_sq8_topk")
+      "s10_sq8_topk",
+      // s12's shortlist stage is the s01 broadcast-cross brute scan
+      // (10 broadcast queries against the corpus) BY DESIGN; the MMR
+      // greedy itself is per-row
+      "s12_mmr_rerank")
 
   test("no gate query plans BroadcastNestedLoopJoin or CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

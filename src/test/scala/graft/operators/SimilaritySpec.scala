@@ -84,6 +84,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("mmrRerank: redundancy is penalized (twin skipped), λ=1 degrades " +
+      "to pure relevance order") {
+    // query 0 = (1,0); candidates: 1,2 duplicates of the query
+    // direction, 3 orthogonal. With λ=0.4 the greedy picks 1 (best
+    // cq), then 3 (the twin 2 scores 0.4·1e6 − 0.6·1e6 < 0.6·0·0 = 0),
+    // then 2 — diversification reorders. With λ=1.0 the diversity term
+    // vanishes and the order is pure (cq, id): 1, 2, 3.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = rows.filter(col("vec_id") === 0)
+    def run(lambda: Double): Seq[(Long, Int, Long)] =
+      Similarity.mmrRerank(rows, queries, kShortlist = 3, kSelect = 3,
+          lambda = lambda)
+        .orderBy("query_id", "rank").as[(Long, Int, Long)].collect().toSeq
+    assert(run(0.4).map(_._3) === Seq(1L, 3L, 2L))
+    assert(run(1.0).map(_._3) === Seq(1L, 2L, 3L))
+  }
+
   test("rhpSignature: deterministic, block-stable, O(nBits) expression") {
     val sigs = corpus
       .select(col("vec_id"), Similarity.rhpSignature(col("embedding"), 16).as("sig"))
