@@ -148,6 +148,7 @@ object SparkEntry {
     "t13_bigram_lm" -> (PipelineQueries.bigram_lm _),
     "t14_bpe_pairs" -> (PipelineQueries.bpe_pairs _),
     "t16_token_entropy" -> (PipelineQueries.token_entropy _),
+    "t17_cms_estimate" -> (PipelineQueries.cms_estimate _),
     "d14_bloom_prefilter" -> (PipelineQueries.bloom_prefilter _),
     "p13_group_split" -> (PipelineQueries.group_split _),
     "g08_twohop" -> (PipelineQueries.twohop _),
@@ -2125,6 +2126,34 @@ object SparkEntry {
          SELECT mb.doc_id, mb.maybe_dup,
                 mb.maybe_dup AND coalesce(ex.hit, false) AS is_dup
          FROM mb JOIN ex USING (doc_id) ORDER BY doc_id""",
+
+    // t17: the CMS grid rebuilt relationally — positions are the d14
+    // md5 fold mod w=16, the grid is sum(tf) per (row, cell), the
+    // estimate is the min over the term's 4 cells
+    "t17_cms_estimate" ->
+      """WITH toks AS (SELECT
+             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS term
+           FROM documents),
+         tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1),
+         pos AS (SELECT term, tf, j.j AS j,
+             list_sum(list_transform(range(1, 9), i ->
+               CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(j.j AS VARCHAR) || term),
+                   CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+               * CAST(pow(16, 8 - i) AS BIGINT))) % 16 AS cell
+           FROM tf, (SELECT unnest(range(4)) AS j) j),
+         grid AS (SELECT j, cell, CAST(sum(tf) AS BIGINT) AS cnt
+           FROM pos GROUP BY 1, 2),
+         top AS (SELECT term, tf FROM tf
+           QUALIFY row_number() OVER (ORDER BY tf DESC, term) <= 20),
+         tp AS (SELECT top.term, top.tf, p.j, p.cell
+           FROM top JOIN pos p ON p.term = top.term)
+         SELECT tp.term, max(tp.tf) AS true_count,
+                CAST(min(grid.cnt) AS BIGINT) AS cms_estimate
+         FROM tp JOIN grid ON grid.j = tp.j AND grid.cell = tp.cell
+         GROUP BY tp.term
+         ORDER BY true_count DESC, term""",
 
     // p13: p02's recursive-reach components + p12's integer md5 coin
     // thrown on the COMPONENT id; thresholds are floor(0.90·2³²) and

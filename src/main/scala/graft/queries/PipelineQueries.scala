@@ -683,6 +683,44 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- t17: Count-Min sketch — the third sketch family (t09 =
+  // frequent-items, t10 = KLL quantiles): frequency point-estimates
+  // from a k×w counter grid, built as ONE groupBy over (row, md5-
+  // derived position) — the grid is k·w rows no matter the corpus
+  // size, the mergeable-summary property that lets 1000 executors
+  // each sketch a shard and union the grids. Estimates are
+  // min_j grid[j][pos_j(term)] for the 20 highest-true-frequency
+  // terms; CMS guarantees estimate ≥ truth (collisions only inflate),
+  // which the gate output exhibits and the spec asserts. Positions
+  // are the d14 Bloom arithmetic (first-8-hex-of-md5 mod w) — fully
+  // deterministic, so the DuckDB oracle rebuilds the identical grid.
+  // k=4 rows, w=16: deliberately tiny relative to the ~31-term synth
+  // vocabulary so collisions actually inflate estimates (the visible
+  // error the epsilon = e/w knob controls; a real deployment sizes
+  // w ≫ distinct-heavy-hitters). ----
+  def cms_estimate(s: SparkSession, dir: String): DataFrame = {
+    val (k, w) = (4, 16)
+    val terms = docs(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("term").agg(count(lit(1)).as("tf"))
+    // the k×w counter grid: one row per (sketch row j, cell) — built
+    // from term COUNTS (vocabulary-sized), not term instances
+    val grid = tf
+      .select(col("tf"),
+        posexplode(Dedup.bloomPositions(col("term"), k, w))
+          .as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(sum("tf").as("cnt"))
+    val top = tf
+      .orderBy(col("tf").desc, col("term").asc).limit(20)
+      .select(col("term"), col("tf"),
+        posexplode(Dedup.bloomPositions(col("term"), k, w))
+          .as(Seq("j", "cell")))
+    top.join(grid, Seq("j", "cell"))
+      .groupBy("term")
+      .agg(max("tf").as("true_count"), min("cnt").as("cms_estimate"))
+      .orderBy(col("true_count").desc, col("term").asc)
+  }
+
   // ---- t14: BPE merge-pair counting — ONE iteration of byte-pair-
   // encoding tokenizer training, engine-shaped: word frequencies come
   // off the corpus once (the shuffle carries (word, count), not

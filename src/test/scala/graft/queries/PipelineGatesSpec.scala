@@ -358,6 +358,40 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(got == Seq((0L, 2L), (1L, 2L), (2L, 2L)))
   }
 
+  test("t17 cms_estimate: never underestimates; exact when collision-free") {
+    // corpus: "a"×8, "b"×4, "c"×2, "d"×1 spread over docs
+    val d = tmpSf(Seq(
+      (0L, "a a a a b b", "en", "s", 1L),
+      (1L, "a a a a b b c", "en", "s", 1L),
+      (2L, "c d", "en", "s", 1L)))
+    val got = PipelineQueries.cms_estimate(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    val byTerm = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byTerm("a")._1 == 8L && byTerm("b")._1 == 4L &&
+      byTerm("c")._1 == 2L && byTerm("d")._1 == 1L)
+    // the CMS invariant: estimates NEVER undercount
+    assert(got.forall { case (_, t, e) => e >= t })
+    // w=16 with 4 terms: if md5 scatters these terms into distinct
+    // cells in at least one row, the min is exact; verify by checking
+    // each term whose estimate equals truth has a collision-free row,
+    // and each inflated one does not (consistency of the grid math)
+    val terms = Seq("a", "b", "c", "d")
+    def cell(j: Int, t: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest((j.toString + t).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(8), 16) % 16
+    }
+    val tf = Map("a" -> 8L, "b" -> 4L, "c" -> 2L, "d" -> 1L)
+    val expected = terms.map { t =>
+      t -> (0 until 4).map { j =>
+        terms.filter(u => cell(j, u) == cell(j, t)).map(tf).sum
+      }.min
+    }.toMap
+    got.foreach { case (t, _, e) => assert(e == expected(t),
+      s"term $t: grid estimate $e != reference ${expected(t)}") }
+  }
+
   test("d14 bloom_prefilter: exact dup flagged, no false negatives") {
     // doc 1 (batch) copies doc 0 (corpus) -> maybe_dup AND is_dup;
     // doc 3 (batch) is unique -> is_dup false; bloom admits no false
