@@ -152,6 +152,7 @@ object SparkEntry {
     "d14_bloom_prefilter" -> (PipelineQueries.bloom_prefilter _),
     "p13_group_split" -> (PipelineQueries.group_split _),
     "g08_twohop" -> (PipelineQueries.twohop _),
+    "g09_modularity" -> (PipelineQueries.modularity _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
     "m05_image_pixels" -> (PipelineQueries.multimodal_pixels _),
@@ -2189,6 +2190,54 @@ object SparkEntry {
                      WHEN u32 < 4080218931 THEN 'val'
                      ELSE 'test' END AS split
          FROM u ORDER BY doc_id""",
+
+    // g09: the g06 3-round LPA replay + integer modularity — per
+    // community contrib·4m² = 4·m·L_c − d_c², all BIGINT
+    "g09_modularity" ->
+      """WITH d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+         r1 AS (SELECT e.src, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l0 l ON l.id = e.dst GROUP BY 1,2),
+         l1 AS (SELECT src AS id, lbl FROM r1
+                QUALIFY row_number() OVER (PARTITION BY src
+                  ORDER BY cnt DESC, lbl ASC) = 1),
+         r2 AS (SELECT e.src, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l1 l ON l.id = e.dst GROUP BY 1,2),
+         l2 AS (SELECT src AS id, lbl FROM r2
+                QUALIFY row_number() OVER (PARTITION BY src
+                  ORDER BY cnt DESC, lbl ASC) = 1),
+         r3 AS (SELECT e.src, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l2 l ON l.id = e.dst GROUP BY 1,2),
+         l3 AS (SELECT src AS id, lbl FROM r3
+                QUALIFY row_number() OVER (PARTITION BY src
+                  ORDER BY cnt DESC, lbl ASC) = 1),
+         deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+                 FROM edges GROUP BY 1),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         intra AS (SELECT la.lbl AS community,
+             CAST(count(*) AS BIGINT) AS intra_edges
+           FROM pairs p JOIN l3 la ON la.id = p.id_a
+           JOIN l3 lb ON lb.id = p.id_b
+           WHERE la.lbl = lb.lbl GROUP BY 1),
+         degc AS (SELECT l3.lbl AS community,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+           FROM l3 JOIN deg ON deg.id = l3.id GROUP BY 1)
+         SELECT CAST(degc.community AS BIGINT) AS community, n_nodes,
+                CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+                degree_sum,
+                CAST(4*mm.m*coalesce(intra.intra_edges, 0)
+                  - degree_sum*degree_sum AS BIGINT) AS contrib_x4m2
+         FROM degc LEFT JOIN intra USING (community) CROSS JOIN mm
+         ORDER BY community""",
 
     // g08: symmetric edges, one self-join, distinct union of 1- and
     // 2-hop neighbors (self excluded from the 2-hop leg)

@@ -949,6 +949,45 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("lbl").as("community"))
       .orderBy("doc_id")
 
+  // ---- g09: community-quality scoring — Newman MODULARITY of the
+  // g06 LPA partition over the near-dup graph, the number a curation
+  // pipeline reads before trusting cluster-level actions (low Q =
+  // the communities are noise). INTEGER-EXACT: Q = Σ_c [L_c/m −
+  // (d_c/2m)²] is reported as the per-community contribution scaled
+  // by 4m² — contrib = 4·m·L_c − d_c², all BIGINT arithmetic, no
+  // float anywhere (Q itself = Σ contrib / 4m², recoverable to full
+  // precision by the caller). Shape: the LPA rounds are the measured
+  // fixed-round path; on top sit two id-only joins (label each pair
+  // endpoint, label each degree row) and two aggregations — shuffle
+  // carries (id, label, counts), never text; m ships as a literal
+  // like t13's vocabulary scalar. ----
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairsRaw(s, dir)
+    val labels = graft.graph.LabelProp.run(pairs, iterations = 3)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val m = pairs.count()
+    val lab = labels.select(col("id"), col("lbl"))
+    val intra = pairs
+      .join(lab.select(col("id").as("id_a"), col("lbl").as("la")), Seq("id_a"))
+      .join(lab.select(col("id").as("id_b"), col("lbl").as("lb")), Seq("id_b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degc = lab.join(deg, col("id") === col("src"))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("degree_sum"))
+    degc.join(intra, Seq("community"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .withColumn("contrib_x4m2",
+        lit(4L) * lit(m) * col("intra_edges")
+          - col("degree_sum") * col("degree_sum"))
+      .select("community", "n_nodes", "intra_edges", "degree_sum",
+        "contrib_x4m2")
+      .orderBy("community")
+  }
+
   // ---- g07: k-core peeling over the near-dup graph — the degeneracy
   // filter (drop nodes that can't sustain k connections once their
   // weak neighbors peel; what survives 3 synchronized rounds of the

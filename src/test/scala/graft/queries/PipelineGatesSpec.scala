@@ -392,6 +392,27 @@ class PipelineGatesSpec extends SparkTestBase {
       s"term $t: grid estimate $e != reference ${expected(t)}") }
   }
 
+  test("g09 modularity: hand-computed triangle + pair, integer-exact") {
+    // graph: triangle {0,1,2} (identical texts) + edge {30,31}; m=4.
+    // 3 sync LPA rounds: the triangle converges to community 0; the
+    // pair OSCILLATES (round 3 leaves 30↦31, 31↦30) — two singleton
+    // communities whose shared edge is NOT intra. Contributions
+    // (×4m² = ×64): triangle 4·4·3 − 6² = 12; each pair node
+    // 4·4·0 − 1² = −1.
+    val d = tmpSf(Seq(
+      (0L, "a b c d e", "en", "s", 1L),
+      (1L, "a b c d e", "en", "s", 1L),
+      (2L, "a b c d e", "en", "s", 1L),
+      (30L, "p q r s t", "en", "s", 1L),
+      (31L, "p q r s t", "en", "s", 1L)))
+    val got = PipelineQueries.modularity(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 3L, 6L, 12L),
+      (30L, 1L, 0L, 1L, -1L), (31L, 1L, 0L, 1L, -1L)))
+    // sanity: Σ contrib / 4m² ∈ [-1, 1] (Q of this partition = 10/64)
+    assert(got.map(_._5).sum == 10L)
+  }
+
   test("d14 bloom_prefilter: exact dup flagged, no false negatives") {
     // doc 1 (batch) copies doc 0 (corpus) -> maybe_dup AND is_dup;
     // doc 3 (batch) is unique -> is_dup false; bloom admits no false
