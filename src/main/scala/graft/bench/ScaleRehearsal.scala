@@ -354,11 +354,24 @@ object ScaleRehearsal {
       val r58 = time(graft.queries.StreamingQueries
         .stream_ann_ingest(spark, work).count())
       val s58 = stateJson("r58")
+      // r59 leg: the STATELESS contrast — the anti-join keeps no join
+      // state (static side re-broadcasts per batch), so state rows
+      // must stay FLAT at the per-source rollup's ~20 rows while
+      // streamed docs grow ∝ M (the rotation salt keeps sources
+      // shared across copies)
+      saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
+        .parquet(s"$work/documents.parquet")
+      val nDocs = spark.read.parquet(s"$work/documents.parquet").count()
+      val r59 = time(graft.queries.StreamingQueries
+        .stream_decontam(spark, work).count())
+      val s59 = stateJson("r59")
       println(s"""{"mult":$mult,"events":$nEvents,"vectors":$nVecs,""" +
+        s""""docs":$nDocs,""" +
         s""""r53":${jq(r53)},"r53_state":$s53,""" +
         s""""r55":${jq(r55)},"r55_state":$s55,""" +
         s""""r57":${jq(r57)},"r57_state":$s57,""" +
-        s""""r58":${jq(r58)},"r58_state":$s58}""")
+        s""""r58":${jq(r58)},"r58_state":$s58,""" +
+        s""""r59":${jq(r59)},"r59_state":$s59}""")
     } else if (mode == "clean") {
       // the corpus-cleaning path: p06 boilerplate removal (its
       // boilerplate paragraph SET stays ~22 entries at every M —
