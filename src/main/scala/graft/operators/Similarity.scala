@@ -24,11 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) as double, sequential fold (deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) as double — sequential left-to-right accumulation
+    * (deterministic, same order as an `aggregate(zip_with(…))` fold
+    * and as DuckDB's `list_inner_product`), via the codegen'd
+    * [[graft.functions.DotProduct]] primitive loop. The HOF spelling
+    * this replaced allocated a zipped array per PAIR — millions of
+    * 64-slot allocations per task in the pair joins — and measured as
+    * the dominant cost of d05/s11, not the multiplies.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
