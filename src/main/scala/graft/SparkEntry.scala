@@ -150,6 +150,7 @@ object SparkEntry {
     "t16_token_entropy" -> (PipelineQueries.token_entropy _),
     "t17_cms_estimate" -> (PipelineQueries.cms_estimate _),
     "d14_bloom_prefilter" -> (PipelineQueries.bloom_prefilter _),
+    "d15_incremental_neardup" -> (PipelineQueries.incremental_neardup _),
     "p13_group_split" -> (PipelineQueries.group_split _),
     "g08_twohop" -> (PipelineQueries.twohop _),
     "g09_modularity" -> (PipelineQueries.modularity _),
@@ -2155,6 +2156,27 @@ object SparkEntry {
          FROM tp JOIN grid ON grid.j = tp.j AND grid.cell = tp.cell
          GROUP BY tp.term
          ORDER BY true_count DESC, term""",
+
+    // d15: the d02 exhaustive ground truth restricted to cross-parity
+    // (odd batch → even corpus) pairs — the recall gate for the
+    // incremental banded probe
+    "d15_incremental_neardup" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         s AS (SELECT doc_id, unnest(list_distinct(
+                 [substr(t, i, 5) FOR i IN range(1, greatest(length(t)-4, 1) + 1)]
+               )) AS sh FROM d),
+         sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+                 count(*) AS inter
+               FROM s a JOIN s b ON a.sh = b.sh
+               WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+               GROUP BY 1, 2)
+         SELECT batch_id, corpus_id, CAST(inter AS INTEGER) AS inter,
+                CAST(sa.n + sb.n - inter AS INTEGER) AS un
+         FROM p JOIN sz sa ON sa.doc_id = batch_id
+                JOIN sz sb ON sb.doc_id = corpus_id
+         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         ORDER BY batch_id, corpus_id""",
 
     // p13: p02's recursive-reach components + p12's integer md5 coin
     // thrown on the COMPONENT id; thresholds are floor(0.90·2³²) and

@@ -140,6 +140,24 @@ object TextDedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Candidates ACROSS two bucket sets — the incremental form of
+    * [[candidatePairs]]: `index` is the standing corpus's banded
+    * buckets (at 100 TB a persisted table, written once at
+    * index-build time and bucket-partitioned), `probe` is a new
+    * batch's buckets. One equi-join on (band, bucket) + distinct:
+    * each new doc meets only docs sharing a band bucket, never the
+    * corpus at large — the probe cost is ∝ batch × bucket occupancy,
+    * independent of corpus size when buckets are balanced. No a<b
+    * filter: the two sides are disjoint by construction and the
+    * (probe, index) orientation is the output's meaning.
+    */
+  def candidatePairsAcross(probe: DataFrame, index: DataFrame,
+      idCol: String): DataFrame =
+    probe.select(col("band"), col("bucket"), col(idCol).as("probe_id"))
+      .join(index.select(col("band"), col("bucket"),
+        col(idCol).as("index_id")), Seq("band", "bucket"))
+      .select("probe_id", "index_id").distinct()
+
   /** Exact Jaccard similarity between two token-set columns (arrays,
     * assumed distinct). Integer set sizes → the double division is
     * bit-exact and engine-independent.

@@ -73,6 +73,42 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- d15: INCREMENTAL near-dup — the production ingest shape d14
+  // is the exact-dup half of: the standing corpus (even ids) is a
+  // banded MinHash-LSH INDEX (at 100 TB a persisted, bucket-
+  // partitioned table written at index-build time), a new batch (odd
+  // ids) probes it with one (band, bucket) equi-join, and only
+  // banded candidates pay the exact-Jaccard verify. Probe cost ∝
+  // batch × bucket occupancy — independent of corpus size with
+  // balanced buckets — vs d02's corpus-wide self-join. Same recall
+  // gate as d02/d03/d13: the output must equal the EXHAUSTIVE
+  // J ≥ 0.8 cross-parity pair set, proving the banded probe loses
+  // nothing on this corpus. ----
+  def incremental_neardup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def sigs(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.MinHashSig(col("text"), 5, 64).as("sig"))
+    val idx = TextDedup.lshBuckets(sigs(d.filter(col("doc_id") % 2 === 0)),
+      "doc_id", "sig", bands = 16, rowsPerBand = 4)
+    val prb = TextDedup.lshBuckets(sigs(d.filter(col("doc_id") % 2 === 1)),
+      "doc_id", "sig", bands = 16, rowsPerBand = 4)
+    val cand = TextDedup.candidatePairsAcross(prb, idx, "doc_id")
+    val t = d.select(col("doc_id"),
+      graft.functions.ShingleHashSorted(col("text"), 5).as("sh"))
+    cand
+      .join(t.select(col("doc_id").as("probe_id"), col("sh").as("sh_a")),
+        Seq("probe_id"))
+      .join(t.select(col("doc_id").as("index_id"), col("sh").as("sh_b")),
+        Seq("index_id"))
+      .withColumn("inter",
+        graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
+      .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter").cast("double") / col("un") >= 0.8)
+      .select(col("probe_id").as("batch_id"),
+        col("index_id").as("corpus_id"), col("inter"), col("un"))
+      .orderBy("batch_id", "corpus_id")
+  }
+
   // ---- d13: densified-OPH MinHash-LSH — d02's recall-gate structure
   // through the one-hash-per-shingle signature family (OPH, Li/Owen/
   // Zhang 2012 + rotation densification, Shrivastava/Li 2014): the

@@ -295,4 +295,29 @@ class TextDedupSpec extends SparkTestBase {
     assert(truth.subsetOf(ophCand),
       s"OPH missed pairs: ${truth.diff(ophCand)}")
   }
+
+  test("candidatePairsAcross: probe meets only bucket-sharing index docs, " +
+      "orientation preserved, cross recall holds") {
+    // index: docs 0,2 near-dup bases; probe: 1 copies 0's text, 3 is
+    // unrelated. The probe must surface (1→0) and never an
+    // index-index or probe-probe pair.
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different corpus text about something else entirely"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "unrelated probe content that matches nothing in the index"))
+    val d = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), TextDedup.shingles(col("text"), 5).as("sh"))
+    val sigs = d.select(col("doc_id"),
+      TextDedup.minHashSignature(col("sh"), 64).as("sig"))
+    def buckets(f: org.apache.spark.sql.DataFrame) =
+      TextDedup.lshBuckets(f, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+    val cand = TextDedup.candidatePairsAcross(
+        buckets(sigs.filter(col("doc_id") % 2 === 1)),
+        buckets(sigs.filter(col("doc_id") % 2 === 0)), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 0L)), "identical probe doc missed its index twin")
+    // orientation: probe ids are odd, index ids even — never mixed
+    assert(cand.forall { case (p, i) => p % 2 == 1 && i % 2 == 0 })
+  }
 }
