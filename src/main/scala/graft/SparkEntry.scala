@@ -149,6 +149,7 @@ object SparkEntry {
     "t14_bpe_pairs" -> (PipelineQueries.bpe_pairs _),
     "t16_token_entropy" -> (PipelineQueries.token_entropy _),
     "t17_cms_estimate" -> (PipelineQueries.cms_estimate _),
+    "t18_contamination_density" -> (PipelineQueries.contamination_density _),
     "d14_bloom_prefilter" -> (PipelineQueries.bloom_prefilter _),
     "d15_incremental_neardup" -> (PipelineQueries.incremental_neardup _),
     "p13_group_split" -> (PipelineQueries.group_split _),
@@ -2156,6 +2157,23 @@ object SparkEntry {
          FROM tp JOIN grid ON grid.j = tp.j AND grid.cell = tp.cell
          GROUP BY tp.term
          ORDER BY true_count DESC, term""",
+
+    // t18: the d10 window machinery across the train/eval split —
+    // per-doc count of 8-token windows present in the eval set
+    "t18_contamination_density" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS t
+           FROM documents),
+         w AS (SELECT doc_id,
+             unnest(list_transform(range(len(t)-7),
+               i -> md5(array_to_string(t[i+1:i+8],' ')))) AS g
+           FROM toks WHERE len(t) >= 8),
+         ev AS (SELECT DISTINCT g FROM w WHERE doc_id % 97 = 0)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                CAST(count(*) FILTER (WHERE g IN (SELECT g FROM ev))
+                  AS BIGINT) AS n_contaminated
+         FROM w WHERE doc_id % 97 != 0
+         GROUP BY doc_id ORDER BY doc_id""",
 
     // d15: the d02 exhaustive ground truth restricted to cross-parity
     // (odd batch → even corpus) pairs — the recall gate for the

@@ -95,11 +95,20 @@ object PipelineQueries {
     val cand = TextDedup.candidatePairsAcross(prb, idx, "doc_id")
     val t = d.select(col("doc_id"),
       graft.functions.ShingleHashSorted(col("text"), 5).as("sh"))
+    // join ORDER is the shuffle budget: the corpus-side arrays attach
+    // first via the id-keyed join (bare (probe_id, index_id) pairs +
+    // each corpus array crossing once), and the BATCH-side arrays
+    // broadcast LAST — batch is bounded by the ingest contract. The
+    // reverse order measured 360 MB at the M=10 rehearsal because
+    // every candidate row carried its probe array through the
+    // index-side exchange (one array per CANDIDATE, not per doc).
     cand
-      .join(t.select(col("doc_id").as("probe_id"), col("sh").as("sh_a")),
-        Seq("probe_id"))
       .join(t.select(col("doc_id").as("index_id"), col("sh").as("sh_b")),
         Seq("index_id"))
+      .join(broadcast(
+        t.select(col("doc_id").as("probe_id"), col("sh").as("sh_a"))
+          .where(col("probe_id") % 2 === 1)),
+        Seq("probe_id"))
       .withColumn("inter",
         graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
       .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
@@ -338,6 +347,37 @@ object PipelineQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(coalesce(col("isdup"), lit(0))).cast("long").as("dup_windows"))
+      .orderBy("doc_id")
+  }
+
+  // ---- t18: contamination DENSITY — d07 answers IF a doc matches
+  // the eval set (whole-content hash), this answers HOW MUCH: the
+  // count of a doc's 8-token windows that appear anywhere in the
+  // eval-set docs (doc_id % 97 = 0), the d10 window machinery aimed
+  // across the train/eval split. The filter a pipeline actually
+  // deploys: whole-doc decontamination misses quoted benchmark
+  // fragments; window density catches partial contamination and
+  // gives the threshold knob. INTEGER-ONLY output (n_windows,
+  // n_contaminated) — no float discipline needed. Scale: the eval
+  // window-hash set is benchmark-sized (broadcastable in deployment);
+  // the shuffle carries (hash, id), never text. ----
+  def contamination_density(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val t = docs(s, dir).select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    val w = t.select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) >= n,
+          sequence(lit(1), size(col("toks")) - (n - 1)))).as("__i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("__i"), lit(n)), " ")).as("g"))
+    val evalSet = w.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct().withColumn("__hit", lit(1))
+    w.filter(col("doc_id") % 97 =!= 0)
+      .join(evalSet, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long")
+          .as("n_contaminated"))
       .orderBy("doc_id")
   }
 

@@ -413,6 +413,21 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(got.map(_._5).sum == 10L)
   }
 
+  test("t18 contamination_density: quoted eval fragment counted window-exactly") {
+    // doc 0 (0 % 97 = 0) IS the eval set: tokens e0..e9 → windows
+    // e0..e7, e1..e8, e2..e9. doc 1 quotes all 10 eval tokens after a
+    // 2-token prefix: 12 tokens → 5 windows, of which exactly the 3
+    // pure-eval windows match. doc 2 shares nothing → (1, 0).
+    val ev = (0 until 10).map("e" + _).mkString(" ")
+    val d = tmpSf(Seq(
+      (0L, ev, "en", "s", 1L),
+      (1L, "b0 b1 " + ev, "en", "s", 1L),
+      (2L, (0 until 8).map("z" + _).mkString(" "), "en", "s", 1L)))
+    val got = PipelineQueries.contamination_density(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 3L), (2L, 1L, 0L)))
+  }
+
   test("d14 bloom_prefilter: exact dup flagged, no false negatives") {
     // doc 1 (batch) copies doc 0 (corpus) -> maybe_dup AND is_dup;
     // doc 3 (batch) is unique -> is_dup false; bloom admits no false
