@@ -86,6 +86,7 @@ object SparkEntry {
     "r57_stream_topk" -> (StreamingQueries.stream_topk _),
     "r58_stream_ann_ingest" -> (StreamingQueries.stream_ann_ingest _),
     "r59_stream_decontam" -> (StreamingQueries.stream_decontam _),
+    "r60_stream_neardup" -> (StreamingQueries.stream_neardup _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -656,6 +657,27 @@ object SparkEntry {
          WHERE md5(text) NOT IN
            (SELECT md5(text) FROM documents WHERE doc_id % 97 = 0)
          GROUP BY source ORDER BY source""",
+
+    // r60: the drained streaming near-dup intake equals the d15
+    // exhaustive cross-parity ground truth rolled up per batch doc
+    "r60_stream_neardup" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         s AS (SELECT doc_id, unnest(list_distinct(
+                 [substr(t, i, 5) FOR i IN range(1, greatest(length(t)-4, 1) + 1)]
+               )) AS sh FROM d),
+         sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+                 count(*) AS inter
+               FROM s a JOIN s b ON a.sh = b.sh
+               WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+               GROUP BY 1, 2),
+         v AS (SELECT batch_id, corpus_id
+               FROM p JOIN sz sa ON sa.doc_id = batch_id
+                      JOIN sz sb ON sb.doc_id = corpus_id
+               WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)
+         SELECT batch_id AS doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+                CAST(sum(corpus_id) AS BIGINT) AS sum_ids
+         FROM v GROUP BY 1 ORDER BY doc_id""",
 
     // r57: drained streaming top-k sketch == exact per-day
     // (count DESC, item ASC) top-5 — sketch exact while unsaturated

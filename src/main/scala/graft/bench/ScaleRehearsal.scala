@@ -166,7 +166,22 @@ object ScaleRehearsal {
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
       "passages", "streaming").contains(mode), s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
-      else java.nio.file.Files.createTempDirectory("scale").toString
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_scale")
+        // remove this run's work dir at exit, and sweep siblings a
+        // SIGKILLed run left behind (same aging policy as the
+        // streaming scratch dirs — salted corpora are GBs at M=26,
+        // and before this sweep every rehearsal run leaked one)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)))
+        Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+          .filter(f => (f.getName.startsWith("graft_scale") ||
+              f.getName.matches("scale\\d+")) &&
+            f.getPath != d.toString &&
+            f.lastModified < System.currentTimeMillis - 6L * 3600 * 1000)
+          .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+        d.toString
+      }
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

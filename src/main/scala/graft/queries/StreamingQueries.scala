@@ -400,6 +400,84 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** r60: streaming INCREMENTAL NEAR-DUP intake — d15 as a stream,
+    * completing the intake pair (r59 = exact/decontamination, this =
+    * fuzzy): documents arrive continuously, the standing corpus's
+    * banded-LSH index and shingle-hash table are STATIC relations,
+    * and each micro-batch probes map-side — signature + banding are
+    * stateless projections on the stream, the candidate join and the
+    * verify join are both stream-static (index side broadcast), and
+    * the ONE stateful operator is the pair-granularity aggregation
+    * (state ∝ verified pairs — the output's own size; the per-doc
+    * rollup is post-drain batch work). The stream side is
+    * the PROBE (the broadcast-probe orientation of the batch
+    * operator inverts here: in a stream the batch is unbounded and
+    * the INDEX is the bounded side — same contract, roles swapped).
+    * Corpus = even ids, streamed batch = odd ids, J ≥ 0.8 verify —
+    * the d15 semantics exactly, so the oracle is the same exhaustive
+    * cross-parity ground truth rolled up per batch doc with integer
+    * checksums.
+    */
+  def stream_neardup(s: SparkSession, dir: String): DataFrame = {
+    val docsStatic = graft.Tables.load(s, dir, "documents")
+    val corpus = docsStatic.filter(col("doc_id") % 2 === 0)
+    val idx = graft.operators.TextDedup.lshBuckets(
+      corpus.select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), 5, 64).as("sig")),
+      "doc_id", "sig", bands = 16, rowsPerBand = 4)
+      .select(col("band"), col("bucket"), col("doc_id").as("index_id"))
+    val idxSh = corpus.select(col("doc_id").as("index_id"),
+      graft.functions.ShingleHashSorted(col("text"), 5).as("sh_b"))
+    // sh_a rides the stream row from the start: re-deriving it via a
+    // second join back onto the stream would be a STREAM-STREAM join
+    // (unsupported in complete mode) — one streaming lineage, with
+    // the shingle array carried through the map-side band explode
+    // and broadcast joins, never entering an exchange (the only
+    // exchange is the final pair aggregation, array-free).
+    val stream = graft.Tables.normalize("documents",
+        s.readStream.schema(docsStatic.schema)
+          .parquet(s"$dir/documents.parque[t]"))
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), 5, 64).as("sig"),
+        graft.functions.ShingleHashSorted(col("text"), 5).as("sh_a"))
+    // TextDedup.lshBuckets' band arithmetic inlined (it projects the
+    // id/bands only; here sh_a must survive the explode): identical
+    // xxhash64-over-slice form, so stream buckets equal index buckets
+    val prbBuckets = stream
+      .select(col("doc_id").as("probe_id"), col("sh_a"),
+        posexplode(transform(sequence(lit(0), lit(15)), b =>
+          xxhash64(b, slice(col("sig"), b * lit(4) + lit(1), lit(4)))))
+          .as(Seq("band", "bucket")))
+    // a pair hit in k of the 16 bands appears k times here; the
+    // verify expression runs per band-hit row (≤16× duplicated
+    // arithmetic, map-side and cheap) so that the ONE stateful
+    // operator in the query is the pair-granularity aggregation —
+    // chaining a stateful dropDuplicates into a complete-mode
+    // aggregation is the unsupported shape. The per-doc rollup runs
+    // on the DRAINED table: post-drain batch work, not stream state.
+    val verified = prbBuckets
+      .join(broadcast(idx), Seq("band", "bucket"))
+      .join(broadcast(idxSh), Seq("index_id"))
+      .withColumn("inter", graft.functions.SortedLongIntersect(
+        col("sh_a"), col("sh_b")))
+      .withColumn("un",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter").cast("double") / col("un") >= 0.8)
+    val agg = verified.groupBy(col("probe_id"), col("index_id"))
+      .agg(count(lit(1)).as("band_hits"))
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.format("memory").queryName("r60_sink")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      drain("r60", q)
+    }
+    s.table("r60_sink")
+      .groupBy(col("probe_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        sum(col("index_id")).cast("long").as("sum_ids"))
+      .orderBy("doc_id")
+  }
+
   /** r55: streaming gap sessionization — the custom-state
     * `flatMapGroupsWithState` path ([[graft.streaming.StreamingSessionize]]),
     * same 8-hour-gap semantics as the batch r18 query. What makes the

@@ -132,6 +132,19 @@ class StreamingQueriesSpec extends SparkTestBase {
     assert(streamed.map(_.getLong(1)).sum < docs.count())
   }
 
+  test("r60 streaming near-dup intake == batch d15 rollup") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.stream_neardup(spark, dir).collect()
+    val batch = graft.queries.PipelineQueries
+      .incremental_neardup(spark, dir)
+      .groupBy(col("batch_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        sum(col("corpus_id")).cast("long").as("sum_ids"))
+      .orderBy("doc_id").collect()
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
   test("r58 streaming cell ingestion == batch assignment rollup, " +
       "state one row per cell") {
     assume(new java.io.File(dir).isDirectory)
