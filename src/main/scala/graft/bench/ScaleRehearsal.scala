@@ -380,13 +380,23 @@ object ScaleRehearsal {
       val r59 = time(graft.queries.StreamingQueries
         .stream_decontam(spark, work).count())
       val s59 = stateJson("r59")
+      // r60 leg: streamed batch AND corpus both grow ∝ M (odd/even
+      // split of the salted corpus), so verified pairs — and the
+      // pair-granularity state — must grow exactly ∝ M while the
+      // static index broadcast stays per-batch; wall includes the
+      // in-gate index build (index-build cost is measured separately
+      // by the d15 batch leg)
+      val r60 = time(graft.queries.StreamingQueries
+        .stream_neardup(spark, work).count())
+      val s60 = stateJson("r60")
       println(s"""{"mult":$mult,"events":$nEvents,"vectors":$nVecs,""" +
         s""""docs":$nDocs,""" +
         s""""r53":${jq(r53)},"r53_state":$s53,""" +
         s""""r55":${jq(r55)},"r55_state":$s55,""" +
         s""""r57":${jq(r57)},"r57_state":$s57,""" +
         s""""r58":${jq(r58)},"r58_state":$s58,""" +
-        s""""r59":${jq(r59)},"r59_state":$s59}""")
+        s""""r59":${jq(r59)},"r59_state":$s59,""" +
+        s""""r60":${jq(r60)},"r60_state":$s60}""")
     } else if (mode == "clean") {
       // the corpus-cleaning path: p06 boilerplate removal (its
       // boilerplate paragraph SET stays ~22 entries at every M —
