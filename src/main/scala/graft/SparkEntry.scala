@@ -151,6 +151,7 @@ object SparkEntry {
     "t16_token_entropy" -> (PipelineQueries.token_entropy _),
     "t17_cms_estimate" -> (PipelineQueries.cms_estimate _),
     "t18_contamination_density" -> (PipelineQueries.contamination_density _),
+    "t19_js_divergence" -> (PipelineQueries.js_divergence _),
     "d14_bloom_prefilter" -> (PipelineQueries.bloom_prefilter _),
     "d15_incremental_neardup" -> (PipelineQueries.incremental_neardup _),
     "p13_group_split" -> (PipelineQueries.group_split _),
@@ -2217,6 +2218,42 @@ object SparkEntry {
                 JOIN sz sb ON sb.doc_id = corpus_id
          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
          ORDER BY batch_id, corpus_id""",
+
+    // t19: JS divergence with the t12 float discipline; the w term is
+    // parenthesized EXACTLY as the Spark side computes it
+    "t19_js_divergence" ->
+      """WITH toks AS (SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS term
+           FROM documents),
+         tfs AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cs
+           FROM toks GROUP BY 1, 2),
+         tfg AS (SELECT term, CAST(count(*) AS BIGINT) AS cg
+           FROM toks GROUP BY 1),
+         tots AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+           FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS ng FROM toks),
+         grid AS (SELECT tots.source, tfg.term, tots.ns, tfg.cg,
+             coalesce(tfs.cs, 0) AS cs
+           FROM tots CROSS JOIN tfg
+           LEFT JOIN tfs ON tfs.source = tots.source
+             AND tfs.term = tfg.term),
+         pq AS (SELECT source,
+             CAST(cs AS DOUBLE) / ns AS p,
+             cg / ng AS q,
+             (CAST(cs AS DOUBLE) / ns + cg / ng) / 2.0 AS m
+           FROM grid CROSS JOIN tot),
+         w AS (SELECT source,
+             CAST(round(CAST(
+               CASE WHEN p > 0
+                 THEN 0.5 * (p * (log2(p) - log2(m))) ELSE 0.0 END
+               + 0.5 * (q * (log2(q) - log2(m)))
+               AS DECIMAL(28,10)), 9) AS DOUBLE) AS w
+           FROM pq)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                CAST(round(CAST(list_reduce(list_sort(list(w)),
+                  (acc, x) -> acc + x) AS DECIMAL(28,10)), 4) AS DOUBLE)
+                  AS js
+         FROM w GROUP BY source ORDER BY source""",
 
     // p13: p02's recursive-reach components + p12's integer md5 coin
     // thrown on the COMPONENT id; thresholds are floor(0.90·2³²) and

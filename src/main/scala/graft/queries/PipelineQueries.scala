@@ -797,6 +797,45 @@ object PipelineQueries {
       .orderBy(col("true_count").desc, col("term").asc)
   }
 
+  // ---- t19: per-source Jensen-Shannon divergence from the corpus
+  // unigram distribution — the drift diagnostic a mixing pipeline
+  // reads next to p04/p07 (a source whose JS spikes is contaminated,
+  // mis-crawled, or genre-shifted). JS(p‖q) = ½Σp·log2(p/m) +
+  // ½Σq·log2(q/m), m=(p+q)/2, summed over the FULL vocabulary per
+  // source (p=0 terms still contribute via q — the grid is
+  // sources × vocab, both broadcast-sized). Float discipline: p and
+  // q are single IEEE divisions of identical integers (exact-rounded,
+  // engine-identical); each term's w is DECIMAL-rounded at 9dp with
+  // the multiplication PARENTHESIZED IDENTICALLY in the oracle
+  // (0.5·(p·(log2 p − log2 m)) — association changes the last ulp),
+  // then the sorted fold and a 4dp final round, the t12 pattern. ----
+  def js_divergence(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tfs = toks.groupBy("source", "term").agg(count(lit(1)).as("cs"))
+    val tfg = toks.groupBy("term").agg(count(lit(1)).as("cg"))
+    val totS = toks.groupBy("source").agg(count(lit(1)).as("ns"))
+    val totG = toks.count().toDouble
+    val grid = totS.crossJoin(broadcast(tfg))
+      .join(tfs, Seq("source", "term"), "left")
+      .withColumn("p", coalesce(col("cs"), lit(0L)) / col("ns"))
+      .withColumn("q", col("cg") / lit(totG))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn("w", round(
+        (when(col("p") > 0,
+            lit(0.5) * (col("p") * (log2(col("p")) - log2(col("m")))))
+          .otherwise(lit(0.0))
+          + lit(0.5) * (col("q") * (log2(col("q")) - log2(col("m")))))
+          .cast("decimal(28,10)"), 9).cast("double"))
+    grid.groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(sort_array(collect_list(col("w"))), lit(0.0),
+          (acc, x) => acc + x).as("sw"))
+      .select(col("source"), col("n_terms"),
+        round(col("sw").cast("decimal(28,10)"), 4).cast("double").as("js"))
+      .orderBy("source")
+  }
+
   // ---- t14: BPE merge-pair counting — ONE iteration of byte-pair-
   // encoding tokenizer training, engine-shaped: word frequencies come
   // off the corpus once (the shuffle carries (word, count), not

@@ -25,7 +25,10 @@ class PlanContractSpec extends SparkTestBase {
       // s12's shortlist stage is the s01 broadcast-cross brute scan
       // (10 broadcast queries against the corpus) BY DESIGN; the MMR
       // greedy itself is per-row
-      "s12_mmr_rerank")
+      "s12_mmr_rerank",
+      // t19's sources × vocabulary grid is a deliberate broadcast
+      // cross of two dictionary-sized relations (tens × tens)
+      "t19_js_divergence")
 
   test("no gate query plans BroadcastNestedLoopJoin or CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

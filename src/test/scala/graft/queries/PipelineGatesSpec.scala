@@ -428,6 +428,39 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(got == Seq((1L, 5L, 3L), (2L, 1L, 0L)))
   }
 
+  test("t19 js_divergence: zero for identical distributions, " +
+      "BigDecimal reference for skewed sources") {
+    def r(x: Double, p: Int) = BigDecimal(x)
+      .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    // case 1: both sources have the same distribution -> JS = 0
+    val same = tmpSf(Seq(
+      (0L, "a a b", "en", "s1", 1L), (1L, "a a b", "en", "s2", 1L)))
+    val g1 = PipelineQueries.js_divergence(spark, same)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(g1 == Seq(("s1", 2L, 0.0), ("s2", 2L, 0.0)))
+    // case 2: s1 = "a a b", s2 = "a b b" -> symmetric skew; replay
+    // the exact summand arithmetic (round 9dp, sorted fold, round 4dp)
+    val skew = tmpSf(Seq(
+      (0L, "a a b", "en", "s1", 1L), (1L, "a b b", "en", "s2", 1L)))
+    val g2 = PipelineQueries.js_divergence(spark, skew)
+      .as[(String, Long, Double)].collect().toSeq
+    def js(pa: Double, pb: Double): Double = {
+      val (qa, qb) = (0.5, 0.5)
+      def w(p: Double, q: Double): Double = {
+        val m = (p + q) / 2.0
+        r((if (p > 0) 0.5 * (p * (log2(p) - log2(m))) else 0.0)
+          + 0.5 * (q * (log2(q) - log2(m))), 9)
+      }
+      r(Seq(w(pa, qa), w(pb, qb)).sorted.sum, 4)
+    }
+    val expected = js(2.0 / 3, 1.0 / 3)
+    assert(g2 == Seq(("s1", 2L, expected), ("s2", 2L, js(1.0 / 3, 2.0 / 3))))
+    // symmetric corpora have symmetric divergence
+    assert(g2.head._3 == g2(1)._3)
+    assert(expected > 0.0)
+  }
+
   test("d14 bloom_prefilter: exact dup flagged, no false negatives") {
     // doc 1 (batch) copies doc 0 (corpus) -> maybe_dup AND is_dup;
     // doc 3 (batch) is unique -> is_dup false; bloom admits no false
