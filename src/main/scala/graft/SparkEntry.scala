@@ -157,6 +157,7 @@ object SparkEntry {
     "p13_group_split" -> (PipelineQueries.group_split _),
     "g08_twohop" -> (PipelineQueries.twohop _),
     "g09_modularity" -> (PipelineQueries.modularity _),
+    "g10_cluster_histogram" -> (PipelineQueries.cluster_histogram _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
     "m02_frame_sample" -> (PipelineQueries.multimodal_frames _),
     "m05_image_pixels" -> (PipelineQueries.multimodal_pixels _),
@@ -2289,6 +2290,33 @@ object SparkEntry {
                      WHEN u32 < 4080218931 THEN 'val'
                      ELSE 'test' END AS split
          FROM u ORDER BY doc_id""",
+
+    // g10: the p02 recursive-reach components, singletons included,
+    // folded to a (cluster size → clusters, docs) histogram
+    "g10_cluster_histogram" ->
+      """WITH RECURSIVE
+         d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(src, node) AS (
+           SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+         cc AS (SELECT src AS doc_id, min(node) AS comp
+                FROM reach GROUP BY src),
+         a AS (SELECT doc.doc_id, coalesce(cc.comp, doc.doc_id) AS comp
+           FROM documents doc LEFT JOIN cc ON doc.doc_id = cc.doc_id),
+         sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize
+                FROM a GROUP BY comp)
+         SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(count(*) * csize AS BIGINT) AS n_docs
+         FROM sz GROUP BY csize ORDER BY csize""",
 
     // g09: the g06 3-round LPA replay + integer modularity — per
     // community contrib·4m² = 4·m·L_c − d_c², all BIGINT

@@ -1103,6 +1103,27 @@ object PipelineQueries {
       .orderBy("community")
   }
 
+  // ---- g10: duplicate-cluster SIZE HISTOGRAM — the curation report
+  // read before choosing a dedup policy: how much document mass sits
+  // in clusters of each size (singletons = unique mass; a fat tail =
+  // template families where keep-one vs downweight matters). Two
+  // aggregations over the p02 component frame — (comp → size) then
+  // (size → clusters, docs) — shuffle carries ids and counts only.
+  // Integer-only output; the oracle rides the same recursive-reach
+  // CTE as p02/d11/p12/p13. ----
+  def cluster_histogram(s: SparkSession, dir: String): DataFrame = {
+    val cc = Dedup.connectedComponents(jaccardPairsRaw(s, dir))
+      .select(col("id").as("doc_id"), col("comp"))
+    docs(s, dir).select("doc_id").join(cc, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .groupBy("comp").agg(count(lit(1)).as("csize"))
+      .groupBy("csize")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("csize")).as("n_docs"))
+      .select(col("csize"), col("n_clusters"), col("n_docs"))
+      .orderBy("csize")
+  }
+
   // ---- g07: k-core peeling over the near-dup graph — the degeneracy
   // filter (drop nodes that can't sustain k connections once their
   // weak neighbors peel; what survives 3 synchronized rounds of the

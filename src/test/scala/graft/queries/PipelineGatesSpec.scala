@@ -461,6 +461,20 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(expected > 0.0)
   }
 
+  test("g10 cluster_histogram: triangle + singletons bucketed by size") {
+    val d = tmpSf(Seq(
+      (0L, "a b c d e", "en", "s", 1L),
+      (1L, "a b c d e", "en", "s", 1L),
+      (2L, "a b c d e", "en", "s", 1L),
+      (30L, "p q r s t", "en", "s", 1L),
+      (31L, "v w x y z", "en", "s", 1L)))
+    val got = PipelineQueries.cluster_histogram(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (3L, 1L, 3L)))
+    // doc mass is conserved across the histogram
+    assert(got.map(_._3).sum == 5L)
+  }
+
   test("d14 bloom_prefilter: exact dup flagged, no false negatives") {
     // doc 1 (batch) copies doc 0 (corpus) -> maybe_dup AND is_dup;
     // doc 3 (batch) is unique -> is_dup false; bloom admits no false
