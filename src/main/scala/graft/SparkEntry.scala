@@ -87,6 +87,7 @@ object SparkEntry {
     "r58_stream_ann_ingest" -> (StreamingQueries.stream_ann_ingest _),
     "r59_stream_decontam" -> (StreamingQueries.stream_decontam _),
     "r60_stream_neardup" -> (StreamingQueries.stream_neardup _),
+    "r61_orc_roundtrip" -> (RefQueries.orc_roundtrip _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -659,6 +660,16 @@ object SparkEntry {
          WHERE md5(text) NOT IN
            (SELECT md5(text) FROM documents WHERE doc_id % 97 = 0)
          GROUP BY source ORDER BY source""",
+
+    // r61: the rollup is computed from the ORIGINAL parquet — a hash
+    // match proves the month-partitioned ORC write→read round trip
+    // is lossless
+    "r61_orc_roundtrip" ->
+      """SELECT CAST(strftime(ts, '%Y%m') AS INTEGER) AS month_key,
+                count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY 1 ORDER BY month_key""",
 
     // r60: the drained streaming near-dup intake equals the d15
     // exhaustive cross-parity ground truth rolled up per batch doc

@@ -966,4 +966,39 @@ object RefQueries {
       GROUP BY event_type
       ORDER BY event_type""")
   }
+  /** r61: ORC ROUND-TRIP — the alternate columnar format path (ORC is
+    * in-box in Spark; Avro's connector is not on this classpath):
+    * events written as month-partitioned ORC with the same layout
+    * discipline as the parquet events sink, read back, and rolled up.
+    * The oracle computes the rollup from the ORIGINAL parquet, so a
+    * hash match proves the ORC write→read round trip is lossless for
+    * every column type it touches (ints, timestamps, decimals). The
+    * scratch dir is app-id-scoped (two concurrent runs never collide)
+    * and overwritten per call, so the double-run determinism gate
+    * exercises the overwrite path too.
+    */
+  def orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      s"/tmp/graft_orc_${s.sparkContext.applicationId}/" +
+        new java.io.File(dir).getName)
+    if (orcHooked.add(out.getParent)) {
+      val root = new java.io.File(out.getParent)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(root)))
+    }
+    events(s, dir)
+      .withColumn("month_key", monthKey(col("ts")))
+      .write.mode("overwrite").partitionBy("month_key")
+      .orc(out.getPath)
+    s.read.orc(out.getPath)
+      .groupBy("month_key")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .select(col("month_key").cast("int").as("month_key"), col("cnt"),
+        col("sv"), col("min_id"), col("max_id"))
+      .orderBy("month_key")
+  }
+  private val orcHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -52,4 +52,25 @@ class RefQueriesExtSpec extends SparkTestBase {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("r61 orc_roundtrip: equals the parquet-side rollup; " +
+      "repeat invocation (overwrite path) is identical") {
+    import org.apache.spark.sql.functions._
+    val dir = writeEvents(Seq(
+      (1L, "2024-01-05 10:00:00", 7L), (2L, "2024-01-20 11:00:00", 7L),
+      (3L, "2024-02-01 09:00:00", 8L)))
+    val once = graft.queries.RefQueries.orc_roundtrip(spark, dir).collect()
+    val direct = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_format(col("ts"), "yyyyMM").cast("int").as("month_key"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("month_key").collect()
+    assert(once.toSeq === direct.toSeq)
+    assert(once.map(_.getInt(0)).toSeq === Seq(202401, 202402))
+    // the gate's contract under Verify --twice: same JVM, same path,
+    // overwrite — second run must be identical
+    val again = graft.queries.RefQueries.orc_roundtrip(spark, dir).collect()
+    assert(again.toSeq === once.toSeq)
+  }
 }
