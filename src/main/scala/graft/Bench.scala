@@ -68,6 +68,21 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
+    // bench_out.json is OVERWRITTEN every run and the driver's per-round
+    // BENCH_rNN.json keeps only the tail of the stdout line (~65 of 141
+    // gates survived in r11) — so round-over-round trending was losing
+    // the first half of the suite. Append every FULL-suite run (not dev
+    // subsets) to a durable history file, stamped, so any two rounds can
+    // be diffed gate-by-gate from the repo alone.
+    if (args.isEmpty) {
+      val stamp = java.time.Instant.now().toString
+      val hist = s"""{"ts":"$stamp",${line.drop(1)}""" + "\n"
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_history.jsonl"), hist.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -175,8 +175,10 @@ object ScaleRehearsal {
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)))
         Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-          .filter(f => (f.getName.startsWith("graft_scale") ||
-              f.getName.matches("scale\\d+")) &&
+          // ONLY the graft_scale prefix: the legacy `scale\d+` pattern
+          // matched Files.createTempDirectory("scale") names from ANY
+          // process, so the sweep could delete unrelated /tmp dirs
+          .filter(f => f.getName.startsWith("graft_scale") &&
             f.getPath != d.toString &&
             f.lastModified < System.currentTimeMillis - 6L * 3600 * 1000)
           .foreach(org.apache.commons.io.FileUtils.deleteQuietly)

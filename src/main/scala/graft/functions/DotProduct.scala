@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -21,16 +22,34 @@ import org.apache.spark.sql.types._
   * sequential left-to-right in array-index order (the same order the
   * fold visits), each element cast to double first — so every oracle
   * that replays `list_inner_product` semantics is untouched. Length
-  * mismatch truncates to the shorter side (the HOF form would
-  * null-poison instead; every caller normalizes fixed-dim vectors, and
-  * [[graft.operators.Similarity]] guards dims upstream). A null
-  * ELEMENT yields a null result, matching the HOF's null poisoning.
+  * mismatch yields NULL — the same observable as `zip_with`'s
+  * null-padding poisoning the fold — so a malformed vector surfaces
+  * as a dropped row in every cosine consumer instead of silently
+  * scoring a truncated prefix. A null ELEMENT also yields null.
+  * Non-array or non-numeric-element inputs are rejected at analysis
+  * time by [[checkInputDataTypes]], not at executor runtime.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  private val okElems: Set[DataType] =
+    Set(DoubleType, FloatType, IntegerType, LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def bad(side: String, t: DataType) = TypeCheckResult.TypeCheckFailure(
+      s"DotProduct $side input must be array<double|float|int|bigint>, got ${t.catalogString}")
+    (left.dataType, right.dataType) match {
+      case (ArrayType(le, _), ArrayType(re, _)) =>
+        if (!okElems.contains(le)) bad("left", left.dataType)
+        else if (!okElems.contains(re)) bad("right", right.dataType)
+        else TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(_, _), t) => bad("right", t)
+      case (t, _) => bad("left", t)
+    }
+  }
 
   @transient private lazy val leftElem =
     left.dataType.asInstanceOf[ArrayType].elementType
@@ -47,7 +66,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -71,13 +91,16 @@ case class DotProduct(left: Expression, right: Expression)
       val (n, i, s) = (ctx.freshName("n"), ctx.freshName("i"),
         ctx.freshName("s"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $s += ${geti(leftElem, a, i)} * ${geti(rightElem, b, i)};
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ${geti(leftElem, a, i)} * ${geti(rightElem, b, i)};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

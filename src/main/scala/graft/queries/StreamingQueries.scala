@@ -126,6 +126,12 @@ object StreamingQueries {
           f.lastModified < System.currentTimeMillis - 6L * 3600 * 1000)
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     }
+    // refresh the ROOT's mtime on every gate invocation, not just
+    // creation: a session older than 6h that is still issuing gates
+    // would otherwise look like an orphan to a concurrently started
+    // run's sweep, which could delete its live checkpoints mid-query
+    root.mkdirs()
+    root.setLastModified(System.currentTimeMillis)
     val d = new java.io.File(root,
       s"$gate/${new java.io.File(sfDir).getName}")
     org.apache.commons.io.FileUtils.deleteQuietly(d)

@@ -308,4 +308,33 @@ class SimilaritySpec extends SparkTestBase {
     val nd = Similarity.nearDupPairs(corpus, threshold = 0.5, blockCol = "label")
     assert(!planOf(nd).contains("BroadcastNestedLoopJoin"))
   }
+
+  test("dot: length-mismatched vectors yield NULL (HOF null-poison parity), not a truncated score") {
+    val df = Seq(
+      (1L, Array(1.0, 2.0, 3.0), Array(1.0, 1.0, 1.0)),
+      (2L, Array(1.0, 2.0, 3.0), Array(1.0, 1.0)) // malformed: dim 2 vs 3
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), Similarity.dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(got(0).getDouble(1) === 6.0)
+    assert(got(1).isNullAt(1),
+      "a malformed vector must surface as a dropped/null row, never a silent prefix score")
+    // same observable through the interpreted path (eval, no codegen)
+    val interp = graft.functions.DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))).eval(null)
+    assert(interp == null)
+  }
+
+  test("dot: non-numeric-element arrays are rejected at analysis time, not executor runtime") {
+    val df = Seq((1L, Array("x", "y"), Array(1.0, 2.0))).toDF("id", "a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Similarity.dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("dotproduct"))
+  }
 }
