@@ -88,6 +88,8 @@ object SparkEntry {
     "r59_stream_decontam" -> (StreamingQueries.stream_decontam _),
     "r60_stream_neardup" -> (StreamingQueries.stream_neardup _),
     "r61_orc_roundtrip" -> (RefQueries.orc_roundtrip _),
+    "r62_stream_recovery" -> (StreamingQueries.stream_recovery _),
+    "r63_stream_watermark_dedup" -> (StreamingQueries.stream_watermark_dedup _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -639,6 +641,35 @@ object SparkEntry {
     "r53_stream_dedup" ->
       """SELECT event_id, user_id, event_type
          FROM events ORDER BY event_id""",
+
+    // r62: restart-recovery dedup — the sink holds each event exactly
+    // once IFF the second leg resumed the first leg's checkpoint
+    // state (a cold restart would double every row)
+    "r62_stream_recovery" ->
+      """SELECT event_id, user_id, event_type
+         FROM events ORDER BY event_id""",
+
+    // r63: watermarked dedup — survivors are the b1 first arrivals,
+    // the two watermark pushers, and EVERY b4 re-arrival (outside the
+    // 10-minute horizon, state evicted); the b2 within-horizon
+    // duplicates are absent
+    "r63_stream_watermark_dedup" ->
+      """WITH ids AS (SELECT DISTINCT event_id FROM events
+                      WHERE event_id < 100),
+         rows_all AS (
+           SELECT 'doc-' || CAST(event_id AS VARCHAR) AS doc_key,
+                  TIMESTAMP '2024-01-01 00:00:00'
+                    + to_seconds(CAST(event_id AS BIGINT)) AS ts
+           FROM ids
+           UNION ALL
+           SELECT 'doc-' || CAST(event_id AS VARCHAR),
+                  TIMESTAMP '2024-01-03 00:00:00'
+                    + to_seconds(CAST(event_id AS BIGINT))
+           FROM ids
+           UNION ALL SELECT 'p1', TIMESTAMP '2024-01-02 00:00:00'
+           UNION ALL SELECT 'p2', TIMESTAMP '2024-01-03 00:00:00')
+         SELECT doc_key, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM rows_all ORDER BY doc_key, ts_s""",
 
     // r56: the drained stream-static enrichment equals the batch
     // dim join + daily rollup

@@ -499,6 +499,136 @@ object StreamingQueries {
     * The oracle computes batch sessions and applies that filter — the
     * honest semantics of a stream that never "ends".
     */
+  /** r62: checkpoint RECOVERY — exactly-once resume across a query
+    * restart, the streaming property a 100-TB deployment exercises
+    * weekly (executor loss, deploys, spot reclaim) and the one thing a
+    * single AvailableNow drain structurally cannot prove. Two legs
+    * over the SAME checkpoint + sink:
+    *   - leg 1: the events file lands in a controlled source dir; an
+    *     AvailableNow drain consumes it and STOPS (the checkpoint now
+    *     holds the committed source offsets and the RocksDB dedup
+    *     state);
+    *   - leg 2: the SAME events land again as a NEW file; a NEW query
+    *     object starts from the same checkpoint and drains it.
+    * Every leg-2 row duplicates a leg-1 row, so the sink stays one row
+    * per event_id IFF leg 2 resumed leg 1's state — a lost-state
+    * restart would re-admit all N keys and double the sink, failing
+    * the oracle's row/hash compare. The carried state is also asserted
+    * structurally: leg 2 must report numRowsUpdated == 0 (no key
+    * entered the store) over a non-empty resumed numRowsTotal.
+    * (Reference parity note: the reference's re-entrancy story,
+    * app/schedule/update_log.ts:14-18, is about SKIPPING an already-
+    * running import — resume-correctness is the Spark-native
+    * obligation its checkpointed equivalent takes on.)
+    */
+  def stream_recovery(s: SparkSession, dir: String): DataFrame = {
+    val base = scratchDir(s, "r62", dir)
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val cp = new java.io.File(base, "cp").getAbsolutePath
+    val eventsFile = new java.io.File(dir, "events.parquet")
+    val deduped = graft.Tables.normalize("events",
+        s.readStream.schema(rawEventsSchema(s, dir))
+          .parquet(src.getAbsolutePath))
+      .dropDuplicates("event_id")
+      .select("event_id", "user_id", "event_type")
+    def leg(n: Int): Unit = {
+      org.apache.commons.io.FileUtils.copyFile(eventsFile,
+        new java.io.File(src, s"part$n.parquet"))
+      withStatePartitions(s, 8) {
+        val q = deduped.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        drain(s"r62_leg$n", q)
+      }
+    }
+    leg(1)
+    leg(2)
+    val ops2 = progressByGate("r62_leg2").filter(_.numInputRows > 0)
+      .flatMap(_.stateOperators.toSeq)
+    val updated = ops2.map(_.numRowsUpdated).sum
+    val total = ops2.map(_.numRowsTotal).maxOption.getOrElse(0L)
+    require(total > 0,
+      s"r62: leg 2 resumed an EMPTY state store (total=$total) — " +
+        "checkpoint state did not carry across the restart")
+    require(updated == 0,
+      s"r62: leg 2 admitted $updated keys to the store — duplicates " +
+        "were treated as first arrivals, state was NOT resumed")
+    s.read.schema(deduped.schema).parquet(out).orderBy("event_id")
+  }
+
+  /** r63: WATERMARKED dedup — [[graft.streaming.StreamingDedup
+    * .dedupByContent]] (`dropDuplicatesWithinWatermark`), the form
+    * SCALE.md names as the 100-TB answer to r53's unbounded key state:
+    * the state store holds only content hashes inside the watermark
+    * horizon, so memory is bounded by the horizon's key count, and the
+    * DOCUMENTED divergence from full-history batch dedup is that a
+    * duplicate re-arriving outside the horizon is re-admitted. The gate
+    * constructs both behaviors on a deterministic event-time timeline
+    * (all keys derived from events ids, horizon = 10 minutes), forced
+    * to one micro-batch per file (maxFilesPerTrigger=1):
+    *   - b1: first arrivals, ts = T0 + id seconds;
+    *   - b2: duplicates of id%3==0 at ts+5min — INSIDE the horizon,
+    *     state present → dropped — plus a watermark pusher at T0+1d;
+    *   - b3: a second pusher at T0+2d — its batch END evicts every id
+    *     key under b2's watermark (T0+1d−10min ≫ every id expiry);
+    *   - b4: duplicates of ALL ids at T0+2d+id s — state long gone →
+    *     every one re-admitted.
+    * Two pusher batches separate "watermark passes expiry" from "the
+    * re-arrival batch", so the result never depends on whether a batch
+    * evicts expired keys before or after processing its input rows.
+    * Oracle: first arrivals + all b4 re-arrivals + the two pushers —
+    * exactly reconstructable in batch SQL.
+    */
+  def stream_watermark_dedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = scratchDir(s, "r63", dir)
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val cp = new java.io.File(base, "cp").getAbsolutePath
+    val t0 = "timestamp'2024-01-01 00:00:00'"
+    val ids = graft.Tables.load(s, dir, "events")
+      .filter(col("event_id") < 100).select("event_id").distinct()
+    def docRows(tsExpr: String) = ids.select(
+      col("event_id"),
+      concat(lit("doc-"), col("event_id").cast("string")).as("text"),
+      expr(tsExpr).as("ts"))
+    def pusher(name: String, tsExpr: String) = s.range(1).select(
+      lit(name).as("text"), expr(tsExpr).as("ts"))
+    val batches = Seq(
+      docRows(s"$t0 + make_interval(0,0,0,0,0,0,event_id)").drop("event_id"),
+      docRows(s"$t0 + make_interval(0,0,0,0,0,5,event_id)")
+        .filter(col("event_id") % 3 === 0).drop("event_id")
+        .union(pusher("p1", s"$t0 + interval 1 day")),
+      pusher("p2", s"$t0 + interval 2 day"),
+      docRows(s"$t0 + interval 2 day + make_interval(0,0,0,0,0,0,event_id)")
+        .drop("event_id"))
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new java.io.File(base, s"tmp${i + 1}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"b${i + 1}.parquet")
+      org.apache.commons.io.FileUtils.copyFile(part, dst)
+      // the file source orders by (mtime, path): pin strictly
+      // ascending mtimes so batch order IS timeline order
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val sch = new StructType().add("text", StringType).add("ts", TimestampType)
+    val dd = graft.streaming.StreamingDedup.dedupByContent(
+        s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+          .parquet(src.getAbsolutePath),
+        "ts", "text", "10 minutes")
+      .select(col("text").as("doc_key"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    withStatePartitions(s, 8) {
+      val q = dd.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      drain("r63", q)
+    }
+    s.read.schema(dd.schema).parquet(out).orderBy("doc_key", "ts_s")
+  }
+
   def stream_sessionize(s: SparkSession, dir: String): DataFrame = {
     val schema = rawEventsSchema(s, dir)
     val sessions = graft.streaming.StreamingSessionize.sessions(
