@@ -159,6 +159,7 @@ object SparkEntry {
     "d15_incremental_neardup" -> (PipelineQueries.incremental_neardup _),
     "p13_group_split" -> (PipelineQueries.group_split _),
     "g08_twohop" -> (PipelineQueries.twohop _),
+    "g11_twohop_guarded" -> (PipelineQueries.twohop_guarded _),
     "g09_modularity" -> (PipelineQueries.modularity _),
     "g10_cluster_histogram" -> (PipelineQueries.cluster_histogram _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
@@ -2362,6 +2363,27 @@ object SparkEntry {
     // g08: symmetric edges, one self-join, distinct union of 1- and
     // 2-hop neighbors (self excluded from the 2-hop leg)
     "g08_twohop" ->
+      """WITH d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         two AS (SELECT e1.src AS src, e2.dst AS nb
+                 FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                 WHERE e1.src <> e2.dst),
+         r AS (SELECT DISTINCT src, nb FROM
+                 (SELECT src, dst AS nb FROM e UNION ALL
+                  SELECT src, nb FROM two))
+         SELECT src AS node_id, CAST(count(*) AS BIGINT) AS n_reach2
+         FROM r GROUP BY src ORDER BY node_id""",
+
+    // g11: the hub-salted two-hop must equal the unguarded form
+    // on every graph — oracle is g08's verbatim
+    "g11_twohop_guarded" ->
       """WITH d AS (SELECT doc_id,
              list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
            FROM documents),

@@ -67,8 +67,15 @@ import org.apache.spark.sql.functions._
   * `StreamingQueryProgress.stateOperators` — dedup/session state must
   * grow ∝ M while the per-day sketch state stays flat.
   *
+  * Mode `deep` — the past-26 leg: d02 + s02 only, under the
+  * permutation/sign-flip salts (see [[copyAlpha]] and
+  * [[saltedEmbeddings]]), sized so M=100 is a single-digit-minute
+  * run. Exists because the rotation/shift salts wrap at 26/64 copies
+  * while the streaming mode's numeric-offset scheme reaches M=100 —
+  * the batch curves need the same reach.
+  *
   * Usage: runMain graft.bench.ScaleRehearsal <sfDir> <mult> [mode] [workDir]
-  * (mode ∈ dedup|graph|ann|text|clean|semantic|passages|streaming,
+  * (mode ∈ dedup|graph|ann|text|clean|semantic|passages|streaming|deep,
   * default dedup)
   * Prints one JSON line: wall seconds + shuffle read/write MB per query.
   */
@@ -86,14 +93,58 @@ object ScaleRehearsal {
     }
   }
 
+  /** Max single-task duration across a leg — the number that exposes
+    * output-explosion skew (a hub's D² wedge expansion in ONE task),
+    * which total wall-clock on a 32-thread box can hide and shuffle
+    * BYTES cannot see at all (the skewed key's shuffle input is tiny).
+    */
+  private final class TaskMeter
+      extends org.apache.spark.scheduler.SparkListener {
+    @volatile var maxMs = 0L
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val d = Option(te.taskInfo).map(_.duration).getOrElse(0L)
+      if (d > maxMs) maxMs = d
+    }
+  }
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Copy-k alphabet image. k < 26: the ROTATION (unchanged, keeps
+    * every published curve comparable). k ≥ 26: a seeded Fisher-Yates
+    * PERMUTATION — rotations run out at 26 (copy 26 would clone copy
+    * 0 exactly), but 26! permutations never do, so the corpus salting
+    * extends to arbitrary M. Why not the streaming mode's
+    * numeric-offset-only scheme here? Offsetting doc_id while sharing
+    * TEXT makes every cross-copy pair an exact dup: d02's LSH buckets
+    * then grow ∝ M and candidate pairs ∝ M² per original bucket —
+    * measuring the corpus's duplication blow-up, not the algorithm
+    * (the same trap as plain copies, see the class doc). Text legs
+    * need a per-copy text BIJECTION; two seeded permutations map the
+    * same 5-shingle to the same image only if they agree on all its
+    * distinct letters (~26^-c for c distinct chars), so cross-copy
+    * similarity stays ~0 at every M.
+    */
+  def copyAlpha(k: Int): String =
+    if (k < 26) alpha.drop(k) + alpha.take(k)
+    else {
+      val arr = alpha.toCharArray
+      val rnd = new scala.util.Random(k.toLong * 2654435761L)
+      var i = arr.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      new String(arr)
+    }
+
   def saltedCorpus(spark: SparkSession, sfDir: String, mult: Int) = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
     (0 until mult).map { k =>
-      val rot = alpha.drop(k % 26) + alpha.take(k % 26)
       docs.select(
         (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
-        translate(col("text"), alpha, rot).as("text"),
+        translate(col("text"), alpha, copyAlpha(k)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
   }
@@ -118,11 +169,25 @@ object ScaleRehearsal {
     (0 until mult).map { k =>
       val dim = 64 // testdata embedding dim (TESTDATA.md)
       val shift = k % dim
-      val vec =
+      val shifted =
         if (shift == 0) col("embedding")
         else concat(
           slice(col("embedding"), shift + 1, dim - shift),
           slice(col("embedding"), 1, shift))
+      // Shifts run out at dim=64 (copy 64 would clone copy 0); past
+      // that, compose a seeded per-copy SIGN FLIP — a diagonal ±1
+      // matrix, still orthogonal, so every norm and every intra-copy
+      // cosine stays bit-identical while copies k and k+64 decorrelate
+      // (their coordinate-wise sign patterns agree with prob 2^-64).
+      // The signed-permutation group (2^64·64 elements just for
+      // shift∘flip) never wraps at any M this harness will see.
+      val vec =
+        if (k < dim) shifted
+        else {
+          val rnd = new scala.util.Random(k.toLong * 1099511628211L)
+          val signs = Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+          zip_with(shifted, lit(signs), (x, s) => x * s)
+        }
       base.select(
         (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
         vec.as("embedding"),
@@ -153,18 +218,24 @@ object ScaleRehearsal {
     val sfDir = args(0)
     val mult = args(1).toInt
     val mode = args.lift(2).getOrElse("dedup")
-    // 26 distinct alphabet rotations exist; corpus copy 26 would be an
-    // EXACT clone of copy 0 and re-introduce the cross-copy dup
-    // blow-up the salting is there to avoid (measured: M=30 tripled
-    // d02's pair count via the 4 wrapped copies). The cap binds only
-    // the ROTATION-salted modes; `streaming` salts by numeric id
-    // offsets (k·10⁷, no wrap below M=1000) and may go far past it —
-    // that is where the state-store curves get interesting.
-    val maxMult = if (mode == "streaming") 1000 else 26
+    // Historic cap rationale: only 26 distinct alphabet rotations
+    // exist, and corpus copy 26 would have been an EXACT clone of
+    // copy 0, re-introducing the cross-copy dup blow-up the salting
+    // avoids (measured: M=30 tripled d02's pair count via the 4
+    // wrapped copies). copyAlpha now switches to seeded PERMUTATIONS
+    // past k=25 (and saltedEmbeddings to sign flips past k=63), so
+    // the `deep` mode — the lean d02+s02 subset sized for M=100 — and
+    // `streaming` (numeric id offsets, no wrap below M=1000) may go
+    // far past 26. The full batch modes keep the 26 cap purely as a
+    // wall-clock/disk guard: they run 4-6 legs per M and their
+    // sub-26 curves already pin the linearity reading.
+    val maxMult =
+      if (mode == "streaming" || mode == "deep") 1000 else 26
     require(mult >= 1 && mult <= maxMult,
       s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
-      "passages", "streaming").contains(mode), s"unknown mode $mode")
+      "passages", "streaming", "deep").contains(mode),
+      s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else {
         val d = java.nio.file.Files.createTempDirectory("graft_scale")
@@ -206,7 +277,38 @@ object ScaleRehearsal {
       s"""{"sec":${t._1},"shuffle_read_mb":${t._2},""" +
         s""""shuffle_write_mb":${t._3},"rows":${t._4}}"""
 
-    if (mode == "ann") {
+    if (mode == "deep") {
+      // The M=100 leg (VERDICT r11 #3): the rotation cap confined
+      // every batch family to 26× while streaming went to 100× — this
+      // mode runs ONE dedup leg (d02, the MinHash+LSH member whose
+      // pair-density argument the permutation salt must uphold) and
+      // ONE ANN leg (s02, both index regimes) at the permutation /
+      // sign-flip salts, so the batch linearity curves get their
+      // M=100 points without paying for the full 4-6 leg modes.
+      saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
+        .parquet(s"$work/documents.parquet")
+      val nDocs = spark.read.parquet(s"$work/documents.parquet").count()
+      // d02's "rows" field doubles as the salt's honesty check: if
+      // permutation copies collided (shingle images agreeing across
+      // copies), the verified-pair count would bend super-linear in M
+      // exactly like the wrapped-rotation M=30 incident.
+      val d02 = time(
+        graft.queries.PipelineQueries.minhash_lsh_dedup(spark, work).count())
+      saltedEmbeddings(spark, sfDir, mult, growIndex = true)
+        .write.mode("overwrite").parquet(s"$work/replica/embeddings.parquet")
+      saltedEmbeddings(spark, sfDir, mult, growIndex = false)
+        .write.mode("overwrite").parquet(s"$work/grown/embeddings.parquet")
+      val nVecs = spark.read
+        .parquet(s"$work/replica/embeddings.parquet").count()
+      val s02Replica = time(
+        graft.queries.PipelineQueries.ann_ivf(spark, s"$work/replica").count())
+      val s02Grown = time(
+        graft.queries.PipelineQueries.ann_ivf(spark, s"$work/grown").count())
+      println(s"""{"mult":$mult,"docs":$nDocs,"vectors":$nVecs,""" +
+        s""""d02":${jq(d02)},""" +
+        s""""s02_replica":${jq(s02Replica)},""" +
+        s""""s02_grown":${jq(s02Grown)}}""")
+    } else if (mode == "ann") {
       // salted corpora land in parquet first (same rationale as graph
       // mode); queries stay the copy-0 probe set, the realistic shape
       // where the corpus grows under a fixed query workload
@@ -545,9 +647,66 @@ object ScaleRehearsal {
       // shuffle carries (id, id) pairs only)
       val g08 = time(graft.queries.PipelineQueries.twohop(spark, work)
         .agg(coalesce(sum(col("n_reach2")), lit(0L))).first().getLong(0))
+      // g11 SKEW leg: one hub at 500·M degree plus a degree-2 chain —
+      // the adversarial wedge-join input (the gate corpus's bounded
+      // degrees never produce it). Unguarded, the hub funnels its
+      // (500·M)² two-hop expansion through ONE task; the salted form
+      // spreads it over `buckets` tasks. Total wall on a 32-thread
+      // box under-reports the harm (31 threads idle-wait), so the
+      // leg's headline number is MAX TASK TIME — the metric that
+      // becomes stragglers, speculative re-runs and OOM at 1000
+      // executors. Both legs aggregate the same exact result.
+      val dHub = 500L * mult
+      spark.range(1, dHub + 1)
+        .select(lit(0L).as("id_a"), col("id").as("id_b"))
+        .union(spark.range(1, dHub)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b")))
+        .coalesce(8).write.mode("overwrite")
+        .parquet(s"$work/skew_pairs.parquet")
+      val sk = spark.read.parquet(s"$work/skew_pairs.parquet")
+      // Force the SHUFFLE-join regime for both legs: at rehearsal row
+      // counts Spark broadcasts the whole edge list, which has no
+      // per-key reduce task — the hub's expansion then lands on
+      // whatever INPUT partition holds its arrive rows and the salt
+      // can't (and needn't) do anything. At 100 TB the edge list never
+      // broadcasts; the skew the guard exists for lives in the
+      // hash-partitioned wedge join, so that's the plan the leg must
+      // measure. The hot-set broadcast() HINT inside TwoHop is
+      // explicit and survives the -1 threshold.
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // Second AQE interaction, same root cause: partition COALESCING
+      // is input-byte-based, and the wedge join's input is a few MB —
+      // AQE merges all 16 salt buckets back into ONE reduce task,
+      // silently undoing the salt (measured: guarded max-task ==
+      // unguarded at M=10). Output-explosion skew is invisible to
+      // every byte-counting AQE heuristic, so the salted stage must
+      // pin its partitioning (this knob, or an explicit-numPartitions
+      // repartition on (key, salt)) — the deployment note is in
+      // TwoHop's scaladoc.
+      val prevCo = spark.conf
+        .get("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      def twoHopLeg(cap: Int): ((Double, Double, Double, Long), Long) = {
+        val tm = new TaskMeter
+        spark.sparkContext.addSparkListener(tm)
+        val t = time(graft.graph.TwoHop
+          .reach2(sk, degreeCap = cap, buckets = 16)
+          .agg(coalesce(sum(col("n_reach2")), lit(0L))).first().getLong(0))
+        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(tm)
+        (t, tm.maxMs)
+      }
+      val (g11u, g11uMax) = twoHopLeg(cap = 0)
+      val (g11g, g11gMax) = twoHopLeg(cap = 64)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCo)
       println(s"""{"mult":$mult,"edges":$nEdges,""" +
         s""""g04":${jq(g04)},"g05":${jq(g05)},"g07":${jq(g07)},""" +
-        s""""g08":${jq(g08)}}""")
+        s""""g08":${jq(g08)},""" +
+        s""""g11_hub_degree":$dHub,""" +
+        s""""g11_unguarded":${jq(g11u)},"g11_unguarded_max_task_ms":$g11uMax,""" +
+        s""""g11_guarded":${jq(g11g)},"g11_guarded_max_task_ms":$g11gMax}""")
     }
     spark.stop()
   }

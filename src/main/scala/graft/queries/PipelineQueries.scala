@@ -1065,19 +1065,22 @@ object PipelineQueries {
   // Triangles degree-orientation trick); the ±window detector's
   // bounded degrees keep the gate instance skew-free, and the shuffle
   // carries only (id, id) pairs. ----
-  def twohop(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairsRaw(s, dir)
-    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b"), col("id_a")))
-    val two = e.as("e1").join(e.as("e2"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("src"), col("e2.dst").as("nb"))
-      .filter(col("src") =!= col("nb"))
-    e.select(col("src"), col("dst").as("nb")).union(two)
-      .distinct()
-      .groupBy("src").agg(count(lit(1)).as("n_reach2"))
-      .select(col("src").as("node_id"), col("n_reach2"))
-      .orderBy("node_id")
-  }
+  def twohop(s: SparkSession, dir: String): DataFrame =
+    graft.graph.TwoHop.reach2(jaccardPairsRaw(s, dir)).orderBy("node_id")
+
+  // ---- g11: the SKEW-GUARDED two-hop — identical semantics to g08
+  // via [[graft.graph.TwoHop]]'s hub-salted wedge join, run with a
+  // cap low enough (8) that the gate corpus HAS hot nodes, so the
+  // salted path (broadcast hot set, arrive-side hash salt,
+  // depart-side replicate, salted equi-join) is exercised and
+  // hash-compared against g08's oracle verbatim. The guard exists for
+  // the wedge join's output-explosion skew — a degree-D hub expands
+  // D² rows through ONE task, invisible to AQE because the hub's
+  // shuffle INPUT is tiny — and the skewed-graph rehearsal leg
+  // (SCALE.md graph mode) measures the max-task-time bound it buys.
+  def twohop_guarded(s: SparkSession, dir: String): DataFrame =
+    graft.graph.TwoHop.reach2(jaccardPairsRaw(s, dir),
+      degreeCap = 8, buckets = 4).orderBy("node_id")
 
   // ---- triangle census over the near-dup pair graph: triples of
   // MUTUALLY near-duplicate docs (d04's verified edges). Degree-
