@@ -157,6 +157,7 @@ object SparkEntry {
     "t19_js_divergence" -> (PipelineQueries.js_divergence _),
     "d14_bloom_prefilter" -> (PipelineQueries.bloom_prefilter _),
     "d15_incremental_neardup" -> (PipelineQueries.incremental_neardup _),
+    "d16_stop_shingle" -> (PipelineQueries.stop_shingle_neardup _),
     "p13_group_split" -> (PipelineQueries.group_split _),
     "g08_twohop" -> (PipelineQueries.twohop _),
     "g11_twohop_guarded" -> (PipelineQueries.twohop_guarded _),
@@ -994,6 +995,32 @@ object SparkEntry {
          sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
                FROM s a JOIN s b ON a.sh = b.sh AND b.doc_id > a.doc_id
+               GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(inter AS INTEGER) AS inter,
+                CAST(sa.n + sb.n - inter AS INTEGER) AS un
+         FROM p JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    // d16: the boilerplate-resistant variant — the oracle recomputes
+    // the shingle document-frequency table, the top-64 stop set
+    // (ties broken by shingle string, identical in both engines),
+    // and the exhaustive exact-Jaccard ground truth over the FILTERED
+    // shingle sets from scratch. A row mismatch means the Spark side's
+    // DF pass, stop-set pick, hash-level filter, or banded recall
+    // diverged.
+    "d16_stop_shingle" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         s AS (SELECT doc_id, unnest(list_distinct(
+                 [substr(t, i, 5) FOR i IN range(1, greatest(length(t)-4, 1) + 1)]
+               )) AS sh FROM d),
+         stop AS (SELECT sh FROM s GROUP BY sh
+                  ORDER BY count(*) DESC, sh LIMIT 64),
+         k AS (SELECT doc_id, sh FROM s WHERE sh NOT IN (SELECT sh FROM stop)),
+         sz AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+               FROM k a JOIN k b ON a.sh = b.sh AND b.doc_id > a.doc_id
                GROUP BY 1, 2)
          SELECT id_a, id_b, CAST(inter AS INTEGER) AS inter,
                 CAST(sa.n + sb.n - inter AS INTEGER) AS un

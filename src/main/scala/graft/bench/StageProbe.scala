@@ -1,0 +1,45 @@
+package graft.bench
+
+import graft.GraftSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Per-stage shuffle attribution for one gate query — the tool that
+  * answers "WHICH exchange is the 12 GB?" when a rehearsal-scale run's
+  * total disagrees with the static plan's accounting (AQE re-plans,
+  * re-used subtrees and skew splits all hide from explain()).
+  *
+  * Usage: runMain graft.bench.StageProbe <dataDir> <gateName>
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val gate = args(1)
+    val spark = GraftSession.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    final class StageLog extends SparkListener {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        val rd = m.shuffleReadMetrics.totalBytesRead / 1e6
+        val wr = m.shuffleWriteMetrics.bytesWritten / 1e6
+        val rrec = m.shuffleReadMetrics.recordsRead
+        val wrec = m.shuffleWriteMetrics.recordsWritten
+        if (rd > 1 || wr > 1)
+          rows += f"stage ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+            f"read=${rd}%9.1fMB/${rrec}%11d wrote=${wr}%9.1fMB/${wrec}%11d " +
+            si.name.takeWhile(_ != '\n').take(80)
+      }
+    }
+    val log = new StageLog
+    spark.sparkContext.addSparkListener(log)
+    val t0 = System.nanoTime()
+    val n = graft.SparkEntry.queries(gate)(spark, dir).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+    println(f"== $gate rows=$n wall=${sec}%.1fs ==")
+    log.rows.foreach(println)
+    spark.stop()
+  }
+}

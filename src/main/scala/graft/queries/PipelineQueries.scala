@@ -17,6 +17,89 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Corpus-size ceiling for broadcasting the per-doc shingle-hash
+    * array tables in the LSH verify join (~2.3 KB/doc ⇒ ≤ ~460 MB
+    * per broadcast side at the cap — inside any reasonable executor
+    * budget, and measured safe: the M=26 rehearsal broadcast 130k-doc
+    * array tables at 300 MB/side for years of rounds). Chosen from
+    * the MEASURED payload, not Catalyst's row estimate — the M=100
+    * deep-rehearsal incident (below) is exactly an estimate-driven
+    * regime flip.
+    */
+  private val VerifyBroadcastMaxDocs = 200000L
+
+  /** Exact-Jaccard verify join for banded-LSH candidates, with an
+    * EXPLICIT join-regime switch driven by the measured corpus size.
+    *
+    * Why not trust Catalyst: cand's size estimate flows through a
+    * bucket self-join whose multiplied stats cross the auto-broadcast
+    * threshold as the corpus grows. Measured at the M=100 deep
+    * rehearsal (500k docs): the verify joins flipped to sort-merge and
+    * SORTED 11.7 GB of per-pair shingle arrays (wall 6 s → 93 s for
+    * 3.85× the docs). Per-stage attribution (bench.StageProbe) showed
+    * the candidate set itself is LINEAR in corpus size — ~235k
+    * sub-threshold pairs per 5k-doc copy (the synthetic corpus's tiny
+    * word vocabulary gives random doc pairs background Jaccard
+    * 0.2–0.5, so ~2% of within-copy pairs band-collide; banding cannot
+    * be made more selective without breaking the hard J ≥ 0.8 recall
+    * gate) — so the blow-up was purely the join regime, not candidate
+    * growth. Broadcasting cand (23.5M pairs) or the join-1 intermediate
+    * (pairs with arrays attached) both measured as dead ends: the
+    * former is a 400 MB broadcast that still left 11.7 GB crossing the
+    * final SMJ, the latter OOMed the driver.
+    *
+    * The two shapes that ARE right, picked from a measured doc count:
+    *  - small corpus (≤ [[VerifyBroadcastMaxDocs]]): broadcast the
+    *    array tables — the classic small-dim broadcast; candidate ids
+    *    stream map-side and NO exchange carries an array (the gate-
+    *    scale plan PlanContractSpec pins).
+    *  - large corpus: shuffled-HASH joins. Join 1 BUILDS the candidate
+    *    pair map (ids only, |pairs|/P per task) and STREAMS the array
+    *    table; join 2 builds the b-side arrays (once per doc, |arrays|/P
+    *    per task — P sizes with the corpus) and streams the fat
+    *    intermediate. Arrays cross the wire once per doc on the build
+    *    side and once per pair on the streamed intermediate — the
+    *    per-pair crossing is irreducible for exact verification (the
+    *    verify CPU is per-pair × array anyway), but it STREAMS through
+    *    the hash joins; the SMJ regime additionally sorted it, which
+    *    was the measured wall (sort spill of the fat rows).
+    *
+    * Measured at M=100 (500k docs, 23.5M candidates, StageProbe):
+    * estimate-driven SMJ 93 s / 13.4 GB sorted; SHUFFLE_HASH with the
+    * ARRAY side built 198 s / 39.4 GB (streaming pairs emits each
+    * doc's array in random pair order — raw-entropy xxhash64 longs,
+    * lz4 gets nothing); SHUFFLE_HASH with the PAIR side built
+    * 47.6 s / 11.8 GB (streaming the array table emits each doc's
+    * ~50 candidate rows consecutively, so lz4's window dedupes the
+    * repeated array bytes ~3.4×). Build-side orientation is thus a
+    * CORRECTNESS-OF-SCALE choice here, not a tie-breaker.
+    *
+    * A 2D-blocked cogroup (Vernica et al.-style, arrays replicated to
+    * k² pair cells) was considered and rejected: its traffic 2k×|arrays|
+    * with k ~ √(cells needed for parallelism) only beats per-pair
+    * streaming when 2k < candidate degree — at 1000-executor
+    * parallelism k ≈ degree and it loses, while giving up whole-stage
+    * codegen for a hand-rolled mapPartitions.
+    */
+  // corpus-count memo for the regime pick: the count is a metadata-only
+  // parquet job, but gates run min-of-N and d02/d13 share corpora — one
+  // job per table dir, not one per invocation
+  private val docCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def corpusDocs(s: SparkSession, dir: String): Long =
+    docCountMemo.computeIfAbsent(dir, d => docs(s, d).count()).longValue()
+
+  private[graft] def lshVerifyJoin(cand: DataFrame, shingleSets: DataFrame,
+      nDocs: Long, maxBroadcastDocs: Long = VerifyBroadcastMaxDocs): DataFrame = {
+    val a = shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = shingleSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    if (nDocs <= maxBroadcastDocs)
+      cand.join(broadcast(a), "id_a").join(broadcast(b), "id_b")
+    else cand.hint("SHUFFLE_HASH").join(a, "id_a")
+      .join(b.hint("SHUFFLE_HASH"), "id_b")
+  }
+
   // ---- exact content dedup (hash-groupBy; shuffle carries hashes only) ----
   def exact_dedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(docs(s, dir), "text", "doc_id")
@@ -62,9 +145,70 @@ object PipelineQueries {
     // hash arrays only (≤8 B per distinct shingle).
     val t = docs(s, dir).select(col("doc_id"),
       graft.functions.ShingleHashSorted(col("text"), 5).as("sh"))
-    val a = t.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = t.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    cand.join(a, "id_a").join(b, "id_b")
+    // verify-join regime is picked explicitly from the measured corpus
+    // size — see lshVerifyJoin for the M=100 rehearsal incident that
+    // retired the estimate-trusted shape
+    lshVerifyJoin(cand, t, corpusDocs(s, dir))
+      .withColumn("inter",
+        graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
+      .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter").cast("double") / col("un") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("inter"), col("un"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- d16: STOP-SHINGLE-filtered near-dup — the production counter
+  // to boilerplate-inflated candidate degree. The M=100 deep rehearsal
+  // measured WHY this operator must exist: a corpus with high
+  // background similarity (here a tiny synthetic vocabulary; in
+  // production, boilerplate headers/footers/licenses) gives random doc
+  // pairs Jaccard 0.2–0.5, which banding structurally cannot separate
+  // from the J ≥ 0.8 threshold — ~2% of ALL pairs become candidates
+  // (~235k per 5k docs) and exact-verify cost is per-candidate.
+  // Removing the K globally most-frequent shingles BEFORE signatures
+  // deflates exactly the shared-boilerplate term of background
+  // similarity while leaving genuinely duplicated content intact —
+  // the candidate degree collapses (measured in SCALE.md) and the
+  // pair semantics become "near-dup net of boilerplate", which is
+  // what a training-data dedup actually wants.
+  //
+  // Same hard recall-gate structure as d02/d03/d13: output = the
+  // EXHAUSTIVE exact-Jaccard pair set at J ≥ 0.8 over the FILTERED
+  // shingle sets (the oracle recomputes DF, the stop set, and the
+  // filtered ground truth from scratch in DuckDB), reached through
+  // banded LSH on the filtered sets.
+  //
+  // Scale shape: the DF pass is one explode + hash-agg whose shuffle
+  // carries (5-char shingle, count) — vocabulary-bounded, not
+  // corpus-bounded; the stop set is top-K = 64 rows collected (ties
+  // broken by shingle string, so both engines pick the same set);
+  // filtering is a map-side HOF over a 64-element literal. At 100 TB
+  // the exact DF pass becomes a frequent-items sketch (the t09/t17
+  // machinery) — the gate pins the exact-form semantics the sketch
+  // approximates. ----
+  def stop_shingle_neardup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val topK = 64
+    val stopHashes = d
+      .select(explode(TextDedup.shingles(col("text"), 5)).as("sg"))
+      .groupBy("sg").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("sg")).limit(topK)
+      // xxhash64(string) is seed-42 XXH64 over the UTF8 bytes — the
+      // same hash ShingleHashSorted applies to each (already
+      // lowercased) window, so filtering by hash equals filtering by
+      // string
+      .select(xxhash64(col("sg")).as("h"))
+      .collect().map(_.getLong(0)).sorted // bounded: exactly topK longs
+    val stopLit = lit(stopHashes)
+    val t = d.select(col("doc_id"),
+      filter(graft.functions.ShingleHashSorted(col("text"), 5),
+        x => !array_contains(stopLit, x)).as("sh")) // filter keeps sort order
+    val sigs = t.select(col("doc_id"),
+      TextDedup.minHashSignatureOfHashes(col("sh"), 64).as("sig"))
+    val cand = TextDedup.candidatePairs(
+      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
+      "doc_id")
+    lshVerifyJoin(cand, t, corpusDocs(s, dir))
       .withColumn("inter",
         graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
       .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
@@ -137,9 +281,8 @@ object PipelineQueries {
       "doc_id")
     val t = docs(s, dir).select(col("doc_id"),
       graft.functions.ShingleHashSorted(col("text"), 5).as("sh"))
-    val a = t.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = t.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    cand.join(a, "id_a").join(b, "id_b")
+    // same measured-regime verify join as d02 (see lshVerifyJoin)
+    lshVerifyJoin(cand, t, corpusDocs(s, dir))
       .withColumn("inter",
         graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
       .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))

@@ -90,6 +90,9 @@ class PlanContractSpec extends SparkTestBase {
       // d10 shuffles (window-hash, doc_id) pairs — windows are hashed
       // map-side, their text never moves
       "d10_dup_passages",
+      // d16's DF pass shuffles (5-char shingle, count) — vocabulary-
+      // bounded dictionary rows, not document text
+      "d16_stop_shingle",
       "p02_neardup_groups").foreach { n =>
       exchangeInputs(formatted(n)).foreach { in =>
         assert(!in.contains("text#"),

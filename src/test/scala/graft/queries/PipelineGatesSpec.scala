@@ -21,6 +21,37 @@ class PipelineGatesSpec extends SparkTestBase {
     dir
   }
 
+  test("d02/d13 verify-join regimes agree: the large-corpus SHUFFLE_HASH " +
+      "path returns exactly the broadcast path's pair set") {
+    // The big regime only activates past VerifyBroadcastMaxDocs docs,
+    // which no gate SF reaches — this pins its correctness by forcing
+    // it (claimed nDocs = Long.MaxValue) on the sf0.001 corpus and
+    // comparing row-for-row against the broadcast regime the oracle
+    // gate covers.
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val sigs = d.select(col("doc_id"),
+      graft.functions.MinHashSig(col("text"), 5, 64).as("sig"))
+    val cand = graft.operators.TextDedup.candidatePairs(
+      graft.operators.TextDedup.lshBuckets(
+        sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4), "doc_id")
+    val t = d.select(col("doc_id"),
+      graft.functions.ShingleHashSorted(col("text"), 5).as("sh"))
+    def result(nDocs: Long) =
+      PipelineQueries.lshVerifyJoin(cand, t, nDocs)
+        .withColumn("inter",
+          graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
+        .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("inter").cast("double") / col("un") >= 0.8)
+        .select("id_a", "id_b", "inter", "un")
+        .orderBy("id_a", "id_b")
+        .collect().toSeq
+    val bc = result(1L)
+    val shj = result(Long.MaxValue)
+    assert(bc.nonEmpty, "regime-equality test ran on an empty pair set")
+    assert(shj == bc, "SHUFFLE_HASH verify regime diverged from broadcast")
+  }
+
   test("d10 dup_passages: planted shared span is counted window-exactly") {
     // doc 0: 10 tokens a0..a9            -> 3 windows, none duplicated
     // doc 1: 9 tokens  b0..b5 s0 s1 s2   -> 2 windows
