@@ -203,8 +203,11 @@ object PipelineQueries {
     val t = d.select(col("doc_id"),
       filter(graft.functions.ShingleHashSorted(col("text"), 5),
         x => !array_contains(stopLit, x)).as("sh")) // filter keeps sort order
+    // native sig-from-hashes expression: the HOF form here measured
+    // 14 s at sf0.1 (signature stage dominated); this is MinHashSig's
+    // permutation scheme over the filtered hash set in one tight loop
     val sigs = t.select(col("doc_id"),
-      TextDedup.minHashSignatureOfHashes(col("sh"), 64).as("sig"))
+      graft.functions.MinHashSigFromHashes(col("sh"), 64).as("sig"))
     val cand = TextDedup.candidatePairs(
       TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
       "doc_id")

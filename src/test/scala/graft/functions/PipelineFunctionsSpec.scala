@@ -22,6 +22,34 @@ class PipelineFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("MinHashSigFromHashes(ShingleHashSorted(t)) == MinHashSig(t): the " +
+      "filtered-input path is bit-equal to the from-text expression") {
+    // NOT pinned against TextDedup.minHashSignatureOfHashes: the HOF
+    // form's per-permutation hash is Spark's multi-arg xxhash64(i, h)
+    // (seed-CHAINED), while the native family uses hashLong(h, seed=i)
+    // directly — two valid MinHash constructions, deliberately not
+    // bit-equal. What must agree is the native family with itself:
+    // d16's sig-from-hashes over an UNFILTERED shingle set must equal
+    // d02's from-text signature (duplicates in MinHashSig's window
+    // stream cannot change a minimum, so the deduped input is neutral).
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "tiny", "", "aaaaaaaaaa", "mixed CASE Text with    spaces")
+      .toDF("t")
+      .withColumn("sh", ShingleHashSorted(col("t"), 5))
+    val rows = df.select(
+      MinHashSigFromHashes(col("sh"), 16).as("native"),
+      MinHashSig(col("t"), 5, 16).as("fromText")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        "sig-from-hashes diverged from the from-text expression")
+    }
+    // empty hash input (everything filtered away) keeps the sentinel
+    val empty = Seq(Seq.empty[Long]).toDF("sh")
+      .select(MinHashSigFromHashes(col("sh"), 4)).collect()
+    assert(empty.head.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue))
+  }
+
   test("SQL signature/verify functions match the Column API") {
     registered()
     val df = Seq(
