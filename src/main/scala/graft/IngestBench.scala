@@ -81,8 +81,10 @@ object IngestBench {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
     // the README's reported ladder: throughput should RISE with batch
-    // size (fixed per-batch costs amortize; per-row path flat)
-    val configs = Seq((8, 125000), (8, 250000), (12, 250000))
+    // size (fixed per-batch costs amortize; per-row path flat) — plus
+    // a 10 M sustained leg (round 12) so the headline number rests on
+    // a run an order of magnitude past the reference's batch sizes
+    val configs = Seq((8, 125000), (8, 250000), (12, 250000), (16, 625000))
     val work = java.nio.file.Files.createTempDirectory("ingest_sweep")
     val runs = configs.zipWithIndex.map { case ((hours, perHour), ci) =>
       val files = generate(new File(work.toFile, s"archive_$ci"), hours, perHour)
@@ -110,9 +112,15 @@ object IngestBench {
       println(s"[sweep] ${total / 1000}k records: min ${f"$minSec%.1f"}s " +
         s"over $repeats runs = $recPerHour rec/hr " +
         s"stored_ok=$storedOk (distinct_keys=$expected)")
+      // all repeat timings, not just the min: warm-path variance is
+      // where the round-11 "3 M knee" lived, and min-only artifacts
+      // hid it
+      val allSecs = timings.map(t => (t._1 * 100).round / 100.0)
+        .mkString("[", ",", "]")
       s"""{"records":$total,"hour_files":$hours,"per_hour":$perHour,""" +
         s""""distinct_keys":$expected,""" +
         s""""min_ingest_sec":${(minSec * 100).round / 100.0},""" +
+        s""""ingest_secs":$allSecs,""" +
         s""""records_per_hour":$recPerHour,"stored_ok":$storedOk}"""
     }
     // The continuous-deployment shape: the SAME hour files through the

@@ -30,6 +30,16 @@ import org.apache.spark.sql.types._
   * comparison is over exact integers scaled by IEEE-exact constants —
   * a DuckDB oracle unrolls the same greedy bit-for-bit. Ties break to
   * the smaller candidate id at every step.
+  *
+  * CodegenFallback is PERMANENT here (VERDICT r11 #9, resolved as
+  * documented-bound): the expression evaluates once per QUERY row —
+  * tens of rows total, each a bounded O(shortlist²) greedy — so the
+  * fallback's per-call overhead (one virtual eval dispatch + row
+  * boxing) is nanoseconds against microseconds of work, and a
+  * doGenCode would emit a call into this same JIT-compiled loop.
+  * If s12 is ever redesigned to re-rank per CORPUS row, lift this
+  * bound first — at that cardinality the fallback's interpreted
+  * projection around the expression starts to matter.
   */
 case class MmrSelect(child: Expression, k: Int, lambda: Double)
     extends UnaryExpression with CodegenFallback {
