@@ -136,6 +136,7 @@ object SparkEntry {
     "s09_ann_rerank" -> (PipelineQueries.pq_ivf_rerank _),
     "s10_sq8_topk" -> (PipelineQueries.sq8_topk _),
     "s11_knn_graph" -> (PipelineQueries.knn_graph _),
+    "s13_filtered_ann" -> (PipelineQueries.filtered_ann _),
     "s12_mmr_rerank" -> (PipelineQueries.mmr_rerank _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "t16_token_entropy" -> (PipelineQueries.token_entropy _),
     "t17_cms_estimate" -> (PipelineQueries.cms_estimate _),
     "t18_contamination_density" -> (PipelineQueries.contamination_density _),
+    "t20_memorization_spans" -> (PipelineQueries.memorization_spans _),
     "t19_js_divergence" -> (PipelineQueries.js_divergence _),
     "d14_bloom_prefilter" -> (PipelineQueries.bloom_prefilter _),
     "d15_incremental_neardup" -> (PipelineQueries.incremental_neardup _),
@@ -1662,6 +1664,28 @@ object SparkEntry {
          QUALIFY rank <= 3
          ORDER BY query_id, rank""",
 
+    // s13: s02's single-probe replay over the lang='en'-restricted
+    // corpus — the pre-filter strategy's exactness IS the oracle
+    // contract (top-k of the eligible set, no over-fetch heuristics)
+    "s13_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings
+           WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+         q AS (SELECT vec_id AS query_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+             list_inner_product(qv,v)
+               / (sqrt(list_inner_product(qv,qv))*sqrt(list_inner_product(v,v))) AS cos
+           FROM q JOIN e ON e.label = q.label AND e.vec_id != query_id)
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id
+         FROM scored
+         QUALIFY rank <= 10
+         ORDER BY query_id, rank""",
+
     "s02_ann_ivf" ->
       """WITH e AS (SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2245,6 +2269,34 @@ object SparkEntry {
                   AS BIGINT) AS n_contaminated
          FROM w WHERE doc_id % 97 != 0
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // t20: t18's window machinery with POSITIONS kept — DuckDB zips
+    // two same-length unnests positionally, then the identical
+    // gaps-and-islands (position - row_number per doc) and max-run
+    // rollup; clean docs surface with max_run 0 via the left join
+    "t20_memorization_spans" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS t
+           FROM documents),
+         w AS (SELECT doc_id,
+             unnest(range(len(t)-7)) AS i,
+             unnest(list_transform(range(len(t)-7),
+               j -> md5(array_to_string(t[j+1:j+8],' ')))) AS g
+           FROM toks WHERE len(t) >= 8),
+         ev AS (SELECT DISTINCT g FROM w WHERE doc_id % 97 = 0),
+         hits AS (SELECT doc_id, i FROM w
+                  WHERE doc_id % 97 != 0 AND g IN (SELECT g FROM ev)),
+         isl AS (SELECT doc_id,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+           FROM hits),
+         runs AS (SELECT doc_id, count(*) AS run FROM isl
+                  GROUP BY doc_id, island),
+         mr AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id)
+         SELECT b.doc_id, CAST(coalesce(mr.max_run, 0) AS BIGINT) AS max_run
+         FROM (SELECT doc_id FROM toks
+               WHERE len(t) >= 8 AND doc_id % 97 != 0) b
+         LEFT JOIN mr ON mr.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
 
     // d15: the d02 exhaustive ground truth restricted to cross-parity
     // (odd batch → even corpus) pairs — the recall gate for the

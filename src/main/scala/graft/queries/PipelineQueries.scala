@@ -527,6 +527,44 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- t20: MEMORIZATION SPANS — the longest CONSECUTIVE run of
+  // 8-token windows a training doc shares with the eval set. t18
+  // answers "how much eval content leaked into this doc" (window
+  // density); this answers "how LONG is the longest verbatim
+  // overlap" — the memorization metric: a run of r consecutive
+  // windows is r+7 contiguous shared tokens, and a doc with density
+  // 2% but one 60-token verbatim span is a worse leak than 2%
+  // scattered n-gram noise. Classic gaps-and-islands: hit windows
+  // grouped by (position − rank) — consecutive positions share one
+  // island key. The row_number window is PARTITIONED by doc_id
+  // (per-doc window count is bounded by doc length — never a global
+  // sort funnel); shuffles carry (md5 hash, doc_id, position) only.
+  // Output is integer-only: (doc_id, max_run), 0 for clean docs. ----
+  def memorization_spans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 8
+    val t = docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val w = t.select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("toks"), col("i"), lit(n)), " ")).as("g"))
+    val evalSet = w.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val hits = w.filter(col("doc_id") % 97 =!= 0)
+      .join(evalSet, Seq("g"), "left_semi")
+    val runs = hits
+      .withColumn("island", col("i") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy("doc_id", "island").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max("run").as("max_run"))
+    t.filter(col("doc_id") % 97 =!= 0).select("doc_id")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy("doc_id")
+  }
+
   // ---- embedding cosine near-dup, IVF-blocked by `label`. Threshold
   // 0.35 verified ≥5e-5 away from every pair's cosine at all SFs, so
   // cross-engine double noise cannot flip membership. ----
@@ -565,6 +603,33 @@ object PipelineQueries {
   def ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val corpus = embs(s, dir)
     val queries = corpus.filter(col("vec_id") < 10)
+    Similarity.ivfTopK(corpus, queries, k = 10, blockCol = "label")
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- s13: FILTERED ANN — top-k under a metadata predicate
+  // (documents.lang = 'en'), the shape retrieval actually runs:
+  // "nearest neighbors among docs satisfying P". Strategy is
+  // PRE-FILTER (filter → search): the predicate restricts the corpus
+  // BEFORE the block scan, so the result is exactly the top-k of the
+  // eligible set — no recall loss from a post-filter over-fetch, and
+  // the single-probe IVF oracle replays it exactly. Post-filtering
+  // (search k' > k then drop non-matching) is the right strategy only
+  // for highly SELECTIVE predicates over a prebuilt unfiltered index;
+  // at 44% selectivity pre-filter is strictly better.
+  //
+  // Scale note: the predicate column is joined in from `documents`
+  // here via an ids-only left_semi (lang is a documents attribute);
+  // at 100 TB a filtered-ANN deployment DENORMALIZES the filter
+  // attributes into the vector table (or partitions the index by
+  // them) precisely so this join disappears — the gate's semi-join
+  // models the metadata path with id movement only, never vectors
+  // crossing for the join. ----
+  def filtered_ann(s: SparkSession, dir: String): DataFrame = {
+    val enIds = docs(s, dir).filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val corpus = embs(s, dir).join(enIds, Seq("vec_id"), "left_semi")
+    val queries = embs(s, dir).filter(col("vec_id") < 10)
     Similarity.ivfTopK(corpus, queries, k = 10, blockCol = "label")
       .orderBy("query_id", "rank")
   }

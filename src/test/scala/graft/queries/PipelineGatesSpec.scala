@@ -52,6 +52,32 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(shj == bc, "SHUFFLE_HASH verify regime diverged from broadcast")
   }
 
+  test("t20 memorization_spans: planted verbatim span yields the exact " +
+      "window run; scattered hits count 1; clean doc counts 0") {
+    // sf0.01 has no eval-set overlap (t20 is legitimately all-zero
+    // there, like t18), so the islands logic gets its exactness pinned
+    // on planted data: doc 0 (0 % 97 == 0 → eval) provides tokens
+    // e1..e20; doc 1 embeds a verbatim 15-token copy (e3..e17) between
+    // noise, so windows starting at each of the 8 positions fully
+    // inside the span hit → ONE island of 8. Doc 2 has two 8-token
+    // verbatim fragments separated by noise → two islands of 1. Doc 3
+    // is clean.
+    val e = (1 to 20).map(i => s"tok$i")
+    val span = e.slice(2, 17) // e3..e17, 15 tokens
+    val frag1 = e.slice(2, 10) // e3..e10, 8 tokens = exactly 1 window
+    val frag2 = e.slice(4, 12) // e5..e12
+    val dir = tmpSf(Seq(
+      (0L, e.mkString(" "), "en", "s", 1L),
+      (1L, (Seq("x1", "x2", "x3", "x4", "x5") ++ span ++
+        Seq("y1", "y2", "y3")).mkString(" "), "en", "s", 1L),
+      (2L, (frag1 ++ Seq("z1", "z2", "z3", "z4") ++ frag2).mkString(" "),
+        "en", "s", 1L),
+      (3L, (1 to 10).map(i => s"clean$i").mkString(" "), "en", "s", 1L)))
+    val out = PipelineQueries.memorization_spans(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 8L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("d10 dup_passages: planted shared span is counted window-exactly") {
     // doc 0: 10 tokens a0..a9            -> 3 windows, none duplicated
     // doc 1: 9 tokens  b0..b5 s0 s1 s2   -> 2 windows
