@@ -176,6 +176,7 @@ object SparkEntry {
     "m09_scene_cuts" -> (PipelineQueries.multimodal_scenes _),
     "m10_silence_runs" -> (PipelineQueries.multimodal_silence _),
     "m11_resize" -> (PipelineQueries.multimodal_resize _),
+    "m12_phash_dedup" -> (PipelineQueries.multimodal_phash_dedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2717,6 +2718,36 @@ object SparkEntry {
     // ((id+7x)%256, (id·3+11x)%256, (id·5+13x)%256) constant down the
     // column, so cell (cy,cx) sums to bh·Σ_{x∈block}(…); w,h are
     // multiples of 4, so blocks are exactly w/4 × h/4
+    // m12: closed-form replay of the shaded-stripe synth + aHash.
+    // The stripe pattern is column-constant, so each cell's luma is
+    // (h/4) x its column-band sum and the 16-bit hash repeats each
+    // column bit over the 4 rows: ahash = 4369 * sum(bit_cx << cx)
+    // (4369 = 1+16+256+4096). The bit compare 16*cell > total reduces
+    // exactly to 4*band > band_total (h cancels, all integers).
+    // Uniform brightness b cancels from both sides, so same-k docs
+    // group regardless of their grade - the operator's claim, replayed
+    // independently.
+    "m12_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 97 AS k,
+             CAST((doc_id // 97) % 50 AS BIGINT) AS b,
+             CAST(((doc_id % 97) % 12) * 4 + 16 AS INTEGER) AS w
+           FROM documents),
+         xs AS (SELECT doc_id, k, b, w, unnest(range(w)) AS x FROM d),
+         cols AS (SELECT doc_id, CAST(x // (w // 4) AS INTEGER) AS cx,
+             ((k + 7*x) % 200) + ((k*3 + 11*x) % 200) + ((k*5 + 13*x) % 200)
+               + 3*b AS l
+           FROM xs),
+         cs AS (SELECT doc_id, cx, sum(l) AS sl FROM cols GROUP BY 1, 2),
+         tots AS (SELECT doc_id, sum(sl) AS stot FROM cs GROUP BY doc_id),
+         ah AS (SELECT cs.doc_id,
+             4369 * sum(CASE WHEN 4 * sl > stot
+                        THEN CAST(1 AS BIGINT) << cx ELSE 0 END) AS ahash
+           FROM cs JOIN tots ON tots.doc_id = cs.doc_id
+           GROUP BY cs.doc_id)
+         SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dups,
+                CAST(ahash AS BIGINT) AS ahash
+         FROM ah GROUP BY ahash ORDER BY keep_id""",
+
     "m11_resize" ->
       """WITH d AS (SELECT doc_id,
              CAST((doc_id%12)*4+16 AS INTEGER) AS w,

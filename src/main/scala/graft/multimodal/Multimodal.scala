@@ -478,6 +478,34 @@ object Multimodal {
     * identical; stripes give every cell a distinct, position-dependent
     * value, so the oracle actually pins the pooling geometry.)
     */
+  /** [[synthStripePng]] variant with a UNIFORM brightness offset and a
+    * wrap-free base range: channel = ((pattern) % 200) + brightness,
+    * brightness ≤ 55, so the shift never wraps mod 256 and two images
+    * with the same seed but different brightness are exact per-pixel
+    * translations of each other — the input family m12's average-hash
+    * must collapse (and an exact raster hash must NOT).
+    */
+  def synthShadedStripePng(w: Int, h: Int, seed: Long,
+      brightness: Int): Array[Byte] = {
+    require(brightness >= 0 && brightness <= 55,
+      "brightness must be in [0, 55] to stay wrap-free")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      val r = ((seed + 7L * x) % 200).toInt + brightness
+      val g = ((seed * 3 + 11L * x) % 200).toInt + brightness
+      val b = ((seed * 5 + 13L * x) % 200).toInt + brightness
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   def synthStripePng(w: Int, h: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -1902,6 +1902,50 @@ object PipelineQueries {
       .orderBy("doc_id", "cy", "cx")
   }
 
+  // ---- m12: PERCEPTUAL average-hash image dedup — m07 finds images
+  // whose decoded rasters are byte-identical; this finds images that
+  // LOOK the same through re-grades: the classic aHash (pool to a
+  // 4×4 thumbnail, threshold each cell against the image mean, 16-bit
+  // signature, group by signature). The comparison is INTEGER-exact
+  // (16·cell_sum > total_sum — equal-pixel cells make the ×16 exact)
+  // and provably invariant under uniform brightness shifts: a +b grade
+  // adds 3·b·px to every cell and 3·b·16·px to the total, shifting
+  // both sides of each bit compare equally. The synth exercises
+  // exactly that: content keyed by doc_id % 97, a per-doc uniform
+  // brightness grade on top (wrap-free by construction) — same-key
+  // docs have DIFFERENT rasters (m07's exact hash keeps them apart)
+  // but identical aHashes, and the gate output groups them. Accidental
+  // cross-key 16-bit collisions are the operator's real semantics and
+  // the oracle replays them. Decode and pooling stay inside the decode
+  // partition (the m-family plan contract); the shuffle carries
+  // (id, 16 small integer cells), never rasters; at 100 TB the
+  // hamming-≤τ variant bands the signature bytes exactly like d03. ----
+  def multimodal_phash_dedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val png = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val k = id % 97
+        val b = ((id / 97) % 50).toInt
+        (id, graft.multimodal.Multimodal.synthShadedStripePng(
+          w = ((k % 12) * 4 + 16).toInt, h = ((k % 6) * 4 + 8).toInt,
+          seed = k, brightness = b))
+      }.toDF("doc_id", "payload")
+    val cells = graft.multimodal.Multimodal
+      .decodeImagePool(png, "doc_id", "payload", grid = 4)
+      .withColumn("cl", col("sum_r") + col("sum_g") + col("sum_b"))
+    val tot = cells.groupBy("id").agg(sum("cl").as("tot"))
+    cells.join(tot, "id")
+      .withColumn("bit",
+        when(col("cl") * 16 > col("tot"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(cy*4 + cx AS INT))"))
+          .otherwise(0L))
+      .groupBy("id").agg(sum("bit").as("ahash"))
+      .groupBy("ahash")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("dups"))
+      .select("keep_id", "dups", "ahash")
+      .orderBy("keep_id")
+  }
+
   // ---- m07: image dedup by DECODED-raster content hash — the
   // standard multimodal-pipeline step (exact image dedup that
   // survives re-encoding), run end-to-end: synth PNGs keyed by

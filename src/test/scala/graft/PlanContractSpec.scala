@@ -147,7 +147,8 @@ class PlanContractSpec extends SparkTestBase {
   }
 
   test("m05/m06/m09 decode strictly below any shuffle — binary never moves") {
-    Seq("m05_image_pixels", "m06_y4m_frames", "m09_scene_cuts", "m11_resize")
+    Seq("m05_image_pixels", "m06_y4m_frames", "m09_scene_cuts", "m11_resize",
+      "m12_phash_dedup")
       .foreach { n =>
       val ops = opBlocks(formatted(n))
       val decodes = ops.collect { case (i, "MapPartitions", _) => i }
