@@ -116,6 +116,7 @@ object SparkEntry {
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
+    "p14_quality_budget" -> (PipelineQueries.quality_budget _),
     "p08_curriculum" -> (PipelineQueries.curriculum _),
     "p09_chunking" -> (PipelineQueries.chunk_docs _),
     "p10_pipeline" -> (PipelineQueries.pipeline_end_to_end _),
@@ -1890,6 +1891,54 @@ object SparkEntry {
     // p07: temperature mixing — budgets from sqrt(n) weights (sqrt is
     // correctly rounded per IEEE-754, so both engines compute the
     // same doubles), selection by md5 rank within source
+    // p14: the d11 qi fragment summed per source, exact Hamilton
+    // apportionment in BIGINT (base = (qmass*200) // T, leftover
+    // seats to the largest remainders with source-ASC ties), then the
+    // p07 md5-rank selection. No float anywhere in the allocation.
+    "p14_quality_budget" ->
+      """WITH f AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS toks,
+             length(text) - length(regexp_replace(text,'[^a-zA-Z0-9\s]','','g')) AS punct,
+             length(regexp_replace(text,'\s+','','g')) AS alpha_chars
+           FROM documents),
+         g AS (SELECT doc_id,
+             CASE WHEN len(toks)=0 THEN 0.0
+                  ELSE CAST(alpha_chars AS DOUBLE)/len(toks) END AS avg_tl,
+             CASE WHEN len(toks)=0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)/len(toks) END AS stop_r,
+             CASE WHEN n_chars_m=0 THEN 0.0
+                  ELSE CAST(punct AS DOUBLE)/n_chars_m END AS punct_r
+           FROM f),
+         q AS (SELECT doc_id,
+             CAST(floor(CAST(round(CAST(0.5*stop_r + 0.3*(1.0-punct_r)
+                    + 0.2*least(avg_tl/10.0, 1.0) AS DECIMAL(20,10)), 4)
+                  AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qi
+           FROM g),
+         m AS (SELECT d.source, sum(q.qi) AS qmass
+               FROM documents d JOIN q ON d.doc_id = q.doc_id
+               GROUP BY d.source),
+         t AS (SELECT sum(qmass) AS t FROM m),
+         fl AS (SELECT source, qmass,
+                  (qmass * 200) // t AS base,
+                  qmass * 200 - ((qmass * 200) // t) * t AS rem
+                FROM m CROSS JOIN t),
+         k AS (SELECT 200 - sum(base) AS k FROM fl),
+         rkk AS (SELECT source, base,
+                  row_number() OVER (ORDER BY rem DESC, source ASC) - 1 AS ahead
+                 FROM fl),
+         bud AS (SELECT source,
+                  base + CASE WHEN ahead < k THEN 1 ELSE 0 END AS budget
+                 FROM rkk CROSS JOIN k),
+         sel AS (SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+                 FROM documents)
+         SELECT sel.doc_id, sel.source, rk
+         FROM sel JOIN bud USING (source)
+         WHERE rk <= budget
+         ORDER BY source, rk""",
+
     "p07_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
          w AS (SELECT source,

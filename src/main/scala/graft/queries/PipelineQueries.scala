@@ -1449,6 +1449,55 @@ object PipelineQueries {
       .orderBy("source", "rk")
   }
 
+  // ---- p14: quality-mass BUDGET apportionment — the quality-driven
+  // counterpart to p07's size-driven mixing: each source's share of a
+  // fixed training budget is proportional to its total QUALITY MASS
+  // (Σ integer-quantized t02 score — d11's qi), so a small-but-clean
+  // source outranks a big-but-noisy one, one deterministic step of
+  // the measure-then-reweight loop domain-reweighting pipelines run.
+  // The apportionment is EXACT largest-remainder (Hamilton) — p07
+  // floors and quietly drops the residual rows; here the leftover
+  // seats go to the largest remainders (ties to source ASC) so the
+  // budgets sum to EXACTLY B. Everything is BIGINT: qi sums, the DIV
+  // floor, remainders B·qmass − base·T, and the seat rank via a
+  // sources² self-join (dictionary-sized, the t19-style deliberate
+  // tiny cross — no float enters the allocation at all). Selection
+  // within a source is p07's md5-rank cut. Scale: the allocation
+  // tables are sources-sized (broadcast); scoring is map-only; the
+  // per-source rank is the p07 pre-filter-at-scale shape. ----
+  def quality_budget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 200L
+    val scored = docs(s, dir).select(col("doc_id"), col("source"),
+      floor(TextFunctions.qualityScore(col("text")) * 1e4 + lit(0.5))
+        .cast("long").as("qi"))
+    val bySrc = scored.groupBy("source").agg(sum("qi").as("qmass"))
+    val tot = bySrc.agg(sum("qmass").as("t"))
+    val floors = bySrc.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(qmass * $B) DIV t"))
+      .withColumn("rem", col("qmass") * B - col("base") * col("t"))
+    val seats = floors.agg((lit(B) - sum("base")).as("k"))
+    val ahead = floors.select(col("source"), col("rem"))
+      .crossJoin(floors.select(col("source").as("s2"), col("rem").as("rem2")))
+      .filter(col("rem2") > col("rem") ||
+        (col("rem2") === col("rem") && col("s2") < col("source")))
+      .groupBy("source").agg(count(lit(1)).as("ahead"))
+    val budgets = floors.join(ahead, Seq("source"), "left")
+      .withColumn("ahead", coalesce(col("ahead"), lit(0L)))
+      .crossJoin(broadcast(seats))
+      .withColumn("budget",
+        col("base") + when(col("ahead") < col("k"), 1L).otherwise(0L))
+      .select("source", "budget")
+    scored.withColumn("rk",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("long"))
+      .join(broadcast(budgets), "source")
+      .filter(col("rk") <= col("budget"))
+      .select("doc_id", "source", "rk")
+      .orderBy("source", "rk")
+  }
+
   // ---- p08: curriculum ordering — length-staged training with
   // quality-mixed batches: docs are cut into 10 length deciles
   // (short→long = easy→hard, the classic curriculum axis), then each

@@ -28,7 +28,11 @@ class PlanContractSpec extends SparkTestBase {
       "s12_mmr_rerank",
       // t19's sources × vocabulary grid is a deliberate broadcast
       // cross of two dictionary-sized relations (tens × tens)
-      "t19_js_divergence")
+      "t19_js_divergence",
+      // p14's Hamilton apportionment ranks remainders via a sources ×
+      // sources self-cross plus two 1-row scalar broadcasts — all
+      // dictionary-sized, the t19/p07 boundedness argument
+      "p14_quality_budget")
 
   test("no gate query plans BroadcastNestedLoopJoin or CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
