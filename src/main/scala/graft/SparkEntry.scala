@@ -161,6 +161,7 @@ object SparkEntry {
     "d14_bloom_prefilter" -> (PipelineQueries.bloom_prefilter _),
     "d15_incremental_neardup" -> (PipelineQueries.incremental_neardup _),
     "d16_stop_shingle" -> (PipelineQueries.stop_shingle_neardup _),
+    "d17_edit_distance" -> (PipelineQueries.edit_distance_neardup _),
     "p13_group_split" -> (PipelineQueries.group_split _),
     "g08_twohop" -> (PipelineQueries.twohop _),
     "g11_twohop_guarded" -> (PipelineQueries.twohop_guarded _),
@@ -1032,6 +1033,19 @@ object SparkEntry {
          FROM p JOIN sz sa ON sa.doc_id = id_a
                 JOIN sz sb ON sb.doc_id = id_b
          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    // d17: exhaustive corpus-wide Levenshtein ground truth — the
+    // |Δlen| ≤ k prefilter is a true invariant of edit distance ≤ k
+    // (lossless), so the blocked Spark pair set must equal this
+    // full ≤ 16 set exactly
+    "d17_edit_distance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+         FROM documents a JOIN documents b
+           ON b.doc_id > a.doc_id
+          AND abs(length(b.text) - length(a.text)) <= 16
+         WHERE levenshtein(a.text, b.text) <= 16
          ORDER BY id_a, id_b""",
 
     // d13: same exhaustive exact ground truth as d02/d03 — the THIRD

@@ -220,6 +220,55 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- d17: character-level EDIT-DISTANCE near-dup — the detector
+  // family the token/shingle ones can't replace: Jaccard over word
+  // sets is blind to edit LOCALITY (a doc with every 10th char
+  // corrupted keeps high token overlap only if corruptions respect
+  // token boundaries), while OCR noise, mojibake, and byte-level
+  // mutations are Levenshtein-small and shingle-large. Corpus-wide
+  // (no id window): blocking is by LENGTH BAND — |len(a)−len(b)| ≤ k
+  // is a true invariant of edit distance ≤ k, so bucketing by
+  // floor(len/k) and probing each doc against buckets b−1, b, b+1
+  // is provably lossless (every qualifying pair shares or straddles
+  // a band). Each doc explodes to 3 small (bucket, id, text) rows;
+  // the join is an equi-join on the band key; dedup of orientations
+  // is the id_b > id_a filter (exactly one exploded row survives per
+  // pair — the a-side row whose probe band equals b's home band).
+  // Verify is Spark's BANDED Levenshtein (3-arg form): O(k·n) per
+  // candidate, not O(n²) — the threshold prunes the DP to a 2k+1
+  // diagonal and returns −1 past it, so cost scales with the
+  // threshold, not the text length product.
+  //
+  // At 100 TB length-banding alone is too coarse once lengths
+  // concentrate (web docs cluster hard around template sizes) —
+  // production composes the band key with a content key (the d02
+  // LSH band machinery) so each blocking cell stays small; the
+  // length invariant still bounds recall loss to exactly zero for
+  // the length dimension. The oracle carries the SAME invariant:
+  // DuckDB prefilters pairs by |Δlen| ≤ k (lossless) and exhaustively
+  // Levenshteins the rest — the gate output must equal the full
+  // corpus-wide ≤ k pair set. ----
+  def edit_distance_neardup(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val d = docs(s, dir).select(col("doc_id"), col("text"),
+      length(col("text")).as("len"),
+      (length(col("text")) / k).cast("long").as("bucket"))
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"),
+        col("len").as("len_a"), col("bucket"))
+      .withColumn("jb", explode(array(col("bucket") - 1, col("bucket"),
+        col("bucket") + 1)))
+      .drop("bucket")
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"),
+      col("len").as("len_b"), col("bucket").as("jb"))
+    a.join(b, Seq("jb"))
+      .filter(col("id_b") > col("id_a") &&
+        abs(col("len_b") - col("len_a")) <= k)
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), k))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ---- d15: INCREMENTAL near-dup — the production ingest shape d14
   // is the exact-dup half of: the standing corpus (even ids) is a
   // banded MinHash-LSH INDEX (at 100 TB a persisted, bucket-

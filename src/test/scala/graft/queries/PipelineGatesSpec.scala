@@ -52,6 +52,31 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(shj == bc, "SHUFFLE_HASH verify regime diverged from broadcast")
   }
 
+  test("d17 edit_distance_neardup: corpus-wide length-band blocking " +
+      "finds band-straddling pairs once; |Δlen|>k and dist>k excluded") {
+    // ids 0/100/200/300/400 are FAR apart — any ±window candidate
+    // generator would miss every pair; only corpus-wide length
+    // banding finds them. base len 100 → bucket 6 (k=16); doc 200
+    // len 115 → bucket 7, so (0,200) straddles adjacent bands and
+    // must still surface exactly once. doc 300 (len 117) fails the
+    // length invariant vs docs 0/100 (Δlen 17) even though
+    // bucket-adjacent, yet still pairs with 200 (Δlen 2, dist 2) —
+    // the invariant excludes per-PAIR, not per-doc. doc 400 shares
+    // length 100 but is content-disjoint, so the banded Levenshtein
+    // hits the threshold diagonal and returns −1.
+    val base = "abcdefghij" * 10
+    val dir = tmpSf(Seq(
+      (0L, base, "en", "s", 1L),
+      (100L, base.dropRight(1) + "Z", "en", "s", 1L),
+      (200L, base + "z" * 15, "en", "s", 1L),
+      (300L, base + "z" * 17, "en", "s", 1L),
+      (400L, "qrstuvwxyz" * 10, "en", "s", 1L)))
+    val out = PipelineQueries.edit_distance_neardup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out == Map((0L, 100L) -> 1, (0L, 200L) -> 15,
+      (100L, 200L) -> 16, (200L, 300L) -> 2))
+  }
+
   test("g12 incremental_components: chain merges through an unmapped " +
       "bridge doc; untouched components keep labels; edge-free docs stay out") {
     // Jaccard (≥0.6) components: {0,1} (identical), {4,5,6}
