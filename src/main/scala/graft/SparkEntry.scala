@@ -162,6 +162,7 @@ object SparkEntry {
     "d15_incremental_neardup" -> (PipelineQueries.incremental_neardup _),
     "d16_stop_shingle" -> (PipelineQueries.stop_shingle_neardup _),
     "d17_edit_distance" -> (PipelineQueries.edit_distance_neardup _),
+    "d18_edit_blocked" -> (PipelineQueries.edit_distance_blocked _),
     "p13_group_split" -> (PipelineQueries.group_split _),
     "g08_twohop" -> (PipelineQueries.twohop _),
     "g11_twohop_guarded" -> (PipelineQueries.twohop_guarded _),
@@ -1040,6 +1041,19 @@ object SparkEntry {
     // (lossless), so the blocked Spark pair set must equal this
     // full ≤ 16 set exactly
     "d17_edit_distance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+         FROM documents a JOIN documents b
+           ON b.doc_id > a.doc_id
+          AND abs(length(b.text) - length(a.text)) <= 16
+         WHERE levenshtein(a.text, b.text) <= 16
+         ORDER BY id_a, id_b""",
+
+    // d18: SAME exhaustive ground truth as d17 — the composed
+    // (MinHash-band × length-filter) blocking must reach the identical
+    // corpus-wide Levenshtein ≤ 16 pair set, proving the lossy content
+    // key loses nothing on this corpus (recall-gate, d02 discipline)
+    "d18_edit_blocked" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
          FROM documents a JOIN documents b

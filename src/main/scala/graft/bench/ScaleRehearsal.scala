@@ -75,7 +75,7 @@ import org.apache.spark.sql.functions._
   * the batch curves need the same reach.
   *
   * Usage: runMain graft.bench.ScaleRehearsal <sfDir> <mult> [mode] [workDir]
-  * (mode ∈ dedup|graph|ann|text|clean|semantic|passages|streaming|deep,
+  * (mode ∈ dedup|graph|ann|text|clean|semantic|passages|streaming|deep|edit,
   * default dedup)
   * Prints one JSON line: wall seconds + shuffle read/write MB per query.
   */
@@ -234,7 +234,7 @@ object ScaleRehearsal {
     require(mult >= 1 && mult <= maxMult,
       s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
-      "passages", "streaming", "deep").contains(mode),
+      "passages", "streaming", "deep", "edit").contains(mode),
       s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else {
@@ -587,6 +587,38 @@ object ScaleRehearsal {
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
         s""""d02":${jq(d02)},"p02":${jq(p02)},"d14":${jq(d14)},""" +
         s""""d15_probe":${jq(d15)}}""")
+    } else if (mode == "edit") {
+      // d17 vs d18 candidate-growth A/B — the composed-blocking claim,
+      // measured. The rotation salt preserves LENGTHS exactly (translate
+      // is a bijection on characters), so under d17's length-band key
+      // every cross-copy length-neighbour pair is a candidate: the
+      // candidate count must grow ∝ M². The d18 content key (MinHash
+      // band buckets) decorrelates copies, so its candidates track true
+      // pairs ∝ M. Run this mode on the sf0.01 base: the point of the
+      // leg is the M² curve itself, and at the sf0.1 base M=26 the
+      // length-band side would be ~549M banded Levenshteins — paying
+      // that wall proves nothing the 500-doc base doesn't.
+      saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
+        .parquet(s"$work/documents.parquet")
+      val corpus = spark.read.parquet(s"$work/documents.parquet")
+      val nDocs = corpus.count()
+      val k = graft.queries.PipelineQueries.editK
+      val lenCand = time(
+        graft.queries.PipelineQueries.editLenCandidates(corpus, k).count())
+      val lshCand = time(
+        graft.queries.PipelineQueries.editLshCandidates(spark, work, k).count())
+      // end-to-end legs: aggregate BOTH output columns so neither the
+      // verify expression nor the candidate join can be pruned under
+      // count (the d10 lesson — see the class doc)
+      val d17 = time(graft.queries.PipelineQueries
+        .edit_distance_neardup(spark, work)
+        .agg(sum("dist"), count(lit(1))).first().getLong(1))
+      val d18 = time(graft.queries.PipelineQueries
+        .edit_distance_blocked(spark, work)
+        .agg(sum("dist"), count(lit(1))).first().getLong(1))
+      println(s"""{"mult":$mult,"docs":$nDocs,""" +
+        s""""d17_cand":${jq(lenCand)},"d18_cand":${jq(lshCand)},""" +
+        s""""d17":${jq(d17)},"d18":${jq(d18)}}""")
     } else if (mode == "passages") {
       // d10 duplicate passages: rotation changes every token, so
       // cross-copy windows never collide — duplicated-window DENSITY

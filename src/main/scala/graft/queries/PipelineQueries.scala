@@ -91,9 +91,12 @@ object PipelineQueries {
     docCountMemo.computeIfAbsent(dir, d => docs(s, d).count()).longValue()
 
   private[graft] def lshVerifyJoin(cand: DataFrame, shingleSets: DataFrame,
-      nDocs: Long, maxBroadcastDocs: Long = VerifyBroadcastMaxDocs): DataFrame = {
-    val a = shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = shingleSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      nDocs: Long, maxBroadcastDocs: Long = VerifyBroadcastMaxDocs,
+      valCol: String = "sh"): DataFrame = {
+    val a = shingleSets.select(col("doc_id").as("id_a"),
+      col(valCol).as(s"${valCol}_a"))
+    val b = shingleSets.select(col("doc_id").as("id_b"),
+      col(valCol).as(s"${valCol}_b"))
     if (nDocs <= maxBroadcastDocs)
       cand.join(broadcast(a), "id_a").join(broadcast(b), "id_b")
     else cand.hint("SHUFFLE_HASH").join(a, "id_a")
@@ -248,9 +251,18 @@ object PipelineQueries {
   // DuckDB prefilters pairs by |Δlen| ≤ k (lossless) and exhaustively
   // Levenshteins the rest — the gate output must equal the full
   // corpus-wide ≤ k pair set. ----
-  def edit_distance_neardup(s: SparkSession, dir: String): DataFrame = {
-    val k = 16
-    val d = docs(s, dir).select(col("doc_id"), col("text"),
+  def edit_distance_neardup(s: SparkSession, dir: String): DataFrame =
+    editVerify(editLenCandidates(docs(s, dir), editK), editK)
+
+  private[graft] val editK = 16
+
+  /** Length-band candidate pairs: (id_a, id_b, text_a, text_b) with
+    * |Δlen| ≤ k, each unordered pair exactly once (id_b > id_a).
+    * Exposed separately so the scale rehearsal can count candidates
+    * independently of the verify stage.
+    */
+  private[graft] def editLenCandidates(d0: DataFrame, k: Int): DataFrame = {
+    val d = d0.select(col("doc_id"), col("text"),
       length(col("text")).as("len"),
       (length(col("text")) / k).cast("long").as("bucket"))
     val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"),
@@ -263,10 +275,50 @@ object PipelineQueries {
     a.join(b, Seq("jb"))
       .filter(col("id_b") > col("id_a") &&
         abs(col("len_b") - col("len_a")) <= k)
+      .select("id_a", "id_b", "text_a", "text_b")
+  }
+
+  private[graft] def editVerify(cand: DataFrame, k: Int): DataFrame =
+    cand
       .withColumn("dist", levenshtein(col("text_a"), col("text_b"), k))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy("id_a", "id_b")
+
+  // ---- d18: the COMPOSED blocking d17's scale note promises — the
+  // shape that survives length concentration. d17's length band is
+  // lossless but its cells hold every doc of similar length: under
+  // the rehearsal's length-preserving rotation salt, candidates grow
+  // ∝ M² (SCALE.md, edit legs). Here the candidate key is the d02
+  // MinHash band bucket (content), and the length invariant demotes
+  // to a post-join filter — cells stay small because unrelated docs
+  // collide only at band-hash chance, so candidates track TRUE pairs
+  // (∝ M), not corpus² . The content key is lossy where the length
+  // key was not, so this is a RECALL GATE in the d02 sense: dist ≤ 16
+  // over ~300-char docs leaves 5-char shingle Jaccard ≥ 0.93 on every
+  // true pair in this corpus (measured; each edit can corrupt at most
+  // 5 shingles), and at J = 0.93, 16×4 banding misses with p ≤ 3.5e-10
+  // under the deterministic seed-42 XXH64 — the oracle is the SAME
+  // exhaustive corpus-wide Levenshtein ≤ k set as d17, so a single
+  // lost pair (or a verify divergence between the two blockings)
+  // hash-fails the gate. ----
+  def edit_distance_blocked(s: SparkSession, dir: String): DataFrame =
+    editVerify(editLshCandidates(s, dir, editK), editK)
+
+  private[graft] def editLshCandidates(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val d = docs(s, dir)
+    val sigs = d.select(col("doc_id"),
+      graft.functions.MinHashSig(col("text"), 5, 64).as("sig"))
+    val cand = TextDedup.candidatePairs(
+      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
+      "doc_id")
+    // same measured-corpus-size join regime as d02's shingle verify;
+    // the payload here is the raw text the Levenshtein stage needs
+    lshVerifyJoin(cand, d.select(col("doc_id"), col("text")),
+        corpusDocs(s, dir), valCol = "text")
+      .filter(abs(length(col("text_b")) - length(col("text_a"))) <= k)
+      .select("id_a", "id_b", "text_a", "text_b")
   }
 
   // ---- d15: INCREMENTAL near-dup — the production ingest shape d14

@@ -75,6 +75,21 @@ class PipelineGatesSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(out == Map((0L, 100L) -> 1, (0L, 200L) -> 15,
       (100L, 200L) -> 16, (200L, 300L) -> 2))
+
+    // d18 composed blocking must reach the identical pair set on the
+    // same fixture: the base-variant docs are shingle-similar (J well
+    // above the banding S-curve knee) so the content key keeps them,
+    // and doc 400 — same LENGTH as doc 0, so a guaranteed d17
+    // candidate — shares no 5-shingle with any other doc and must be
+    // dropped at candidate time by the content key, not at verify.
+    val blocked = PipelineQueries.edit_distance_blocked(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(blocked == out, "composed blocking diverged from length-band")
+    val lshCand = PipelineQueries.editLshCandidates(spark, dir, 16)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lshCand.exists(p => p._1 == 400L || p._2 == 400L),
+      "content-disjoint doc leaked into the LSH candidate set")
   }
 
   test("g12 incremental_components: chain merges through an unmapped " +
