@@ -26,10 +26,13 @@ object StageProbe {
         val wr = m.shuffleWriteMetrics.bytesWritten / 1e6
         val rrec = m.shuffleReadMetrics.recordsRead
         val wrec = m.shuffleWriteMetrics.recordsWritten
-        if (rd > 1 || wr > 1)
-          rows += f"stage ${si.stageId}%4d tasks=${si.numTasks}%4d " +
-            f"read=${rd}%9.1fMB/${rrec}%11d wrote=${wr}%9.1fMB/${wrec}%11d " +
-            si.name.takeWhile(_ != '\n').take(80)
+        // every stage, not just shuffle-heavy ones: executorRunTime vs
+        // numTasks is what exposes a single-task map stage hogging the
+        // wall (the d17 diagnosis this probe gained the column for)
+        rows += f"stage ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+          f"cpu=${m.executorRunTime / 1e3}%7.1fs " +
+          f"read=${rd}%9.1fMB/${rrec}%11d wrote=${wr}%9.1fMB/${wrec}%11d " +
+          si.name.takeWhile(_ != '\n').take(60)
       }
     }
     val log = new StageLog

@@ -22,6 +22,54 @@ class PipelineFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("CharHist: codepoint bins, case-sensitive, catch-all; ArrayL1 " +
+      "bound never exceeds 2x levenshtein on planted mutations") {
+    // "abz Z!" → a,b,z one each; one space; 'Z' and '!' in catch-all.
+    // The astral clef (U+1D11E, two UTF-16 units) must count ONCE —
+    // per-codepoint iteration is what keeps the ≤2-per-edit invariant
+    // aligned with levenshtein's unit of edit.
+    val h = Seq("abz Z!", "𝄞").toDF("t")
+      .select(CharHist(col("t")).as("h")).collect()
+      .map(_.getSeq[Int](0))
+    assert(h(0)(0) == 1 && h(0)(1) == 1 && h(0)(25) == 1 &&
+      h(0)(26) == 1 && h(0)(27) == 2 && h(0).sum == 6)
+    assert(h(1)(27) == 1 && h(1).sum == 1)
+
+    // invariant sweep: substitution, insert, delete, case flip, and a
+    // disjoint rewrite — L1(hist) ≤ 2·dist for every pair, both
+    // codegen (DataFrame filter) and interpreted (collect) paths
+    val base = "the quick brown fox jumps over the lazy dog"
+    val pairs = Seq(
+      (base, base.replace('q', 'x')),
+      (base, base + " again"),
+      (base, base.drop(4)),
+      (base, base.toUpperCase),
+      (base, "pack my box with five dozen liquor jugs"))
+    val got = pairs.toDF("a", "b").select(
+      ArrayL1(CharHist(col("a")), CharHist(col("b"))).as("l1"),
+      levenshtein(col("a"), col("b")).as("d")).collect()
+    got.foreach(r => assert(r.getLong(0) <= 2L * r.getInt(1),
+      s"count-filter bound violated: l1=${r.getLong(0)} dist=${r.getInt(1)}"))
+
+    // ArrayL1 mismatch/null contract (DotProduct parity), both paths
+    val mm = Seq((Array(1, 2), Array(1, 2, 3))).toDF("a", "b")
+      .select(ArrayL1(col("a"), col("b"))).collect()
+    assert(mm(0).isNullAt(0), "length mismatch must yield NULL")
+    val interp = ArrayL1(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1, 5), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(4, 1), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType))).eval(null)
+    assert(interp == 7L)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1.0), Array(1))).toDF("a", "b")
+        .select(ArrayL1(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("arrayl1"))
+  }
+
   test("MinHashSigFromHashes(ShingleHashSorted(t)) == MinHashSig(t): the " +
       "filtered-input path is bit-equal to the from-text expression") {
     // NOT pinned against TextDedup.minHashSignatureOfHashes: the HOF
