@@ -69,6 +69,54 @@ object ShingleHashSorted {
     ColumnBridge.column(ShingleHashSorted(ColumnBridge.expression(text), n))
 }
 
+/** The distinct n-CHARACTER shingle STRINGS of a text, first-occurrence
+  * order — the native form of `TextDedup.shingles` (array_distinct over
+  * the HOF window build), for the one consumer that needs strings
+  * rather than hashes: document-frequency stop-set passes, whose
+  * top-K tie-break and DuckDB oracle are keyed by the shingle STRING.
+  *
+  * Semantics match the HOF exactly (pinned by spec): windows are
+  * CHARACTER-indexed slices of the ORIGINAL text (so case mapping
+  * cannot shift positions), each window lowercased afterwards via the
+  * same UTF8String.toLowerCase that `lower()` applies, and a text
+  * shorter than n yields its single short window. Why native: the HOF
+  * chain (transform over sequence + per-window substr/lower +
+  * array_distinct) costs ~1.5 µs per window in lambda interpretation
+  * and allocation — 2.2 s of the 5.5 s d16 gate at sf0.1 was this one
+  * map-side build.
+  */
+case class DistinctShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    val windows = math.max(len - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](windows * 2)
+    var i = 0
+    while (i < windows) {
+      val w = s.substring(i, math.min(i + n, len))
+      seen.add(UTF8String.fromString(w).toLowerCase)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object DistinctShingles {
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(DistinctShingles(ColumnBridge.expression(text), n))
+}
+
 /** Jaccard similarity |A∩B| / |A∪B| of two SORTED distinct long arrays
   * (as produced by [[ShingleHashSorted]]): one primitive merge pass,
   * no hashing, no allocation. Integer set sizes → the double division

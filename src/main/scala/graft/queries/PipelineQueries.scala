@@ -192,8 +192,19 @@ object PipelineQueries {
   def stop_shingle_neardup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val topK = 64
+    // DF pass over the native DistinctShingles build (the HOF
+    // transform+substr+lower+array_distinct chain measured 2.2 s of
+    // this gate's 5.5 s at sf0.1 — pure lambda interpretation on the
+    // map side). Per-doc-distinct strings exploded into a count(*) per
+    // shingle IS document frequency, and the partial agg reduces to
+    // the (tiny) shingle vocabulary before the exchange — an
+    // alternative countDistinct(doc_id) spelling measured equal wall
+    // but shuffles the full (shingle, doc) pair stream (~10 MB at
+    // sf0.1, corpus-proportional at 100 TB) where this form's exchange
+    // is vocabulary-bounded.
     val stopHashes = d
-      .select(explode(TextDedup.shingles(col("text"), 5)).as("sg"))
+      .select(explode(
+        graft.functions.DistinctShingles(col("text"), 5)).as("sg"))
       .groupBy("sg").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("sg")).limit(topK)
       // xxhash64(string) is seed-42 XXH64 over the UTF8 bytes — the

@@ -80,6 +80,26 @@ class TextDedupSpec extends SparkTestBase {
       s"native=${r.getDouble(0)} hof=${r.getDouble(1)}"))
   }
 
+  test("native DistinctShingles equals array_distinct over the HOF window build") {
+    // d16's stop-set DF pass relies on this: same windows (original-
+    // text character slices), same per-window lowercase, same
+    // first-occurrence distinct order, same short-text single window
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "MIXED Case WITH Repeats repeats REPEATS",
+      "aaaaaaaaaaaa",          // one distinct shingle
+      "ab",                    // shorter than n → single short window
+      "",                      // empty → single empty window
+      "tab\tand  spaces here")
+    val got = texts.toDF("t").select(
+      graft.functions.DistinctShingles(col("t"), 5).as("native"),
+      TextDedup.shingles(col("t"), 5).as("hof")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+    }
+  }
+
   test("SortedLongJaccard over ShingleHashSorted is bit-equal to per-pair ShingleJaccard") {
     // the d02 verify stage relies on this: precomputing each doc's
     // sorted shingle-hash set and merging must give EXACTLY the value
