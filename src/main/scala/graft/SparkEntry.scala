@@ -153,6 +153,8 @@ object SparkEntry {
     "t12_lm_score" -> (PipelineQueries.lm_score _),
     "t13_bigram_lm" -> (PipelineQueries.bigram_lm _),
     "t14_bpe_pairs" -> (PipelineQueries.bpe_pairs _),
+    "t21_bpe_merges" -> (PipelineQueries.bpe_merges _),
+    "t22_source_overlap" -> (PipelineQueries.source_overlap _),
     "t16_token_entropy" -> (PipelineQueries.token_entropy _),
     "t17_cms_estimate" -> (PipelineQueries.cms_estimate _),
     "t18_contamination_density" -> (PipelineQueries.contamination_density _),
@@ -2167,6 +2169,71 @@ object SparkEntry {
          SELECT pair, CAST(sum(wf) AS BIGINT) AS weight
          FROM p GROUP BY pair
          ORDER BY weight DESC, pair ASC LIMIT 100""",
+
+    // t21: the 3-round BPE trainer unrolled — each round re-derives
+    // pair counts over the merged word table, picks the (weight DESC,
+    // pair ASC) winner, and applies it with the SAME double-space
+    // replace the Spark loop uses (replace() greedy left-to-right
+    // semantics are engine-identical; the delimiter scheme makes that
+    // equal to greedy BPE merging)
+    "t21_bpe_merges" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM toks GROUP BY 1),
+         w0 AS (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s, wf FROM wf),
+         s1 AS (SELECT string_split(trim(s), '  ') AS a, wf FROM w0),
+         x1 AS (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
+           FROM s1 WHERE len(a) >= 2),
+         c1 AS (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
+             CAST(sum(wf) AS BIGINT) AS weight FROM x1 GROUP BY 1),
+         b1 AS (SELECT pair, weight FROM c1 ORDER BY weight DESC, pair ASC LIMIT 1),
+         w1 AS (SELECT replace(s, ' ' || replace(b1.pair, ' ', '  ') || ' ',
+             ' ' || replace(b1.pair, ' ', '') || ' ') AS s, wf FROM w0, b1),
+         s2 AS (SELECT string_split(trim(s), '  ') AS a, wf FROM w1),
+         x2 AS (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
+           FROM s2 WHERE len(a) >= 2),
+         c2 AS (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
+             CAST(sum(wf) AS BIGINT) AS weight FROM x2 GROUP BY 1),
+         b2 AS (SELECT pair, weight FROM c2 ORDER BY weight DESC, pair ASC LIMIT 1),
+         w2 AS (SELECT replace(s, ' ' || replace(b2.pair, ' ', '  ') || ' ',
+             ' ' || replace(b2.pair, ' ', '') || ' ') AS s, wf FROM w1, b2),
+         s3 AS (SELECT string_split(trim(s), '  ') AS a, wf FROM w2),
+         x3 AS (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
+           FROM s3 WHERE len(a) >= 2),
+         c3 AS (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
+             CAST(sum(wf) AS BIGINT) AS weight FROM x3 GROUP BY 1),
+         b3 AS (SELECT pair, weight FROM c3 ORDER BY weight DESC, pair ASC LIMIT 1)
+         SELECT * FROM (
+           SELECT 1 AS step, split_part(pair, ' ', 1) AS lhs,
+                  split_part(pair, ' ', 2) AS rhs, weight FROM b1
+           UNION ALL SELECT 2, split_part(pair, ' ', 1),
+                  split_part(pair, ' ', 2), weight FROM b2
+           UNION ALL SELECT 3, split_part(pair, ' ', 1),
+                  split_part(pair, ' ', 2), weight FROM b3)
+         ORDER BY step""",
+
+    // t22: exact pairwise distinct-window intersections, zeros
+    // included — valid as a hash oracle because at sf0.01 every
+    // per-source theta sketch is in the θ = 1 regime (lgNom=14 ≫
+    // cardinality), where native intersection estimates are exact
+    "t22_source_overlap" ->
+      """WITH toks AS (SELECT source,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS t
+           FROM documents),
+         w AS (SELECT DISTINCT source,
+             unnest(list_transform(range(len(t)-7),
+               i -> md5(array_to_string(t[i+1:i+8],' ')))) AS h
+           FROM toks WHERE len(t) >= 8),
+         srcs AS (SELECT DISTINCT source FROM documents),
+         pairs AS (SELECT a.source AS src_a, b.source AS src_b
+           FROM srcs a JOIN srcs b ON a.source < b.source),
+         ov AS (SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM w a JOIN w b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, COALESCE(ov.c, 0) AS overlap
+         FROM pairs p LEFT JOIN ov USING (src_a, src_b)
+         ORDER BY src_a, src_b""",
 
     // g06: 3 synchronized LPA rounds over the d04 pair graph, unrolled —
     // mode pick = row_number over (cnt DESC, lbl ASC), the same

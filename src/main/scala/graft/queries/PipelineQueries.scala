@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Packing, Sampling, Similarity, TextDedup}
+import graft.operators.{Dedup, Packing, Sampling, Similarity, Sketches, TextDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1213,6 +1213,113 @@ object PipelineQueries {
       .groupBy("pair").agg(sum("wf").as("weight"))
       .orderBy(col("weight").desc, col("pair").asc)
       .limit(100)
+  }
+
+  // ---- t21: the BPE merge LOOP — t14 is one pair-count iteration;
+  // this is the trainer: k rounds of count-best-merge over the word
+  // table, emitting the merge decisions (the artifact a tokenizer
+  // ships). Representation is the whole trick: each word's symbol
+  // sequence is a DOUBLE-space-delimited string (" l  o  w "), so
+  //  - adjacent-pair extraction is split + index-explode (no HOFs),
+  //  - applying a merge is ONE literal string replace per word:
+  //    " l  o " → " lo ". Double delimiters make plain left-to-right
+  //    non-overlapping replace EQUAL to greedy BPE merging: each
+  //    symbol owns its flanking spaces, so consuming a pair never
+  //    eats the next occurrence's boundary (single-space delimiters
+  //    get " a a a a " wrong), and replace() has identical greedy
+  //    semantics in every engine — the oracle replays the merge
+  //    rounds with the same replace.
+  // Pair weights count EVERY adjacency (overlaps included) and the
+  // merge applies greedily — exactly Sennrich's count-then-merge.
+  // Tie-break: pair string ASC ("l r"); symbols contain no spaces
+  // and space sorts below every token character, so string order
+  // equals (lhs, rhs) tuple order in both engines.
+  //
+  // Scale shape: the corpus is touched ONCE (word-frequency agg,
+  // shuffle carries (word, count)); every round after that is
+  // vocabulary-sized — pair explode ∝ Σ|word|, a top-1 aggregate,
+  // and a map-side literal replace. The driver holds only the k
+  // winning pairs (bounded: k rows). That is the architecture of
+  // every production BPE trainer: corpus → word table once, then
+  // iterate on the table. ----
+  def bpe_merges(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    var wf = docs(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("sym"), col("wf"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to k) {
+      val best = wf
+        .select(col("wf"), split(trim(col("sym")), "  ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("wf"), col("a"),
+          explode(sequence(lit(1), size(col("a")) - 1)).as("i"))
+        .select(concat(element_at(col("a"), col("i")), lit(" "),
+          element_at(col("a"), col("i") + 1)).as("pair"), col("wf"))
+        .groupBy("pair").agg(sum("wf").as("weight"))
+        .orderBy(desc("weight"), asc("pair"))
+        .limit(1).collect() // bounded: exactly one winning pair per round
+      if (best.nonEmpty) {
+        val Array(l, r) = best(0).getString(0).split(" ", 2)
+        merges += ((round, l, r, best(0).getLong(1)))
+        wf = wf.select(org.apache.spark.sql.functions.replace(col("sym"),
+          lit(s" $l  $r "), lit(s" $l$r ")).as("sym"), col("wf"))
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "weight")
+      .select(col("step").cast("int"), col("lhs"), col("rhs"), col("weight"))
+      .orderBy("step")
+  }
+
+  // ---- t22: cross-source overlap matrix via THETA-SKETCH
+  // INTERSECTION — the no-join answer to "how much passage-level
+  // duplication exists BETWEEN every pair of sources?" (the question
+  // a data-mix owner asks before weighting sources; pairwise
+  // raw-content joins are quadratic in corpus and never run at
+  // 100 TB). One corpus scan builds a per-source theta sketch of the
+  // distinct 8-token window hashes (the t18/d10 window machinery);
+  // every pairwise overlap is then ONE native sketch intersection
+  // over the sources × sources dictionary cross (the t19/p14
+  // boundedness argument — tens × tens of KB-sized sketch payloads).
+  //
+  // Why theta and not the r26 HLL machinery: HLL only unions, so the
+  // matrix needs inclusion–exclusion, and HLL coupons truncate the
+  // value hash to ~26 bits — the FIRST cut of this gate measured one
+  // coupon collision among 20 sources × ~1.3k windows, leaving a
+  // zero-overlap pair estimated at 1. Theta keeps full 64-bit hashes
+  // and intersects natively: below the nominal-entries threshold
+  // (lgNom=14 → 16k ≫ the ~1.4k per-source cardinality here) θ = 1,
+  // nothing is sampled, and the estimate is EXACT — so DuckDB's
+  // exact pairwise-intersection matrix (zeros included) is a full
+  // hash oracle. At deployment scale the same query degrades
+  // gracefully to ~1/√k relative error instead of refusing to run;
+  // the sketch table is the per-source artifact an ingest pipeline
+  // maintains incrementally (sketches union, so a new batch folds in
+  // map-side). ----
+  def source_overlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val n = 8
+    val t = docs(s, dir).select(col("source"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    val w = t.select(col("source"), col("toks"),
+        explode(when(size(col("toks")) >= n,
+          sequence(lit(1), size(col("toks")) - (n - 1)))).as("__i"))
+      .select(col("source"),
+        md5(array_join(slice(col("toks"), col("__i"), lit(n)), " ")).as("h"))
+    val sk = w.groupBy("source")
+      .agg(ColumnBridge.column(graft.functions.ThetaSketchAgg(
+          ColumnBridge.expression(col("h")), lgNomEntries = 14)
+        .toAggregateExpression()).as("h_sketch"))
+    val a = sk.select(col("source").as("src_a"), col("h_sketch").as("sk_a"))
+    val b = sk.select(col("source").as("src_b"), col("h_sketch").as("sk_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        ColumnBridge.column(graft.functions.ThetaIntersectEst(
+          ColumnBridge.expression(col("sk_a")),
+          ColumnBridge.expression(col("sk_b")))).as("overlap"))
+      .orderBy("src_a", "src_b")
   }
 
   def fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -70,6 +70,42 @@ class PipelineFunctionsSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("arrayl1"))
   }
 
+  test("theta sketch family: exact set ops in the θ=1 regime, " +
+      "partition-order invariant") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def agg(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      ThetaSketchAgg(ColumnBridge.expression(c), lgNomEntries = 14)
+        .toAggregateExpression())
+    // groups: g0 = {v0..v499}, g1 = {v300..v799} → |∩| = 200 exactly
+    val rows = (0 until 500).map(i => ("g0", s"v$i")) ++
+      (300 until 800).map(i => ("g1", s"v$i"))
+    val df = rows.toDF("g", "v")
+    def matrix(d: org.apache.spark.sql.DataFrame) = {
+      val sk = d.groupBy("g").agg(agg(col("v")).as("sk"))
+      val a = sk.select(col("g").as("ga"), col("sk").as("ska"))
+      val b = sk.select(col("g").as("gb"), col("sk").as("skb"))
+      a.join(b, col("ga") < col("gb"))
+        .select(
+          ColumnBridge.column(ThetaIntersectEst(
+            ColumnBridge.expression(col("ska")),
+            ColumnBridge.expression(col("skb")))).as("inter"),
+          ColumnBridge.column(ThetaEstimate(
+            ColumnBridge.expression(col("ska")))).as("ca"),
+          ColumnBridge.column(ThetaEstimate(
+            ColumnBridge.expression(col("skb")))).as("cb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val one = matrix(df.coalesce(1))
+    val many = matrix(df.repartition(13))   // different partials/merge order
+    assert(one.toSeq == Seq((200L, 500L, 500L)),
+      s"theta exact regime broken: ${one.toSeq}")
+    assert(many.toSeq == one.toSeq,
+      "theta results must not depend on partitioning/merge order")
+    // duplicates are absorbed: re-unioning the same values changes nothing
+    val dup = matrix(df.unionAll(df))
+    assert(dup.toSeq == one.toSeq, "duplicate updates must be absorbed")
+  }
+
   test("MinHashSigFromHashes(ShingleHashSorted(t)) == MinHashSig(t): the " +
       "filtered-input path is bit-equal to the from-text expression") {
     // NOT pinned against TextDedup.minHashSignatureOfHashes: the HOF

@@ -92,6 +92,29 @@ class PipelineGatesSpec extends SparkTestBase {
       "content-disjoint doc leaked into the LSH candidate set")
   }
 
+  test("t21 bpe_merges: greedy merge rounds — overlap handling, " +
+      "merged symbols re-enter pair space, tie breaks on pair string") {
+    // word freqs: "aaa"×5, "ab"×3, "cd"×2, "ce"×2.
+    // round 1: (a,a) appears TWICE per "aaa" (overlap counted) = 10,
+    //          (a,b)=3, (c,d)=2, (c,e)=2 → winner (a,a) w=10; greedy
+    //          merge turns " a  a  a " into " aa  a " (one merge, not
+    //          two — the double-delimiter replace must not chain).
+    // round 2: ("aa","a")=5 beats (a,b)=3 — the merged symbol must
+    //          re-enter pair space as a unit.
+    // round 3: (a,b)=3 beats the (c,d)/(c,e) tie; and if weights ever
+    //          tie, pair-string ASC picks — exercised at w=2 ties
+    //          only if rounds ran further, so pin the 3 winners.
+    val dir = tmpSf(Seq(
+      (0L, "aaa aaa aaa", "en", "s", 1L),
+      (1L, "aaa aaa ab", "en", "s", 1L),
+      (2L, "ab ab cd cd", "en", "s", 1L),
+      (3L, "ce ce", "en", "s", 1L)))
+    val got = PipelineQueries.bpe_merges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 10L), (2, "aa", "a", 5L),
+      (3, "a", "b", 3L)))
+  }
+
   test("g12 incremental_components: chain merges through an unmapped " +
       "bridge doc; untouched components keep labels; edge-free docs stay out") {
     // Jaccard (≥0.6) components: {0,1} (identical), {4,5,6}
