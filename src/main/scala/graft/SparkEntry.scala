@@ -113,6 +113,7 @@ object SparkEntry {
     "p02_neardup_groups" -> (PipelineQueries.neardup_groups _),
     "p03_shard_pack" -> (PipelineQueries.shard_pack _),
     "p04_source_mix" -> (PipelineQueries.source_mix _),
+    "p15_shard_manifest" -> (PipelineQueries.shard_manifest _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -1903,6 +1904,28 @@ object SparkEntry {
          SELECT doc_id, lang, n_tokens, cum_tokens,
                 CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS shard_id
          FROM c ORDER BY lang, doc_id""",
+
+    // p15: p03's packing rolled to (lang, shard) grain with the
+    // order-canonical membership checksum — md5 over the sorted,
+    // comma-joined doc-id list (BIGINT→VARCHAR is plain digits in
+    // both engines)
+    "p15_shard_manifest" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+             CAST(len(regexp_split_to_array(trim(lower(text)),'\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, lang, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM t),
+         sh AS (SELECT doc_id, lang, source, n_tokens,
+             CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS shard_id
+           FROM c)
+         SELECT lang, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                md5(array_to_string(list_sort(list(doc_id)), ',')) AS checksum
+         FROM sh GROUP BY 1, 2 ORDER BY lang, shard_id""",
 
     "p04_source_mix" ->
       """WITH b AS (SELECT doc_id, source,

@@ -84,7 +84,7 @@ object ScaleRehearsal {
   /** Sums shuffle bytes across completed stages (driver-side listener —
     * metrics only, no data).
     */
-  private final class ShuffleMeter extends SparkListener {
+  final class ShuffleMeter extends SparkListener {
     @volatile var read = 0L
     @volatile var written = 0L
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -387,9 +387,19 @@ object ScaleRehearsal {
       val p11 = time(graft.queries.PipelineQueries
         .curriculum_scale(spark, work)
         .agg(sum(col("batch"))).first().getLong(0))
+      // t22 theta overlap matrix: sources are SHARED across copies, so
+      // per-source window cardinality grows ∝ M — the leg crosses the
+      // θ = 1 exactness boundary (16k nominal) around M≈12 and must
+      // keep DEGRADING GRACEFULLY, not blow up: sketch payloads are
+      // capped at ~k entries regardless of M, the matrix stays
+      // sources², and wall should track the one corpus scan. Sum the
+      // overlap column so the intersection expressions can't be pruned.
+      val t22 = time(graft.queries.PipelineQueries
+        .source_overlap(spark, work)
+        .agg(sum(col("overlap")), count(lit(1))).first().getLong(1))
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
         s""""t07":${jq(t07)},"t06":${jq(t06)},"t04":${jq(t04)},""" +
-        s""""t12":${jq(t12)},"p11":${jq(p11)}}""")
+        s""""t12":${jq(t12)},"p11":${jq(p11)},"t22":${jq(t22)}}""")
     } else if (mode == "semantic") {
       // d09 SemDeDup: intra-cell pair work is Σ cell². Two regimes:
       //  - cells FIXED (32) while the corpus grows M× → cell size ∝ M,

@@ -91,15 +91,24 @@ case class ThetaIntersectEst(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val inter = SetOperation.builder().buildIntersection()
-    inter.intersect(Sketches.wrapSketch(Memory.wrap(a.asInstanceOf[Array[Byte]])))
-    inter.intersect(Sketches.wrapSketch(Memory.wrap(b.asInstanceOf[Array[Byte]])))
-    Math.round(inter.getResult.getEstimate)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaIntersectEst.estimate(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): ThetaIntersectEst = copy(left = l, right = r)
+}
+
+object ThetaIntersectEst {
+  /** Shared kernel for the expression and driver-side matrix builds
+    * over collected sketch artifacts (the t22 shape).
+    */
+  def estimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val inter = SetOperation.builder().buildIntersection()
+    inter.intersect(Sketches.wrapSketch(Memory.wrap(a)))
+    inter.intersect(Sketches.wrapSketch(Memory.wrap(b)))
+    Math.round(inter.getResult.getEstimate)
+  }
 }
 
 /** Distinct-count estimate of one serialized theta sketch (exact in

@@ -1308,18 +1308,26 @@ object PipelineQueries {
           sequence(lit(1), size(col("toks")) - (n - 1)))).as("__i"))
       .select(col("source"),
         md5(array_join(slice(col("toks"), col("__i"), lit(n)), " ")).as("h"))
-    val sk = w.groupBy("source")
+    // ONE distributed aggregation produces the per-source sketch
+    // artifact; the matrix itself is driver-side arithmetic over it
+    // (the s03-centroids/g12-union-find pattern). The artifact is
+    // bounded by sources × the sketch's nominal cap (~sources ×
+    // 128 KB, corpus-independent), while the first cut's in-plan
+    // self-join paid the final sketch aggregation once per join side
+    // and AQE re-read the partial-sketch exchange ~18× (measured
+    // 340 MB shuffle read for a 190-row matrix at M=10).
+    val sk: Array[(String, Array[Byte])] = w.groupBy("source")
       .agg(ColumnBridge.column(graft.functions.ThetaSketchAgg(
           ColumnBridge.expression(col("h")), lgNomEntries = 14)
         .toAggregateExpression()).as("h_sketch"))
-    val a = sk.select(col("source").as("src_a"), col("h_sketch").as("sk_a"))
-    val b = sk.select(col("source").as("src_b"), col("h_sketch").as("sk_b"))
-    a.join(b, col("src_a") < col("src_b"))
-      .select(col("src_a"), col("src_b"),
-        ColumnBridge.column(graft.functions.ThetaIntersectEst(
-          ColumnBridge.expression(col("sk_a")),
-          ColumnBridge.expression(col("sk_b")))).as("overlap"))
-      .orderBy("src_a", "src_b")
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+    val rows = for {
+      (sa, ba) <- sk.toSeq
+      (sb, bb) <- sk.toSeq
+      if sa < sb
+    } yield (sa, sb, graft.functions.ThetaIntersectEst.estimate(ba, bb))
+    import s.implicits._
+    rows.toDF("src_a", "src_b", "overlap").orderBy("src_a", "src_b")
   }
 
   def fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -1731,6 +1739,31 @@ object PipelineQueries {
         "lang", "doc_id", "n_tokens", budget = 2048L)
       .select("doc_id", "lang", "n_tokens", "cum_tokens", "shard_id")
       .orderBy("lang", "doc_id")
+
+  // ---- p15: per-shard MANIFEST — the data-card/lineage artifact a
+  // production pipeline writes NEXT TO every training shard: what's
+  // in it (doc/token counts, source diversity, id range) and a
+  // content checksum that makes any later reshuffle, dropped doc, or
+  // re-pack detectable without re-reading the shard. Built on p03's
+  // exact packing; one hash-agg at (lang, shard) grain on top. The
+  // checksum is md5 over the SORTED doc-id list — order-canonical,
+  // so it is stable across partitionings and engines (the lineage
+  // property: equal membership ⟺ equal checksum), and the id arrays
+  // are shard-bounded (budget/min-doc-tokens docs), never
+  // corpus-sized. ----
+  def shard_manifest(s: SparkSession, dir: String): DataFrame =
+    Packing.packByTokenBudget(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")),
+        "lang", "doc_id", "n_tokens", budget = 2048L)
+      .groupBy("lang", "shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        countDistinct("source").as("n_sources"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("checksum"))
+      .orderBy("lang", "shard_id")
 
   // ---- deterministic source mixing: per-source keep fractions
   // applied via md5-bucket thresholds — map-only, no shuffle, and the

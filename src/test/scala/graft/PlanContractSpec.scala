@@ -29,10 +29,6 @@ class PlanContractSpec extends SparkTestBase {
       // t19's sources × vocabulary grid is a deliberate broadcast
       // cross of two dictionary-sized relations (tens × tens)
       "t19_js_divergence",
-      // t22's pairwise sketch matrix crosses the per-source sketch
-      // table with itself — sources × sources rows of KB-sized sketch
-      // payloads, the same dictionary-boundedness argument
-      "t22_source_overlap",
       // p14's Hamilton apportionment ranks remainders via a sources ×
       // sources self-cross plus two 1-row scalar broadcasts — all
       // dictionary-sized, the t19/p07 boundedness argument

@@ -92,6 +92,28 @@ class PipelineGatesSpec extends SparkTestBase {
       "content-disjoint doc leaked into the LSH candidate set")
   }
 
+  test("p15 shard_manifest: packing grain, source diversity, and the " +
+      "order-canonical membership checksum") {
+    // lang en: 3 docs of 2 tokens each under budget 2048 → one shard
+    // with ids {0,2,4}, 2 distinct sources; lang de: doc 1 alone.
+    // The checksum must be md5 of the SORTED comma-joined id list.
+    val dir = tmpSf(Seq(
+      (4L, "a b", "en", "s1", 1L),   // deliberately out of id order
+      (0L, "c d", "en", "s0", 1L),
+      (1L, "e f", "de", "s0", 1L),
+      (2L, "g h", "en", "s0", 1L)))
+    val got = PipelineQueries.shard_manifest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(7)))
+    val md5en = java.security.MessageDigest.getInstance("MD5")
+      .digest("0,2,4".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val md5de = java.security.MessageDigest.getInstance("MD5")
+      .digest("1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq(
+      ("de", 0L, 1L, 2L, 1L, md5de),
+      ("en", 0L, 3L, 6L, 2L, md5en)))
+  }
+
   test("t21 bpe_merges: greedy merge rounds — overlap handling, " +
       "merged symbols re-enter pair space, tie breaks on pair string") {
     // word freqs: "aaa"×5, "ab"×3, "cd"×2, "ce"×2.
