@@ -90,6 +90,7 @@ object SparkEntry {
     "r61_orc_roundtrip" -> (RefQueries.orc_roundtrip _),
     "r62_stream_recovery" -> (StreamingQueries.stream_recovery _),
     "r63_stream_watermark_dedup" -> (StreamingQueries.stream_watermark_dedup _),
+    "r64_stream_theta" -> (StreamingQueries.stream_theta_overlap _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -2234,6 +2235,28 @@ object SparkEntry {
            UNION ALL SELECT 3, split_part(pair, ' ', 1),
                   split_part(pair, ' ', 2), weight FROM b3)
          ORDER BY step""",
+
+    // r64: same exhaustive matrix as t22 — theta's merge-order
+    // invariance means four micro-batches through the RocksDB state
+    // store must reproduce the batch artifact bit for bit
+    "r64_stream_theta" ->
+      """WITH toks AS (SELECT source,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS t
+           FROM documents),
+         w AS (SELECT DISTINCT source,
+             unnest(list_transform(range(len(t)-7),
+               i -> md5(array_to_string(t[i+1:i+8],' ')))) AS h
+           FROM toks WHERE len(t) >= 8),
+         srcs AS (SELECT DISTINCT source FROM documents),
+         pairs AS (SELECT a.source AS src_a, b.source AS src_b
+           FROM srcs a JOIN srcs b ON a.source < b.source),
+         ov AS (SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM w a JOIN w b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, COALESCE(ov.c, 0) AS overlap
+         FROM pairs p LEFT JOIN ov USING (src_a, src_b)
+         ORDER BY src_a, src_b""",
 
     // t22: exact pairwise distinct-window intersections, zeros
     // included — valid as a hash oracle because at sf0.01 every

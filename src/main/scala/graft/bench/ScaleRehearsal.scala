@@ -503,6 +503,15 @@ object ScaleRehearsal {
       val r60 = time(graft.queries.StreamingQueries
         .stream_neardup(spark, work).count())
       val s60 = stateJson("r60")
+      // r64 leg: theta-sketch state — sources are shared across
+      // copies, so streamed windows grow ∝ M while state must stay
+      // FLAT at one row per source with sketch bytes capped at the
+      // nominal threshold (state is sized by the ARTIFACT's
+      // resolution, the r57/r58 property, here under growth that
+      // crosses the sketch's exact→estimating boundary)
+      val r64 = time(graft.queries.StreamingQueries
+        .stream_theta_overlap(spark, work).count())
+      val s64 = stateJson("r64")
       println(s"""{"mult":$mult,"events":$nEvents,"vectors":$nVecs,""" +
         s""""docs":$nDocs,""" +
         s""""r53":${jq(r53)},"r53_state":$s53,""" +
@@ -510,7 +519,8 @@ object ScaleRehearsal {
         s""""r57":${jq(r57)},"r57_state":$s57,""" +
         s""""r58":${jq(r58)},"r58_state":$s58,""" +
         s""""r59":${jq(r59)},"r59_state":$s59,""" +
-        s""""r60":${jq(r60)},"r60_state":$s60}""")
+        s""""r60":${jq(r60)},"r60_state":$s60,""" +
+        s""""r64":${jq(r64)},"r64_state":$s64}""")
     } else if (mode == "clean") {
       // the corpus-cleaning path: p06 boilerplate removal (its
       // boilerplate paragraph SET stays ~22 entries at every M —

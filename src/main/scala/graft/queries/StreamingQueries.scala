@@ -644,4 +644,62 @@ object StreamingQueries {
         col("n_events"))
       .orderBy("user_id", "session_start")
   }
+
+  /** r64: THETA-sketch state in streaming — t22's per-source overlap
+    * artifact maintained at ingest cadence instead of rebuilt by a
+    * batch scan: documents arrive in four forced micro-batches (the
+    * r57 split-and-trigger-per-file pattern), a complete-mode
+    * aggregation keeps one theta Union per SOURCE in the RocksDB
+    * state store (the sketch buffer serializes out per batch and
+    * merges with the next batch's partials), and the pairwise matrix
+    * is computed post-drain from the drained sketch table exactly as
+    * the batch gate computes it from its collected artifact.
+    *
+    * Why this is oracle-able against t22's EXACT batch matrix: theta
+    * set semantics are insertion- and merge-order invariant (pinned
+    * by spec on the batch side), so arriving in 4 batches through
+    * state-store round-trips must change NOTHING — a serialization
+    * bug, a lost partial, or a double-merged batch all surface as a
+    * hash mismatch against the exhaustive DuckDB intersection matrix.
+    * State is one row per SOURCE with sketch bytes capped at the
+    * nominal threshold — the bounded-state family with r57 (per-day
+    * sketch) and r58 (per-cell occupancy): state size is set by the
+    * ARTIFACT's resolution, not by how much data has streamed through.
+    */
+  def stream_theta_overlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val n = 8
+    val docsStatic = graft.Tables.load(s, dir, "documents")
+    val base = scratchDir(s, "r64", dir)
+    val splitDir = s"$base/src"
+    docsStatic.repartition(4).write.mode("overwrite").parquet(splitDir)
+    val w = graft.Tables.normalize("documents",
+        s.readStream.schema(docsStatic.schema)
+          .option("maxFilesPerTrigger", "1").parquet(splitDir))
+      .select(col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("source"), col("toks"),
+        explode(when(size(col("toks")) >= n,
+          sequence(lit(1), size(col("toks")) - (n - 1)))).as("__i"))
+      .select(col("source"),
+        md5(array_join(slice(col("toks"), col("__i"), lit(n)), " ")).as("h"))
+    val agg = w.groupBy("source")
+      .agg(ColumnBridge.column(graft.functions.ThetaSketchAgg(
+          ColumnBridge.expression(col("h")), lgNomEntries = 14)
+        .toAggregateExpression()).as("h_sketch"))
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.format("memory").queryName("r64_sink")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      drain("r64", q)
+    }
+    val sk = s.table("r64_sink").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+    val rows = for {
+      (sa, ba) <- sk.toSeq
+      (sb, bb) <- sk.toSeq
+      if sa < sb
+    } yield (sa, sb, graft.functions.ThetaIntersectEst.estimate(ba, bb))
+    import s.implicits._
+    rows.toDF("src_a", "src_b", "overlap").orderBy("src_a", "src_b")
+  }
 }
