@@ -157,6 +157,7 @@ object SparkEntry {
     "t14_bpe_pairs" -> (PipelineQueries.bpe_pairs _),
     "t21_bpe_merges" -> (PipelineQueries.bpe_merges _),
     "t22_source_overlap" -> (PipelineQueries.source_overlap _),
+    "t23_bpe_encode" -> (PipelineQueries.bpe_encode _),
     "t16_token_entropy" -> (PipelineQueries.token_entropy _),
     "t17_cms_estimate" -> (PipelineQueries.cms_estimate _),
     "t18_contamination_density" -> (PipelineQueries.contamination_density _),
@@ -2280,6 +2281,55 @@ object SparkEntry {
          SELECT p.src_a, p.src_b, COALESCE(ov.c, 0) AS overlap
          FROM pairs p LEFT JOIN ov USING (src_a, src_b)
          ORDER BY src_a, src_b""",
+
+    // t23: re-learns the same 3 merges (the t21 CTE chain on the
+    // WEIGHTED table), applies them to the distinct-word track with
+    // the same double-space replace, and rolls per-doc token counts
+    // through the (word → symbol count) dictionary join
+    "t23_bpe_encode" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM toks GROUP BY 1),
+         w0 AS (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s, wf FROM wf),
+         s1 AS (SELECT string_split(trim(s), '  ') AS a, wf FROM w0),
+         x1 AS (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
+           FROM s1 WHERE len(a) >= 2),
+         c1 AS (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
+             CAST(sum(wf) AS BIGINT) AS weight FROM x1 GROUP BY 1),
+         b1 AS (SELECT pair, weight FROM c1 ORDER BY weight DESC, pair ASC LIMIT 1),
+         w1 AS (SELECT replace(s, ' ' || replace(b1.pair, ' ', '  ') || ' ',
+             ' ' || replace(b1.pair, ' ', '') || ' ') AS s, wf FROM w0, b1),
+         s2 AS (SELECT string_split(trim(s), '  ') AS a, wf FROM w1),
+         x2 AS (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
+           FROM s2 WHERE len(a) >= 2),
+         c2 AS (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
+             CAST(sum(wf) AS BIGINT) AS weight FROM x2 GROUP BY 1),
+         b2 AS (SELECT pair, weight FROM c2 ORDER BY weight DESC, pair ASC LIMIT 1),
+         w2 AS (SELECT replace(s, ' ' || replace(b2.pair, ' ', '  ') || ' ',
+             ' ' || replace(b2.pair, ' ', '') || ' ') AS s, wf FROM w1, b2),
+         s3 AS (SELECT string_split(trim(s), '  ') AS a, wf FROM w2),
+         x3 AS (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
+           FROM s3 WHERE len(a) >= 2),
+         c3 AS (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
+             CAST(sum(wf) AS BIGINT) AS weight FROM x3 GROUP BY 1),
+         b3 AS (SELECT pair, weight FROM c3 ORDER BY weight DESC, pair ASC LIMIT 1),
+         e0 AS (SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') AS s
+           FROM (SELECT DISTINCT w FROM toks)),
+         e1 AS (SELECT w, replace(s, ' ' || replace(b1.pair, ' ', '  ') || ' ',
+             ' ' || replace(b1.pair, ' ', '') || ' ') AS s FROM e0, b1),
+         e2 AS (SELECT w, replace(s, ' ' || replace(b2.pair, ' ', '  ') || ' ',
+             ' ' || replace(b2.pair, ' ', '') || ' ') AS s FROM e1, b2),
+         e3 AS (SELECT w, replace(s, ' ' || replace(b3.pair, ' ', '  ') || ' ',
+             ' ' || replace(b3.pair, ' ', '') || ' ') AS s FROM e2, b3),
+         dict AS (SELECT w,
+             CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym,
+             CAST(length(w) AS BIGINT) AS n_char FROM e3)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(d.n_char) AS BIGINT) AS n_chars,
+                CAST(sum(d.n_sym) AS BIGINT) AS n_tokens
+         FROM toks t JOIN dict d USING (w)
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
 
     // g06: 3 synchronized LPA rounds over the d04 pair graph, unrolled —
     // mode pick = row_number over (cnt DESC, lbl ASC), the same

@@ -1243,7 +1243,18 @@ object PipelineQueries {
   // every production BPE trainer: corpus → word table once, then
   // iterate on the table. ----
   def bpe_merges(s: SparkSession, dir: String): DataFrame = {
-    val k = 3
+    import s.implicits._
+    bpeLearnMerges(s, dir, 3).toDF("step", "lhs", "rhs", "weight")
+      .select(col("step").cast("int"), col("lhs"), col("rhs"), col("weight"))
+      .orderBy("step")
+  }
+
+  /** The t21 trainer loop, shared with the t23 encoder: k rounds of
+    * count-best-merge over the word-frequency table; returns the k
+    * winning (step, lhs, rhs, weight) decisions (bounded: k rows).
+    */
+  private[graft] def bpeLearnMerges(s: SparkSession, dir: String,
+      k: Int): Seq[(Int, String, String, Long)] = {
     var wf = docs(s, dir)
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wf"))
@@ -1267,10 +1278,39 @@ object PipelineQueries {
           lit(s" $l  $r "), lit(s" $l$r ")).as("sym"), col("wf"))
       }
     }
-    import s.implicits._
-    merges.toSeq.toDF("step", "lhs", "rhs", "weight")
-      .select(col("step").cast("int"), col("lhs"), col("rhs"), col("weight"))
-      .orderBy("step")
+    merges.toSeq
+  }
+
+  // ---- t23: APPLY the learned tokenizer — the other half of t21,
+  // and the op a data pipeline actually runs corpus-wide: per-doc
+  // token counts under the TRAINED merges (t03 counts whitespace
+  // words; budget math, packing, and curriculum all need the
+  // post-BPE count). The merges are applied to the DISTINCT word
+  // table (vocabulary-sized, the tokenizer-application contract:
+  // encode the vocab once, join counts back), each merge one literal
+  // double-space replace; docs then join the (word → symbol count)
+  // dictionary — broadcast-sized — and aggregate. At 100 TB the
+  // dictionary is the persisted tokenizer artifact and the encode
+  // pass is one map-side join per corpus scan. ----
+  def bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearnMerges(s, dir, 3)
+    val tok = docs(s, dir).select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("w"))
+    var sym = tok.select("w").distinct()
+      .select(col("w"), regexp_replace(col("w"), "(.)", " $1 ").as("sym"))
+    for ((_, l, r, _) <- merges)
+      sym = sym.select(col("w"),
+        org.apache.spark.sql.functions.replace(col("sym"),
+          lit(s" $l  $r "), lit(s" $l$r ")).as("sym"))
+    val dict = sym.select(col("w"),
+      size(split(trim(col("sym")), "  ")).cast("long").as("n_sym"),
+      length(col("w")).cast("long").as("n_char"))
+    tok.join(broadcast(dict), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_char").as("n_chars"),
+        sum("n_sym").as("n_tokens"))
+      .orderBy("doc_id")
   }
 
   // ---- t22: cross-source overlap matrix via THETA-SKETCH

@@ -135,6 +135,17 @@ class PipelineGatesSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq((1, "a", "a", 10L), (2, "aa", "a", 5L),
       (3, "a", "b", 3L)))
+
+    // t23 applies those merges: "aaa" → 1 symbol (rounds 1+2), "ab" →
+    // 1 (round 3), "cd"/"ce" stay 2 — per-doc (n_words, n_chars,
+    // n_tokens) must reflect the TRAINED segmentation, not whitespace
+    val enc = PipelineQueries.bpe_encode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(enc.toSeq == Seq(
+      (0L, 3L, 9L, 3L),    // aaa aaa aaa
+      (1L, 3L, 8L, 3L),    // aaa aaa ab
+      (2L, 4L, 8L, 6L),    // ab ab cd cd → 1+1+2+2
+      (3L, 2L, 4L, 4L)))   // ce ce → 2+2
   }
 
   test("g12 incremental_components: chain merges through an unmapped " +
