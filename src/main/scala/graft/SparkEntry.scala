@@ -168,6 +168,7 @@ object SparkEntry {
     "d16_stop_shingle" -> (PipelineQueries.stop_shingle_neardup _),
     "d17_edit_distance" -> (PipelineQueries.edit_distance_neardup _),
     "d18_edit_blocked" -> (PipelineQueries.edit_distance_blocked _),
+    "d19_exact_substrings" -> (PipelineQueries.exact_substrings _),
     "p13_group_split" -> (PipelineQueries.group_split _),
     "g08_twohop" -> (PipelineQueries.twohop _),
     "g11_twohop_guarded" -> (PipelineQueries.twohop_guarded _),
@@ -1066,6 +1067,27 @@ object SparkEntry {
           AND abs(length(b.text) - length(a.text)) <= 16
          WHERE levenshtein(a.text, b.text) <= 16
          ORDER BY id_a, id_b""",
+
+    // d19: the t20 gaps-and-islands recipe at CHARACTER level — zip
+    // positions with window md5s, keep hashes spanning >= 2 docs,
+    // merge consecutive starts per doc into maximal spans
+    "d19_exact_substrings" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(range(CAST(length(text)-39 AS BIGINT))) AS i,
+             unnest(list_transform(range(CAST(length(text)-39 AS BIGINT)),
+               i -> md5(substr(text, CAST(i+1 AS INTEGER), 40)))) AS g
+           FROM documents WHERE length(text) >= 40),
+         shared AS (SELECT g FROM w GROUP BY g
+           HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (SELECT doc_id, i+1 AS i FROM w
+           WHERE g IN (SELECT g FROM shared)),
+         isl AS (SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+           FROM hits)
+         SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+                CAST(count(*) + 39 AS BIGINT) AS span_len
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
 
     // d13: same exhaustive exact ground truth as d02/d03 — the THIRD
     // independent candidate generator (densified OPH) must lose no

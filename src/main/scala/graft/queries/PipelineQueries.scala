@@ -361,6 +361,50 @@ object PipelineQueries {
       .select("id_a", "id_b", "text_a", "text_b", "hist_a", "hist_b")
   }
 
+  // ---- d19: EXACT-SUBSTRING dedup (Lee et al. 2021, "Deduplicating
+  // Training Data Makes Language Models Better" — the ExactSubstr
+  // operator): every MAXIMAL character span ≥ L = 40 that appears
+  // verbatim in ≥ 2 documents. This is the detector that catches
+  // verbatim reuse INSIDE otherwise-different documents — d01 needs
+  // whole-doc equality, d10/t18 work at 8-TOKEN granularity and miss
+  // sub-token/byte-exact reuse; training-data pipelines cut these
+  // spans out of the surviving copy rather than dropping docs.
+  //
+  // The paper builds a corpus-wide suffix array; the Spark-shaped
+  // equivalent is stride-1 window FINGERPRINTS: md5 of every L-char
+  // window (index-explode + per-row substr — map-side, ∝ corpus
+  // chars), a hash-aggregation marking windows whose hash spans ≥ 2
+  // docs (shuffle carries (hash, doc) pairs only, never text), and a
+  // per-doc gaps-and-islands pass (t20's machinery, doc-partitioned
+  // window) merging consecutive duplicated window STARTS into maximal
+  // spans: a run of r consecutive marked starts is one span of
+  // r + L − 1 chars. Exactly the suffix-array result for spans ≥ L,
+  // at the cost of L bytes hashed per char — the standard trade
+  // (suffix arrays don't distribute; window hashes are one map pass
+  // and one count shuffle). ----
+  def exact_substrings(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 40
+    val w = docs(s, dir)
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (L - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(col("text").substr(col("i"), lit(L))).as("g"))
+    val shared = w.groupBy("g")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    w.join(shared, Seq("g"), "left_semi")
+      .withColumn("island", col("i") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy("doc_id", "island")
+      .agg(min("i").cast("long").as("span_start"),
+        (count(lit(1)) + (L - 1)).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
   // ---- d15: INCREMENTAL near-dup — the production ingest shape d14
   // is the exact-dup half of: the standing corpus (even ids) is a
   // banded MinHash-LSH INDEX (at 100 TB a persisted, bucket-

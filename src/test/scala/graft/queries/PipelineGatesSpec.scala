@@ -92,6 +92,25 @@ class PipelineGatesSpec extends SparkTestBase {
       "content-disjoint doc leaked into the LSH candidate set")
   }
 
+  test("d19 exact_substrings: maximal cross-doc spans merge; " +
+      "single-doc internal repeats and sub-L docs are excluded") {
+    // 50 non-periodic shared chars embedded at position 6 in two docs
+    // with different flanks → exactly the 11 fully-contained 40-char
+    // windows are shared, merging into ONE maximal span (6, 50) per
+    // doc. doc 2 repeats a 40-gram INTERNALLY (z×45) but no other doc
+    // has it — countDistinct(doc) ≥ 2 must exclude it. doc 3 is
+    // shorter than L and never enters the window pass.
+    val shared = (('a' to 'z') ++ ('0' to '9') ++ ('a' to 'n')).mkString
+    val dir = tmpSf(Seq(
+      (0L, "AAAAA" + shared + "CCCCC", "en", "s", 1L),
+      (1L, "DDDDD" + shared + "EEEEE", "en", "s", 1L),
+      (2L, "z" * 45, "en", "s", 1L),
+      (3L, "tiny", "en", "s", 1L)))
+    val got = PipelineQueries.exact_substrings(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 6L, 50L), (1L, 6L, 50L)))
+  }
+
   test("p15 shard_manifest: packing grain, source diversity, and the " +
       "order-canonical membership checksum") {
     // lang en: 3 docs of 2 tokens each under budget 2048 → one shard
