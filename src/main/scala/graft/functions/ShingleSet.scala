@@ -69,6 +69,46 @@ object ShingleHashSorted {
     ColumnBridge.column(ShingleHashSorted(ColumnBridge.expression(text), n))
 }
 
+/** ORDERED per-position window hashes of the RAW text: out(i) =
+  * seed-42 XXH64 of bytes [i, i+n) — one pass, no substring
+  * allocation, positions preserved (element index = window start).
+  * The d19 exact-substring scan's inner kernel: the expression-level
+  * form (`xxhash64(text.substr(i, n))` under an index explode) pays
+  * an O(i) character-position seek plus a string copy PER WINDOW —
+  * O(len²) per document — where this is one linear sweep. Byte
+  * windows equal character windows for ASCII text; multi-byte UTF-8
+  * is byte-aligned — the same documented divergence as [[MinHashSig]]
+  * (fingerprints are internal to the detector; gates compare SPANS).
+  * Unlike [[ShingleHashSorted]]: raw case (not lowercased), ordered
+  * (not sorted), duplicates kept, and a sub-n text yields an EMPTY
+  * array (no padded window) — callers filter length ≥ n.
+  */
+case class WindowHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val windows = math.max(bytes.length - n + 1, 0)
+    val arr = new Array[Long](windows)
+    var i = 0
+    while (i < windows) {
+      arr(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, n, 42L)
+      i += 1
+    }
+    ArrayData.toArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WindowHashes {
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(WindowHashes(ColumnBridge.expression(text), n))
+}
+
 /** The distinct n-CHARACTER shingle STRINGS of a text, first-occurrence
   * order — the native form of `TextDedup.shingles` (array_distinct over
   * the HOF window build), for the one consumer that needs strings
