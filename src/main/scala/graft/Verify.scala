@@ -75,6 +75,13 @@ object Verify {
     graft.functions.ChCompat.registerAll(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // stale-artifact guard: a /tmp survivor with this SF's basename but
+    // from differently-generated test data would feed the artifact-
+    // probing oracles (d11/p12/p13/g10, s03/s04/d09, t21/t23) a false
+    // pass/fail. Delete every per-SF artifact root up front; this run's
+    // gates rebuild them before any oracle reads them.
+    graft.queries.PipelineQueries.artifactPaths(sfDir).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -96,8 +103,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // artifact-path injection: the oracle SQL bodies name the per-SF
+    // persisted artifacts with the canonical sf0.01 basename (the
+    // driver's verify SF). Rewrite that basename to THIS run's SF dir
+    // at dump time, so verification against any other dir reads the
+    // artifact the run actually wrote — never a stale sf0.01 survivor.
+    val sfBase = new java.io.File(sfDir).getName
+    def inject(sql: String): String =
+      sql.replaceAll("(/tmp/graft_[a-z0-9_]+/)sf0\\.01", "$1" +
+        java.util.regex.Matcher.quoteReplacement(sfBase))
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(inject(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // A gate that failed to execute leaves no parquet dir; a runner that
     // only globs output dirs would silently drop it from the round's

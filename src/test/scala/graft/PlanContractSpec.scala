@@ -287,6 +287,79 @@ class PlanContractSpec extends SparkTestBase {
       s"gates plan partition-less Windows outside the whitelist: $offenders")
   }
 
+  test("t21/t23 BPE trainer: ONE corpus scan — every trainer round reads " +
+      "the cached word table, and t23 probes the persisted dictionary " +
+      "instead of re-training") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // fresh corpus dir → fresh artifact memoization key → the trainer
+    // really runs inside the listener's window
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpescan").toString
+    spark.range(6).selectExpr("id AS doc_id",
+      "concat('low lower lowest newest ', CAST(id AS STRING)) AS text",
+      "'en' AS lang", "'s' AS source", "CAST(26 AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case qs: QueryStageExec => scans(qs.plan)
+        }.flatten
+    val corpusBase = new java.io.File(dir).getName + "/documents.parquet"
+    def readsCorpus(qe: QueryExecution): Boolean =
+      scans(qe.executedPlan).exists(_.relation.location.rootPaths
+        .exists(_.toString.contains(corpusBase)))
+    val corpusScans = new java.util.concurrent.atomic.AtomicInteger
+    val cachedReads = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit = {
+        if (readsCorpus(qe)) corpusScans.incrementAndGet()
+        if (qe.executedPlan.toString.contains("InMemoryTableScan"))
+          cachedReads.incrementAndGet()
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val merges = queries.PipelineQueries.bpe_merges(spark, dir).collect()
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+      assert(merges.length == 3, "trainer did not produce 3 merge rounds")
+      // the corpus file is read by NO trainer execution directly: the
+      // single scan happens inside the persisted word table's cache
+      // population (structurally below InMemoryTableScan), and every
+      // round's top-1 collect + the artifact writes read the cache
+      assert(corpusScans.get == 0,
+        s"${corpusScans.get} trainer executions scanned documents.parquet " +
+          "directly — the word table is not feeding rounds from cache")
+      assert(cachedReads.get >= 3,
+        s"only ${cachedReads.get} executions read the cached word table " +
+          "— the trainer is not iterating on the persisted relation")
+      assert(new java.io.File(
+          queries.PipelineQueries.t21BpePath(dir), "dict").exists,
+        "trained dictionary artifact missing")
+      // t23 probes the artifact: exactly ONE corpus scan (the encode
+      // pass itself), no new trainer rounds, and the dictionary comes
+      // from the persisted parquet
+      val before = (corpusScans.get, cachedReads.get)
+      val enc = queries.PipelineQueries.bpe_encode(spark, dir)
+      enc.collect()
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+      assert(corpusScans.get == before._1 + 1,
+        "bpe_encode should scan the corpus exactly once (the encode pass)")
+      assert(cachedReads.get == before._2,
+        "bpe_encode re-ran trainer rounds instead of probing the artifact")
+      assert(scans(enc.queryExecution.executedPlan).exists(
+          _.relation.location.rootPaths.exists(_.toString.contains("graft_t21_bpe"))),
+        "bpe_encode's dictionary is not the persisted artifact parquet")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(queries.PipelineQueries.t21BpePath(dir)))
+    }
+  }
+
   test("r28's bloom probe filters sit below the semi-join") {
     val ops = opBlocks(formatted("r28_bloom_semijoin"))
     val joins = ops.collect { case (i, op, _) if op.contains("Join") => i }
