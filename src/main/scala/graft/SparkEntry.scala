@@ -91,6 +91,7 @@ object SparkEntry {
     "r62_stream_recovery" -> (StreamingQueries.stream_recovery _),
     "r63_stream_watermark_dedup" -> (StreamingQueries.stream_watermark_dedup _),
     "r64_stream_theta" -> (StreamingQueries.stream_theta_overlap _),
+    "r65_stream_theta_recovery" -> (StreamingQueries.stream_theta_recovery _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -169,6 +170,7 @@ object SparkEntry {
     "d17_edit_distance" -> (PipelineQueries.edit_distance_neardup _),
     "d18_edit_blocked" -> (PipelineQueries.edit_distance_blocked _),
     "d19_exact_substrings" -> (PipelineQueries.exact_substrings _),
+    "d20_exact_substr_cut" -> (PipelineQueries.exact_substr_cut _),
     "p13_group_split" -> (PipelineQueries.group_split _),
     "g08_twohop" -> (PipelineQueries.twohop _),
     "g11_twohop_guarded" -> (PipelineQueries.twohop_guarded _),
@@ -1076,7 +1078,8 @@ object SparkEntry {
              unnest(range(CAST(length(text)-39 AS BIGINT))) AS i,
              unnest(list_transform(range(CAST(length(text)-39 AS BIGINT)),
                i -> md5(substr(text, CAST(i+1 AS INTEGER), 40)))) AS g
-           FROM documents WHERE length(text) >= 40),
+           FROM documents
+           WHERE length(text) >= 40 AND strlen(text) = length(text)),
          shared AS (SELECT g FROM w GROUP BY g
            HAVING count(DISTINCT doc_id) >= 2),
          hits AS (SELECT doc_id, i+1 AS i FROM w
@@ -1088,6 +1091,55 @@ object SparkEntry {
                 CAST(count(*) + 39 AS BIGINT) AS span_len
          FROM isl GROUP BY doc_id, island
          ORDER BY doc_id, span_start""",
+
+    // d20: replays the cut relationally — min-doc window ownership,
+    // islands, interval union via running max, then a gap-row splice
+    // (string_agg of the kept segments ordered by position) instead
+    // of Spark's ordered fold; all integer arithmetic, engine-exact
+    "d20_exact_substr_cut" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(range(CAST(length(text)-39 AS BIGINT))) AS i,
+             unnest(list_transform(range(CAST(length(text)-39 AS BIGINT)),
+               i -> md5(substr(text, CAST(i+1 AS INTEGER), 40)))) AS g
+           FROM documents
+           WHERE length(text) >= 40 AND strlen(text) = length(text)),
+         own AS (SELECT g, min(doc_id) AS own FROM w GROUP BY g),
+         cut AS (SELECT w.doc_id, w.i+1 AS i FROM w JOIN own USING (g)
+           WHERE w.doc_id > own.own),
+         isl AS (SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+           FROM cut),
+         sp AS (SELECT doc_id, min(i) AS a, max(i) + 39 AS b
+           FROM isl GROUP BY doc_id, island),
+         m0 AS (SELECT doc_id, a, b, max(b) OVER (PARTITION BY doc_id
+             ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM sp),
+         m1 AS (SELECT doc_id, a, b,
+             CASE WHEN pmax IS NULL OR a > pmax THEN 1 ELSE 0 END AS brk
+           FROM m0),
+         m2 AS (SELECT doc_id, a, b, sum(brk) OVER (PARTITION BY doc_id
+             ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM m1),
+         iv AS (SELECT doc_id, min(a) AS a, max(b) AS b
+           FROM m2 GROUP BY doc_id, grp),
+         seg AS (SELECT doc_id,
+             coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY a), 0) + 1 AS s,
+             a - 1 AS e FROM iv
+           UNION ALL
+           SELECT iv.doc_id, max(iv.b) + 1 AS s, max(length(d.text)) AS e
+           FROM iv JOIN documents d USING (doc_id) GROUP BY iv.doc_id),
+         agg AS (SELECT seg.doc_id,
+             string_agg(CASE WHEN e >= s THEN
+               substr(d.text, CAST(s AS INTEGER), CAST(e - s + 1 AS INTEGER))
+               ELSE '' END, '' ORDER BY s) AS clean
+           FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id),
+         cc AS (SELECT doc_id, CAST(sum(b - a + 1) AS BIGINT) AS cut_chars
+           FROM iv GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(agg.clean, d.text) AS clean_text,
+                coalesce(cc.cut_chars, 0) AS cut_chars
+         FROM documents d LEFT JOIN agg USING (doc_id)
+           LEFT JOIN cc USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // d13: same exhaustive exact ground truth as d02/d03 — the THIRD
     // independent candidate generator (densified OPH) must lose no
@@ -2263,6 +2315,28 @@ object SparkEntry {
     // invariance means four micro-batches through the RocksDB state
     // store must reproduce the batch artifact bit for bit
     "r64_stream_theta" ->
+      """WITH toks AS (SELECT source,
+             regexp_split_to_array(trim(lower(text)),'\s+') AS t
+           FROM documents),
+         w AS (SELECT DISTINCT source,
+             unnest(list_transform(range(len(t)-7),
+               i -> md5(array_to_string(t[i+1:i+8],' ')))) AS h
+           FROM toks WHERE len(t) >= 8),
+         srcs AS (SELECT DISTINCT source FROM documents),
+         pairs AS (SELECT a.source AS src_a, b.source AS src_b
+           FROM srcs a JOIN srcs b ON a.source < b.source),
+         ov AS (SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM w a JOIN w b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, COALESCE(ov.c, 0) AS overlap
+         FROM pairs p LEFT JOIN ov USING (src_a, src_b)
+         ORDER BY src_a, src_b""",
+
+    // r65: the SAME exhaustive matrix again — after a checkpoint
+    // restart between the two halves of the corpus, the resumed
+    // sketch state must reproduce the batch artifact bit for bit
+    "r65_stream_theta_recovery" ->
       """WITH toks AS (SELECT source,
              regexp_split_to_array(trim(lower(text)),'\s+') AS t
            FROM documents),

@@ -416,11 +416,7 @@ object PipelineQueries {
   def exact_substrings(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = 40
-    val w = docs(s, dir)
-      .filter(length(col("text")) >= L)
-      .select(col("doc_id"), posexplode(
-        graft.functions.WindowHashes(col("text"), L)).as(Seq("p", "g")))
-      .select(col("doc_id"), (col("p") + 1).as("i"), col("g"))
+    val w = substrWindows(s, dir, L)
     val shared = w.groupBy("g")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
       .filter(col("d0") =!= col("d1"))
@@ -433,6 +429,102 @@ object PipelineQueries {
         (count(lit(1)) + (L - 1)).as("span_len"))
       .select(col("doc_id"), col("span_start"), col("span_len"))
       .orderBy("doc_id", "span_start")
+  }
+
+  /** The shared d19/d20 stride-1 window-fingerprint table
+    * (doc_id, i = 1-based char start, g = window hash). The
+    * byte==char guard is EXPLICIT: [[graft.functions.WindowHashes]]
+    * fingerprints BYTE windows while span arithmetic (and the DuckDB
+    * oracle's `substr`) is in CHARACTERS, so only docs where the two
+    * coincide enter the window machinery — a non-ASCII doc passes
+    * through d20 uncut rather than getting mis-aligned spans, and the
+    * previously implicit ASCII-corpus assumption is now a filter both
+    * engines apply identically.
+    */
+  private def substrWindows(s: SparkSession, dir: String, L: Int): DataFrame =
+    docs(s, dir)
+      .filter(length(col("text")) >= L &&
+        octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.WindowHashes(col("text"), L)).as(Seq("p", "g")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("i"), col("g"))
+
+  // ---- d20: EXACT-SUBSTRING CUT — the consumer of d19's spans and
+  // the operation Lee et al. actually apply to training data: every
+  // duplicated window survives only in its OWNING document (the
+  // minimum doc_id containing that window); every other document has
+  // its duplicated character ranges EXCISED, emitting the cleaned
+  // corpus. Output is (doc_id, clean_text, cut_chars) for the whole
+  // corpus — the fixed-point contract (spec-pinned): re-running d19
+  // over the cleaned corpus finds ZERO cross-doc spans.
+  //
+  // Shape: the d19 fingerprint pass marks each (doc, window-start)
+  // whose hash some SMALLER doc also contains (min(doc) per hash is
+  // the ownership rule — one aggregation, no pairwise join); marked
+  // starts merge into maximal raw spans (t20 gaps-and-islands), and
+  // because islands separated by a start-gap < L still OVERLAP in
+  // character space, a second running-max pass unions the intervals
+  // before splicing. The splice itself is one ordered fold over each
+  // doc's interval list (collect_list is bounded by the doc's own
+  // span count — intervals are per-doc data, never corpus-wide), a
+  // map-side HOF; shuffles carry (hash, doc) and (doc, interval)
+  // only, never text, and text crosses exactly once into the final
+  // per-doc join. ----
+  def exact_substr_cut(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 40
+    val w = substrWindows(s, dir, L)
+    val owners = w.groupBy("g").agg(min("doc_id").as("own"))
+    // one row per (doc, i): each position has one hash, each hash one
+    // owner row — the join cannot duplicate positions
+    val toCut = w.join(owners, Seq("g"))
+      .filter(col("doc_id") > col("own"))
+      .select("doc_id", "i")
+    val isl = toCut
+      .withColumn("island", col("i") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy("doc_id", "island")
+      .agg(min("i").as("a"), (max("i") + (L - 1)).as("b"))
+    // interval UNION: islands are maximal in start-space, not in
+    // char-space — a start-gap g < L leaves the two spans overlapping
+    // by L - g chars. Running max of prior ends; a new group starts
+    // strictly past it.
+    val byA = Window.partitionBy("doc_id").orderBy("a")
+    val iv = isl
+      .withColumn("pmax", max(col("b")).over(
+        byA.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("a") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        byA.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg(min("a").as("a"), max("b").as("b"))
+    val cuts = iv.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("a"), col("b")))).as("iv"),
+        sum(col("b") - col("a") + 1).as("cut_chars"))
+    val d = docs(s, dir)
+    d.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("iv").isNull, col("text")).otherwise(
+          // ordered fold over the disjoint intervals: carry (next
+          // uncut position, accumulated kept text); finish appends
+          // the tail past the last interval. All-integer arithmetic,
+          // so the oracle's gap-row splice is engine-exact.
+          aggregate(col("iv"),
+            struct(lit(1L).as("pos"), lit("").as("acc")),
+            (st, x) => struct(
+              (x.getField("b") + 1L).as("pos"),
+              concat(st.getField("acc"), col("text").substr(
+                st.getField("pos").cast("int"),
+                (x.getField("a") - st.getField("pos")).cast("int")))
+                .as("acc")),
+            st => concat(st.getField("acc"), col("text").substr(
+              st.getField("pos").cast("int"),
+              greatest(lit(0L),
+                length(col("text")) - st.getField("pos") + 1L).cast("int")))))
+          .as("clean_text"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"))
+      .orderBy("doc_id")
   }
 
   // ---- d15: INCREMENTAL near-dup — the production ingest shape d14

@@ -702,4 +702,88 @@ object StreamingQueries {
     import s.implicits._
     rows.toDF("src_a", "src_b", "overlap").orderBy("src_a", "src_b")
   }
+
+  /** r65: checkpoint RECOVERY for AGGREGATION state — r62 proves the
+    * dedup KEY store resumes; this proves a complete-mode sketch
+    * aggregation's serialized buffers (r64's ThetaSketchAgg rows)
+    * survive a query RESTART. A buffer-serialization or merge-after-
+    * deserialize bug is invisible to r62 (no agg buffers) and to the
+    * single-drain r64 (state never crosses a restart). Two legs over
+    * the SAME checkpoint:
+    *  - leg 1 sees only the first half of the corpus split files,
+    *    drains (AvailableNow, one file per micro-batch so buffers
+    *    round-trip the RocksDB store every batch), and STOPS — the
+    *    store now holds one serialized theta Union per source;
+    *  - leg 2 lands the remaining files; a NEW query object resumes
+    *    from the checkpoint and drains only them.
+    * The post-restart matrix must equal t22's exhaustive batch matrix
+    * even though leg 2 read only half the rows — possible ONLY if
+    * leg 2 deserialized and merged into leg 1's sketch state.
+    * Exactly-once is asserted structurally: each leg reads > 0 rows
+    * and the two legs together read the corpus row count EXACTLY (a
+    * lost-offsets restart re-reads leg 1's files and overshoots; a
+    * skipped file undershoots). Sink is foreachBatch → parquet
+    * overwrite (complete mode emits the whole sketch table per batch;
+    * the parquet sink can't do complete, and the memory sink does not
+    * survive a restart).
+    */
+  def stream_theta_recovery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val n = 8
+    val docsStatic = graft.Tables.load(s, dir, "documents")
+    val totalRows = docsStatic.count()
+    val base = scratchDir(s, "r65", dir)
+    val stage = new java.io.File(base, "stage")
+    docsStatic.repartition(4).write.mode("overwrite")
+      .parquet(stage.getAbsolutePath)
+    val parts = stage.listFiles.filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val cp = new java.io.File(base, "cp").getAbsolutePath
+    val w = graft.Tables.normalize("documents",
+        s.readStream.schema(docsStatic.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src.getAbsolutePath))
+      .select(col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("source"), col("toks"),
+        explode(when(size(col("toks")) >= n,
+          sequence(lit(1), size(col("toks")) - (n - 1)))).as("__i"))
+      .select(col("source"),
+        md5(array_join(slice(col("toks"), col("__i"), lit(n)), " ")).as("h"))
+    val agg = w.groupBy("source")
+      .agg(ColumnBridge.column(graft.functions.ThetaSketchAgg(
+          ColumnBridge.expression(col("h")), lgNomEntries = 14)
+        .toAggregateExpression()).as("h_sketch"))
+    def leg(name: String, files: Seq[java.io.File]): Long = {
+      files.foreach(f => org.apache.commons.io.FileUtils.copyFile(f,
+        new java.io.File(src, f.getName)))
+      withStatePartitions(s, 8) {
+        val q = agg.writeStream
+          .foreachBatch((b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out))
+          .outputMode("complete").option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        drain(name, q)
+      }
+      progressByGate(name).map(_.numInputRows).sum
+    }
+    val in1 = leg("r65_leg1", parts.take(2))
+    val in2 = leg("r65_leg2", parts.drop(2))
+    require(in1 > 0 && in2 > 0,
+      s"r65: a leg drained no rows (leg1=$in1, leg2=$in2) — the " +
+        "restart never exercised resumed state")
+    require(in1 + in2 == totalRows,
+      s"r65: legs read $in1 + $in2 rows of $totalRows — source " +
+        "offsets were not resumed exactly-once across the restart")
+    val sk = s.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+    val rows = for {
+      (sa, ba) <- sk.toSeq
+      (sb, bb) <- sk.toSeq
+      if sa < sb
+    } yield (sa, sb, graft.functions.ThetaIntersectEst.estimate(ba, bb))
+    import s.implicits._
+    rows.toDF("src_a", "src_b", "overlap").orderBy("src_a", "src_b")
+  }
 }

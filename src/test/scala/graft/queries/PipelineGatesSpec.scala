@@ -111,6 +111,58 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(got.toSeq == Seq((0L, 6L, 50L), (1L, 6L, 50L)))
   }
 
+  test("d20 exact_substr_cut: min-owner keeps, duplicates excised exactly; " +
+      "overlapping islands union before the splice; non-ASCII and sub-L " +
+      "docs pass through; re-running d19 on the cleaned corpus is EMPTY") {
+    // P1 = d×20 e×20 and P2 = e×20 f×20 sit apart in owner doc 0 but
+    // OVERLAP inside doc 1's d×20 e×20 f×20 block: doc 1's marked
+    // starts {6, 26} form two islands whose char spans [6,45] and
+    // [26,65] overlap — the interval union must cut [6,65] once (60
+    // chars), not double-count. Doc 3 cuts doc 2's z-block exactly.
+    // Doc 4 contains the same z-block but is non-ASCII (byte≠char), so
+    // it never enters the window machinery and passes through uncut.
+    val p1 = "d" * 20 + "e" * 20
+    val p2 = "e" * 20 + "f" * 20
+    val dir = tmpSf(Seq(
+      (0L, "q" * 10 + p1 + "r" * 10 + p2 + "s" * 10, "en", "s", 1L),
+      (1L, "t" * 5 + "d" * 20 + "e" * 20 + "f" * 20 + "u" * 5, "en", "s", 1L),
+      (2L, "v" * 8 + "z" * 45 + "w" * 12, "en", "s", 1L),
+      (3L, "x" * 10 + "z" * 45 + "y" * 10, "en", "s", 1L),
+      (4L, "é" + "z" * 45 + "é", "en", "s", 1L),
+      (5L, "tiny", "en", "s", 1L)))
+    val got = PipelineQueries.exact_substr_cut(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, "q" * 10 + p1 + "r" * 10 + p2 + "s" * 10, 0L), // owner keeps
+      (1L, "t" * 5 + "u" * 5, 60L),                       // unioned cut
+      (2L, "v" * 8 + "z" * 45 + "w" * 12, 0L),            // owner keeps
+      (3L, "x" * 10 + "y" * 10, 45L),                     // exact block cut
+      (4L, "é" + "z" * 45 + "é", 0L),                     // non-ASCII guard
+      (5L, "tiny", 0L)))                                  // sub-L
+    // fixed point (the Lee et al. contract): the cleaned corpus has no
+    // cross-doc duplicated span left — on the planted corpus AND on
+    // the real sf0.001 corpus
+    def assertFixedPoint(srcDir: String): Unit = {
+      val cleanedDir =
+        java.nio.file.Files.createTempDirectory("graft_d20fp").toString
+      try {
+        PipelineQueries.exact_substr_cut(spark, srcDir)
+          .select(col("doc_id"), col("clean_text").as("text"),
+            lit("en").as("lang"), lit("s").as("source"),
+            length(col("clean_text")).cast("long").as("n_chars"))
+          .write.mode("overwrite").parquet(s"$cleanedDir/documents.parquet")
+        val residual =
+          PipelineQueries.exact_substrings(spark, cleanedDir).count()
+        assert(residual == 0L,
+          s"$residual cross-doc spans survive the cut in $srcDir — " +
+            "exact_substr_cut is not a d19 fixed point")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(cleanedDir))
+    }
+    assertFixedPoint(dir)
+    assertFixedPoint("/root/testdata/sf0.001")
+  }
+
   test("p15 shard_manifest: packing grain, source diversity, and the " +
       "order-canonical membership checksum") {
     // lang en: 3 docs of 2 tokens each under budget 2048 → one shard

@@ -187,6 +187,24 @@ class StreamingQueriesSpec extends SparkTestBase {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("r65 restart-resumed theta aggregation == the batch t22 matrix, " +
+      "with each leg draining a strict subset of the corpus") {
+    assume(new java.io.File(dir).isDirectory)
+    val streamed = StreamingQueries.stream_theta_recovery(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val batch = PipelineQueries.source_overlap(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(streamed.toSeq === batch.toSeq,
+      "post-restart sketch state diverged from the batch artifact")
+    // the gate's own requires pin exactly-once; pin the restart SHAPE
+    // here: both legs processed input, so the final matrix provably
+    // crossed a checkpoint restart with live aggregation buffers
+    val legs = Seq("r65_leg1", "r65_leg2").map(g =>
+      StreamingQueries.progressByGate(g).map(_.numInputRows).sum)
+    assert(legs.forall(_ > 0) && legs.sum == graft.Tables
+      .load(spark, dir, "documents").count())
+  }
+
   test("r53 streaming dedup collapses the doubled stream to one row per id") {
     assume(new java.io.File(dir).isDirectory)
     val got = StreamingQueries.stream_dedup(spark, dir)
