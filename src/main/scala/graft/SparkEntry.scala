@@ -141,6 +141,8 @@ object SparkEntry {
     "s10_sq8_topk" -> (PipelineQueries.sq8_topk _),
     "s11_knn_graph" -> (PipelineQueries.knn_graph _),
     "s13_filtered_ann" -> (PipelineQueries.filtered_ann _),
+    "s14_filtered_ann_post" -> (PipelineQueries.filtered_ann_post _),
+    "s15_ann_multiprobe" -> (PipelineQueries.ann_multiprobe _),
     "s12_mmr_rerank" -> (PipelineQueries.mmr_rerank _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
@@ -1673,6 +1675,48 @@ object SparkEntry {
          QUALIFY rank <= 10
          ORDER BY query_id, rank""",
 
+    // s15: the multi-probe replay — 4-bit integer SRP signatures (the
+    // s08 plane/quantization recipe), probe set = own cell ∪ the 4
+    // Hamming-1 cells, exact cosine top-10 of the candidate union
+    "s15_ann_multiprobe" ->
+      """WITH planes AS (
+             SELECT j, list(CASE WHEN substr(md5('lsh_'||j||'_'||k),1,1) < '8'
+                                 THEN 1 ELSE -1 END ORDER BY k) AS s
+             FROM range(4) t(j) CROSS JOIN range(64) u(k) GROUP BY j),
+         e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS iv
+               FROM embeddings),
+         sigs AS (SELECT vec_id,
+                 CAST(sum(CASE WHEN list_inner_product(s, iv) >= 0
+                               THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                               ELSE 0 END) AS BIGINT) AS sig
+               FROM e CROSS JOIN planes GROUP BY vec_id),
+         probes AS (SELECT vec_id AS query_id, sig AS cell
+               FROM sigs WHERE vec_id < 10
+             UNION
+             SELECT vec_id,
+                 CAST(xor(sig, CAST(1 AS BIGINT) << CAST(b AS INTEGER)) AS BIGINT)
+               FROM sigs CROSS JOIN range(4) r(b) WHERE vec_id < 10),
+         cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
+               FROM probes p JOIN sigs c ON c.sig = p.cell
+               WHERE c.vec_id != p.query_id),
+         scored AS (SELECT query_id, neighbor_id,
+                 list_inner_product(qe.v, ne.v)
+                   / (sqrt(list_inner_product(qe.v,qe.v))
+                      * sqrt(list_inner_product(ne.v,ne.v))) AS cos
+               FROM cand
+               JOIN e qe ON qe.vec_id = query_id
+               JOIN e ne ON ne.vec_id = neighbor_id)
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id
+         FROM scored
+         QUALIFY rank <= 10
+         ORDER BY query_id, rank""",
+
     // s02: single-probe label-blocked IVF is EXACT within the block
     // (it scans the query's whole bucket), so the full top-k oracle
     // applies — same cosine + (cos DESC, id ASC) cut as s01, but the
@@ -1794,6 +1838,41 @@ object SparkEntry {
                 neighbor_id
          FROM scored
          QUALIFY rank <= 10
+         ORDER BY query_id, rank""",
+
+    // s14: the post-filter replay — unfiltered per-block top-k′ with
+    // k′ = ⌈k·total/eligible⌉ (integer ceil-division, the same
+    // arithmetic as the Spark side), then drop non-matching and
+    // re-rank by the shortlist's integer rank
+    "s14_filtered_ann_post" ->
+      """WITH tot AS (SELECT count(*) AS n FROM documents),
+         elig AS (SELECT doc_id FROM documents
+           WHERE lang = 'en' AND source = 'src3'),
+         ne AS (SELECT count(*) AS n FROM elig),
+         kp AS (SELECT CAST((1 * tot.n + ne.n - 1) // ne.n AS BIGINT) AS k
+           FROM tot, ne),
+         e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label, v AS qv
+               FROM e WHERE vec_id < 10),
+         scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+             list_inner_product(qv,v)
+               / (sqrt(list_inner_product(qv,qv))*sqrt(list_inner_product(v,v))) AS cos
+           FROM q JOIN e ON e.label = q.label AND e.vec_id != query_id),
+         short AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS r0
+           FROM scored
+           QUALIFY r0 <= (SELECT k FROM kp)),
+         filt AS (SELECT query_id, neighbor_id, r0 FROM short
+           WHERE neighbor_id IN (SELECT doc_id FROM elig))
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY r0) AS INTEGER) AS rank,
+                neighbor_id
+         FROM filt
+         QUALIFY rank <= 1
          ORDER BY query_id, rank""",
 
     "s02_ann_ivf" ->

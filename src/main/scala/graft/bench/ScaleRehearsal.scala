@@ -230,11 +230,13 @@ object ScaleRehearsal {
     // wall-clock/disk guard: they run 4-6 legs per M and their
     // sub-26 curves already pin the linearity reading.
     val maxMult =
-      if (mode == "streaming" || mode == "deep") 1000 else 26
+      if (mode == "streaming" || mode == "deep" || mode == "annfilter") 1000
+      else if (mode == "edit") 100
+      else 26
     require(mult >= 1 && mult <= maxMult,
       s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
-      "passages", "streaming", "deep", "edit").contains(mode),
+      "passages", "streaming", "deep", "edit", "annfilter").contains(mode),
       s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else {
@@ -639,6 +641,65 @@ object ScaleRehearsal {
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
         s""""d17_cand":${jq(lenCand)},"d18_cand":${jq(lshCand)},""" +
         s""""d17":${jq(d17)},"d18":${jq(d18)}}""")
+    } else if (mode == "annfilter") {
+      // s13-vs-s14 strategy crossover at the SELECTIVE predicate
+      // (lang='en' AND source='src3', ~2.4% — salting preserves the
+      // ratio, so k′ = ⌈k/sel⌉ is M-invariant). The queries stay the
+      // 10 copy-0 vectors (serving shape: corpus grows, query load
+      // doesn't), labels grow with the corpus (growIndex — nlist ∝ N,
+      // bucket size constant):
+      //  - PRE-filter must move the predicate over the WHOLE corpus
+      //    (ids ∝ M cross the semi-join) before the one probed block
+      //    is scanned;
+      //  - POST-filter touches only the probed blocks + a k′·|q|
+      //    candidate join, corpus-size-independent.
+      // The crossover claim s13's in-code note argues is exactly
+      // "pre's semi-join term grows ∝ M while post stays flat" —
+      // this leg measures both walls and both shuffle volumes.
+      saltedCorpus(spark, sfDir, mult).write.mode("overwrite")
+        .parquet(s"$work/documents.parquet")
+      saltedEmbeddings(spark, sfDir, mult, growIndex = true)
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+      val docs = spark.read.parquet(s"$work/documents.parquet")
+      val emb = spark.read.parquet(s"$work/embeddings.parquet")
+      val nVec = emb.count()
+      val elig = docs
+        .filter(col("lang") === "en" && col("source") === "src3")
+        .select(col("doc_id").as("vec_id"))
+      val queries = emb.filter(col("vec_id") < 10)
+      // Force the AT-SCALE join regime: the eligible-id set is a fixed
+      // FRACTION of the corpus (2.4%), so at deployment it can never
+      // broadcast — the predicate semi-join must shuffle, and the pre
+      // side shuffles (vec_id, 64-float embedding, label) rows ∝ N
+      // where the post side's candidate probe is k′·|q| rows at ANY
+      // corpus size (that asymmetry IS the crossover claim). Without
+      // this the rehearsal's small absolute sizes broadcast everything
+      // and both legs measure fixed overhead. ivfTopK's own broadcast
+      // HINTS (the bounded query side) are explicit and survive the
+      // threshold, exactly as they would at scale.
+      val savedBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // aggregate every output column so neither the verify rank nor
+      // the candidate join can be pruned under count (the d10 lesson)
+      val (pre, post) =
+        try {
+          val pre = time {
+            val r = graft.operators.Similarity.ivfTopK(
+              emb.join(elig, Seq("vec_id"), "left_semi"),
+              queries, k = 1, blockCol = "label")
+            r.agg(sum(col("query_id") + col("neighbor_id") + col("rank")))
+              .first().getLong(0)
+          }
+          val post = time {
+            graft.queries.PipelineQueries.filtered_ann_post(spark, work)
+              .agg(sum(col("query_id") + col("neighbor_id") + col("rank")))
+              .first().getLong(0)
+          }
+          (pre, post)
+        } finally spark.conf.set(
+          "spark.sql.autoBroadcastJoinThreshold", savedBcast)
+      println(s"""{"mult":$mult,"vecs":$nVec,""" +
+        s""""pre":${jq(pre)},"post":${jq(post)}}""")
     } else if (mode == "passages") {
       // d10 duplicate passages: rotation changes every token, so
       // cross-copy windows never collide — duplicated-window DENSITY

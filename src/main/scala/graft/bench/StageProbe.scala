@@ -38,7 +38,17 @@ object StageProbe {
     val log = new StageLog
     spark.sparkContext.addSparkListener(log)
     val t0 = System.nanoTime()
-    val n = graft.SparkEntry.queries(gate)(spark, dir).count()
+    // aggregate a hash of EVERY output column — under .count() Catalyst
+    // prunes final projections and cardinality-preserving subtrees
+    // (left-outer joins on unique keys, windows), so the per-stage
+    // attribution would describe a cheaper plan than the bench runs
+    // (the same trap the edit-mode rehearsal works around)
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkEntry.queries(gate)(spark, dir)
+    val cols = df.columns.map(c => coalesce(col(c).cast("string"), lit("")))
+    val r = df.select(xxhash64(concat_ws("", cols.toIndexedSeq: _*)).as("h"))
+      .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).first()
+    val n = r.getLong(0)
     val sec = (System.nanoTime() - t0) / 1e9
     org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
     println(f"== $gate rows=$n wall=${sec}%.1fs ==")

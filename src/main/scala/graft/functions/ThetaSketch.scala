@@ -41,6 +41,19 @@ case class ThetaSketchAgg(child: Expression, lgNomEntries: Int = 14,
   require(lgNomEntries >= 4 && lgNomEntries <= 26,
     "theta_sketch_agg: lgNomEntries must be in [4, 26]")
 
+  // analysis-time rejection (the DotProduct/CharHist discipline): the
+  // update path casts to UTF8String, so a non-string child must fail
+  // resolution, not throw ClassCastException on an executor
+  override def checkInputDataTypes(
+      ): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"theta_sketch_agg input must be string, got ${t.catalogString}")
+    }
+
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setLogNominalEntries(lgNomEntries).buildUnion()
 

@@ -759,6 +759,48 @@ object Similarity {
     boundedTopK(scored, k)
   }
 
+  /** MULTI-PROBE hyperplane-LSH ANN (Lv et al. 2007): one FULL
+    * nBits-bit SRP cell per corpus vector — the maximum-precision
+    * AND-composition — with each query probing its own cell plus
+    * every Hamming-1 neighbor cell. The recall amplifier that does
+    * NOT replicate the index: [[bandedLshTopK]] buys recall by
+    * writing every corpus vector `bands` times (index-side OR);
+    * multi-probe keeps the corpus at 1× and fans out the bounded
+    * QUERY side instead — at 100 TB the index is the thing you
+    * cannot afford to multiply. Probe cells are distinct values and
+    * each corpus vector owns exactly one cell, so a (query, neighbor)
+    * pair matches at most once — no dedup aggregation. The whole
+    * path (integer-quantized projections over the md5-derived ±1
+    * planes, probe set, exact-cosine ranking) is deterministically
+    * reproducible cross-engine, so the gate carries a full oracle
+    * where the float-weighted [[rhpSignature]] path cannot.
+    */
+  def multiProbeLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int, dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nBits >= 1 && nBits <= 30, "multiProbeLshTopK: nBits in [1, 30]")
+    val planes = hyperplaneSigns(nBits, dim)
+    def sigd(df: DataFrame, idOut: String, vecOut: String): DataFrame =
+      withUnitVector(df, col(vecCol), vecOut)
+        .select(col(idCol).as(idOut), col(vecOut),
+          microQuantize(col(vecCol)).as("__iv"))
+        .select(col(idOut), col(vecOut),
+          signedProjectionSig(col("__iv"), planes).as("__sig"))
+    val c = sigd(corpus, "neighbor_id", "n_vec")
+      .withColumnRenamed("__sig", "cell")
+    val probes = col("__sig") +: (0 until nBits).map(b =>
+      col("__sig").bitwiseXOR(lit(1 << b)))
+    val q = sigd(queries, "query_id", "q_vec")
+      .withColumn("cell", explode(array(probes: _*))).drop("__sig")
+    // corpus streams map-side into the broadcast probe table and each
+    // hit scores in place — vectors never enter a shuffle (the
+    // bandedLshTopK shape; only the bounded top-k rows move)
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q_vec"), col("n_vec")))
+    boundedTopK(scored, k)
+  }
+
   def rhpSignature(vec: Column, nBits: Int, seed: Int = 42): Column = {
     import org.apache.spark.sql.catalyst.expressions.ShiftLeft
     import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}

@@ -183,7 +183,8 @@ object PipelineQueries {
   //
   // Scale shape: the DF pass is one explode + hash-agg whose shuffle
   // carries (5-char shingle, count) — vocabulary-bounded, not
-  // corpus-bounded; the stop set is top-K = 64 rows collected (ties
+  // corpus-bounded — and runs once per corpus: the top-64 stop set is
+  // a persisted index-build ARTIFACT ([[stopShinglesFor]]; ties
   // broken by shingle string, so both engines pick the same set);
   // filtering is a map-side HOF over a 64-element literal. At 100 TB
   // the exact DF pass becomes a frequent-items sketch (the t09/t17
@@ -928,7 +929,9 @@ object PipelineQueries {
   // the single-probe IVF oracle replays it exactly. Post-filtering
   // (search k' > k then drop non-matching) is the right strategy only
   // for highly SELECTIVE predicates over a prebuilt unfiltered index;
-  // at 44% selectivity pre-filter is strictly better.
+  // at 44% selectivity pre-filter is strictly better. The selective
+  // regime is gated as s14 ([[filtered_ann_post]]) and the pre/post
+  // crossover is measured in SCALE.md's annfilter mode.
   //
   // Scale note: the predicate column is joined in from `documents`
   // here via an ids-only left_semi (lang is a documents attribute);
@@ -943,6 +946,45 @@ object PipelineQueries {
     val corpus = embs(s, dir).join(enIds, Seq("vec_id"), "left_semi")
     val queries = embs(s, dir).filter(col("vec_id") < 10)
     Similarity.ivfTopK(corpus, queries, k = 10, blockCol = "label")
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- s14: POST-FILTER ANN — s13's contrast, the strategy for
+  // SELECTIVE predicates over a PREBUILT unfiltered index: search the
+  // query's block for the top-k′ unfiltered, then drop non-matching
+  // and keep the best k. k′ is DERIVED from the measured selectivity
+  // — k′ = ⌈k / sel⌉ = ⌈k·|corpus| / |eligible|⌉, all-integer so the
+  // oracle replays the same arithmetic — which at this corpus's 2.4%
+  // predicate (lang='en' AND source='src3') gives k′ = 42 against a
+  // ~50-vector block: the genuinely lossy regime (a query whose top-42
+  // holds no eligible vector returns nothing; the spec measures that
+  // recall trade against the exact pre-filter answer).
+  //
+  // Why post-filter exists at all (the s13 note, now gated + measured
+  // in SCALE.md's annfilter mode): pre-filter pays the predicate JOIN
+  // over the whole corpus before the index can prune — ids ∝ N cross
+  // the semi-join even though the probe touches one block — while
+  // post-filter's predicate join touches only k′·|queries| candidate
+  // rows, independent of N. The re-rank is over the shortlist's
+  // integer ranks (which already encode cos DESC, id ASC), so no
+  // float crosses the re-ranking step. ----
+  def filtered_ann_post(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 1L
+    val d = docs(s, dir)
+    val total = d.count()
+    val elig = d.filter(col("lang") === "en" && col("source") === "src3")
+      .select(col("doc_id").as("neighbor_id"))
+    val nElig = elig.count() // bounded: one long each
+    val kPrime = ((k * total + nElig - 1) / nElig).toInt
+    val corpus = embs(s, dir)
+    val queries = corpus.filter(col("vec_id") < 10)
+    Similarity.ivfTopK(corpus, queries, k = kPrime, blockCol = "label")
+      .join(elig, Seq("neighbor_id"), "left_semi")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy("rank")).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
 
@@ -1170,6 +1212,21 @@ object PipelineQueries {
     val corpus = embs(s, dir)
     Similarity.bandedLshTopK(corpus, corpus.filter(col("vec_id") < 10),
         k = 10, nPlanes = 16, bands = 4, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- s15: MULTI-PROBE LSH ANN — the probe-side recall amplifier:
+  // full 4-bit SRP cell per corpus vector (16 cells, maximum-precision
+  // AND-composition), each query probing its own cell + the 4
+  // Hamming-1 neighbors. The index stays 1× (vs s08's ×bands row
+  // replication) and the fan-out lives on the bounded query side —
+  // the trade a 100-TB index deployment wants. Output = exact top-k
+  // OF the probed candidate set (cos DESC, id ASC), deterministic
+  // cross-engine via the s08 integer-projection recipe. ----
+  def ann_multiprobe(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    Similarity.multiProbeLshTopK(corpus, corpus.filter(col("vec_id") < 10),
+        k = 10, nBits = 4, dim = 64)
       .orderBy("query_id", "rank")
   }
 

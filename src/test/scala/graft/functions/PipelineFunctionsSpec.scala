@@ -76,6 +76,14 @@ class PipelineFunctionsSpec extends SparkTestBase {
     def agg(c: org.apache.spark.sql.Column) = ColumnBridge.column(
       ThetaSketchAgg(ColumnBridge.expression(c), lgNomEntries = 14)
         .toAggregateExpression())
+    // analysis-time rejection of a non-string child (the ArrayL1/
+    // DotProduct discipline) — previously a ClassCastException at
+    // executor runtime
+    val te = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("g", 1L)).toDF("g", "v").groupBy("g")
+        .agg(agg(col("v"))).collect()
+    }
+    assert(te.getMessage.toLowerCase.contains("theta_sketch_agg"))
     // groups: g0 = {v0..v499}, g1 = {v300..v799} → |∩| = 200 exactly
     val rows = (0 until 500).map(i => ("g0", s"v$i")) ++
       (300 until 800).map(i => ("g1", s"v$i"))

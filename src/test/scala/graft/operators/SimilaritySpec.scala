@@ -153,6 +153,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(multi.intersect(bf).size >= single.intersect(bf).size)
   }
 
+  test("s15 integer-SRP multi-probe: single-cell hits preserved, recall " +
+      "never below single-probe, candidates bounded by probed-cell occupancy") {
+    val queries = corpus.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val multi = Similarity.multiProbeLshTopK(corpus, queries, k = 10,
+        nBits = 4, dim = 64)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    // single-probe = the same machinery restricted to the own cell:
+    // replay via signatures computed with the same plane matrix
+    val planes = Similarity.hyperplaneSigns(4, 64)
+    val sigOf = corpus
+      .select(col("vec_id"), Similarity.signedProjectionSig(
+        Similarity.microQuantize(col("embedding")), planes).as("sig"))
+      .as[(Long, Int)].collect().toMap
+    val single = Similarity.multiProbeLshTopK(corpus, queries, k = 10,
+        nBits = 4, dim = 64)
+      .as[(Long, Int, Long)].collect()
+      .filter { case (q, _, n) => sigOf(q) == sigOf(n) }
+      .map(r => (r._1, r._3)).toSet
+    assert(single.intersect(bf).subsetOf(multi),
+      "a true neighbor found in the own cell vanished under multi-probe")
+    assert(multi.intersect(bf).size >= single.intersect(bf).size)
+    // every returned neighbor's cell is within Hamming distance 1 of
+    // the query's cell — the probe contract, no candidate leaks in
+    multi.foreach { case (q, n) =>
+      val h = java.lang.Integer.bitCount(sigOf(q) ^ sigOf(n))
+      assert(h <= 1, s"neighbor $n of query $q sits $h probe hops away")
+    }
+  }
+
   test("multi-probe RHP recall@10 >= 0.9 on clustered embeddings") {
     // The honest isotropic-data numbers (recall 0.13 single / 0.44
     // multi-probe at nBits=4) reflect data with no cluster structure —

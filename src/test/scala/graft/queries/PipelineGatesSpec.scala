@@ -163,6 +163,46 @@ class PipelineGatesSpec extends SparkTestBase {
     assertFixedPoint("/root/testdata/sf0.001")
   }
 
+  test("s14 post-filter ANN: answers are eligible; the over-fetch loss " +
+      "is real at this k'; and whenever the exact filtered top-1 made " +
+      "the shortlist, s14 returns exactly it") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val eligIds = d.filter(col("lang") === "en" && col("source") === "src3")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val post = PipelineQueries.filtered_ann_post(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(post.values.forall(eligIds), "a returned neighbor fails the predicate")
+    assert(post.size < 10,
+      "every query answered — k' over-fetch never lost a query, the " +
+        "lossy regime this gate exists to pin is not exercised")
+    // exact pre-filter answer (s13's strategy at the same predicate)
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val exact = graft.operators.Similarity.ivfTopK(
+        corpus.join(d.filter(col("lang") === "en" && col("source") === "src3")
+          .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        queries, k = 1, blockCol = "label")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // shortlist membership decides agreement: if the true top-1 was
+    // over-fetched, post-filter MUST return it; if it wasn't, the
+    // query either misses or returns a strictly lower-ranked eligible
+    val total = d.count(); val nElig = eligIds.size
+    val kPrime = ((total + nElig - 1) / nElig).toInt
+    val shortlist = graft.operators.Similarity
+      .ivfTopK(corpus, queries, k = kPrime, blockCol = "label")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    exact.foreach { case (q, best) =>
+      if (shortlist.getOrElse(q, Set.empty).contains(best))
+        assert(post.get(q).contains(best),
+          s"query $q: exact answer $best was in the top-$kPrime " +
+            s"shortlist but s14 returned ${post.get(q)}")
+      else assert(post.get(q) != Some(best))
+    }
+  }
+
   test("p15 shard_manifest: packing grain, source diversity, and the " +
       "order-canonical membership checksum") {
     // lang en: 3 docs of 2 tokens each under budget 2048 → one shard
