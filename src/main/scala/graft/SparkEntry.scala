@@ -116,6 +116,7 @@ object SparkEntry {
     "p03_shard_pack" -> (PipelineQueries.shard_pack _),
     "p04_source_mix" -> (PipelineQueries.source_mix _),
     "p15_shard_manifest" -> (PipelineQueries.shard_manifest _),
+    "p16_concat_chunk" -> (PipelineQueries.concat_chunk _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -2081,6 +2082,23 @@ object SparkEntry {
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc,
                 md5(array_to_string(list_sort(list(doc_id)), ',')) AS checksum
          FROM sh GROUP BY 1, 2 ORDER BY lang, shard_id""",
+
+    // p16: concat-and-chunk — per-lang running token offsets, then
+    // integer division by the C=128 example size; the final partial
+    // example is emitted (boundary map is total)
+    "p16_concat_chunk" ->
+      """WITH t AS (SELECT lang, doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)),'\s+')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(lower(text)),'\s+')) > 0),
+         o AS (SELECT lang, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+           FROM t)
+         SELECT lang, doc_id, n_tokens, start_off,
+                CAST(start_off // 128 AS BIGINT) AS first_example,
+                CAST((start_off + n_tokens - 1) // 128 AS BIGINT) AS last_example
+         FROM o ORDER BY lang, doc_id""",
 
     "p04_source_mix" ->
       """WITH b AS (SELECT doc_id, source,

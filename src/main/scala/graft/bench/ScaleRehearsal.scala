@@ -731,9 +731,23 @@ object ScaleRehearsal {
         .agg(sum("n_toks")).first().getLong(0))
       val d12 = time(graft.queries.PipelineQueries.cdc_dup_chunks(spark, work)
         .agg(sum("n_dup_chunks"), sum("n_chunks")).first().getLong(0))
+      // d19/d20 exact-substring legs: translate preserves shared spans
+      // WITHIN a copy and never creates them across copies, so span
+      // structure replicates per copy — spans ∝ M, the (hash, doc)
+      // mark shuffle ∝ corpus chars, ownership/islands/interval-union
+      // shuffles (doc, ints) only, and d20's splice is map-side with
+      // text crossing once into the final join. Aggregate both output
+      // columns (cleaned length + cut chars) so the splice fold and
+      // the cut intervals can't be pruned.
+      val d19 = time(graft.queries.PipelineQueries.exact_substrings(spark, work)
+        .agg(count(lit(1)), sum("span_len")).first().getLong(0))
+      val d20 = time(graft.queries.PipelineQueries.exact_substr_cut(spark, work)
+        .agg(sum(length(col("clean_text"))), sum("cut_chars"))
+        .first().getLong(0))
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
         s""""d10":${jq(d10)},"p07":${jq(p07)},""" +
-        s""""t15":${jq(t15)},"d12":${jq(d12)}}""")
+        s""""t15":${jq(t15)},"d12":${jq(d12)},""" +
+        s""""d19":${jq(d19)},"d20":${jq(d20)}}""")
     } else {
       // salted inputs land in parquet FIRST so the measured section is
       // the engine, not the salting union

@@ -2039,6 +2039,38 @@ object PipelineQueries {
       .select("doc_id", "lang", "n_tokens", "cum_tokens", "shard_id")
       .orderBy("lang", "doc_id")
 
+  // ---- p16: CONCAT-AND-CHUNK packing — the example-boundary map of
+  // GPT-style pretraining packing, the op p03 (doc-granular shards)
+  // and p09 (per-doc chunks) deliberately are not: within each lang
+  // group the docs concatenate in doc_id order into one token stream,
+  // and fixed C = 128-token EXAMPLES slice that stream ACROSS
+  // document boundaries. Output is the per-doc placement — byte-store
+  // offset and the first/last example the doc's tokens land in — the
+  // table a training loader joins to locate any doc inside the packed
+  // examples (and a contamination audit joins the other way). The
+  // final partial example is emitted, not dropped: padding policy
+  // belongs to the loader; the boundary map must be total.
+  //
+  // Scale shape: one running-sum window PARTITIONED by group (lang) —
+  // no global sort anywhere; at 100 TB the group key is the shard key
+  // and each partition's prefix-sum is independent. Everything after
+  // the window is map-side integer division. All-integer output, so
+  // the oracle replays it exactly. ----
+  def concat_chunk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val C = 128
+    val t = docs(s, dir).select(col("lang"), col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $C").as("first_example"),
+        expr(s"(start_off + n_tokens - 1) div $C").as("last_example"))
+      .orderBy("lang", "doc_id")
+  }
+
   // ---- p15: per-shard MANIFEST — the data-card/lineage artifact a
   // production pipeline writes NEXT TO every training shard: what's
   // in it (doc/token counts, source diversity, id range) and a

@@ -203,6 +203,37 @@ class PipelineGatesSpec extends SparkTestBase {
     }
   }
 
+  test("p16 concat_chunk: per-group running offsets, examples slice " +
+      "ACROSS doc boundaries, partial tail emitted, groups independent") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // en stream: doc0 = 100 tok [ex 0], doc2 = 60 tok straddles the
+    // 128 boundary [ex 0..1], doc4 = 5 tok in the partial tail [ex 1];
+    // de: doc1 = 130 tok alone straddles [ex 0..1]
+    val dir = tmpSf(Seq(
+      (0L, words(100), "en", "s", 1L),
+      (1L, words(130), "de", "s", 1L),
+      (2L, words(60), "en", "s", 1L),
+      (4L, words(5), "en", "s", 1L)))
+    val got = PipelineQueries.concat_chunk(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("de", 1L, 130L, 0L, 0L, 1L),
+      ("en", 0L, 100L, 0L, 0L, 0L),
+      ("en", 2L, 60L, 100L, 0L, 1L),
+      ("en", 4L, 5L, 160L, 1L, 1L)))
+    // conservation: within each group, offsets tile the stream with no
+    // gap or overlap, and example ranges are monotone in doc order
+    got.groupBy(_._1).foreach { case (_, ds) =>
+      val sorted = ds.sortBy(_._2)
+      sorted.foldLeft(0L) { case (expOff, (_, _, n, off, fe, le)) =>
+        assert(off == expOff, "offset gap/overlap in the packed stream")
+        assert(fe == off / 128 && le == (off + n - 1) / 128)
+        off + n
+      }
+    }
+  }
+
   test("p15 shard_manifest: packing grain, source diversity, and the " +
       "order-canonical membership checksum") {
     // lang en: 3 docs of 2 tokens each under budget 2048 → one shard
