@@ -117,6 +117,7 @@ object SparkEntry {
     "p04_source_mix" -> (PipelineQueries.source_mix _),
     "p15_shard_manifest" -> (PipelineQueries.shard_manifest _),
     "p16_concat_chunk" -> (PipelineQueries.concat_chunk _),
+    "t24_dsir_weights" -> (PipelineQueries.dsir_weights _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -2663,6 +2664,40 @@ object SparkEntry {
     // t17: the CMS grid rebuilt relationally — positions are the d14
     // md5 fold mod w=16, the grid is sum(tf) per (row, cell), the
     // estimate is the min over the term's 4 cells
+    // t24: DSIR replay — the same md5-position bucket fold, add-one
+    // smoothed log-ratio table quantized to 6dp, 9dp summands folded
+    // in sorted order, 4dp final (the t16/t19 float discipline);
+    // parenthesization matches the Spark side exactly
+    "t24_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, source,
+             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         tb AS (SELECT doc_id, source,
+             CAST(list_sum(list_transform(range(1, 9), i ->
+               CAST(strpos('0123456789abcdef',
+                 substr(md5(w), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+               * CAST(pow(16, 8 - i) AS BIGINT))) % 64 AS INTEGER) AS b
+           FROM toks),
+         cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+             CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS ct
+           FROM tb GROUP BY 1),
+         nn AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+             CAST(sum(ct) AS BIGINT) AS nt FROM cnt),
+         lr AS (SELECT g.b,
+             round(ln((COALESCE(cnt.ct, 0) + 1) / CAST(nn.nt + 64 AS DOUBLE))
+                 - ln((COALESCE(cnt.cr, 0) + 1) / CAST(nn.nr + 64 AS DOUBLE)),
+               6) AS lr
+           FROM (SELECT CAST(unnest(range(64)) AS INTEGER) AS b) g
+           LEFT JOIN cnt ON cnt.b = g.b CROSS JOIN nn),
+         pd AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+           FROM tb GROUP BY 1, 2),
+         sm AS (SELECT doc_id, round(c * lr.lr, 9) AS sm
+           FROM pd JOIN lr ON lr.b = pd.b)
+         SELECT doc_id,
+                round(list_reduce(list_sort(list(sm)), (a, x) -> a + x), 4)
+                  AS dsir_score
+         FROM sm GROUP BY doc_id ORDER BY doc_id""",
+
     "t17_cms_estimate" ->
       """WITH toks AS (SELECT
              unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS term

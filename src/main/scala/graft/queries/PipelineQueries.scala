@@ -1215,6 +1215,59 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- t24: DSIR importance weights (Xie et al. 2023, "Data
+  // Selection for Language Models via Importance Resampling") — the
+  // hashed-n-gram domain scorer a targeted-pretraining pipeline runs
+  // corpus-wide: score(doc) = Σ_b c_b(doc)·(ln p̂_target(b) −
+  // ln p̂_raw(b)) over B = 64 hashed unigram buckets, add-one
+  // smoothed; docs resembling the target domain (here source='src0',
+  // the "curated" slice) score high. Selection by score is t02/p14's
+  // machinery; this gate pins the SCORING.
+  //
+  // Scale shape: the bucket-stats pass is ONE hash-agg whose exchange
+  // is B-bounded (64 rows — collected as a bounded artifact, the
+  // s03-centroids pattern; at 100 TB the target/raw bucket stats ARE
+  // a maintained artifact, refreshed with the corpus); the log-ratio
+  // table is 64 driver-computed literals broadcast into a map-side
+  // join; scoring shuffles (doc, bucket, count) ≤ B rows per doc.
+  //
+  // Determinism: the ratio table is quantized to 6dp BEFORE use (a
+  // 1-ULP ln() divergence moves a 6dp boundary with probability
+  // ~1e-9); each summand is 9dp-rounded and the per-doc fold runs
+  // over the SORTED summand list, so both engines fold bit-identical
+  // doubles in one order (the t16/t19 discipline); final score 4dp.
+  // Bucketing is the md5-position fold (d14/t17 idiom), engine-exact.
+  def dsir_weights(s: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    val tok = docs(s, dir).select(col("doc_id"), col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .withColumn("b",
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % B)
+          .cast("int"))
+    val stats = tok.groupBy("b").agg(count(lit(1)).as("cr"),
+        count(when(col("source") === "src0", 1)).as("ct"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nr = stats.map(_._2).sum
+    val nt = stats.map(_._3).sum
+    val byB = stats.map(t => t._1 -> (t._2, t._3)).toMap
+    val lrRows = (0 until B).map { b =>
+      val (cr, ct) = byB.getOrElse(b, (0L, 0L))
+      val lr = math.log((ct + 1).toDouble / (nt + B)) -
+        math.log((cr + 1).toDouble / (nr + B))
+      (b, BigDecimal(lr).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+    import s.implicits._
+    val lrDf = lrRows.toDF("b", "lr")
+    tok.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(lrDf), Seq("b"))
+      .withColumn("sm", round(col("c") * col("lr"), 9))
+      .groupBy("doc_id")
+      .agg(round(aggregate(sort_array(collect_list(col("sm"))),
+        lit(0.0), (a, x) => a + x), 4).as("dsir_score"))
+      .orderBy("doc_id")
+  }
+
   // ---- s15: MULTI-PROBE LSH ANN — the probe-side recall amplifier:
   // full 4-bit SRP cell per corpus vector (16 cells, maximum-precision
   // AND-composition), each query probing its own cell + the 4

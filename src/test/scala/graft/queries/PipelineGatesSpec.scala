@@ -203,6 +203,33 @@ class PipelineGatesSpec extends SparkTestBase {
     }
   }
 
+  test("t24 dsir_weights: target-vocab docs score positive, off-domain " +
+      "negative, mixed in between; ordering follows target-token share") {
+    // disjoint vocabularies in distinct md5 buckets (alpha/bravo/charlie
+    // = 35/30/9; delta/echo/foxtrot = 56/24/49 — precomputed, no
+    // collisions): src0 is the target domain, so its vocabulary's
+    // buckets get positive log-ratios and the off-domain buckets,
+    // present in raw but absent from target, get negative ones
+    // counts must dominate the add-one smoothing mass (B = 64), so
+    // each doc carries ~60 tokens — with 4-token docs every smoothed
+    // target probability sits below raw and all scores go negative
+    val t3 = Seq.fill(20)("alpha bravo charlie").mkString(" ")
+    val o3 = Seq.fill(20)("delta echo foxtrot").mkString(" ")
+    val mix = Seq.fill(10)("alpha bravo delta echo").mkString(" ")
+    val dir = tmpSf(Seq(
+      (0L, t3, "en", "src0", 1L),
+      (1L, t3, "en", "src0", 1L),
+      (2L, o3, "en", "src9", 1L),
+      (3L, mix, "en", "src9", 1L))) // mixed
+    val got = PipelineQueries.dsir_weights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(0L) > 0 && got(1L) > 0,
+      s"target-domain docs must score positive: $got")
+    assert(got(2L) < 0, s"off-domain doc must score negative: $got")
+    assert(got(2L) < got(3L) && got(3L) < got(0L),
+      s"mixed doc must sit between pure off-domain and pure target: $got")
+  }
+
   test("p16 concat_chunk: per-group running offsets, examples slice " +
       "ACROSS doc boundaries, partial tail emitted, groups independent") {
     def words(n: Int) = Seq.fill(n)("w").mkString(" ")
