@@ -703,6 +703,63 @@ object StreamingQueries {
     rows.toDF("src_a", "src_b", "overlap").orderBy("src_a", "src_b")
   }
 
+  /** r66: streaming CONCAT-AND-CHUNK placement — p16's example-
+    * boundary map maintained at ingest cadence through
+    * [[graft.streaming.StreamingPacking]]: four ordered file splits
+    * (ascending doc_id ranges, pinned mtimes, one file per
+    * micro-batch) arrive as a stream; each doc's placement is
+    * assigned from the per-lang running-offset STATE (one long per
+    * group, the smallest state in the family) and emitted exactly
+    * once, append-only. The drained sink must equal the batch p16
+    * window over the whole corpus — the running offset provably
+    * carried across all four batch commits.
+    */
+  def stream_concat_chunk(s: SparkSession, dir: String): DataFrame = {
+    val base = scratchDir(s, "r66", dir)
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val cp = new java.io.File(base, "cp").getAbsolutePath
+    val docsStatic = graft.Tables.load(s, dir, "documents")
+    val t = docsStatic.select(col("lang"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    // ordered splits: batch i holds the i-th quartile of doc_ids, so
+    // per-lang arrival order IS doc_id order — the ingest contract
+    val ids = t.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)) // bounded: ids only, corpus-sized at
+                                   // gate SF; a deployment splits by id
+                                   // range without collecting
+    val cuts = (1 to 3).map(q => ids(math.min(ids.length - 1,
+      q * ids.length / 4)))
+    val parts = Seq(
+      t.filter(col("doc_id") < cuts(0)),
+      t.filter(col("doc_id") >= cuts(0) && col("doc_id") < cuts(1)),
+      t.filter(col("doc_id") >= cuts(1) && col("doc_id") < cuts(2)),
+      t.filter(col("doc_id") >= cuts(2)))
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new java.io.File(base, s"tmp${i + 1}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"b${i + 1}.parquet")
+      org.apache.commons.io.FileUtils.copyFile(part, dst)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    import s.implicits._
+    val placed = graft.streaming.StreamingPacking.placements(
+      s.readStream.schema(t.schema).option("maxFilesPerTrigger", "1")
+        .parquet(src.getAbsolutePath)
+        .as[graft.streaming.StreamingPacking.DocTok], 128)
+    withStatePartitions(s, 8) {
+      val q = placed.toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      drain("r66", q)
+    }
+    s.read.schema(placed.toDF().schema).parquet(out)
+      .orderBy("lang", "doc_id")
+  }
+
   /** r65: checkpoint RECOVERY for AGGREGATION state — r62 proves the
     * dedup KEY store resumes; this proves a complete-mode sketch
     * aggregation's serialized buffers (r64's ThetaSketchAgg rows)

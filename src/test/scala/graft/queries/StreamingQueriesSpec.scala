@@ -205,6 +205,22 @@ class StreamingQueriesSpec extends SparkTestBase {
       .load(spark, dir, "documents").count())
   }
 
+  test("r66 streaming running-offset placement == batch p16 window, " +
+      "carried across four ordered micro-batches") {
+    assume(new java.io.File(dir).isDirectory)
+    val streamed = StreamingQueries.stream_concat_chunk(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val batch = PipelineQueries.concat_chunk(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(streamed.toSeq === batch.toSeq,
+      "incremental running-offset state diverged from the batch window")
+    // the stream really ran multiple batches (state crossed commits)
+    assert(StreamingQueries.progressByGate("r66")
+      .count(_.numInputRows > 0) >= 4)
+  }
+
   test("r53 streaming dedup collapses the doubled stream to one row per id") {
     assume(new java.io.File(dir).isDirectory)
     val got = StreamingQueries.stream_dedup(spark, dir)
