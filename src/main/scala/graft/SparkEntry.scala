@@ -93,6 +93,7 @@ object SparkEntry {
     "r64_stream_theta" -> (StreamingQueries.stream_theta_overlap _),
     "r65_stream_theta_recovery" -> (StreamingQueries.stream_theta_recovery _),
     "r66_stream_concat_chunk" -> (StreamingQueries.stream_concat_chunk _),
+    "r67_stream_state_recovery" -> (StreamingQueries.stream_concat_chunk_recovery _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -2084,6 +2085,23 @@ object SparkEntry {
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc,
                 md5(array_to_string(list_sort(list(doc_id)), ',')) AS checksum
          FROM sh GROUP BY 1, 2 ORDER BY lang, shard_id""",
+
+    // r67: the same batch window again — after a checkpoint restart
+    // between the corpus halves, resumed GroupState offsets must
+    // reproduce it (a reset offset shifts every leg-2 placement)
+    "r67_stream_state_recovery" ->
+      """WITH t AS (SELECT lang, doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)),'\s+')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(lower(text)),'\s+')) > 0),
+         o AS (SELECT lang, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+           FROM t)
+         SELECT lang, doc_id, n_tokens, start_off,
+                CAST(start_off // 128 AS BIGINT) AS first_example,
+                CAST((start_off + n_tokens - 1) // 128 AS BIGINT) AS last_example
+         FROM o ORDER BY lang, doc_id""",
 
     // r66: streaming placement must equal the batch p16 window over
     // the whole corpus — the running-offset state carried across all

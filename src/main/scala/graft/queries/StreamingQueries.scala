@@ -760,6 +760,76 @@ object StreamingQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** r67: checkpoint RECOVERY for CUSTOM GroupState — the third state
+    * class in the recovery matrix: r62 proves the dedup KEY store
+    * resumes and r65 the aggregation BUFFERS; this proves a
+    * flatMapGroupsWithState user-state value (r66's per-lang running
+    * offset) survives a query restart. The failure it hunts is
+    * specific to the custom-state path: an encoder/serializer bug or
+    * a lost GroupState commit would restart every lang's offset at 0,
+    * so every leg-2 doc's placement would shift down by exactly the
+    * leg-1 token totals — caught by the batch-window oracle, which
+    * only matches if leg 2 CONTINUED leg 1's offsets. Exactly-once on
+    * the source is asserted structurally (legs read the corpus
+    * exactly once, both non-empty); append-only sink rows are never
+    * rewritten, so leg-1 placements must already be final.
+    */
+  def stream_concat_chunk_recovery(s: SparkSession, dir: String): DataFrame = {
+    val base = scratchDir(s, "r67", dir)
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val cp = new java.io.File(base, "cp").getAbsolutePath
+    val docsStatic = graft.Tables.load(s, dir, "documents")
+    val t = docsStatic.select(col("lang"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val totalRows = t.count()
+    val ids = t.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val cuts = (1 to 3).map(q => ids(math.min(ids.length - 1,
+      q * ids.length / 4)))
+    val parts = Seq(
+      t.filter(col("doc_id") < cuts(0)),
+      t.filter(col("doc_id") >= cuts(0) && col("doc_id") < cuts(1)),
+      t.filter(col("doc_id") >= cuts(1) && col("doc_id") < cuts(2)),
+      t.filter(col("doc_id") >= cuts(2)))
+    val staged = parts.zipWithIndex.map { case (df, i) =>
+      val tmp = new java.io.File(base, s"tmp${i + 1}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      (tmp.listFiles.find(_.getName.endsWith(".parquet")).get, i)
+    }
+    import s.implicits._
+    val placed = graft.streaming.StreamingPacking.placements(
+      s.readStream.schema(t.schema).option("maxFilesPerTrigger", "1")
+        .parquet(src.getAbsolutePath)
+        .as[graft.streaming.StreamingPacking.DocTok], 128)
+    def leg(name: String, files: Seq[(java.io.File, Int)]): Long = {
+      files.foreach { case (f, i) =>
+        val dst = new java.io.File(src, s"b${i + 1}.parquet")
+        org.apache.commons.io.FileUtils.copyFile(f, dst)
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
+      withStatePartitions(s, 8) {
+        val q = placed.toDF().writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        drain(name, q)
+      }
+      progressByGate(name).map(_.numInputRows).sum
+    }
+    val in1 = leg("r67_leg1", staged.take(2))
+    val in2 = leg("r67_leg2", staged.drop(2))
+    require(in1 > 0 && in2 > 0,
+      s"r67: a leg drained no rows (leg1=$in1, leg2=$in2) — the " +
+        "restart never exercised resumed GroupState")
+    require(in1 + in2 == totalRows,
+      s"r67: legs read $in1 + $in2 rows of $totalRows — source " +
+        "offsets were not resumed exactly-once across the restart")
+    s.read.schema(placed.toDF().schema).parquet(out)
+      .orderBy("lang", "doc_id")
+  }
+
   /** r65: checkpoint RECOVERY for AGGREGATION state — r62 proves the
     * dedup KEY store resumes; this proves a complete-mode sketch
     * aggregation's serialized buffers (r64's ThetaSketchAgg rows)

@@ -221,6 +221,22 @@ class StreamingQueriesSpec extends SparkTestBase {
       .count(_.numInputRows > 0) >= 4)
   }
 
+  test("r67 restart-resumed GroupState placement == batch p16, each leg " +
+      "a strict subset of the corpus") {
+    assume(new java.io.File(dir).isDirectory)
+    val streamed = StreamingQueries.stream_concat_chunk_recovery(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val batch = PipelineQueries.concat_chunk(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(streamed.toSeq === batch.toSeq,
+      "resumed running-offset state diverged from the batch window — " +
+        "leg 2 restarted offsets instead of continuing leg 1's")
+    val legs = Seq("r67_leg1", "r67_leg2").map(g =>
+      StreamingQueries.progressByGate(g).map(_.numInputRows).sum)
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    assert(legs.forall(n => n > 0 && n < total) && legs.sum == total)
+  }
+
   test("r53 streaming dedup collapses the doubled stream to one row per id") {
     assume(new java.io.File(dir).isDirectory)
     val got = StreamingQueries.stream_dedup(spark, dir)
