@@ -514,6 +514,15 @@ object ScaleRehearsal {
       val r64 = time(graft.queries.StreamingQueries
         .stream_theta_overlap(spark, work).count())
       val s64 = stateJson("r64")
+      // r66 leg: running-offset placement — langs are shared across
+      // copies (the rotation salt keeps the lang column), so streamed
+      // docs grow ∝ M while GroupState must stay FLAT at one LONG per
+      // lang (~5 rows) — the smallest state shape in the family; the
+      // append-only sink grows ∝ M, never rewritten
+      val r66 = time(graft.queries.StreamingQueries
+        .stream_concat_chunk(spark, work)
+        .agg(sum("start_off"), sum("last_example")).first().getLong(0))
+      val s66 = stateJson("r66")
       println(s"""{"mult":$mult,"events":$nEvents,"vectors":$nVecs,""" +
         s""""docs":$nDocs,""" +
         s""""r53":${jq(r53)},"r53_state":$s53,""" +
@@ -522,7 +531,8 @@ object ScaleRehearsal {
         s""""r58":${jq(r58)},"r58_state":$s58,""" +
         s""""r59":${jq(r59)},"r59_state":$s59,""" +
         s""""r60":${jq(r60)},"r60_state":$s60,""" +
-        s""""r64":${jq(r64)},"r64_state":$s64}""")
+        s""""r64":${jq(r64)},"r64_state":$s64,""" +
+        s""""r66":${jq(r66)},"r66_state":$s66}""")
     } else if (mode == "clean") {
       // the corpus-cleaning path: p06 boilerplate removal (its
       // boilerplate paragraph SET stays ~22 entries at every M —

@@ -725,13 +725,11 @@ object StreamingQueries {
           .cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
     // ordered splits: batch i holds the i-th quartile of doc_ids, so
-    // per-lang arrival order IS doc_id order — the ingest contract
-    val ids = t.select("doc_id").orderBy("doc_id")
-      .collect().map(_.getLong(0)) // bounded: ids only, corpus-sized at
-                                   // gate SF; a deployment splits by id
-                                   // range without collecting
-    val cuts = (1 to 3).map(q => ids(math.min(ids.length - 1,
-      q * ids.length / 4)))
+    // per-lang arrival order IS doc_id order — the ingest contract.
+    // The cut points are ONE 3-value percentile row (bounded collect)
+    val cuts = t.selectExpr(
+        "percentile(doc_id, array(0.25, 0.5, 0.75)) AS c")
+      .first().getSeq[Double](0)
     val parts = Seq(
       t.filter(col("doc_id") < cuts(0)),
       t.filter(col("doc_id") >= cuts(0) && col("doc_id") < cuts(1)),
@@ -785,10 +783,10 @@ object StreamingQueries {
           .cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
     val totalRows = t.count()
-    val ids = t.select("doc_id").orderBy("doc_id")
-      .collect().map(_.getLong(0))
-    val cuts = (1 to 3).map(q => ids(math.min(ids.length - 1,
-      q * ids.length / 4)))
+    // bounded collect: one 3-value percentile row stages the splits
+    val cuts = t.selectExpr(
+        "percentile(doc_id, array(0.25, 0.5, 0.75)) AS c")
+      .first().getSeq[Double](0)
     val parts = Seq(
       t.filter(col("doc_id") < cuts(0)),
       t.filter(col("doc_id") >= cuts(0) && col("doc_id") < cuts(1)),
