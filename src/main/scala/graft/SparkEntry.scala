@@ -120,6 +120,7 @@ object SparkEntry {
     "p15_shard_manifest" -> (PipelineQueries.shard_manifest _),
     "p16_concat_chunk" -> (PipelineQueries.concat_chunk _),
     "t24_dsir_weights" -> (PipelineQueries.dsir_weights _),
+    "p17_epoch_interleave" -> (PipelineQueries.epoch_interleave _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -2119,6 +2120,24 @@ object SparkEntry {
                 CAST(start_off // 128 AS BIGINT) AS first_example,
                 CAST((start_off + n_tokens - 1) // 128 AS BIGINT) AS last_example
          FROM o ORDER BY lang, doc_id""",
+
+    // p17: per-source md5-ordered ranks, dense source index over the
+    // sorted source dictionary, key = (rank-1)*n + idx — all integer
+    "p17_epoch_interleave" ->
+      """WITH sx AS (SELECT source,
+             CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+           FROM (SELECT DISTINCT source FROM documents)),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sx),
+         r AS (SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS src_rank
+           FROM documents)
+         SELECT r.doc_id, r.source, r.src_rank,
+                CAST((r.src_rank - 1) * n.n + sx.src_idx AS BIGINT)
+                  AS interleave_key
+         FROM r JOIN sx USING (source) CROSS JOIN n
+         ORDER BY r.doc_id""",
 
     // p16: concat-and-chunk — per-lang running token offsets, then
     // integer division by the C=128 example size; the final partial

@@ -2124,6 +2124,38 @@ object PipelineQueries {
       .orderBy("lang", "doc_id")
   }
 
+  // ---- p17: source-stratified epoch INTERLEAVE key — the
+  // deterministic global training order that round-robins sources
+  // (src0's 1st doc, src1's 1st, …, src0's 2nd, …) so no training
+  // window sees a single-source run, computed WITHOUT any global
+  // sort: a per-source rank (window partitioned by source, ordered
+  // by the md5 of the doc id — the deterministic within-source
+  // "shuffle", regenerable in any engine) and then
+  // key = (rank−1)·|sources| + source_idx, map-side. Consumers sort
+  // or bucket by the KEY at read time; with unequal source sizes the
+  // key space has gaps once short sources exhaust — it is an ORDER
+  // key, not a dense index, and the round-robin property holds for
+  // the prefix where all sources remain live. The source dictionary
+  // is a bounded collect (the s03 pattern) broadcast back as the
+  // index map. ----
+  def epoch_interleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcs = docs(s, dir).select("source").distinct()
+      .collect().map(_.getString(0)).sorted // bounded: source dictionary
+    val n = srcs.length
+    import s.implicits._
+    val idx = srcs.zipWithIndex.toSeq.toDF("source", "src_idx")
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+        .cast("long"))
+      .join(broadcast(idx), Seq("source"))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        ((col("src_rank") - 1) * n + col("src_idx")).as("interleave_key"))
+      .orderBy("doc_id")
+  }
+
   // ---- p15: per-shard MANIFEST — the data-card/lineage artifact a
   // production pipeline writes NEXT TO every training shard: what's
   // in it (doc/token counts, source diversity, id range) and a

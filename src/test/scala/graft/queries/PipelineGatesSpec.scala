@@ -230,6 +230,30 @@ class PipelineGatesSpec extends SparkTestBase {
       s"mixed doc must sit between pure off-domain and pure target: $got")
   }
 
+  test("p17 epoch_interleave: key order round-robins live sources, " +
+      "within-source order is the md5 shuffle, keys strictly increase " +
+      "with rank") {
+    val dir = tmpSf(Seq(
+      (0L, "a", "en", "sA", 1L), (1L, "b", "en", "sA", 1L),
+      (2L, "c", "en", "sA", 1L), (3L, "d", "en", "sB", 1L),
+      (4L, "e", "en", "sB", 1L), (5L, "f", "en", "sC", 1L)))
+    val got = PipelineQueries.epoch_interleave(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // keys unique; per source strictly increasing with rank; the first
+    // |sources| rows in key order cover every source exactly once, and
+    // sources stay interleaved while live (no two consecutive equal
+    // sources in the prefix where all three remain)
+    assert(got.map(_._4).distinct.length == got.length)
+    got.groupBy(_._2).values.foreach { ds =>
+      assert(ds.sortBy(_._3).map(_._4).sliding(2).forall(p =>
+        p.length < 2 || p(0) < p(1)))
+    }
+    val inOrder = got.sortBy(_._4).map(_._2)
+    assert(inOrder.take(3).toSet == Set("sA", "sB", "sC"))
+    assert(inOrder.take(5).sliding(2).forall(p => p(0) != p(1)),
+      s"sources not interleaved while live: ${inOrder.mkString(",")}")
+  }
+
   test("p16 concat_chunk: per-group running offsets, examples slice " +
       "ACROSS doc boundaries, partial tail emitted, groups independent") {
     def words(n: Int) = Seq.fill(n)("w").mkString(" ")
