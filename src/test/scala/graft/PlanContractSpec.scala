@@ -97,6 +97,14 @@ class PlanContractSpec extends SparkTestBase {
       // d16's DF pass shuffles (5-char shingle, count) — vocabulary-
       // bounded dictionary rows, not document text
       "d16_stop_shingle",
+      // d19 shuffles (window-hash, doc, pos) — fingerprints computed
+      // map-side by the one-sweep kernel, window text never moves
+      "d19_exact_substrings",
+      // d20 adds ownership + interval shuffles (doc, ints only); each
+      // doc's text enters ONLY the final map-side splice join, which
+      // is id-keyed — the doc table's exchange carries text once, so
+      // d20 is checked via the candidate-side exchanges like p06:
+      // its OUTPUT is the cleaned text (deliberately absent here)
       "p02_neardup_groups").foreach { n =>
       exchangeInputs(formatted(n)).foreach { in =>
         assert(!in.contains("text#"),
