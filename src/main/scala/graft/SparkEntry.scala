@@ -148,6 +148,7 @@ object SparkEntry {
     "s13_filtered_ann" -> (PipelineQueries.filtered_ann _),
     "s14_filtered_ann_post" -> (PipelineQueries.filtered_ann_post _),
     "s15_ann_multiprobe" -> (PipelineQueries.ann_multiprobe _),
+    "s16_multiprobe_recall" -> (PipelineQueries.multiprobe_recall _),
     "s12_mmr_rerank" -> (PipelineQueries.mmr_rerank _),
     "t01_lang_id" -> (PipelineQueries.lang_id _),
     "t02_quality_score" -> (PipelineQueries.quality_score _),
@@ -1721,6 +1722,58 @@ object SparkEntry {
          FROM scored
          QUALIFY rank <= 10
          ORDER BY query_id, rank""",
+
+    // s16: the full recall measurement replayed — exact brute-force
+    // top-10 (s01's CTEs) intersected with the s15 multi-probe top-10
+    "s16_multiprobe_recall" ->
+      """WITH planes AS (
+             SELECT j, list(CASE WHEN substr(md5('lsh_'||j||'_'||k),1,1) < '8'
+                                 THEN 1 ELSE -1 END ORDER BY k) AS s
+             FROM range(4) t(j) CROSS JOIN range(64) u(k) GROUP BY j),
+         e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS iv
+               FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv
+               FROM e WHERE vec_id < 10),
+         exsc AS (SELECT query_id, e.vec_id AS neighbor_id,
+             list_inner_product(qv,v)
+               / (sqrt(list_inner_product(qv,qv))*sqrt(list_inner_product(v,v))) AS cos
+           FROM q CROSS JOIN e WHERE e.vec_id != query_id),
+         ex AS (SELECT query_id, neighbor_id FROM exsc
+           QUALIFY row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10),
+         sigs AS (SELECT vec_id,
+                 CAST(sum(CASE WHEN list_inner_product(s, iv) >= 0
+                               THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                               ELSE 0 END) AS BIGINT) AS sig
+               FROM e CROSS JOIN planes GROUP BY vec_id),
+         probes AS (SELECT vec_id AS query_id, sig AS cell
+               FROM sigs WHERE vec_id < 10
+             UNION
+             SELECT vec_id,
+                 CAST(xor(sig, CAST(1 AS BIGINT) << CAST(b AS INTEGER)) AS BIGINT)
+               FROM sigs CROSS JOIN range(4) r(b) WHERE vec_id < 10),
+         cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
+               FROM probes p JOIN sigs c ON c.sig = p.cell
+               WHERE c.vec_id != p.query_id),
+         mpsc AS (SELECT cand.query_id, cand.neighbor_id,
+             list_inner_product(qe.v, ne.v)
+               / (sqrt(list_inner_product(qe.v,qe.v))
+                  * sqrt(list_inner_product(ne.v,ne.v))) AS cos
+           FROM cand
+           JOIN e qe ON qe.vec_id = cand.query_id
+           JOIN e ne ON ne.vec_id = cand.neighbor_id),
+         mp AS (SELECT query_id, neighbor_id FROM mpsc
+           QUALIFY row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10),
+         h AS (SELECT ex.query_id, count(*) AS n_hits
+               FROM ex JOIN mp USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT q.query_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+         FROM q LEFT JOIN h ON h.query_id = q.query_id
+         ORDER BY q.query_id""",
 
     // s02: single-probe label-blocked IVF is EXACT within the block
     // (it scans the query's whole bucket), so the full top-k oracle

@@ -1110,6 +1110,22 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  // ---- s16: multi-probe RECALL eval — s06's measurement harness
+  // pointed at the s15 index: recall@10 of Hamming-1 multi-probe
+  // against the exact brute-force ground truth, per query, as DATA
+  // (n_exact, n_hits are integers, so the oracle replays the whole
+  // measurement). The eval-as-a-query pattern is what lets an index
+  // deployment regression-test recall inside the engine itself. ----
+  def multiprobe_recall(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir)
+    val queries = corpus.filter(col("vec_id") < 10)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(corpus, queries, k = 10),
+      Similarity.multiProbeLshTopK(corpus, queries, k = 10,
+        nBits = 4, dim = 64))
+      .orderBy("query_id")
+  }
+
   // ---- s04: product-quantization codes — the PQ compression pass of
   // IVF-PQ. Same persisted-codebook contract as s03: the 8×16
   // codebook is fit once (sample-bounded, seeded), dumped to parquet,

@@ -26,6 +26,10 @@ class PlanContractSpec extends SparkTestBase {
       // (10 broadcast queries against the corpus) BY DESIGN; the MMR
       // greedy itself is per-row
       "s12_mmr_rerank",
+      // s16 embeds s01's brute-force side verbatim as the recall
+      // ground truth (the s06 justification; the multi-probe side
+      // under eval is hash-joined)
+      "s16_multiprobe_recall",
       // t19's sources × vocabulary grid is a deliberate broadcast
       // cross of two dictionary-sized relations (tens × tens)
       "t19_js_divergence",
