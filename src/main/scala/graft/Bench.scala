@@ -63,20 +63,31 @@ object Bench {
     // median, re-run the suite once and keep per-gate mins — the
     // per-gate discipline applied at suite level. History-less sizes
     // (first run after adding gates) pass through unguarded.
+    // History runs comparable to THIS suite: matched by the exact
+    // gate-NAME set inside the queries object (a colon-count proxy
+    // would accept a differently-composed suite of equal size, and
+    // any history format drift would silently disable the guard —
+    // round-13 ADVICE). Returns (ts, total) per matching line.
+    def comparableHistory(): Vector[(String, Double)] = try {
+      val vRe = """"value":([0-9.eE+-]+)""".r
+      val qRe = """"queries":\{([^}]*)\}""".r
+      val tsRe = """"ts":"([^"]+)"""".r
+      val nameRe = """"([A-Za-z0-9_]+)":""".r
+      val want = timings.keySet.toSet
+      scala.io.Source.fromFile("bench_history.jsonl").getLines()
+        .flatMap { line =>
+          for {
+            v <- vRe.findFirstMatchIn(line)
+            q <- qRe.findFirstMatchIn(line)
+            names = nameRe.findAllMatchIn(q.group(1)).map(_.group(1)).toSet
+            if names == want
+          } yield (tsRe.findFirstMatchIn(line).fold("")(_.group(1)),
+            v.group(1).toDouble)
+        }.toVector
+    } catch { case scala.util.control.NonFatal(_) => Vector.empty }
     if (args.isEmpty && errors.isEmpty) {
       val total = timings.values.sum
-      val hist = try {
-        val vRe = """"value":([0-9.eE+]+)""".r
-        val qRe = """"queries":\{([^}]*)\}""".r
-        scala.io.Source.fromFile("bench_history.jsonl").getLines()
-          .flatMap { line =>
-            for {
-              v <- vRe.findFirstMatchIn(line)
-              q <- qRe.findFirstMatchIn(line)
-              if q.group(1).count(_ == ':') == timings.size
-            } yield v.group(1).toDouble
-          }.toVector.sorted
-      } catch { case scala.util.control.NonFatal(_) => Vector.empty[Double] }
+      val hist = comparableHistory().map(_._2).sorted
       if (hist.nonEmpty) {
         val med = hist(hist.size / 2)
         if (total > 1.5 * med) {
@@ -93,8 +104,20 @@ object Bench {
       m.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    // capability vs sample (round-13 process finding): the driver's
+    // artifact keeps whatever THIS run sampled, but the durable history
+    // may hold a cleaner run of the identical suite from the same
+    // session. Ship both: value/fresh_total is this run's honest
+    // sample; session_best_total/_ts is the best comparable history
+    // run (including this one), so a noise-inflated sample can never
+    // masquerade as a capability regression.
+    val nowStamp = java.time.Instant.now().toString
+    val best = (comparableHistory() :+ (nowStamp -> total))
+      .minBy(_._2)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""fresh_total":$total,"session_best_total":${best._2},""" +
+      s""""session_best_ts":"${best._1}",""" +
       s""""errors":${jmap(errors)},"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: sbt interleaves its own [info]
@@ -111,8 +134,7 @@ object Bench {
     // subsets) to a durable history file, stamped, so any two rounds can
     // be diffed gate-by-gate from the repo alone.
     if (args.isEmpty) {
-      val stamp = java.time.Instant.now().toString
-      val hist = s"""{"ts":"$stamp",${line.drop(1)}""" + "\n"
+      val hist = s"""{"ts":"$nowStamp",${line.drop(1)}""" + "\n"
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_history.jsonl"), hist.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,

@@ -121,6 +121,7 @@ object SparkEntry {
     "p16_concat_chunk" -> (PipelineQueries.concat_chunk _),
     "t24_dsir_weights" -> (PipelineQueries.dsir_weights _),
     "p17_epoch_interleave" -> (PipelineQueries.epoch_interleave _),
+    "p18_lee_pipeline" -> (PipelineQueries.lee_pipeline _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -2191,6 +2192,69 @@ object SparkEntry {
                   AS interleave_key
          FROM r JOIN sx USING (source) CROSS JOIN n
          ORDER BY r.doc_id""",
+
+    // p18: the composed Lee-et-al pipeline — d20's cut-corpus CTE
+    // chain feeds p16's per-lang running-offset window over the
+    // CLEANED text, and the p15 manifest aggregates at the
+    // (lang, 16-example shard) grain. Each stage's SQL is the
+    // standalone gate's oracle verbatim, chained.
+    "p18_lee_pipeline" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(range(CAST(length(text)-39 AS BIGINT))) AS i,
+             unnest(list_transform(range(CAST(length(text)-39 AS BIGINT)),
+               i -> md5(substr(text, CAST(i+1 AS INTEGER), 40)))) AS g
+           FROM documents
+           WHERE length(text) >= 40 AND strlen(text) = length(text)),
+         own AS (SELECT g, min(doc_id) AS own FROM w GROUP BY g),
+         cut AS (SELECT w.doc_id, w.i+1 AS i FROM w JOIN own USING (g)
+           WHERE w.doc_id > own.own),
+         isl AS (SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+           FROM cut),
+         sp AS (SELECT doc_id, min(i) AS a, max(i) + 39 AS b
+           FROM isl GROUP BY doc_id, island),
+         m0 AS (SELECT doc_id, a, b, max(b) OVER (PARTITION BY doc_id
+             ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM sp),
+         m1 AS (SELECT doc_id, a, b,
+             CASE WHEN pmax IS NULL OR a > pmax THEN 1 ELSE 0 END AS brk
+           FROM m0),
+         m2 AS (SELECT doc_id, a, b, sum(brk) OVER (PARTITION BY doc_id
+             ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM m1),
+         iv AS (SELECT doc_id, min(a) AS a, max(b) AS b
+           FROM m2 GROUP BY doc_id, grp),
+         seg AS (SELECT doc_id,
+             coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY a), 0) + 1 AS s,
+             a - 1 AS e FROM iv
+           UNION ALL
+           SELECT iv.doc_id, max(iv.b) + 1 AS s, max(length(d.text)) AS e
+           FROM iv JOIN documents d USING (doc_id) GROUP BY iv.doc_id),
+         agg AS (SELECT seg.doc_id,
+             string_agg(CASE WHEN e >= s THEN
+               substr(d.text, CAST(s AS INTEGER), CAST(e - s + 1 AS INTEGER))
+               ELSE '' END, '' ORDER BY s) AS clean
+           FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id),
+         cleaned AS (SELECT d.doc_id, d.lang, d.source,
+             coalesce(agg.clean, d.text) AS clean_text
+           FROM documents d LEFT JOIN agg USING (doc_id)),
+         t AS (SELECT lang, source, doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(clean_text)),'\s+')) AS BIGINT) AS n_tokens
+           FROM cleaned
+           WHERE len(regexp_split_to_array(trim(lower(clean_text)),'\s+')) > 0),
+         o AS (SELECT lang, source, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+           FROM t),
+         sh AS (SELECT lang, source, doc_id, n_tokens,
+             CAST((start_off // 128) // 16 AS BIGINT) AS shard_id
+           FROM o)
+         SELECT lang, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                md5(array_to_string(list_sort(list(doc_id)), ',')) AS checksum
+         FROM sh GROUP BY 1, 2 ORDER BY lang, shard_id""",
 
     // p16: concat-and-chunk — per-lang running token offsets, then
     // integer division by the C=128 example size; the final partial

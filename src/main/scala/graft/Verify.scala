@@ -82,6 +82,10 @@ object Verify {
     // gates rebuild them before any oracle reads them.
     graft.queries.PipelineQueries.artifactPaths(sfDir).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    // …and drop the same-JVM memos over those paths, so a second pass
+    // in this JVM rebuilds instead of trusting a memo whose backing
+    // parquet the line above just deleted
+    graft.queries.PipelineQueries.clearArtifactMemos()
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -112,8 +116,24 @@ object Verify {
     def inject(sql: String): String =
       sql.replaceAll("(/tmp/graft_[a-z0-9_]+/)sf0\\.01", "$1" +
         java.util.regex.Matcher.quoteReplacement(sfBase))
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(inject(v))}" }.mkString("{", ",", "}")
+    // escape guard: after injection, every /tmp/graft_* reference a
+    // query-oracle still carries must sit under one of THIS run's
+    // artifact roots — an oracle authored against a different
+    // basename (or a future root with characters the rewrite regex
+    // misses) fails loudly here instead of silently reading a stale
+    // artifact, exactly the failure the injection exists to prevent.
+    val artifactRoots = graft.queries.PipelineQueries.artifactPaths(sfDir)
+    val pathRe = "/tmp/graft_[^'\"\\s]+".r
+    val injected = SparkEntry.oracleSql.map { case (k, v) => k -> inject(v) }
+    injected.foreach { case (k, sql) =>
+      pathRe.findAllIn(sql).foreach { pth =>
+        require(artifactRoots.exists(r => pth.startsWith(r + "/") || pth == r),
+          s"oracle $k references artifact path $pth outside this run's " +
+            s"roots ${artifactRoots.mkString(", ")} — injection escape")
+      }
+    }
+    val json = injected
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // A gate that failed to execute leaves no parquet dir; a runner that
     // only globs output dirs would silently drop it from the round's

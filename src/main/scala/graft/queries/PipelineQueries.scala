@@ -241,8 +241,13 @@ object PipelineQueries {
     * filtering by string. Bounded: exactly topK longs collected.
     */
   private[queries] def stopShinglesFor(s: SparkSession, dir: String): Array[Long] =
-    d16Built.computeIfAbsent(dir, _ => {
+    // compute, not computeIfAbsent: a memoized value whose persisted
+    // parquet was deleted (Verify's up-front artifact sweep) must
+    // rebuild so the ORACLE's read of the parquet sees this run's set
+    d16Built.compute(dir, (_, prev) => {
       val p = d16StopPath(dir)
+      if (prev != null && new java.io.File(p).exists()) prev
+      else {
       val topK = 64
       docs(s, dir)
         .select(explode(
@@ -252,6 +257,7 @@ object PipelineQueries {
         .select(xxhash64(col("sg")).as("h"))
         .coalesce(1).write.mode("overwrite").parquet(p)
       s.read.parquet(p).collect().map(_.getLong(0)).sorted
+      }
     })
 
   // ---- d17: character-level EDIT-DISTANCE near-dup — the detector
@@ -471,7 +477,16 @@ object PipelineQueries {
   // map-side HOF; shuffles carry (hash, doc) and (doc, interval)
   // only, never text, and text crosses exactly once into the final
   // per-doc join. ----
-  def exact_substr_cut(s: SparkSession, dir: String): DataFrame = {
+  def exact_substr_cut(s: SparkSession, dir: String): DataFrame =
+    cutCorpus(s, dir).select("doc_id", "clean_text", "cut_chars")
+      .orderBy("doc_id")
+
+  /** d20's cut corpus with the doc's grouping columns (lang, source)
+    * still attached — the composition surface: p18 chains this into
+    * p16's packing and p15's manifest without re-joining `documents`
+    * a second time.
+    */
+  private[queries] def cutCorpus(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = 40
     val w = substrWindows(s, dir, L)
@@ -505,7 +520,7 @@ object PipelineQueries {
         sum(col("b") - col("a") + 1).as("cut_chars"))
     val d = docs(s, dir)
     d.join(cuts, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"), col("source"),
         when(col("iv").isNull, col("text")).otherwise(
           // ordered fold over the disjoint intervals: carry (next
           // uncut position, accumulated kept text); finish appends
@@ -525,7 +540,6 @@ object PipelineQueries {
                 length(col("text")) - st.getField("pos") + 1L).cast("int")))))
           .as("clean_text"),
         coalesce(col("cut_chars"), lit(0L)).as("cut_chars"))
-      .orderBy("doc_id")
   }
 
   // ---- d15: INCREMENTAL near-dup — the production ingest shape d14
@@ -976,6 +990,9 @@ object PipelineQueries {
     val elig = d.filter(col("lang") === "en" && col("source") === "src3")
       .select(col("doc_id").as("neighbor_id"))
     val nElig = elig.count() // bounded: one long each
+    require(nElig > 0,
+      "s14: the post-filter predicate matches no documents — " +
+        "over-fetch factor is undefined on an empty eligible set")
     val kPrime = ((k * total + nElig - 1) / nElig).toInt
     val corpus = embs(s, dir)
     val queries = corpus.filter(col("vec_id") < 10)
@@ -1047,6 +1064,19 @@ object PipelineQueries {
   def artifactPaths(dir: String): Seq[String] = Seq(
     s03CentroidsPath(dir), d09CentroidsPath(dir), s04PqPath(dir),
     p02ComponentsPath(dir), t21BpePath(dir), d16StopPath(dir))
+
+  /** Drops every per-SF artifact memo — the companion to
+    * [[artifactPaths]]: Verify deletes the persisted roots up front,
+    * and without this a same-JVM re-entry after that deletion (a
+    * second Verify pass, or a test + gate mix) would trust a memo
+    * whose backing parquet no longer exists and fail on read. Called
+    * by Verify right after the deletion; the per-memo existence
+    * checks (bpe/d16) cover flows that never go through Verify.
+    */
+  def clearArtifactMemos(): Unit = {
+    docCountMemo.clear(); d16Built.clear(); quantizerCache.clear()
+    d09Cache.clear(); pqCache.clear(); bpeBuilt.clear(); ccBuilt.clear()
+  }
 
   /** The shared trained coarse quantizer (fit once per SF, persisted
     * for the oracles) — s03's probe and d09's semantic dedup both hang
@@ -1575,8 +1605,14 @@ object PipelineQueries {
     * tie-break), so rebuilds overwrite with identical bytes.
     */
   private[queries] def bpeArtifactFor(s: SparkSession, dir: String): String =
-    bpeBuilt.computeIfAbsent(dir, _ => {
+    // compute, not computeIfAbsent: if the persisted artifact was
+    // deleted since the memo landed (Verify's up-front sweep), a
+    // same-JVM re-entry must retrain instead of reading a dead path
+    bpeBuilt.compute(dir, (_, prev) => {
       val p = t21BpePath(dir)
+      if (prev != null && new java.io.File(s"$p/merges").exists() &&
+          new java.io.File(s"$p/dict").exists()) prev
+      else {
       val k = 3
       val base = docs(s, dir)
         .select(explode(TextFunctions.tokens(col("text"))).as("w"))
@@ -1616,6 +1652,7 @@ object PipelineQueries {
           .write.mode("overwrite").parquet(s"$p/dict")
       } finally base.unpersist()
       p
+      }
     })
 
   // ---- t23: APPLY the learned tokenizer — the other half of t21,
@@ -2153,7 +2190,19 @@ object PipelineQueries {
   // key, not a dense index, and the round-robin property holds for
   // the prefix where all sources remain live. The source dictionary
   // is a bounded collect (the s03 pattern) broadcast back as the
-  // index map. ----
+  // index map.
+  //
+  // The per-source rank is TWO-LEVEL (the p11 bucketed-rank form):
+  // `source` is a handful of fixed values — it IS the stratification
+  // key, so there is no finer-key escape hatch — and a single-level
+  // row_number over it would rank the largest source's entire row
+  // set in ONE reducer at 100×. Instead rank within
+  // (source, md5-prefix bucket) in parallel, then add the broadcast
+  // per-(source, bucket) cumulative offset (≤ |sources|×256 rows).
+  // Because the bucket is a PREFIX of the md5 sort key,
+  // (bucket, md5) order ≡ md5 order, so the two-level ranks equal
+  // the single-level per-source row_number exactly — but no reducer
+  // ever sees more than ~N/(|sources|·256) rows. ----
   def epoch_interleave(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val srcs = docs(s, dir).select("source").distinct()
@@ -2161,11 +2210,20 @@ object PipelineQueries {
     val n = srcs.length
     import s.implicits._
     val idx = srcs.zipWithIndex.toSeq.toDF("source", "src_idx")
-    docs(s, dir).select(col("doc_id"), col("source"))
-      .withColumn("src_rank", row_number().over(
-        Window.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
-        .cast("long"))
+    val keyed = docs(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("mk", md5(col("doc_id").cast("string")))
+      .withColumn("bkt", substring(col("mk"), 1, 2))
+    // per-(source, bucket) offsets: bounded frame, window over it is
+    // driver-trivial; broadcast back for the map-side add
+    val off = keyed.groupBy("source", "bkt").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.partitionBy("source").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bkt"), col("off"))
+    keyed.join(broadcast(off), Seq("source", "bkt"))
+      .withColumn("src_rank",
+        row_number().over(Window.partitionBy("source", "bkt")
+          .orderBy(col("mk"), col("doc_id"))).cast("long") + col("off"))
       .join(broadcast(idx), Seq("source"))
       .select(col("doc_id"), col("source"), col("src_rank"),
         ((col("src_rank") - 1) * n + col("src_idx")).as("interleave_key"))
@@ -2196,6 +2254,47 @@ object PipelineQueries {
         md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
           x => x.cast("string")), ",")).as("checksum"))
       .orderBy("lang", "shard_id")
+
+  // ---- p18: the Lee-et-al PIPELINE end-to-end, one declarative
+  // plan — d20's exact-substring CUT → p16's concat-and-chunk over
+  // the CLEANED text → p15's manifest at shard grain. This is the
+  // shape a real pretraining pipeline runs (dedup feeds packing feeds
+  // the data card), and composition is where operator-boundary bugs
+  // hide (p10 caught exactly that class): every stage is the operator
+  // its standalone gate proves, chained as ONE Catalyst plan with no
+  // intermediate materialization. A shard is E = 16 consecutive
+  // C = 128-token examples (2048 tokens — p15's budget); a doc
+  // belongs to the shard its FIRST token lands in, so shard
+  // assignment is map-side integer division on p16's running offset.
+  // Scale shape: the cut's shuffles carry (hash, doc) and
+  // (doc, interval) only; the packing window partitions by lang (the
+  // p03/p16 documented contract — at 100 TB the group key is the
+  // shard key); the manifest is one hash-agg at (lang, shard) grain
+  // with shard-bounded id lists. All-integer + md5-checksum output,
+  // so the oracle composes the three stages' own CTE chains and
+  // replays it exactly. ----
+  def lee_pipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val C = 128
+    val E = 16
+    val t = cutCorpus(s, dir).select(col("lang"), col("source"),
+        col("doc_id"),
+        size(TextFunctions.tokens(col("clean_text"))).cast("long")
+          .as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("shard_id", expr(s"(start_off div $C) div $E"))
+      .groupBy("lang", "shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        countDistinct("source").as("n_sources"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("checksum"))
+      .orderBy("lang", "shard_id")
+  }
 
   // ---- deterministic source mixing: per-source keep fractions
   // applied via md5-bucket thresholds — map-only, no shuffle, and the

@@ -893,8 +893,22 @@ object StreamingQueries {
       }
       progressByGate(name).map(_.numInputRows).sum
     }
-    val in1 = leg("r65_leg1", parts.take(2))
-    val in2 = leg("r65_leg2", parts.drop(2))
+    // split by STAGED ROW COUNTS, not file position: repartition(4)
+    // over a skewed tiny corpus can stage an empty part file, and a
+    // blind 2/2 split would then drain an empty leg — making the
+    // in>0 assert report a test-setup artifact as a recovery bug.
+    // Pick the cut whose legs are both non-empty and closest to half.
+    val partRows = parts.map(f => s.read.parquet(f.getAbsolutePath).count())
+    val stagedTotal = partRows.sum
+    val cutChoices = (1 until parts.length).filter(i =>
+      partRows.take(i).sum > 0 && partRows.drop(i).sum > 0)
+    require(cutChoices.nonEmpty,
+      s"r65 test setup: staged part rows ${partRows.mkString(",")} admit " +
+        "no two-leg split with rows on both sides — corpus too small")
+    val cutAt = cutChoices.minBy(i =>
+      math.abs(partRows.take(i).sum - stagedTotal / 2))
+    val in1 = leg("r65_leg1", parts.take(cutAt))
+    val in2 = leg("r65_leg2", parts.drop(cutAt))
     require(in1 > 0 && in2 > 0,
       s"r65: a leg drained no rows (leg1=$in1, leg2=$in2) — the " +
         "restart never exercised resumed state")

@@ -299,6 +299,44 @@ class PlanContractSpec extends SparkTestBase {
       s"gates plan partition-less Windows outside the whitelist: $offenders")
   }
 
+  test("p17's corpus-wide rank window is TWO-LEVEL — every row_number " +
+      "partitions by (source, bucket), never a whole source") {
+    // `source` is a fixed handful of values (it IS the stratification
+    // key), so a row_number window partitioned by source alone ranks
+    // the largest source's entire row set in ONE reducer at 100× —
+    // the named scale-killer class. The two-level form ranks within
+    // (source, md5-prefix bucket) and adds broadcast offsets; the
+    // only source-only window left is the offsets prefix-sum over the
+    // BOUNDED (source, bkt) count frame, which plans with `sum`, not
+    // `row_number`.
+    val fmt = formatted("p17_epoch_interleave")
+    def topGroups(s: String): Seq[String] = {
+      var depth = 0; var start = -1
+      val out = Seq.newBuilder[String]
+      s.zipWithIndex.foreach {
+        case ('[', i) => if (depth == 0) start = i; depth += 1
+        case (']', i) => depth -= 1; if (depth == 0) out += s.substring(start, i + 1)
+        case _ => ()
+      }
+      out.result()
+    }
+    val rankWindows = opBlocks(fmt).collect {
+      case (_, "Window", block)
+          if block.contains("row_number") =>
+        """Arguments: (.*)""".r.findFirstMatchIn(block)
+          .map(m => topGroups(m.group(1))).getOrElse(Nil)
+    }
+    assert(rankWindows.nonEmpty, "p17 plans no row_number window at all")
+    rankWindows.foreach { gs =>
+      // partitioned Window prints [fns], [part], [ord]
+      assert(gs.length == 3, s"p17 row_number window is GLOBAL: $gs")
+      val part = gs(1)
+      assert(part.contains("source") && part.contains("bkt"),
+        s"p17 row_number window partitions by $part — must be " +
+          "(source, bkt) so no reducer ranks a whole source")
+    }
+  }
+
   test("t21/t23 BPE trainer: ONE corpus scan — every trainer round reads " +
       "the cached word table, and t23 probes the persisted dictionary " +
       "instead of re-training") {
