@@ -200,6 +200,69 @@ object SparkEntry {
     "m12_phash_dedup" -> (PipelineQueries.multimodal_phash_dedup _),
   )
 
+  /** The k-round BPE greedy-merge CTE chain shared by the t21/t23
+    * oracles — generated, because the engine now trains
+    * [[graft.queries.PipelineQueries.bpeMergeRounds]] = 64 merges and
+    * a hand-unrolled 64-round SQL body would be unmaintainable.
+    * Round r: s/x/c explode adjacent symbol pairs of w(r-1), b$r picks
+    * (weight DESC, pair ASC) — DuckDB's binary collation, matching the
+    * trainer's UTF-8 tie-break — and w$r applies the double-space
+    * replace. `prefix` supplies the toks CTE (t23's carries doc_id);
+    * `tail` closes the query.
+    */
+  private def bpeRoundsSql(k: Int, prefix: String, tail: String): String = {
+    val sb = new StringBuilder(prefix)
+    for (r <- 1 to k) sb ++= s""",
+         s$r AS MATERIALIZED (SELECT string_split(trim(s), '  ') AS a, wf FROM w${r - 1}),
+         x$r AS MATERIALIZED (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
+           FROM s$r WHERE len(a) >= 2),
+         c$r AS MATERIALIZED (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
+             CAST(sum(wf) AS BIGINT) AS weight FROM x$r GROUP BY 1),
+         b$r AS MATERIALIZED (SELECT pair, weight FROM c$r ORDER BY weight DESC, pair ASC LIMIT 1),
+         w$r AS MATERIALIZED (SELECT replace(s, ' ' || replace(b$r.pair, ' ', '  ') || ' ',
+             ' ' || replace(b$r.pair, ' ', '') || ' ') AS s, wf FROM w${r - 1}, b$r)"""
+    sb ++= tail
+    sb.toString
+  }
+
+  private def bpeMergesOracle(k: Int): String =
+    bpeRoundsSql(k,
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM toks GROUP BY 1),
+         w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s, wf FROM wf)""",
+      (1 to k).map { r =>
+        s"""SELECT $r AS step, split_part(pair, ' ', 1) AS lhs,
+                  split_part(pair, ' ', 2) AS rhs, weight FROM b$r"""
+      }.mkString("\n         SELECT * FROM (\n           ",
+        "\n           UNION ALL ", ")\n         ORDER BY step"))
+
+  private def bpeEncodeOracle(k: Int): String =
+    bpeRoundsSql(k,
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM toks GROUP BY 1),
+         w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s, wf FROM wf)""",
+      (1 to k).map { r =>
+        s"""e$r AS MATERIALIZED (SELECT w, replace(s, ' ' || replace(b$r.pair, ' ', '  ') || ' ',
+             ' ' || replace(b$r.pair, ' ', '') || ' ') AS s FROM e${r - 1}, b$r)"""
+      }.mkString(
+        """,
+         e0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') AS s
+           FROM (SELECT DISTINCT w FROM toks)),
+         """,
+        ",\n         ",
+        s""",
+         dict AS (SELECT w,
+             CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym,
+             CAST(length(w) AS BIGINT) AS n_char FROM e$k)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(d.n_char) AS BIGINT) AS n_chars,
+                CAST(sum(d.n_sym) AS BIGINT) AS n_tokens
+         FROM toks t JOIN dict d USING (w)
+         GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
   def oracleSql: Map[String, String] = Map(
     "r01_count" -> "SELECT count(*) AS cnt FROM events",
 
@@ -2546,40 +2609,7 @@ object SparkEntry {
     // semantics are engine-identical; the delimiter scheme makes that
     // equal to greedy BPE merging)
     "t21_bpe_merges" ->
-      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
-           FROM documents),
-         wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM toks GROUP BY 1),
-         w0 AS (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s, wf FROM wf),
-         s1 AS (SELECT string_split(trim(s), '  ') AS a, wf FROM w0),
-         x1 AS (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
-           FROM s1 WHERE len(a) >= 2),
-         c1 AS (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
-             CAST(sum(wf) AS BIGINT) AS weight FROM x1 GROUP BY 1),
-         b1 AS (SELECT pair, weight FROM c1 ORDER BY weight DESC, pair ASC LIMIT 1),
-         w1 AS (SELECT replace(s, ' ' || replace(b1.pair, ' ', '  ') || ' ',
-             ' ' || replace(b1.pair, ' ', '') || ' ') AS s, wf FROM w0, b1),
-         s2 AS (SELECT string_split(trim(s), '  ') AS a, wf FROM w1),
-         x2 AS (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
-           FROM s2 WHERE len(a) >= 2),
-         c2 AS (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
-             CAST(sum(wf) AS BIGINT) AS weight FROM x2 GROUP BY 1),
-         b2 AS (SELECT pair, weight FROM c2 ORDER BY weight DESC, pair ASC LIMIT 1),
-         w2 AS (SELECT replace(s, ' ' || replace(b2.pair, ' ', '  ') || ' ',
-             ' ' || replace(b2.pair, ' ', '') || ' ') AS s, wf FROM w1, b2),
-         s3 AS (SELECT string_split(trim(s), '  ') AS a, wf FROM w2),
-         x3 AS (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
-           FROM s3 WHERE len(a) >= 2),
-         c3 AS (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
-             CAST(sum(wf) AS BIGINT) AS weight FROM x3 GROUP BY 1),
-         b3 AS (SELECT pair, weight FROM c3 ORDER BY weight DESC, pair ASC LIMIT 1)
-         SELECT * FROM (
-           SELECT 1 AS step, split_part(pair, ' ', 1) AS lhs,
-                  split_part(pair, ' ', 2) AS rhs, weight FROM b1
-           UNION ALL SELECT 2, split_part(pair, ' ', 1),
-                  split_part(pair, ' ', 2), weight FROM b2
-           UNION ALL SELECT 3, split_part(pair, ' ', 1),
-                  split_part(pair, ' ', 2), weight FROM b3)
-         ORDER BY step""",
+      bpeMergesOracle(graft.queries.PipelineQueries.bpeMergeRounds),
 
     // r64: same exhaustive matrix as t22 — theta's merge-order
     // invariance means four micro-batches through the RocksDB state
@@ -2653,49 +2683,7 @@ object SparkEntry {
     // the same double-space replace, and rolls per-doc token counts
     // through the (word → symbol count) dictionary join
     "t23_bpe_encode" ->
-      """WITH toks AS (SELECT doc_id,
-             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
-           FROM documents),
-         wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM toks GROUP BY 1),
-         w0 AS (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s, wf FROM wf),
-         s1 AS (SELECT string_split(trim(s), '  ') AS a, wf FROM w0),
-         x1 AS (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
-           FROM s1 WHERE len(a) >= 2),
-         c1 AS (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
-             CAST(sum(wf) AS BIGINT) AS weight FROM x1 GROUP BY 1),
-         b1 AS (SELECT pair, weight FROM c1 ORDER BY weight DESC, pair ASC LIMIT 1),
-         w1 AS (SELECT replace(s, ' ' || replace(b1.pair, ' ', '  ') || ' ',
-             ' ' || replace(b1.pair, ' ', '') || ' ') AS s, wf FROM w0, b1),
-         s2 AS (SELECT string_split(trim(s), '  ') AS a, wf FROM w1),
-         x2 AS (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
-           FROM s2 WHERE len(a) >= 2),
-         c2 AS (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
-             CAST(sum(wf) AS BIGINT) AS weight FROM x2 GROUP BY 1),
-         b2 AS (SELECT pair, weight FROM c2 ORDER BY weight DESC, pair ASC LIMIT 1),
-         w2 AS (SELECT replace(s, ' ' || replace(b2.pair, ' ', '  ') || ' ',
-             ' ' || replace(b2.pair, ' ', '') || ' ') AS s, wf FROM w1, b2),
-         s3 AS (SELECT string_split(trim(s), '  ') AS a, wf FROM w2),
-         x3 AS (SELECT a, wf, unnest(range(CAST(len(a)-1 AS BIGINT))) AS i
-           FROM s3 WHERE len(a) >= 2),
-         c3 AS (SELECT a[CAST(i+1 AS INTEGER)] || ' ' || a[CAST(i+2 AS INTEGER)] AS pair,
-             CAST(sum(wf) AS BIGINT) AS weight FROM x3 GROUP BY 1),
-         b3 AS (SELECT pair, weight FROM c3 ORDER BY weight DESC, pair ASC LIMIT 1),
-         e0 AS (SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') AS s
-           FROM (SELECT DISTINCT w FROM toks)),
-         e1 AS (SELECT w, replace(s, ' ' || replace(b1.pair, ' ', '  ') || ' ',
-             ' ' || replace(b1.pair, ' ', '') || ' ') AS s FROM e0, b1),
-         e2 AS (SELECT w, replace(s, ' ' || replace(b2.pair, ' ', '  ') || ' ',
-             ' ' || replace(b2.pair, ' ', '') || ' ') AS s FROM e1, b2),
-         e3 AS (SELECT w, replace(s, ' ' || replace(b3.pair, ' ', '  ') || ' ',
-             ' ' || replace(b3.pair, ' ', '') || ' ') AS s FROM e2, b3),
-         dict AS (SELECT w,
-             CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym,
-             CAST(length(w) AS BIGINT) AS n_char FROM e3)
-         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-                CAST(sum(d.n_char) AS BIGINT) AS n_chars,
-                CAST(sum(d.n_sym) AS BIGINT) AS n_tokens
-         FROM toks t JOIN dict d USING (w)
-         GROUP BY t.doc_id ORDER BY t.doc_id""",
+      bpeEncodeOracle(graft.queries.PipelineQueries.bpeMergeRounds),
 
     // g06: 3 synchronized LPA rounds over the d04 pair graph, unrolled —
     // mode pick = row_number over (cnt DESC, lbl ASC), the same

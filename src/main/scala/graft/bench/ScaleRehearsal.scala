@@ -231,12 +231,13 @@ object ScaleRehearsal {
     // sub-26 curves already pin the linearity reading.
     val maxMult =
       if (mode == "streaming" || mode == "deep" || mode == "annfilter") 1000
-      else if (mode == "edit") 100
+      else if (mode == "edit" || mode == "windowskew") 100
       else 26
     require(mult >= 1 && mult <= maxMult,
       s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
-      "passages", "streaming", "deep", "edit", "annfilter").contains(mode),
+      "passages", "streaming", "deep", "edit", "annfilter", "windowskew",
+      "bpek").contains(mode),
       s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else {
@@ -310,6 +311,135 @@ object ScaleRehearsal {
         s""""d02":${jq(d02)},""" +
         s""""s02_replica":${jq(s02Replica)},""" +
         s""""s02_grown":${jq(s02Grown)}}""")
+    } else if (mode == "windowskew") {
+      // The per-group-window skew leg (VERDICT r13 #2): p03/p16/p17
+      // all run a window PARTITIONED by a fixed low-cardinality group
+      // key (lang/source), so one 90%-dominant group serializes the
+      // whole window in ONE reducer task at scale. This leg builds
+      // that adversarial corpus (90% of rows forced into one lang)
+      // and measures MAX-TASK time for the single-level form vs the
+      // two-level bucketed form (rank/prefix-sum within (group,
+      // bucket) + broadcast per-bucket offsets), for BOTH family
+      // shapes: the p16 running-sum (bucket = contiguous doc_id
+      // block, a prefix of the doc_id sort order) and the p17
+      // md5-ordered rank (bucket = md5 prefix). Outputs are asserted
+      // EQUAL between forms (hash of every column), so the leg is
+      // also the order-equivalence proof at rehearsal scale.
+      import org.apache.spark.sql.expressions.Window
+      saltedCorpus(spark, sfDir, mult)
+        .withColumn("lang",
+          when(pmod(col("doc_id"), lit(10)) =!= 0, lit("en"))
+            .otherwise(concat(lit("l"), pmod(col("doc_id"), lit(97)))))
+        .write.mode("overwrite").parquet(s"$work/documents.parquet")
+      val t = spark.read.parquet(s"$work/documents.parquet")
+        .select(col("lang"), col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .persist()
+      val nDocs = t.count()
+      // force full evaluation: aggregate a hash of EVERY output column
+      // (count() alone prunes cardinality-preserving windows — the
+      // StageProbe trap) and return it so the two forms can be
+      // asserted identical
+      def sink(df: org.apache.spark.sql.DataFrame): Long = {
+        val cols = df.columns.sorted
+          .map(c => coalesce(col(c).cast("string"), lit("")))
+        val r = df.select(xxhash64(
+            concat_ws("", cols.toIndexedSeq: _*)).as("h"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("h").cast("decimal(38,0)")).as("hs")).first()
+        r.getDecimal(1).longValue() ^ r.getLong(0)
+      }
+      def meterLeg(fn: => Long): ((Double, Double, Double, Long), Long) = {
+        val tm = new TaskMeter
+        spark.sparkContext.addSparkListener(tm)
+        val r = time(fn)
+        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(tm)
+        (r, tm.maxMs)
+      }
+      // ---- p16 family: per-group running prefix sum ----
+      val wSingle = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      def sumSingle = t.withColumn("start_off",
+        sum("n_tokens").over(wSingle) - col("n_tokens"))
+      // two-level: bucket = contiguous doc_id block (copies sit 10^7
+      // apart, so div 10^6 blocks are copy-aligned); (bkt, doc_id)
+      // order ≡ doc_id order because the bucket is monotone in doc_id
+      val keyedS = t.withColumn("bkt", expr("doc_id div 1000000"))
+      def offS = keyedS.groupBy("lang", "bkt")
+        .agg(sum("n_tokens").as("tok"))
+        .withColumn("off", coalesce(
+          sum("tok").over(Window.partitionBy("lang").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("lang", "bkt", "off")
+      def sumTwo = keyedS.join(broadcast(offS), Seq("lang", "bkt"))
+        .withColumn("start_off",
+          sum("n_tokens").over(Window.partitionBy("lang", "bkt")
+              .orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, 0))
+            + col("off") - col("n_tokens"))
+        .select("lang", "doc_id", "n_tokens", "start_off")
+      // ---- p17 family: per-group md5-ordered rank ----
+      def rankSingle = t.withColumn("r", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+        .cast("long")).select("lang", "doc_id", "r")
+      val keyedR = t
+        .withColumn("mk", md5(col("doc_id").cast("string")))
+        .withColumn("bkt", substring(col("mk"), 1, 2))
+      def offR = keyedR.groupBy("lang", "bkt").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(
+          sum("c").over(Window.partitionBy("lang").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("lang", "bkt", "off")
+      def rankTwo = keyedR.join(broadcast(offR), Seq("lang", "bkt"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("lang", "bkt").orderBy("mk", "doc_id"))
+          .cast("long") + col("off"))
+        .select("lang", "doc_id", "r")
+      var h1 = 0L; var h2 = 0L
+      val s1 = meterLeg { h1 = sink(sumSingle
+        .select("lang", "doc_id", "n_tokens", "start_off")); nDocs }
+      val s2 = meterLeg { h2 = sink(sumTwo); nDocs }
+      require(h1 == h2,
+        s"windowskew: two-level prefix-sum diverged (hash $h1 vs $h2)")
+      var r1 = 0L; var r2 = 0L
+      val g1 = meterLeg { r1 = sink(rankSingle); nDocs }
+      val g2 = meterLeg { r2 = sink(rankTwo); nDocs }
+      require(r1 == r2,
+        s"windowskew: two-level rank diverged (hash $r1 vs $r2)")
+      t.unpersist()
+      println(s"""{"mult":$mult,"docs":$nDocs,""" +
+        s""""sum_single":${jq(s1._1)},"sum_single_max_task_ms":${s1._2},""" +
+        s""""sum_two":${jq(s2._1)},"sum_two_max_task_ms":${s2._2},""" +
+        s""""rank_single":${jq(g1._1)},"rank_single_max_task_ms":${g1._2},""" +
+        s""""rank_two":${jq(g2._1)},"rank_two_max_task_ms":${g2._2}}""")
+    } else if (mode == "bpek") {
+      // The production-k BPE leg (VERDICT r13 #3): the trainer is one
+      // corpus scan + a driver-side merge loop, so wall must be ~flat
+      // in k. Collect the vocabulary once (timed), then time the
+      // driver loop at k = 3 / 64 / 256 / 1024 — the k=3→64 step is
+      // the round-13→14 upgrade; 256/1024 extrapolate toward
+      // production merge counts. `mult` is unused (the sweep is in k,
+      // not corpus size).
+      import graft.queries.PipelineQueries
+      val t0 = System.nanoTime()
+      val wf0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(graft.functions.TextFunctions
+          .tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val scanSec = ((System.nanoTime() - t0) / 1e7).round / 100.0
+      val sweep = Seq(3, 64, 256, 1024).map { k =>
+        val t1 = System.nanoTime()
+        val (merges, _) = PipelineQueries.trainBpe(wf0, k)
+        val sec = ((System.nanoTime() - t1) / 1e7).round / 100.0
+        s""""k$k":{"sec":$sec,"merges":${merges.size}}"""
+      }
+      println(s"""{"vocab":${wf0.length},"scan_sec":$scanSec,""" +
+        sweep.mkString(",") + "}")
     } else if (mode == "ann") {
       // salted corpora land in parquet first (same rationale as graph
       // mode); queries stay the copy-0 probe set, the realistic shape

@@ -1596,13 +1596,106 @@ object PipelineQueries {
 
   private val bpeBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Trains the k-round BPE tokenizer ONCE per corpus and persists
-    * the artifact: k rounds of count-best-merge over the persisted
-    * word-frequency table (one corpus scan total), then the final
-    * symbolization — which IS the fully-merged word table after
-    * round k, no re-application needed — written as the encode
-    * dictionary. Deterministic (greedy merge with a total-order
-    * tie-break), so rebuilds overwrite with identical bytes.
+  /** Training depth of the persisted tokenizer. Production-shaped:
+    * the first cut ran one Spark job PER merge round (fine at k=3,
+    * binding at k=10k), so the merge loop is now driver-side over the
+    * once-collected word table and k only costs driver microseconds
+    * per round — wall is ~flat in k.
+    */
+  private[graft] val bpeMergeRounds = 64
+
+  /** Unsigned UTF-8 byte order — the collation BOTH engines sort
+    * strings by (Spark UTF8String binary compare, DuckDB default
+    * binary collation). Java String.compareTo is UTF-16-unit order,
+    * which diverges on supplementary characters, so the driver-side
+    * tie-break must not use it.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The driver-side greedy BPE merge loop over a collected
+    * (word, frequency) table — k rounds of pair-count → argmax →
+    * double-space replace. Factored out so [[bpeArtifactFor]] and the
+    * ScaleRehearsal k-sweep share ONE implementation. Returns the
+    * merge decisions and the final per-word symbolizations (index-
+    * aligned with `wf0`).
+    */
+  private[graft] def trainBpe(wf0: Array[(String, Long)], k: Int)
+      : (Seq[(Int, String, String, Long)], Array[String]) = {
+    // initial symbolization: every code point its own symbol,
+    // " a  b " form (each symbol owns its flanking spaces, so a
+    // merge's replace can't eat a neighbour's boundary)
+    val syms = new Array[String](wf0.length)
+    var wi = 0
+    while (wi < wf0.length) {
+      val sb = new java.lang.StringBuilder(" ")
+      wf0(wi)._1.codePoints().forEach { cp =>
+        sb.appendCodePoint(cp); sb.append("  "); ()
+      }
+      sb.setLength(sb.length - 1) // "  " tail -> " "
+      syms(wi) = sb.toString
+      wi += 1
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to k) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i < syms.length) {
+        val a = syms(i).trim.split("  ")
+        if (a.length >= 2) {
+          var j = 0
+          while (j < a.length - 1) {
+            val pair = a(j) + " " + a(j + 1)
+            counts.update(pair, counts.getOrElse(pair, 0L) + wf0(i)._2)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      if (counts.nonEmpty) {
+        var bestPair: String = null; var bestW = Long.MinValue
+        counts.foreach { case (pair, w) =>
+          if (w > bestW || (w == bestW && utf8Lt(pair, bestPair)))
+            { bestPair = pair; bestW = w }
+        }
+        val Array(l, r) = bestPair.split(" ", 2)
+        merges += ((round, l, r, bestW))
+        val from = s" $l  $r "; val to = s" $l$r "
+        var m = 0
+        while (m < syms.length) {
+          // String.replace: all occurrences, left-to-right, non-
+          // overlapping — identical to Spark replace/DuckDB replace
+          if (syms(m).contains(from)) syms(m) = syms(m).replace(from, to)
+          m += 1
+        }
+      }
+    }
+    (merges.toSeq, syms)
+  }
+
+  /** Trains the [[bpeMergeRounds]]-round BPE tokenizer ONCE per
+    * corpus and persists the artifact. Scale shape (the production-k
+    * form): ONE corpus scan collects the word-frequency table — it
+    * is vocabulary-bounded, the same contract as the s03 centroid
+    * collect — and the entire greedy merge loop runs DRIVER-SIDE
+    * over that table, zero Spark jobs per round, so a 10k-merge
+    * training run costs one scan plus driver CPU instead of 10k job
+    * round-trips. Semantics are unchanged from the k=3 distributed
+    * form (spec-pinned): symbols are double-space-delimited so plain
+    * left-to-right replace IS the greedy merge; the winning pair is
+    * (max weight, then smallest pair in UTF-8 byte order) — the
+    * exact `ORDER BY weight DESC, pair ASC LIMIT 1` the oracle runs.
+    * The fully-merged word table after round k IS the encode
+    * dictionary. Deterministic, so rebuilds overwrite with identical
+    * bytes.
     */
   private[queries] def bpeArtifactFor(s: SparkSession, dir: String): String =
     // compute, not computeIfAbsent: if the persisted artifact was
@@ -1613,44 +1706,31 @@ object PipelineQueries {
       if (prev != null && new java.io.File(s"$p/merges").exists() &&
           new java.io.File(s"$p/dict").exists()) prev
       else {
-      val k = 3
-      val base = docs(s, dir)
+      val k = bpeMergeRounds
+      // the ONE corpus scan; vocabulary-bounded collect (distinct
+      // lowercased words — the s03-centroids boundedness contract)
+      val wf0 = docs(s, dir)
         .select(explode(TextFunctions.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("wf"))
-        .persist() // the ONE corpus scan; all rounds iterate on this
-      try {
-        var wf = base.select(col("w"),
-          regexp_replace(col("w"), "(.)", " $1 ").as("sym"), col("wf"))
-        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-        for (round <- 1 to k) {
-          val best = wf
-            .select(col("wf"), split(trim(col("sym")), "  ").as("a"))
-            .filter(size(col("a")) >= 2)
-            .select(col("wf"), col("a"),
-              explode(sequence(lit(1), size(col("a")) - 1)).as("i"))
-            .select(concat(element_at(col("a"), col("i")), lit(" "),
-              element_at(col("a"), col("i") + 1)).as("pair"), col("wf"))
-            .groupBy("pair").agg(sum("wf").as("weight"))
-            .orderBy(desc("weight"), asc("pair"))
-            .limit(1).collect() // bounded: exactly one winning pair per round
-          if (best.nonEmpty) {
-            val Array(l, r) = best(0).getString(0).split(" ", 2)
-            merges += ((round, l, r, best(0).getLong(1)))
-            wf = wf.select(col("w"),
-              org.apache.spark.sql.functions.replace(col("sym"),
-                lit(s" $l  $r "), lit(s" $l$r ")).as("sym"), col("wf"))
-          }
-        }
-        import s.implicits._
-        merges.toSeq.toDF("step", "lhs", "rhs", "weight")
-          .select(col("step").cast("int"), col("lhs"), col("rhs"),
-            col("weight"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$p/merges")
-        wf.select(col("w"),
-            size(split(trim(col("sym")), "  ")).cast("long").as("n_sym"),
-            length(col("w")).cast("long").as("n_char"))
-          .write.mode("overwrite").parquet(s"$p/dict")
-      } finally base.unpersist()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val (merges, syms) = trainBpe(wf0, k)
+      // fewer than k merges = the vocabulary fully merged (every word
+      // one symbol) — training is complete, not broken. The oracle
+      // agrees: once a round's pair table is empty its b-CTE is empty
+      // and every later round cascades empty, so both engines emit
+      // exactly the achieved merges.
+      require(merges.nonEmpty, "bpe: empty vocabulary — no merges trained")
+      import s.implicits._
+      merges.toSeq.toDF("step", "lhs", "rhs", "weight")
+        .select(col("step").cast("int"), col("lhs"), col("rhs"),
+          col("weight"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/merges")
+      wf0.indices.map { i =>
+        val w = wf0(i)._1
+        (w, syms(i).trim.split("  ").length.toLong,
+          w.codePointCount(0, w.length).toLong)
+      }.toDF("w", "n_sym", "n_char")
+        .write.mode("overwrite").parquet(s"$p/dict")
       p
       }
     })

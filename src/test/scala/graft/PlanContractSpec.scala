@@ -337,9 +337,9 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
-  test("t21/t23 BPE trainer: ONE corpus scan — every trainer round reads " +
-      "the cached word table, and t23 probes the persisted dictionary " +
-      "instead of re-training") {
+  test("t21/t23 BPE trainer: ONE corpus scan — the word table collects " +
+      "once, every merge round is driver-side, and t23 probes the " +
+      "persisted dictionary instead of re-training") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.util.QueryExecutionListener
@@ -374,17 +374,23 @@ class PlanContractSpec extends SparkTestBase {
     try {
       val merges = queries.PipelineQueries.bpe_merges(spark, dir).collect()
       org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
-      assert(merges.length == 3, "trainer did not produce 3 merge rounds")
-      // the corpus file is read by NO trainer execution directly: the
-      // single scan happens inside the persisted word table's cache
-      // population (structurally below InMemoryTableScan), and every
-      // round's top-1 collect + the artifact writes read the cache
-      assert(corpusScans.get == 0,
+      // planted vocab is tiny, so k=64 exhausts early — exhaustion
+      // semantics (merges < k, steps consecutive from 1) are the
+      // production contract, spec-pinned here
+      assert(merges.length >= 3, "trainer produced fewer than 3 merges")
+      assert(merges.map(_.getInt(0)).toSeq == (1 to merges.length),
+        "merge steps are not consecutive from 1")
+      // production-k contract: the corpus is scanned EXACTLY once (the
+      // vocabulary-bounded word-frequency collect); every merge round
+      // is driver-side — zero Spark executions per round (the k=3 form
+      // ran one top-1 job per round; at k=10k that is the binding cost)
+      assert(corpusScans.get == 1,
         s"${corpusScans.get} trainer executions scanned documents.parquet " +
-          "directly — the word table is not feeding rounds from cache")
-      assert(cachedReads.get >= 3,
-        s"only ${cachedReads.get} executions read the cached word table " +
-          "— the trainer is not iterating on the persisted relation")
+          "— the trainer must collect the word table once and loop " +
+          "driver-side")
+      assert(cachedReads.get == 0,
+        s"${cachedReads.get} executions read a cached relation — the " +
+          "driver-side trainer should not build one")
       assert(new java.io.File(
           queries.PipelineQueries.t21BpePath(dir), "dict").exists,
         "trained dictionary artifact missing")

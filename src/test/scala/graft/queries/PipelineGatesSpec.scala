@@ -316,9 +316,13 @@ class PipelineGatesSpec extends SparkTestBase {
     //          two — the double-delimiter replace must not chain).
     // round 2: ("aa","a")=5 beats (a,b)=3 — the merged symbol must
     //          re-enter pair space as a unit.
-    // round 3: (a,b)=3 beats the (c,d)/(c,e) tie; and if weights ever
-    //          tie, pair-string ASC picks — exercised at w=2 ties
-    //          only if rounds ran further, so pin the 3 winners.
+    // round 3: (a,b)=3 beats the (c,d)/(c,e) tie.
+    // round 4: (c,d) and (c,e) tie at w=2 — pair-string ASC picks
+    //          (c,d), the UTF-8 tie-break under test.
+    // round 5: (c,e)=2, the last pair standing.
+    // rounds 6..k: every word is one symbol — the trainer must STOP
+    //          emitting (vocabulary exhausted = training complete),
+    //          exactly like the oracle's cascade-empty rounds.
     val dir = tmpSf(Seq(
       (0L, "aaa aaa aaa", "en", "s", 1L),
       (1L, "aaa aaa ab", "en", "s", 1L),
@@ -327,18 +331,18 @@ class PipelineGatesSpec extends SparkTestBase {
     val got = PipelineQueries.bpe_merges(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq((1, "a", "a", 10L), (2, "aa", "a", 5L),
-      (3, "a", "b", 3L)))
+      (3, "a", "b", 3L), (4, "c", "d", 2L), (5, "c", "e", 2L)))
 
-    // t23 applies those merges: "aaa" → 1 symbol (rounds 1+2), "ab" →
-    // 1 (round 3), "cd"/"ce" stay 2 — per-doc (n_words, n_chars,
-    // n_tokens) must reflect the TRAINED segmentation, not whitespace
+    // t23 applies those merges: every word fully merged to 1 symbol —
+    // per-doc (n_words, n_chars, n_tokens) must reflect the TRAINED
+    // segmentation, not whitespace
     val enc = PipelineQueries.bpe_encode(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(enc.toSeq == Seq(
       (0L, 3L, 9L, 3L),    // aaa aaa aaa
       (1L, 3L, 8L, 3L),    // aaa aaa ab
-      (2L, 4L, 8L, 6L),    // ab ab cd cd → 1+1+2+2
-      (3L, 2L, 4L, 4L)))   // ce ce → 2+2
+      (2L, 4L, 8L, 4L),    // ab ab cd cd → all 1-symbol
+      (3L, 2L, 4L, 2L)))   // ce ce → 1+1
   }
 
   test("g12 incremental_components: chain merges through an unmapped " +
