@@ -94,6 +94,7 @@ object SparkEntry {
     "r65_stream_theta_recovery" -> (StreamingQueries.stream_theta_recovery _),
     "r66_stream_concat_chunk" -> (StreamingQueries.stream_concat_chunk _),
     "r67_stream_state_recovery" -> (StreamingQueries.stream_concat_chunk_recovery _),
+    "r68_stream_interleave" -> (StreamingQueries.stream_interleave_recovery _),
     "r33_set_ops" -> (RefQueries.set_ops _),
     "r19_retention" -> (RefQueries.retention _),
     "g01_graph_nodes" -> (RefQueries.graph_nodes _),
@@ -2237,6 +2238,25 @@ object SparkEntry {
                 CAST(start_off // 128 AS BIGINT) AS first_example,
                 CAST((start_off + n_tokens - 1) // 128 AS BIGINT) AS last_example
          FROM o ORDER BY lang, doc_id""",
+
+    // r68: the same batch-p17 rank — after a checkpoint restart
+    // between the corpus halves, the resumed per-source rank counter
+    // must reproduce it (a reset counter shifts every leg-2 key)
+    "r68_stream_interleave" ->
+      """WITH sx AS (SELECT source,
+             CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+           FROM (SELECT DISTINCT source FROM documents)),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sx),
+         r AS (SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS src_rank
+           FROM documents)
+         SELECT r.doc_id, r.source, r.src_rank,
+                CAST((r.src_rank - 1) * n.n + sx.src_idx AS BIGINT)
+                  AS interleave_key
+         FROM r JOIN sx USING (source) CROSS JOIN n
+         ORDER BY r.doc_id""",
 
     // p17: per-source md5-ordered ranks, dense source index over the
     // sorted source dictionary, key = (rank-1)*n + idx — all integer

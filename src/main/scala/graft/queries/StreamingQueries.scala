@@ -828,6 +828,79 @@ object StreamingQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** r68: streaming epoch-INTERLEAVE key with checkpoint recovery —
+    * p17 at ingest cadence, completing the streaming story for the
+    * round-13 batch additions: the per-source rank counter rides the
+    * same flatMapGroupsWithState shape as r66 (state = ONE long per
+    * source) and the drained sink must equal batch p17 over the whole
+    * corpus. Ingest contract: batch i holds the i-th md5-prefix
+    * quarter of doc ids, so per-source arrival order IS md5 order —
+    * the batch rank's sort key — across micro-batches; within a batch
+    * the operator sorts the group's rows by (mk, doc_id). The
+    * r67-style recovery leg restarts a NEW query from the checkpoint
+    * between the halves: a reset rank counter would shift every leg-2
+    * key by the leg-1 per-source counts, which the batch-p17 oracle
+    * catches. Exactly-once asserted structurally (both legs non-empty
+    * and summing to the corpus row count exactly).
+    */
+  def stream_interleave_recovery(s: SparkSession, dir: String): DataFrame = {
+    val base = scratchDir(s, "r68", dir)
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val cp = new java.io.File(base, "cp").getAbsolutePath
+    val docsStatic = graft.Tables.load(s, dir, "documents")
+    // bounded collect: the source dictionary (the s03 pattern) — the
+    // SAME sorted-distinct index map batch p17 builds
+    val srcs = docsStatic.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val srcIdx = srcs.zipWithIndex.toMap
+    val t = docsStatic.select(col("source"), col("doc_id"),
+      md5(col("doc_id").cast("string")).as("mk"))
+    val totalRows = t.count()
+    // ordered splits by md5 PREFIX quarter: every b1 row's mk sorts
+    // before every b2 row's, so cross-batch arrival order per source
+    // equals the batch sort order
+    val parts = Seq(
+      t.filter(col("mk") < "4"),
+      t.filter(col("mk") >= "4" && col("mk") < "8"),
+      t.filter(col("mk") >= "8" && col("mk") < "c"),
+      t.filter(col("mk") >= "c"))
+    val staged = parts.zipWithIndex.map { case (df, i) =>
+      val tmp = new java.io.File(base, s"tmp${i + 1}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      (tmp.listFiles.find(_.getName.endsWith(".parquet")).get, i)
+    }
+    import s.implicits._
+    val keyed = graft.streaming.StreamingInterleave.keys(
+      s.readStream.schema(t.schema).option("maxFilesPerTrigger", "1")
+        .parquet(src.getAbsolutePath)
+        .as[graft.streaming.StreamingInterleave.DocSrc], srcIdx)
+    def leg(name: String, files: Seq[(java.io.File, Int)]): Long = {
+      files.foreach { case (f, i) =>
+        val dst = new java.io.File(src, s"b${i + 1}.parquet")
+        org.apache.commons.io.FileUtils.copyFile(f, dst)
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
+      withStatePartitions(s, 8) {
+        val q = keyed.toDF().writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        drain(name, q)
+      }
+      progressByGate(name).map(_.numInputRows).sum
+    }
+    val in1 = leg("r68_leg1", staged.take(2))
+    val in2 = leg("r68_leg2", staged.drop(2))
+    require(in1 > 0 && in2 > 0,
+      s"r68: a leg drained no rows (leg1=$in1, leg2=$in2) — the " +
+        "restart never exercised the resumed rank counter")
+    require(in1 + in2 == totalRows,
+      s"r68: legs read $in1 + $in2 rows of $totalRows — source " +
+        "offsets were not resumed exactly-once across the restart")
+    s.read.schema(keyed.toDF().schema).parquet(out)
+      .orderBy("doc_id")
+  }
+
   /** r65: checkpoint RECOVERY for AGGREGATION state — r62 proves the
     * dedup KEY store resumes; this proves a complete-mode sketch
     * aggregation's serialized buffers (r64's ThetaSketchAgg rows)
