@@ -123,6 +123,7 @@ object SparkEntry {
     "t24_dsir_weights" -> (PipelineQueries.dsir_weights _),
     "p17_epoch_interleave" -> (PipelineQueries.epoch_interleave _),
     "p18_lee_pipeline" -> (PipelineQueries.lee_pipeline _),
+    "p19_concat_chunk_scale" -> (PipelineQueries.concat_chunk_scale _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -169,6 +170,7 @@ object SparkEntry {
     "t21_bpe_merges" -> (PipelineQueries.bpe_merges _),
     "t22_source_overlap" -> (PipelineQueries.source_overlap _),
     "t23_bpe_encode" -> (PipelineQueries.bpe_encode _),
+    "t25_bpe_compression" -> (PipelineQueries.bpe_compression _),
     "t16_token_entropy" -> (PipelineQueries.token_entropy _),
     "t17_cms_estimate" -> (PipelineQueries.cms_estimate _),
     "t18_contamination_density" -> (PipelineQueries.contamination_density _),
@@ -2339,6 +2341,23 @@ object SparkEntry {
                 md5(array_to_string(list_sort(list(doc_id)), ',')) AS checksum
          FROM sh GROUP BY 1, 2 ORDER BY lang, shard_id""",
 
+    // p19: the two-level form must equal p16 EXACTLY (the bucket is a
+    // prefix of the doc_id order), so its oracle IS p16's single-level
+    // SQL — the order-equivalence proof runs cross-engine every round
+    "p19_concat_chunk_scale" ->
+      """WITH t AS (SELECT lang, doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)),'\s+')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(lower(text)),'\s+')) > 0),
+         o AS (SELECT lang, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+           FROM t)
+         SELECT lang, doc_id, n_tokens, start_off,
+                CAST(start_off // 128 AS BIGINT) AS first_example,
+                CAST((start_off + n_tokens - 1) // 128 AS BIGINT) AS last_example
+         FROM o ORDER BY lang, doc_id""",
+
     // p16: concat-and-chunk — per-lang running token offsets, then
     // integer division by the C=128 example size; the final partial
     // example is emitted (boundary map is total)
@@ -2630,6 +2649,20 @@ object SparkEntry {
     // equal to greedy BPE merging)
     "t21_bpe_merges" ->
       bpeMergesOracle(graft.queries.PipelineQueries.bpeMergeRounds),
+
+    // t25: probes the PERSISTED dict artifact (the d11/p12 pattern —
+    // the gate's engine side trains/loads the same parquet), so a
+    // stale or drifted dictionary fails the hash compare
+    "t25_bpe_compression" ->
+      """WITH toks AS (SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         dict AS (SELECT * FROM '/tmp/graft_t21_bpe/sf0.01/dict/*.parquet')
+         SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(d.n_char) AS BIGINT) AS sum_chars,
+                CAST(sum(d.n_sym) AS BIGINT) AS sum_tokens
+         FROM toks t JOIN dict d USING (w)
+         GROUP BY t.source ORDER BY t.source""",
 
     // r64: same exhaustive matrix as t22 — theta's merge-order
     // invariance means four micro-batches through the RocksDB state

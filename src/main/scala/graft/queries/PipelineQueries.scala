@@ -1758,6 +1758,31 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- t25: tokenizer COMPRESSION-RATIO eval — the metric a
+  // tokenizer team tracks per source before adopting a vocabulary:
+  // chars-per-token under the TRAINED merges, per source (a source
+  // whose ratio stays ≈1 is one the tokenizer fails to compress —
+  // wrong language, binary junk, or vocabulary mismatch). Integer
+  // output (sum_chars, sum_tokens per source; the division is the
+  // reader's) so the gate hash-compares exactly. Probes the SAME
+  // persisted dict artifact t23 encodes with ([[bpeArtifactFor]]) —
+  // train once (t21), apply (t23), evaluate (t25); the oracle reads
+  // the artifact parquet back (the d11/p12 artifact-probing pattern),
+  // so a drifted or stale dict fails the gate. One corpus scan + one
+  // broadcast dictionary join + one 20-row aggregate — the eval is
+  // free at any scale. ----
+  def bpe_compression(s: SparkSession, dir: String): DataFrame = {
+    val dict = s.read.parquet(s"${bpeArtifactFor(s, dir)}/dict")
+    docs(s, dir).select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .join(broadcast(dict), Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_char").as("sum_chars"),
+        sum("n_sym").as("sum_tokens"))
+      .orderBy("source")
+  }
+
   // ---- t22: cross-source overlap matrix via THETA-SKETCH
   // INTERSECTION — the no-join answer to "how much passage-level
   // duplication exists BETWEEN every pair of sources?" (the question
@@ -2251,6 +2276,44 @@ object PipelineQueries {
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     t.withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $C").as("first_example"),
+        expr(s"(start_off + n_tokens - 1) div $C").as("last_example"))
+      .orderBy("lang", "doc_id")
+  }
+
+  // ---- p19: the SCALE-SAFE concat-and-chunk — p16's semantics with
+  // the per-lang window two-leveled, the same pairing p11 is to p08:
+  // the running token offset is a prefix SUM (associative), so it
+  // splits into (1) per-(lang, bucket) token totals, windowed into
+  // per-bucket offsets over a BOUNDED frame (≤ langs × buckets rows,
+  // broadcast back), and (2) a running sum WITHIN (lang, bucket) —
+  // no reducer ever sees more than one bucket's slice. The bucket is
+  // a contiguous doc_id block (doc_id div 64), i.e. a PREFIX of the
+  // doc_id sort order, so (bucket, doc_id) order ≡ doc_id order and
+  // the offsets are EXACTLY p16's — the gate's oracle is p16's own
+  // single-level SQL, making the equivalence a cross-engine-verified
+  // fact, not an argument. At 100 TB the bucket is the ingest
+  // file/shard id; the windowskew rehearsal carries the measured
+  // max-task bound (SCALE.md round 14). ----
+  def concat_chunk_scale(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val C = 128
+    val t = docs(s, dir).select(col("lang"), col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bkt", expr("doc_id div 64"))
+    val off = t.groupBy("lang", "bkt").agg(sum("n_tokens").as("tok"))
+      .withColumn("off", coalesce(
+        sum("tok").over(Window.partitionBy("lang").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "bkt", "off")
+    t.join(broadcast(off), Seq("lang", "bkt"))
+      .withColumn("start_off",
+        sum("n_tokens").over(Window.partitionBy("lang", "bkt")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+          + col("off") - col("n_tokens"))
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("start_off"),
         expr(s"start_off div $C").as("first_example"),
         expr(s"(start_off + n_tokens - 1) div $C").as("last_example"))

@@ -21,6 +21,22 @@ class PipelineGatesSpec extends SparkTestBase {
     dir
   }
 
+  test("p19 two-level concat-chunk equals p16's single-level form " +
+      "row-for-row on a skewed planted corpus (bucket boundaries, " +
+      "cross-bucket carry, single-row buckets)") {
+    // doc_ids straddle the div-64 bucket boundary (63/64) and leave
+    // bucket 2+ sparse; one lang dominates so the per-bucket offset
+    // carry is exercised across three buckets
+    val rows = (0L to 70L).map(i =>
+      (i * 2, ("w " * ((i % 7).toInt + 1)).trim,
+        if (i % 9 == 0) "de" else "en",
+        "s", 1L)) :+ (200L, "a b c", "en", "s", 1L)
+    val dir = tmpSf(rows)
+    val single = PipelineQueries.concat_chunk(spark, dir).collect().toSeq
+    val two = PipelineQueries.concat_chunk_scale(spark, dir).collect().toSeq
+    assert(two == single)
+  }
+
   test("d02/d13 verify-join regimes agree: the large-corpus SHUFFLE_HASH " +
       "path returns exactly the broadcast path's pair set") {
     // The big regime only activates past VerifyBroadcastMaxDocs docs,
