@@ -1621,18 +1621,11 @@ object PipelineQueries {
     x.length < y.length
   }
 
-  /** The driver-side greedy BPE merge loop over a collected
-    * (word, frequency) table — k rounds of pair-count → argmax →
-    * double-space replace. Factored out so [[bpeArtifactFor]] and the
-    * ScaleRehearsal k-sweep share ONE implementation. Returns the
-    * merge decisions and the final per-word symbolizations (index-
-    * aligned with `wf0`).
+  /** Initial BPE symbolization: every code point its own symbol,
+    * " a  b " form (each symbol owns its flanking spaces, so a
+    * merge's replace can't eat a neighbour's boundary).
     */
-  private[graft] def trainBpe(wf0: Array[(String, Long)], k: Int)
-      : (Seq[(Int, String, String, Long)], Array[String]) = {
-    // initial symbolization: every code point its own symbol,
-    // " a  b " form (each symbol owns its flanking spaces, so a
-    // merge's replace can't eat a neighbour's boundary)
+  private def bpeInitSyms(wf0: Array[(String, Long)]): Array[String] = {
     val syms = new Array[String](wf0.length)
     var wi = 0
     while (wi < wf0.length) {
@@ -1644,19 +1637,106 @@ object PipelineQueries {
       syms(wi) = sb.toString
       wi += 1
     }
+    syms
+  }
+
+  private def bpePairsOf(sym: String): Array[String] = {
+    val a = sym.trim.split("  ")
+    if (a.length < 2) Array.empty
+    else Array.tabulate(a.length - 1)(j => a(j) + " " + a(j + 1))
+  }
+
+  /** The driver-side greedy BPE merge loop over a collected
+    * (word, frequency) table, with INCREMENTAL pair-count maintenance
+    * (the Sennrich-implementation shape): pair weights and the
+    * pair→words index are built once, and each merge round updates
+    * only the words that CONTAIN the winning pair — per-round cost ∝
+    * affected words, not vocabulary size, so a production run
+    * (V ≈ 10⁶, k ≈ 50k) pays O(V·len + Σ affected) instead of
+    * O(k·V·len). Selection is bit-identical to the full recount (the
+    * per-word delta is an exact recount of just that word;
+    * [[trainBpeNaive]] stays as the spec's parity reference). Returns
+    * the merge decisions and the final per-word symbolizations
+    * (index-aligned with `wf0`).
+    */
+  private[graft] def trainBpe(wf0: Array[(String, Long)], k: Int)
+      : (Seq[(Int, String, String, Long)], Array[String]) = {
+    val syms = bpeInitSyms(wf0)
+    val pairW = scala.collection.mutable.HashMap.empty[String, Long]
+    val pairWords =
+      scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.Set[Int]]
+    def addWord(i: Int): Unit = {
+      val ps = bpePairsOf(syms(i))
+      var j = 0
+      while (j < ps.length) {
+        pairW.update(ps(j), pairW.getOrElse(ps(j), 0L) + wf0(i)._2)
+        pairWords.getOrElseUpdate(ps(j),
+          scala.collection.mutable.Set.empty[Int]) += i
+        j += 1
+      }
+    }
+    def dropWord(i: Int): Unit = {
+      val ps = bpePairsOf(syms(i))
+      var j = 0
+      while (j < ps.length) {
+        val nw = pairW(ps(j)) - wf0(i)._2
+        if (nw == 0L) pairW.remove(ps(j)) else pairW.update(ps(j), nw)
+        j += 1
+      }
+      ps.distinct.foreach { p =>
+        pairWords.get(p).foreach { s =>
+          s -= i; if (s.isEmpty) pairWords.remove(p)
+        }
+      }
+    }
+    var i0 = 0
+    while (i0 < syms.length) { addWord(i0); i0 += 1 }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to k) {
+      if (pairW.nonEmpty) {
+        var bestPair: String = null; var bestW = Long.MinValue
+        pairW.foreach { case (pair, w) =>
+          if (w > bestW || (w == bestW && utf8Lt(pair, bestPair)))
+            { bestPair = pair; bestW = w }
+        }
+        val Array(l, r) = bestPair.split(" ", 2)
+        merges += ((round, l, r, bestW))
+        val from = s" $l  $r "; val to = s" $l$r "
+        // only words CONTAINING the winning pair change; snapshot the
+        // membership set because dropWord/addWord mutate it
+        val affected = pairWords.get(bestPair)
+          .map(_.toArray.sorted).getOrElse(Array.empty)
+        affected.foreach { m =>
+          dropWord(m)
+          // String.replace: all occurrences, left-to-right, non-
+          // overlapping — identical to Spark replace/DuckDB replace
+          syms(m) = syms(m).replace(from, to)
+          addWord(m)
+        }
+      }
+    }
+    (merges.toSeq, syms)
+  }
+
+  /** The O(k·V·len) full-recount form of [[trainBpe]] — kept ONLY as
+    * the parity reference: the spec replays both on planted vocabs
+    * (tie-heavy, overlap-heavy) and the merge sequences must be
+    * identical, which is what makes the incremental index a pure
+    * optimization rather than a semantic change.
+    */
+  private[graft] def trainBpeNaive(wf0: Array[(String, Long)], k: Int)
+      : (Seq[(Int, String, String, Long)], Array[String]) = {
+    val syms = bpeInitSyms(wf0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (round <- 1 to k) {
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       var i = 0
       while (i < syms.length) {
-        val a = syms(i).trim.split("  ")
-        if (a.length >= 2) {
-          var j = 0
-          while (j < a.length - 1) {
-            val pair = a(j) + " " + a(j + 1)
-            counts.update(pair, counts.getOrElse(pair, 0L) + wf0(i)._2)
-            j += 1
-          }
+        val ps = bpePairsOf(syms(i))
+        var j = 0
+        while (j < ps.length) {
+          counts.update(ps(j), counts.getOrElse(ps(j), 0L) + wf0(i)._2)
+          j += 1
         }
         i += 1
       }
@@ -1671,8 +1751,6 @@ object PipelineQueries {
         val from = s" $l  $r "; val to = s" $l$r "
         var m = 0
         while (m < syms.length) {
-          // String.replace: all occurrences, left-to-right, non-
-          // overlapping — identical to Spark replace/DuckDB replace
           if (syms(m).contains(from)) syms(m) = syms(m).replace(from, to)
           m += 1
         }

@@ -21,6 +21,35 @@ class PipelineGatesSpec extends SparkTestBase {
     dir
   }
 
+  test("incremental BPE trainer replays the naive full-recount loop " +
+      "MERGE-FOR-MERGE on tie-heavy and overlap-heavy vocabularies") {
+    // the incremental pair index is a pure optimization only if its
+    // per-round selection is bit-identical to the recount — exercise
+    // the hard cases: repeated-symbol overlaps (aaaa), weight ties
+    // resolved by UTF-8 pair order, words that gain a pair only after
+    // an earlier merge, and deep k that exhausts the vocabulary
+    val vocabs = Seq(
+      // overlap + ties
+      Array(("aaaa", 3L), ("aab", 3L), ("bba", 3L), ("abab", 2L)),
+      // deterministic pseudo-random: base-4 digit strings, skewed wf
+      Array.tabulate(60) { i =>
+        val w = java.lang.Integer.toString(i * 2654435761L.toInt.abs % 4096, 4)
+        (w, (i % 7 + 1).toLong)
+      }.distinctBy(_._1),
+      // every word same weight: every round is a pure tie-break test
+      Array.tabulate(30)(i =>
+        (java.lang.Integer.toString(i + 37, 3), 5L)).distinctBy(_._1))
+    vocabs.zipWithIndex.foreach { case (wf0, vi) =>
+      Seq(1, 5, 40, 200).foreach { k =>
+        val (mi, si) = PipelineQueries.trainBpe(wf0, k)
+        val (mn, sn) = PipelineQueries.trainBpeNaive(wf0, k)
+        assert(mi == mn, s"vocab $vi k=$k: merge sequences diverge")
+        assert(si.toSeq == sn.toSeq,
+          s"vocab $vi k=$k: final symbolizations diverge")
+      }
+    }
+  }
+
   test("p19 two-level concat-chunk equals p16's single-level form " +
       "row-for-row on a skewed planted corpus (bucket boundaries, " +
       "cross-bucket carry, single-row buckets)") {
