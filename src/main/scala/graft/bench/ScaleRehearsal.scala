@@ -884,10 +884,16 @@ object ScaleRehearsal {
       val d20 = time(graft.queries.PipelineQueries.exact_substr_cut(spark, work)
         .agg(sum(length(col("clean_text"))), sum("cut_chars"))
         .first().getLong(0))
+      // p18 composed leg (added round 14): cut → pack → manifest as
+      // ONE plan; cost must track d20's (the dominant stage) plus the
+      // per-lang packing window — super-linear drift here means the
+      // COMPOSITION added a shuffle the standalone gates don't have
+      val p18 = time(graft.queries.PipelineQueries.lee_pipeline(spark, work)
+        .agg(sum("sum_tokens"), sum("n_docs")).first().getLong(0))
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
         s""""d10":${jq(d10)},"p07":${jq(p07)},""" +
         s""""t15":${jq(t15)},"d12":${jq(d12)},""" +
-        s""""d19":${jq(d19)},"d20":${jq(d20)}}""")
+        s""""d19":${jq(d19)},"d20":${jq(d20)},"p18":${jq(p18)}}""")
     } else {
       // salted inputs land in parquet FIRST so the measured section is
       // the engine, not the salting union
