@@ -101,10 +101,19 @@ object ScaleRehearsal {
   private final class TaskMeter
       extends org.apache.spark.scheduler.SparkListener {
     @volatile var maxMs = 0L
+    /** Max duration among tasks that READ a shuffle — the reducer
+      * tasks, where a skewed window/agg key serializes. Separating
+      * this from the global max stops scan/sink tasks from masking
+      * the stage under test (the windowskew attribution fix).
+      */
+    @volatile var maxReduceMs = 0L
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val d = Option(te.taskInfo).map(_.duration).getOrElse(0L)
       if (d > maxMs) maxMs = d
+      val sr = Option(te.taskMetrics)
+        .map(_.shuffleReadMetrics.recordsRead).getOrElse(0L)
+      if (sr > 0 && d > maxReduceMs) maxReduceMs = d
     }
   }
 
@@ -351,13 +360,14 @@ object ScaleRehearsal {
             sum(col("h").cast("decimal(38,0)")).as("hs")).first()
         r.getDecimal(1).longValue() ^ r.getLong(0)
       }
-      def meterLeg(fn: => Long): ((Double, Double, Double, Long), Long) = {
+      def meterLeg(fn: => Long)
+          : ((Double, Double, Double, Long), Long, Long) = {
         val tm = new TaskMeter
         spark.sparkContext.addSparkListener(tm)
         val r = time(fn)
         org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
         spark.sparkContext.removeSparkListener(tm)
-        (r, tm.maxMs)
+        (r, tm.maxMs, tm.maxReduceMs)
       }
       // ---- p16 family: per-group running prefix sum ----
       val wSingle = Window.partitionBy("lang").orderBy("doc_id")
@@ -413,9 +423,13 @@ object ScaleRehearsal {
       t.unpersist()
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
         s""""sum_single":${jq(s1._1)},"sum_single_max_task_ms":${s1._2},""" +
+        s""""sum_single_max_reduce_ms":${s1._3},""" +
         s""""sum_two":${jq(s2._1)},"sum_two_max_task_ms":${s2._2},""" +
+        s""""sum_two_max_reduce_ms":${s2._3},""" +
         s""""rank_single":${jq(g1._1)},"rank_single_max_task_ms":${g1._2},""" +
-        s""""rank_two":${jq(g2._1)},"rank_two_max_task_ms":${g2._2}}""")
+        s""""rank_single_max_reduce_ms":${g1._3},""" +
+        s""""rank_two":${jq(g2._1)},"rank_two_max_task_ms":${g2._2},""" +
+        s""""rank_two_max_reduce_ms":${g2._3}}""")
     } else if (mode == "bpek") {
       // The production-k BPE leg (VERDICT r13 #3): the trainer is one
       // corpus scan + a driver-side merge loop, so wall must be ~flat
