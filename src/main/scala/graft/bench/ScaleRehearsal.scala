@@ -667,6 +667,17 @@ object ScaleRehearsal {
         .stream_concat_chunk(spark, work)
         .agg(sum("start_off"), sum("last_example")).first().getLong(0))
       val s66 = stateJson("r66")
+      // r68 leg (added round 14): per-source rank counter — sources
+      // are shared across copies (the rotation salt keeps the source
+      // column), so streamed docs grow ∝ M while GroupState must stay
+      // FLAT at one LONG per source (~20 rows). The gate's two-leg
+      // checkpoint restart runs INSIDE, so this leg also re-proves
+      // recovery at M; leg-2's state is the resumed store (the
+      // interesting one), reported alongside leg-1's
+      val r68 = time(graft.queries.StreamingQueries
+        .stream_interleave_recovery(spark, work)
+        .agg(sum("interleave_key")).first().getLong(0))
+      val s68l1 = stateJson("r68_leg1"); val s68l2 = stateJson("r68_leg2")
       println(s"""{"mult":$mult,"events":$nEvents,"vectors":$nVecs,""" +
         s""""docs":$nDocs,""" +
         s""""r53":${jq(r53)},"r53_state":$s53,""" +
@@ -676,7 +687,9 @@ object ScaleRehearsal {
         s""""r59":${jq(r59)},"r59_state":$s59,""" +
         s""""r60":${jq(r60)},"r60_state":$s60,""" +
         s""""r64":${jq(r64)},"r64_state":$s64,""" +
-        s""""r66":${jq(r66)},"r66_state":$s66}""")
+        s""""r66":${jq(r66)},"r66_state":$s66,""" +
+        s""""r68":${jq(r68)},"r68_leg1_state":$s68l1,""" +
+        s""""r68_leg2_state":$s68l2}""")
     } else if (mode == "clean") {
       // the corpus-cleaning path: p06 boilerplate removal (its
       // boilerplate paragraph SET stays ~22 entries at every M —
