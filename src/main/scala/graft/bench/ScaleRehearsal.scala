@@ -452,8 +452,37 @@ object ScaleRehearsal {
         val sec = ((System.nanoTime() - t1) / 1e7).round / 100.0
         s""""k$k":{"sec":$sec,"merges":${merges.size}}"""
       }
+      // synthetic LARGE-vocabulary leg: the corpus vocabulary is tiny
+      // (synthetic text draws from ~31 words), so the incremental-vs-
+      // full-recount comparison gets its numbers here — 50k distinct
+      // base-26 words with zipf-ish weights, deterministic (no RNG).
+      // The naive form recounts every word every round (O(k·V·len));
+      // the incremental form touches only words containing the merged
+      // pair. Merge sequences are spec-pinned identical, so this leg
+      // measures the same training run twice.
+      val synth = Array.tabulate(50000) { i =>
+        val sb = new java.lang.StringBuilder
+        var x = i + 26 * 26 * 26 * 26
+        while (x > 0) { sb.append(('a' + x % 26).toChar); x /= 26 }
+        (sb.toString, math.max(50000L / (i + 1), 1L))
+      }.distinctBy(_._1)
+      def t(fn: => Unit): Double = {
+        val t1 = System.nanoTime(); fn
+        ((System.nanoTime() - t1) / 1e7).round / 100.0
+      }
+      val synthSweep = Seq(64, 512, 4096).map { k =>
+        val inc = t(PipelineQueries.trainBpe(synth, k))
+        // the recount form is the measured baseline; cap it at k=512
+        // (its cost is the point being demonstrated)
+        val naive =
+          if (k <= 512) t(PipelineQueries.trainBpeNaive(synth, k))
+          else -1.0
+        s""""synth_k$k":{"incremental_sec":$inc,"naive_sec":$naive}"""
+      }
       println(s"""{"vocab":${wf0.length},"scan_sec":$scanSec,""" +
-        sweep.mkString(",") + "}")
+        sweep.mkString(",") + "," +
+        s""""synth_vocab":${synth.length},""" +
+        synthSweep.mkString(",") + "}")
     } else if (mode == "ann") {
       // salted corpora land in parquet first (same rationale as graph
       // mode); queries stay the copy-0 probe set, the realistic shape
