@@ -85,9 +85,11 @@ object Bench {
             v.group(1).toDouble)
         }.toVector
     } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+    // parse once; the guard and the session-best both read this
+    val history = comparableHistory()
     if (args.isEmpty && errors.isEmpty) {
       val total = timings.values.sum
-      val hist = comparableHistory().map(_._2).sorted
+      val hist = history.map(_._2).sorted
       if (hist.nonEmpty) {
         val med = hist(hist.size / 2)
         if (total > 1.5 * med) {
@@ -110,10 +112,17 @@ object Bench {
     // session. Ship both: value/fresh_total is this run's honest
     // sample; session_best_total/_ts is the best comparable history
     // run (including this one), so a noise-inflated sample can never
-    // masquerade as a capability regression.
+    // masquerade as a capability regression. "Session" is a 6-hour
+    // horizon: an OLDER round's faster run must not mask a genuine
+    // regression in a round that kept the same gate set — only runs
+    // close enough to be this session's own samples count.
     val nowStamp = java.time.Instant.now().toString
-    val best = (comparableHistory() :+ (nowStamp -> total))
-      .minBy(_._2)
+    val horizon = java.time.Instant.now().minusSeconds(6L * 3600)
+    val recent = history.filter { case (ts, _) =>
+      try !java.time.Instant.parse(ts).isBefore(horizon)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    val best = (recent :+ (nowStamp -> total)).minBy(_._2)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""fresh_total":$total,"session_best_total":${best._2},""" +

@@ -247,9 +247,16 @@ object SparkEntry {
            FROM documents),
          wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM toks GROUP BY 1),
          w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s, wf FROM wf)""",
+      // LEFT JOIN ON TRUE, not a cross join: when the vocabulary
+      // exhausts before round k, b$r is EMPTY and a cross join would
+      // empty the whole e-chain (dict → zero rows, engine → every
+      // doc); the left join keeps s unchanged through empty rounds,
+      // matching the engine's "no pairs left → symbolization frozen"
       (1 to k).map { r =>
-        s"""e$r AS MATERIALIZED (SELECT w, replace(s, ' ' || replace(b$r.pair, ' ', '  ') || ' ',
-             ' ' || replace(b$r.pair, ' ', '') || ' ') AS s FROM e${r - 1}, b$r)"""
+        s"""e$r AS MATERIALIZED (SELECT w, CASE WHEN b$r.pair IS NULL THEN s
+             ELSE replace(s, ' ' || replace(b$r.pair, ' ', '  ') || ' ',
+               ' ' || replace(b$r.pair, ' ', '') || ' ') END AS s
+           FROM e${r - 1} LEFT JOIN b$r ON TRUE)"""
       }.mkString(
         """,
          e0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') AS s

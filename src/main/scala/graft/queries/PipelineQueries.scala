@@ -1793,11 +1793,12 @@ object PipelineQueries {
         .collect().map(r => (r.getString(0), r.getLong(1)))
       val (merges, syms) = trainBpe(wf0, k)
       // fewer than k merges = the vocabulary fully merged (every word
-      // one symbol) — training is complete, not broken. The oracle
-      // agrees: once a round's pair table is empty its b-CTE is empty
-      // and every later round cascades empty, so both engines emit
-      // exactly the achieved merges.
-      require(merges.nonEmpty, "bpe: empty vocabulary — no merges trained")
+      // one symbol) — training is complete, not broken; ZERO merges
+      // (every distinct word a single code point) is the degenerate
+      // but consistent case: an empty merges table and a
+      // 1-symbol-per-word dict, which the oracle reproduces (its
+      // b-CTEs are all empty and the encode chain's left joins keep
+      // the symbolization frozen).
       import s.implicits._
       merges.toSeq.toDF("step", "lhs", "rhs", "weight")
         .select(col("step").cast("int"), col("lhs"), col("rhs"),

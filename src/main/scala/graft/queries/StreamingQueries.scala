@@ -889,8 +889,24 @@ object StreamingQueries {
       }
       progressByGate(name).map(_.numInputRows).sum
     }
-    val in1 = leg("r68_leg1", staged.take(2))
-    val in2 = leg("r68_leg2", staged.drop(2))
+    // split by STAGED ROW COUNTS (the r65 discipline): a tiny corpus
+    // can leave an md5-prefix quarter empty, and a blind 2/2 split
+    // would drain an empty leg — reporting a test-setup artifact as a
+    // recovery bug. Pick the cut whose legs are both non-empty and
+    // closest to half.
+    val stagedRows = staged.map { case (f, _) =>
+      s.read.parquet(f.getAbsolutePath).count()
+    }
+    val stagedTotal = stagedRows.sum
+    val cutChoices = (1 until staged.length).filter(i =>
+      stagedRows.take(i).sum > 0 && stagedRows.drop(i).sum > 0)
+    require(cutChoices.nonEmpty,
+      s"r68 test setup: staged quarter rows ${stagedRows.mkString(",")} " +
+        "admit no two-leg split with rows on both sides — corpus too small")
+    val cutAt = cutChoices.minBy(i =>
+      math.abs(stagedRows.take(i).sum - stagedTotal / 2))
+    val in1 = leg("r68_leg1", staged.take(cutAt))
+    val in2 = leg("r68_leg2", staged.drop(cutAt))
     require(in1 > 0 && in2 > 0,
       s"r68: a leg drained no rows (leg1=$in1, leg2=$in2) — the " +
         "restart never exercised the resumed rank counter")

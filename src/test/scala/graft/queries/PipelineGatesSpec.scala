@@ -388,6 +388,17 @@ class PipelineGatesSpec extends SparkTestBase {
       (1L, 3L, 8L, 3L),    // aaa aaa ab
       (2L, 4L, 8L, 4L),    // ab ab cd cd → all 1-symbol
       (3L, 2L, 4L, 2L)))   // ce ce → 1+1
+
+    // degenerate corpus: every word a single code point → ZERO merges
+    // is the consistent trained state (empty merges table, 1-symbol
+    // dict), not an error — the oracle's all-empty b-CTEs plus the
+    // encode chain's left joins reproduce exactly this
+    val dir0 = tmpSf(Seq(
+      (0L, "a b c", "en", "s", 1L), (1L, "b c a", "en", "s", 1L)))
+    assert(PipelineQueries.bpe_merges(spark, dir0).count() == 0)
+    val enc0 = PipelineQueries.bpe_encode(spark, dir0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(enc0.toSeq == Seq((0L, 3L, 3L, 3L), (1L, 3L, 3L, 3L)))
   }
 
   test("g12 incremental_components: chain merges through an unmapped " +
