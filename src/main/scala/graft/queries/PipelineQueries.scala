@@ -1610,7 +1610,7 @@ object PipelineQueries {
     * which diverges on supplementary characters, so the driver-side
     * tie-break must not use it.
     */
-  private def utf8Lt(a: String, b: String): Boolean = {
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
     val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
     var i = 0
     while (i < x.length && i < y.length) {
@@ -1640,8 +1640,17 @@ object PipelineQueries {
     syms
   }
 
+  /** Strip exactly the ONE flanking 0x20 the symbolization
+    * constructs — NOT Java String.trim, which strips every char
+    * ≤ U+0020 and would corrupt parsing of words whose first/last
+    * code point is a control character (SQL trim() in both Spark and
+    * DuckDB strips only spaces, so the engines would diverge).
+    */
+  private def bpeSymbols(sym: String): Array[String] =
+    sym.stripPrefix(" ").stripSuffix(" ").split("  ")
+
   private def bpePairsOf(sym: String): Array[String] = {
-    val a = sym.trim.split("  ")
+    val a = bpeSymbols(sym)
     if (a.length < 2) Array.empty
     else Array.tabulate(a.length - 1)(j => a(j) + " " + a(j + 1))
   }
@@ -1806,7 +1815,7 @@ object PipelineQueries {
         .coalesce(1).write.mode("overwrite").parquet(s"$p/merges")
       wf0.indices.map { i =>
         val w = wf0(i)._1
-        (w, syms(i).trim.split("  ").length.toLong,
+        (w, bpeSymbols(syms(i)).length.toLong,
           w.codePointCount(0, w.length).toLong)
       }.toDF("w", "n_sym", "n_char")
         .write.mode("overwrite").parquet(s"$p/dict")
@@ -2428,7 +2437,11 @@ object PipelineQueries {
   def epoch_interleave(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val srcs = docs(s, dir).select("source").distinct()
-      .collect().map(_.getString(0)).sorted // bounded: source dictionary
+      // bounded: source dictionary. Sorted in UTF-8 byte order (NOT
+      // Scala .sorted = UTF-16 unit order) — the oracle's ORDER BY
+      // source is DuckDB's binary collation, and the two diverge on
+      // supplementary-plane names (the utf8Lt trap, applied here too)
+      .collect().map(_.getString(0)).sortWith(utf8Lt)
     val n = srcs.length
     import s.implicits._
     val idx = srcs.zipWithIndex.toSeq.toDF("source", "src_idx")

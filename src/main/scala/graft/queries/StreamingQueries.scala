@@ -843,6 +843,22 @@ object StreamingQueries {
     * catches. Exactly-once asserted structurally (both legs non-empty
     * and summing to the corpus row count exactly).
     */
+  /** The two-leg recovery cut over staged file row counts (the
+    * r65/r68 discipline, ONE implementation): pick the split index
+    * whose legs are both non-empty and closest to half, failing with
+    * an explicit test-setup message otherwise — an empty staged file
+    * must never masquerade as a checkpoint-recovery bug.
+    */
+  private def pickLegCut(rows: Seq[Long], gate: String): Int = {
+    val total = rows.sum
+    val choices = (1 until rows.length).filter(i =>
+      rows.take(i).sum > 0 && rows.drop(i).sum > 0)
+    require(choices.nonEmpty,
+      s"$gate test setup: staged rows ${rows.mkString(",")} admit no " +
+        "two-leg split with rows on both sides — corpus too small")
+    choices.minBy(i => math.abs(rows.take(i).sum - total / 2))
+  }
+
   def stream_interleave_recovery(s: SparkSession, dir: String): DataFrame = {
     val base = scratchDir(s, "r68", dir)
     val src = new java.io.File(base, "src"); src.mkdirs()
@@ -850,13 +866,17 @@ object StreamingQueries {
     val cp = new java.io.File(base, "cp").getAbsolutePath
     val docsStatic = graft.Tables.load(s, dir, "documents")
     // bounded collect: the source dictionary (the s03 pattern) — the
-    // SAME sorted-distinct index map batch p17 builds
+    // SAME index map batch p17 builds, in UTF-8 byte order to match
+    // the oracle's binary ORDER BY source (Scala .sorted is UTF-16
+    // unit order, which diverges on supplementary-plane names)
     val srcs = docsStatic.select("source").distinct()
-      .collect().map(_.getString(0)).sorted
+      .collect().map(_.getString(0))
+      .sortWith(PipelineQueries.utf8Lt)
     val srcIdx = srcs.zipWithIndex.toMap
+    // persisted: the four quarter-filter writes below would otherwise
+    // each rescan the corpus and recompute md5 per row
     val t = docsStatic.select(col("source"), col("doc_id"),
-      md5(col("doc_id").cast("string")).as("mk"))
-    val totalRows = t.count()
+      md5(col("doc_id").cast("string")).as("mk")).persist()
     // ordered splits by md5 PREFIX quarter: every b1 row's mk sorts
     // before every b2 row's, so cross-batch arrival order per source
     // equals the batch sort order
@@ -870,6 +890,7 @@ object StreamingQueries {
       df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
       (tmp.listFiles.find(_.getName.endsWith(".parquet")).get, i)
     }
+    t.unpersist()
     import s.implicits._
     val keyed = graft.streaming.StreamingInterleave.keys(
       s.readStream.schema(t.schema).option("maxFilesPerTrigger", "1")
@@ -889,22 +910,13 @@ object StreamingQueries {
       }
       progressByGate(name).map(_.numInputRows).sum
     }
-    // split by STAGED ROW COUNTS (the r65 discipline): a tiny corpus
-    // can leave an md5-prefix quarter empty, and a blind 2/2 split
-    // would drain an empty leg — reporting a test-setup artifact as a
-    // recovery bug. Pick the cut whose legs are both non-empty and
-    // closest to half.
     val stagedRows = staged.map { case (f, _) =>
       s.read.parquet(f.getAbsolutePath).count()
     }
-    val stagedTotal = stagedRows.sum
-    val cutChoices = (1 until staged.length).filter(i =>
-      stagedRows.take(i).sum > 0 && stagedRows.drop(i).sum > 0)
-    require(cutChoices.nonEmpty,
-      s"r68 test setup: staged quarter rows ${stagedRows.mkString(",")} " +
-        "admit no two-leg split with rows on both sides — corpus too small")
-    val cutAt = cutChoices.minBy(i =>
-      math.abs(stagedRows.take(i).sum - stagedTotal / 2))
+    // the quarters PARTITION the corpus exactly, so their staged sum
+    // IS the corpus row count — no separate t.count() scan needed
+    val totalRows = stagedRows.sum
+    val cutAt = pickLegCut(stagedRows, "r68")
     val in1 = leg("r68_leg1", staged.take(cutAt))
     val in2 = leg("r68_leg2", staged.drop(cutAt))
     require(in1 > 0 && in2 > 0,
@@ -986,16 +998,9 @@ object StreamingQueries {
     // over a skewed tiny corpus can stage an empty part file, and a
     // blind 2/2 split would then drain an empty leg — making the
     // in>0 assert report a test-setup artifact as a recovery bug.
-    // Pick the cut whose legs are both non-empty and closest to half.
-    val partRows = parts.map(f => s.read.parquet(f.getAbsolutePath).count())
-    val stagedTotal = partRows.sum
-    val cutChoices = (1 until parts.length).filter(i =>
-      partRows.take(i).sum > 0 && partRows.drop(i).sum > 0)
-    require(cutChoices.nonEmpty,
-      s"r65 test setup: staged part rows ${partRows.mkString(",")} admit " +
-        "no two-leg split with rows on both sides — corpus too small")
-    val cutAt = cutChoices.minBy(i =>
-      math.abs(partRows.take(i).sum - stagedTotal / 2))
+    val partRows = parts.toSeq
+      .map(f => s.read.parquet(f.getAbsolutePath).count())
+    val cutAt = pickLegCut(partRows, "r65")
     val in1 = leg("r65_leg1", parts.take(cutAt))
     val in2 = leg("r65_leg2", parts.drop(cutAt))
     require(in1 > 0 && in2 > 0,
