@@ -355,7 +355,7 @@ object ScaleRehearsal {
         val cols = df.columns.sorted
           .map(c => coalesce(col(c).cast("string"), lit("")))
         val r = df.select(xxhash64(
-            concat_ws("", cols.toIndexedSeq: _*)).as("h"))
+            concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
           .agg(count(lit(1)).as("n"),
             sum(col("h").cast("decimal(38,0)")).as("hs")).first()
         r.getDecimal(1).longValue() ^ r.getLong(0)

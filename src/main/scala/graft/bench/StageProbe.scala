@@ -46,7 +46,7 @@ object StageProbe {
     import org.apache.spark.sql.functions._
     val df = graft.SparkEntry.queries(gate)(spark, dir)
     val cols = df.columns.map(c => coalesce(col(c).cast("string"), lit("")))
-    val r = df.select(xxhash64(concat_ws("", cols.toIndexedSeq: _*)).as("h"))
+    val r = df.select(xxhash64(concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
       .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).first()
     val n = r.getLong(0)
     val sec = (System.nanoTime() - t0) / 1e9
