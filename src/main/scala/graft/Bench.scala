@@ -63,28 +63,65 @@ object Bench {
     // median, re-run the suite once and keep per-gate mins — the
     // per-gate discipline applied at suite level. History-less sizes
     // (first run after adding gates) pass through unguarded.
+    // Session-best must be keyed to the CODE VERSION, not just the gate
+    // set: multiple commits land within one round, and a mid-session
+    // perf regression would otherwise inherit an older commit's faster
+    // total as its "session best" (round-14 ADVICE). Stamp every history
+    // line with the git commit; a dirty tree gets "-dirty" and is never
+    // considered comparable (same hash, unknown code).
+    val gitCommit: String = try {
+      import scala.sys.process._
+      val h = Seq("git", "rev-parse", "HEAD").!!.trim
+      val dirty = Seq("git", "status", "--porcelain").!!.trim.nonEmpty
+      if (h.matches("[0-9a-f]{40}")) (if (dirty) h + "-dirty" else h)
+      else "unknown"
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
     // History runs comparable to THIS suite: matched by the exact
     // gate-NAME set inside the queries object (a colon-count proxy
     // would accept a differently-composed suite of equal size, and
     // any history format drift would silently disable the guard —
-    // round-13 ADVICE). Returns (ts, total) per matching line.
-    def comparableHistory(): Vector[(String, Double)] = try {
+    // round-13 ADVICE). Returns (ts, total, commit) per matching line.
+    // A non-empty history where ZERO lines parse means the guard and
+    // session-best are silently off — make that loud (round-14 ADVICE).
+    def comparableHistory(): Vector[(String, Double, String)] = {
       val vRe = """"value":([0-9.eE+-]+)""".r
       val qRe = """"queries":\{([^}]*)\}""".r
       val tsRe = """"ts":"([^"]+)"""".r
+      val cRe = """"commit":"([^"]+)"""".r
       val nameRe = """"([A-Za-z0-9_]+)":""".r
       val want = timings.keySet.toSet
-      scala.io.Source.fromFile("bench_history.jsonl").getLines()
-        .flatMap { line =>
-          for {
+      val f = new java.io.File("bench_history.jsonl")
+      if (!f.exists() || f.length() == 0L) Vector.empty
+      else try {
+        var parsed = 0
+        val out = scala.io.Source.fromFile(f).getLines().flatMap { line =>
+          val vq = for {
             v <- vRe.findFirstMatchIn(line)
             q <- qRe.findFirstMatchIn(line)
-            names = nameRe.findAllMatchIn(q.group(1)).map(_.group(1)).toSet
-            if names == want
-          } yield (tsRe.findFirstMatchIn(line).fold("")(_.group(1)),
-            v.group(1).toDouble)
+          } yield (v, q)
+          if (vq.isDefined) parsed += 1
+          vq.flatMap { case (v, q) =>
+            val names = nameRe.findAllMatchIn(q.group(1)).map(_.group(1)).toSet
+            if (names != want) None
+            else Some((tsRe.findFirstMatchIn(line).fold("")(_.group(1)),
+              v.group(1).toDouble,
+              cRe.findFirstMatchIn(line).fold("")(_.group(1))))
+          }
         }.toVector
-    } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+        if (parsed == 0) System.err.println(
+          "[bench] bench_history.jsonl is non-empty but ZERO lines " +
+            "parsed — noise guard and session-best are DISABLED " +
+            "(history format drift?)")
+        out
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] failed reading bench_history.jsonl " +
+              s"(${e.getClass.getSimpleName}) — noise guard and " +
+              "session-best are DISABLED")
+          Vector.empty
+      }
+    }
     // parse once; the guard and the session-best both read this
     val history = comparableHistory()
     if (args.isEmpty && errors.isEmpty) {
@@ -116,17 +153,21 @@ object Bench {
     // horizon: an OLDER round's faster run must not mask a genuine
     // regression in a round that kept the same gate set — only runs
     // close enough to be this session's own samples count.
+    // Same-commit only (round-14 ADVICE): a history run is a valid
+    // session-best candidate only if it ran the SAME code — clean
+    // identical hash; "unknown" and "-dirty" stamps never match.
     val nowStamp = java.time.Instant.now().toString
     val horizon = java.time.Instant.now().minusSeconds(6L * 3600)
-    val recent = history.filter { case (ts, _) =>
-      try !java.time.Instant.parse(ts).isBefore(horizon)
-      catch { case scala.util.control.NonFatal(_) => false }
-    }
+    val recent = history.filter { case (ts, _, c) =>
+      c == gitCommit && c.matches("[0-9a-f]{40}") &&
+        (try !java.time.Instant.parse(ts).isBefore(horizon)
+         catch { case scala.util.control.NonFatal(_) => false })
+    }.map { case (ts, v, _) => (ts, v) }
     val best = (recent :+ (nowStamp -> total)).minBy(_._2)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""fresh_total":$total,"session_best_total":${best._2},""" +
-      s""""session_best_ts":"${best._1}",""" +
+      s""""session_best_ts":"${best._1}","commit":"$gitCommit",""" +
       s""""errors":${jmap(errors)},"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: sbt interleaves its own [info]

@@ -240,13 +240,14 @@ object ScaleRehearsal {
     // sub-26 curves already pin the linearity reading.
     val maxMult =
       if (mode == "streaming" || mode == "deep" || mode == "annfilter") 1000
-      else if (mode == "edit" || mode == "windowskew") 100
+      else if (mode == "edit" || mode == "windowskew" ||
+        mode == "refsurface") 100
       else 26
     require(mult >= 1 && mult <= maxMult,
       s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
       "passages", "streaming", "deep", "edit", "annfilter", "windowskew",
-      "bpek").contains(mode),
+      "bpek", "refsurface").contains(mode),
       s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else {
@@ -358,6 +359,11 @@ object ScaleRehearsal {
             concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
           .agg(count(lit(1)).as("n"),
             sum(col("h").cast("decimal(38,0)")).as("hs")).first()
+        // zero rows ⇒ sum is NULL; fail with the intended message, not
+        // an opaque NPE from getDecimal (round-14 ADVICE)
+        require(r.getLong(0) > 0,
+          "windowskew sink: compared form produced ZERO rows — " +
+            "empty-result bug, not a hash divergence")
         r.getDecimal(1).longValue() ^ r.getLong(0)
       }
       def meterLeg(fn: => Long)
@@ -430,6 +436,72 @@ object ScaleRehearsal {
         s""""rank_single_max_reduce_ms":${g1._3},""" +
         s""""rank_two":${jq(g2._1)},"rank_two_max_task_ms":${g2._2},""" +
         s""""rank_two_max_reduce_ms":${g2._3}}""")
+    } else if (mode == "refsurface") {
+      // The reference's OWN workload at M (VERDICT r14 #2): every
+      // pipeline family has a measured curve but the queries the
+      // reference actually serves (README.md:88-129) had none. Salt
+      // `events` with the streaming mode's numeric-offset scheme —
+      // event_id AND user_id offset by k·10⁷ per copy, ts/props/types
+      // SHARED — so each leg's scale story separates:
+      //  - r06 activity (the 4-subquery LEFT-JOIN composition, here
+      //    the one-pass count_if pivot): (user, k) groups ∝ M with
+      //    per-group size constant → agg shuffle rows ∝ M, and the
+      //    global top-20 is a TakeOrdered merge, never a global sort;
+      //  - r07 status anti-join: hour buckets are SHARED across
+      //    copies, so both distinct-hour sides stay FLAT (~720 rows)
+      //    while the scanned input grows ∝ M — partial aggregation
+      //    must bound the shuffle by partitions × hours, not rows;
+      //  - r09 Replacing dedup (aggregate form): keys
+      //    (user, type, month) ∝ M with constant group size — the
+      //    map-side-combine form's shuffle must grow ∝ keys, and no
+      //    reducer materializes a whole key group (the window form
+      //    would).
+      // Results are forced through the windowskew full-column hash
+      // sink (count() alone prunes cardinality-preserving aggregates)
+      // and metered for max-task / max-reduce-task time, the skew
+      // evidence wall-clock on 32 threads hides.
+      val base = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until mult).map { k =>
+        val off = lit(k.toLong * 10000000L)
+        base.select((col("event_id") + off).as("event_id"), col("ts"),
+          (col("user_id") + off).as("user_id"), col("event_type"),
+          col("value"), col("props"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$work/events.parquet")
+      val nEvents = spark.read.parquet(s"$work/events.parquet").count()
+      def sink(df: org.apache.spark.sql.DataFrame): Long = {
+        val cols = df.columns.sorted
+          .map(c => coalesce(col(c).cast("string"), lit("")))
+        val r = df.select(xxhash64(
+            concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("h").cast("decimal(38,0)")).as("hs")).first()
+        require(r.getLong(0) > 0,
+          "refsurface sink: leg produced ZERO rows — empty-result bug")
+        r.getDecimal(1).longValue() ^ r.getLong(0)
+      }
+      def meterLeg(fn: => Long)
+          : ((Double, Double, Double, Long), Long, Long) = {
+        val tm = new TaskMeter
+        spark.sparkContext.addSparkListener(tm)
+        val r = time(fn)
+        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(tm)
+        (r, tm.maxMs, tm.maxReduceMs)
+      }
+      import graft.queries.RefQueries
+      val r06 = meterLeg { sink(RefQueries.activity(spark, work)); nEvents }
+      val r07 = meterLeg {
+        sink(RefQueries.status_anti_join(spark, work)); nEvents }
+      val r09 = meterLeg {
+        sink(RefQueries.dedup_replacing(spark, work)); nEvents }
+      println(s"""{"mult":$mult,"events":$nEvents,""" +
+        s""""r06_activity":${jq(r06._1)},""" +
+        s""""r06_max_task_ms":${r06._2},"r06_max_reduce_ms":${r06._3},""" +
+        s""""r07_anti_join":${jq(r07._1)},""" +
+        s""""r07_max_task_ms":${r07._2},"r07_max_reduce_ms":${r07._3},""" +
+        s""""r09_replacing_dedup":${jq(r09._1)},""" +
+        s""""r09_max_task_ms":${r09._2},"r09_max_reduce_ms":${r09._3}}""")
     } else if (mode == "bpek") {
       // The production-k BPE leg (VERDICT r13 #3): the trainer is one
       // corpus scan + a driver-side merge loop, so wall must be ~flat

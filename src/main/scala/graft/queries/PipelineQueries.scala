@@ -1674,11 +1674,43 @@ object PipelineQueries {
     val pairW = scala.collection.mutable.HashMap.empty[String, Long]
     val pairWords =
       scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.Set[Int]]
+    // LAZY MAX-HEAP over (weight, pair) for best-pair selection
+    // (round-14 VERDICT #3): the per-round full scan of pairW was the
+    // loop's residual O(k·P) term. Each round pushes ONE entry per
+    // TOUCHED pair carrying its end-of-round weight (intermediate
+    // per-word deltas never enter the heap); selection pops until the
+    // popped weight equals the pair's CURRENT weight — stale entries
+    // (superseded weights, consumed pairs) are skipped, and every
+    // pushed entry is popped at most once across the whole run, so a
+    // round costs O(affected·len · log P) amortized instead of O(P).
+    // Invariant making the skip rule sound: after every round, each
+    // pair in pairW has a heap entry at its current weight (untouched
+    // pairs keep their old entry — popped entries are either selected
+    // or provably superseded). Ordering is EXACTLY the scan's
+    // selection rule — max weight, ties to the UTF-8-byte-order-
+    // smallest pair (the oracle's ORDER BY weight DESC, pair ASC) —
+    // so the merge sequence is bit-identical (spec-pinned vs
+    // trainBpeNaive on tie-heavy planted vocabs).
+    val heapOrd = new Ordering[(Long, String)] {
+      def compare(a: (Long, String), b: (Long, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else if (a._2 == b._2) 0
+        else if (utf8Lt(a._2, b._2)) 1
+        else -1
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String)](heapOrd)
+    // pairs whose weight changed this round; null during the initial
+    // index build (ONE heapify over the final weights replaces V·len
+    // partial-sum pushes)
+    var touched: scala.collection.mutable.Set[String] = null
     def addWord(i: Int): Unit = {
       val ps = bpePairsOf(syms(i))
       var j = 0
       while (j < ps.length) {
         pairW.update(ps(j), pairW.getOrElse(ps(j), 0L) + wf0(i)._2)
+        if (touched != null) touched += ps(j)
         pairWords.getOrElseUpdate(ps(j),
           scala.collection.mutable.Set.empty[Int]) += i
         j += 1
@@ -1690,6 +1722,7 @@ object PipelineQueries {
       while (j < ps.length) {
         val nw = pairW(ps(j)) - wf0(i)._2
         if (nw == 0L) pairW.remove(ps(j)) else pairW.update(ps(j), nw)
+        if (touched != null) touched += ps(j)
         j += 1
       }
       ps.distinct.foreach { p =>
@@ -1700,14 +1733,19 @@ object PipelineQueries {
     }
     var i0 = 0
     while (i0 < syms.length) { addWord(i0); i0 += 1 }
+    heap ++= pairW.iterator.map { case (p, w) => (w, p) }
+    touched = scala.collection.mutable.Set.empty[String]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (round <- 1 to k) {
-      if (pairW.nonEmpty) {
-        var bestPair: String = null; var bestW = Long.MinValue
-        pairW.foreach { case (pair, w) =>
-          if (w > bestW || (w == bestW && utf8Lt(pair, bestPair)))
-            { bestPair = pair; bestW = w }
-        }
+      // pop to the first LIVE entry: its weight must equal the pair's
+      // current weight (a pair whose weight moved since the push has a
+      // fresher entry deeper in the heap; a consumed pair has none)
+      var bestPair: String = null; var bestW = 0L
+      while (bestPair == null && heap.nonEmpty) {
+        val (w, p) = heap.dequeue()
+        if (pairW.get(p).contains(w)) { bestPair = p; bestW = w }
+      }
+      if (bestPair != null) {
         val Array(l, r) = bestPair.split(" ", 2)
         merges += ((round, l, r, bestW))
         val from = s" $l  $r "; val to = s" $l$r "
@@ -1715,12 +1753,17 @@ object PipelineQueries {
         // membership set because dropWord/addWord mutate it
         val affected = pairWords.get(bestPair)
           .map(_.toArray.sorted).getOrElse(Array.empty)
+        touched.clear()
         affected.foreach { m =>
           dropWord(m)
           // String.replace: all occurrences, left-to-right, non-
           // overlapping — identical to Spark replace/DuckDB replace
           syms(m) = syms(m).replace(from, to)
           addWord(m)
+        }
+        // one push per touched pair at its settled weight
+        touched.foreach { p =>
+          pairW.get(p).foreach(w => heap.enqueue((w, p)))
         }
       }
     }
@@ -2491,20 +2534,30 @@ object PipelineQueries {
       .orderBy("lang", "shard_id")
 
   // ---- p18: the Lee-et-al PIPELINE end-to-end, one declarative
-  // plan — d20's exact-substring CUT → p16's concat-and-chunk over
-  // the CLEANED text → p15's manifest at shard grain. This is the
-  // shape a real pretraining pipeline runs (dedup feeds packing feeds
-  // the data card), and composition is where operator-boundary bugs
-  // hide (p10 caught exactly that class): every stage is the operator
-  // its standalone gate proves, chained as ONE Catalyst plan with no
-  // intermediate materialization. A shard is E = 16 consecutive
-  // C = 128-token examples (2048 tokens — p15's budget); a doc
-  // belongs to the shard its FIRST token lands in, so shard
-  // assignment is map-side integer division on p16's running offset.
+  // plan — d20's exact-substring CUT → p19's TWO-LEVEL concat-and-
+  // chunk over the CLEANED text → p15's manifest at shard grain. This
+  // is the shape a real pretraining pipeline runs (dedup feeds
+  // packing feeds the data card), and composition is where operator-
+  // boundary bugs hide (p10 caught exactly that class): every stage
+  // is the operator its standalone gate proves, chained as ONE
+  // Catalyst plan with no intermediate materialization. A shard is
+  // E = 16 consecutive C = 128-token examples (2048 tokens — p15's
+  // budget); a doc belongs to the shard its FIRST token lands in, so
+  // shard assignment is map-side integer division on the running
+  // offset.
   // Scale shape: the cut's shuffles carry (hash, doc) and
-  // (doc, interval) only; the packing window partitions by lang (the
-  // p03/p16 documented contract — at 100 TB the group key is the
-  // shard key); the manifest is one hash-agg at (lang, shard) grain
+  // (doc, interval) only; the packing is p19's two-level prefix sum —
+  // running sum WITHIN (lang, doc_id-block bucket) plus broadcast
+  // per-bucket offsets, so no reducer ever prefix-sums a whole lang
+  // (the flagship pipeline carries the scale-safe form end to end;
+  // the equivalence to the single-level offsets is cross-engine-
+  // proven by p19's own gate, whose oracle IS p16's SQL). The cut +
+  // tokenize subtree feeds BOTH the offsets aggregation and the
+  // running-sum window, so `t` ends in an EXPLICIT (lang, bkt)
+  // repartition: both consumers' requirements are satisfied by that
+  // one exchange and Catalyst reuses it — the expensive cut runs
+  // ONCE, and only (lang, source, doc_id, n_tokens, bkt) cross the
+  // wire twice. The manifest is one hash-agg at (lang, shard) grain
   // with shard-bounded id lists. All-integer + md5-checksum output,
   // so the oracle composes the three stages' own CTE chains and
   // replays it exactly. ----
@@ -2517,9 +2570,19 @@ object PipelineQueries {
         size(TextFunctions.tokens(col("clean_text"))).cast("long")
           .as("n_tokens"))
       .filter(col("n_tokens") > 0)
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    t.withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bkt", expr("doc_id div 64"))
+      .repartition(col("lang"), col("bkt"))
+    val off = t.groupBy("lang", "bkt").agg(sum("n_tokens").as("tok"))
+      .withColumn("off", coalesce(
+        sum("tok").over(Window.partitionBy("lang").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "bkt", "off")
+    t.join(broadcast(off), Seq("lang", "bkt"))
+      .withColumn("start_off",
+        sum("n_tokens").over(Window.partitionBy("lang", "bkt")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+          + col("off") - col("n_tokens"))
       .withColumn("shard_id", expr(s"(start_off div $C) div $E"))
       .groupBy("lang", "shard_id")
       .agg(count(lit(1)).as("n_docs"),

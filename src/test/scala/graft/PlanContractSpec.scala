@@ -337,6 +337,56 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
+  test("p18's packing prefix-sum is TWO-LEVEL and the cut subtree's " +
+      "exchange is REUSED — the flagship pipeline is scale-safe end " +
+      "to end and the cut runs once") {
+    // round-14 VERDICT #1: the composed pipeline must carry p19's
+    // two-level form, not p16's single-level per-lang window. Bad
+    // shape = a Window partitioned by lang ALONE ordered by doc_id
+    // (one reducer prefix-sums a whole lang at 100×). The off-table
+    // window (partition [lang], order [bkt]) runs over the BOUNDED
+    // per-bucket totals frame and is allowed; the cut's own windows
+    // partition by doc_id and are out of scope.
+    def topGroups(s: String): Seq[String] = {
+      var depth = 0; var start = -1
+      val out = Seq.newBuilder[String]
+      s.zipWithIndex.foreach {
+        case ('[', i) => if (depth == 0) start = i; depth += 1
+        case (']', i) => depth -= 1; if (depth == 0) out += s.substring(start, i + 1)
+        case _ => ()
+      }
+      out.result()
+    }
+    val fmt = formatted("p18_lee_pipeline")
+    val windows = opBlocks(fmt).collect {
+      case (_, "Window", block) =>
+        """Arguments: (.*)""".r.findFirstMatchIn(block)
+          .map(m => topGroups(m.group(1))).getOrElse(Nil)
+    }.filter(_.length == 3)
+    val singleLevel = windows.filter { gs =>
+      gs(1).contains("lang") && !gs(1).contains("bkt") &&
+        gs(2).contains("doc_id")
+    }
+    assert(singleLevel.isEmpty,
+      s"p18 plans a single-level per-lang packing window: $singleLevel")
+    assert(windows.exists { gs =>
+      gs(1).contains("lang") && gs(1).contains("bkt") &&
+        gs(2).contains("doc_id")
+    }, "p18 lost the two-level (lang, bkt) running-sum window")
+    // the shared `t` exchange: an explicit (lang, bkt) repartition
+    // both consumers' requirements resolve to
+    assert(fmt.contains("REPARTITION_BY_COL"),
+      "p18 lost the explicit (lang, bkt) repartition — the cut " +
+        "subtree would be planned once per consumer")
+    // runtime: AQE must actually REUSE that stage — otherwise the
+    // expensive cut + tokenize runs twice (once per branch)
+    val df = SparkEntry.queries("p18_lee_pipeline")(spark, dir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "p18's final adaptive plan has no ReusedExchange — the cut " +
+        "subtree materialized once per consumer")
+  }
+
   test("t21/t23 BPE trainer: ONE corpus scan — the word table collects " +
       "once, every merge round is driver-side, and t23 probes the " +
       "persisted dictionary instead of re-training") {

@@ -33,7 +33,9 @@ class PipelineGatesSpec extends SparkTestBase {
       Array(("aaaa", 3L), ("aab", 3L), ("bba", 3L), ("abab", 2L)),
       // deterministic pseudo-random: base-4 digit strings, skewed wf
       Array.tabulate(60) { i =>
-        val w = java.lang.Integer.toString(i * 2654435761L.toInt.abs % 4096, 4)
+        // multiply in Long then mask (i * <knuth>.toInt overflows Int
+        // for i >= 2, yielding '-'-prefixed strings — round-14 ADVICE)
+        val w = java.lang.Long.toString((i * 2654435761L) & 0xfffL, 4)
         (w, (i % 7 + 1).toLong)
       }.distinctBy(_._1),
       // every word same weight: every round is a pure tie-break test
