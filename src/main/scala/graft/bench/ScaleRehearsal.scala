@@ -469,16 +469,22 @@ object ScaleRehearsal {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$work/events.parquet")
       val nEvents = spark.read.parquet(s"$work/events.parquet").count()
-      def sink(df: org.apache.spark.sql.DataFrame): Long = {
+      // expectRows=false for r07: at denser SFs every hour holds an
+      // error event, so the anti-join's EMPTY result is the correct
+      // answer, not a bug — the leg still pays the full scan + both
+      // distinct aggregations it exists to measure
+      def sink(df: org.apache.spark.sql.DataFrame,
+          expectRows: Boolean = true): Long = {
         val cols = df.columns.sorted
           .map(c => coalesce(col(c).cast("string"), lit("")))
         val r = df.select(xxhash64(
             concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
           .agg(count(lit(1)).as("n"),
             sum(col("h").cast("decimal(38,0)")).as("hs")).first()
-        require(r.getLong(0) > 0,
+        require(!expectRows || r.getLong(0) > 0,
           "refsurface sink: leg produced ZERO rows — empty-result bug")
-        r.getDecimal(1).longValue() ^ r.getLong(0)
+        if (r.getLong(0) == 0L) 0L
+        else r.getDecimal(1).longValue() ^ r.getLong(0)
       }
       def meterLeg(fn: => Long)
           : ((Double, Double, Double, Long), Long, Long) = {
@@ -492,7 +498,8 @@ object ScaleRehearsal {
       import graft.queries.RefQueries
       val r06 = meterLeg { sink(RefQueries.activity(spark, work)); nEvents }
       val r07 = meterLeg {
-        sink(RefQueries.status_anti_join(spark, work)); nEvents }
+        sink(RefQueries.status_anti_join(spark, work),
+          expectRows = false); nEvents }
       val r09 = meterLeg {
         sink(RefQueries.dedup_replacing(spark, work)); nEvents }
       println(s"""{"mult":$mult,"events":$nEvents,""" +
