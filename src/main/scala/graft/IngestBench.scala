@@ -17,6 +17,7 @@ import java.util.zip.GZIPOutputStream
   *
   * Usage: runMain graft.IngestBench [hours] [perHour] [outDir]
   *    or: runMain graft.IngestBench sweep [repeats] [outFile]
+  *    or: runMain graft.IngestBench big [outFile]   (100 M-record leg)
   *
   * `sweep` runs the batch-size ladder the README reports (1 M → 3 M
   * records) with min-of-N timing and writes a structured
@@ -52,20 +53,32 @@ object IngestBench {
 
   def generate(dir: File, hours: Int, perHour: Int): Seq[String] = {
     dir.mkdirs()
-    (0 until hours).map { h =>
-      val f = new File(dir, f"2015-01-01-$h%d.json.gz")
-      val out = new BufferedOutputStream(
-        new GZIPOutputStream(new FileOutputStream(f)), 1 << 20)
-      val rnd = new scala.util.Random(41L * (h + 1))
-      var i = 0
-      while (i < perHour) {
-        out.write(mkEvent(rnd, h.toLong * perHour + i, h).getBytes("UTF-8"))
-        out.write('\n')
-        i += 1
-      }
-      out.close()
-      f.getAbsolutePath
-    }
+    // files are independent (per-file seeded Random), so generation
+    // parallelizes across a fixed pool with bit-identical output —
+    // at the 100 M-record leg serial generation alone would cost ~10
+    // minutes of driver time
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(hours, Runtime.getRuntime.availableProcessors() / 2 max 1))
+    try {
+      (0 until hours).map { h =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = {
+            val f = new File(dir, f"2015-01-01-$h%d.json.gz")
+            val out = new BufferedOutputStream(
+              new GZIPOutputStream(new FileOutputStream(f)), 1 << 20)
+            val rnd = new scala.util.Random(41L * (h + 1))
+            var i = 0
+            while (i < perHour) {
+              out.write(mkEvent(rnd, h.toLong * perHour + i, h).getBytes("UTF-8"))
+              out.write('\n')
+              i += 1
+            }
+            out.close()
+            f.getAbsolutePath
+          }
+        })
+      }.map(_.get())
+    } finally pool.shutdown()
   }
 
   private def timedIngest(spark: org.apache.spark.sql.SparkSession,
@@ -167,10 +180,89 @@ object IngestBench {
     spark.stop()
   }
 
+  /** The 100 M-record leg (VERDICT r14 #5): the sweep tops out at
+    * 10 M, an order of magnitude past the reference's batch sizes but
+    * not yet where shuffle/write pressure binds on this box. One
+    * 32-file × 3.125 M-record config (100 M total, ~10 GB gzip NDJSON)
+    * through the identical timed path with min-of-3 and the same
+    * stored_ok distinct-key verification; each repeat's events table
+    * is deleted after its row-count read-back so three 100 M parquet
+    * outputs never coexist on disk. The result row merges into the
+    * existing bench_ingest.json under "runs_large" (the sweep ladder
+    * stays untouched and cheap to re-run).
+    */
+  private def big(outFile: String): Unit = {
+    // The merge path localCheckpoints the parsed batch; at 100 M rows
+    // the spilled blocks are ~12 GB UNCOMPRESSED (spark.rdd.compress
+    // defaults to false) and, stacked on the gzip archive + the range
+    // exchange's shuffle files, the first attempt hit ENOSPC on this
+    // box's ~64 GB free disk. Compress spilled RDD blocks (static
+    // conf — SparkConf reads spark.* system properties at context
+    // creation, and `big` always runs as a fresh main).
+    System.setProperty("spark.rdd.compress", "true")
+    val spark = GraftSession.getOrCreate(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val (hours, perHour) = (32, 3125000)
+    val total = hours.toLong * perHour
+    val work = java.nio.file.Files.createTempDirectory("ingest_big")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)))
+    val tg0 = System.nanoTime()
+    val files = generate(new File(work.toFile, "archive"), hours, perHour)
+    val genSec = (System.nanoTime() - tg0) / 1e9
+    println(f"[big] generated ${total / 1000000} M records in $genSec%.0f s")
+    val expected = ingest.EventsWriter
+      .withMonthKey(ingest.GhEventParser.ingest(spark, files))
+      .select(ingest.EventsSchema.orderByKey.map(
+        org.apache.spark.sql.functions.col): _*)
+      .distinct().count()
+    val timings = (1 to 3).map { r =>
+      // shuffle-file cleanup is reference-triggered (ContextCleaner):
+      // nudge it between runs so the PREVIOUS pass's ~tens-of-GB
+      // shuffle files are gone before the next one writes its own —
+      // the disk headroom math needs one run resident, not two
+      System.gc()
+      Thread.sleep(2000)
+      val table = new File(work.toFile, s"events_$r").getAbsolutePath
+      val (sec, stored) = timedIngest(spark, files, table)
+      org.apache.commons.io.FileUtils.deleteQuietly(new File(table))
+      println(f"[big] run $r: $sec%.1f s, stored=$stored (expected $expected)")
+      (sec, stored)
+    }
+    val minSec = timings.map(_._1).min
+    val storedOk = timings.forall(_._2 == expected)
+    val recPerHour = (total / minSec * 3600).toLong
+    val allSecs = timings.map(t => (t._1 * 100).round / 100.0)
+      .mkString("[", ",", "]")
+    val row =
+      s"""{"records":$total,"hour_files":$hours,"per_hour":$perHour,""" +
+      s""""distinct_keys":$expected,""" +
+      s""""min_ingest_sec":${(minSec * 100).round / 100.0},""" +
+      s""""ingest_secs":$allSecs,""" +
+      s""""records_per_hour":$recPerHour,"stored_ok":$storedOk}"""
+    val p = java.nio.file.Paths.get(outFile)
+    val prev =
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim
+      else """{"metric":"ingest_records_per_hour"}"""
+    // replace any prior runs_large block (always the LAST key, spliced
+    // here — a regex would trip on the nested ingest_secs brackets)
+    val idx = prev.indexOf(""","runs_large":""")
+    val base = if (idx >= 0) prev.substring(0, idx) else prev.dropRight(1)
+    val merged = base + s""","runs_large":[$row]}"""
+    java.nio.file.Files.writeString(p, merged)
+    println(row)
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("sweep")) {
       sweep(args.lift(1).map(_.toInt).getOrElse(2),
         args.lift(2).getOrElse("bench_ingest.json"))
+      return
+    }
+    if (args.headOption.contains("big")) {
+      big(args.lift(1).getOrElse("bench_ingest.json"))
       return
     }
     val hours = args.headOption.map(_.toInt).getOrElse(8)

@@ -171,6 +171,7 @@ object SparkEntry {
     "t22_source_overlap" -> (PipelineQueries.source_overlap _),
     "t23_bpe_encode" -> (PipelineQueries.bpe_encode _),
     "t25_bpe_compression" -> (PipelineQueries.bpe_compression _),
+    "t26_bpe_encode_large" -> (PipelineQueries.bpe_encode_large _),
     "t16_token_entropy" -> (PipelineQueries.token_entropy _),
     "t17_cms_estimate" -> (PipelineQueries.cms_estimate _),
     "t18_contamination_density" -> (PipelineQueries.contamination_density _),
@@ -240,11 +241,16 @@ object SparkEntry {
       }.mkString("\n         SELECT * FROM (\n           ",
         "\n           UNION ALL ", ")\n         ORDER BY step"))
 
-  private def bpeEncodeOracle(k: Int): String =
+  /** `from` parameterizes the corpus relation: "documents" for t23,
+    * the t26 fixture's literal parquet path for the realistic-
+    * vocabulary leg (raw interpolator — the regex escapes must reach
+    * DuckDB untouched).
+    */
+  private def bpeEncodeOracle(k: Int, from: String = "documents"): String =
     bpeRoundsSql(k,
-      """WITH toks AS (SELECT doc_id,
+      raw"""WITH toks AS (SELECT doc_id,
              unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
-           FROM documents),
+           FROM $from),
          wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM toks GROUP BY 1),
          w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s, wf FROM wf)""",
       // LEFT JOIN ON TRUE, not a cross join: when the vocabulary
@@ -2744,6 +2750,14 @@ object SparkEntry {
     // through the (word → symbol count) dictionary join
     "t23_bpe_encode" ->
       bpeEncodeOracle(graft.queries.PipelineQueries.bpeMergeRounds),
+
+    // t26: the SAME k-round encode cascade, replayed over the
+    // synthetic ≥10k-word fixture corpus (read by literal parquet
+    // path, the s03 pattern) — the production-size training run is
+    // cross-engine-verified, not just spec-pinned
+    "t26_bpe_encode_large" ->
+      bpeEncodeOracle(graft.queries.PipelineQueries.bpeMergeRounds,
+        s"'${graft.queries.PipelineQueries.t26CorpusPath}/documents.parquet/*.parquet'"),
 
     // g06: 3 synchronized LPA rounds over the d04 pair graph, unrolled —
     // mode pick = row_number over (cnt DESC, lbl ASC), the same

@@ -1063,7 +1063,12 @@ object PipelineQueries {
     */
   def artifactPaths(dir: String): Seq[String] = Seq(
     s03CentroidsPath(dir), d09CentroidsPath(dir), s04PqPath(dir),
-    p02ComponentsPath(dir), t21BpePath(dir), d16StopPath(dir))
+    p02ComponentsPath(dir), t21BpePath(dir), d16StopPath(dir),
+    // t26's fixture corpus and its trained-tokenizer artifact are
+    // SF-independent (the fixture IS the corpus) but join the sweep
+    // so Verify rebuilds them fresh — deterministic bytes, and the
+    // oracle's literal-path reads stay inside the audited roots
+    t26CorpusPath, t21BpePath(t26CorpusPath))
 
   /** Drops every per-SF artifact memo — the companion to
     * [[artifactPaths]]: Verify deletes the persisted roots up front,
@@ -1076,6 +1081,7 @@ object PipelineQueries {
   def clearArtifactMemos(): Unit = {
     docCountMemo.clear(); d16Built.clear(); quantizerCache.clear()
     d09Cache.clear(); pqCache.clear(); bpeBuilt.clear(); ccBuilt.clear()
+    t26Built.clear()
   }
 
   /** The shared trained coarse quantizer (fit once per SF, persisted
@@ -1912,6 +1918,74 @@ object PipelineQueries {
         sum("n_char").as("sum_chars"),
         sum("n_sym").as("sum_tokens"))
       .orderBy("source")
+  }
+
+  /** Pinned path of the t26 synthetic-vocabulary corpus fixture —
+    * read back by the DuckDB oracle as a literal parquet path (the
+    * s03-centroids pattern), so it must not move.
+    */
+  def t26CorpusPath: String = "/tmp/graft_t26_corpus"
+
+  private val t26Built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Builds (once per JVM; deterministic bytes, so rebuilds overwrite
+    * identically) the REALISTIC-VOCABULARY corpus the sf tables can't
+    * provide: the synthetic testdata draws from ~31 words, so
+    * t21/t23/t25 exercise the train→encode→compress chain at toy
+    * dictionary size (round-14 VERDICT #6). This fixture packs 12,200
+    * DISTINCT 5-char words (the bpek generator's base-26 scheme —
+    * little-endian digits of 26⁴+j, length-uniform so all are exactly
+    * 5 chars and pairwise distinct) into 200 docs, with the first 13
+    * words re-appended per doc (i mod 13 copies) so pair weights are
+    * zipf-ish rather than all-ties. Training at the production
+    * k = [[bpeMergeRounds]] then runs against a ≥10k-entry vocabulary
+    * and does NOT exhaust — the regime the toy gates can't reach.
+    */
+  private def t26CorpusFor(s: SparkSession): String =
+    t26Built.compute("corpus", (_, prev) => {
+      val p = t26CorpusPath
+      if (prev != null &&
+          new java.io.File(s"$p/documents.parquet").exists()) prev
+      else {
+        val words: IndexedSeq[String] = (0 until 12200).map { j =>
+          val sb = new java.lang.StringBuilder
+          var x = j + 26 * 26 * 26 * 26
+          while (x > 0) { sb.append(('a' + x % 26).toChar); x /= 26 }
+          sb.toString
+        }
+        val rows = (0 until 200).map { i =>
+          val ws = (0 until 61).map(r => words(i + 200 * r)) ++
+            (0 until i % 13).map(words)
+          val text = ws.mkString(" ")
+          (i.toLong, text, "en", "src" + (i % 4), text.length.toLong)
+        }
+        import s.implicits._
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/documents.parquet")
+        p
+      }
+    })
+
+  // ---- t26: the t23 encode chain at a REALISTIC dictionary — same
+  // train-once artifact ([[bpeArtifactFor]], keyed by the fixture
+  // dir), same one-scan + broadcast-dict-join encode, same per-doc
+  // integer output; only the corpus differs: ≥10k distinct words, so
+  // the k=64 trainer runs un-exhausted and the broadcast join carries
+  // a five-figure dictionary. The oracle replays the full k-round
+  // greedy-merge CTE cascade over the SAME fixture parquet (read by
+  // literal path), making the production-size training run
+  // cross-engine-verified, not just spec-pinned. ----
+  def bpe_encode_large(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t26CorpusFor(s)
+    val dict = s.read.parquet(s"${bpeArtifactFor(s, corpus)}/dict")
+    val tok = docs(s, corpus).select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("w"))
+    tok.join(broadcast(dict), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_char").as("n_chars"),
+        sum("n_sym").as("n_tokens"))
+      .orderBy("doc_id")
   }
 
   // ---- t22: cross-source overlap matrix via THETA-SKETCH

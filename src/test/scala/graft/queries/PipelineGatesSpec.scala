@@ -21,6 +21,31 @@ class PipelineGatesSpec extends SparkTestBase {
     dir
   }
 
+  test("t26 fixture reaches the realistic-vocabulary regime: >=10k " +
+      "dict entries, the full k merge rounds (un-exhausted), 200 docs") {
+    // the point of t26 (VERDICT r14 #6): the sf corpora train 31
+    // words / 89 possible merges, so the toy gates never exercise an
+    // un-exhausted production-k run or a five-figure broadcast dict —
+    // this pins that the fixture actually reaches that regime
+    val out = PipelineQueries.bpe_encode_large(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(out.length == 200, s"fixture doc count drifted: ${out.length}")
+    val art = PipelineQueries.t21BpePath(PipelineQueries.t26CorpusPath)
+    val dictN = spark.read.parquet(s"$art/dict").count()
+    assert(dictN >= 10000L,
+      s"t26 dictionary has $dictN entries — below the realistic-vocab bar")
+    val mergesN = spark.read.parquet(s"$art/merges").count()
+    assert(mergesN == PipelineQueries.bpeMergeRounds.toLong,
+      s"t26 training exhausted at $mergesN merges — fixture too small " +
+        "to exercise a full production-k run")
+    // every doc's token count is strictly below its char-split count
+    // somewhere: at least one merge must actually apply corpus-wide
+    val sumTokens = out.map(_.getLong(3)).sum
+    val sumChars = out.map(_.getLong(2)).sum
+    assert(sumTokens < sumChars,
+      "t26 merges never applied — token count equals char count")
+  }
+
   test("incremental BPE trainer replays the naive full-recount loop " +
       "MERGE-FOR-MERGE on tie-heavy and overlap-heavy vocabularies") {
     // the incremental pair index is a pure optimization only if its
