@@ -200,6 +200,13 @@ object IngestBench {
     // conf — SparkConf reads spark.* system properties at context
     // creation, and `big` always runs as a fresh main).
     System.setProperty("spark.rdd.compress", "true")
+    // 32 parse partitions materialize ~2 GB checkpoint blocks
+    // CONCURRENTLY — a 48 GB heap OOM'd; run with SPARK_DRIVER_MEM=96g
+    if (Runtime.getRuntime.maxMemory < (60L << 30))
+      System.err.println("[big] WARNING: heap " +
+        s"${Runtime.getRuntime.maxMemory >> 30} GB — the 100 M leg " +
+        "needs SPARK_DRIVER_MEM=96g (measured: 48g OOMs in the " +
+        "checkpoint materialization)")
     val spark = GraftSession.getOrCreate(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
