@@ -72,7 +72,15 @@ object Bench {
     val gitCommit: String = try {
       import scala.sys.process._
       val h = Seq("git", "rev-parse", "HEAD").!!.trim
-      val dirty = Seq("git", "status", "--porcelain").!!.trim.nonEmpty
+      // the bench's OWN outputs (history append, artifact overwrite)
+      // must not count as dirt: the first run of a session would
+      // otherwise dirty the tree for every later run, and no two runs
+      // could ever share a clean commit stamp — self-defeating
+      val benchOwned = Set("bench_history.jsonl", "bench_out.json",
+        "derby.log")
+      val dirty = Seq("git", "status", "--porcelain").!!.linesIterator
+        .map(_.trim).filter(_.nonEmpty)
+        .exists(l => !benchOwned.exists(l.endsWith))
       if (h.matches("[0-9a-f]{40}")) (if (dirty) h + "-dirty" else h)
       else "unknown"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
