@@ -124,6 +124,8 @@ object SparkEntry {
     "p17_epoch_interleave" -> (PipelineQueries.epoch_interleave _),
     "p18_lee_pipeline" -> (PipelineQueries.lee_pipeline _),
     "p19_concat_chunk_scale" -> (PipelineQueries.concat_chunk_scale _),
+    "p20_compaction" -> (PipelineQueries.compaction_manifest _),
+    "t27_perceptron_quality" -> (PipelineQueries.perceptron_quality _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -2370,6 +2372,91 @@ object SparkEntry {
                 CAST(start_off // 128 AS BIGINT) AS first_example,
                 CAST((start_off + n_tokens - 1) // 128 AS BIGINT) AS last_example
          FROM o ORDER BY lang, doc_id""",
+
+    // p20: the compaction manifest recomputed from the ORIGINAL table
+    // — file scatter (doc_id mod 64), per-lang (bytes DESC, file_id)
+    // sorted prefix sum, integer-div binning at the 16 KiB target,
+    // then the expected per-bin manifest with the p15 membership
+    // checksum; the Spark side reads the REWRITTEN parquet back, so a
+    // mismatch anywhere in plan/rewrite/read-back breaks the hash
+    "p20_compaction" ->
+      """WITH f AS (SELECT lang, doc_id % 64 AS file_id, doc_id, n_chars
+           FROM documents),
+         fm AS (SELECT lang, file_id,
+             CAST(sum(n_chars) AS BIGINT) AS fbytes
+           FROM f GROUP BY 1, 2),
+         pl AS (SELECT lang, file_id, fbytes,
+             CAST(sum(fbytes) OVER (PARTITION BY lang
+                   ORDER BY fbytes DESC, file_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM fm),
+         asg AS (SELECT lang, file_id,
+             CAST((cum - fbytes) // 16384 AS BIGINT) AS bin
+           FROM pl),
+         d AS (SELECT f.lang, f.doc_id, f.n_chars, f.file_id, asg.bin
+           FROM f JOIN asg ON asg.lang = f.lang AND asg.file_id = f.file_id)
+         SELECT lang, bin,
+                CAST(count(DISTINCT file_id) AS BIGINT) AS n_files_in,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS bytes,
+                md5(array_to_string(list_sort(list(doc_id)), ',')) AS checksum
+         FROM d GROUP BY 1, 2 ORDER BY lang, bin""",
+
+    // t27: the E=3 batch-perceptron epochs unrolled as CTEs — the
+    // same md5 bucket fold (B=32 + bias bucket 32), all-BIGINT
+    // scores/updates so the replay is exact; w0 = 0 makes epoch 1's
+    // update the full Σ y·x, and every epoch updates on y·score ≤ 0
+    "t27_perceptron_quality" ->
+      """WITH lab AS (SELECT doc_id,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+           FROM documents),
+         toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         tb AS (SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, 9), i ->
+               CAST(strpos('0123456789abcdef',
+                 substr(md5(w), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+               * CAST(pow(16, 8 - i) AS BIGINT))) % 32 AS INTEGER) AS b
+           FROM toks),
+         feat AS (
+           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+           FROM tb GROUP BY 1, 2
+           UNION ALL
+           SELECT doc_id, CAST(32 AS INTEGER) AS b, CAST(1 AS BIGINT) AS c
+           FROM documents),
+         fl AS (SELECT f.doc_id, f.b, f.c, l.y
+           FROM feat f JOIN lab l USING (doc_id)),
+         w1 AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS w
+           FROM fl GROUP BY 1),
+         s1 AS (SELECT fl.doc_id, fl.y,
+             CAST(sum(fl.c * w1.w) AS BIGINT) AS score
+           FROM fl JOIN w1 USING (b) GROUP BY 1, 2),
+         d1 AS (SELECT fl.b, CAST(sum(fl.y * fl.c) AS BIGINT) AS d
+           FROM fl JOIN (SELECT doc_id FROM s1 WHERE y * score <= 0) m
+             USING (doc_id)
+           GROUP BY 1),
+         w2 AS (SELECT coalesce(w1.b, d1.b) AS b,
+             CAST(coalesce(w1.w, 0) + coalesce(d1.d, 0) AS BIGINT) AS w
+           FROM w1 FULL JOIN d1 ON d1.b = w1.b),
+         s2 AS (SELECT fl.doc_id, fl.y,
+             CAST(sum(fl.c * w2.w) AS BIGINT) AS score
+           FROM fl JOIN w2 USING (b) GROUP BY 1, 2),
+         d2 AS (SELECT fl.b, CAST(sum(fl.y * fl.c) AS BIGINT) AS d
+           FROM fl JOIN (SELECT doc_id FROM s2 WHERE y * score <= 0) m
+             USING (doc_id)
+           GROUP BY 1),
+         w3 AS (SELECT coalesce(w2.b, d2.b) AS b,
+             CAST(coalesce(w2.w, 0) + coalesce(d2.d, 0) AS BIGINT) AS w
+           FROM w2 FULL JOIN d2 ON d2.b = w2.b),
+         s3 AS (SELECT fl.doc_id, fl.y,
+             CAST(sum(fl.c * w3.w) AS BIGINT) AS score
+           FROM fl JOIN w3 USING (b) GROUP BY 1, 2)
+         SELECT doc_id, y, score,
+                CASE WHEN score > 0 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(-1 AS BIGINT) END AS pred
+         FROM s3 ORDER BY doc_id""",
 
     // p16: concat-and-chunk — per-lang running token offsets, then
     // integer division by the C=128 example size; the final partial

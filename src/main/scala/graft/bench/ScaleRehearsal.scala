@@ -241,13 +241,13 @@ object ScaleRehearsal {
     val maxMult =
       if (mode == "streaming" || mode == "deep" || mode == "annfilter") 1000
       else if (mode == "edit" || mode == "windowskew" ||
-        mode == "refsurface") 100
+        mode == "refsurface" || mode == "maintain") 100
       else 26
     require(mult >= 1 && mult <= maxMult,
       s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
       "passages", "streaming", "deep", "edit", "annfilter", "windowskew",
-      "bpek", "refsurface").contains(mode),
+      "bpek", "refsurface", "maintain").contains(mode),
       s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else {
@@ -509,6 +509,73 @@ object ScaleRehearsal {
         s""""r07_max_task_ms":${r07._2},"r07_max_reduce_ms":${r07._3},""" +
         s""""r09_replacing_dedup":${jq(r09._1)},""" +
         s""""r09_max_task_ms":${r09._2},"r09_max_reduce_ms":${r09._3}}""")
+    } else if (mode == "maintain") {
+      // The round-15 maintenance/training legs: p20 compaction and
+      // t27 batch-perceptron training at M× the base corpus (numeric
+      // doc_id offsets, text SHARED — neither operator's cost depends
+      // on content overlap, so the cheap salt is the right one).
+      //  - p20: the plan stage is FILE-grain (64 files × langs —
+      //    metadata-scale regardless of M, since the operator's
+      //    simulated ingest scatter is doc_id mod 64 and 10⁷ ≡ 0
+      //    mod 64 keeps every copy in the same files); bins and
+      //    rewrite bytes grow ∝ M. The claim under test: wall and
+      //    shuffle LINEAR in M, no single reduce task hoarding the
+      //    rewrite (bins hash-spread across the exchange).
+      //  - t27: the feature table grows ∝ M while the weight vector
+      //    stays 33 rows; each epoch is a broadcast score join + a
+      //    doc-grain semi-join. The claim: wall/shuffle LINEAR in M,
+      //    per-epoch collect constant.
+      // Both legs run the GATE bodies verbatim (build included) and
+      // force full-column hashes through the refsurface sink.
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until mult).map { k =>
+        val off = lit(k.toLong * 10000000L)
+        base.select((col("doc_id") + off).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$work/documents.parquet")
+      val nDocs = spark.read.parquet(s"$work/documents.parquet").count()
+      def sink(df: org.apache.spark.sql.DataFrame): Long = {
+        val cols = df.columns.sorted
+          .map(c => coalesce(col(c).cast("string"), lit("")))
+        val r = df.select(xxhash64(
+            concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("h").cast("decimal(38,0)")).as("hs")).first()
+        require(r.getLong(0) > 0,
+          "maintain sink: leg produced ZERO rows — empty-result bug")
+        r.getDecimal(1).longValue() ^ r.getLong(0)
+      }
+      def meterLeg(fn: => Long)
+          : ((Double, Double, Double, Long), Long, Long) = {
+        val tm = new TaskMeter
+        spark.sparkContext.addSparkListener(tm)
+        val r = time(fn)
+        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(tm)
+        (r, tm.maxMs, tm.maxReduceMs)
+      }
+      import graft.queries.PipelineQueries
+      val p20 = meterLeg {
+        sink(PipelineQueries.compaction_manifest(spark, work)); nDocs }
+      val binDirs = Option(new java.io.File(
+          PipelineQueries.p20CompactPath(work)).listFiles)
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("lang="))
+        .flatMap(f => Option(f.listFiles).getOrElse(Array.empty))
+        .count(_.getName.startsWith("bin="))
+      val t27 = meterLeg {
+        sink(PipelineQueries.perceptron_quality(spark, work)); nDocs }
+      // the M×-sized rewrite artifact is leg scratch, not a gate
+      // artifact anyone probes — drop it with the work dir
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(PipelineQueries.p20CompactPath(work)))
+      println(s"""{"mult":$mult,"docs":$nDocs,""" +
+        s""""p20_compaction":${jq(p20._1)},""" +
+        s""""p20_max_task_ms":${p20._2},"p20_max_reduce_ms":${p20._3},""" +
+        s""""p20_bins":$binDirs,""" +
+        s""""t27_perceptron":${jq(t27._1)},""" +
+        s""""t27_max_task_ms":${t27._2},"t27_max_reduce_ms":${t27._3}}""")
     } else if (mode == "bpek") {
       // The production-k BPE leg (VERDICT r13 #3): the trainer is one
       // corpus scan + a driver-side merge loop, so wall must be ~flat

@@ -1068,7 +1068,8 @@ object PipelineQueries {
     // SF-independent (the fixture IS the corpus) but join the sweep
     // so Verify rebuilds them fresh — deterministic bytes, and the
     // oracle's literal-path reads stay inside the audited roots
-    t26CorpusPath, t21BpePath(t26CorpusPath))
+    t26CorpusPath, t21BpePath(t26CorpusPath),
+    p20CompactPath(dir))
 
   /** Drops every per-SF artifact memo — the companion to
     * [[artifactPaths]]: Verify deletes the persisted roots up front,
@@ -1081,7 +1082,7 @@ object PipelineQueries {
   def clearArtifactMemos(): Unit = {
     docCountMemo.clear(); d16Built.clear(); quantizerCache.clear()
     d09Cache.clear(); pqCache.clear(); bpeBuilt.clear(); ccBuilt.clear()
-    t26Built.clear()
+    t26Built.clear(); p20Built.clear()
   }
 
   /** The shared trained coarse quantizer (fit once per SF, persisted
@@ -3492,4 +3493,177 @@ object PipelineQueries {
       .groupBy("canonical_url")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
       .orderBy("keep_id")
+
+  // ---- t27: in-engine TRAINED quality classifier — a distributed
+  // BATCH PERCEPTRON over hashed-unigram count features (the
+  // fastText-style quality gate a CCNet/FineWeb-class pipeline trains
+  // on a curated-vs-crawl label and then applies corpus-wide; t24
+  // scores by domain STATISTICS, this gate trains a DISCRIMINATIVE
+  // model inside the engine). Features: B = 32 md5-position token
+  // buckets (the t24/d14 fold) + one always-1 bias bucket; label
+  // y = +1 for the curated slice (source ∈ src0..src4), −1 otherwise.
+  // Epoch e: score(doc) = Σ_b w(b)·c(doc,b); every doc with
+  // y·score ≤ 0 is misclassified and contributes y·x to the weight
+  // update — the classic batch perceptron step, E = 3 epochs.
+  //
+  // Scale shape: the corpus is tokenized ONCE into the (doc, y,
+  // bucket, count) feature table — ≤ B+1 integer rows per doc, orders
+  // of magnitude under the text it summarizes — and persisted
+  // (memory-and-disk) for the epoch loop; the raw corpus is never
+  // rescanned. The label rides THROUGH the feature aggregation (y is
+  // a per-row function of `source`, functionally dependent on doc_id,
+  // so grouping by it adds no cardinality) — there is no label join
+  // anywhere. Per epoch: the weight vector is B+1 = 33 rows,
+  // broadcast into a map-side score join; the misclassified ids flow
+  // back as one doc-grain LEFT SEMI join between integer tables
+  // (unique keys, linear, skew-free); the update aggregates to
+  // ≤ B+1 (bucket, delta) rows — the per-epoch driver collect is B+1
+  // rows, the s03-centroids bounded-artifact contract. E is a
+  // constant, so the whole trainer is 2E feature-table passes + E
+  // bounded collects.
+  //
+  // Determinism: EVERYTHING is BIGINT — counts, weights, scores,
+  // updates — so there is no float discipline to keep; the oracle
+  // unrolls the E epochs as CTEs over the same md5 bucket fold and
+  // must match bit-exactly. A doc scoring exactly 0 is misclassified
+  // by convention (w₀ = 0 starts the loop); prediction is
+  // sign(score) with 0 → −1, the same boundary. ----
+  private val t27Buckets = 32
+  private val t27Epochs = 3
+
+  private def t27Features(s: SparkSession, dir: String): DataFrame = {
+    val B = t27Buckets
+    val base = docs(s, dir).select(col("doc_id"),
+      when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        lit(1L)).otherwise(lit(-1L)).as("y"),
+      col("text"))
+    base.select(col("doc_id"), col("y"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .withColumn("b",
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % B)
+          .cast("int"))
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("c"))
+      .unionByName(base.select(col("doc_id"), col("y"),
+        lit(B).cast("int").as("b"), lit(1L).as("c")))
+  }
+
+  def perceptron_quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = t27Buckets
+    val feat = t27Features(s, dir).persist()
+    val w = Array.fill[Long](B + 1)(0L)
+    try {
+      (1 to t27Epochs).foreach { _ =>
+        val wDf = w.indices.map(b => (b, w(b))).toDF("b", "w")
+        val mis = feat.join(broadcast(wDf), Seq("b"))
+          .groupBy("doc_id", "y")
+          .agg(sum(col("c") * col("w")).as("score"))
+          .filter(col("y") * col("score") <= 0)
+          .select("doc_id")
+        // bounded collect: ≤ B+1 rows (the per-epoch weight update)
+        feat.join(mis, Seq("doc_id"), "left_semi")
+          .groupBy("b").agg(sum(col("y") * col("c")).as("d"))
+          .collect()
+          .foreach(r => w(r.getInt(0)) += r.getLong(1))
+      }
+    } finally feat.unpersist(blocking = false)
+    val wDf = w.indices.map(b => (b, w(b))).toDF("b", "w")
+    // final scoring from a fresh feature derivation — the persisted
+    // loop copy is released above, so nothing leaks past the gate
+    t27Features(s, dir).join(broadcast(wDf), Seq("b"))
+      .groupBy("doc_id", "y")
+      .agg(sum(col("c") * col("w")).as("score"))
+      .withColumn("pred",
+        when(col("score") > 0, lit(1L)).otherwise(lit(-1L)))
+      .orderBy("doc_id")
+  }
+
+  /** Where the p20 compacted table persists, keyed by the SF dir's
+    * basename like [[s03CentroidsPath]].
+    */
+  def p20CompactPath(dir: String): String =
+    s"/tmp/graft_p20_compact/${new java.io.File(dir).getName}"
+
+  private val p20Built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Compaction target size (a power of two, so even a floating-point
+    * spelling of the bin division would be exact; the code uses
+    * integer `div` anyway) and the simulated small-file fan-out.
+    */
+  private val p20TargetBytes = 16384L
+  private val p20SourceFiles = 64L
+
+  // ---- p20: small-file COMPACTION — the table-maintenance operation
+  // every streaming-ingested 100 TB table needs (a per-trigger sink
+  // leaves thousands of KB-sized files per partition; scan throughput
+  // dies on file-open overhead until an OPTIMIZE-style rewrite
+  // bin-packs them to target-sized files). The reference's hourly
+  // importer has exactly this layout problem — one file per hour —
+  // and ClickHouse's background merges are the engine-side answer;
+  // this gate is the Spark-side equivalent as an explicit operator.
+  //
+  // Input layout: the documents table scattered round-robin across
+  // [[p20SourceFiles]] simulated ingest files (file_id = doc_id mod
+  // 64 — a streaming sink's arrival-order assignment). Plan: per
+  // table partition (lang), order files by (bytes DESC, file_id),
+  // running-sum the bytes, bin = prefix-sum div target — the sorted
+  // next-fit packing Spark's own FilePartition coalescing and Delta's
+  // OPTIMIZE use; every bin lands within one file of the target.
+  // Execute: join the (file → bin) plan back to the rows and REWRITE
+  // as one parquet dataset partitioned by (lang, bin), one file per
+  // bin. The gate then reads the REWRITTEN table back and manifests
+  // it — (files-in, docs, bytes, membership checksum) per output bin
+  // — while the oracle recomputes the expected manifest from the
+  // ORIGINAL table: any loss, duplication, or misassignment in the
+  // plan/rewrite/read-back chain breaks the match (the t25
+  // artifact-probing discipline, with the checksum pinning exact
+  // membership, not just counts).
+  //
+  // Scale shape: the plan runs at FILE grain — the manifest of a
+  // 100 TB table is millions of rows, metadata-scale, and the per-
+  // partition sort window never sees more than one partition's file
+  // list (the same work Delta's OPTIMIZE does driver-side; here it
+  // stays distributed). The plan broadcasts (≤ #files rows) into a
+  // map-side join, and the rewrite pays exactly ONE exchange at
+  // (lang, bin) grain — the minimum any compaction can pay, and the
+  // exchange IS the layout being produced. All-integer binning
+  // (BIGINT div), so the oracle replays it exactly. ----
+  private def compactedFor(s: SparkSession, dir: String): String =
+    p20Built.compute(dir, (_, prev) => {
+      val p = p20CompactPath(dir)
+      if (prev != null &&
+          new java.io.File(p).exists()) prev
+      else {
+        import org.apache.spark.sql.expressions.Window
+        // FULL rows ride the rewrite (text included) — compaction
+        // moves the data, not a projection of it; only the manifest
+        // aggregation below is column-pruned
+        val f = docs(s, dir)
+          .withColumn("file_id", col("doc_id") % p20SourceFiles)
+        val w = Window.partitionBy("lang")
+          .orderBy(desc("fbytes"), asc("file_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val plan = f.groupBy("lang", "file_id")
+          .agg(sum("n_chars").as("fbytes"))
+          .withColumn("cum", sum("fbytes").over(w))
+          .withColumn("bin",
+            expr(s"(cum - fbytes) div $p20TargetBytes"))
+          .select("lang", "file_id", "bin")
+        f.join(broadcast(plan), Seq("lang", "file_id"))
+          .repartition(col("lang"), col("bin"))
+          .write.partitionBy("lang", "bin").mode("overwrite").parquet(p)
+        p
+      }
+    })
+
+  def compaction_manifest(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(compactedFor(s, dir))
+      .groupBy(col("lang"), col("bin").cast("long").as("bin"))
+      .agg(countDistinct("file_id").as("n_files_in"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("bytes"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("checksum"))
+      .orderBy("lang", "bin")
 }

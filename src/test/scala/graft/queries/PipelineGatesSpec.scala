@@ -951,6 +951,94 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(got.map(_._3).sum == 5L)
   }
 
+  test("t27 perceptron_quality: matches an independent scalar replay " +
+      "of the batch-perceptron epochs; epoch-1 update is the full sum") {
+    // independent reference: same md5 bucket fold via MessageDigest,
+    // same B=32+bias feature map, same E=3 batch epochs in plain
+    // Scala maps — any drift in bucketing, the y·score ≤ 0 update
+    // rule, or the sign(0) → −1 prediction boundary diverges
+    val rows = Seq(
+      (0L, "alpha beta gamma alpha", "en", "src0", 1L),  // y = +1
+      (1L, "alpha beta", "en", "src3", 1L),              // y = +1
+      (2L, "delta echo foxtrot", "en", "src9", 1L),      // y = -1
+      (3L, "alpha delta", "en", "src7", 1L),             // y = -1
+      (4L, "gamma gamma gamma", "en", "src4", 1L))       // y = +1
+    val dir = tmpSf(rows)
+    def bucket(w: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.take(8), 16) % 32).toInt
+    }
+    val feats: Map[Long, Map[Int, Long]] = rows.map { case (id, text, _, _, _) =>
+      val m = text.split("\\s+").groupBy(bucket).view
+        .mapValues(_.length.toLong).toMap
+      id -> (m + (32 -> 1L))
+    }.toMap
+    val ys: Map[Long, Long] = rows.map { case (id, _, _, src, _) =>
+      id -> (if (Set("src0", "src1", "src2", "src3", "src4")(src)) 1L
+             else -1L)
+    }.toMap
+    var w = Map.empty[Int, Long].withDefaultValue(0L)
+    (1 to 3).foreach { _ =>
+      val mis = feats.keys.filter { id =>
+        val score = feats(id).map { case (b, c) => c * w(b) }.sum
+        ys(id) * score <= 0L
+      }
+      mis.foreach { id =>
+        feats(id).foreach { case (b, c) => w += b -> (w(b) + ys(id) * c) }
+      }
+    }
+    val expect = rows.map(_._1).sorted.map { id =>
+      val score = feats(id).map { case (b, c) => c * w(b) }.sum
+      (id, ys(id), score, if (score > 0) 1L else -1L)
+    }
+    val got = PipelineQueries.perceptron_quality(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // the fixture exercises both label classes and both prediction
+    // outcomes — otherwise the epochs never actually discriminate
+    assert(got.map(_._2).toSet == Set(1L, -1L))
+    assert(got.map(_._4).toSet == Set(1L, -1L),
+      "degenerate fixture: every doc predicted the same class")
+  }
+
+  test("p20 compaction: bins match the sorted-prefix-sum plan, the " +
+      "rewrite is lossless, and each output bin is ONE physical file") {
+    // lang en: singleton files 0..9 with bytes 1000·(i+1); sorted
+    // DESC the 16384-target prefix-sum bins are {9,8} {7,6} {5,4,3,2}
+    // {1,0}. lang de: one 500-byte file alone in bin 0.
+    val rows = (0L until 10L).map(i =>
+      (i, s"t$i", "en", "s", 1000L * (i + 1))) :+
+      (20L, "d", "de", "s", 500L)
+    val dir = tmpSf(rows)
+    val got = PipelineQueries.compaction_manifest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq(
+      ("de", 0L, 1L, 1L, 500L, md5("20")),
+      ("en", 0L, 2L, 2L, 19000L, md5("8,9")),
+      ("en", 1L, 2L, 2L, 15000L, md5("6,7")),
+      ("en", 2L, 4L, 4L, 18000L, md5("2,3,4,5")),
+      ("en", 3L, 2L, 2L, 3000L, md5("0,1"))))
+    // conservation: every doc lands in exactly one bin
+    assert(got.map(_._4).sum == rows.size.toLong)
+    // the physical contract: the rewrite put each (lang, bin) into
+    // exactly one data file — 11 scattered inputs became 5 files
+    val root = new java.io.File(PipelineQueries.p20CompactPath(dir))
+    val binDirs = root.listFiles.filter(_.getName.startsWith("lang="))
+      .flatMap(_.listFiles).filter(_.getName.startsWith("bin="))
+    assert(binDirs.length == 5, s"expected 5 bin dirs: ${binDirs.toSeq}")
+    binDirs.foreach { d =>
+      val parts = d.listFiles.filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"bin dir $d holds ${parts.length} files — compaction must " +
+          "produce exactly one")
+    }
+  }
+
   test("d14 bloom_prefilter: exact dup flagged, no false negatives") {
     // doc 1 (batch) copies doc 0 (corpus) -> maybe_dup AND is_dup;
     // doc 3 (batch) is unique -> is_dup false; bloom admits no false
