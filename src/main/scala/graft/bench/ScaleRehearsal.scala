@@ -241,13 +241,14 @@ object ScaleRehearsal {
     val maxMult =
       if (mode == "streaming" || mode == "deep" || mode == "annfilter") 1000
       else if (mode == "edit" || mode == "windowskew" ||
-        mode == "refsurface" || mode == "maintain") 100
+        mode == "refsurface" || mode == "maintain" ||
+        mode == "bucketjoin") 100
       else 26
     require(mult >= 1 && mult <= maxMult,
       s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
       "passages", "streaming", "deep", "edit", "annfilter", "windowskew",
-      "bpek", "refsurface", "maintain").contains(mode),
+      "bpek", "refsurface", "maintain", "bucketjoin").contains(mode),
       s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else {
@@ -576,6 +577,80 @@ object ScaleRehearsal {
         s""""p20_bins":$binDirs,""" +
         s""""t27_perceptron":${jq(t27._1)},""" +
         s""""t27_max_task_ms":${t27._2},"t27_max_reduce_ms":${t27._3}}""")
+    } else if (mode == "bucketjoin") {
+      // Bucketed co-location at M (BucketedLayoutSpec's capability,
+      // measured): the same user-grain equi-join paid two ways — from
+      // tables written `bucketBy(32, user_id)` (shuffle must be ~ZERO
+      // at every M: the exchange moved to write time, paid once) and
+      // from plain parquet (shuffle grows ∝ M: paid on every query).
+      // The one-time write cost is reported alongside so the trade is
+      // visible, not implied. Broadcast disabled for the legs — at
+      // 100 TB neither side of a fact-to-fact join broadcasts.
+      val base = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until mult).map { k =>
+        val off = lit(k.toLong * 10000000L)
+        base.select((col("event_id") + off).as("event_id"), col("ts"),
+          (col("user_id") + off).as("user_id"), col("event_type"),
+          col("value"), col("props"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$work/events.parquet")
+      val ev = spark.read.parquet(s"$work/events.parquet")
+      val nEvents = ev.count()
+      def sink(df: org.apache.spark.sql.DataFrame): Long = {
+        val cols = df.columns.sorted
+          .map(c => coalesce(col(c).cast("string"), lit("")))
+        val r = df.select(xxhash64(
+            concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("h").cast("decimal(38,0)")).as("hs")).first()
+        require(r.getLong(0) > 0,
+          "bucketjoin sink: leg produced ZERO rows — empty-result bug")
+        r.getDecimal(1).longValue() ^ r.getLong(0)
+      }
+      spark.sql("DROP TABLE IF EXISTS bj_events")
+      spark.sql("DROP TABLE IF EXISTS bj_users")
+      val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // repartition by the bucket key BEFORE the bucketed write —
+        // without it Spark's v1 bucketing writes (tasks × buckets)
+        // files (every task splits its rows into per-bucket files:
+        // the small-file problem p20 exists to fix); with it the
+        // table lands as ONE file per bucket and the write leg pays
+        // the one-time exchange the query legs then never pay
+        val tWrite = time {
+          ev.repartition(32, col("user_id"))
+            .write.bucketBy(32, "user_id").sortBy("user_id")
+            .mode("overwrite").saveAsTable("bj_events")
+          ev.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"), max("value").as("max_v"))
+            .repartition(32, col("user_id"))
+            .write.bucketBy(32, "user_id").sortBy("user_id")
+            .mode("overwrite").saveAsTable("bj_users")
+          nEvents
+        }
+        def legJoin(l: org.apache.spark.sql.DataFrame,
+            r: org.apache.spark.sql.DataFrame) =
+          sink(l.join(r, Seq("user_id"))
+            .select(col("user_id"), col("event_type"), col("n_events")))
+        val bucketed = time {
+          legJoin(spark.table("bj_events"), spark.table("bj_users")) }
+        val plain = time {
+          legJoin(ev, ev.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"), max("value").as("max_v"))) }
+        println(s"""{"mult":$mult,"events":$nEvents,""" +
+          s""""bucketed_write":${jq(tWrite)},""" +
+          s""""bucketed_join":${jq(bucketed)},""" +
+          s""""plain_join":${jq(plain)}}""")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        spark.sql("DROP TABLE IF EXISTS bj_events")
+        spark.sql("DROP TABLE IF EXISTS bj_users")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File("spark-warehouse/bj_events"))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File("spark-warehouse/bj_users"))
+      }
     } else if (mode == "bpek") {
       // The production-k BPE leg (VERDICT r13 #3): the trainer is one
       // corpus scan + a driver-side merge loop, so wall must be ~flat

@@ -1082,7 +1082,7 @@ object PipelineQueries {
   def clearArtifactMemos(): Unit = {
     docCountMemo.clear(); d16Built.clear(); quantizerCache.clear()
     d09Cache.clear(); pqCache.clear(); bpeBuilt.clear(); ccBuilt.clear()
-    t26Built.clear(); p20Built.clear()
+    t26Built.clear(); p20Built.clear(); t27WeightsMemo.clear()
   }
 
   /** The shared trained coarse quantizer (fit once per SF, persisted
@@ -3533,49 +3533,95 @@ object PipelineQueries {
 
   private def t27Features(s: SparkSession, dir: String): DataFrame = {
     val B = t27Buckets
-    val base = docs(s, dir).select(col("doc_id"),
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
       when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
         lit(1L)).otherwise(lit(-1L)).as("y"),
       col("text"))
-    base.select(col("doc_id"), col("y"),
+    // source rides the group key alongside y — both are per-row
+    // functions of the doc, so neither adds cardinality, and t28's
+    // per-source eval needs it without a join
+    base.select(col("doc_id"), col("source"), col("y"),
         explode(TextFunctions.tokens(col("text"))).as("w"))
       .withColumn("b",
         (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % B)
           .cast("int"))
-      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("c"))
-      .unionByName(base.select(col("doc_id"), col("y"),
+      .groupBy("doc_id", "source", "y", "b").agg(count(lit(1)).as("c"))
+      .unionByName(base.select(col("doc_id"), col("source"), col("y"),
         lit(B).cast("int").as("b"), lit(1L).as("c")))
   }
 
+  private val t27WeightsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** The trained weight vector — E epochs of the batch-perceptron
+    * update over the persisted feature table, memoized per SF (the
+    * training is deterministic, so t27's scoring and t28's eval probe
+    * the SAME model without re-training; B+1 longs, the s03-centroids
+    * bounded-artifact contract).
+    */
+  private def t27TrainedWeights(s: SparkSession, dir: String): Array[Long] =
+    t27WeightsMemo.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val feat = t27Features(s, dir).persist()
+      val w = Array.fill[Long](t27Buckets + 1)(0L)
+      try {
+        (1 to t27Epochs).foreach { _ =>
+          val wDf = w.indices.map(b => (b, w(b))).toDF("b", "w")
+          val mis = feat.join(broadcast(wDf), Seq("b"))
+            .groupBy("doc_id", "y")
+            .agg(sum(col("c") * col("w")).as("score"))
+            .filter(col("y") * col("score") <= 0)
+            .select("doc_id")
+          // bounded collect: ≤ B+1 rows (the per-epoch weight update)
+          feat.join(mis, Seq("doc_id"), "left_semi")
+            .groupBy("b").agg(sum(col("y") * col("c")).as("d"))
+            .collect()
+            .foreach(r => w(r.getInt(0)) += r.getLong(1))
+        }
+      } finally feat.unpersist(blocking = false)
+      w
+    })
+
   def perceptron_quality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val B = t27Buckets
-    val feat = t27Features(s, dir).persist()
-    val w = Array.fill[Long](B + 1)(0L)
-    try {
-      (1 to t27Epochs).foreach { _ =>
-        val wDf = w.indices.map(b => (b, w(b))).toDF("b", "w")
-        val mis = feat.join(broadcast(wDf), Seq("b"))
-          .groupBy("doc_id", "y")
-          .agg(sum(col("c") * col("w")).as("score"))
-          .filter(col("y") * col("score") <= 0)
-          .select("doc_id")
-        // bounded collect: ≤ B+1 rows (the per-epoch weight update)
-        feat.join(mis, Seq("doc_id"), "left_semi")
-          .groupBy("b").agg(sum(col("y") * col("c")).as("d"))
-          .collect()
-          .foreach(r => w(r.getInt(0)) += r.getLong(1))
-      }
-    } finally feat.unpersist(blocking = false)
+    val w = t27TrainedWeights(s, dir)
     val wDf = w.indices.map(b => (b, w(b))).toDF("b", "w")
-    // final scoring from a fresh feature derivation — the persisted
-    // loop copy is released above, so nothing leaks past the gate
     t27Features(s, dir).join(broadcast(wDf), Seq("b"))
       .groupBy("doc_id", "y")
       .agg(sum(col("c") * col("w")).as("score"))
       .withColumn("pred",
         when(col("score") > 0, lit(1L)).otherwise(lit(-1L)))
       .orderBy("doc_id")
+  }
+
+  // ---- t28: trained-classifier EVAL as a query — the adopt-or-
+  // reject metric for t27's model, the t25-to-t21 relationship
+  // replayed for the classifier family: per SOURCE, how many docs the
+  // trained weights flag as curated (n_pred_pos) and how many they
+  // get right (n_correct). Every source is label-pure (y is a
+  // function of source), so the per-source rows ARE the confusion
+  // matrix at its finest honest grain: positive sources contribute
+  // (n_correct = TP, n_docs − n_correct = FN), negative sources
+  // (n_correct = TN, n_pred_pos = FP). One broadcast of the same
+  // 33-long weight vector t27 scored with (memoized — the model is
+  // trained ONCE per corpus), one doc-grain agg, one source-grain
+  // agg; all-BIGINT, so the oracle replays the full train+score+eval
+  // chain exactly. ----
+  def perceptron_eval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = t27TrainedWeights(s, dir)
+    val wDf = w.indices.map(b => (b, w(b))).toDF("b", "w")
+    t27Features(s, dir).join(broadcast(wDf), Seq("b"))
+      .groupBy("doc_id", "source", "y")
+      .agg(sum(col("c") * col("w")).as("score"))
+      .withColumn("pred",
+        when(col("score") > 0, lit(1L)).otherwise(lit(-1L)))
+      .groupBy("source", "y")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === 1L, 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .orderBy("source")
   }
 
   /** Where the p20 compacted table persists, keyed by the SF dir's

@@ -1000,6 +1000,23 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(got.map(_._2).toSet == Set(1L, -1L))
     assert(got.map(_._4).toSet == Set(1L, -1L),
       "degenerate fixture: every doc predicted the same class")
+    // t28 rolls the same model to source grain — replay from the
+    // scalar reference's final weights
+    val srcOf = rows.map(r => r._1 -> r._4).toMap
+    val evalExpect = rows.map(_._4).distinct.sorted.map { src =>
+      val ids = rows.filter(_._4 == src).map(_._1)
+      val preds = ids.map { id =>
+        val score = feats(id).map { case (b, c) => c * w(b) }.sum
+        if (score > 0) 1L else -1L
+      }
+      (src, ys(ids.head), ids.size.toLong,
+        preds.count(_ == 1L).toLong,
+        ids.zip(preds).count { case (id, p) => p == ys(id) }.toLong)
+    }
+    val evalGot = PipelineQueries.perceptron_eval(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(evalGot == evalExpect)
+    assert(srcOf.values.toSet.size == evalGot.size) // one row per source
   }
 
   test("p20 compaction: bins match the sorted-prefix-sum plan, the " +
