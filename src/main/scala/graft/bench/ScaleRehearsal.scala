@@ -290,6 +290,40 @@ object ScaleRehearsal {
     def jq(t: (Double, Double, Double, Long)): String =
       s"""{"sec":${t._1},"shuffle_read_mb":${t._2},""" +
         s""""shuffle_write_mb":${t._3},"rows":${t._4}}"""
+    // Shared full-column hash sink (ONE definition — the round-14
+    // expectRows fix and the round-15 empty-result guard both landed
+    // as per-mode copies before this was hoisted; a sink fix must
+    // never need applying in four places again). Forces full
+    // evaluation of EVERY output column — count() alone prunes
+    // cardinality-preserving windows/aggregates, the StageProbe trap
+    // — and returns an order-insensitive result hash so two legs can
+    // be asserted identical.
+    def hashSink(df: org.apache.spark.sql.DataFrame, label: String,
+        expectRows: Boolean = true): Long = {
+      val cols = df.columns.sorted
+        .map(c => coalesce(col(c).cast("string"), lit("")))
+      val r = df.select(xxhash64(
+          concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("h").cast("decimal(38,0)")).as("hs")).first()
+      // zero rows ⇒ sum is NULL; fail with the intended message, not
+      // an opaque NPE from getDecimal (round-14 ADVICE)
+      require(!expectRows || r.getLong(0) > 0,
+        s"$label sink: leg produced ZERO rows — empty-result bug")
+      if (r.getLong(0) == 0L) 0L
+      else r.getDecimal(1).longValue() ^ r.getLong(0)
+    }
+    // Shared max-task meter wrapper: runs a leg under a TaskMeter and
+    // returns (time-tuple, max task ms, max shuffle-reading task ms).
+    def meterLeg(fn: => Long)
+        : ((Double, Double, Double, Long), Long, Long) = {
+      val tm = new TaskMeter
+      spark.sparkContext.addSparkListener(tm)
+      val r = time(fn)
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(tm)
+      (r, tm.maxMs, tm.maxReduceMs)
+    }
 
     if (mode == "deep") {
       // The M=100 leg (VERDICT r11 #3): the rotation cap confined
@@ -349,33 +383,8 @@ object ScaleRehearsal {
         .filter(col("n_tokens") > 0)
         .persist()
       val nDocs = t.count()
-      // force full evaluation: aggregate a hash of EVERY output column
-      // (count() alone prunes cardinality-preserving windows — the
-      // StageProbe trap) and return it so the two forms can be
-      // asserted identical
-      def sink(df: org.apache.spark.sql.DataFrame): Long = {
-        val cols = df.columns.sorted
-          .map(c => coalesce(col(c).cast("string"), lit("")))
-        val r = df.select(xxhash64(
-            concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("h").cast("decimal(38,0)")).as("hs")).first()
-        // zero rows ⇒ sum is NULL; fail with the intended message, not
-        // an opaque NPE from getDecimal (round-14 ADVICE)
-        require(r.getLong(0) > 0,
-          "windowskew sink: compared form produced ZERO rows — " +
-            "empty-result bug, not a hash divergence")
-        r.getDecimal(1).longValue() ^ r.getLong(0)
-      }
-      def meterLeg(fn: => Long)
-          : ((Double, Double, Double, Long), Long, Long) = {
-        val tm = new TaskMeter
-        spark.sparkContext.addSparkListener(tm)
-        val r = time(fn)
-        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
-        spark.sparkContext.removeSparkListener(tm)
-        (r, tm.maxMs, tm.maxReduceMs)
-      }
+      def sink(df: org.apache.spark.sql.DataFrame): Long =
+        hashSink(df, "windowskew")
       // ---- p16 family: per-group running prefix sum ----
       val wSingle = Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -475,27 +484,8 @@ object ScaleRehearsal {
       // answer, not a bug — the leg still pays the full scan + both
       // distinct aggregations it exists to measure
       def sink(df: org.apache.spark.sql.DataFrame,
-          expectRows: Boolean = true): Long = {
-        val cols = df.columns.sorted
-          .map(c => coalesce(col(c).cast("string"), lit("")))
-        val r = df.select(xxhash64(
-            concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("h").cast("decimal(38,0)")).as("hs")).first()
-        require(!expectRows || r.getLong(0) > 0,
-          "refsurface sink: leg produced ZERO rows — empty-result bug")
-        if (r.getLong(0) == 0L) 0L
-        else r.getDecimal(1).longValue() ^ r.getLong(0)
-      }
-      def meterLeg(fn: => Long)
-          : ((Double, Double, Double, Long), Long, Long) = {
-        val tm = new TaskMeter
-        spark.sparkContext.addSparkListener(tm)
-        val r = time(fn)
-        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
-        spark.sparkContext.removeSparkListener(tm)
-        (r, tm.maxMs, tm.maxReduceMs)
-      }
+          expectRows: Boolean = true): Long =
+        hashSink(df, "refsurface", expectRows)
       import graft.queries.RefQueries
       val r06 = meterLeg { sink(RefQueries.activity(spark, work)); nEvents }
       val r07 = meterLeg {
@@ -536,26 +526,8 @@ object ScaleRehearsal {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$work/documents.parquet")
       val nDocs = spark.read.parquet(s"$work/documents.parquet").count()
-      def sink(df: org.apache.spark.sql.DataFrame): Long = {
-        val cols = df.columns.sorted
-          .map(c => coalesce(col(c).cast("string"), lit("")))
-        val r = df.select(xxhash64(
-            concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("h").cast("decimal(38,0)")).as("hs")).first()
-        require(r.getLong(0) > 0,
-          "maintain sink: leg produced ZERO rows — empty-result bug")
-        r.getDecimal(1).longValue() ^ r.getLong(0)
-      }
-      def meterLeg(fn: => Long)
-          : ((Double, Double, Double, Long), Long, Long) = {
-        val tm = new TaskMeter
-        spark.sparkContext.addSparkListener(tm)
-        val r = time(fn)
-        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
-        spark.sparkContext.removeSparkListener(tm)
-        (r, tm.maxMs, tm.maxReduceMs)
-      }
+      def sink(df: org.apache.spark.sql.DataFrame): Long =
+        hashSink(df, "maintain")
       import graft.queries.PipelineQueries
       val p20 = meterLeg {
         sink(PipelineQueries.compaction_manifest(spark, work)); nDocs }
@@ -596,17 +568,8 @@ object ScaleRehearsal {
         .write.mode("overwrite").parquet(s"$work/events.parquet")
       val ev = spark.read.parquet(s"$work/events.parquet")
       val nEvents = ev.count()
-      def sink(df: org.apache.spark.sql.DataFrame): Long = {
-        val cols = df.columns.sorted
-          .map(c => coalesce(col(c).cast("string"), lit("")))
-        val r = df.select(xxhash64(
-            concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("h").cast("decimal(38,0)")).as("hs")).first()
-        require(r.getLong(0) > 0,
-          "bucketjoin sink: leg produced ZERO rows — empty-result bug")
-        r.getDecimal(1).longValue() ^ r.getLong(0)
-      }
+      def sink(df: org.apache.spark.sql.DataFrame): Long =
+        hashSink(df, "bucketjoin")
       spark.sql("DROP TABLE IF EXISTS bj_events")
       spark.sql("DROP TABLE IF EXISTS bj_users")
       val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -633,15 +596,26 @@ object ScaleRehearsal {
             r: org.apache.spark.sql.DataFrame) =
           sink(l.join(r, Seq("user_id"))
             .select(col("user_id"), col("event_type"), col("n_events")))
+        // the join legs return the result HASH; `rows` in their jq
+        // output stays the event count (hash in a count field broke
+        // the field's semantics — review finding), and the equality
+        // is ASSERTED here, not left for a reader to eyeball
+        var hBucketed = 0L; var hPlain = 0L
         val bucketed = time {
-          legJoin(spark.table("bj_events"), spark.table("bj_users")) }
+          hBucketed = legJoin(spark.table("bj_events"),
+            spark.table("bj_users")); nEvents }
         val plain = time {
-          legJoin(ev, ev.groupBy("user_id")
-            .agg(count(lit(1)).as("n_events"), max("value").as("max_v"))) }
+          hPlain = legJoin(ev, ev.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"), max("value").as("max_v")))
+          nEvents }
+        require(hBucketed == hPlain,
+          s"bucketjoin: co-located join result diverged from the " +
+            s"shuffled join (hash $hBucketed vs $hPlain)")
         println(s"""{"mult":$mult,"events":$nEvents,""" +
           s""""bucketed_write":${jq(tWrite)},""" +
           s""""bucketed_join":${jq(bucketed)},""" +
-          s""""plain_join":${jq(plain)}}""")
+          s""""plain_join":${jq(plain)},""" +
+          s""""result_hash_equal":true}""")
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
         spark.sql("DROP TABLE IF EXISTS bj_events")

@@ -3676,8 +3676,11 @@ object PipelineQueries {
   // exchange IS the layout being produced. All-integer binning
   // (BIGINT div), so the oracle replays it exactly. ----
   private def compactedFor(s: SparkSession, dir: String): String =
-    p20Built.compute(dir, (_, prev) => {
-      val p = p20CompactPath(dir)
+    // memo key = the ARTIFACT path, not the SF dir: two dirs sharing a
+    // basename map to the same /tmp artifact, and a full-path key
+    // would let the second build clobber it while the first's memo
+    // still vouched for the old contents (review finding)
+    p20Built.compute(p20CompactPath(dir), (p, prev) => {
       if (prev != null &&
           new java.io.File(p).exists()) prev
       else {
