@@ -3646,8 +3646,13 @@ object PipelineQueries {
   // dies on file-open overhead until an OPTIMIZE-style rewrite
   // bin-packs them to target-sized files). The reference's hourly
   // importer has exactly this layout problem — one file per hour —
-  // and ClickHouse's background merges are the engine-side answer;
-  // this gate is the Spark-side equivalent as an explicit operator.
+  // and ClickHouse's background merges are the engine-side answer.
+  // [[graft.ingest.EventsWriter.compact]] is the events-table member
+  // of this family (COUNT-triggered month rewrite, spec-pinned); this
+  // gate is the generic corpus-side member: SIZE-TARGET bin packing
+  // with the whole plan/rewrite/read-back chain ORACLE-gated, which
+  // the ingest variant's trigger (physical file counts, engine-
+  // dependent) cannot be.
   //
   // Input layout: the documents table scattered round-robin across
   // [[p20SourceFiles]] simulated ingest files (file_id = doc_id mod

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * (The reference imports into ClickHouse whose ORDER-BY/primary-key
   * layout serves the same role — reference `config/config.default.ts`
   * table DDL; Spark-side, bucketing is the equivalent declaration.)
+  *
+  * Relation to DdlSpec: `Ddl.initBucketed` + DdlSpec already pin
+  * no-Exchange aggregation/self-join on the CATALOG events table;
+  * this spec adds what that one does not — the shuffled-join CONTRAST
+  * (proving the assertion isn't vacuous), result-set equality between
+  * the two layouts, and the `SelectedBucketsCount` bucketed-read
+  * marker — and feeds the measured `bucketjoin` SCALE leg.
   */
 class BucketedLayoutSpec extends SparkTestBase {
 
