@@ -529,6 +529,20 @@ object ScaleRehearsal {
       def sink(df: org.apache.spark.sql.DataFrame): Long =
         hashSink(df, "maintain")
       import graft.queries.PipelineQueries
+      // feature-DIMENSION sweep first: train at B = 32 / 1024 / 16384
+      // hashed buckets on the same salted corpus — the per-epoch cost
+      // is dominated by the feature table (independent of B), so the
+      // trainer wall must stay ~flat while the collected weight
+      // artifact grows only as min(B, distinct buckets touched). The
+      // memo is cleared after, so the gate legs below still time the
+      // FULL train+score body at the gate's own B=32.
+      val bSweep = Seq(32, 1024, 16384).map { b =>
+        val t0 = System.nanoTime()
+        val nW = PipelineQueries.t27TrainedWeights(spark, work, b).length
+        val sec = ((System.nanoTime() - t0) / 1e7).round / 100.0
+        s""""b$b":{"train_sec":$sec,"weights":$nW}"""
+      }
+      PipelineQueries.clearT27Memo()
       val p20 = meterLeg {
         sink(PipelineQueries.compaction_manifest(spark, work)); nDocs }
       val binDirs = Option(new java.io.File(
@@ -548,7 +562,8 @@ object ScaleRehearsal {
         s""""p20_max_task_ms":${p20._2},"p20_max_reduce_ms":${p20._3},""" +
         s""""p20_bins":$binDirs,""" +
         s""""t27_perceptron":${jq(t27._1)},""" +
-        s""""t27_max_task_ms":${t27._2},"t27_max_reduce_ms":${t27._3}}""")
+        s""""t27_max_task_ms":${t27._2},"t27_max_reduce_ms":${t27._3},""" +
+        bSweep.mkString(",") + "}")
     } else if (mode == "bucketjoin") {
       // Bucketed co-location at M (BucketedLayoutSpec's capability,
       // measured): the same user-grain equi-join paid two ways — from

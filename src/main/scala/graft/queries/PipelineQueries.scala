@@ -3531,8 +3531,8 @@ object PipelineQueries {
   private val t27Buckets = 32
   private val t27Epochs = 3
 
-  private def t27Features(s: SparkSession, dir: String): DataFrame = {
-    val B = t27Buckets
+  private[graft] def t27Features(s: SparkSession, dir: String,
+      B: Int = t27Buckets): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("source"),
       when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
         lit(1L)).otherwise(lit(-1L)).as("y"),
@@ -3553,17 +3553,28 @@ object PipelineQueries {
   private val t27WeightsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
-  /** The trained weight vector — E epochs of the batch-perceptron
-    * update over the persisted feature table, memoized per SF (the
-    * training is deterministic, so t27's scoring and t28's eval probe
-    * the SAME model without re-training; B+1 longs, the s03-centroids
-    * bounded-artifact contract).
+  /** Drops only the trained-weight memos — the `maintain` rehearsal's
+    * B-sweep trains at non-gate widths first and must not leave the
+    * gate legs a pre-trained B=32 entry (their M-curve times the full
+    * train+score gate body).
     */
-  private def t27TrainedWeights(s: SparkSession, dir: String): Array[Long] =
-    t27WeightsMemo.computeIfAbsent(dir, _ => {
+  private[graft] def clearT27Memo(): Unit = t27WeightsMemo.clear()
+
+  /** The trained weight vector — E epochs of the batch-perceptron
+    * update over the persisted feature table, memoized per (SF, B)
+    * (the training is deterministic, so t27's scoring and t28's eval
+    * probe the SAME model without re-training; B+1 longs, the
+    * s03-centroids bounded-artifact contract — B is the feature-
+    * dimension dial, and the contract holds to production widths: at
+    * B = 2²⁰ the vector is 8 MB, still a trivial broadcast/collect;
+    * the `maintain` rehearsal's B-sweep measures the flatness).
+    */
+  private[graft] def t27TrainedWeights(s: SparkSession, dir: String,
+      B: Int = t27Buckets): Array[Long] =
+    t27WeightsMemo.computeIfAbsent(s"$dir#B=$B", _ => {
       import s.implicits._
-      val feat = t27Features(s, dir).persist()
-      val w = Array.fill[Long](t27Buckets + 1)(0L)
+      val feat = t27Features(s, dir, B).persist()
+      val w = Array.fill[Long](B + 1)(0L)
       try {
         (1 to t27Epochs).foreach { _ =>
           val wDf = w.indices.map(b => (b, w(b))).toDF("b", "w")
