@@ -78,9 +78,16 @@ object Bench {
       // could ever share a clean commit stamp — self-defeating
       val benchOwned = Set("bench_history.jsonl", "bench_out.json",
         "derby.log")
+      // match the porcelain PATH FIELD exactly — an endsWith over the
+      // whole line would also excuse e.g. tools/bench_history.jsonl or
+      // old_bench_history.jsonl, stamping a genuinely-dirty run clean
+      // (review finding). Porcelain: "XY path" or "XY old -> new".
       val dirty = Seq("git", "status", "--porcelain").!!.linesIterator
         .map(_.trim).filter(_.nonEmpty)
-        .exists(l => !benchOwned.exists(l.endsWith))
+        .exists { l =>
+          val path = l.drop(2).trim.split(" -> ").last
+          !benchOwned.contains(path)
+        }
       if (h.matches("[0-9a-f]{40}")) (if (dirty) h + "-dirty" else h)
       else "unknown"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }

@@ -58,7 +58,10 @@ object IngestBench {
     // at the 100 M-record leg serial generation alone would cost ~10
     // minutes of driver time
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(hours, Runtime.getRuntime.availableProcessors() / 2 max 1))
+      // max 1 OUTSIDE the min: hours=0 must not ask for a 0-thread
+      // pool (IllegalArgumentException; the old serial loop just
+      // produced no files)
+      math.min(hours, Runtime.getRuntime.availableProcessors() / 2) max 1)
     try {
       (0 until hours).map { h =>
         pool.submit(new java.util.concurrent.Callable[String] {
@@ -170,12 +173,24 @@ object IngestBench {
         s""""micro_batches":$batches,"records_per_hour":$rph,""" +
         s""""stored_ok":${stored == total}}""")
     }
+    // preserve an existing runs_large block (the big() leg merges into
+    // the SAME file and documents that the sweep leaves it untouched —
+    // a full rewrite here silently erased the 100 M-leg evidence)
+    val p = java.nio.file.Paths.get(outFile)
+    val largeSuffix =
+      if (java.nio.file.Files.exists(p)) {
+        val prev = java.nio.file.Files.readString(p).trim
+        val idx = prev.indexOf(""","runs_large":""")
+        if (idx >= 0 && prev.endsWith("}")) prev.substring(idx).dropRight(1)
+        else ""
+      } else ""
     val json = s"""{"metric":"ingest_records_per_hour","repeats":$repeats,""" +
       s""""baseline_records_per_hour":75000000,""" +
       s""""runs":[${runs.mkString(",")}],""" +
       s""""streaming":[${streamRuns.map(_._2).mkString(",")}],""" +
-      s""""streaming_best_records_per_hour":${streamRuns.map(_._1).max}}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+      s""""streaming_best_records_per_hour":${streamRuns.map(_._1).max}""" +
+      largeSuffix + "}"
+    java.nio.file.Files.writeString(p, json)
     println(json)
     spark.stop()
   }
@@ -249,11 +264,17 @@ object IngestBench {
       s""""ingest_secs":$allSecs,""" +
       s""""records_per_hour":$recPerHour,"stored_ok":$storedOk}"""
     val p = java.nio.file.Paths.get(outFile)
-    val prev =
+    val prevRaw =
       if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim
+      else ""
+    // a blank or truncated file (interrupted run) must not produce a
+    // leading-comma fragment — fall back to a fresh object
+    val prev =
+      if (prevRaw.nonEmpty && prevRaw.endsWith("}")) prevRaw
       else """{"metric":"ingest_records_per_hour"}"""
     // replace any prior runs_large block (always the LAST key, spliced
-    // here — a regex would trip on the nested ingest_secs brackets)
+    // here — a regex would trip on the nested ingest_secs brackets;
+    // both writers in this file keep runs_large last)
     val idx = prev.indexOf(""","runs_large":""")
     val base = if (idx >= 0) prev.substring(0, idx) else prev.dropRight(1)
     val merged = base + s""","runs_large":[$row]}"""

@@ -249,6 +249,64 @@ object SparkEntry {
     * vocabulary leg (raw interpolator — the regex escapes must reach
     * DuckDB untouched).
     */
+  /** The shared t27 batch-perceptron CTE cascade — feature build (the
+    * t24 md5 bucket fold at B=32 + the bias bucket) and the three
+    * unrolled epochs, ending at `s3` = per-doc (source, y, score)
+    * under the final weights. t27 and t28 compose their final SELECT
+    * over this one string (the bpeEncodeOracle discipline), so a fix
+    * to the epoch arithmetic lands in both oracles by construction.
+    * `fl`/`s3` carry `source` for t28's rollup; t27 just doesn't read
+    * it (source is functionally dependent on doc_id, so the extra
+    * group key changes nothing at doc grain).
+    */
+  private def perceptronOracleCtes: String =
+    """WITH lab AS (SELECT doc_id, source,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+           FROM documents),
+         toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
+           FROM documents),
+         tb AS (SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, 9), i ->
+               CAST(strpos('0123456789abcdef',
+                 substr(md5(w), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+               * CAST(pow(16, 8 - i) AS BIGINT))) % 32 AS INTEGER) AS b
+           FROM toks),
+         feat AS (
+           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+           FROM tb GROUP BY 1, 2
+           UNION ALL
+           SELECT doc_id, CAST(32 AS INTEGER) AS b, CAST(1 AS BIGINT) AS c
+           FROM documents),
+         fl AS (SELECT f.doc_id, f.b, f.c, l.y, l.source
+           FROM feat f JOIN lab l USING (doc_id)),
+         w1 AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS w
+           FROM fl GROUP BY 1),
+         s1 AS (SELECT fl.doc_id, fl.y,
+             CAST(sum(fl.c * w1.w) AS BIGINT) AS score
+           FROM fl JOIN w1 USING (b) GROUP BY 1, 2),
+         d1 AS (SELECT fl.b, CAST(sum(fl.y * fl.c) AS BIGINT) AS d
+           FROM fl JOIN (SELECT doc_id FROM s1 WHERE y * score <= 0) m
+             USING (doc_id)
+           GROUP BY 1),
+         w2 AS (SELECT coalesce(w1.b, d1.b) AS b,
+             CAST(coalesce(w1.w, 0) + coalesce(d1.d, 0) AS BIGINT) AS w
+           FROM w1 FULL JOIN d1 ON d1.b = w1.b),
+         s2 AS (SELECT fl.doc_id, fl.y,
+             CAST(sum(fl.c * w2.w) AS BIGINT) AS score
+           FROM fl JOIN w2 USING (b) GROUP BY 1, 2),
+         d2 AS (SELECT fl.b, CAST(sum(fl.y * fl.c) AS BIGINT) AS d
+           FROM fl JOIN (SELECT doc_id FROM s2 WHERE y * score <= 0) m
+             USING (doc_id)
+           GROUP BY 1),
+         w3 AS (SELECT coalesce(w2.b, d2.b) AS b,
+             CAST(coalesce(w2.w, 0) + coalesce(d2.d, 0) AS BIGINT) AS w
+           FROM w2 FULL JOIN d2 ON d2.b = w2.b),
+         s3 AS (SELECT fl.doc_id, fl.source, fl.y,
+             CAST(sum(fl.c * w3.w) AS BIGINT) AS score
+           FROM fl JOIN w3 USING (b) GROUP BY 1, 2, 3)"""
+
   private def bpeEncodeOracle(k: Int, from: String = "documents"): String =
     bpeRoundsSql(k,
       raw"""WITH toks AS (SELECT doc_id,
@@ -2406,116 +2464,31 @@ object SparkEntry {
     // t27: the E=3 batch-perceptron epochs unrolled as CTEs — the
     // same md5 bucket fold (B=32 + bias bucket 32), all-BIGINT
     // scores/updates so the replay is exact; w0 = 0 makes epoch 1's
-    // update the full Σ y·x, and every epoch updates on y·score ≤ 0
+    // update the full Σ y·x, and every epoch updates on y·score ≤ 0.
+    // Both perceptron oracles compose the SHARED cascade
+    // ([[perceptronOracleCtes]]) so the epoch arithmetic can never
+    // diverge between the score gate and the eval gate.
     "t27_perceptron_quality" ->
-      """WITH lab AS (SELECT doc_id,
-             CASE WHEN source IN ('src0','src1','src2','src3','src4')
-                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
-           FROM documents),
-         toks AS (SELECT doc_id,
-             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
-           FROM documents),
-         tb AS (SELECT doc_id,
-             CAST(list_sum(list_transform(range(1, 9), i ->
-               CAST(strpos('0123456789abcdef',
-                 substr(md5(w), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
-               * CAST(pow(16, 8 - i) AS BIGINT))) % 32 AS INTEGER) AS b
-           FROM toks),
-         feat AS (
-           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
-           FROM tb GROUP BY 1, 2
-           UNION ALL
-           SELECT doc_id, CAST(32 AS INTEGER) AS b, CAST(1 AS BIGINT) AS c
-           FROM documents),
-         fl AS (SELECT f.doc_id, f.b, f.c, l.y
-           FROM feat f JOIN lab l USING (doc_id)),
-         w1 AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS w
-           FROM fl GROUP BY 1),
-         s1 AS (SELECT fl.doc_id, fl.y,
-             CAST(sum(fl.c * w1.w) AS BIGINT) AS score
-           FROM fl JOIN w1 USING (b) GROUP BY 1, 2),
-         d1 AS (SELECT fl.b, CAST(sum(fl.y * fl.c) AS BIGINT) AS d
-           FROM fl JOIN (SELECT doc_id FROM s1 WHERE y * score <= 0) m
-             USING (doc_id)
-           GROUP BY 1),
-         w2 AS (SELECT coalesce(w1.b, d1.b) AS b,
-             CAST(coalesce(w1.w, 0) + coalesce(d1.d, 0) AS BIGINT) AS w
-           FROM w1 FULL JOIN d1 ON d1.b = w1.b),
-         s2 AS (SELECT fl.doc_id, fl.y,
-             CAST(sum(fl.c * w2.w) AS BIGINT) AS score
-           FROM fl JOIN w2 USING (b) GROUP BY 1, 2),
-         d2 AS (SELECT fl.b, CAST(sum(fl.y * fl.c) AS BIGINT) AS d
-           FROM fl JOIN (SELECT doc_id FROM s2 WHERE y * score <= 0) m
-             USING (doc_id)
-           GROUP BY 1),
-         w3 AS (SELECT coalesce(w2.b, d2.b) AS b,
-             CAST(coalesce(w2.w, 0) + coalesce(d2.d, 0) AS BIGINT) AS w
-           FROM w2 FULL JOIN d2 ON d2.b = w2.b),
-         s3 AS (SELECT fl.doc_id, fl.y,
-             CAST(sum(fl.c * w3.w) AS BIGINT) AS score
-           FROM fl JOIN w3 USING (b) GROUP BY 1, 2)
+      (perceptronOracleCtes +
+        """
          SELECT doc_id, y, score,
                 CASE WHEN score > 0 THEN CAST(1 AS BIGINT)
                      ELSE CAST(-1 AS BIGINT) END AS pred
-         FROM s3 ORDER BY doc_id""",
+         FROM s3 ORDER BY doc_id"""),
 
     // t28: t27's full train+score chain replayed, rolled to SOURCE
     // grain — per source (label-pure by construction) the predicted-
     // positive and correct counts under the final epoch-3 weights
     "t28_perceptron_eval" ->
-      """WITH lab AS (SELECT doc_id, source,
-             CASE WHEN source IN ('src0','src1','src2','src3','src4')
-                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
-           FROM documents),
-         toks AS (SELECT doc_id,
-             unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS w
-           FROM documents),
-         tb AS (SELECT doc_id,
-             CAST(list_sum(list_transform(range(1, 9), i ->
-               CAST(strpos('0123456789abcdef',
-                 substr(md5(w), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
-               * CAST(pow(16, 8 - i) AS BIGINT))) % 32 AS INTEGER) AS b
-           FROM toks),
-         feat AS (
-           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
-           FROM tb GROUP BY 1, 2
-           UNION ALL
-           SELECT doc_id, CAST(32 AS INTEGER) AS b, CAST(1 AS BIGINT) AS c
-           FROM documents),
-         fl AS (SELECT f.doc_id, f.b, f.c, l.y, l.source
-           FROM feat f JOIN lab l USING (doc_id)),
-         w1 AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS w
-           FROM fl GROUP BY 1),
-         s1 AS (SELECT fl.doc_id, fl.y,
-             CAST(sum(fl.c * w1.w) AS BIGINT) AS score
-           FROM fl JOIN w1 USING (b) GROUP BY 1, 2),
-         d1 AS (SELECT fl.b, CAST(sum(fl.y * fl.c) AS BIGINT) AS d
-           FROM fl JOIN (SELECT doc_id FROM s1 WHERE y * score <= 0) m
-             USING (doc_id)
-           GROUP BY 1),
-         w2 AS (SELECT coalesce(w1.b, d1.b) AS b,
-             CAST(coalesce(w1.w, 0) + coalesce(d1.d, 0) AS BIGINT) AS w
-           FROM w1 FULL JOIN d1 ON d1.b = w1.b),
-         s2 AS (SELECT fl.doc_id, fl.y,
-             CAST(sum(fl.c * w2.w) AS BIGINT) AS score
-           FROM fl JOIN w2 USING (b) GROUP BY 1, 2),
-         d2 AS (SELECT fl.b, CAST(sum(fl.y * fl.c) AS BIGINT) AS d
-           FROM fl JOIN (SELECT doc_id FROM s2 WHERE y * score <= 0) m
-             USING (doc_id)
-           GROUP BY 1),
-         w3 AS (SELECT coalesce(w2.b, d2.b) AS b,
-             CAST(coalesce(w2.w, 0) + coalesce(d2.d, 0) AS BIGINT) AS w
-           FROM w2 FULL JOIN d2 ON d2.b = w2.b),
-         s3 AS (SELECT fl.doc_id, fl.source, fl.y,
-             CAST(sum(fl.c * w3.w) AS BIGINT) AS score
-           FROM fl JOIN w3 USING (b) GROUP BY 1, 2, 3)
+      (perceptronOracleCtes +
+        """
          SELECT source, y, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_pred_pos,
                 CAST(sum(CASE WHEN (score > 0 AND y = 1)
                     OR (score <= 0 AND y = -1) THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_correct
-         FROM s3 GROUP BY 1, 2 ORDER BY source""",
+         FROM s3 GROUP BY 1, 2 ORDER BY source"""),
 
     // p16: concat-and-chunk — per-lang running token offsets, then
     // integer division by the C=128 example size; the final partial

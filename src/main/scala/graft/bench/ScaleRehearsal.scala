@@ -209,6 +209,42 @@ object ScaleRehearsal {
     * per copy, so every copy is the same hub graph and the union's
     * degree distribution is independent of M.
     */
+  /** M disjoint copies of the events table by NUMERIC id offsets —
+    * event_id and user_id shifted k·10⁷ per copy, ts/props/types
+    * SHARED — written to `dest`; returns the row count. One
+    * definition for the four modes that salt events this way
+    * (streaming/refsurface/bucketjoin — a salt-scheme change must
+    * never need four coordinated edits; review finding).
+    */
+  def offsetSaltedEvents(spark: SparkSession, sfDir: String, mult: Int,
+      dest: String): Long = {
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until mult).map { k =>
+      val off = lit(k.toLong * 10000000L)
+      base.select((col("event_id") + off).as("event_id"), col("ts"),
+        (col("user_id") + off).as("user_id"), col("event_type"),
+        col("value"), col("props"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dest/events.parquet")
+    spark.read.parquet(s"$dest/events.parquet").count()
+  }
+
+  /** The documents-table variant of [[offsetSaltedEvents]] (doc_id
+    * offset, text shared — for legs whose cost is content-independent;
+    * text-sensitive legs use [[saltedCorpus]]'s alphabet bijection).
+    */
+  def offsetSaltedDocs(spark: SparkSession, sfDir: String, mult: Int,
+      dest: String): Long = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until mult).map { k =>
+      val off = lit(k.toLong * 10000000L)
+      base.select((col("doc_id") + off).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+    spark.read.parquet(s"$dest/documents.parquet").count()
+  }
+
   def saltedEdges(spark: SparkSession, sfDir: String, mult: Int) = {
     val base = graft.graph.GraphProjection.consolidate(
         graft.Tables.load(spark, sfDir, "events")
@@ -466,19 +502,11 @@ object ScaleRehearsal {
       //    map-side-combine form's shuffle must grow ∝ keys, and no
       //    reducer materializes a whole key group (the window form
       //    would).
-      // Results are forced through the windowskew full-column hash
+      // Results are forced through the shared full-column hash
       // sink (count() alone prunes cardinality-preserving aggregates)
       // and metered for max-task / max-reduce-task time, the skew
       // evidence wall-clock on 32 threads hides.
-      val base = spark.read.parquet(s"$sfDir/events.parquet")
-      (0 until mult).map { k =>
-        val off = lit(k.toLong * 10000000L)
-        base.select((col("event_id") + off).as("event_id"), col("ts"),
-          (col("user_id") + off).as("user_id"), col("event_type"),
-          col("value"), col("props"))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$work/events.parquet")
-      val nEvents = spark.read.parquet(s"$work/events.parquet").count()
+      val nEvents = offsetSaltedEvents(spark, sfDir, mult, work)
       // expectRows=false for r07: at denser SFs every hour holds an
       // error event, so the anti-join's EMPTY result is the correct
       // answer, not a bug — the leg still pays the full scan + both
@@ -518,14 +546,7 @@ object ScaleRehearsal {
       //    per-epoch collect constant.
       // Both legs run the GATE bodies verbatim (build included) and
       // force full-column hashes through the refsurface sink.
-      val base = spark.read.parquet(s"$sfDir/documents.parquet")
-      (0 until mult).map { k =>
-        val off = lit(k.toLong * 10000000L)
-        base.select((col("doc_id") + off).as("doc_id"), col("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$work/documents.parquet")
-      val nDocs = spark.read.parquet(s"$work/documents.parquet").count()
+      val nDocs = offsetSaltedDocs(spark, sfDir, mult, work)
       def sink(df: org.apache.spark.sql.DataFrame): Long =
         hashSink(df, "maintain")
       import graft.queries.PipelineQueries
@@ -573,16 +594,8 @@ object ScaleRehearsal {
       // The one-time write cost is reported alongside so the trade is
       // visible, not implied. Broadcast disabled for the legs — at
       // 100 TB neither side of a fact-to-fact join broadcasts.
-      val base = spark.read.parquet(s"$sfDir/events.parquet")
-      (0 until mult).map { k =>
-        val off = lit(k.toLong * 10000000L)
-        base.select((col("event_id") + off).as("event_id"), col("ts"),
-          (col("user_id") + off).as("user_id"), col("event_type"),
-          col("value"), col("props"))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$work/events.parquet")
+      val nEvents = offsetSaltedEvents(spark, sfDir, mult, work)
       val ev = spark.read.parquet(s"$work/events.parquet")
-      val nEvents = ev.count()
       def sink(df: org.apache.spark.sql.DataFrame): Long =
         hashSink(df, "bucketjoin")
       spark.sql("DROP TABLE IF EXISTS bj_events")
@@ -824,15 +837,7 @@ object ScaleRehearsal {
       //    (users ∝ M), emitted sessions ∝ M;
       //  - r57 sketch state = one bounded sketch per day → rows FLAT
       //    in M (days shared), the whole point of sketch aggregation.
-      val base = spark.read.parquet(s"$sfDir/events.parquet")
-      (0 until mult).map { k =>
-        val off = lit(k.toLong * 10000000L)
-        base.select((col("event_id") + off).as("event_id"), col("ts"),
-          (col("user_id") + off).as("user_id"), col("event_type"),
-          col("value"), col("props"))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$work/events.parquet")
-      val nEvents = spark.read.parquet(s"$work/events.parquet").count()
+      val nEvents = offsetSaltedEvents(spark, sfDir, mult, work)
       def stateJson(gate: String): String = {
         val progs = graft.queries.StreamingQueries.progressByGate
           .getOrElse(gate, Seq.empty)

@@ -1082,7 +1082,7 @@ object PipelineQueries {
   def clearArtifactMemos(): Unit = {
     docCountMemo.clear(); d16Built.clear(); quantizerCache.clear()
     d09Cache.clear(); pqCache.clear(); bpeBuilt.clear(); ccBuilt.clear()
-    t26Built.clear(); p20Built.clear(); t27WeightsMemo.clear()
+    t26Built.clear(); p20Built.clear(); clearT27Memo()
   }
 
   /** The shared trained coarse quantizer (fit once per SF, persisted
@@ -1976,18 +1976,10 @@ object PipelineQueries {
   // greedy-merge CTE cascade over the SAME fixture parquet (read by
   // literal path), making the production-size training run
   // cross-engine-verified, not just spec-pinned. ----
-  def bpe_encode_large(s: SparkSession, dir: String): DataFrame = {
-    val corpus = t26CorpusFor(s)
-    val dict = s.read.parquet(s"${bpeArtifactFor(s, corpus)}/dict")
-    val tok = docs(s, corpus).select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("w"))
-    tok.join(broadcast(dict), Seq("w"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum("n_char").as("n_chars"),
-        sum("n_sym").as("n_tokens"))
-      .orderBy("doc_id")
-  }
+  def bpe_encode_large(s: SparkSession, dir: String): DataFrame =
+    // t23's encode chain verbatim, pointed at the fixture corpus —
+    // delegation, not a copy, so the chains can never diverge
+    bpe_encode(s, t26CorpusFor(s))
 
   // ---- t22: cross-source overlap matrix via THETA-SKETCH
   // INTERSECTION — the no-join answer to "how much passage-level
@@ -3552,13 +3544,31 @@ object PipelineQueries {
 
   private val t27WeightsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private val t27FeatMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** Drops only the trained-weight memos — the `maintain` rehearsal's
-    * B-sweep trains at non-gate widths first and must not leave the
-    * gate legs a pre-trained B=32 entry (their M-curve times the full
-    * train+score gate body).
+  /** The persisted feature table, memoized per (corpus, B) — training
+    * AND the t27/t28 scoring passes all read THIS copy, so the raw
+    * corpus is tokenized once per JVM, not once per gate (review
+    * finding: the earlier unpersist-then-rebuild shape re-scanned the
+    * corpus for every scoring pass).
     */
-  private[graft] def clearT27Memo(): Unit = t27WeightsMemo.clear()
+  private def t27FeaturesCached(s: SparkSession, dir: String,
+      B: Int): DataFrame =
+    t27FeatMemo.computeIfAbsent(s"$dir#B=$B",
+      _ => t27Features(s, dir, B).persist())
+
+  /** Drops the trained-weight and feature memos (unpersisting the
+    * cached tables) — the `maintain` rehearsal's B-sweep trains at
+    * non-gate widths first and must not leave the gate legs a
+    * pre-trained B=32 entry (their M-curve times the full train+score
+    * gate body).
+    */
+  private[graft] def clearT27Memo(): Unit = {
+    t27WeightsMemo.clear()
+    t27FeatMemo.values.forEach(df => df.unpersist(blocking = false))
+    t27FeatMemo.clear()
+  }
 
   /** The trained weight vector — E epochs of the batch-perceptron
     * update over the persisted feature table, memoized per (SF, B)
@@ -3573,23 +3583,21 @@ object PipelineQueries {
       B: Int = t27Buckets): Array[Long] =
     t27WeightsMemo.computeIfAbsent(s"$dir#B=$B", _ => {
       import s.implicits._
-      val feat = t27Features(s, dir, B).persist()
+      val feat = t27FeaturesCached(s, dir, B)
       val w = Array.fill[Long](B + 1)(0L)
-      try {
-        (1 to t27Epochs).foreach { _ =>
-          val wDf = w.indices.map(b => (b, w(b))).toDF("b", "w")
-          val mis = feat.join(broadcast(wDf), Seq("b"))
-            .groupBy("doc_id", "y")
-            .agg(sum(col("c") * col("w")).as("score"))
-            .filter(col("y") * col("score") <= 0)
-            .select("doc_id")
-          // bounded collect: ≤ B+1 rows (the per-epoch weight update)
-          feat.join(mis, Seq("doc_id"), "left_semi")
-            .groupBy("b").agg(sum(col("y") * col("c")).as("d"))
-            .collect()
-            .foreach(r => w(r.getInt(0)) += r.getLong(1))
-        }
-      } finally feat.unpersist(blocking = false)
+      (1 to t27Epochs).foreach { _ =>
+        val wDf = w.indices.map(b => (b, w(b))).toDF("b", "w")
+        val mis = feat.join(broadcast(wDf), Seq("b"))
+          .groupBy("doc_id", "y")
+          .agg(sum(col("c") * col("w")).as("score"))
+          .filter(col("y") * col("score") <= 0)
+          .select("doc_id")
+        // bounded collect: ≤ B+1 rows (the per-epoch weight update)
+        feat.join(mis, Seq("doc_id"), "left_semi")
+          .groupBy("b").agg(sum(col("y") * col("c")).as("d"))
+          .collect()
+          .foreach(r => w(r.getInt(0)) += r.getLong(1))
+      }
       w
     })
 
@@ -3597,7 +3605,8 @@ object PipelineQueries {
     import s.implicits._
     val w = t27TrainedWeights(s, dir)
     val wDf = w.indices.map(b => (b, w(b))).toDF("b", "w")
-    t27Features(s, dir).join(broadcast(wDf), Seq("b"))
+    t27FeaturesCached(s, dir, t27Buckets)
+      .join(broadcast(wDf), Seq("b"))
       .groupBy("doc_id", "y")
       .agg(sum(col("c") * col("w")).as("score"))
       .withColumn("pred",
@@ -3622,7 +3631,8 @@ object PipelineQueries {
     import s.implicits._
     val w = t27TrainedWeights(s, dir)
     val wDf = w.indices.map(b => (b, w(b))).toDF("b", "w")
-    t27Features(s, dir).join(broadcast(wDf), Seq("b"))
+    t27FeaturesCached(s, dir, t27Buckets)
+      .join(broadcast(wDf), Seq("b"))
       .groupBy("doc_id", "source", "y")
       .agg(sum(col("c") * col("w")).as("score"))
       .withColumn("pred",
