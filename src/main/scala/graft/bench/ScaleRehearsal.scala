@@ -93,6 +93,22 @@ object ScaleRehearsal {
     }
   }
 
+  /** Source-input meter — bytes/records actually READ from storage
+    * across a leg's completed stages. This is where parquet row-group
+    * skipping shows: a pushed point predicate over a key-clustered
+    * layout decodes only the row groups whose min/max admit the key,
+    * so recordsRead collapses while the scattered layout decodes
+    * everything (`sortskip` mode).
+    */
+  final class InputMeter extends SparkListener {
+    @volatile var bytes = 0L
+    @volatile var records = 0L
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      bytes += sc.stageInfo.taskMetrics.inputMetrics.bytesRead
+      records += sc.stageInfo.taskMetrics.inputMetrics.recordsRead
+    }
+  }
+
   /** Max single-task duration across a leg — the number that exposes
     * output-explosion skew (a hub's D² wedge expansion in ONE task),
     * which total wall-clock on a 32-thread box can hide and shuffle
@@ -278,13 +294,14 @@ object ScaleRehearsal {
       if (mode == "streaming" || mode == "deep" || mode == "annfilter") 1000
       else if (mode == "edit" || mode == "windowskew" ||
         mode == "refsurface" || mode == "maintain" ||
-        mode == "bucketjoin") 100
+        mode == "bucketjoin" || mode == "sortskip") 100
       else 26
     require(mult >= 1 && mult <= maxMult,
       s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
       "passages", "streaming", "deep", "edit", "annfilter", "windowskew",
-      "bpek", "refsurface", "maintain", "bucketjoin").contains(mode),
+      "bpek", "refsurface", "maintain", "bucketjoin",
+      "sortskip").contains(mode),
       s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else {
@@ -653,6 +670,55 @@ object ScaleRehearsal {
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File("spark-warehouse/bj_users"))
       }
+    } else if (mode == "sortskip") {
+      // The THIRD write-layout lever, measured (bucketing and
+      // compaction have their legs above): in-partition SORT by the
+      // query key turns parquet row-group min/max stats into a sparse
+      // index — the Spark-side equivalent of ClickHouse's primary-key
+      // index skip (SURVEY §4 row 2), which EventsWriterSpec pins as
+      // a write-side sortedness property but nothing measured on the
+      // READ side. Same salted events, two layouts, same pushed point
+      // predicate: the clustered layout decodes only the row groups
+      // whose stats admit the key; the scattered layout decodes every
+      // row group. The skip shows in the scan's input records/bytes
+      // (InputMeter), not wall on a page-cached box.
+      val nEvents = offsetSaltedEvents(spark, sfDir, mult, work)
+      val ev = spark.read.parquet(s"$work/events.parquet")
+      ev.repartitionByRange(32, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(s"$work/sorted/events.parquet")
+      ev.repartition(32)
+        .write.mode("overwrite").parquet(s"$work/scattered/events.parquet")
+      // probe key guaranteed live in copy 0 (ids are 0-based per copy)
+      val probe = ev.agg(min("user_id")).first().getLong(0) + 37L
+      def legQ(layout: String): Long =
+        hashSink(spark.read.parquet(s"$work/$layout/events.parquet")
+          .filter(col("user_id") === probe)
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(20,4)")).as("sv")),
+          "sortskip")
+      val im = new InputMeter
+      spark.sparkContext.addSparkListener(im)
+      def meterInput(fn: => Long): (Double, Long, Long, Long) = {
+        val (b0, r0) = (im.bytes, im.records)
+        val t0 = System.nanoTime()
+        val h = fn
+        val sec = ((System.nanoTime() - t0) / 1e7).round / 100.0
+        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+        (sec, im.bytes - b0, im.records - r0, h)
+      }
+      val sorted = meterInput(legQ("sorted"))
+      val scattered = meterInput(legQ("scattered"))
+      spark.sparkContext.removeSparkListener(im)
+      require(sorted._4 == scattered._4,
+        s"sortskip: layouts disagree on the probe result " +
+          s"(hash ${sorted._4} vs ${scattered._4})")
+      def jqi(t: (Double, Long, Long, Long)): String =
+        s"""{"sec":${t._1},"input_mb":${(t._2 / 1e6 * 10).round / 10.0},""" +
+          s""""input_rows":${t._3}}"""
+      println(s"""{"mult":$mult,"events":$nEvents,"probe_user":$probe,""" +
+        s""""sorted":${jqi(sorted)},"scattered":${jqi(scattered)},""" +
+        s""""result_hash_equal":true}""")
     } else if (mode == "bpek") {
       // The production-k BPE leg (VERDICT r13 #3): the trainer is one
       // corpus scan + a driver-side merge loop, so wall must be ~flat
