@@ -583,12 +583,22 @@ object ScaleRehearsal {
       PipelineQueries.clearT27Memo()
       val p20 = meterLeg {
         sink(PipelineQueries.compaction_manifest(spark, work)); nDocs }
-      val binDirs = Option(new java.io.File(
+      val binDirList = Option(new java.io.File(
           PipelineQueries.p20CompactPath(work)).listFiles)
         .getOrElse(Array.empty)
         .filter(_.getName.startsWith("lang="))
         .flatMap(f => Option(f.listFiles).getOrElse(Array.empty))
-        .count(_.getName.startsWith("bin="))
+        .filter(_.getName.startsWith("bin="))
+      // the physical contract at SCALE, not just in the planted spec:
+      // the rewrite must leave exactly ONE data file per bin at every M
+      binDirList.foreach { d =>
+        val parts = d.listFiles.count(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        require(parts == 1,
+          s"maintain: bin dir $d holds $parts files — compaction " +
+            "must produce exactly one")
+      }
+      val binDirs = binDirList.length
       val t27 = meterLeg {
         sink(PipelineQueries.perceptron_quality(spark, work)); nDocs }
       // the M×-sized rewrite artifact is leg scratch, not a gate
@@ -637,6 +647,14 @@ object ScaleRehearsal {
             .mode("overwrite").saveAsTable("bj_users")
           nEvents
         }
+        // the plain leg's dim side is ALSO precomputed (parquet, not
+        // an inline aggregate) so both legs time the same logical
+        // work — a JOIN of two stored tables — and differ only in
+        // layout; an inline aggregate on the plain side would charge
+        // it the agg's shuffle too and flatter the bucketed leg
+        ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max("value").as("max_v"))
+          .write.mode("overwrite").parquet(s"$work/users.parquet")
         def legJoin(l: org.apache.spark.sql.DataFrame,
             r: org.apache.spark.sql.DataFrame) =
           sink(l.join(r, Seq("user_id"))
@@ -650,8 +668,8 @@ object ScaleRehearsal {
           hBucketed = legJoin(spark.table("bj_events"),
             spark.table("bj_users")); nEvents }
         val plain = time {
-          hPlain = legJoin(ev, ev.groupBy("user_id")
-            .agg(count(lit(1)).as("n_events"), max("value").as("max_v")))
+          hPlain = legJoin(ev,
+            spark.read.parquet(s"$work/users.parquet"))
           nEvents }
         require(hBucketed == hPlain,
           s"bucketjoin: co-located join result diverged from the " +
