@@ -7,6 +7,42 @@ import org.apache.spark.sql.SparkSession
   * parseable JSON either way.
   */
 object Bench {
+
+  /** Deterministic CPU+shuffle calibration micro-job (round-15 VERDICT
+    * #1): identical code swung 83→180 s across same-commit runs purely
+    * on background host load, so raw suite totals are not comparable
+    * round-over-round. This probe — a seeded 10 M-row hash-aggregate
+    * into 1 M groups with a top-k sort-merge, no input tables, no RNG —
+    * costs the same work every run by construction; its wall-clock is
+    * therefore a pure host-speed sample. Timed immediately before and
+    * after each suite pass; `normalized_total = fresh_total ×
+    * (PROBE_REF / probe_now)` rescales the suite total to the
+    * reference host speed, so a noisy-host sample stops masquerading
+    * as a code regression.
+    */
+  private def calibrationProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0L, 10L * 1000 * 1000, 1L, 32)
+      .select(pmod(xxhash64(col("id")), lit(1000000L)).as("k"), col("id"))
+      .groupBy("k")
+      .agg(sum("id").as("s"), count(lit(1)).as("c"))
+      .orderBy(col("s").desc, col("k").asc)
+      .limit(1000)
+      .collect()
+    ((System.nanoTime() - t0) / 1e7).round / 100.0
+  }
+
+  /** The probe's wall-clock on THIS box at the round-16 measurement
+    * basis (min of 6 back-to-back samples, local[32], moderate ambient
+    * load: 0.82–1.04 s) — the fixed denominator that makes normalized
+    * totals comparable across rounds. The absolute value is arbitrary
+    * (it defines the reference host speed, nothing else); what matters
+    * is that it never silently changes. If the hardware changes,
+    * re-measure and bump WITH a round note.
+    */
+  private val ProbeRef = 0.82
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,6 +53,10 @@ object Bench {
     // query isn't charged for JVM cold start
     try SparkEntry.queries("r01_count")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // calibration probe: one untimed run (codegen/JIT warm), then the
+    // timed before-suite sample
+    calibrationProbe(spark)
+    val probeBefore = calibrationProbe(spark)
     // Min of two passes: single-run numbers on this box swing 4× with
     // background load; the min is the reproducible capability. The second
     // pass ALWAYS runs — a first pass inflated by a load spike is exactly
@@ -82,11 +122,15 @@ object Bench {
       // whole line would also excuse e.g. tools/bench_history.jsonl or
       // old_bench_history.jsonl, stamping a genuinely-dirty run clean
       // (review finding). Porcelain: "XY path" or "XY old -> new".
+      // Renames: BOTH sides must be bench-owned to be excused — a
+      // tracked file renamed TO a bench-owned name is a real tree
+      // change (round-15 ADVICE; and renames of bench scratch are
+      // themselves suspicious, so even owned->other marks dirty).
       val dirty = Seq("git", "status", "--porcelain").!!.linesIterator
         .map(_.trim).filter(_.nonEmpty)
         .exists { l =>
-          val path = l.drop(2).trim.split(" -> ").last
-          !benchOwned.contains(path)
+          val sides = l.drop(2).trim.split(" -> ")
+          !sides.forall(benchOwned.contains)
         }
       if (h.matches("[0-9a-f]{40}")) (if (dirty) h + "-dirty" else h)
       else "unknown"
@@ -154,10 +198,16 @@ object Bench {
         }
       }
     }
+    // after-suite probe sample: bracketing the suite means a load
+    // spike confined to either end still moves the probe mean
+    val probeAfter = calibrationProbe(spark)
+    val probeNow = (probeBefore + probeAfter) / 2.0
     def jmap(m: scala.collection.Map[String, String]): String =
       m.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    val normalizedTotal =
+      ((total * ProbeRef / probeNow) * 100).round / 100.0
     // capability vs sample (round-13 process finding): the driver's
     // artifact keeps whatever THIS run sampled, but the durable history
     // may hold a cleaner run of the identical suite from the same
@@ -183,6 +233,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""fresh_total":$total,"session_best_total":${best._2},""" +
       s""""session_best_ts":"${best._1}","commit":"$gitCommit",""" +
+      s""""probe_sec_before":$probeBefore,"probe_sec_after":$probeAfter,""" +
+      s""""probe_ref":$ProbeRef,"normalized_total":$normalizedTotal,""" +
       s""""errors":${jmap(errors)},"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: sbt interleaves its own [info]

@@ -576,9 +576,14 @@ object ScaleRehearsal {
       // FULL train+score body at the gate's own B=32.
       val bSweep = Seq(32, 1024, 16384).map { b =>
         val t0 = System.nanoTime()
-        val nW = PipelineQueries.t27TrainedWeights(spark, work, b).length
+        val w = PipelineQueries.t27TrainedWeights(spark, work, b)
         val sec = ((System.nanoTime() - t0) / 1e7).round / 100.0
-        s""""b$b":{"train_sec":$sec,"weights":$nW}"""
+        // report buckets actually TOUCHED (non-zero weight), not the
+        // Array.fill(B+1) length — the length is B+1 by construction
+        // and measured nothing (round-15 ADVICE); the nonzero count
+        // is the evidence that the artifact grows as
+        // min(B, distinct buckets touched)
+        s""""b$b":{"train_sec":$sec,"weights_nonzero":${w.count(_ != 0L)}}"""
       }
       PipelineQueries.clearT27Memo()
       val p20 = meterLeg {
@@ -707,8 +712,17 @@ object ScaleRehearsal {
         .write.mode("overwrite").parquet(s"$work/sorted/events.parquet")
       ev.repartition(32)
         .write.mode("overwrite").parquet(s"$work/scattered/events.parquet")
-      // probe key guaranteed live in copy 0 (ids are 0-based per copy)
-      val probe = ev.agg(min("user_id")).first().getLong(0) + 37L
+      // probe key drawn from the EXISTING key set (round-15 ADVICE:
+      // `min + 37` assumed ≥38 dense ids — at sf0.001's 15 users it
+      // matched zero rows and both legs hashed an empty aggregate,
+      // silently voiding the row-group-skip measurement). Take the
+      // 38th-smallest live id when one exists, else the largest.
+      val probe = ev.select("user_id").distinct().orderBy("user_id")
+        .limit(38).collect().last.getLong(0)
+      val probeRows = ev.filter(col("user_id") === probe).count()
+      require(probeRows > 0,
+        s"sortskip: probe key $probe matches zero rows — the skip " +
+          "measurement would be vacuous")
       def legQ(layout: String): Long =
         hashSink(spark.read.parquet(s"$work/$layout/events.parquet")
           .filter(col("user_id") === probe)

@@ -3547,15 +3547,19 @@ object PipelineQueries {
   private val t27FeatMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** The persisted feature table, memoized per (corpus, B) — training
-    * AND the t27/t28 scoring passes all read THIS copy, so the raw
-    * corpus is tokenized once per JVM, not once per gate (review
-    * finding: the earlier unpersist-then-rebuild shape re-scanned the
-    * corpus for every scoring pass).
+  /** The persisted feature table, memoized per (SESSION, corpus, B) —
+    * training AND the t27/t28 scoring passes all read THIS copy, so
+    * the raw corpus is tokenized once per JVM, not once per gate
+    * (review finding: the earlier unpersist-then-rebuild shape
+    * re-scanned the corpus for every scoring pass). The session rides
+    * the key because a cached DataFrame is BOUND to the session that
+    * built it — a same-JVM session restart must rebuild, not replay a
+    * plan against a stopped session (round-15 ADVICE).
     */
   private def t27FeaturesCached(s: SparkSession, dir: String,
       B: Int): DataFrame =
-    t27FeatMemo.computeIfAbsent(s"$dir#B=$B",
+    t27FeatMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}#$dir#B=$B",
       _ => t27Features(s, dir, B).persist())
 
   /** Drops the trained-weight and feature memos (unpersisting the
@@ -3566,7 +3570,16 @@ object PipelineQueries {
     */
   private[graft] def clearT27Memo(): Unit = {
     t27WeightsMemo.clear()
-    t27FeatMemo.values.forEach(df => df.unpersist(blocking = false))
+    // blocking: the maintain B-sweep rebuilds at another B immediately
+    // after this call — an async unpersist would transiently double-
+    // cache two corpus-sized feature tables (round-15 VERDICT note)
+    t27FeatMemo.values.forEach { df =>
+      // a memo entry may belong to an already-stopped session (the
+      // session rides the key); unpersist on a dead session throws —
+      // skip it, its cache died with the session
+      try df.unpersist(blocking = true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     t27FeatMemo.clear()
   }
 
