@@ -125,8 +125,13 @@ object SparkEntry {
     "p18_lee_pipeline" -> (PipelineQueries.lee_pipeline _),
     "p19_concat_chunk_scale" -> (PipelineQueries.concat_chunk_scale _),
     "p20_compaction" -> (PipelineQueries.compaction_manifest _),
+    "p21_compact_split" -> (PipelineQueries.compaction_split_manifest _),
     "t27_perceptron_quality" -> (PipelineQueries.perceptron_quality _),
     "t28_perceptron_eval" -> (PipelineQueries.perceptron_eval _),
+    "t29_classifier_gate" -> (PipelineQueries.classifier_gated_corpus _),
+    "t30_bpe_compression_large" -> (PipelineQueries.bpe_compression_large _),
+    "r69_bucketed_activity" -> (RefQueries.bucketed_activity _),
+    "r70_bucketed_join" -> (RefQueries.bucketed_join _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -259,6 +264,31 @@ object SparkEntry {
     * it (source is functionally dependent on doc_id, so the extra
     * group key changes nothing at doc grain).
     */
+  /** r06's five-subquery LEFT-JOIN activity oracle — shared verbatim
+    * by r69 (the bucketed-catalog run of the same body): the layout
+    * lever must never change answers, so both gates compare against
+    * the ONE expectation computed from the original parquet.
+    */
+  private val activityOracleSql: String =
+    """WITH ev AS (SELECT user_id,
+             CAST(json_extract_string(props,'$.k') AS INTEGER)%10 AS k,
+             event_type FROM events),
+         c AS (SELECT user_id,k,count(*) AS n_click FROM ev WHERE event_type='click' GROUP BY 1,2),
+         v AS (SELECT user_id,k,count(*) AS n_view FROM ev WHERE event_type='view' GROUP BY 1,2),
+         sg AS (SELECT user_id,k,count(*) AS n_signup FROM ev WHERE event_type='signup' GROUP BY 1,2),
+         er AS (SELECT user_id,k,count(*) AS n_error FROM ev WHERE event_type='error' GROUP BY 1,2),
+         p AS (SELECT user_id,k,count(*) AS n_purchase FROM ev WHERE event_type='purchase' GROUP BY 1,2)
+         SELECT c.user_id AS user_id,
+                round(sum(sqrt(c.n_click + 2*coalesce(v.n_view,0)
+                  + 3*coalesce(sg.n_signup,0) + 4*coalesce(er.n_error,0)
+                  + 5*coalesce(p.n_purchase,0))),2) AS activity
+         FROM c
+         LEFT JOIN v ON c.user_id=v.user_id AND c.k=v.k
+         LEFT JOIN sg ON c.user_id=sg.user_id AND c.k=sg.k
+         LEFT JOIN er ON c.user_id=er.user_id AND c.k=er.k
+         LEFT JOIN p ON c.user_id=p.user_id AND c.k=p.k
+         GROUP BY c.user_id ORDER BY activity DESC, user_id LIMIT 20"""
+
   private def perceptronOracleCtes: String =
     """WITH lab AS (SELECT doc_id, source,
              CASE WHEN source IN ('src0','src1','src2','src3','src4')
@@ -363,25 +393,24 @@ object SparkEntry {
                 arg_max(event_id, ts) AS last_id, count(*) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",
 
-    "r06_activity" ->
-      """WITH ev AS (SELECT user_id,
-             CAST(json_extract_string(props,'$.k') AS INTEGER)%10 AS k,
-             event_type FROM events),
-         c AS (SELECT user_id,k,count(*) AS n_click FROM ev WHERE event_type='click' GROUP BY 1,2),
-         v AS (SELECT user_id,k,count(*) AS n_view FROM ev WHERE event_type='view' GROUP BY 1,2),
-         sg AS (SELECT user_id,k,count(*) AS n_signup FROM ev WHERE event_type='signup' GROUP BY 1,2),
-         er AS (SELECT user_id,k,count(*) AS n_error FROM ev WHERE event_type='error' GROUP BY 1,2),
-         p AS (SELECT user_id,k,count(*) AS n_purchase FROM ev WHERE event_type='purchase' GROUP BY 1,2)
-         SELECT c.user_id AS user_id,
-                round(sum(sqrt(c.n_click + 2*coalesce(v.n_view,0)
-                  + 3*coalesce(sg.n_signup,0) + 4*coalesce(er.n_error,0)
-                  + 5*coalesce(p.n_purchase,0))),2) AS activity
-         FROM c
-         LEFT JOIN v ON c.user_id=v.user_id AND c.k=v.k
-         LEFT JOIN sg ON c.user_id=sg.user_id AND c.k=sg.k
-         LEFT JOIN er ON c.user_id=er.user_id AND c.k=er.k
-         LEFT JOIN p ON c.user_id=p.user_id AND c.k=p.k
-         GROUP BY c.user_id ORDER BY activity DESC, user_id LIMIT 20""",
+    "r06_activity" -> activityOracleSql,
+
+    // r69: the SAME expectation as r06 — the bucketed catalog layout
+    // must be answer-invariant; the plan difference (bucketed scan,
+    // zero hash exchanges) is pinned by PlanContractSpec
+    "r69_bucketed_activity" -> activityOracleSql,
+
+    // r70: user-grain fact-to-dim join, both sides bucketed on the
+    // engine side; the oracle recomputes dim + join from the original
+    // parquet, so any row lost/duplicated by the co-located plan
+    // breaks the hash
+    "r70_bucketed_join" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             max(value) AS max_v
+           FROM events GROUP BY 1)
+         SELECT e.event_id, e.user_id, u.n_events, u.max_v
+         FROM events e JOIN u USING (user_id)
+         ORDER BY event_id""",
 
     "r07_status_anti_join" ->
       """SELECT h FROM (SELECT DISTINCT CAST(strftime(ts,'%Y%m%d%H') AS BIGINT) AS h FROM events)
@@ -2461,6 +2490,69 @@ object SparkEntry {
                 md5(array_to_string(list_sort(list(doc_id)), ',')) AS checksum
          FROM d GROUP BY 1, 2 ORDER BY lang, bin""",
 
+    // p21: the merge+split manifest recomputed from the ORIGINAL
+    // table — skewed scatter (3/4 of each lang into file 0), file
+    // classification at the 4×-target split threshold, p20's sorted
+    // prefix-sum binning for the small files, per-file offset-window
+    // piece cuts for the fat ones, then the expected per-bin manifest
+    // with the membership checksum; the Spark side reads the
+    // REWRITTEN parquet back
+    "p21_compact_split" ->
+      """WITH f AS (SELECT lang,
+             CASE WHEN doc_id % 4 < 3 THEN 0
+                  ELSE 1 + doc_id % 16 END AS file_id,
+             doc_id, n_chars
+           FROM documents),
+         fm AS (SELECT lang, file_id,
+             CAST(sum(n_chars) AS BIGINT) AS fbytes
+           FROM f GROUP BY 1, 2),
+         pl AS (SELECT lang, file_id, fbytes,
+             CAST(sum(fbytes) OVER (PARTITION BY lang
+                   ORDER BY fbytes DESC, file_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM fm WHERE fbytes <= 32768),
+         asg AS (SELECT lang, file_id,
+             CAST((cum - fbytes) // 8192 AS BIGINT) AS bin
+           FROM pl),
+         fat AS (SELECT lang, file_id FROM fm WHERE fbytes > 32768),
+         mrows AS (SELECT f.lang, f.doc_id, f.n_chars, f.file_id, asg.bin
+           FROM f JOIN asg ON asg.lang = f.lang AND asg.file_id = f.file_id),
+         srows AS (SELECT f.lang, f.doc_id, f.n_chars, f.file_id,
+             CAST(1000000 + f.file_id * 1000 +
+               (sum(f.n_chars) OVER (PARTITION BY f.lang, f.file_id
+                    ORDER BY f.doc_id ROWS UNBOUNDED PRECEDING)
+                 - f.n_chars) // 8192 AS BIGINT) AS bin
+           FROM f JOIN fat ON fat.lang = f.lang AND fat.file_id = f.file_id),
+         d AS (SELECT * FROM mrows UNION ALL SELECT * FROM srows)
+         SELECT lang, bin,
+                CAST(count(DISTINCT file_id) AS BIGINT) AS n_files_in,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS bytes,
+                md5(array_to_string(list_sort(list(doc_id)), ',')) AS checksum
+         FROM d GROUP BY 1, 2 ORDER BY lang, bin""",
+
+    // t29: the shared perceptron cascade composed with p16's packing
+    // chain — token counts recomputed from the SAME tb CTE the
+    // features fold (one tokenization in the oracle too), gate on
+    // score > 0, then the per-lang running-offset example map over
+    // the surviving docs
+    "t29_classifier_gate" ->
+      (perceptronOracleCtes +
+        """,
+         nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM tb GROUP BY 1),
+         gated AS (SELECT d.lang, s3.doc_id, s3.score, nt.n_tokens
+           FROM s3 JOIN nt USING (doc_id) JOIN documents d USING (doc_id)
+           WHERE s3.score > 0 AND nt.n_tokens > 0),
+         o AS (SELECT lang, doc_id, score, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+           FROM gated)
+         SELECT lang, doc_id, score, n_tokens, start_off,
+                CAST(start_off // 128 AS BIGINT) AS first_example,
+                CAST((start_off + n_tokens - 1) // 128 AS BIGINT) AS last_example
+         FROM o ORDER BY lang, doc_id"""),
+
     // t27: the E=3 batch-perceptron epochs unrolled as CTEs — the
     // same md5 bucket fold (B=32 + bias bucket 32), all-BIGINT
     // scores/updates so the replay is exact; w0 = 0 makes epoch 1's
@@ -2795,6 +2887,23 @@ object SparkEntry {
                 CAST(sum(d.n_sym) AS BIGINT) AS sum_tokens
          FROM toks t JOIN dict d USING (w)
          GROUP BY t.source ORDER BY t.source""",
+
+    // t30: t25's compression eval replayed over the t26 realistic-
+    // vocabulary fixture (both corpus and dict artifact read by
+    // literal path — the s03 pattern), so the adopt-or-reject metric
+    // is cross-engine-verified at a five-figure dictionary too
+    "t30_bpe_compression_large" ->
+      (s"""WITH toks AS (SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)),'\\s+')) AS w
+           FROM '${graft.queries.PipelineQueries.t26CorpusPath}/documents.parquet/*.parquet'),
+         dict AS (SELECT * FROM """ +
+        s"'${graft.queries.PipelineQueries.t21BpePath(graft.queries.PipelineQueries.t26CorpusPath)}/dict/*.parquet')" +
+        """
+         SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(d.n_char) AS BIGINT) AS sum_chars,
+                CAST(sum(d.n_sym) AS BIGINT) AS sum_tokens
+         FROM toks t JOIN dict d USING (w)
+         GROUP BY t.source ORDER BY t.source"""),
 
     // r64: same exhaustive matrix as t22 — theta's merge-order
     // invariance means four micro-batches through the RocksDB state

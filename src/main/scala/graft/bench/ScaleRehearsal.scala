@@ -294,14 +294,15 @@ object ScaleRehearsal {
       if (mode == "streaming" || mode == "deep" || mode == "annfilter") 1000
       else if (mode == "edit" || mode == "windowskew" ||
         mode == "refsurface" || mode == "maintain" ||
-        mode == "bucketjoin" || mode == "sortskip") 100
+        mode == "bucketjoin" || mode == "sortskip" ||
+        mode == "chsurface") 100
       else 26
     require(mult >= 1 && mult <= maxMult,
       s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
       "passages", "streaming", "deep", "edit", "annfilter", "windowskew",
       "bpek", "refsurface", "maintain", "bucketjoin",
-      "sortskip").contains(mode),
+      "sortskip", "chsurface").contains(mode),
       s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else {
@@ -545,6 +546,90 @@ object ScaleRehearsal {
         s""""r07_max_task_ms":${r07._2},"r07_max_reduce_ms":${r07._3},""" +
         s""""r09_replacing_dedup":${jq(r09._1)},""" +
         s""""r09_max_task_ms":${r09._2},"r09_max_reduce_ms":${r09._3}}""")
+    } else if (mode == "chsurface") {
+      // The CH-compat STATEMENT surface at M (round-15 VERDICT #7):
+      // refsurface gave r06/r07/r09 their curves; the remaining
+      // reference-user paths with no measured M-curve were r35's
+      // `FROM t FINAL` read and r47's ALTER-mutation partition
+      // rewrite. Same numeric-offset event salt as refsurface
+      // (event_id/user_id offset per copy, types/ts shared).
+      //  - r35 FINAL: read-time Replacing dedup over the registered
+      //    (user_id, event_type) key — keys ∝ M with constant group
+      //    size, so the dedup shuffle must grow ∝ keys and no reducer
+      //    materializes a whole key group (r09's argument replayed on
+      //    the READ path, where ClickHouse pays it at merge time).
+      //  - r47 mutations: DELETE drops the whole 'error' partition,
+      //    UPDATE rewrites only 'purchase' — copy-on-write cost must
+      //    scale with the TOUCHED partitions' bytes only, and the
+      //    untouched partitions' data files must come through BYTE-
+      //    IDENTICAL (md5 of every file before/after — the ClickHouse
+      //    parts-not-touched contract, checked physically, not
+      //    inferred from the plan).
+      val nEvents = offsetSaltedEvents(spark, sfDir, mult, work)
+      def sink(df: org.apache.spark.sql.DataFrame): Long =
+        hashSink(df, "chsurface")
+      import graft.queries.RefQueries
+      val r35 = meterLeg { sink(RefQueries.ch_final(spark, work)); nEvents }
+      val loc = s"$work/mut"
+      spark.sql("DROP TABLE IF EXISTS events_mut_scale")
+      spark.sql(s"""CREATE TABLE events_mut_scale
+        (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+        USING parquet PARTITIONED BY (event_type) LOCATION '$loc'""")
+      graft.Tables.load(spark, work, "events")
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("append").insertInto("events_mut_scale")
+      // snapshot every data file of the partitions the mutations must
+      // NOT touch (everything but error/purchase)
+      def fileMd5s(): Map[String, String] = {
+        val root = new java.io.File(loc)
+        Option(root.listFiles).getOrElse(Array.empty)
+          .filter(d => d.isDirectory &&
+            d.getName.startsWith("event_type=") &&
+            d.getName != "event_type=error" &&
+            d.getName != "event_type=purchase")
+          .flatMap(d => Option(d.listFiles).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet")))
+          .map { f =>
+            val h = java.security.MessageDigest.getInstance("MD5")
+              .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            f.getAbsolutePath -> h.map("%02x".format(_)).mkString
+          }.toMap
+      }
+      val before = fileMd5s()
+      require(before.nonEmpty,
+        "chsurface: no untouched-partition files to fingerprint")
+      var delParts = 0; var updParts = 0
+      val del = meterLeg {
+        delParts = graft.functions.ChMutations.mutate(spark,
+          "ALTER TABLE events_mut_scale DELETE WHERE event_type = 'error'")
+        nEvents }
+      val upd = meterLeg {
+        updParts = graft.functions.ChMutations.mutate(spark,
+          "ALTER TABLE events_mut_scale UPDATE value = value * 2 " +
+            "WHERE event_type = 'purchase' AND value > 50")
+        nEvents }
+      val after = fileMd5s()
+      require(before == after,
+        s"chsurface: untouched partitions' files changed across the " +
+          s"mutations (${before.size} before vs ${after.size} after) — " +
+          "the partition-pruned rewrite touched more than it claimed")
+      // the mutated table still answers (and the read is charged the
+      // post-mutation layout): per-type counts + exact value mass
+      val post = meterLeg {
+        sink(spark.table("events_mut_scale").groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(20,4)")).as("sv")))
+        nEvents }
+      spark.sql("DROP TABLE IF EXISTS events_mut_scale")
+      println(s"""{"mult":$mult,"events":$nEvents,""" +
+        s""""r35_final":${jq(r35._1)},""" +
+        s""""r35_max_task_ms":${r35._2},"r35_max_reduce_ms":${r35._3},""" +
+        s""""mut_delete":${jq(del._1)},"mut_delete_parts":$delParts,""" +
+        s""""mut_delete_max_task_ms":${del._2},""" +
+        s""""mut_update":${jq(upd._1)},"mut_update_parts":$updParts,""" +
+        s""""mut_update_max_task_ms":${upd._2},""" +
+        s""""untouched_files":${before.size},"untouched_identical":true,""" +
+        s""""post_read":${jq(post._1)}}""")
     } else if (mode == "maintain") {
       // The round-15 maintenance/training legs: p20 compaction and
       // t27 batch-perceptron training at M× the base corpus (numeric

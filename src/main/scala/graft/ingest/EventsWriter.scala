@@ -178,6 +178,18 @@ object EventsWriter {
         .filter(col(partitionCol).isin(toCompact: _*))
         .drop(partitionCol) // write() re-derives it from created_at
       write(slice, path, overwritePartitions = true)
+      // A table landed by the STREAMING sink carries a _spark_metadata
+      // commit log, and readers trust the log over the directory
+      // listing — after this rewrite the log would reference deleted
+      // files and every read fails. The read above consumed the log
+      // (so only COMMITTED files entered the rewrite); dropping it now
+      // finalizes the table as a plain parquet directory whose listing
+      // is the truth — the same contract every batch-written table
+      // here uses. The trade, documented: a later streaming resume
+      // must start a fresh sink log (new checkpoint), exactly as
+      // ClickHouse requires no concurrent inserts during OPTIMIZE.
+      val metaLog = new org.apache.hadoop.fs.Path(p, "_spark_metadata")
+      if (fs.exists(metaLog)) fs.delete(metaLog, true)
     }
     toCompact.sorted
   }

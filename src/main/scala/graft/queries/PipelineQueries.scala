@@ -1069,7 +1069,8 @@ object PipelineQueries {
     // so Verify rebuilds them fresh — deterministic bytes, and the
     // oracle's literal-path reads stay inside the audited roots
     t26CorpusPath, t21BpePath(t26CorpusPath),
-    p20CompactPath(dir))
+    p20CompactPath(dir), p21CompactPath(dir),
+    RefQueries.bucketedEventsPath(dir))
 
   /** Drops every per-SF artifact memo — the companion to
     * [[artifactPaths]]: Verify deletes the persisted roots up front,
@@ -1082,7 +1083,8 @@ object PipelineQueries {
   def clearArtifactMemos(): Unit = {
     docCountMemo.clear(); d16Built.clear(); quantizerCache.clear()
     d09Cache.clear(); pqCache.clear(); bpeBuilt.clear(); ccBuilt.clear()
-    t26Built.clear(); p20Built.clear(); clearT27Memo()
+    t26Built.clear(); p20Built.clear(); p21Built.clear(); clearT27Memo()
+    RefQueries.clearBucketedMemo()
   }
 
   /** The shared trained coarse quantizer (fit once per SF, persisted
@@ -3658,6 +3660,75 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  // ---- t29: classifier-GATED corpus composition — t27's trained
+  // model applied as a real pipeline stage (the FineWeb shape: train
+  // a quality classifier once, then gate the whole corpus with it and
+  // pack what survives): score → threshold → concat-and-chunk packing
+  // of the kept docs, ONE Catalyst plan. The scoring pass reads the
+  // SAME persisted feature table the trainer built ([[
+  // t27FeaturesCached]]) — and because every token lands in exactly
+  // one hash bucket, Σc over the non-bias buckets IS the t03
+  // whitespace token count, so ONE aggregation over that table yields
+  // BOTH the gate score and the packing weight: the corpus is never
+  // re-tokenized (PlanContractSpec pins exactly one documents scan —
+  // the doc-grain lang projection — in the whole plan).
+  //
+  // The packing is p19's scale-safe two-level prefix sum under the
+  // p18 discipline: the gated doc-grain table ends in an EXPLICIT
+  // (lang, bkt) repartition feeding both the per-bucket offsets
+  // aggregation and the running-sum window, so AQE plans ONE exchange
+  // and reuses it (ReusedExchange asserted at runtime) — the
+  // score+gate subtree runs once. All-BIGINT (scores, counts,
+  // offsets), so the oracle composes the shared perceptron CTE
+  // cascade with p16's packing chain and must match bit-exactly. ----
+  def classifier_gated_corpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val C = 128
+    val w = t27TrainedWeights(s, dir)
+    val wDf = w.indices.map(b => (b, w(b))).toDF("b", "w")
+    val scored = t27FeaturesCached(s, dir, t27Buckets)
+      .join(broadcast(wDf), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("w")).as("score"),
+        sum(when(col("b") < t27Buckets, col("c")).otherwise(lit(0L)))
+          .as("n_tokens"))
+      .filter(col("score") > 0 && col("n_tokens") > 0)
+    val t = scored
+      .join(docs(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("bkt", expr("doc_id div 64"))
+      .repartition(col("lang"), col("bkt"))
+    val off = t.groupBy("lang", "bkt").agg(sum("n_tokens").as("tok"))
+      .withColumn("off", coalesce(
+        sum("tok").over(Window.partitionBy("lang").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "bkt", "off")
+    t.join(broadcast(off), Seq("lang", "bkt"))
+      .withColumn("start_off",
+        sum("n_tokens").over(Window.partitionBy("lang", "bkt")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+          + col("off") - col("n_tokens"))
+      .select(col("lang"), col("doc_id"), col("score"), col("n_tokens"),
+        col("start_off"),
+        expr(s"start_off div $C").as("first_example"),
+        expr(s"(start_off + n_tokens - 1) div $C").as("last_example"))
+      .orderBy("lang", "doc_id")
+  }
+
+  // ---- t30: the t25 compression-ratio eval at the t26 REALISTIC
+  // vocabulary (round-15 VERDICT #6): t26 pinned the ENCODE chain at
+  // the 12.2k-word fixture, but the adopt-or-reject compression
+  // metric still ran only on the ~31-word toy corpus — the one place
+  // a vocabulary-scale regression could hide from the eval. Same
+  // delegation discipline as t26: t25's chain verbatim, pointed at
+  // the fixture corpus, probing the SAME persisted dict artifact the
+  // fixture's training run writes; the oracle replays compression
+  // over the fixture parquet by literal path and reads the dict
+  // artifact back. ----
+  def bpe_compression_large(s: SparkSession, dir: String): DataFrame =
+    bpe_compression(s, t26CorpusFor(s))
+
   /** Where the p20 compacted table persists, keyed by the SF dir's
     * basename like [[s03CentroidsPath]].
     */
@@ -3747,6 +3818,105 @@ object PipelineQueries {
 
   def compaction_manifest(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(compactedFor(s, dir))
+      .groupBy(col("lang"), col("bin").cast("long").as("bin"))
+      .agg(countDistinct("file_id").as("n_files_in"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("bytes"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("checksum"))
+      .orderBy("lang", "bin")
+
+  /** Where the p21 merge+split compacted table persists, keyed by the
+    * SF dir's basename like [[p20CompactPath]].
+    */
+  def p21CompactPath(dir: String): String =
+    s"/tmp/graft_p21_compact/${new java.io.File(dir).getName}"
+
+  private val p21Built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val p21TargetBytes = 8192L
+
+  /** Files above this split instead of merging — 4× the target, the
+    * Delta OPTIMIZE maxFileSize shape.
+    */
+  private[graft] val p21SplitBytes = 4L * p21TargetBytes
+
+  // ---- p21: compaction with the SPLIT side — the half of the
+  // OPTIMIZE contract p20 deliberately lacks (round-15 VERDICT #3):
+  // p20 only ever MERGES small files toward the target, but a
+  // streaming sink can also land one giant skewed file per trigger
+  // (every rows-per-trigger spike becomes a fat file), and a reader's
+  // task granularity then degrades to that file's row-group layout.
+  // The full maintenance operation is therefore two-sided: files at
+  // or under the split threshold (4× target) bin-pack exactly as in
+  // p20; files ABOVE it split into target-sized pieces by the
+  // running byte offset WITHIN the file (offset div target — the
+  // row-level analogue of the file-level prefix-sum, cutting the file
+  // at target boundaries without ever splitting a document).
+  //
+  // Input layout: a deliberately SKEWED simulated ingest scatter —
+  // 3/4 of each lang's docs land in file 0 (the fat-trigger file;
+  // ≥4× target at every SF for `en`), the rest spread over 16 small
+  // files — so one gate exercises BOTH regimes and the planted-
+  // fixture spec pins that the split regime actually fired.
+  //
+  // Both sides compose into ONE plan: the file-grain manifest
+  // classifies each file once; the merge plan (small files only)
+  // broadcasts into its rows, the fat-file rows take the per-file
+  // offset window, and the union pays exactly ONE (lang, bin)
+  // exchange — the rewrite itself, same as p20. Split bins are
+  // namespaced at 1e6 + file_id·1000 + piece (disjoint from merge
+  // bins for any per-lang corpus under 8 GB and any file under
+  // 8 MB at these targets; a deployment would widen the encoding
+  // with the targets). The gate manifests the REWRITTEN parquet
+  // while the oracle recomputes the expectation from the ORIGINAL
+  // table — the p20 discipline, membership checksum included, so
+  // loss/duplication/misassignment in either regime breaks the hash.
+  //
+  // Scale shape: the classification and merge plan run at FILE grain
+  // (metadata-scale); the split side's window partitions by
+  // (lang, file_id) — exactly one fat file's rows per partition, the
+  // finest grain that can cut by intra-file offset, and bounded by
+  // the largest file a sink can produce, not by the corpus. ----
+  private def splitCompactedFor(s: SparkSession, dir: String): String =
+    p21Built.compute(p21CompactPath(dir), (p, prev) => {
+      if (prev != null && new java.io.File(p).exists()) prev
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val f = docs(s, dir).withColumn("file_id",
+          expr("CASE WHEN doc_id % 4 < 3 THEN 0 ELSE 1 + doc_id % 16 END"))
+        val fm = f.groupBy("lang", "file_id")
+          .agg(sum("n_chars").as("fbytes"))
+        val wPack = Window.partitionBy("lang")
+          .orderBy(desc("fbytes"), asc("file_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mergePlan = fm.filter(col("fbytes") <= p21SplitBytes)
+          .withColumn("cum", sum("fbytes").over(wPack))
+          .withColumn("bin", expr(s"(cum - fbytes) div $p21TargetBytes"))
+          .select("lang", "file_id", "bin")
+        val fatIds = fm.filter(col("fbytes") > p21SplitBytes)
+          .select("lang", "file_id")
+        val wOff = Window.partitionBy("lang", "file_id").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // the two branches read DISJOINT file sets (in a real layout
+        // file_id IS the input file, so together they scan the table
+        // once — the simulated scatter pays the second scan only here)
+        val merged = f.join(broadcast(mergePlan), Seq("lang", "file_id"))
+        val split = f.join(broadcast(fatIds), Seq("lang", "file_id"))
+          .withColumn("off", sum("n_chars").over(wOff) - col("n_chars"))
+          .withColumn("bin",
+            expr(s"1000000 + file_id * 1000 + (off div $p21TargetBytes)"))
+          .drop("off")
+        merged.unionByName(split)
+          .repartition(col("lang"), col("bin"))
+          .write.partitionBy("lang", "bin").mode("overwrite").parquet(p)
+        p
+      }
+    })
+
+  def compaction_split_manifest(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(splitCompactedFor(s, dir))
       .groupBy(col("lang"), col("bin").cast("long").as("bin"))
       .agg(countDistinct("file_id").as("n_files_in"),
         count(lit(1)).as("n_docs"),

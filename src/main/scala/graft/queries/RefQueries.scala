@@ -75,7 +75,15 @@ object RefQueries {
   // (Q-activity shape, reference: README.md:109-129). Five typed count
   // subqueries LEFT-JOINed on a composite key, null-safe weighted sum,
   // sqrt, per-user rollup, global top-20. ----
-  def activity(s: SparkSession, dir: String): DataFrame = {
+  def activity(s: SparkSession, dir: String): DataFrame =
+    activityOver(events(s, dir))
+
+  /** The activity query body over ANY events relation — shared by the
+    * parquet-path gate (r06) and the bucketed-catalog gate (r69), so
+    * the two layouts run the IDENTICAL logical plan and differ only
+    * in scan + exchange placement.
+    */
+  private def activityOver(ev: DataFrame): DataFrame = {
     // Single-pass pivot: one scan + one (user,k) aggregation with
     // count_if per type, where the reference shape (and the oracle
     // SQL) is five filtered scans LEFT-JOINed from clicks. The
@@ -84,7 +92,7 @@ object RefQueries {
     // so the two shapes are value-identical with 4 fewer shuffles and
     // 4 fewer scans.
     def cnt(t: String): Column = count_if(col("event_type") === t)
-    events(s, dir)
+    ev
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int") % 10)
       .groupBy("user_id", "k")
       .agg(cnt("click").as("n_click"), cnt("view").as("n_view"),
@@ -189,6 +197,102 @@ object RefQueries {
       .agg(count(col("s_suppkey")).as("suppliers"),
         coalesce(dsum(col("s_acctbal"), 12, 2), lit(0.0)).as("total_bal"))
       .orderBy("r_name", "n_name")
+  }
+
+  // ---- r69/r70: the reference surface over the BUCKETED catalog
+  // layout (round-15 VERDICT #2). BucketedLayoutSpec and the
+  // `bucketjoin` rehearsal leg proved the capability and measured the
+  // bytes (0.0 MB shuffle at every M vs 0.7→70 MB plain); these gates
+  // make the lever REAL on the reference surface: the same activity
+  // rollup (r06's body, shared verbatim via [[activityOver]]) and a
+  // user-grain fact-to-dim join run against catalog tables written
+  // `bucketBy(32, user_id)`, and their oracles recompute the result
+  // from the ORIGINAL parquet — layout must never change answers.
+  // Plan contract (pinned in PlanContractSpec + PLAN_FINGERPRINTS):
+  // the scans read `Bucketed: true` and NO hashpartitioning Exchange
+  // exists anywhere — the aggregation's ClusteredDistribution(user_id,
+  // k) and the join's ClusteredDistribution(user_id) are both
+  // satisfied by the bucket spec's HashPartitioning(user_id, 32), so
+  // the only data movement left is the bounded top-k / presentation
+  // sort. At 100 TB this is the difference between a query that
+  // re-shuffles the fact table on every run and one that paid the
+  // exchange once at write time (the ClickHouse ORDER-BY-key
+  // pre-sort analogue, SURVEY §4). ----
+
+  /** Root under which the per-SF bucketed catalog tables persist
+    * (parquet + bucket spec via saveAsTable; the spec itself lives in
+    * the session catalog, so each JVM re-registers over the same
+    * files).
+    */
+  def bucketedEventsPath(dir: String): String =
+    s"/tmp/graft_bucketed/${new java.io.File(dir).getName}"
+
+  private val bucketedBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def clearBucketedMemo(): Unit = bucketedBuilt.clear()
+
+  private def bucketedName(dir: String, suffix: String): String =
+    "graft_b_" +
+      new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") +
+      "_" + suffix
+
+  /** Builds (once per session+SF; deterministic content) and returns
+    * the two bucketed catalog tables: the events fact and the
+    * per-user dim, both `bucketBy(32, user_id).sortBy(user_id)`. The
+    * explicit repartition before each write is the one-file-per-
+    * bucket discipline the `bucketjoin` leg measured — without it the
+    * v1 bucketed writer scatters (tasks × buckets) files and the
+    * sorted-scan property is lost. Memo is keyed by SESSION because
+    * the bucket spec lives in the session catalog.
+    */
+  private def bucketedFor(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val evName = bucketedName(dir, "events")
+    val uName = bucketedName(dir, "users")
+    bucketedBuilt.computeIfAbsent(
+      s"${System.identityHashCode(s)}#$dir", _ => {
+        val root = bucketedEventsPath(dir)
+        val ev = events(s, dir)
+        ev.repartition(32, col("user_id"))
+          .write.format("parquet")
+          .bucketBy(32, "user_id").sortBy("user_id")
+          .option("path", s"$root/events")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(evName)
+        ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max("value").as("max_v"))
+          .repartition(32, col("user_id"))
+          .write.format("parquet")
+          .bucketBy(32, "user_id").sortBy("user_id")
+          .option("path", s"$root/users")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(uName)
+        root
+      })
+    (s.table(evName), s.table(uName))
+  }
+
+  /** r69: r06's activity body over the bucketed catalog table —
+    * hash-asserted equal to the parquet-path gate by the shared
+    * oracle; zero hash exchanges by the bucket spec.
+    */
+  def bucketed_activity(s: SparkSession, dir: String): DataFrame =
+    activityOver(bucketedFor(s, dir)._1)
+
+  /** r70: user-grain fact-to-dim equi-join, both sides bucketed —
+    * the co-located join (`hint("MERGE")` keeps it a sort-merge even
+    * where the dim would auto-broadcast, because at 100 TB a
+    * user-grain dim does NOT broadcast and the gate pins the regime
+    * that actually ships). The only exchange in the plan is the
+    * presentation sort's range partitioning.
+    */
+  def bucketed_join(s: SparkSession, dir: String): DataFrame = {
+    val (ev, users) = bucketedFor(s, dir)
+    ev.hint("MERGE").join(users.hint("MERGE"), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("n_events"),
+        col("max_v"))
+      .orderBy("event_id")
   }
 
   // ---- B21 + §2C: ClickHouse-dialect SQL through spark.sql with the

@@ -466,6 +466,78 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
+  test("r69/r70 run on the BUCKETED catalog scan with zero hash " +
+      "exchanges — the write-time exchange is never re-paid at read") {
+    // round-15 VERDICT #2: the bucketjoin rehearsal measured the
+    // bytes; these gates make the lever real on the reference
+    // surface, and this contract pins it structurally. r69's
+    // (user_id, k) and user_id aggregations and r70's user_id join
+    // must all be satisfied by the bucket spec's
+    // HashPartitioning(user_id, 32): the ONLY exchange allowed
+    // anywhere is r70's presentation-sort range partitioning.
+    Seq("r69_bucketed_activity", "r70_bucketed_join").foreach { n =>
+      val fmt = formatted(n)
+      assert(fmt.contains("Bucketed: true"),
+        s"$n lost the bucketed scan — the catalog table's bucket " +
+          "spec is not being used")
+      val exchanges = opBlocks(fmt).collect {
+        case (_, "Exchange", block) => block
+      }
+      exchanges.foreach { b =>
+        assert(!b.contains("hashpartitioning"),
+          s"$n plans a hash exchange — the bucketed layout should " +
+            s"have satisfied it:\n$b")
+      }
+      if (n == "r69_bucketed_activity")
+        assert(exchanges.isEmpty,
+          s"r69 plans ${exchanges.size} exchanges — the bucketed " +
+            "aggregation should plan none")
+    }
+    assert(formatted("r70_bucketed_join").contains("SortMergeJoin"),
+      "r70 lost the co-located sort-merge join (broadcast would " +
+        "never ship at 100 TB fact-to-dim scale)")
+  }
+
+  test("t29 classifier gate: ONE documents scan, no re-tokenization, " +
+      "and the gated doc-grain subtree's exchange is REUSED") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case qs: QueryStageExec => scans(qs.plan)
+        }.flatten
+    def generates(p: SparkPlan): Int =
+      (p.collect { case g: org.apache.spark.sql.execution.GenerateExec => 1 } ++
+        p.collect {
+          case a: AdaptiveSparkPlanExec => Seq(generates(a.executedPlan))
+          case qs: QueryStageExec => Seq(generates(qs.plan))
+        }.flatten).sum
+    val fmt = formatted("t29_classifier_gate")
+    assert(fmt.contains("REPARTITION_BY_COL"),
+      "t29 lost the explicit (lang, bkt) repartition — the gated " +
+        "subtree would be planned once per consumer")
+    val df = SparkEntry.queries("t29_classifier_gate")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("ReusedExchange"),
+      "t29's final adaptive plan has no ReusedExchange — the " +
+        "score+gate subtree materialized once per consumer")
+    // no corpus re-tokenization: the token explode lives ONLY inside
+    // the cached feature relation (an InMemoryTableScan leaf here);
+    // the plan itself must contain zero Generate nodes and exactly
+    // one documents.parquet scan — the doc-grain lang projection
+    assert(generates(plan) == 0,
+      "t29 re-tokenizes the corpus — a Generate node escaped the " +
+        "cached feature table")
+    val docScans = scans(plan).count(_.relation.location.rootPaths
+      .exists(_.toString.contains("documents.parquet")))
+    assert(docScans == 1,
+      s"t29's final plan scans documents.parquet $docScans times — " +
+        "must be exactly the one lang projection")
+  }
+
   test("r28's bloom probe filters sit below the semi-join") {
     val ops = opBlocks(formatted("r28_bloom_semijoin"))
     val joins = ops.collect { case (i, op, _) if op.contains("Join") => i }

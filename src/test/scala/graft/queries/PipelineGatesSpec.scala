@@ -1019,6 +1019,63 @@ class PipelineGatesSpec extends SparkTestBase {
     assert(srcOf.values.toSet.size == evalGot.size) // one row per source
   }
 
+  test("t29 classifier gate: drops the negatively-scored docs and " +
+      "packs ONLY the survivors (sf corpora score all-positive, so " +
+      "the threshold is pinned here on a discriminating fixture)") {
+    // same fixture + scalar replay as the t27 test — it provably
+    // produces BOTH prediction classes, so the score > 0 gate must
+    // actually drop at least one doc
+    val rows = Seq(
+      (0L, "alpha beta gamma alpha", "en", "src0", 1L),
+      (1L, "alpha beta", "en", "src3", 1L),
+      (2L, "delta echo foxtrot", "en", "src9", 1L),
+      (3L, "alpha delta", "en", "src7", 1L),
+      (4L, "gamma gamma gamma", "en", "src4", 1L))
+    val dir = tmpSf(rows)
+    def bucket(w: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.take(8), 16) % 32).toInt
+    }
+    val feats: Map[Long, Map[Int, Long]] = rows.map { case (id, text, _, _, _) =>
+      val m = text.split("\\s+").groupBy(bucket).view
+        .mapValues(_.length.toLong).toMap
+      id -> (m + (32 -> 1L))
+    }.toMap
+    val ys: Map[Long, Long] = rows.map { case (id, _, _, src, _) =>
+      id -> (if (Set("src0", "src1", "src2", "src3", "src4")(src)) 1L
+             else -1L)
+    }.toMap
+    var w = Map.empty[Int, Long].withDefaultValue(0L)
+    (1 to 3).foreach { _ =>
+      val mis = feats.keys.filter { id =>
+        val score = feats(id).map { case (b, c) => c * w(b) }.sum
+        ys(id) * score <= 0L
+      }
+      mis.foreach { id =>
+        feats(id).foreach { case (b, c) => w += b -> (w(b) + ys(id) * c) }
+      }
+    }
+    val kept = rows.map(_._1).sorted.flatMap { id =>
+      val score = feats(id).map { case (b, c) => c * w(b) }.sum
+      val nTok = rows.find(_._1 == id).get._2.split("\\s+").length.toLong
+      if (score > 0 && nTok > 0) Some((id, score, nTok)) else None
+    }
+    assert(kept.size < rows.size,
+      "degenerate fixture: the gate dropped nothing — threshold unpinned")
+    assert(kept.nonEmpty, "degenerate fixture: the gate dropped everything")
+    var off = 0L
+    val expect = kept.map { case (id, score, nTok) =>
+      val r = ("en", id, score, nTok, off, off / 128L,
+        (off + nTok - 1) / 128L)
+      off += nTok
+      r
+    }
+    val got = PipelineQueries.classifier_gated_corpus(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
   test("p20 compaction: bins match the sorted-prefix-sum plan, the " +
       "rewrite is lossless, and each output bin is ONE physical file") {
     // lang en: singleton files 0..9 with bytes 1000·(i+1); sorted
@@ -1047,6 +1104,59 @@ class PipelineGatesSpec extends SparkTestBase {
     val binDirs = root.listFiles.filter(_.getName.startsWith("lang="))
       .flatMap(_.listFiles).filter(_.getName.startsWith("bin="))
     assert(binDirs.length == 5, s"expected 5 bin dirs: ${binDirs.toSeq}")
+    binDirs.foreach { d =>
+      val parts = d.listFiles.filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"bin dir $d holds ${parts.length} files — compaction must " +
+          "produce exactly one")
+    }
+  }
+
+  test("p21 merge+split compaction: the fat file SPLITS into " +
+      "target-sized pieces, small files still bin-pack, no doc is " +
+      "ever split, and each output bin is ONE physical file") {
+    // en: docs 0..15 at 3000 bytes. Scatter (doc_id%4<3 → file 0,
+    // else 1+doc_id%16): file 0 holds 12 docs = 36000 bytes > the
+    // 32768 split threshold → SPLIT by running offset div 8192:
+    // pieces {0,1,2} {4,5,6} {8,9,10} {12,13} {14}. Files 4/8/12/16
+    // (docs 3/7/11/15, 3000 bytes each) are small → merge plan
+    // (equal sizes sort by file_id): files 4+8+12 → bin 0, file 16 →
+    // bin 1. de: one 500-byte doc in file 0, under threshold → bin 0.
+    val rows = (0L until 16L).map(i => (i, s"t$i", "en", "s", 3000L)) :+
+      (100L, "d", "de", "s", 500L)
+    val dir = tmpSf(rows)
+    val got = PipelineQueries.compaction_split_manifest(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq(
+      ("de", 0L, 1L, 1L, 500L, md5("100")),
+      ("en", 0L, 3L, 3L, 9000L, md5("3,7,11")),
+      ("en", 1L, 1L, 1L, 3000L, md5("15")),
+      ("en", 1000000L, 1L, 3L, 9000L, md5("0,1,2")),
+      ("en", 1000001L, 1L, 3L, 9000L, md5("4,5,6")),
+      ("en", 1000002L, 1L, 3L, 9000L, md5("8,9,10")),
+      ("en", 1000003L, 1L, 2L, 6000L, md5("12,13")),
+      ("en", 1000004L, 1L, 1L, 3000L, md5("14"))))
+    // the split regime actually FIRED (the round-15 gap: p20 never
+    // splits), and conservation holds across both regimes
+    assert(got.exists(_._2 >= 1000000L), "split regime never fired")
+    assert(got.map(_._4).sum == rows.size.toLong)
+    // every split piece stays within one doc of the target — a piece
+    // can overshoot only by the doc that straddles the boundary
+    got.filter(_._2 >= 1000000L).foreach { b =>
+      assert(b._5 <= 8192L + 3000L,
+        s"split piece ${b._2} holds ${b._5} bytes — exceeds " +
+          "target + one straddling doc")
+    }
+    // physical contract: one parquet file per output bin
+    val root = new java.io.File(PipelineQueries.p21CompactPath(dir))
+    val binDirs = root.listFiles.filter(_.getName.startsWith("lang="))
+      .flatMap(_.listFiles).filter(_.getName.startsWith("bin="))
+    assert(binDirs.length == 8, s"expected 8 bin dirs: ${binDirs.toSeq}")
     binDirs.foreach { d =>
       val parts = d.listFiles.filter(f =>
         f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
