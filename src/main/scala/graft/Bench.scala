@@ -135,6 +135,22 @@ object Bench {
       if (h.matches("[0-9a-f]{40}")) (if (dirty) h + "-dirty" else h)
       else "unknown"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
+    // The SOURCE-TREE hash — the session-best key that survives
+    // doc/bench-sample commits (round-15 VERDICT note: the
+    // commit-keyed guard correctly refused cross-commit inheritance,
+    // but round-close doc commits churn the commit hash without
+    // touching code, resetting the comparable window each time and
+    // shipping an understated artifact). `HEAD:src/main/scala/graft`
+    // is the git TREE object of the engine source: identical across
+    // doc-only commits, different the moment any source file changes.
+    // Only meaningful on a clean tree (a dirty working copy may
+    // differ from HEAD's tree), so dirt degrades it to "unknown".
+    val srcTree: String = try {
+      import scala.sys.process._
+      val t = Seq("git", "rev-parse", "HEAD:src/main/scala/graft").!!.trim
+      if (t.matches("[0-9a-f]{40}") && gitCommit.matches("[0-9a-f]{40}")) t
+      else "unknown"
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
     // History runs comparable to THIS suite: matched by the exact
     // gate-NAME set inside the queries object (a colon-count proxy
     // would accept a differently-composed suite of equal size, and
@@ -142,11 +158,12 @@ object Bench {
     // round-13 ADVICE). Returns (ts, total, commit) per matching line.
     // A non-empty history where ZERO lines parse means the guard and
     // session-best are silently off — make that loud (round-14 ADVICE).
-    def comparableHistory(): Vector[(String, Double, String)] = {
+    def comparableHistory(): Vector[(String, Double, String, String)] = {
       val vRe = """"value":([0-9.eE+-]+)""".r
       val qRe = """"queries":\{([^}]*)\}""".r
       val tsRe = """"ts":"([^"]+)"""".r
       val cRe = """"commit":"([^"]+)"""".r
+      val stRe = """"srctree":"([^"]+)"""".r
       val nameRe = """"([A-Za-z0-9_]+)":""".r
       val want = timings.keySet.toSet
       val f = new java.io.File("bench_history.jsonl")
@@ -164,7 +181,8 @@ object Bench {
             if (names != want) None
             else Some((tsRe.findFirstMatchIn(line).fold("")(_.group(1)),
               v.group(1).toDouble,
-              cRe.findFirstMatchIn(line).fold("")(_.group(1))))
+              cRe.findFirstMatchIn(line).fold("")(_.group(1)),
+              stRe.findFirstMatchIn(line).fold("")(_.group(1))))
           }
         }.toVector
         if (parsed == 0) System.err.println(
@@ -218,21 +236,29 @@ object Bench {
     // horizon: an OLDER round's faster run must not mask a genuine
     // regression in a round that kept the same gate set — only runs
     // close enough to be this session's own samples count.
-    // Same-commit only (round-14 ADVICE): a history run is a valid
-    // session-best candidate only if it ran the SAME code — clean
-    // identical hash; "unknown" and "-dirty" stamps never match.
+    // Same-CODE only (round-14 ADVICE, widened round 16): a history
+    // run is a valid session-best candidate if it ran the same code —
+    // matched by the source-TREE hash when both sides carry one (so
+    // doc/bench-sample commits inherit instead of resetting the
+    // window), falling back to the exact commit hash for older lines
+    // that predate the srctree stamp; "unknown" and "-dirty" stamps
+    // never match on either key.
     val nowStamp = java.time.Instant.now().toString
     val horizon = java.time.Instant.now().minusSeconds(6L * 3600)
-    val recent = history.filter { case (ts, _, c) =>
-      c == gitCommit && c.matches("[0-9a-f]{40}") &&
+    val recent = history.filter { case (ts, _, c, st) =>
+      val sameCode =
+        (st == srcTree && st.matches("[0-9a-f]{40}")) ||
+          (c == gitCommit && c.matches("[0-9a-f]{40}"))
+      sameCode &&
         (try !java.time.Instant.parse(ts).isBefore(horizon)
          catch { case scala.util.control.NonFatal(_) => false })
-    }.map { case (ts, v, _) => (ts, v) }
+    }.map { case (ts, v, _, _) => (ts, v) }
     val best = (recent :+ (nowStamp -> total)).minBy(_._2)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""fresh_total":$total,"session_best_total":${best._2},""" +
       s""""session_best_ts":"${best._1}","commit":"$gitCommit",""" +
+      s""""srctree":"$srcTree",""" +
       s""""probe_sec_before":$probeBefore,"probe_sec_after":$probeAfter,""" +
       s""""probe_ref":$ProbeRef,"normalized_total":$normalizedTotal,""" +
       s""""errors":${jmap(errors)},"n_failed":${errors.size},"sf":"$sfDir"}"""

@@ -689,18 +689,60 @@ object ScaleRehearsal {
             "must produce exactly one")
       }
       val binDirs = binDirList.length
+      // p21, the merge+split sibling, at the same M (round 16): the
+      // interesting curve is the split side — the fat file's piece
+      // count grows ∝ M at the fixed 8 KiB test target, and past
+      // M≈30 every "small" file also crosses the 32 KiB threshold,
+      // so the leg walks the mixed regime into the pure-split regime.
+      // Output-bin count ∝ M is the operator doing its job (the
+      // target is the dial — 8 KiB here, ~1 GB in production); the
+      // claim under test is that the PLAN cost stays file/piece-
+      // grain (max reduce bounded, shuffle ∝ M) while the sink pays
+      // the file-count cost the chosen target implies.
+      val p21 = meterLeg {
+        sink(PipelineQueries.compaction_split_manifest(spark, work))
+        nDocs }
+      val p21Dirs = Option(new java.io.File(
+          PipelineQueries.p21CompactPath(work)).listFiles)
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("lang="))
+        .flatMap(f => Option(f.listFiles).getOrElse(Array.empty))
+        .filter(_.getName.startsWith("bin="))
+      p21Dirs.foreach { d =>
+        val parts = d.listFiles.count(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        require(parts == 1,
+          s"maintain: p21 bin dir $d holds $parts files — compaction " +
+            "must produce exactly one")
+      }
+      val p21Split = p21Dirs.count(
+        _.getName.stripPrefix("bin=").toLong >= 1000000L)
       val t27 = meterLeg {
         sink(PipelineQueries.perceptron_quality(spark, work)); nDocs }
-      // the M×-sized rewrite artifact is leg scratch, not a gate
-      // artifact anyone probes — drop it with the work dir
+      // t29 AFTER t27 — the composed-pipeline shape the gate models
+      // (train once, gate the corpus): the scoring pass reuses the
+      // cached feature table and memoized weights, so this leg times
+      // the INCREMENTAL cost of gating + packing at M
+      val t29 = meterLeg {
+        sink(PipelineQueries.classifier_gated_corpus(spark, work))
+        nDocs }
+      // the M×-sized rewrite artifacts are leg scratch, not gate
+      // artifacts anyone probes — drop them with the work dir
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(PipelineQueries.p20CompactPath(work)))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(PipelineQueries.p21CompactPath(work)))
       println(s"""{"mult":$mult,"docs":$nDocs,""" +
         s""""p20_compaction":${jq(p20._1)},""" +
         s""""p20_max_task_ms":${p20._2},"p20_max_reduce_ms":${p20._3},""" +
         s""""p20_bins":$binDirs,""" +
+        s""""p21_compact_split":${jq(p21._1)},""" +
+        s""""p21_max_task_ms":${p21._2},"p21_max_reduce_ms":${p21._3},""" +
+        s""""p21_bins":${p21Dirs.length},"p21_split_bins":$p21Split,""" +
         s""""t27_perceptron":${jq(t27._1)},""" +
         s""""t27_max_task_ms":${t27._2},"t27_max_reduce_ms":${t27._3},""" +
+        s""""t29_classifier_gate":${jq(t29._1)},""" +
+        s""""t29_max_task_ms":${t29._2},"t29_max_reduce_ms":${t29._3},""" +
         bSweep.mkString(",") + "}")
     } else if (mode == "bucketjoin") {
       // Bucketed co-location at M (BucketedLayoutSpec's capability,
