@@ -295,14 +295,14 @@ object ScaleRehearsal {
       else if (mode == "edit" || mode == "windowskew" ||
         mode == "refsurface" || mode == "maintain" ||
         mode == "bucketjoin" || mode == "sortskip" ||
-        mode == "chsurface") 100
+        mode == "chsurface" || mode == "zorderskip") 100
       else 26
     require(mult >= 1 && mult <= maxMult,
       s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
       "passages", "streaming", "deep", "edit", "annfilter", "windowskew",
       "bpek", "refsurface", "maintain", "bucketjoin",
-      "sortskip", "chsurface").contains(mode),
+      "sortskip", "chsurface", "zorderskip").contains(mode),
       s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else {
@@ -877,6 +877,80 @@ object ScaleRehearsal {
           s""""input_rows":${t._3}}"""
       println(s"""{"mult":$mult,"events":$nEvents,"probe_user":$probe,""" +
         s""""sorted":${jqi(sorted)},"scattered":${jqi(scattered)},""" +
+        s""""result_hash_equal":true}""")
+    } else if (mode == "zorderskip") {
+      // The FOURTH write-layout lever (round 16): sortskip measures
+      // single-key clustering — tight row-group stats on the sort key,
+      // full-range stats on every other column, so only the LEADING
+      // key skips. The Zorder operator (p05's key, Zorder.zkey2)
+      // interleaves two dimensions into one Morton key; sorting the
+      // write by it gives every row group a bounding BOX — bounded
+      // span in BOTH dimensions — so a selective predicate on EITHER
+      // column prunes. This leg pays the same corpus two ways (linear
+      // user_id sort vs Morton(user_id, event_id) sort) and probes
+      // each with BOTH predicates (a user_id point, an event_id
+      // 1000-id range), asserting per-predicate result-hash equality
+      // across layouts. Claim: linear skips on user but decodes
+      // ~everything on event; z-order skips on BOTH (paying a modest
+      // factor on user vs the dedicated sort — the classic trade).
+      val nEvents = offsetSaltedEvents(spark, sfDir, mult, work)
+      val ev = spark.read.parquet(s"$work/events.parquet")
+      // scale raw ids into the 16-bit Morton domain (order-preserving
+      // integer div — the STORED columns keep raw values; parquet
+      // stats and predicates see those, the scaling only shapes the
+      // interleave). The salt offsets user/event ids by k·10⁷, so the
+      // domains are data-derived, not assumed.
+      val mx = ev.agg(max("user_id"), max("event_id")).first()
+      val su = math.max(1L, mx.getLong(0) / 65535L + 1L)
+      val se = math.max(1L, mx.getLong(1) / 65535L + 1L)
+      ev.repartitionByRange(32, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(s"$work/linear/events.parquet")
+      graft.operators.Zorder.writeZOrdered(ev,
+        s"$work/zorder/events.parquet",
+        expr(s"user_id div $su"), expr(s"event_id div $se"),
+        bits = 16, numFiles = 32)
+      val probeU = ev.select("user_id").distinct().orderBy("user_id")
+        .limit(38).collect().last.getLong(0)
+      val e0 = ev.agg(min("event_id")).first().getLong(0)
+      val (eLo, eHi) = (e0 + 100L, e0 + 1099L)
+      val uRows = ev.filter(col("user_id") === probeU).count()
+      val eRows = ev.filter(col("event_id").between(eLo, eHi)).count()
+      require(uRows > 0 && eRows > 0,
+        s"zorderskip: probes match $uRows/$eRows rows — vacuous")
+      def legQ(layout: String, pred: org.apache.spark.sql.Column): Long =
+        hashSink(spark.read.parquet(s"$work/$layout/events.parquet")
+          .filter(pred)
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(20,4)")).as("sv")),
+          "zorderskip")
+      val im = new InputMeter
+      spark.sparkContext.addSparkListener(im)
+      def meterInput(fn: => Long): (Double, Long, Long, Long) = {
+        val (b0, r0) = (im.bytes, im.records)
+        val t0 = System.nanoTime()
+        val h = fn
+        val sec = ((System.nanoTime() - t0) / 1e7).round / 100.0
+        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+        (sec, im.bytes - b0, im.records - r0, h)
+      }
+      val uPred = col("user_id") === probeU
+      val ePred = col("event_id").between(eLo, eHi)
+      val linU = meterInput(legQ("linear", uPred))
+      val zoU = meterInput(legQ("zorder", uPred))
+      val linE = meterInput(legQ("linear", ePred))
+      val zoE = meterInput(legQ("zorder", ePred))
+      spark.sparkContext.removeSparkListener(im)
+      require(linU._4 == zoU._4 && linE._4 == zoE._4,
+        "zorderskip: layouts disagree on a probe result " +
+          s"(user ${linU._4} vs ${zoU._4}; event ${linE._4} vs ${zoE._4})")
+      def jqi(t: (Double, Long, Long, Long)): String =
+        s"""{"sec":${t._1},"input_mb":${(t._2 / 1e6 * 10).round / 10.0},""" +
+          s""""input_rows":${t._3}}"""
+      println(s"""{"mult":$mult,"events":$nEvents,""" +
+        s""""probe_user":$probeU,"probe_event_lo":$eLo,""" +
+        s""""linear_user":${jqi(linU)},"zorder_user":${jqi(zoU)},""" +
+        s""""linear_event":${jqi(linE)},"zorder_event":${jqi(zoE)},""" +
         s""""result_hash_equal":true}""")
     } else if (mode == "bpek") {
       // The production-k BPE leg (VERDICT r13 #3): the trainer is one
