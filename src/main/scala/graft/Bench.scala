@@ -216,10 +216,17 @@ object Bench {
         }
       }
     }
-    // after-suite probe sample: bracketing the suite means a load
-    // spike confined to either end still moves the probe mean
+    // after-suite probe sample. probe_now = MIN of the two brackets,
+    // not the mean: a transient load spike that lands exactly on one
+    // probe (observed: 0.94 s before / 4.41 s after around a 163 s
+    // suite) would otherwise halve the normalized total — an
+    // over-correction worse than the noise it fixes. The min corrects
+    // only the slowdown BOTH samples agree is ambient; a spike
+    // confined to a probe moment is ignored (conservative: normalized
+    // stays closer to raw). Both raw samples ship in the line, so a
+    // reader can see the disagreement.
     val probeAfter = calibrationProbe(spark)
-    val probeNow = (probeBefore + probeAfter) / 2.0
+    val probeNow = math.min(probeBefore, probeAfter)
     def jmap(m: scala.collection.Map[String, String]): String =
       m.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
