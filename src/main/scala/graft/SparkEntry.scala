@@ -132,6 +132,7 @@ object SparkEntry {
     "t30_bpe_compression_large" -> (PipelineQueries.bpe_compression_large _),
     "r69_bucketed_activity" -> (RefQueries.bucketed_activity _),
     "r70_bucketed_join" -> (RefQueries.bucketed_join _),
+    "r71_bucketed_final" -> (RefQueries.ch_final_bucketed _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -288,6 +289,17 @@ object SparkEntry {
          LEFT JOIN er ON c.user_id=er.user_id AND c.k=er.k
          LEFT JOIN p ON c.user_id=p.user_id AND c.k=p.k
          GROUP BY c.user_id ORDER BY activity DESC, user_id LIMIT 20"""
+
+  /** r35's FINAL-dedup oracle — shared verbatim by r71 (the
+    * bucketed-catalog run of the same statement): layout must never
+    * change the Replacing read's answer.
+    */
+  private val finalOracleSql: String =
+    """SELECT user_id, event_type, event_id, value
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY event_id DESC) AS rn
+             FROM events) WHERE rn = 1
+       ORDER BY user_id, event_type"""
 
   private def perceptronOracleCtes: String =
     """WITH lab AS (SELECT doc_id, source,
@@ -586,12 +598,12 @@ object SparkEntry {
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_type, day""",
 
-    "r35_ch_final" ->
-      """SELECT user_id, event_type, event_id, value
-         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-                                            ORDER BY event_id DESC) AS rn
-               FROM events) WHERE rn = 1
-         ORDER BY user_id, event_type""",
+    "r35_ch_final" -> finalOracleSql,
+
+    // r71: the SAME expectation as r35 — FINAL over the bucketed
+    // catalog table must be answer-invariant; the zero-hash-exchange
+    // plan is pinned by PlanContractSpec + the fingerprint baseline
+    "r71_bucketed_final" -> finalOracleSql,
 
     "r37_salted_skew" ->
       """SELECT k, n, sum_v, max_id FROM (

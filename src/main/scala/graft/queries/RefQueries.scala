@@ -280,6 +280,31 @@ object RefQueries {
   def bucketed_activity(s: SparkSession, dir: String): DataFrame =
     activityOver(bucketedFor(s, dir)._1)
 
+  /** r71: the r35 `FROM t FINAL` statement over the BUCKETED catalog
+    * table — read-time Replacing dedup with ZERO hash exchange. On
+    * the plain layout the FINAL rewrite's row_number window costs a
+    * full (user_id, event_type) shuffle; here the window's
+    * ClusteredDistribution is satisfied by the bucket spec's
+    * HashPartitioning(user_id), so the dedup costs only an
+    * in-partition sort — ClickHouse's sorted-parts FINAL, recovered
+    * from write-time layout, and at 100 TB the difference between a
+    * FINAL that reshuffles the fact table on every read and one that
+    * never does. Same oracle as r35 (the layout must not change
+    * answers); the statement goes through the SAME ChSqlRewrite FINAL
+    * front-end, registered against the catalog table name.
+    */
+  def ch_final_bucketed(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    bucketedFor(s, dir)
+    val tbl = bucketedName(dir, "events")
+    ChSqlRewrite.registerReplacing(tbl, Seq("user_id", "event_type"),
+      "event_id")
+    ChCompat.sql(s, s"""
+      SELECT user_id, event_type, event_id, value
+      FROM $tbl FINAL
+      ORDER BY user_id, event_type""")
+  }
+
   /** r70: user-grain fact-to-dim equi-join, both sides bucketed —
     * the co-located join (`hint("MERGE")` keeps it a sort-merge even
     * where the dim would auto-broadcast, because at 100 TB a

@@ -475,7 +475,8 @@ class PlanContractSpec extends SparkTestBase {
     // must all be satisfied by the bucket spec's
     // HashPartitioning(user_id, 32): the ONLY exchange allowed
     // anywhere is r70's presentation-sort range partitioning.
-    Seq("r69_bucketed_activity", "r70_bucketed_join").foreach { n =>
+    Seq("r69_bucketed_activity", "r70_bucketed_join",
+      "r71_bucketed_final").foreach { n =>
       val fmt = formatted(n)
       assert(fmt.contains("Bucketed: true"),
         s"$n lost the bucketed scan — the catalog table's bucket " +
@@ -496,6 +497,11 @@ class PlanContractSpec extends SparkTestBase {
     assert(formatted("r70_bucketed_join").contains("SortMergeJoin"),
       "r70 lost the co-located sort-merge join (broadcast would " +
         "never ship at 100 TB fact-to-dim scale)")
+    // r71's FINAL dedup window must keep the map-side group-limit
+    // (losing duplicates die before the — absent — exchange)
+    assert(formatted("r71_bucketed_final").contains("WindowGroupLimit"),
+      "r71 lost the WindowGroupLimit — FINAL's dedup would " +
+        "materialize whole key groups")
   }
 
   test("t29 classifier gate: ONE documents scan, no re-tokenization, " +
