@@ -71,8 +71,19 @@ object Bench {
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def suitePass(): Unit =
-      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Mid-suite probe samples (round-16 VERDICT #5): the before/after
+    // brackets correct level shifts but miss a load swing that rises
+    // and falls INSIDE a ~150 s suite (observed same-code normalized
+    // spread 18%). One extra sample at the midpoint of each pass
+    // halves the window a swing can hide in; probeNow stays the MIN
+    // over all samples (the conservative ambient-floor estimate).
+    val probeMids = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def suitePass(): Unit = {
+      val ordered = selected.toSeq.sortBy(_._1)
+      val midAt = ordered.size / 2
+      ordered.zipWithIndex.foreach { case ((name, fn), idx) =>
+        if (idx == midAt && ordered.size >= 8)
+          probeMids += calibrationProbe(spark)
         def once(): Option[Double] = {
           // settle allocation debt from the previous query so its GC
           // doesn't bleed into this one's wall-clock
@@ -94,6 +105,7 @@ object Bench {
           timings(name) = math.min(timings.getOrElse(name, best), best)
         }
       }
+    }
     suitePass()
     // Suite-level noise guard (round 12's process finding): a recorded
     // full run totalled 1.8× an identical run 23 minutes earlier —
@@ -109,30 +121,45 @@ object Bench {
     // total as its "session best" (round-14 ADVICE). Stamp every history
     // line with the git commit; a dirty tree gets "-dirty" and is never
     // considered comparable (same hash, unknown code).
+    // Porcelain dirt, split into the two questions the two stamps ask
+    // (round-16 VERDICT #1: the driver writes its round artifacts —
+    // CORRECTNESS_r17.json, BENCH_r17.json, LEAKCHECK.json — into the
+    // working copy BEFORE running this bench, so at driver artifact
+    // time the tree was ALWAYS dirty, the srctree key degraded to
+    // "unknown" in exactly the run that ships, and BENCH_r16 shipped a
+    // loaded-host 194 s when a same-source 154.7 s sample existed).
+    //  - `dirtyAny`: anything not owned by the bench itself or the
+    //    driver's round machinery → the COMMIT stamp gets "-dirty"
+    //    (commit identity covers the whole tree).
+    //  - `dirtySource`: dirt under src/, build.sbt or project/ → the
+    //    SOURCE-TREE stamp degrades to "unknown" (a dirty working copy
+    //    of source may differ from HEAD's tree; non-source dirt cannot
+    //    alter HEAD's source tree, so srctree stays valid through it).
+    val (dirtyAny, dirtySource): (Boolean, Boolean) = try {
+      import scala.sys.process._
+      // bench's own outputs (history append, artifact overwrite) and
+      // the driver's per-round artifacts: excusing them is what lets
+      // the shipped run share a clean stamp with the session's earlier
+      // samples. Exact-name / exact-pattern match on the porcelain
+      // PATH FIELD (an endsWith would also excuse e.g.
+      // old_bench_history.jsonl — review finding). Renames: BOTH sides
+      // must be owned to be excused (round-15 ADVICE).
+      def owned(p: String): Boolean =
+        Set("bench_history.jsonl", "bench_out.json", "derby.log",
+          "LEAKCHECK.json", "COPYCHECK.json", "VERDICT.md",
+          "ADVICE.md").contains(p) ||
+          p.matches("(BENCH|CORRECTNESS)_r[0-9]+\\.json")
+      def src(p: String): Boolean =
+        p.startsWith("src/") || p == "build.sbt" || p.startsWith("project/")
+      val sides = Seq("git", "status", "--porcelain").!!.linesIterator
+        .map(_.trim).filter(_.nonEmpty)
+        .map(_.drop(2).trim.split(" -> ").toSeq).toSeq
+      (sides.exists(!_.forall(owned)), sides.exists(_.exists(src)))
+    } catch { case scala.util.control.NonFatal(_) => (true, true) }
     val gitCommit: String = try {
       import scala.sys.process._
       val h = Seq("git", "rev-parse", "HEAD").!!.trim
-      // the bench's OWN outputs (history append, artifact overwrite)
-      // must not count as dirt: the first run of a session would
-      // otherwise dirty the tree for every later run, and no two runs
-      // could ever share a clean commit stamp — self-defeating
-      val benchOwned = Set("bench_history.jsonl", "bench_out.json",
-        "derby.log")
-      // match the porcelain PATH FIELD exactly — an endsWith over the
-      // whole line would also excuse e.g. tools/bench_history.jsonl or
-      // old_bench_history.jsonl, stamping a genuinely-dirty run clean
-      // (review finding). Porcelain: "XY path" or "XY old -> new".
-      // Renames: BOTH sides must be bench-owned to be excused — a
-      // tracked file renamed TO a bench-owned name is a real tree
-      // change (round-15 ADVICE; and renames of bench scratch are
-      // themselves suspicious, so even owned->other marks dirty).
-      val dirty = Seq("git", "status", "--porcelain").!!.linesIterator
-        .map(_.trim).filter(_.nonEmpty)
-        .exists { l =>
-          val sides = l.drop(2).trim.split(" -> ")
-          !sides.forall(benchOwned.contains)
-        }
-      if (h.matches("[0-9a-f]{40}")) (if (dirty) h + "-dirty" else h)
+      if (h.matches("[0-9a-f]{40}")) (if (dirtyAny) h + "-dirty" else h)
       else "unknown"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
     // The SOURCE-TREE hash — the session-best key that survives
@@ -140,15 +167,20 @@ object Bench {
     // commit-keyed guard correctly refused cross-commit inheritance,
     // but round-close doc commits churn the commit hash without
     // touching code, resetting the comparable window each time and
-    // shipping an understated artifact). `HEAD:src/main/scala/graft`
-    // is the git TREE object of the engine source: identical across
-    // doc-only commits, different the moment any source file changes.
-    // Only meaningful on a clean tree (a dirty working copy may
-    // differ from HEAD's tree), so dirt degrades it to "unknown".
+    // shipping an understated artifact). Covers ALL engine source —
+    // `HEAD:src/main/scala` (graft AND the org.apache.spark bridge
+    // package) plus `HEAD:build.sbt` (perf-relevant build config) —
+    // because a graft-only key would let a bridge/build change inherit
+    // a session best from genuinely different code (round-16 ADVICE).
+    // 20 hex chars of each tree id, concatenated: still 40 hex, so the
+    // history-matching regex and validity check are unchanged.
+    // Only meaningful when the SOURCE portion of the tree is clean.
     val srcTree: String = try {
       import scala.sys.process._
-      val t = Seq("git", "rev-parse", "HEAD:src/main/scala/graft").!!.trim
-      if (t.matches("[0-9a-f]{40}") && gitCommit.matches("[0-9a-f]{40}")) t
+      val t1 = Seq("git", "rev-parse", "HEAD:src/main/scala").!!.trim
+      val t2 = Seq("git", "rev-parse", "HEAD:build.sbt").!!.trim
+      if (t1.matches("[0-9a-f]{40}") && t2.matches("[0-9a-f]{40}") &&
+          !dirtySource) t1.take(20) + t2.take(20)
       else "unknown"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
     // History runs comparable to THIS suite: matched by the exact
@@ -158,12 +190,13 @@ object Bench {
     // round-13 ADVICE). Returns (ts, total, commit) per matching line.
     // A non-empty history where ZERO lines parse means the guard and
     // session-best are silently off — make that loud (round-14 ADVICE).
-    def comparableHistory(): Vector[(String, Double, String, String)] = {
+    def comparableHistory(): Vector[(String, Double, String, String, Double)] = {
       val vRe = """"value":([0-9.eE+-]+)""".r
       val qRe = """"queries":\{([^}]*)\}""".r
       val tsRe = """"ts":"([^"]+)"""".r
       val cRe = """"commit":"([^"]+)"""".r
       val stRe = """"srctree":"([^"]+)"""".r
+      val ntRe = """"normalized_total":([0-9.eE+-]+)""".r
       val nameRe = """"([A-Za-z0-9_]+)":""".r
       val want = timings.keySet.toSet
       val f = new java.io.File("bench_history.jsonl")
@@ -182,7 +215,11 @@ object Bench {
             else Some((tsRe.findFirstMatchIn(line).fold("")(_.group(1)),
               v.group(1).toDouble,
               cRe.findFirstMatchIn(line).fold("")(_.group(1)),
-              stRe.findFirstMatchIn(line).fold("")(_.group(1))))
+              stRe.findFirstMatchIn(line).fold("")(_.group(1)),
+              // normalized_total absent on pre-probe lines → NaN
+              // (excluded from the normalized session-best)
+              ntRe.findFirstMatchIn(line)
+                .fold(Double.NaN)(_.group(1).toDouble)))
           }
         }.toVector
         if (parsed == 0) System.err.println(
@@ -216,17 +253,18 @@ object Bench {
         }
       }
     }
-    // after-suite probe sample. probe_now = MIN of the two brackets,
-    // not the mean: a transient load spike that lands exactly on one
-    // probe (observed: 0.94 s before / 4.41 s after around a 163 s
-    // suite) would otherwise halve the normalized total — an
-    // over-correction worse than the noise it fixes. The min corrects
-    // only the slowdown BOTH samples agree is ambient; a spike
-    // confined to a probe moment is ignored (conservative: normalized
-    // stays closer to raw). Both raw samples ship in the line, so a
-    // reader can see the disagreement.
+    // after-suite probe sample. probe_now = MIN over all samples
+    // (before, per-pass mid, after), not the mean: a transient load
+    // spike that lands exactly on one probe (observed: 0.94 s before /
+    // 4.41 s after around a 163 s suite) would otherwise halve the
+    // normalized total — an over-correction worse than the noise it
+    // fixes. The min corrects only the slowdown EVERY sample agrees is
+    // ambient; a spike confined to a probe moment is ignored
+    // (conservative: normalized stays closer to raw). All raw samples
+    // ship in the line, so a reader can see the disagreement.
     val probeAfter = calibrationProbe(spark)
-    val probeNow = math.min(probeBefore, probeAfter)
+    val probeNow =
+      (Seq(probeBefore, probeAfter) ++ probeMids).min
     def jmap(m: scala.collection.Map[String, String]): String =
       m.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -252,22 +290,43 @@ object Bench {
     // never match on either key.
     val nowStamp = java.time.Instant.now().toString
     val horizon = java.time.Instant.now().minusSeconds(6L * 3600)
-    val recent = history.filter { case (ts, _, c, st) =>
+    val recent = history.filter { case (ts, _, c, st, _) =>
       val sameCode =
         (st == srcTree && st.matches("[0-9a-f]{40}")) ||
           (c == gitCommit && c.matches("[0-9a-f]{40}"))
       sameCode &&
         (try !java.time.Instant.parse(ts).isBefore(horizon)
          catch { case scala.util.control.NonFatal(_) => false })
-    }.map { case (ts, v, _, _) => (ts, v) }
-    val best = (recent :+ (nowStamp -> total)).minBy(_._2)
+    }
+    val best = (recent.map { case (ts, v, _, _, _) => (ts, v) } :+
+      (nowStamp -> total)).minBy(_._2)
+    // normalized session-best (round-16 VERDICT #1): the raw
+    // session-best still carries the ambient level of its own run; the
+    // normalized one is the round-over-round comparable number. Min
+    // over the same comparable window, NaN-lines (pre-probe format)
+    // excluded.
+    val bestNorm = (recent.map(_._5).filterNot(_.isNaN) :+ normalizedTotal).min
+    // per-family subtotals (round-16 VERDICT #5): the gate families
+    // (d/g/m/p/r/s/t/…) run in sorted order, so a mid-suite load swing
+    // hits a contiguous family span — family subtotals localize WHICH
+    // span moved, where a single total only says THAT something moved.
+    val families = timings.toSeq
+      .groupBy { case (k, _) => k.takeWhile(!_.isDigit) match {
+        case "" => "?"; case f => f } }
+      .toSeq.sortBy(_._1)
+      .map { case (f, ts) =>
+        s""""$f":${(ts.map(_._2).sum * 100).round / 100.0}""" }
+      .mkString("{", ",", "}")
+    val probeMidJson = probeMids.mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""fresh_total":$total,"session_best_total":${best._2},""" +
       s""""session_best_ts":"${best._1}","commit":"$gitCommit",""" +
       s""""srctree":"$srcTree",""" +
-      s""""probe_sec_before":$probeBefore,"probe_sec_after":$probeAfter,""" +
+      s""""probe_sec_before":$probeBefore,"probe_sec_mid":$probeMidJson,""" +
+      s""""probe_sec_after":$probeAfter,""" +
       s""""probe_ref":$ProbeRef,"normalized_total":$normalizedTotal,""" +
+      s""""session_best_normalized":$bestNorm,"families":$families,""" +
       s""""errors":${jmap(errors)},"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: sbt interleaves its own [info]
