@@ -42,10 +42,35 @@ object StreamingIngest {
   /** Ingest everything currently available, then stop (AvailableNow);
     * re-running resumes from the checkpoint — the idempotent
     * incremental behavior meta.json provides in the reference.
+    *
+    * Post-compaction contract (round-16 VERDICT #2): once
+    * [[EventsWriter.compact]] has finalized a streaming table (cut
+    * its `_spark_metadata` log and left a `_graft_compacted`
+    * tombstone), NO sink may start there again — a resumed query
+    * would recreate a log inconsistent with the compacted layout, and
+    * even a FRESH checkpoint's new log would hide every compacted
+    * file from readers (readers trust the log over the listing). Both
+    * failure modes are silent data loss, so the start fails loudly
+    * instead. The sound maintenance loop: keep the OLD checkpoint
+    * (its source log still knows which hour files were ingested) but
+    * point the sink at a fresh SIDE directory — only NEW source files
+    * are processed and land there — then fold the side table into the
+    * compacted table with [[EventsWriter.merge]]. Exercised
+    * end-to-end in StreamingIngestSpec.
     */
   def ingestAvailable(spark: SparkSession, baseDir: String,
       tablePath: String, checkpoint: String,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val tomb = new org.apache.hadoop.fs.Path(
+      tablePath, EventsWriter.compactionTombstone)
+    if (tomb.getFileSystem(spark.sessionState.newHadoopConf()).exists(tomb))
+      throw new IllegalStateException(
+        s"streaming sink refused: $tablePath was finalized by " +
+          "compaction (_graft_compacted present). A new FileStreamSink " +
+          "log here would hide every compacted file from readers. " +
+          "Stream new data into a fresh side sink (reusing this " +
+          "query's checkpoint, so only new source files are processed) " +
+          "and fold it in with readSideSink + EventsWriter.merge.")
     EventsWriter.withMonthKey(readEvents(spark, baseDir, maxFilesPerTrigger))
       .writeStream
       .partitionBy(EventsWriter.partitionCol)
@@ -53,4 +78,22 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .format("parquet")
       .start(tablePath)
+  }
+
+  /** Reads a SIDE-sink staging directory by file LISTING, bypassing
+    * its FileStreamSink log. A checkpoint-reusing side sink numbers
+    * its sink log from the checkpoint's next batch id (e.g. a lone
+    * `_spark_metadata/4`), and Spark's log-trusting reader refuses
+    * the gap — but the staging contract is "drained by AvailableNow,
+    * everything here gets folded in", so after the query terminates
+    * the listing IS the truth. Files of a batch that crashed
+    * UNCOMMITTED can appear here alongside their retried copies —
+    * exact duplicates by construction — and the Replacing fold-in
+    * ([[EventsWriter.merge]]) collapses them; the partition column is
+    * re-derived by the fold anyway.
+    */
+  def readSideSink(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path)
+      .parquet(s"$path/${EventsWriter.partitionCol}=*")
+      .drop(EventsWriter.partitionCol)
 }

@@ -94,4 +94,82 @@ class StreamingIngestSpec extends SparkTestBase {
       "streamed+compacted table no longer dedups to the batch-merged " +
         "oracle — the maintenance loop lost or duplicated rows")
   }
+
+  test("post-compaction resume: the finalized sink refuses ANY new " +
+      "streaming start; the checkpoint-reusing side sink ingests ONLY " +
+      "the new hour files; the merged table equals the batch oracle " +
+      "over all hours") {
+    // round-16 VERDICT #2: compact() cuts the streaming sink's
+    // _spark_metadata log, and 'resume needs a fresh sink log' was a
+    // documented trade asserted nowhere. Both halves are now enforced
+    // and proven end to end:
+    //  - a new sink start on the compacted table — stale checkpoint OR
+    //    fresh — fails loudly (a new log would hide compacted files);
+    //  - the sound loop reuses the OLD checkpoint (its source log
+    //    knows which hour files were already ingested) against a fresh
+    //    SIDE sink, so exactly the new files are processed, and
+    //    EventsWriter.merge folds them in — dedup over the result
+    //    equals the batch path over ALL hours: nothing re-ingested,
+    //    nothing dropped.
+    import graft.ingest.{EventsWriter, GhEventParser}
+    val dir = java.nio.file.Files.createTempDirectory("stream_resume").toFile
+    val staging = new File(dir, "staging")
+    graft.IngestBench.generate(staging, 6, 800)
+    val archive = new File(dir, "archive"); archive.mkdirs()
+    def land(hours: Range): Seq[String] = hours.map { h =>
+      val f = new File(staging, s"2015-01-01-$h.json.gz")
+      val t = new File(archive, f.getName)
+      java.nio.file.Files.move(f.toPath, t.toPath)
+      t.getAbsolutePath
+    }
+    val firstFiles = land(0 until 4)
+    val table = new File(dir, "stream").getAbsolutePath
+    val ckpt = new File(dir, "ckpt").getAbsolutePath
+    val q1 = StreamingIngest.ingestAvailable(spark, archive.getAbsolutePath,
+      table, ckpt, maxFilesPerTrigger = Some(1))
+    q1.awaitTermination(180000)
+    assert(EventsWriter.compact(spark, table, maxFilesPerMonth = 2)
+      === Seq(201501))
+    // rail: stale checkpoint AND fresh checkpoint both refused
+    intercept[IllegalStateException] {
+      StreamingIngest.ingestAvailable(spark, archive.getAbsolutePath,
+        table, ckpt)
+    }
+    intercept[IllegalStateException] {
+      StreamingIngest.ingestAvailable(spark, archive.getAbsolutePath,
+        table, new File(dir, "ckpt_fresh").getAbsolutePath)
+    }
+    // new hour files land; resume with the ORIGINAL checkpoint into a
+    // fresh side sink
+    val newFiles = land(4 until 6)
+    val side = new File(dir, "side").getAbsolutePath
+    val q2 = StreamingIngest.ingestAvailable(spark, archive.getAbsolutePath,
+      side, ckpt)
+    q2.awaitTermination(120000)
+    // the side sink's log starts at the checkpoint's next batch id —
+    // readSideSink is the listing-based read that staging contract uses
+    val sideDf = StreamingIngest.readSideSink(spark, side)
+    val sideRows = sideDf.count()
+    val newRows = GhEventParser.ingest(spark, newFiles).count()
+    assert(sideRows === newRows,
+      s"side sink holds $sideRows rows but the new hour files parse " +
+        s"to $newRows — the resumed query re-ingested compacted data " +
+        "or dropped new files")
+    EventsWriter.merge(sideDf, table)
+    def tableHash(df: org.apache.spark.sql.DataFrame): String = {
+      val cols = df.columns.sorted
+        .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+      val r = df.select(xxhash64(concat_ws("\u0001",
+          cols.toIndexedSeq: _*)).as("h"))
+        .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)")),
+          expr("bit_xor(h)")).first()
+      s"n=${r.get(0)} sum=${r.get(1)} xor=${r.get(2)}"
+    }
+    val batch = new File(dir, "batch").getAbsolutePath
+    EventsWriter.ingestHours(spark, firstFiles ++ newFiles, batch)
+    assert(tableHash(EventsWriter.dedup(spark.read.parquet(table)))
+        === tableHash(spark.read.parquet(batch)),
+      "post-compaction side-sink loop diverged from the batch oracle " +
+        "over all hours")
+  }
 }
