@@ -133,6 +133,8 @@ object SparkEntry {
     "r69_bucketed_activity" -> (RefQueries.bucketed_activity _),
     "r70_bucketed_join" -> (RefQueries.bucketed_join _),
     "r71_bucketed_final" -> (RefQueries.ch_final_bucketed _),
+    "r72_bucketed_mutation" -> (RefQueries.bucketed_mutation _),
+    "r73_zorder_probe" -> (RefQueries.zorder_probe _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -423,6 +425,42 @@ object SparkEntry {
          SELECT e.event_id, e.user_id, u.n_events, u.max_v
          FROM events e JOIN u USING (user_id)
          ORDER BY event_id""",
+
+    // r72: r70's join over the fact table AFTER the r47 mutation pair
+    // (DELETE 'error', double value of big purchases) ran against the
+    // BUCKETED catalog copy — the oracle replays the mutation
+    // semantics declaratively from the original parquet (the dim stays
+    // unmutated, as in the gate), so one hash verifies both the
+    // mutation result and that the bucket-preserving rewrite lost no
+    // rows; the preserved zero-exchange plan is pinned by
+    // PlanContractSpec
+    "r72_bucketed_mutation" ->
+      """WITH m AS (SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'purchase' AND value > 50
+                  THEN value * 2 ELSE value END AS value
+           FROM events WHERE NOT (event_type = 'error')),
+         u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             max(value) AS max_v
+           FROM events GROUP BY 1)
+         SELECT m.event_id, m.user_id, m.event_type, m.value,
+                u.n_events, u.max_v
+         FROM m JOIN u USING (user_id)
+         ORDER BY event_id""",
+
+    // r73: the z-ordered layout must be answer-invariant — both
+    // probes recomputed from the original parquet; the decoded-row
+    // bound (the skipping itself) is pinned by ZorderGateSpec
+    "r73_zorder_probe" ->
+      """SELECT probe, n, sv FROM (
+           SELECT 'user' AS probe, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+           FROM events WHERE user_id = (SELECT max(user_id) FROM events)
+           UNION ALL
+           SELECT 'event' AS probe, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+           FROM events
+           WHERE event_id <= (SELECT min(event_id) FROM events) + 999)
+         ORDER BY probe""",
 
     "r07_status_anti_join" ->
       """SELECT h FROM (SELECT DISTINCT CAST(strftime(ts,'%Y%m%d%H') AS BIGINT) AS h FROM events)

@@ -1070,7 +1070,7 @@ object PipelineQueries {
     // oracle's literal-path reads stay inside the audited roots
     t26CorpusPath, t21BpePath(t26CorpusPath),
     p20CompactPath(dir), p21CompactPath(dir),
-    RefQueries.bucketedEventsPath(dir))
+    RefQueries.bucketedEventsPath(dir), RefQueries.zorderEventsPath(dir))
 
   /** Drops every per-SF artifact memo — the companion to
     * [[artifactPaths]]: Verify deletes the persisted roots up front,
@@ -1084,7 +1084,7 @@ object PipelineQueries {
     docCountMemo.clear(); d16Built.clear(); quantizerCache.clear()
     d09Cache.clear(); pqCache.clear(); bpeBuilt.clear(); ccBuilt.clear()
     t26Built.clear(); p20Built.clear(); p21Built.clear(); clearT27Memo()
-    RefQueries.clearBucketedMemo()
+    RefQueries.clearBucketedMemo(); RefQueries.clearZorderMemo()
   }
 
   /** The shared trained coarse quantizer (fit once per SF, persisted
@@ -3559,10 +3559,27 @@ object PipelineQueries {
     * plan against a stopped session (round-15 ADVICE).
     */
   private def t27FeaturesCached(s: SparkSession, dir: String,
-      B: Int): DataFrame =
+      B: Int): DataFrame = {
+    // opportunistic eviction (round-16 ADVICE): entries are keyed by
+    // session identity, so in a long-lived JVM that restarts sessions
+    // the dead sessions' plans would otherwise accumulate unboundedly.
+    // Any entry under a DIFFERENT session prefix is either dead (its
+    // cache died with its session — unpersist throws, skipped) or
+    // belongs to a concurrent live session, which simply rebuilds its
+    // own entry on next use; dropping it costs one re-tokenization,
+    // never correctness.
+    val prefix = s"${System.identityHashCode(s)}#"
+    t27FeatMemo.keySet.forEach { k =>
+      if (!k.startsWith(prefix))
+        Option(t27FeatMemo.remove(k)).foreach { df =>
+          try df.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+    }
     t27FeatMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}#$dir#B=$B",
+      s"$prefix$dir#B=$B",
       _ => t27Features(s, dir, B).persist())
+  }
 
   /** Drops the trained-weight and feature memos (unpersisting the
     * cached tables) — the `maintain` rehearsal's B-sweep trains at

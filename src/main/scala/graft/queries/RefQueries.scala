@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{ChCompat, ChSqlRewrite}
+import graft.functions.{ChCompat, ChMutations, ChSqlRewrite}
 import graft.operators.{Dedup, Salting}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -232,43 +232,81 @@ object RefQueries {
 
   private[graft] def clearBucketedMemo(): Unit = bucketedBuilt.clear()
 
-  private def bucketedName(dir: String, suffix: String): String =
-    "graft_b_" +
+  /** Catalog names are SESSION-scoped (round-16 ADVICE): sessions in
+    * one JVM share the external catalog, so a fixed name would let a
+    * second session Overwrite-rewrite the files under the first
+    * session's live registered table mid-query. Stale entries from
+    * stopped sessions are metadata-only (the files are shared).
+    */
+  private def bucketedName(s: SparkSession, dir: String,
+      suffix: String): String =
+    "graft_b_" + Integer.toHexString(System.identityHashCode(s)) + "_" +
       new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") +
       "_" + suffix
 
-  /** Builds (once per session+SF; deterministic content) and returns
-    * the two bucketed catalog tables: the events fact and the
-    * per-user dim, both `bucketBy(32, user_id).sortBy(user_id)`. The
-    * explicit repartition before each write is the one-file-per-
-    * bucket discipline the `bucketjoin` leg measured — without it the
-    * v1 bucketed writer scatters (tasks × buckets) files and the
-    * sorted-scan property is lost. Memo is keyed by SESSION because
-    * the bucket spec lives in the session catalog.
+  /** Registers an existing bucketed parquet directory as an external
+    * catalog table — the re-attach path when the files already exist
+    * on disk (written by an earlier session or JVM): re-WRITING them
+    * would clobber files another live session may be reading
+    * (round-16 ADVICE), and the bucket spec lives in the catalog, not
+    * the files, so a plain `read.parquet` would lose it.
+    */
+  private def registerBucketed(s: SparkSession, name: String,
+      path: String): Unit = {
+    val ddl = s.read.parquet(path).schema.toDDL
+    s.sql(s"DROP TABLE IF EXISTS `$name`")
+    s.sql(s"""CREATE TABLE `$name` ($ddl) USING parquet
+      CLUSTERED BY (user_id) SORTED BY (user_id) INTO 32 BUCKETS
+      LOCATION '$path'""")
+  }
+
+  private def writeBucketed(df: DataFrame, name: String,
+      path: String): Unit =
+    df.repartition(32, col("user_id"))
+      .write.format("parquet")
+      .bucketBy(32, "user_id").sortBy("user_id")
+      .option("path", path)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(name)
+
+  /** Builds (once; deterministic content) and returns the two
+    * bucketed catalog tables: the events fact and the per-user dim,
+    * both `bucketBy(32, user_id).sortBy(user_id)`. The explicit
+    * repartition before each write is the one-file-per-bucket
+    * discipline the `bucketjoin` leg measured — without it the v1
+    * bucketed writer scatters (tasks × buckets) files and the
+    * sorted-scan property is lost. Memoized per SESSION (the bucket
+    * spec lives in the session catalog) with an on-disk existence
+    * re-check like p21Built (round-16 ADVICE): external deletion of
+    * /tmp/graft_bucketed with a warm memo rebuilds instead of failing
+    * every read, and a second session finding the files re-REGISTERS
+    * them instead of rewriting under the first session's live table.
     */
   private def bucketedFor(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val evName = bucketedName(dir, "events")
-    val uName = bucketedName(dir, "users")
-    bucketedBuilt.computeIfAbsent(
-      s"${System.identityHashCode(s)}#$dir", _ => {
-        val root = bucketedEventsPath(dir)
-        val ev = events(s, dir)
-        ev.repartition(32, col("user_id"))
-          .write.format("parquet")
-          .bucketBy(32, "user_id").sortBy("user_id")
-          .option("path", s"$root/events")
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .saveAsTable(evName)
-        ev.groupBy("user_id")
-          .agg(count(lit(1)).as("n_events"), max("value").as("max_v"))
-          .repartition(32, col("user_id"))
-          .write.format("parquet")
-          .bucketBy(32, "user_id").sortBy("user_id")
-          .option("path", s"$root/users")
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .saveAsTable(uName)
-        root
+    val evName = bucketedName(s, dir, "events")
+    val uName = bucketedName(s, dir, "users")
+    val root = bucketedEventsPath(dir)
+    def ready(sub: String): Boolean =
+      new java.io.File(s"$root/$sub/_SUCCESS").exists()
+    bucketedBuilt.compute(s"${System.identityHashCode(s)}#$dir",
+      (_, prev) => {
+        val filesOk = ready("events") && ready("users")
+        if (prev != null && filesOk && s.catalog.tableExists(evName) &&
+            s.catalog.tableExists(uName)) prev
+        else if (filesOk) {
+          registerBucketed(s, evName, s"$root/events")
+          registerBucketed(s, uName, s"$root/users")
+          root
+        } else {
+          val ev = events(s, dir)
+          writeBucketed(ev, evName, s"$root/events")
+          writeBucketed(
+            ev.groupBy("user_id")
+              .agg(count(lit(1)).as("n_events"), max("value").as("max_v")),
+            uName, s"$root/users")
+          root
+        }
       })
     (s.table(evName), s.table(uName))
   }
@@ -296,7 +334,7 @@ object RefQueries {
   def ch_final_bucketed(s: SparkSession, dir: String): DataFrame = {
     ChCompat.registerAll(s)
     bucketedFor(s, dir)
-    val tbl = bucketedName(dir, "events")
+    val tbl = bucketedName(s, dir, "events")
     ChSqlRewrite.registerReplacing(tbl, Seq("user_id", "event_type"),
       "event_id")
     ChCompat.sql(s, s"""
@@ -318,6 +356,149 @@ object RefQueries {
       .select(col("event_id"), col("user_id"), col("n_events"),
         col("max_v"))
       .orderBy("event_id")
+  }
+
+  /** r72: r47's ALTER-mutation pair applied to a BUCKETED catalog
+    * table, then r70's co-located join over the mutated fact —
+    * closing the round-16 VERDICT #3 gap: copy-on-write
+    * UPDATE/DELETE had never run against a `bucketBy` table, and a
+    * rewrite that drops the bucket layout would silently regress
+    * r69–r71's zero-exchange plans after the first mutation.
+    * ChMutations now re-shapes its staging read to the table's
+    * bucket spec (repartition on the bucket columns into numBuckets
+    * + in-partition sort) before the insert, so the rewritten files
+    * keep one-sorted-file-per-bucket and the post-mutation join
+    * still plans with NO hash exchange (pinned in PlanContractSpec).
+    * The oracle recomputes the post-mutation state from the ORIGINAL
+    * parquet — mutation semantics and layout preservation verified
+    * in one hash. Build+mutate runs once per session per SF (memo +
+    * on-disk re-check); repeated gate calls are read-only, so the
+    * double-run determinism check sees identical bytes.
+    */
+  def bucketed_mutation(s: SparkSession, dir: String): DataFrame = {
+    val name = mutatedBucketedFor(s, dir)
+    val (_, users) = bucketedFor(s, dir)
+    s.table(name).hint("MERGE")
+      .join(users.hint("MERGE"), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("n_events"), col("max_v"))
+      .orderBy("event_id")
+  }
+
+  /** The mutated bucketed fact table: a bucketed copy of events at
+    * `bucketedEventsPath(dir)/events_mut` (inside the audited
+    * artifact root, so Verify's stale-artifact sweep covers it),
+    * DELETE + UPDATE applied through the real ChMutations front-end.
+    * Returns the session-scoped catalog name.
+    */
+  private def mutatedBucketedFor(s: SparkSession, dir: String): String = {
+    val name = bucketedName(s, dir, "events_mut")
+    val path = s"${bucketedEventsPath(dir)}/events_mut"
+    // _SUCCESS alone can't witness completeness here (a crash BETWEEN
+    // the copy write and the mutations leaves committed-but-unmutated
+    // files); the sentinel is written only after both mutations land
+    val done = new java.io.File(s"$path/_GRAFT_MUTATED")
+    bucketedBuilt.compute(s"${System.identityHashCode(s)}#$dir#mut",
+      (_, prev) => {
+        val filesOk =
+          new java.io.File(s"$path/_SUCCESS").exists() && done.exists()
+        if (prev != null && filesOk && s.catalog.tableExists(name)) prev
+        else {
+          if (filesOk) registerBucketed(s, name, path)
+          else {
+            if (done.exists()) done.delete()
+            writeBucketed(events(s, dir), name, path)
+            ChMutations.mutate(s,
+              s"ALTER TABLE $name DELETE WHERE event_type = 'error'")
+            ChMutations.mutate(s,
+              s"ALTER TABLE $name UPDATE value = value * 2 " +
+                "WHERE event_type = 'purchase' AND value > 50")
+            done.createNewFile()
+          }
+          path
+        }
+      })
+    name
+  }
+
+  // ---- r73: the Morton-clustered (z-ordered) layout on the gate
+  // path (round-16 VERDICT #4). The `zorderskip` rehearsal measured
+  // the lever (a 2-D clustered write prunes on EITHER dimension);
+  // this gate enforces it where the driver checks: the same events
+  // rows written z-ordered on (user_id, event_id) via Zorder.zkey2,
+  // probed with a user-point predicate and an event-range predicate,
+  // and the oracle recomputes both probes from the ORIGINAL parquet —
+  // layout must never change answers. The decoded-row bound (each
+  // probe reads a FRACTION of the table because every file's
+  // (user, event) bounding box is tight on both dims) is pinned by
+  // ZorderGateSpec with an input-rows listener. ----
+
+  /** Root under which the z-ordered events copy persists per SF
+    * (plain parquet — the clustering lives in file layout + stats,
+    * no catalog object; part of Verify's audited artifact sweep).
+    */
+  def zorderEventsPath(dir: String): String =
+    s"/tmp/graft_zorder/${new java.io.File(dir).getName}"
+
+  private val zorderBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def clearZorderMemo(): Unit = zorderBuilt.clear()
+
+  /** Builds (once; deterministic) the Morton-clustered events copy:
+    * both id dims mapped onto the FULL 16-bit interleave domain by
+    * the order-preserving `x * 65535 div (max+1)` (the STORED columns
+    * keep raw values — parquet stats and predicates see those; the
+    * mapping only shapes the interleave). Filling the domain matters:
+    * a small raw domain (sf0.01's ~thousands of ids) dropped into the
+    * 16-bit space raw occupies only the LOW bits, so the wider
+    * dimension's high bits alone would decide the file split and the
+    * narrow dimension would never prune — the classic z-order
+    * normalization requirement. 32 target files so each file's
+    * row-group stats bound a 2-D box. On-disk existence re-check
+    * like the bucketed memo.
+    */
+  private[graft] def zorderedFor(s: SparkSession, dir: String): String = {
+    val path = zorderEventsPath(dir)
+    zorderBuilt.compute(path, (p, prev) => {
+      if (prev != null && new java.io.File(s"$p/_SUCCESS").exists()) prev
+      else {
+        val ev = events(s, dir)
+        val mx = ev.agg(max("user_id"), max("event_id")).first()
+        val su = mx.getLong(0) + 1L
+        val se = mx.getLong(1) + 1L
+        graft.operators.Zorder.writeZOrdered(ev, p,
+          expr(s"user_id * 65535 div $su"),
+          expr(s"event_id * 65535 div $se"),
+          bits = 16, numFiles = 32)
+        p
+      }
+    })
+    path
+  }
+
+  /** r73: two selective probes over the z-ordered copy — a user
+    * point (the max user id: data-derived, always non-empty) and a
+    * 1000-id event range off the min event id. Aggregates are
+    * decimal-summed (order-independent), so the hash match against
+    * the original-parquet oracle proves the clustered write is
+    * lossless while the spec-side row meter proves it actually
+    * skips. At 100 TB this layout is how a (user, time/id) slice
+    * avoids a full-table decode without paying one sort per
+    * dimension.
+    */
+  def zorder_probe(s: SparkSession, dir: String): DataFrame = {
+    val z = s.read.parquet(zorderedFor(s, dir))
+    val b = events(s, dir)
+      .agg(max("user_id").as("pu"), min("event_id").as("e0")).first()
+    val (pu, eHi) = (b.getLong(0), b.getLong(1) + 999L)
+    def leg(label: String, pred: Column): DataFrame =
+      z.filter(pred)
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+        .select(lit(label).as("probe"), col("n"), col("sv"))
+    leg("user", col("user_id") === pu)
+      .unionByName(leg("event", col("event_id") <= eHi))
+      .orderBy("probe")
   }
 
   // ---- B21 + §2C: ClickHouse-dialect SQL through spark.sql with the

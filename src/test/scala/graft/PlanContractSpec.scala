@@ -475,8 +475,12 @@ class PlanContractSpec extends SparkTestBase {
     // must all be satisfied by the bucket spec's
     // HashPartitioning(user_id, 32): the ONLY exchange allowed
     // anywhere is r70's presentation-sort range partitioning.
+    // r72 joins the list (round-16 VERDICT #3): its fact side is the
+    // bucketed table AFTER a copy-on-write DELETE + UPDATE ran through
+    // ChMutations — the bucket-preserving rewrite must leave the
+    // post-mutation join as exchange-free as the pristine r70 plan
     Seq("r69_bucketed_activity", "r70_bucketed_join",
-      "r71_bucketed_final").foreach { n =>
+      "r71_bucketed_final", "r72_bucketed_mutation").foreach { n =>
       val fmt = formatted(n)
       assert(fmt.contains("Bucketed: true"),
         s"$n lost the bucketed scan — the catalog table's bucket " +
@@ -494,9 +498,11 @@ class PlanContractSpec extends SparkTestBase {
           s"r69 plans ${exchanges.size} exchanges — the bucketed " +
             "aggregation should plan none")
     }
-    assert(formatted("r70_bucketed_join").contains("SortMergeJoin"),
-      "r70 lost the co-located sort-merge join (broadcast would " +
-        "never ship at 100 TB fact-to-dim scale)")
+    Seq("r70_bucketed_join", "r72_bucketed_mutation").foreach { n =>
+      assert(formatted(n).contains("SortMergeJoin"),
+        s"$n lost the co-located sort-merge join (broadcast would " +
+          "never ship at 100 TB fact-to-dim scale)")
+    }
     // r71's FINAL dedup window must keep the map-side group-limit
     // (losing duplicates die before the — absent — exchange)
     assert(formatted("r71_bucketed_final").contains("WindowGroupLimit"),

@@ -23,6 +23,14 @@ import java.nio.file.{Files, Paths}
   * PlanContractSpec: building their DataFrame drains the stream, and
   * the returned frame is a memory-sink projection, not the stateful
   * plan under test.
+  *
+  * Fingerprints capture the COLD-session plan: a gate that memoizes a
+  * cached/persisted subtree (e.g. t29's feature table) fingerprints
+  * WITH its cache-build subtree included (Generate/Scan counts of the
+  * build), while PlanContractSpec pins the WARM executed plan (zero
+  * Generate, one scan). Both are correct for what they measure — the
+  * baseline entry is not a contradiction of the contract (round-16
+  * VERDICT #7).
   */
 class PlanFingerprintSpec extends SparkTestBase {
 
