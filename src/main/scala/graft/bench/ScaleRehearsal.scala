@@ -569,7 +569,29 @@ object ScaleRehearsal {
       def sink(df: org.apache.spark.sql.DataFrame): Long =
         hashSink(df, "chsurface")
       import graft.queries.RefQueries
-      val r35 = meterLeg { sink(RefQueries.ch_final(spark, work)); nEvents }
+      var h35 = 0L
+      val r35 = meterLeg {
+        h35 = sink(RefQueries.ch_final(spark, work)); nEvents }
+      // bucketed FINAL contrast (round-16 VERDICT #6): the SAME FINAL
+      // statement over the bucketBy(32, user_id) catalog copy of the
+      // salted events — the r71 discipline measured where the driver's
+      // scale evidence lives. The write paid the user_id exchange
+      // once; the read-side dedup window's distribution is satisfied
+      // by the bucket spec, so its shuffle must be ZERO BYTES at every
+      // M (vs the key-bounded r35 shuffle above, which grows ∝ keys).
+      // The bucketed root is per-work-dir and the salt differs per M,
+      // so the copy is rebuilt (untimed — the measured leg is the
+      // READ) after clearing any stale files + memo from a prior mult.
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(RefQueries.bucketedEventsPath(work)))
+      RefQueries.clearBucketedMemo()
+      sink(RefQueries.ch_final_bucketed(spark, work))
+      var h35b = 0L
+      val r35b = meterLeg {
+        h35b = sink(RefQueries.ch_final_bucketed(spark, work)); nEvents }
+      require(h35 == h35b,
+        s"chsurface: bucketed FINAL diverged from the plain read " +
+          s"(hash $h35 vs $h35b) — layout changed answers")
       val loc = s"$work/mut"
       spark.sql("DROP TABLE IF EXISTS events_mut_scale")
       spark.sql(s"""CREATE TABLE events_mut_scale
@@ -624,6 +646,9 @@ object ScaleRehearsal {
       println(s"""{"mult":$mult,"events":$nEvents,""" +
         s""""r35_final":${jq(r35._1)},""" +
         s""""r35_max_task_ms":${r35._2},"r35_max_reduce_ms":${r35._3},""" +
+        s""""r35_final_bucketed":${jq(r35b._1)},""" +
+        s""""r35b_max_task_ms":${r35b._2},""" +
+        s""""r35b_max_reduce_ms":${r35b._3},"final_hash_equal":true,""" +
         s""""mut_delete":${jq(del._1)},"mut_delete_parts":$delParts,""" +
         s""""mut_delete_max_task_ms":${del._2},""" +
         s""""mut_update":${jq(upd._1)},"mut_update_parts":$updParts,""" +
