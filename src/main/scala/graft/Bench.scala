@@ -197,6 +197,7 @@ object Bench {
       val cRe = """"commit":"([^"]+)"""".r
       val stRe = """"srctree":"([^"]+)"""".r
       val ntRe = """"normalized_total":([0-9.eE+-]+)""".r
+      val sfRe = """"sf":"([^"]+)"""".r
       val nameRe = """"([A-Za-z0-9_]+)":""".r
       val want = timings.keySet.toSet
       val f = new java.io.File("bench_history.jsonl")
@@ -211,7 +212,14 @@ object Bench {
           if (vq.isDefined) parsed += 1
           vq.flatMap { case (v, q) =>
             val names = nameRe.findAllMatchIn(q.group(1)).map(_.group(1)).toSet
-            if (names != want) None
+            // the SF must match too (round-17 finding): a full-suite
+            // run at a SMALLER sf (a dev smoke at sf0.001) has the
+            // same gate-name set but incomparable totals — without
+            // this filter its faster total would be inherited as the
+            // sf0.1 artifact's "session best" and skew the noise
+            // guard's median
+            val sfOk = sfRe.findFirstMatchIn(line).exists(_.group(1) == sfDir)
+            if (names != want || !sfOk) None
             else Some((tsRe.findFirstMatchIn(line).fold("")(_.group(1)),
               v.group(1).toDouble,
               cRe.findFirstMatchIn(line).fold("")(_.group(1)),

@@ -769,6 +769,12 @@ object RefQueries {
   // paths. ----
   def ch_mutation(s: SparkSession, dir: String): DataFrame = {
     val loc = java.nio.file.Files.createTempDirectory("mut_gate_").toString
+    // fresh scratch per call (the gate re-runs the mutations from a
+    // clean copy, so repeated calls are deterministic) — reaped at JVM
+    // exit like the ORC gate's scratch, so bench/verify cycles don't
+    // accumulate /tmp litter
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))))
     s.sql("DROP TABLE IF EXISTS events_mut")
     s.sql(s"""CREATE TABLE events_mut
       (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
