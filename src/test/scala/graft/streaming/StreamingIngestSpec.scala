@@ -95,6 +95,46 @@ class StreamingIngestSpec extends SparkTestBase {
         "oracle — the maintenance loop lost or duplicated rows")
   }
 
+  test("compact refuses to cut the sink log when an untouched " +
+      "partition holds a file the log never committed") {
+    // the rail's positive case: an uncommitted orphan (a crashed
+    // micro-batch's leftover) in a partition the compaction does NOT
+    // rewrite must abort the log cut BEFORE any rewrite — otherwise
+    // the orphan would silently become visible once listing replaces
+    // the log as the source of truth
+    import graft.ingest.EventsWriter
+    val dir = java.nio.file.Files.createTempDirectory("stream_orphan").toFile
+    val base = new File(dir, "archive"); base.mkdirs()
+    val table = new File(dir, "events").getAbsolutePath
+    val ckpt = new File(dir, "ckpt").getAbsolutePath
+    write(base, "2015/01/01/2015-01-01-10.json.gz", Seq(evt("1", 1), evt("2", 1)))
+    write(base, "2015/01/01/2015-01-01-11.json.gz", Seq(evt("3", 1)))
+    write(base, "2015/01/01/2015-01-01-12.json.gz", Seq(evt("4", 1)))
+    write(base, "2015/02/01/2015-02-01-10.json.gz", Seq(evt("5", 2)))
+    val q = StreamingIngest.ingestAvailable(spark, base.getAbsolutePath,
+      table, ckpt, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    // plant the orphan in month 2 (1 file ≤ threshold → untouched;
+    // month 1's 3 files > 2 → the compaction target)
+    val m2 = new File(table, "month_key=201502")
+    val committed = m2.listFiles.filter(_.getName.endsWith(".parquet")).head
+    val orphan = new File(m2, "part-orphan.snappy.parquet")
+    java.nio.file.Files.copy(committed.toPath, orphan.toPath)
+    val before = spark.read.parquet(table).count()
+    val ex = intercept[IllegalStateException] {
+      EventsWriter.compact(spark, table, maxFilesPerMonth = 2)
+    }
+    assert(ex.getMessage.contains("part-orphan"),
+      s"rail fired but did not name the orphan: ${ex.getMessage}")
+    // the failed compaction left the table untouched (log intact,
+    // orphan still invisible to log-trusting reads)
+    assert(spark.read.parquet(table).count() === before)
+    // orphan removed → the same compaction goes through
+    assert(orphan.delete())
+    assert(EventsWriter.compact(spark, table, maxFilesPerMonth = 2)
+      === Seq(201501))
+  }
+
   test("post-compaction resume: the finalized sink refuses ANY new " +
       "streaming start; the checkpoint-reusing side sink ingests ONLY " +
       "the new hour files; the merged table equals the batch oracle " +
