@@ -135,6 +135,7 @@ object SparkEntry {
     "r71_bucketed_final" -> (RefQueries.ch_final_bucketed _),
     "r72_bucketed_mutation" -> (RefQueries.bucketed_mutation _),
     "r73_zorder_probe" -> (RefQueries.zorder_probe _),
+    "r74_part_bucketed" -> (RefQueries.part_bucketed_rollup _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -446,6 +447,21 @@ object SparkEntry {
                 u.n_events, u.max_v
          FROM m JOIN u USING (user_id)
          ORDER BY event_id""",
+
+    // r74: the full MergeTree layout analogue (day partitions +
+    // user buckets on one table) must be answer-invariant — the
+    // oracle replays the day slice + rollup from the original
+    // parquet; PartitionFilters + Bucketed + zero-exchange pinned by
+    // PlanContractSpec
+    "r74_part_bucketed" ->
+      """SELECT user_id, n, sv, max_id FROM (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+                  max(event_id) AS max_id
+           FROM events
+           WHERE CAST(strftime(ts, '%Y%m%d') AS INT) = 20240115
+           GROUP BY user_id)
+         ORDER BY n DESC, user_id LIMIT 20""",
 
     // r73: the z-ordered layout must be answer-invariant — both
     // probes recomputed from the original parquet; the decoded-row

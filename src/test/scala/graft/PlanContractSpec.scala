@@ -510,6 +510,24 @@ class PlanContractSpec extends SparkTestBase {
         "materialize whole key groups")
   }
 
+  test("r74 composes BOTH layout levers in one scan: day-partition " +
+      "pruning AND the bucketed zero-exchange aggregation") {
+    // the full MergeTree-analogue read: PartitionFilters prune the
+    // scan to the one day directory the predicate names (ClickHouse
+    // part pruning) while the bucket spec satisfies the user-grain
+    // aggregation — no exchange anywhere, top-k via TakeOrdered
+    val fmt = formatted("r74_part_bucketed")
+    assert(fmt.contains("PartitionFilters") && fmt.contains("20240115"),
+      "r74's day predicate did not reach the scan as a partition filter")
+    assert(fmt.contains("Bucketed: true"),
+      "r74 lost the bucketed scan")
+    assert(opBlocks(fmt).collect { case (_, "Exchange", b) => b }.isEmpty,
+      "r74 plans an exchange — partition pruning + bucketing should " +
+        "leave none")
+    assert(fmt.contains("TakeOrderedAndProject"),
+      "r74's top-k is not a TakeOrdered merge")
+  }
+
   test("t29 classifier gate: ONE documents scan, no re-tokenization, " +
       "and the gated doc-grain subtree's exchange is REUSED") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
