@@ -224,4 +224,73 @@ class ChMutationsSpec extends SparkTestBase {
     assert(n === 0)
     assert(spark.table("mut_noop").count() === 5)
   }
+
+  test("partitioned + bucketed table: the rewrite preserves BOTH " +
+      "layout levers — untouched partitions byte-identical, touched " +
+      "partition back to one sorted file per bucket, reads still " +
+      "bucket-satisfied") {
+    // the composition r72 (unpartitioned+bucketed) and the chsurface
+    // leg (partitioned-only) each cover half of: CH's full MergeTree
+    // layout analogue mutated in place. The partition-pruned rewrite
+    // and the bucket re-shaping must compose in one insert.
+    import spark.implicits._
+    val name = "mut_pb"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"spark-warehouse/$name"))
+    spark.sql(s"""CREATE TABLE $name
+      (id INT, user_id BIGINT, v DOUBLE, kind STRING)
+      USING parquet PARTITIONED BY (kind)
+      CLUSTERED BY (user_id) SORTED BY (user_id) INTO 4 BUCKETS""")
+    (1 to 400)
+      .map(i => (i, (i % 37).toLong, i.toDouble,
+        Seq("x", "y", "z")(i % 3)))
+      .toDF("id", "user_id", "v", "kind")
+      .repartition(4, $"user_id").sortWithinPartitions("user_id")
+      .write.mode("append").insertInto(name)
+    def partFiles(kind: String): Map[String, String] = {
+      val d = new java.io.File(s"spark-warehouse/$name/kind=$kind")
+      Option(d.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getName -> h.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val (beforeY, beforeZ) = (partFiles("y"), partFiles("z"))
+    assert(beforeY.nonEmpty && beforeZ.nonEmpty)
+    val n = ChMutations.mutate(spark,
+      s"ALTER TABLE $name UPDATE v = v + 1000 " +
+        "WHERE kind = 'x' AND id <= 100")
+    assert(n === 1) // only kind='x' touched
+    // untouched partitions: byte-identical files (the chsurface
+    // contract, composed with bucketing)
+    assert(partFiles("y") === beforeY && partFiles("z") === beforeZ)
+    // touched partition: exactly one file per bucket, bucket-id named
+    // (the _NNNNN suffix FileFormatWriter stamps when a spec is live)
+    val xFiles = partFiles("x").keySet
+    assert(xFiles.size === 4, s"expected 4 bucket files, got $xFiles")
+    val bucketIds = xFiles.flatMap(
+      "_(\\d{5})\\.".r.findFirstMatchIn(_).map(_.group(1)))
+    assert(bucketIds.size === 4,
+      s"bucket ids not distinct across files: $xFiles")
+    // the read path still plans on the bucket spec with no hash
+    // exchange for a user-grain aggregation
+    val fmt = spark.table(name).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(fmt.contains("Bucketed: true"),
+      "post-mutation scan lost the bucket spec")
+    assert(!fmt.contains("hashpartitioning"),
+      "post-mutation aggregation re-shuffles — bucket layout lost")
+    // and the mutation semantics landed
+    val mutated = spark.table(name)
+      .filter($"kind" === "x" && $"id" <= 100)
+      .agg(org.apache.spark.sql.functions.min("v")).first().getDouble(0)
+    assert(mutated > 1000.0, s"UPDATE did not apply: min v = $mutated")
+    assert(spark.table(name).count() === 400)
+  }
 }
