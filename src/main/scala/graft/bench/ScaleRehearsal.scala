@@ -295,14 +295,15 @@ object ScaleRehearsal {
       else if (mode == "edit" || mode == "windowskew" ||
         mode == "refsurface" || mode == "maintain" ||
         mode == "bucketjoin" || mode == "sortskip" ||
-        mode == "chsurface" || mode == "zorderskip") 100
+        mode == "chsurface" || mode == "zorderskip" ||
+        mode == "mergetree") 100
       else 26
     require(mult >= 1 && mult <= maxMult,
       s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
       "passages", "streaming", "deep", "edit", "annfilter", "windowskew",
       "bpek", "refsurface", "maintain", "bucketjoin",
-      "sortskip", "chsurface", "zorderskip").contains(mode),
+      "sortskip", "chsurface", "zorderskip", "mergetree").contains(mode),
       s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else {
@@ -902,6 +903,63 @@ object ScaleRehearsal {
           s""""input_rows":${t._3}}"""
       println(s"""{"mult":$mult,"events":$nEvents,"probe_user":$probe,""" +
         s""""sorted":${jqi(sorted)},"scattered":${jqi(scattered)},""" +
+        s""""result_hash_equal":true}""")
+    } else if (mode == "mergetree") {
+      // r74's full-layout read at M (round 17): the salted events
+      // written day-partitioned + user-bucketed (the gate's builder,
+      // reused verbatim), probed by the day-sliced per-user top-20
+      // rollup, vs the SAME rollup over the plain parquet. Claims:
+      //  - decoded input rows on the layout ∝ the day slice (~1/30 of
+      //    the corpus at every M; the plain leg's ts-expression filter
+      //    cannot push down and decodes everything);
+      //  - the layout leg's aggregation shuffles ZERO bytes at every M
+      //    (bucket spec satisfies the user-grain distribution; top-20
+      //    is a TakeOrdered merge) while the plain leg's exchange
+      //    grows ∝ (users × M);
+      //  - result hashes equal — layout must never change answers.
+      val nEvents = offsetSaltedEvents(spark, sfDir, mult, work)
+      import graft.queries.RefQueries
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(RefQueries.bucketedEventsPath(work)))
+      RefQueries.clearBucketedMemo()
+      // build + warm untimed; the measured leg is the READ
+      hashSink(RefQueries.part_bucketed_rollup(spark, work), "mergetree")
+      def plainRollup = spark.read.parquet(s"$work/events.parquet")
+        .filter(date_format(col("ts"), "yyyyMMdd").cast("int") === 20240115)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sv"),
+          max("event_id").as("max_id"))
+        .orderBy(desc("n"), asc("user_id"))
+        .limit(20)
+      val im = new InputMeter
+      spark.sparkContext.addSparkListener(im)
+      def metered(fn: => Long)
+          : (((Double, Double, Double, Long), Long, Long), Long) = {
+        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+        val r0 = im.records
+        val r = meterLeg(fn)
+        (r, im.records - r0)
+      }
+      var hL = 0L; var hP = 0L
+      val layout = metered {
+        hL = hashSink(RefQueries.part_bucketed_rollup(spark, work),
+          "mergetree"); nEvents }
+      val plain = metered {
+        hP = hashSink(plainRollup, "mergetree"); nEvents }
+      spark.sparkContext.removeSparkListener(im)
+      require(hL == hP,
+        s"mergetree: layout read diverged from the plain rollup " +
+          s"(hash $hL vs $hP)")
+      println(s"""{"mult":$mult,"events":$nEvents,""" +
+        s""""layout":${jq(layout._1._1)},""" +
+        s""""layout_input_rows":${layout._2},""" +
+        s""""layout_max_task_ms":${layout._1._2},""" +
+        s""""layout_max_reduce_ms":${layout._1._3},""" +
+        s""""plain":${jq(plain._1._1)},""" +
+        s""""plain_input_rows":${plain._2},""" +
+        s""""plain_max_task_ms":${plain._1._2},""" +
+        s""""plain_max_reduce_ms":${plain._1._3},""" +
         s""""result_hash_equal":true}""")
     } else if (mode == "zorderskip") {
       // The FOURTH write-layout lever (round 16): sortskip measures
