@@ -136,6 +136,7 @@ object SparkEntry {
     "r72_bucketed_mutation" -> (RefQueries.bucketed_mutation _),
     "r73_zorder_probe" -> (RefQueries.zorder_probe _),
     "r74_part_bucketed" -> (RefQueries.part_bucketed_rollup _),
+    "r75_ch_ttl" -> (RefQueries.ch_ttl _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -462,6 +463,21 @@ object SparkEntry {
            WHERE CAST(strftime(ts, '%Y%m%d') AS INT) = 20240115
            GROUP BY user_id)
          ORDER BY n DESC, user_id LIMIT 20""",
+
+    // r75: TTL as of 2024-01-31 12:00 with INTERVAL 16 DAY — the
+    // oracle keeps exactly the rows past the noon cutoff, so the
+    // partition-drop fast path, the boundary rewrite, and the
+    // untouched tail must compose to precisely this survivor set
+    "r75_ch_ttl" ->
+      """SELECT day_key, n, sv, min_id, max_id FROM (
+           SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS day_key,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+                  min(event_id) AS min_id, max(event_id) AS max_id
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-15 12:00:00'
+           GROUP BY 1)
+         ORDER BY day_key""",
 
     // r73: the z-ordered layout must be answer-invariant — both
     // probes recomputed from the original parquet; the decoded-row

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{ChCompat, ChMutations, ChSqlRewrite}
+import graft.functions.{ChCompat, ChMutations, ChSqlRewrite, ChTtl}
 import graft.operators.{Dedup, Salting}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -453,6 +453,28 @@ object RefQueries {
     * root). Same memo discipline as the other bucketed builders; the
     * re-attach path recovers the partition directory index with MSCK.
     */
+  private def writeDayPartBucketed(df0: DataFrame, name: String,
+      path: String): Unit =
+    df0.withColumn("day_key", date_format(col("ts"), "yyyyMMdd").cast("int"))
+      .repartition(32, col("user_id"))
+      .write.format("parquet")
+      .partitionBy("day_key")
+      .bucketBy(32, "user_id").sortBy("user_id")
+      .option("path", path)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(name)
+
+  private def registerDayPartBucketed(s: SparkSession, name: String,
+      path: String): Unit = {
+    val ddl = s.read.parquet(path).schema.toDDL
+    s.sql(s"DROP TABLE IF EXISTS `$name`")
+    s.sql(s"""CREATE TABLE `$name` ($ddl) USING parquet
+      PARTITIONED BY (day_key)
+      CLUSTERED BY (user_id) SORTED BY (user_id) INTO 32 BUCKETS
+      LOCATION '$path'""")
+    s.sql(s"MSCK REPAIR TABLE `$name`")
+  }
+
   private def partBucketedFor(s: SparkSession, dir: String): String = {
     val name = bucketedName(s, dir, "events_pb")
     val path = s"${bucketedEventsPath(dir)}/events_pb"
@@ -461,25 +483,57 @@ object RefQueries {
         val filesOk = new java.io.File(s"$path/_SUCCESS").exists()
         if (prev != null && filesOk && s.catalog.tableExists(name)) prev
         else {
-          if (filesOk) {
-            val ddl = s.read.parquet(path).schema.toDDL
-            s.sql(s"DROP TABLE IF EXISTS `$name`")
-            s.sql(s"""CREATE TABLE `$name` ($ddl) USING parquet
-              PARTITIONED BY (day_key)
-              CLUSTERED BY (user_id) SORTED BY (user_id) INTO 32 BUCKETS
-              LOCATION '$path'""")
-            s.sql(s"MSCK REPAIR TABLE `$name`")
-          } else {
-            events(s, dir)
-              .withColumn("day_key",
-                date_format(col("ts"), "yyyyMMdd").cast("int"))
-              .repartition(32, col("user_id"))
-              .write.format("parquet")
-              .partitionBy("day_key")
-              .bucketBy(32, "user_id").sortBy("user_id")
-              .option("path", path)
-              .mode(org.apache.spark.sql.SaveMode.Overwrite)
-              .saveAsTable(name)
+          if (filesOk) registerDayPartBucketed(s, name, path)
+          else writeDayPartBucketed(events(s, dir), name, path)
+          path
+        }
+      })
+    name
+  }
+
+  /** r75: ClickHouse table TTL run as the maintenance pass —
+    * `TTL ts + INTERVAL 16 DAY DELETE` applied to a day-partitioned +
+    * user-bucketed copy of events, as of a fixed reference instant
+    * (2024-01-31 12:00 → cutoff 2024-01-15 12:00). Fourteen whole day
+    * partitions expire and are dropped PHYSICALLY without decoding a
+    * row; the boundary day (15th) straddles the cutoff and goes
+    * through the bucket-preserving DELETE rewrite; later days are
+    * never touched. The gate reads the per-day rollup of what
+    * survived; the oracle recomputes it from the original parquet
+    * with the same cutoff predicate, so drop-too-much /
+    * drop-too-little / boundary-off-by-noon all break the hash.
+    * ChTtlSpec pins the physical halves (directories gone, untouched
+    * files byte-identical, bucket layout intact).
+    */
+  def ch_ttl(s: SparkSession, dir: String): DataFrame = {
+    val name = ttlTableFor(s, dir)
+    s.table(name)
+      .groupBy("day_key")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .select(col("day_key").cast("int").as("day_key"), col("n"),
+        col("sv"), col("min_id"), col("max_id"))
+      .orderBy("day_key")
+  }
+
+  private def ttlTableFor(s: SparkSession, dir: String): String = {
+    val name = bucketedName(s, dir, "events_ttl")
+    val path = s"${bucketedEventsPath(dir)}/events_ttl"
+    // sentinel written only after the TTL pass completes — _SUCCESS
+    // alone would revive a copied-but-not-yet-expired table
+    val done = new java.io.File(s"$path/_GRAFT_TTLED")
+    bucketedBuilt.compute(s"${System.identityHashCode(s)}#$dir#ttl",
+      (_, prev) => {
+        val filesOk =
+          new java.io.File(s"$path/_SUCCESS").exists() && done.exists()
+        if (prev != null && filesOk && s.catalog.tableExists(name)) prev
+        else {
+          if (filesOk) registerDayPartBucketed(s, name, path)
+          else {
+            if (done.exists()) done.delete()
+            writeDayPartBucketed(events(s, dir), name, path)
+            ChTtl.applyTtl(s, name, "ts", "16 DAY", "2024-01-31 12:00:00")
+            done.createNewFile()
           }
           path
         }
