@@ -74,15 +74,21 @@ object Bench {
     // Mid-suite probe samples (round-16 VERDICT #5): the before/after
     // brackets correct level shifts but miss a load swing that rises
     // and falls INSIDE a ~150 s suite (observed same-code normalized
-    // spread 18%). One extra sample at the midpoint of each pass
-    // halves the window a swing can hide in; probeNow stays the MIN
-    // over all samples (the conservative ambient-floor estimate).
+    // spread 18%). Two extra samples per pass (at 1/3 and 2/3 of the
+    // gate list) shrink the window a swing can hide in; probeNow stays
+    // the MIN over all samples — the ambient-floor estimate, whose
+    // failure mode is EVERY probe instant landing on load while the
+    // gates between them ran quiet (observed once with a single
+    // mid-probe: two same-code runs 2% apart raw normalized 28% apart
+    // because one run's three probes all caught spikes). More instants
+    // = better odds one catches the true floor; ~1 s each against a
+    // ~150 s suite.
     val probeMids = scala.collection.mutable.ArrayBuffer.empty[Double]
     def suitePass(): Unit = {
       val ordered = selected.toSeq.sortBy(_._1)
-      val midAt = ordered.size / 2
+      val midAts = Set(ordered.size / 3, 2 * ordered.size / 3)
       ordered.zipWithIndex.foreach { case ((name, fn), idx) =>
-        if (idx == midAt && ordered.size >= 8)
+        if (midAts(idx) && ordered.size >= 8)
           probeMids += calibrationProbe(spark)
         def once(): Option[Double] = {
           // settle allocation debt from the previous query so its GC
