@@ -5,6 +5,15 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. A failed query is reported per-name in "errors"
   * (never a fake timing) and flips the exit code — the driver still gets
   * parseable JSON either way.
+  *
+  * Headline semantics (round-17 VERDICT #1): `value` = the sum of
+  * per-gate MINIMA over the session's same-source samples (this run's
+  * per-gate min-of-two included) — the reproducible capability, stable
+  * across ambient-load swings because each sample can only tighten it.
+  * `fresh_total` is this run's raw sample; `gate_min_runs` says how
+  * many samples the minima fold over. Single samples on this box swing
+  * up to 4× with background load, so the raw total is an honest
+  * measurement of the RUN but not of the CODE.
   */
 object Bench {
 
@@ -196,15 +205,19 @@ object Bench {
     // round-13 ADVICE). Returns (ts, total, commit) per matching line.
     // A non-empty history where ZERO lines parse means the guard and
     // session-best are silently off — make that loud (round-14 ADVICE).
-    def comparableHistory(): Vector[(String, Double, String, String, Double)] = {
+    final case class HistRun(ts: String, value: Double, commit: String,
+      srctree: String, normalized: Double, freshTotal: Double,
+      gates: Map[String, Double])
+    def comparableHistory(): Vector[HistRun] = {
       val vRe = """"value":([0-9.eE+-]+)""".r
       val qRe = """"queries":\{([^}]*)\}""".r
       val tsRe = """"ts":"([^"]+)"""".r
       val cRe = """"commit":"([^"]+)"""".r
       val stRe = """"srctree":"([^"]+)"""".r
       val ntRe = """"normalized_total":([0-9.eE+-]+)""".r
+      val ftRe = """"fresh_total":([0-9.eE+-]+)""".r
       val sfRe = """"sf":"([^"]+)"""".r
-      val nameRe = """"([A-Za-z0-9_]+)":""".r
+      val pairRe = """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r
       val want = timings.keySet.toSet
       val f = new java.io.File("bench_history.jsonl")
       if (!f.exists() || f.length() == 0L) Vector.empty
@@ -217,7 +230,8 @@ object Bench {
           } yield (v, q)
           if (vq.isDefined) parsed += 1
           vq.flatMap { case (v, q) =>
-            val names = nameRe.findAllMatchIn(q.group(1)).map(_.group(1)).toSet
+            val gates = pairRe.findAllMatchIn(q.group(1))
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
             // the SF must match too (round-17 finding): a full-suite
             // run at a SMALLER sf (a dev smoke at sf0.001) has the
             // same gate-name set but incomparable totals — without
@@ -225,15 +239,23 @@ object Bench {
             // sf0.1 artifact's "session best" and skew the noise
             // guard's median
             val sfOk = sfRe.findFirstMatchIn(line).exists(_.group(1) == sfDir)
-            if (names != want || !sfOk) None
-            else Some((tsRe.findFirstMatchIn(line).fold("")(_.group(1)),
-              v.group(1).toDouble,
-              cRe.findFirstMatchIn(line).fold("")(_.group(1)),
-              stRe.findFirstMatchIn(line).fold("")(_.group(1)),
-              // normalized_total absent on pre-probe lines → NaN
-              // (excluded from the normalized session-best)
-              ntRe.findFirstMatchIn(line)
-                .fold(Double.NaN)(_.group(1).toDouble)))
+            if (gates.keySet != want || !sfOk) None
+            else {
+              val value = v.group(1).toDouble
+              Some(HistRun(
+                tsRe.findFirstMatchIn(line).fold("")(_.group(1)),
+                value,
+                cRe.findFirstMatchIn(line).fold("")(_.group(1)),
+                stRe.findFirstMatchIn(line).fold("")(_.group(1)),
+                // normalized_total absent on pre-probe lines → NaN
+                // (excluded from the normalized session-best)
+                ntRe.findFirstMatchIn(line)
+                  .fold(Double.NaN)(_.group(1).toDouble),
+                // fresh_total falls back to value for pre-r18 lines,
+                // where the two were the same number
+                ftRe.findFirstMatchIn(line).fold(value)(_.group(1).toDouble),
+                gates))
+            }
           }
         }.toVector
         if (parsed == 0) System.err.println(
@@ -254,7 +276,10 @@ object Bench {
     val history = comparableHistory()
     if (args.isEmpty && errors.isEmpty) {
       val total = timings.values.sum
-      val hist = history.map(_._2).sorted
+      // the guard compares raw suite totals — fresh_total on both
+      // sides (the headline `value` is per-gate minima from round 18
+      // on, a different quantity)
+      val hist = history.map(_.freshTotal).sorted
       if (hist.nonEmpty) {
         val med = hist(hist.size / 2)
         if (total > 1.5 * med) {
@@ -304,22 +329,36 @@ object Bench {
     // never match on either key.
     val nowStamp = java.time.Instant.now().toString
     val horizon = java.time.Instant.now().minusSeconds(6L * 3600)
-    val recent = history.filter { case (ts, _, c, st, _) =>
+    val recent = history.filter { r =>
       val sameCode =
-        (st == srcTree && st.matches("[0-9a-f]{40}")) ||
-          (c == gitCommit && c.matches("[0-9a-f]{40}"))
+        (r.srctree == srcTree && r.srctree.matches("[0-9a-f]{40}")) ||
+          (r.commit == gitCommit && r.commit.matches("[0-9a-f]{40}"))
       sameCode &&
-        (try !java.time.Instant.parse(ts).isBefore(horizon)
+        (try !java.time.Instant.parse(r.ts).isBefore(horizon)
          catch { case scala.util.control.NonFatal(_) => false })
     }
-    val best = (recent.map { case (ts, v, _, _, _) => (ts, v) } :+
+    val best = (recent.map(r => (r.ts, r.freshTotal)) :+
       (nowStamp -> total)).minBy(_._2)
     // normalized session-best (round-16 VERDICT #1): the raw
     // session-best still carries the ambient level of its own run; the
     // normalized one is the round-over-round comparable number. Min
     // over the same comparable window, NaN-lines (pre-probe format)
     // excluded.
-    val bestNorm = (recent.map(_._5).filterNot(_.isNaN) :+ normalizedTotal).min
+    val bestNorm =
+      (recent.map(_.normalized).filterNot(_.isNaN) :+ normalizedTotal).min
+    // THE HEADLINE (round-17 VERDICT #1): the sum of per-gate MINIMA
+    // across this session's same-source samples, this run included —
+    // bench_trend.py's stable capability read promoted to the shipped
+    // number. Each extra sample can only tighten it, so two
+    // back-to-back same-code runs converge instead of swinging with
+    // ambient load (observed same-code fresh totals 144.9→180.7 s,
+    // ~17% normalized spread; the per-gate-min totals of those same
+    // samples agree within ~1%). `fresh_total` stays this run's honest
+    // raw sample alongside.
+    val gateMinTotal = (timings.map { case (k, v) =>
+      (recent.flatMap(_.gates.get(k)) :+ v).min
+    }.sum * 100).round / 100.0
+    val gateMinRuns = recent.size + 1
     // per-family subtotals (round-16 VERDICT #5): the gate families
     // (d/g/m/p/r/s/t/…) run in sorted order, so a mid-suite load swing
     // hits a contiguous family span — family subtotals localize WHICH
@@ -332,8 +371,13 @@ object Bench {
         s""""$f":${(ts.map(_._2).sum * 100).round / 100.0}""" }
       .mkString("{", ",", "}")
     val probeMidJson = probeMids.mkString("[", ",", "]")
+    // `value` IS the gate-min headline when a full suite ran (dev
+    // subsets keep the raw total — their gate set wouldn't match the
+    // history anyway, so gateMinTotal would just equal total)
+    val headline = if (args.isEmpty) gateMinTotal else total
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$headline,"unit":"sec","queries":$qs,""" +
+      s""""gate_min_total":$gateMinTotal,"gate_min_runs":$gateMinRuns,""" +
       s""""fresh_total":$total,"session_best_total":${best._2},""" +
       s""""session_best_ts":"${best._1}","commit":"$gitCommit",""" +
       s""""srctree":"$srcTree",""" +

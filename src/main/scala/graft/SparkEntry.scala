@@ -137,6 +137,10 @@ object SparkEntry {
     "r73_zorder_probe" -> (RefQueries.zorder_probe _),
     "r74_part_bucketed" -> (RefQueries.part_bucketed_rollup _),
     "r75_ch_ttl" -> (RefQueries.ch_ttl _),
+    "r76_ttl_ddl" -> (RefQueries.ch_ttl_ddl _),
+    "r77_system_parts" -> (RefQueries.system_parts _),
+    "r78_delete_from" -> (RefQueries.ch_delete_from _),
+    "r79_projection" -> (RefQueries.ch_projection _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -478,6 +482,48 @@ object SparkEntry {
            WHERE ts >= TIMESTAMP '2024-01-15 12:00:00'
            GROUP BY 1)
          ORDER BY day_key""",
+
+    // r76: the SAME survivor expectation as r75 — the statement-surface
+    // path (CH-verbatim TTL DDL + MATERIALIZE TTL) must land exactly
+    // where the Scala-API path lands
+    "r76_ttl_ddl" ->
+      """SELECT day_key, n, sv, min_id, max_id FROM (
+           SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS day_key,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+                  min(event_id) AS min_id, max(event_id) AS max_id
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-15 12:00:00'
+           GROUP BY 1)
+         ORDER BY day_key""",
+
+    // r77: system.parts row accounting for the r74 layout table — one
+    // part per day partition; the oracle is the day histogram of the
+    // original parquet (bytes_on_disk / file_count are FS facts,
+    // pinned by SystemPartsSpec instead)
+    "r77_system_parts" ->
+      """SELECT CAST(CAST(strftime(ts, '%Y%m%d') AS INT) AS VARCHAR)
+                  AS "partition",
+                CAST(count(*) AS BIGINT) AS rows
+         FROM events GROUP BY 1 ORDER BY "partition"""",
+
+    // r78: lightweight DELETE's end state stated declaratively — rows
+    // where the condition held are gone, everything else intact
+    "r78_delete_from" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE NOT (event_type = 'error' OR value > 150)
+         ORDER BY event_id""",
+
+    // r79: a materialized projection must answer exactly what the base
+    // table would — the oracle recomputes the per-user rollup from the
+    // original parquet
+    "r79_projection" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                  AS BIGINT) AS purchases,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+                max(event_id) AS max_id
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     // r73: the z-ordered layout must be answer-invariant — both
     // probes recomputed from the original parquet; the decoded-row

@@ -951,6 +951,56 @@ object ScaleRehearsal {
       require(hL == hP,
         s"mergetree: layout read diverged from the plain rollup " +
           s"(hash $hL vs $hP)")
+      // --- the TTL maintenance pass over the same layout (round-17
+      // VERDICT #6): two calls split the two grains so each is
+      // measured alone.
+      //  grain 1 (midnight cutoff): days 1–14 expire WHOLE — the pass
+      //    costs one column-pruned stats scan (ts + partition dirs;
+      //    input_mb is the ts column, not the table) plus directory
+      //    deletes; NO data column is ever decoded and nothing is
+      //    rewritten.
+      //  grain 2 (noon cutoff on the survivor): day 15 straddles —
+      //    the stats scan now covers only the surviving 16 days, and
+      //    the rewrite decodes the ONE boundary day (the
+      //    deleteInPartitions handoff: no rediscovery over days
+      //    16–30). input_rows stays ~(16/30)N + 2×(N/30), far from
+      //    the 2N a naive filter-rewrite pays.
+      // The end state is hash-checked against the plain parquet with
+      // the same cutoff — the maintenance pass must never change
+      // answers, only reclaim bytes.
+      val tbl = RefQueries.partBucketedFor(spark, work)
+      val im2 = new InputMeter
+      spark.sparkContext.addSparkListener(im2)
+      def ttlMetered(fn: => (Int, Int))
+          : (Double, Double, Long, Int, Int) = {
+        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+        val (r0, b0) = (im2.records, im2.bytes)
+        val t0 = System.nanoTime()
+        val (dropped, rewritten) = fn
+        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+        (((System.nanoTime() - t0) / 1e7).round / 100.0,
+          ((im2.bytes - b0) / 1e6 * 10).round / 10.0,
+          im2.records - r0, dropped, rewritten)
+      }
+      val grain1 = ttlMetered(graft.functions.ChTtl.applyTtl(spark, tbl,
+        "ts", "16 DAY", "2024-01-31 00:00:00"))
+      val grain2 = ttlMetered(graft.functions.ChTtl.applyTtl(spark, tbl,
+        "ts", "16 DAY", "2024-01-31 12:00:00"))
+      spark.sparkContext.removeSparkListener(im2)
+      def jt(t: (Double, Double, Long, Int, Int)): String =
+        s"""{"sec":${t._1},"input_mb":${t._2},"input_rows":${t._3},""" +
+          s""""dropped":${t._4},"rewritten":${t._5}}"""
+      val hT = hashSink(spark.table(tbl)
+        .select("event_id", "user_id", "event_type", "value", "ts"),
+        "mergetree-ttl")
+      val hO = hashSink(spark.read.parquet(s"$work/events.parquet")
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf(
+          "2024-01-15 12:00:00")))
+        .select("event_id", "user_id", "event_type", "value", "ts"),
+        "mergetree-ttl")
+      require(hT == hO,
+        s"mergetree TTL: survivor set diverged from the cutoff oracle " +
+          s"(hash $hT vs $hO)")
       println(s"""{"mult":$mult,"events":$nEvents,""" +
         s""""layout":${jq(layout._1._1)},""" +
         s""""layout_input_rows":${layout._2},""" +
@@ -960,6 +1010,7 @@ object ScaleRehearsal {
         s""""plain_input_rows":${plain._2},""" +
         s""""plain_max_task_ms":${plain._1._2},""" +
         s""""plain_max_reduce_ms":${plain._1._3},""" +
+        s""""ttl_drop":${jt(grain1)},"ttl_boundary":${jt(grain2)},""" +
         s""""result_hash_equal":true}""")
     } else if (mode == "zorderskip") {
       // The FOURTH write-layout lever (round 16): sortskip measures

@@ -1702,8 +1702,11 @@ object ChCompat {
     *    mapped, Replacing* engines registered for FINAL;
     *  - `CREATE MATERIALIZED VIEW …` → [[ChMatView]] (POPULATE runs
     *    immediately, as in CH);
-    *  - `ALTER TABLE … DELETE/UPDATE/DROP PARTITION` and
-    *    `OPTIMIZE TABLE … [FINAL]` → [[ChMutations]] copy-on-write.
+    *  - `ALTER TABLE … DELETE/UPDATE/DROP PARTITION` (and the modern
+    *    `DELETE FROM t WHERE …` spelling), `ALTER TABLE … MODIFY TTL /
+    *    MATERIALIZE TTL`, and `OPTIMIZE TABLE … [FINAL]` →
+    *    [[ChMutations]] copy-on-write (TTL statements route on to
+    *    [[ChTtl]]).
     *
     * Sessions configured with
     * `spark.sql.extensions=graft.GraftExtensions` get the query
@@ -1808,7 +1811,7 @@ object ChCompat {
 
   private def materializeSystemViews(spark: SparkSession,
       rewritten: String): Unit = {
-    val needed = Seq("databases", "tables", "columns", "one")
+    val needed = Seq("databases", "tables", "columns", "one", "parts")
       .filter(t => rewritten.contains(s"__ch_system_$t"))
     if (needed.isEmpty) return
     val tables = spark.catalog.listTables().collect()
@@ -1816,10 +1819,14 @@ object ChCompat {
     val built = Option(systemViewCache.get(spark))
       .collect { case s if s.fingerprint == fp => s.built }
       .getOrElse(Set.empty[String])
-    val missing = needed.filterNot(built)
+    // system.parts reflects DATA (rows/bytes per partition), not just
+    // catalog shape — the fingerprint can't witness an INSERT, so it
+    // is rebuilt on every probe and never enters the cached set
+    val missing = needed.filterNot(t => built(t) && t != "parts")
     missing.foreach(buildSystemView(spark, _, tables))
+    val cacheable = (built ++ missing) - "parts"
     if (missing.nonEmpty)
-      systemViewCache.put(spark, SystemViewSnapshot(fp, built ++ missing))
+      systemViewCache.put(spark, SystemViewSnapshot(fp, cacheable))
   }
 
   private def buildSystemView(spark: SparkSession, view: String,
@@ -1854,6 +1861,84 @@ object ChCompat {
           .createOrReplaceTempView("__ch_system_columns")
       case "one" =>
         Seq(0).toDF("dummy").createOrReplaceTempView("__ch_system_one")
+      case "parts" =>
+        // ClickHouse's system.parts drives its maintenance tooling
+        // (OPTIMIZE / TTL / DROP PARTITION decisions). The analogue of
+        // a MergeTree part here is a PARTITION DIRECTORY of a catalog
+        // parquet table — the unit the mutation/TTL surface rewrites
+        // and drops; an unpartitioned table surfaces one part named
+        // 'tuple()' (CH's own partition id for unpartitioned
+        // MergeTree). `rows` comes from one zero-data-column count per
+        // table (parquet row counts come from footers, nothing is
+        // decoded); bytes_on_disk / file_count from the FS listing.
+        // Data-dependent, so NEVER served from the fingerprint cache
+        // (see materializeSystemViews).
+        val catalog = spark.sessionState.catalog
+        val hconf = spark.sessionState.newHadoopConf()
+        def sizeOf(uri: java.net.URI): (Long, Long) = {
+          val p = new org.apache.hadoop.fs.Path(uri)
+          val fs = p.getFileSystem(hconf)
+          if (!fs.exists(p)) (0L, 0L)
+          else {
+            var bytes = 0L; var files = 0L
+            val it = fs.listFiles(p, true)
+            while (it.hasNext) {
+              val st = it.next()
+              val nm = st.getPath.getName
+              if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) {
+                bytes += st.getLen; files += 1
+              }
+            }
+            (bytes, files)
+          }
+        }
+        val partRows = tables
+          .filterNot(t => t.isTemporary || t.name.startsWith("__ch_system_"))
+          .flatMap { t =>
+            try {
+              val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+                t.name, Option(t.database).filter(_.nonEmpty))
+              val meta = catalog.getTableMetadata(ident)
+              if (meta.tableType ==
+                  org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+                Seq.empty
+              else {
+                val db = Option(t.database).getOrElse("default")
+                val partCols = meta.partitionColumnNames
+                if (partCols.isEmpty) {
+                  val n = spark.table(t.name).count()
+                  val (bytes, files) =
+                    meta.storage.locationUri.map(sizeOf).getOrElse((0L, 0L))
+                  Seq((db, t.name, "tuple()", true, n, bytes, files))
+                } else {
+                  val counts = spark.table(t.name)
+                    .groupBy(partCols.map(
+                      org.apache.spark.sql.functions.col): _*)
+                    .count().collect()
+                    .map(r => partCols.indices.toList
+                      .map(i => String.valueOf(r.get(i))) ->
+                      r.getLong(partCols.length)).toMap
+                  catalog.listPartitions(ident).map { p =>
+                    val vals = partCols.toList.map(c => p.spec.collectFirst {
+                      case (k, v) if k.equalsIgnoreCase(c) => v
+                    }.getOrElse(""))
+                    val partId =
+                      if (vals.lengthCompare(1) == 0) vals.head
+                      else vals.mkString("(", ",", ")")
+                    val (bytes, files) = sizeOf(p.location)
+                    (db, t.name, partId, true,
+                      counts.getOrElse(vals, 0L), bytes, files)
+                  }
+                }
+              }
+            } catch { case _: Exception =>
+              Seq.empty[(String, String, String, Boolean, Long, Long, Long)]
+            }
+          }
+        partRows.toSeq
+          .toDF("database", "table", "partition", "active", "rows",
+            "bytes_on_disk", "file_count")
+          .createOrReplaceTempView("__ch_system_parts")
     }
   }
 
@@ -1874,7 +1959,10 @@ object ChCompat {
   private val chMutationRe =
     ("""(?is)^\s*(?:ALTER\s+TABLE\s+[`"\w.]+\s+""" +
       """(?:DELETE|UPDATE|DROP\s+PARTITION|ADD\s+COLUMN|DROP\s+COLUMN""" +
-      """|RENAME\s+COLUMN|MODIFY\s+COLUMN)\b|OPTIMIZE\s+TABLE\b)""").r
+      """|RENAME\s+COLUMN|MODIFY\s+COLUMN|MODIFY\s+TTL""" +
+      """|MATERIALIZE\s+TTL|ADD\s+PROJECTION|MATERIALIZE\s+PROJECTION""" +
+      """|DROP\s+PROJECTION)\b|OPTIMIZE\s+TABLE\b""" +
+      """|DELETE\s+FROM\s+[`"\w.]+\s+WHERE\b)""").r
 
   // Column-API forms for Scala callers.
   def toYYYYMM(c: Column): Column =

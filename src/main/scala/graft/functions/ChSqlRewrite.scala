@@ -879,7 +879,7 @@ object ChSqlRewrite {
     * the Spark catalog before running the statement.
     */
   val systemTables: Set[String] =
-    Set("tables", "columns", "databases", "one")
+    Set("tables", "columns", "databases", "one", "parts")
 
   private def rewriteSystemTables(sql: String): String = {
     val toks = wordTokens(sql)

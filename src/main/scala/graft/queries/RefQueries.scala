@@ -475,7 +475,7 @@ object RefQueries {
     s.sql(s"MSCK REPAIR TABLE `$name`")
   }
 
-  private def partBucketedFor(s: SparkSession, dir: String): String = {
+  private[graft] def partBucketedFor(s: SparkSession, dir: String): String = {
     val name = bucketedName(s, dir, "events_pb")
     val path = s"${bucketedEventsPath(dir)}/events_pb"
     bucketedBuilt.compute(s"${System.identityHashCode(s)}#$dir#pb",
@@ -541,6 +541,171 @@ object RefQueries {
     name
   }
 
+  /** r76: the SAME retention policy as r75 declared and executed
+    * entirely through the ClickHouse STATEMENT surface (round-17
+    * VERDICT #2): CH-verbatim `CREATE TABLE … ENGINE = MergeTree …
+    * TTL ts + INTERVAL 16 DAY DELETE` carries the TTL onto the spec
+    * (no longer silently dropped), and `ALTER TABLE … MATERIALIZE
+    * TTL` — with the reference instant pinned via the session conf,
+    * CH's now() made deterministic — runs the two-grain pass: 14 day
+    * partitions dropped without decoding a row, the boundary day
+    * rewritten through the partition-restricted DELETE. The oracle is
+    * the SAME cutoff-survivor rollup as r75, so the statement path
+    * must land byte-identical to the Scala-API path's end state.
+    */
+  def ch_ttl_ddl(s: SparkSession, dir: String): DataFrame = {
+    val name = ttlDdlTableFor(s, dir)
+    s.table(name)
+      .groupBy("day_key")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .select(col("day_key").cast("int").as("day_key"), col("n"),
+        col("sv"), col("min_id"), col("max_id"))
+      .orderBy("day_key")
+  }
+
+  /** The TTL-declared DDL table: created from CH-verbatim DDL (TTL
+    * clause and all) at `bucketedEventsPath(dir)/events_ttl_ddl`
+    * (inside the audited artifact root), populated from events with a
+    * precomputed day partition key, then expired via the verbatim
+    * `MATERIALIZE TTL` statement through [[ChCompat.sql]]. Memo +
+    * completion sentinel as in [[ttlTableFor]].
+    */
+  private def ttlDdlTableFor(s: SparkSession, dir: String): String = {
+    val name = bucketedName(s, dir, "events_ttl_ddl")
+    val path = s"${bucketedEventsPath(dir)}/events_ttl_ddl"
+    val done = new java.io.File(s"$path/_GRAFT_TTLED")
+    def ddl = s"""CREATE TABLE `$name` (
+        `event_id` UInt64,
+        `user_id` UInt64,
+        `value` Float64,
+        `ts` DateTime,
+        `day_key` UInt32
+      ) ENGINE = MergeTree
+      PARTITION BY (day_key)
+      ORDER BY (user_id)
+      TTL ts + INTERVAL 16 DAY DELETE
+      SETTINGS index_granularity = 8192"""
+    bucketedBuilt.compute(s"${System.identityHashCode(s)}#$dir#ttlddl",
+      (_, prev) => {
+        val filesOk = done.exists()
+        if (prev != null && filesOk && s.catalog.tableExists(name)) prev
+        else if (filesOk) {
+          // re-attach over the already-expired files: same DDL (which
+          // re-registers the TTL declaration), then partition recovery
+          s.sql(s"DROP TABLE IF EXISTS `$name`")
+          graft.functions.ChDdl.create(s, ddl, Some(path))
+          s.sql(s"MSCK REPAIR TABLE `$name`")
+          path
+        } else {
+          if (done.exists()) done.delete()
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(path))
+          // an external LOCATION is not created by the DDL itself, and
+          // resolving the empty table (for its column order) requires
+          // the directory to exist
+          new java.io.File(path).mkdirs()
+          s.sql(s"DROP TABLE IF EXISTS `$name`")
+          graft.functions.ChDdl.create(s, ddl, Some(path))
+          val src = events(s, dir)
+            .withColumn("day_key",
+              date_format(col("ts"), "yyyyMMdd").cast("bigint"))
+            .select(s.table(name).columns.map(col): _*)
+          src.repartition(col("day_key"))
+            .write.mode("append").insertInto(name)
+          // the deterministic reference instant for MATERIALIZE TTL —
+          // what a maintenance job passes as its scheduled time
+          val prevAsOf = s.conf.getOption(ChTtl.asOfConfKey)
+          s.conf.set(ChTtl.asOfConfKey, "2024-01-31 12:00:00")
+          try ChCompat.sql(s, s"ALTER TABLE `$name` MATERIALIZE TTL")
+          finally prevAsOf match {
+            case Some(v) => s.conf.set(ChTtl.asOfConfKey, v)
+            case None => s.conf.unset(ChTtl.asOfConfKey)
+          }
+          done.createNewFile()
+          path
+        }
+      })
+    name
+  }
+
+  /** r77: `system.parts` introspection (round-17 VERDICT #3) — the
+    * view ClickHouse maintenance tooling reads to decide OPTIMIZE /
+    * TTL / DROP PARTITION. One row per partition directory of each
+    * catalog table (CH's part unit here); the gate selects the r74
+    * MergeTree-analogue table's per-day partitions with their row
+    * counts, and the oracle recomputes the day histogram from the
+    * original parquet — so the parts view's row accounting must match
+    * the data exactly. bytes_on_disk/file_count are FS facts with no
+    * DuckDB analogue; SystemPartsSpec pins those.
+    */
+  def system_parts(s: SparkSession, dir: String): DataFrame = {
+    ChCompat.registerAll(s)
+    val name = partBucketedFor(s, dir)
+    ChCompat.sql(s,
+      s"""SELECT `partition`, rows FROM system.parts
+          WHERE `table` = '$name' AND active
+          ORDER BY `partition`""")
+  }
+
+  /** r78: the modern ClickHouse mutation spelling — lightweight
+    * `DELETE FROM t WHERE …` (round-17 VERDICT #4) — routed through
+    * the dialect front-end onto the SAME copy-on-write path as
+    * `ALTER TABLE … DELETE`: the 'error' partition empties and is
+    * dropped, partitions holding value>150 rows are rewritten, the
+    * rest are never read. Oracle states the end state declaratively.
+    */
+  /** r79: ClickHouse projections end-to-end (round-17 VERDICT #7
+    * stretch) — `ADD PROJECTION` declares a per-user aggregate
+    * representation of the events table in CH dialect (count() /
+    * countIf run inside the declaration), `MATERIALIZE PROJECTION`
+    * builds it, and the explicit projection read returns the rollup.
+    * The oracle recomputes the same rollup from the original parquet:
+    * a projection must answer exactly what the base table would. The
+    * plan side (the read scans ONLY the projection table, never the
+    * base) is pinned in ChProjectionsSpec.
+    */
+  def ch_projection(s: SparkSession, dir: String): DataFrame = {
+    val loc = java.nio.file.Files.createTempDirectory("proj_gate_").toString
+    scratchDirs.add(loc)
+    ChCompat.registerAll(s)
+    s.sql("DROP TABLE IF EXISTS events_projbase")
+    s.sql(s"""CREATE TABLE events_projbase
+      (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+      USING parquet LOCATION '$loc'""")
+    events(s, dir).select("event_id", "user_id", "value", "event_type")
+      .write.mode("append").insertInto("events_projbase")
+    ChCompat.sql(s, """ALTER TABLE events_projbase ADD PROJECTION by_user (
+      SELECT user_id, count() AS n,
+             countIf(event_type = 'purchase') AS purchases,
+             sum(CAST(value AS DECIMAL(18,6))) AS sv,
+             max(event_id) AS max_id
+      GROUP BY user_id)""")
+    ChCompat.sql(s,
+      "ALTER TABLE events_projbase MATERIALIZE PROJECTION by_user")
+    graft.functions.ChProjections
+      .readProjection(s, "events_projbase", "by_user")
+      .selectExpr("user_id", "n", "purchases", "CAST(sv AS DOUBLE) AS sv",
+        "max_id")
+      .orderBy("user_id")
+  }
+
+  def ch_delete_from(s: SparkSession, dir: String): DataFrame = {
+    val loc = java.nio.file.Files.createTempDirectory("del_gate_").toString
+    scratchDirs.add(loc)
+    s.sql("DROP TABLE IF EXISTS events_del")
+    s.sql(s"""CREATE TABLE events_del
+      (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+      USING parquet PARTITIONED BY (event_type) LOCATION '$loc'""")
+    events(s, dir).select("event_id", "user_id", "value", "event_type")
+      .write.mode("append").insertInto("events_del")
+    ChCompat.sql(s,
+      "DELETE FROM events_del WHERE event_type = 'error' OR value > 150")
+    s.table("events_del")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   // ---- r73: the Morton-clustered (z-ordered) layout on the gate
   // path (round-16 VERDICT #4). The `zorderskip` rehearsal measured
   // the lever (a 2-D clustered write prunes on EITHER dimension);
@@ -581,7 +746,15 @@ object RefQueries {
   private[graft] def zorderedFor(s: SparkSession, dir: String): String = {
     val path = zorderEventsPath(dir)
     zorderBuilt.compute(path, (p, prev) => {
-      if (prev != null && new java.io.File(s"$p/_SUCCESS").exists()) prev
+      // reuse on _SUCCESS ALONE (round-17 ADVICE): unlike the bucketed
+      // tables there is no catalog object to re-register, the memo
+      // value IS the path — so a fresh JVM finding valid files must
+      // reuse them, not overwrite files a concurrent JVM may be
+      // reading (the hazard the bucketed builders were reworked for).
+      // Verify's stale-artifact sweep deletes the root up front, so a
+      // stale copy from differently-generated data never survives
+      // into an oracle run.
+      if (new java.io.File(s"$p/_SUCCESS").exists()) p
       else {
         val ev = events(s, dir)
         val mx = ev.agg(max("user_id"), max("event_id")).first()
@@ -887,14 +1060,33 @@ object RefQueries {
   // same end state declaratively. External table at a fresh temp
   // location each call, so reruns never collide on managed-table
   // paths. ----
+  /** One static JVM-exit reaper for per-call gate scratch dirs
+    * (round-17 ADVICE: a hook PER CALL accumulates hook threads and
+    * keeps every temp dir's path alive across a bench/verify cycle's
+    * many invocations). Register the path; the single hook drains
+    * whatever is queued at exit.
+    */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = scratchDirs.poll()
+      while (p != null) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+        p = scratchDirs.poll()
+      }
+    }))
+  }
+
   def ch_mutation(s: SparkSession, dir: String): DataFrame = {
     val loc = java.nio.file.Files.createTempDirectory("mut_gate_").toString
     // fresh scratch per call (the gate re-runs the mutations from a
-    // clean copy, so repeated calls are deterministic) — reaped at JVM
-    // exit like the ORC gate's scratch, so bench/verify cycles don't
-    // accumulate /tmp litter
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))))
+    // clean copy, so repeated calls are deterministic) — queued for the
+    // shared exit reaper, so bench/verify cycles don't accumulate /tmp
+    // litter or per-call hook threads. Eager deletion is NOT safe: the
+    // returned frame is lazy and the caller reads the table after this
+    // function returns.
+    scratchDirs.add(loc)
     s.sql("DROP TABLE IF EXISTS events_mut")
     s.sql(s"""CREATE TABLE events_mut
       (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
@@ -920,6 +1112,7 @@ object RefQueries {
   // sum so the split-order doesn't produce FP drift vs the oracle. ----
   def ch_matview(s: SparkSession, dir: String): DataFrame = {
     val loc = java.nio.file.Files.createTempDirectory("mv_gate_").toString
+    scratchDirs.add(loc)
     s.sql("DROP TABLE IF EXISTS mv_events_rollup")
     s.sql(s"""CREATE TABLE mv_events_rollup
       (user_id BIGINT, cnt BIGINT, sv DECIMAL(22,2))

@@ -91,9 +91,26 @@ object StreamingIngest {
     * exact duplicates by construction — and the Replacing fold-in
     * ([[EventsWriter.merge]]) collapses them; the partition column is
     * re-derived by the fold anyway.
+    *
+    * A resume that found ZERO new source files leaves the side sink
+    * with no partition directories at all (round-17 ADVICE: the bare
+    * glob then throws instead of completing the documented maintenance
+    * loop) — that case returns an empty frame with the parsed-events
+    * schema, which merge folds in as a no-op.
     */
-  def readSideSink(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("basePath", path)
-      .parquet(s"$path/${EventsWriter.partitionCol}=*")
-      .drop(EventsWriter.partitionCol)
+  def readSideSink(spark: SparkSession, path: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasParts = fs.exists(base) && fs.listStatus(base).exists(s =>
+      s.isDirectory &&
+        s.getPath.getName.startsWith(s"${EventsWriter.partitionCol}="))
+    if (!hasParts)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        graft.ingest.EventsSchema.schema)
+    else
+      spark.read.option("basePath", path)
+        .parquet(s"$path/${EventsWriter.partitionCol}=*")
+        .drop(EventsWriter.partitionCol)
+  }
 }

@@ -80,6 +80,43 @@ class ChMutationsSpec extends SparkTestBase {
     assert(e.getMessage.contains("partition column"))
   }
 
+  test("lightweight DELETE FROM is the same mutation as ALTER…DELETE") {
+    freshTable("mut_lw", partitioned = true)
+    // modern spelling: empties kind='z' (partition dropped) and trims
+    // kind='y'; NULL-condition row (id 2's note) still survives
+    val n = ChMutations.mutate(spark,
+      "DELETE FROM mut_lw WHERE kind = 'z' OR id = 3")
+    assert(n === 2) // y and z touched, x never read
+    val ids = spark.table("mut_lw").select("id")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids === Seq(1, 2, 4))
+    val parts = spark.sql("SHOW PARTITIONS mut_lw")
+      .collect().map(_.getString(0)).toSeq
+    assert(!parts.exists(_.contains("kind=z")))
+  }
+
+  test("deleteInPartitions rewrites ONLY the named partitions even " +
+      "when the predicate matches rows elsewhere") {
+    freshTable("mut_restrict", partitioned = true)
+    // predicate id >= 3 matches rows in 'y' AND 'z'; the caller
+    // restricts to 'y' — 'z' must be left untouched (the contract the
+    // TTL pass relies on: IT owns the partition verdicts)
+    val n = ChMutations.deleteInPartitions(spark, "mut_restrict",
+      "id >= 3", Seq(Map("kind" -> "y")))
+    assert(n === 1)
+    val rows = spark.table("mut_restrict").select("id")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows === Seq(1, 2, 5)) // 3,4 ('y') gone; 5 ('z') intact
+    // empty restriction is a no-op; unpartitioned tables refuse
+    assert(ChMutations.deleteInPartitions(spark, "mut_restrict",
+      "id >= 0", Nil) === 0)
+    freshTable("mut_restrict_flat", partitioned = false)
+    val e = intercept[IllegalArgumentException](
+      ChMutations.deleteInPartitions(spark, "mut_restrict_flat",
+        "id >= 0", Seq(Map("kind" -> "x"))))
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+
   test("DROP PARTITION by value and by spec") {
     freshTable("mut_dp", partitioned = true)
     ChMutations.mutate(spark, "ALTER TABLE mut_dp DROP PARTITION 'x'")

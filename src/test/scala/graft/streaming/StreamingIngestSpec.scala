@@ -211,5 +211,20 @@ class StreamingIngestSpec extends SparkTestBase {
         === tableHash(spark.read.parquet(batch)),
       "post-compaction side-sink loop diverged from the batch oracle " +
         "over all hours")
+    // a resume that found NO new source files leaves the side sink
+    // with zero partition directories — the maintenance loop must
+    // still complete with an empty fold-in, not throw (round-17
+    // ADVICE: the bare glob raised AnalysisException)
+    val side2 = new File(dir, "side2").getAbsolutePath
+    val q3 = StreamingIngest.ingestAvailable(spark, archive.getAbsolutePath,
+      side2, ckpt)
+    q3.awaitTermination(120000)
+    val empty = StreamingIngest.readSideSink(spark, side2)
+    assert(empty.count() === 0L)
+    assert(empty.schema === graft.ingest.EventsSchema.schema)
+    val beforeMerge = tableHash(spark.read.parquet(table))
+    EventsWriter.merge(empty, table)
+    assert(tableHash(spark.read.parquet(table)) === beforeMerge,
+      "empty fold-in must be a no-op")
   }
 }

@@ -54,7 +54,12 @@ def mins(runs):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # positional args = everything that is neither a --flag nor the
+    # VALUE of --sf (round-17 ADVICE: `--sf sf0.01` with no explicit
+    # history path otherwise made the sf value the history file)
+    flag_values = {i + 1 for i, a in enumerate(sys.argv) if a == "--sf"}
+    args = [a for i, a in enumerate(sys.argv[1:], start=1)
+            if not a.startswith("--") and i not in flag_values]
     path = args[0] if args else "bench_history.jsonl"
     sf = "sf0.1"
     if "--sf" in sys.argv:
