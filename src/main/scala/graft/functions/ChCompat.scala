@@ -1785,6 +1785,14 @@ object ChCompat {
   private[graft] val systemViewBuilds =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** system.parts footer-count cache: (path#len#mtime) → row count.
+    * Sound because parquet data files are immutable (any rewrite lands
+    * a new name or a new mtime); bounded by a crude clear at 100k
+    * entries (stale keys of deleted files are merely dead weight).
+    */
+  private val footerRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Drop the session's cached snapshots: the next `system.*` probe
     * rebuilds instead of serving the cache. Only REQUIRED for
     * column-shape mutations that keep the table list identical (see
@@ -1868,28 +1876,65 @@ object ChCompat {
         // parquet table — the unit the mutation/TTL surface rewrites
         // and drops; an unpartitioned table surfaces one part named
         // 'tuple()' (CH's own partition id for unpartitioned
-        // MergeTree). `rows` comes from one zero-data-column count per
-        // table (parquet row counts come from footers, nothing is
-        // decoded); bytes_on_disk / file_count from the FS listing.
-        // Data-dependent, so NEVER served from the fingerprint cache
-        // (see materializeSystemViews).
+        // MergeTree). The whole view is built from METADATA in one FS
+        // walk per location: bytes_on_disk / file_count from the
+        // listing, `rows` from each parquet FOOTER's record count —
+        // no Spark job, no data page decoded (CH reads its part
+        // metadata the same way; a per-table count() job cost the
+        // first implementation 7+ s per probe at sf0.1). Driver-side
+        // and O(files): right at catalog scale; a multi-million-file
+        // lake would parallelize the footer walk as one Spark job
+        // over the path list. Data-dependent, so NEVER served from
+        // the fingerprint cache (see materializeSystemViews).
         val catalog = spark.sessionState.catalog
         val hconf = spark.sessionState.newHadoopConf()
-        def sizeOf(uri: java.net.URI): (Long, Long) = {
+        // (rows, bytes, files) of every parquet data file under uri.
+        // Footer opens are (a) CACHED by (path, length, mtime) —
+        // parquet files are immutable, an overwrite changes the key —
+        // so only files new since the last probe pay the open, and
+        // (b) read through a parallel stream: a bench session holds
+        // ~2.5k bucket/partition files and a sequential walk measured
+        // 14 s where the parallel+cached walk is sub-second (and ~0
+        // on every later probe).
+        def partStats(uri: java.net.URI): (Long, Long, Long) = {
           val p = new org.apache.hadoop.fs.Path(uri)
           val fs = p.getFileSystem(hconf)
-          if (!fs.exists(p)) (0L, 0L)
+          if (!fs.exists(p)) (0L, 0L, 0L)
           else {
+            val sts = new java.util.ArrayList[
+              org.apache.hadoop.fs.FileStatus]()
             var bytes = 0L; var files = 0L
-            val it = fs.listFiles(p, true)
-            while (it.hasNext) {
-              val st = it.next()
-              val nm = st.getPath.getName
-              if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) {
-                bytes += st.getLen; files += 1
+            // listStatus recursion, NOT fs.listFiles(recursive=true):
+            // listFiles materializes BLOCK LOCATIONS per file (~5 ms
+            // each on this FS — 4.5 s for a 960-file table), which
+            // this view never uses
+            def walk(d: org.apache.hadoop.fs.Path): Unit =
+              fs.listStatus(d).foreach { st =>
+                val nm = st.getPath.getName
+                if (st.isDirectory) {
+                  if (!nm.startsWith("_") && !nm.startsWith(".")) walk(st.getPath)
+                } else if (!nm.startsWith("_") && !nm.startsWith(".")) {
+                  bytes += st.getLen; files += 1
+                  if (nm.endsWith(".parquet")) sts.add(st)
+                }
               }
-            }
-            (bytes, files)
+            walk(p)
+            if (footerRowsCache.size() > 100000) footerRowsCache.clear()
+            val rows = sts.parallelStream()
+              .mapToLong { st =>
+                val key = st.getPath.toString + "#" + st.getLen + "#" +
+                  st.getModificationTime
+                footerRowsCache.computeIfAbsent(key, _ =>
+                  try {
+                    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                      org.apache.parquet.hadoop.util.HadoopInputFile
+                        .fromStatus(st, hconf))
+                    try java.lang.Long.valueOf(r.getRecordCount)
+                    finally r.close()
+                  } catch { case _: Exception => java.lang.Long.valueOf(0L) })
+                  .longValue()
+              }.sum()
+            (rows, bytes, files)
           }
         }
         val partRows = tables
@@ -1906,18 +1951,10 @@ object ChCompat {
                 val db = Option(t.database).getOrElse("default")
                 val partCols = meta.partitionColumnNames
                 if (partCols.isEmpty) {
-                  val n = spark.table(t.name).count()
-                  val (bytes, files) =
-                    meta.storage.locationUri.map(sizeOf).getOrElse((0L, 0L))
-                  Seq((db, t.name, "tuple()", true, n, bytes, files))
+                  val (rows, bytes, files) = meta.storage.locationUri
+                    .map(partStats).getOrElse((0L, 0L, 0L))
+                  Seq((db, t.name, "tuple()", true, rows, bytes, files))
                 } else {
-                  val counts = spark.table(t.name)
-                    .groupBy(partCols.map(
-                      org.apache.spark.sql.functions.col): _*)
-                    .count().collect()
-                    .map(r => partCols.indices.toList
-                      .map(i => String.valueOf(r.get(i))) ->
-                      r.getLong(partCols.length)).toMap
                   catalog.listPartitions(ident).map { p =>
                     val vals = partCols.toList.map(c => p.spec.collectFirst {
                       case (k, v) if k.equalsIgnoreCase(c) => v
@@ -1925,9 +1962,8 @@ object ChCompat {
                     val partId =
                       if (vals.lengthCompare(1) == 0) vals.head
                       else vals.mkString("(", ",", ")")
-                    val (bytes, files) = sizeOf(p.location)
-                    (db, t.name, partId, true,
-                      counts.getOrElse(vals, 0L), bytes, files)
+                    val (rows, bytes, files) = partStats(p.location)
+                    (db, t.name, partId, true, rows, bytes, files)
                   }
                 }
               }
