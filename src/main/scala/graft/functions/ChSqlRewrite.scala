@@ -874,9 +874,12 @@ object ChSqlRewrite {
   // ---------------------------------------------------------------
 
   /** The `system` schema names a ClickHouse client touches on connect
-    * (DataGrip/metabase-style introspection). Renamed to registered
-    * temp-view names; [[ChCompat.sql]] materializes them fresh from
-    * the Spark catalog before running the statement.
+    * (DataGrip/metabase-style introspection), plus `parts` — the view
+    * CH maintenance tooling reads to drive OPTIMIZE/TTL/DROP
+    * PARTITION. Renamed to registered temp-view names; [[ChCompat.sql]]
+    * materializes them fresh from the Spark catalog before running the
+    * statement (`parts` on every probe — it reflects data, not
+    * catalog shape).
     */
   val systemTables: Set[String] =
     Set("tables", "columns", "databases", "one", "parts")
