@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // extension opts the session into; a session that wants Spark's
     // comma-form position simply doesn't configure the extension.
     ext.injectParser((_, delegate) => new ChRewriteParser(delegate))
+    // the projection auto-rewrite (CH optimize_use_projections
+    // analogue) — execution is conf-gated on
+    // spark.graft.projections.auto, see graft.plans.ProjectionRewrite
+    ext.injectOptimizerRule(session => new plans.ProjectionRewrite(session))
   }
 }
 

@@ -141,6 +141,8 @@ object SparkEntry {
     "r77_system_parts" -> (RefQueries.system_parts _),
     "r78_delete_from" -> (RefQueries.ch_delete_from _),
     "r79_projection" -> (RefQueries.ch_projection _),
+    "r80_in_partition" -> (RefQueries.ch_in_partition _),
+    "r81_projection_auto" -> (RefQueries.ch_projection_auto _),
     "p05_zorder_key" -> (PipelineQueries.zorder_key _),
     "p06_boilerplate" -> (PipelineQueries.boilerplate_clean _),
     "p07_temperature_mix" -> (PipelineQueries.temperature_mix _),
@@ -513,6 +515,24 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value FROM events
          WHERE NOT (event_type = 'error' OR value > 150)
          ORDER BY event_id""",
+
+    // r80: IN PARTITION scoping — only purchase values double (the
+    // predicate alone matches every type) and only error rows vanish
+    "r80_in_partition" ->
+      """SELECT event_id, user_id, event_type,
+                CASE WHEN event_type = 'purchase' AND value > 50
+                     THEN value * 2 ELSE value END AS value
+         FROM events WHERE event_type <> 'error'
+         ORDER BY event_id""",
+
+    // r81: the AUTOMATIC projection rewrite must be answer-invariant —
+    // same rollup expectation, computed from the original parquet; the
+    // plan swap itself is require()d inside the gate
+    "r81_projection_auto" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+                max(event_id) AS max_id
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     // r79: a materialized projection must answer exactly what the base
     // table would — the oracle recomputes the per-user rollup from the

@@ -1686,11 +1686,14 @@ object ChCompat {
       "formatDateTime: format must be a string literal")
   }
 
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }
+    // projection auto-rewrite rule (idempotent; execution conf-gated)
+    ChProjections.enableAutoRewrite(spark)
+  }
 
   /** Run ClickHouse-flavored SQL — ONE entry point for the whole CH
     * statement surface: [[ChSqlRewrite]] for query constructs Spark's

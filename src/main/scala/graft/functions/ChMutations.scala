@@ -44,6 +44,17 @@ object ChMutations {
   // time — here both spellings are the same copy-on-write mutation
   private val deleteFromRe =
     """(?is)^\s*DELETE\s+FROM\s+([`"\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  // `IN PARTITION` restricts a mutation to ONE named partition even
+  // where the predicate matches rows elsewhere (CH's scoping clause);
+  // the partition names by value ('x'), bare word, or full (k = v) spec
+  private val partClause = """(?:'([^']*)'|(\w+)|\(([^)]*)\))"""
+  private val deleteInPartRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+DELETE\s+IN\s+PARTITION\s+""" +
+      partClause + """\s+WHERE\s+(.+?)\s*;?\s*$""").r
+  private val updateInPartRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+UPDATE\s+(.+?)""" +
+      """\s+IN\s+PARTITION\s+""" + partClause +
+      """\s+WHERE\s+(.+?)\s*;?\s*$""").r
   private val modifyTtlRe =
     """(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+MODIFY\s+TTL\s+(.+?)\s*;?\s*$""".r
   private val materializeTtlRe =
@@ -76,6 +87,19 @@ object ChMutations {
     */
   def mutate(spark: SparkSession, sql: String): Int =
     if (ChProjections.route(spark, sql)) 0 else sql match {
+    case deleteInPartRe(rawTable, quoted, bare, specList, cond) =>
+      val table = cleanName(rawTable)
+      rewrite(spark, table, ChSqlRewrite.rewriteExpr(cond),
+        assignments = Nil, restrictTo = Some(Seq(resolvePartSpec(spark,
+          table, Option(quoted).orElse(Option(bare)), Option(specList)))))
+    case updateInPartRe(rawTable, sets, quoted, bare, specList, cond) =>
+      val table = cleanName(rawTable)
+      val assigns = splitAssignments(sets).map { case (c, e) =>
+        (c, ChSqlRewrite.rewriteExpr(e))
+      }
+      rewrite(spark, table, ChSqlRewrite.rewriteExpr(cond), assigns,
+        restrictTo = Some(Seq(resolvePartSpec(spark, table,
+          Option(quoted).orElse(Option(bare)), Option(specList)))))
     case deleteRe(rawTable, cond) =>
       rewrite(spark, cleanName(rawTable), ChSqlRewrite.rewriteExpr(cond),
         assignments = Nil)
@@ -229,6 +253,38 @@ object ChMutations {
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
     0
+  }
+
+  /** The IN PARTITION clause's partition as a (column → value) map.
+    * The bare value form requires a single partition column (the
+    * common CH layout, same rule as DROP PARTITION); the (k = v, …)
+    * form names columns explicitly. Values stay the statement's TEXT:
+    * partition predicates compare through Spark's implicit cast and
+    * the emptied-partition bookkeeping is string-normalized, so typed
+    * partition columns (int day keys) match either way.
+    */
+  private def resolvePartSpec(spark: SparkSession, table: String,
+      value: Option[String], spec: Option[String]): Map[String, Any] = {
+    val partCols = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .partitionColumnNames
+    spec match {
+      case Some(s) =>
+        splitAssignments(s).map { case (c, raw) =>
+          val v = raw.trim
+          val lit =
+            if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+              v.substring(1, v.length - 1).replace("''", "'")
+            else v
+          c -> (lit: Any)
+        }.toMap
+      case None =>
+        if (partCols.length != 1) throw new IllegalArgumentException(
+          s"ChMutations: IN PARTITION '<value>' needs exactly one " +
+            s"partition column on `$table` (found ${partCols.length}); " +
+            "use the (col = value, …) spec form")
+        Map(partCols.head -> value.get)
+    }
   }
 
   /** CH `ALTER TABLE t DROP PARTITION '202401'` names a partition by
@@ -483,9 +539,16 @@ object ChMutations {
           // emptied partition's stale files would survive — drop them
           // via partition DDL (the CH part drop). Emptied = touched
           // minus what the rewrite actually produced.
+          // string-normalized on BOTH sides: restrictTo partitions may
+          // arrive as statement text ("20240115") while the staged
+          // read returns native types (Int) — a typed comparison would
+          // call a still-populated partition "emptied" and DROP live
+          // data
           val produced = staged.select(partCols.map(col): _*)
-            .distinct().collect().map(_.toSeq).toSet
-          val emptied = touched.filterNot(produced.contains)
+            .distinct().collect()
+            .map(_.toSeq.map(String.valueOf)).toSet
+          val emptied =
+            touched.filterNot(vs => produced.contains(vs.map(String.valueOf)))
           emptied.foreach { vs =>
             // partition DDL cannot express a NULL partition value —
             // such partitions keep their (empty) directory, harmless

@@ -19,28 +19,89 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (parquet row-group min/max stats ARE the index, the same contract
   * as the EventsWriter sort and [[ChDdl]]'s ORDER BY mapping).
   *
-  * Selection is EXPLICIT — [[readProjection]] — not an automatic
-  * plan rewrite: ClickHouse's `optimize_use_projections` picks a
-  * projection when the query's aggregation subsumes it, which on
-  * Spark would be a Catalyst rule re-deriving aggregate containment;
-  * the explicit read pins the storage/maintenance semantics first
-  * (declared → materialized → read-equal-to-base), and the rewrite
-  * rule can land on top without changing any of it. Divergence from
-  * CH, documented: CH keeps projections in sync per insert at merge
-  * time; here a projection reflects its last MATERIALIZE — the same
-  * explicit-maintenance contract as [[ChTtl]] (re-run MATERIALIZE
-  * after loads, as a CH operator runs OPTIMIZE).
+  * Selection is explicit — [[readProjection]] — or AUTOMATIC via
+  * [[graft.plans.ProjectionRewrite]], the Catalyst optimizer rule
+  * analogue of ClickHouse's `optimize_use_projections`: a plain
+  * aggregate over the base table whose GROUP BY set equals a
+  * materialized aggregate projection's and whose aggregate
+  * expressions all map onto projection columns is rewritten to read
+  * the projection instead. The rule is gated on
+  * `spark.graft.projections.auto` and DEFAULTS OFF — deliberately
+  * the opposite of CH — because of the one semantic divergence: CH
+  * keeps projections transactionally in sync per insert at merge
+  * time; here a projection reflects its last MATERIALIZE (the same
+  * explicit-maintenance contract as [[ChTtl]] — re-run MATERIALIZE
+  * after loads, as a CH operator runs OPTIMIZE), so auto-answering
+  * from it is only sound when the operator opts in to that freshness
+  * contract. [[materialize]] precomputes the matching metadata
+  * (canonical group/aggregate forms → stored column names) so the
+  * optimizer rule itself never parses SQL.
   */
 object ChProjections {
 
   final case class ProjDecl(select: String)
+
+  /** Matching metadata for the auto-rewrite rule, precomputed at
+    * MATERIALIZE time from the analyzed projection plan: canonical
+    * text of the GROUP BY expressions, and canonical-form → stored
+    * column name for both group outputs and aggregate outputs.
+    */
+  final case class ProjInfo(baseTable: String, projTable: String,
+      groupCanons: Set[String], groupMap: Map[String, String],
+      aggMap: Map[String, String])
+
+  /** Conf key gating the automatic rewrite (default off — see the
+    * freshness contract in the object doc).
+    */
+  val autoConfKey = "spark.graft.projections.auto"
 
   // declarations keyed (table, projection), both lowercased — the
   // same process-wide registry pattern as ChTtl/ChSqlRewrite
   private val declared =
     new java.util.concurrent.ConcurrentHashMap[(String, String), ProjDecl]()
 
-  private[graft] def clearDeclared(): Unit = declared.clear()
+  // (table, projection) → (declaration text it was built from, info);
+  // populated by materialize for aggregate projections only
+  private val infos =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (String, ProjInfo)]()
+
+  private[graft] def clearDeclared(): Unit = { declared.clear(); infos.clear() }
+
+  /** The auto-rewrite candidates for a base table: infos whose
+    * declaration still matches the registry (a MODIFY/re-ADD with new
+    * text invalidates). Empty when nothing is declared — the rule's
+    * cheap bail-out.
+    */
+  def autoRewriteInfos(table: String): Seq[ProjInfo] = {
+    val t = table.toLowerCase
+    import scala.jdk.CollectionConverters._
+    infos.asScala.collect {
+      case ((`t`, p), (sel, info))
+        if Option(declared.get((t, p))).exists(_.select == sel) => info
+    }.toSeq
+  }
+
+  /** True once any projection is declared — lets the optimizer rule
+    * skip all work in sessions that never use projections.
+    */
+  def anyDeclared: Boolean = !infos.isEmpty
+
+  /** Canonical comparison text for an expression: aliases stripped,
+    * attribute references reduced to their lowercased bare name (two
+    * independently-analyzed plans over the same table differ in
+    * exprIds and qualifiers, never in names). Literal case is
+    * preserved — 'A' and 'a' are different filters.
+    */
+  private[graft] def canon(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    val stripped = e match { case al: Alias => al.child; case x => x }
+    stripped.transform {
+      case a: AttributeReference =>
+        a.withQualifier(Nil).withName(a.name.toLowerCase)
+    }.sql
+  }
 
   def projTableName(table: String, proj: String): String =
     s"__proj_${table.toLowerCase}_${proj.toLowerCase}"
@@ -66,15 +127,33 @@ object ChProjections {
     case addRe(rawTable, name, select) =>
       declared.put((clean(rawTable).toLowerCase, name.toLowerCase),
         ProjDecl(select.trim))
+      // any session that declares projections gets the (conf-gated)
+      // auto-rewrite rule, independent of how it was built
+      enableAutoRewrite(spark)
       true
     case matRe(rawTable, name) =>
       materialize(spark, clean(rawTable), name); true
     case dropRe(rawTable, name) =>
       val table = clean(rawTable)
       declared.remove((table.toLowerCase, name.toLowerCase))
+      infos.remove((table.toLowerCase, name.toLowerCase))
       spark.sql(s"DROP TABLE IF EXISTS `${projTableName(table, name)}`")
       true
     case _ => false
+  }
+
+  /** Registers the automatic-rewrite optimizer rule on this session
+    * (idempotent). Execution stays gated on [[autoConfKey]]; sessions
+    * configured with `spark.sql.extensions=graft.GraftExtensions` get
+    * the same rule via injectOptimizerRule instead.
+    */
+  def enableAutoRewrite(spark: SparkSession): Unit = {
+    val already = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.ProjectionRewrite])
+    if (!already)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          new graft.plans.ProjectionRewrite(spark)
   }
 
   /** Builds (or rebuilds) the projection's materialized table from the
@@ -93,8 +172,43 @@ object ChProjections {
       .stripPrefix("file:")
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(s"$wh/$out"))
-    df(spark, table, decl).write.mode("overwrite").format("parquet")
-      .saveAsTable(out)
+    val frame = df(spark, table, decl)
+    frame.write.mode("overwrite").format("parquet").saveAsTable(out)
+    buildInfo(spark, table, proj, decl, frame)
+  }
+
+  /** Extracts the auto-rewrite matching metadata from the analyzed
+    * projection plan: an AGGREGATE projection yields (group canon set,
+    * canon → stored column name) maps; a sort projection yields
+    * nothing (it is a storage layout, not an answer source for
+    * aggregates).
+    */
+  private def buildInfo(spark: SparkSession, table: String, proj: String,
+      decl: ProjDecl, frame: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val key = (table.toLowerCase, proj.toLowerCase)
+    frame.queryExecution.analyzed.collectFirst { case a: Aggregate => a } match {
+      case Some(agg) =>
+        val groupCanons = agg.groupingExpressions.map(canon).toSet
+        var groupMap = Map.empty[String, String]
+        var aggMap = Map.empty[String, String]
+        agg.aggregateExpressions.foreach {
+          case al: Alias => al.child match {
+            case ae: AggregateExpression => aggMap += canon(ae) -> al.name
+            case g if groupCanons(canon(g)) => groupMap += canon(g) -> al.name
+            case _ => () // an output the rule can't map; others still work
+          }
+          case ar: AttributeReference if groupCanons(canon(ar)) =>
+            groupMap += canon(ar) -> ar.name
+          case _ => ()
+        }
+        infos.put(key, (decl.select,
+          ProjInfo(table.toLowerCase, projTableName(table, proj),
+            groupCanons, groupMap, aggMap)))
+      case None => infos.remove(key)
+    }
   }
 
   /** The projection's contents as a frame (CH has no FROM inside a

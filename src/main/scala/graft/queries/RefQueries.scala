@@ -690,6 +690,80 @@ object RefQueries {
       .orderBy("user_id")
   }
 
+  /** r80: CH's `IN PARTITION` mutation scoping — the UPDATE's
+    * predicate (`value > 50`) matches rows in EVERY partition, but the
+    * clause restricts the rewrite to 'purchase' alone, and the
+    * unconditional DELETE scoped to 'error' empties and drops exactly
+    * that partition. The oracle doubles only purchase values and
+    * excludes only error rows — a mutation that leaked outside its
+    * named partition (or rediscovered by predicate) breaks the hash.
+    * Runs on the same partition-restricted rewrite path the TTL pass
+    * uses, so the no-discovery-scan contract gets a second consumer.
+    */
+  def ch_in_partition(s: SparkSession, dir: String): DataFrame = {
+    val loc = java.nio.file.Files.createTempDirectory("inpart_gate_").toString
+    scratchDirs.add(loc)
+    s.sql("DROP TABLE IF EXISTS events_inpart")
+    s.sql(s"""CREATE TABLE events_inpart
+      (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+      USING parquet PARTITIONED BY (event_type) LOCATION '$loc'""")
+    events(s, dir).select("event_id", "user_id", "value", "event_type")
+      .write.mode("append").insertInto("events_inpart")
+    ChCompat.sql(s, "ALTER TABLE events_inpart UPDATE value = value * 2 " +
+      "IN PARTITION 'purchase' WHERE value > 50")
+    ChCompat.sql(s,
+      "ALTER TABLE events_inpart DELETE IN PARTITION 'error' WHERE true")
+    s.table("events_inpart")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** r81: the AUTOMATIC projection rewrite (CH
+    * `optimize_use_projections`) on the oracle path — the projection
+    * is declared and materialized through the statement surface, the
+    * gate then runs a PLAIN Spark SQL aggregate over the BASE table
+    * with `spark.graft.projections.auto` on, and requires the
+    * optimizer to have swapped the aggregate for a projection scan
+    * (loud failure, not a silent fallback). The oracle recomputes the
+    * rollup from the original parquet: the swap must be invisible in
+    * the answer. At 100 TB this is the dashboard-rollup path: the
+    * fact scan and its shuffle disappear into a |keys|-sized
+    * projection read.
+    */
+  def ch_projection_auto(s: SparkSession, dir: String): DataFrame = {
+    val loc = java.nio.file.Files.createTempDirectory("projauto_gate_").toString
+    scratchDirs.add(loc)
+    ChCompat.registerAll(s)
+    s.sql("DROP TABLE IF EXISTS events_projauto")
+    s.sql(s"""CREATE TABLE events_projauto
+      (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+      USING parquet LOCATION '$loc'""")
+    events(s, dir).select("event_id", "user_id", "value", "event_type")
+      .write.mode("append").insertInto("events_projauto")
+    ChCompat.sql(s, """ALTER TABLE events_projauto ADD PROJECTION by_user (
+      SELECT user_id, count() AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS sv,
+             max(event_id) AS max_id
+      GROUP BY user_id)""")
+    ChCompat.sql(s,
+      "ALTER TABLE events_projauto MATERIALIZE PROJECTION by_user")
+    s.conf.set(graft.functions.ChProjections.autoConfKey, "true")
+    val out = s.sql("""
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+             max(event_id) AS max_id
+      FROM events_projauto GROUP BY user_id ORDER BY user_id""")
+    require(out.queryExecution.optimizedPlan.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty &&
+      out.queryExecution.optimizedPlan.toString
+        .contains("__proj_events_projauto_by_user"),
+      "r81: the aggregate was NOT answered from the projection — " +
+        "auto-rewrite regressed:\n" +
+        out.queryExecution.optimizedPlan.toString)
+    out
+  }
+
   def ch_delete_from(s: SparkSession, dir: String): DataFrame = {
     val loc = java.nio.file.Files.createTempDirectory("del_gate_").toString
     scratchDirs.add(loc)

@@ -117,6 +117,26 @@ class ChMutationsSpec extends SparkTestBase {
     assert(e.getMessage.contains("unpartitioned"))
   }
 
+  test("IN PARTITION scopes a mutation to the named partition even " +
+      "when the predicate matches rows elsewhere") {
+    freshTable("mut_inpart", partitioned = true)
+    // predicate matches ids 1-5 across x/y/z; the clause restricts the
+    // UPDATE to 'x' — y/z rows must be untouched
+    ChMutations.mutate(spark,
+      "ALTER TABLE mut_inpart UPDATE v = v + 1 IN PARTITION 'x' WHERE id >= 1")
+    val vs = spark.table("mut_inpart").orderBy("id")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(vs === Seq(11.0, 21.0, 30.0, 40.0, 50.0))
+    // spec form + unconditional DELETE empties and drops exactly 'y'
+    ChMutations.mutate(spark,
+      "ALTER TABLE mut_inpart DELETE IN PARTITION (kind = 'y') WHERE true")
+    assert(spark.table("mut_inpart").select("id")
+      .collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 5))
+    val parts = spark.sql("SHOW PARTITIONS mut_inpart")
+      .collect().map(_.getString(0)).toSeq
+    assert(!parts.exists(_.contains("kind=y")))
+  }
+
   test("DROP PARTITION by value and by spec") {
     freshTable("mut_dp", partitioned = true)
     ChMutations.mutate(spark, "ALTER TABLE mut_dp DROP PARTITION 'x'")

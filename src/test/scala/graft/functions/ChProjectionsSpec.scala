@@ -86,6 +86,56 @@ class ChProjectionsSpec extends SparkTestBase {
     assert(unsortedParts === 0L, "sort projection lost its ORDER BY layout")
   }
 
+  test("auto rewrite: a matching aggregate over the base is answered " +
+      "from the projection — plan swapped, answers identical, " +
+      "non-matching shapes untouched") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    freshBase("proj_auto")
+    ChCompat.sql(spark, """ALTER TABLE proj_auto ADD PROJECTION p (
+      SELECT user_id, count() AS n, sum(CAST(v AS DECIMAL(18,6))) AS sv
+      GROUP BY user_id)""")
+    ChCompat.sql(spark, "ALTER TABLE proj_auto MATERIALIZE PROJECTION p")
+    val q = "SELECT user_id, count(*) AS n, " +
+      "sum(CAST(v AS DECIMAL(18,6))) AS sv " +
+      "FROM proj_auto GROUP BY user_id ORDER BY user_id"
+    // conf off (default): the base table is aggregated
+    val off = spark.sql(q)
+    assert(off.queryExecution.optimizedPlan
+      .collect { case a: Aggregate => a }.nonEmpty)
+    val expected = off.collect().map(_.toSeq).toSeq
+    spark.conf.set(ChProjections.autoConfKey, "true")
+    try {
+      val on = spark.sql(q)
+      val opt = on.queryExecution.optimizedPlan
+      assert(opt.collect { case a: Aggregate => a }.isEmpty,
+        s"aggregate should be answered from the projection:\n$opt")
+      assert(opt.toString.contains("__proj_proj_auto_p"),
+        s"plan must scan the projection table:\n$opt")
+      assert(on.collect().map(_.toSeq).toSeq === expected)
+      // a DIFFERENT grouping set must bail to the base (exact match
+      // only) and still answer correctly
+      val global = spark.sql("SELECT count(*) AS n FROM proj_auto")
+      assert(global.queryExecution.optimizedPlan
+        .collect { case a: Aggregate => a }.nonEmpty)
+      assert(global.collect().head.getLong(0) === 5L)
+      // an aggregate the projection lacks bails too
+      val novel = spark.sql(
+        "SELECT user_id, min(v) AS mn FROM proj_auto GROUP BY user_id")
+      assert(novel.queryExecution.optimizedPlan
+        .collect { case a: Aggregate => a }.nonEmpty)
+      // expressions AROUND mapped aggregates are kept: avg spelled as
+      // sum/count over the projection's columns
+      val ratio = spark.sql("SELECT user_id, " +
+        "sum(CAST(v AS DECIMAL(18,6))) / count(*) AS avg_v " +
+        "FROM proj_auto GROUP BY user_id ORDER BY user_id")
+      assert(ratio.queryExecution.optimizedPlan
+        .collect { case a: Aggregate => a }.isEmpty)
+      assert(ratio.collect().map(r => (r.getLong(0),
+          r.getDecimal(1).doubleValue())).toSeq
+        === Seq((1L, 15.0), (2L, 35.0), (3L, 50.0)))
+    } finally spark.conf.unset(ChProjections.autoConfKey)
+  }
+
   test("DROP PROJECTION removes declaration and storage") {
     freshBase("proj_drop")
     ChCompat.sql(spark, """ALTER TABLE proj_drop ADD PROJECTION p (
