@@ -296,14 +296,15 @@ object ScaleRehearsal {
         mode == "refsurface" || mode == "maintain" ||
         mode == "bucketjoin" || mode == "sortskip" ||
         mode == "chsurface" || mode == "zorderskip" ||
-        mode == "mergetree") 100
+        mode == "mergetree" || mode == "projection") 100
       else 26
     require(mult >= 1 && mult <= maxMult,
       s"mult must be in [1, $maxMult] for mode $mode")
     require(Seq("dedup", "graph", "ann", "text", "clean", "semantic",
       "passages", "streaming", "deep", "edit", "annfilter", "windowskew",
       "bpek", "refsurface", "maintain", "bucketjoin",
-      "sortskip", "chsurface", "zorderskip", "mergetree").contains(mode),
+      "sortskip", "chsurface", "zorderskip", "mergetree",
+      "projection").contains(mode),
       s"unknown mode $mode")
     val work = if (args.length > 3) args(3)
       else {
@@ -1011,6 +1012,73 @@ object ScaleRehearsal {
         s""""plain_max_task_ms":${plain._1._2},""" +
         s""""plain_max_reduce_ms":${plain._1._3},""" +
         s""""ttl_drop":${jt(grain1)},"ttl_boundary":${jt(grain2)},""" +
+        s""""result_hash_equal":true}""")
+    } else if (mode == "projection") {
+      // r81's automatic projection rewrite at M (round 18): the same
+      // per-user rollup paid two ways over a catalog fact table of
+      // salted events — conf OFF (aggregate the fact: full scan +
+      // key-grain exchange, both ∝ M) vs conf ON (the optimizer swaps
+      // in the materialized projection: the scan is |users| rows and
+      // the only "aggregation" already happened at MATERIALIZE time).
+      // The materialize cost itself is reported — it is the honest
+      // price of the read-path win, paid once per maintenance cycle
+      // like CH's merge-time projection upkeep. Hashes asserted equal.
+      val nEvents = offsetSaltedEvents(spark, sfDir, mult, work)
+      graft.functions.ChCompat.registerAll(spark)
+      spark.sql("DROP TABLE IF EXISTS scale_projbase")
+      spark.sql(s"""CREATE TABLE scale_projbase
+        (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+        USING parquet LOCATION '$work/projbase'""")
+      spark.read.parquet(s"$work/events.parquet")
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("append").insertInto("scale_projbase")
+      graft.functions.ChCompat.sql(spark,
+        """ALTER TABLE scale_projbase ADD PROJECTION by_user (
+          SELECT user_id, count() AS n,
+                 sum(CAST(value AS DECIMAL(18,6))) AS sv,
+                 max(event_id) AS max_id
+          GROUP BY user_id)""")
+      val tm0 = System.nanoTime()
+      graft.functions.ChCompat.sql(spark,
+        "ALTER TABLE scale_projbase MATERIALIZE PROJECTION by_user")
+      val matSec = ((System.nanoTime() - tm0) / 1e7).round / 100.0
+      def rollup = spark.sql("""
+        SELECT user_id, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+               max(event_id) AS max_id
+        FROM scale_projbase GROUP BY user_id""")
+      val im = new InputMeter
+      spark.sparkContext.addSparkListener(im)
+      def metered(fn: => Long)
+          : (((Double, Double, Double, Long), Long, Long), Long) = {
+        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+        val r0 = im.records
+        val r = meterLeg(fn)
+        (r, im.records - r0)
+      }
+      spark.conf.set(graft.functions.ChProjections.autoConfKey, "false")
+      hashSink(rollup, "projection") // warm untimed
+      var hB = 0L; var hP = 0L
+      val base = metered { hB = hashSink(rollup, "projection"); nEvents }
+      spark.conf.set(graft.functions.ChProjections.autoConfKey, "true")
+      require(rollup.queryExecution.optimizedPlan.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isEmpty,
+        "projection: the auto-rewrite did not fire")
+      hashSink(rollup, "projection") // warm untimed
+      val proj = metered { hP = hashSink(rollup, "projection"); nEvents }
+      spark.sparkContext.removeSparkListener(im)
+      spark.conf.unset(graft.functions.ChProjections.autoConfKey)
+      require(hB == hP,
+        s"projection: rewritten read diverged from the base aggregate " +
+          s"(hash $hB vs $hP)")
+      println(s"""{"mult":$mult,"events":$nEvents,""" +
+        s""""materialize_sec":$matSec,""" +
+        s""""base":${jq(base._1._1)},"base_input_rows":${base._2},""" +
+        s""""base_max_task_ms":${base._1._2},""" +
+        s""""projected":${jq(proj._1._1)},""" +
+        s""""projected_input_rows":${proj._2},""" +
+        s""""projected_max_task_ms":${proj._1._2},""" +
         s""""result_hash_equal":true}""")
     } else if (mode == "zorderskip") {
       // The FOURTH write-layout lever (round 16): sortskip measures
