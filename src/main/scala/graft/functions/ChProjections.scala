@@ -172,9 +172,24 @@ object ChProjections {
       .stripPrefix("file:")
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(s"$wh/$out"))
-    val frame = df(spark, table, decl)
-    frame.write.mode("overwrite").format("parquet").saveAsTable(out)
-    buildInfo(spark, table, proj, decl, frame)
+    // the build query aggregates over the BASE table — with the auto
+    // rewrite on, the optimizer would otherwise answer it from the
+    // very projection being refreshed (or the half-created output
+    // table), making every re-MATERIALIZE a stale no-op; the rule
+    // bails while this thread materializes
+    materializing.set(true)
+    try {
+      val frame = df(spark, table, decl)
+      frame.write.mode("overwrite").format("parquet").saveAsTable(out)
+      buildInfo(spark, table, proj, decl, frame)
+    } finally materializing.set(false)
+  }
+
+  /** True on the driver thread while [[materialize]] runs — the
+    * auto-rewrite rule's self-read guard.
+    */
+  private[graft] val materializing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
   /** Extracts the auto-rewrite matching metadata from the analyzed

@@ -56,6 +56,9 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!ChProjections.anyDeclared) return plan
     if (!spark.conf.getOption(ChProjections.autoConfKey).contains("true"))
       return plan
+    // self-read guard: a MATERIALIZE's own build query must aggregate
+    // the base table, never the projection it is refreshing
+    if (ChProjections.materializing.get()) return plan
     plan.transformUp {
       case agg: Aggregate =>
         baseRelOf(agg.child).flatMap { rel =>

@@ -136,6 +136,26 @@ class ChProjectionsSpec extends SparkTestBase {
     } finally spark.conf.unset(ChProjections.autoConfKey)
   }
 
+  test("re-MATERIALIZE with the auto rewrite ON refreshes from the " +
+      "BASE table, not from itself") {
+    import spark.implicits._
+    freshBase("proj_refresh")
+    ChCompat.sql(spark, """ALTER TABLE proj_refresh ADD PROJECTION p (
+      SELECT user_id, count() AS n GROUP BY user_id)""")
+    ChCompat.sql(spark, "ALTER TABLE proj_refresh MATERIALIZE PROJECTION p")
+    spark.conf.set(ChProjections.autoConfKey, "true")
+    try {
+      Seq((6, 3L, 60.0)).toDF("id", "user_id", "v")
+        .write.mode("append").insertInto("proj_refresh")
+      // without the self-read guard the build query would be answered
+      // from the stale projection and the refresh would be a no-op
+      ChCompat.sql(spark, "ALTER TABLE proj_refresh MATERIALIZE PROJECTION p")
+      val n3 = ChProjections.readProjection(spark, "proj_refresh", "p")
+        .filter("user_id = 3").collect().map(_.getLong(1)).head
+      assert(n3 === 2L, "re-MATERIALIZE served stale projection data")
+    } finally spark.conf.unset(ChProjections.autoConfKey)
+  }
+
   test("DROP PROJECTION removes declaration and storage") {
     freshBase("proj_drop")
     ChCompat.sql(spark, """ALTER TABLE proj_drop ADD PROJECTION p (
