@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's ImageInputStream/ImageOutputStream default to a DISK
+  // cache: every encode/decode of an in-memory payload creates (and
+  // deletes) a temp file. For the million-tiny-image shape of the
+  // m-family gates that is a file create+write+delete per image for
+  // zero benefit — the payloads already sit in RAM. Memory cache is
+  // semantically identical (same bytes, same decode). Process-global,
+  // set once wherever a task first touches this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic fake decode: "dimensions" from payload length, a
     * format tag from the first byte. Column-level, so it composes with
     * the rest of a projection.
@@ -333,12 +342,12 @@ object Multimodal {
           hash ^= ((v >> 24) & 0xFFL); hash *= 0x100000001b3L
         }
         mix(w); mix(h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { mix(img.getRGB(x, y) & 0xFFFFFF); x += 1 }
-          y += 1
-        }
+        // bulk getRGB: one color-model conversion pass instead of a
+        // per-pixel virtual call — same ARGB ints, same hash
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        val n = w * h
+        while (i < n) { mix(px(i) & 0xFFFFFF); i += 1 }
         Some((w, h, hash))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -357,17 +366,15 @@ object Multimodal {
       else {
         val (w, h) = (img.getWidth, img.getHeight)
         var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xFF
-            sg += (rgb >> 8) & 0xFF
-            sb += rgb & 0xFF
-            x += 1
-          }
-          y += 1
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        val n = w * h
+        while (i < n) {
+          val rgb = px(i)
+          sr += (rgb >> 16) & 0xFF
+          sg += (rgb >> 8) & 0xFF
+          sb += rgb & 0xFF
+          i += 1
         }
         Some((w, h, sr, sg, sb))
       }
@@ -386,15 +393,18 @@ object Multimodal {
     require(w % 2 == 0, "even width keeps the per-row color counts equal")
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
+      val row = y * w
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, if (((x + y) & 1) == 0) c0 else c1)
+        px(row + x) = if (((x + y) & 1) == 0) c0 else c1
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
@@ -439,6 +449,7 @@ object Multimodal {
       if (img == null || img.getWidth < grid || img.getHeight < grid) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         val out = List.newBuilder[(Int, Int, Long, Long, Long, Long)]
         var cy = 0
         while (cy < grid) {
@@ -449,9 +460,10 @@ object Multimodal {
             var (sr, sg, sb) = (0L, 0L, 0L)
             var y = y0
             while (y < y1) {
+              val row = y * w
               var x = x0
               while (x < x1) {
-                val rgb = img.getRGB(x, y)
+                val rgb = px(row + x)
                 sr += (rgb >> 16) & 0xFF
                 sg += (rgb >> 8) & 0xFF
                 sb += rgb & 0xFF
@@ -467,6 +479,43 @@ object Multimodal {
         Some(out.result())
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Perceptual average-hash (aHash) of one payload, computed from the
+    * SAME [[poolCells]] pooling: cell luma proxy cl = sum_r+sum_g+sum_b,
+    * bit (cy·grid+cx) set iff grid²·cl > Σcl — bit-identical to the
+    * two-pass SQL form (join the pooled cells with their own per-image
+    * total), but in ONE decode: the m12 gate's cells⋈total join made
+    * the decode subtree a double-evaluated common subexpression (two
+    * consumers of an opaque mapPartitions — Spark cannot CSE it), so
+    * every PNG was synthesized and decoded twice. None when
+    * undecodable or smaller than the grid, same as [[poolCells]].
+    */
+  def imageAHash(bytes: Array[Byte], grid: Int): Option[Long] =
+    poolCells(bytes, grid).map { cells =>
+      var tot = 0L
+      cells.foreach { case (_, _, _, sr, sg, sb) => tot += sr + sg + sb }
+      val g2 = grid.toLong * grid
+      var h = 0L
+      cells.foreach { case (cy, cx, _, sr, sg, sb) =>
+        if (g2 * (sr + sg + sb) > tot) h |= 1L << (cy * grid + cx)
+      }
+      h
+    }
+
+  /** [[imageAHash]] over a binary column — (id, ahash) rows; decode
+    * and pooling stay inside the scan partition (the m-family plan
+    * contract) and the shuffle downstream carries 16 bytes per image.
+    */
+  def decodeImageAHashes(df: DataFrame, idCol: String, payloadCol: String,
+      grid: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    mapBinaryBatches(df, idCol, payloadCol) { it =>
+      it.flatMap { case (id, bytes) =>
+        imageAHash(bytes, grid).map(h => (id, h))
+      }
+    }.toDF("id", "ahash")
   }
 
   /** Deterministic vertical-stripe PNG — the m11 synthesizer: column
@@ -491,6 +540,7 @@ object Multimodal {
       "brightness must be in [0, 55] to stay wrap-free")
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var x = 0
     while (x < w) {
       val r = ((seed + 7L * x) % 200).toInt + brightness
@@ -498,9 +548,10 @@ object Multimodal {
       val b = ((seed * 5 + 13L * x) % 200).toInt + brightness
       val rgb = (r << 16) | (g << 8) | b
       var y = 0
-      while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+      while (y < h) { px(y * w + x) = rgb; y += 1 }
       x += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
@@ -509,6 +560,7 @@ object Multimodal {
   def synthStripePng(w: Int, h: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var x = 0
     while (x < w) {
       val r = ((seed + 7L * x) % 256).toInt
@@ -516,9 +568,10 @@ object Multimodal {
       val b = ((seed * 5 + 13L * x) % 256).toInt
       val rgb = (r << 16) | (g << 8) | b
       var y = 0
-      while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+      while (y < h) { px(y * w + x) = rgb; y += 1 }
       x += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray

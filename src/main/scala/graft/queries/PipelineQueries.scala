@@ -90,6 +90,49 @@ object PipelineQueries {
   private def corpusDocs(s: SparkSession, dir: String): Long =
     docCountMemo.computeIfAbsent(dir, d => docs(s, d).count()).longValue()
 
+  /** Evaluate each expensive input subtree exactly ONCE (optimization
+    * r18): the LSH gates reference their signature/bucket/array tables
+    * from BOTH sides of self-joins and verify joins, and Spark cannot
+    * CSE an opaque-expression subtree — so the map-heavy signature
+    * passes (MinHash = 64 hash evals per shingle, ShingleHashSorted =
+    * hash+sort per doc) ran 2–4× per gate for identical output. Each
+    * input is checkpointed eagerly (one evaluation), the gate's small
+    * result is materialized eagerly, and the input checkpoints are
+    * freed before returning — no storage leak (the LabelProp
+    * discipline). Spark ≥3.4 propagates the origin plan's statistics
+    * onto the checkpointed relation (SPARK-39748), so join-strategy
+    * picks (the bucket self-join's broadcast at gate scale) are
+    * unchanged — asserted by the plan files in plans/r18/. At 100 TB
+    * this is "persist the signature/index tables at index-build time,
+    * probe them" — the shape the d15/SCALE.md notes already name.
+    */
+  private def reusing(inputs: DataFrame*)(
+      build: Seq[DataFrame] => DataFrame): DataFrame = {
+    val cps = inputs.zipWithIndex.map { case (df, i) =>
+      cpStage(df, s"input $i") }
+    val out = cpStage(build(cps), "result")
+    cps.foreach(graft.operators.Dedup.unpersistCheckpoint)
+    out
+  }
+
+  /** When true, every eager stage materialized by [[reusing]] /
+    * [[withPairsOnce]] records its formatted plan into [[stagePlans]]
+    * — the artifact surface for ExplainPlans, PlanFingerprintSpec and
+    * PlanContractSpec, which otherwise would see only the final
+    * presentation plan of an eager gate (a Scan of the result RDD).
+    * Off in Bench/Verify: recording costs a formatted explain per
+    * stage.
+    */
+  @volatile private[graft] var recordStagePlans = false
+  private[graft] val stagePlans =
+    new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
+  private def cpStage(df: DataFrame, label: String): DataFrame = {
+    if (recordStagePlans) stagePlans.add((label,
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)))
+    df.localCheckpoint()
+  }
+
   private[graft] def lshVerifyJoin(cand: DataFrame, shingleSets: DataFrame,
       nDocs: Long, maxBroadcastDocs: Long = VerifyBroadcastMaxDocs,
       valCols: Seq[String] = Seq("sh")): DataFrame = {
@@ -135,9 +178,6 @@ object PipelineQueries {
     // dominates, e.g. long documents at much larger corpus scale.)
     val sigs = docs(s, dir).select(col("doc_id"),
       graft.functions.MinHashSig(col("text"), 5, 64).as("sig"))
-    val cand = TextDedup.candidatePairs(
-      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
-      "doc_id")
     // Verify against PRECOMPUTED sorted shingle-hash sets
     // (ShingleHashSorted, one hashing pass per doc) compared with a
     // primitive sorted-merge (SortedLongJaccard) — bit-equal to the
@@ -146,18 +186,25 @@ object PipelineQueries {
     // appears in (~117× on this corpus), and the per-pair compare is
     // allocation- and hash-free. The join carries candidate docs'
     // hash arrays only (≤8 B per distinct shingle).
-    val t = docs(s, dir).select(col("doc_id"),
+    val t0 = docs(s, dir).select(col("doc_id"),
       graft.functions.ShingleHashSorted(col("text"), 5).as("sh"))
-    // verify-join regime is picked explicitly from the measured corpus
-    // size — see lshVerifyJoin for the M=100 rehearsal incident that
-    // retired the estimate-trusted shape
-    lshVerifyJoin(cand, t, corpusDocs(s, dir))
-      .withColumn("inter",
-        graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
-      .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .filter(col("inter").cast("double") / col("un") >= 0.8)
-      .select(col("id_a"), col("id_b"), col("inter"), col("un"))
-      .orderBy("id_a", "id_b")
+    // `reusing`: the bucket table (and so MinHashSig) and the shingle
+    // table each evaluate ONCE — the self-join/verify sides previously
+    // re-ran both signature passes (see reusing's doc)
+    reusing(
+      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
+      t0) { case Seq(buckets, t) =>
+      val cand = TextDedup.candidatePairs(buckets, "doc_id")
+      // verify-join regime is picked explicitly from the measured corpus
+      // size — see lshVerifyJoin for the M=100 rehearsal incident that
+      // retired the estimate-trusted shape
+      lshVerifyJoin(cand, t, corpusDocs(s, dir))
+        .withColumn("inter",
+          graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
+        .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("inter").cast("double") / col("un") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("inter"), col("un"))
+    }.orderBy("id_a", "id_b")
   }
 
   // ---- d16: STOP-SHINGLE-filtered near-dup — the production counter
@@ -193,24 +240,32 @@ object PipelineQueries {
   def stop_shingle_neardup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val stopLit = lit(stopShinglesFor(s, dir))
-    val t = d.select(col("doc_id"),
+    // the filtered shingle table feeds the signature branch AND both
+    // verify sides — previously 4 evaluations of the shingle+filter
+    // pass (and 2 of the signature pass); checkpoint it first, then
+    // reuse the bucket table derived FROM the checkpoint (see reusing)
+    val t = cpStage(d.select(col("doc_id"),
       filter(graft.functions.ShingleHashSorted(col("text"), 5),
-        x => !array_contains(stopLit, x)).as("sh")) // filter keeps sort order
+        x => !array_contains(stopLit, x)).as("sh")), // filter keeps sort order
+      "filtered shingles")
     // native sig-from-hashes expression: the HOF form here measured
     // 14 s at sf0.1 (signature stage dominated); this is MinHashSig's
     // permutation scheme over the filtered hash set in one tight loop
     val sigs = t.select(col("doc_id"),
       graft.functions.MinHashSigFromHashes(col("sh"), 64).as("sig"))
-    val cand = TextDedup.candidatePairs(
-      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
-      "doc_id")
-    lshVerifyJoin(cand, t, corpusDocs(s, dir))
-      .withColumn("inter",
-        graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
-      .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .filter(col("inter").cast("double") / col("un") >= 0.8)
-      .select(col("id_a"), col("id_b"), col("inter"), col("un"))
-      .orderBy("id_a", "id_b")
+    val out = reusing(
+      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16,
+        rowsPerBand = 4)) { case Seq(buckets) =>
+      val cand = TextDedup.candidatePairs(buckets, "doc_id")
+      lshVerifyJoin(cand, t, corpusDocs(s, dir))
+        .withColumn("inter",
+          graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
+        .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("inter").cast("double") / col("un") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("inter"), col("un"))
+    }
+    graft.operators.Dedup.unpersistCheckpoint(t)
+    out.orderBy("id_a", "id_b")
   }
 
   /** Where the d16 stop-shingle set persists, keyed by the SF dir's
@@ -373,18 +428,25 @@ object PipelineQueries {
     val d = docs(s, dir)
     val sigs = d.select(col("doc_id"),
       graft.functions.MinHashSig(col("text"), 5, 64).as("sig"))
-    val cand = TextDedup.candidatePairs(
-      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
-      "doc_id")
-    // same measured-corpus-size join regime as d02's shingle verify;
-    // the payload is the raw text the Levenshtein stage needs plus
-    // the per-doc CharHist for editVerify's count filter
-    lshVerifyJoin(cand,
-        d.select(col("doc_id"), col("text"),
-          graft.functions.CharHist(col("text")).as("hist")),
-        corpusDocs(s, dir), valCols = Seq("text", "hist"))
-      .filter(abs(length(col("text_b")) - length(col("text_a"))) <= k)
-      .select("id_a", "id_b", "text_a", "text_b", "hist_a", "hist_b")
+    // one evaluation of the MinHash pass and the text+CharHist pass
+    // each (see reusing's doc); the result here is the CANDIDATE set
+    // with text attached — bounded by band collisions, the same
+    // intermediate the join already materialized on the build side
+    reusing(
+      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16,
+        rowsPerBand = 4),
+      d.select(col("doc_id"), col("text"),
+        graft.functions.CharHist(col("text")).as("hist"))) {
+      case Seq(buckets, tbl) =>
+        val cand = TextDedup.candidatePairs(buckets, "doc_id")
+        // same measured-corpus-size join regime as d02's shingle
+        // verify; the payload is the raw text the Levenshtein stage
+        // needs plus the per-doc CharHist for editVerify's count filter
+        lshVerifyJoin(cand, tbl, corpusDocs(s, dir),
+          valCols = Seq("text", "hist"))
+          .filter(abs(length(col("text_b")) - length(col("text_a"))) <= k)
+          .select("id_a", "id_b", "text_a", "text_b", "hist_a", "hist_b")
+    }
   }
 
   // ---- d19: EXACT-SUBSTRING dedup (Lee et al. 2021, "Deduplicating
@@ -423,12 +485,19 @@ object PipelineQueries {
   def exact_substrings(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = 40
+    // ONE evaluation of the window-fingerprint pass (optimization
+    // r18): the previous groupBy(g)+left-semi shape had two consumers
+    // of `w`, so the scan + WindowHashes sweep + posexplode ran TWICE
+    // (plus an aggregation exchange AND a join exchange). The ≥2-docs
+    // mark is a per-g-group min≠max — exactly a window aggregate: one
+    // eval of `w`, one exchange by g, no join. Same rows survive by
+    // construction (min/max per g are identical either way).
+    val wg = Window.partitionBy("g")
     val w = substrWindows(s, dir, L)
-    val shared = w.groupBy("g")
-      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+    w.withColumn("d0", min("doc_id").over(wg))
+      .withColumn("d1", max("doc_id").over(wg))
       .filter(col("d0") =!= col("d1"))
-      .select("g")
-    w.join(shared, Seq("g"), "left_semi")
+      .select("doc_id", "i")
       .withColumn("island", col("i") - row_number().over(
         Window.partitionBy("doc_id").orderBy("i")))
       .groupBy("doc_id", "island")
@@ -489,11 +558,15 @@ object PipelineQueries {
   private[queries] def cutCorpus(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = 40
+    // one eval of `w` (optimization r18, the d19 reshape): ownership
+    // (min doc_id per hash) as a window aggregate instead of a
+    // groupBy+join back onto `w` — the join form re-ran the whole
+    // window-fingerprint pass for the second consumer. One row per
+    // (doc, i) either way: each position has one hash and one owner.
     val w = substrWindows(s, dir, L)
-    val owners = w.groupBy("g").agg(min("doc_id").as("own"))
-    // one row per (doc, i): each position has one hash, each hash one
-    // owner row — the join cannot duplicate positions
-    val toCut = w.join(owners, Seq("g"))
+    val toCut = w
+      .withColumn("own",
+        min("doc_id").over(Window.partitionBy("g")))
       .filter(col("doc_id") > col("own"))
       .select("doc_id", "i")
     val isl = toCut
@@ -561,30 +634,34 @@ object PipelineQueries {
       "doc_id", "sig", bands = 16, rowsPerBand = 4)
     val prb = TextDedup.lshBuckets(sigs(d.filter(col("doc_id") % 2 === 1)),
       "doc_id", "sig", bands = 16, rowsPerBand = 4)
-    val cand = TextDedup.candidatePairsAcross(prb, idx, "doc_id")
-    val t = d.select(col("doc_id"),
+    val t0 = d.select(col("doc_id"),
       graft.functions.ShingleHashSorted(col("text"), 5).as("sh"))
-    // join ORDER is the shuffle budget: the corpus-side arrays attach
-    // first via the id-keyed join (bare (probe_id, index_id) pairs +
-    // each corpus array crossing once), and the BATCH-side arrays
-    // broadcast LAST — batch is bounded by the ingest contract. The
-    // reverse order measured 360 MB at the M=10 rehearsal because
-    // every candidate row carried its probe array through the
-    // index-side exchange (one array per CANDIDATE, not per doc).
-    cand
-      .join(t.select(col("doc_id").as("index_id"), col("sh").as("sh_b")),
-        Seq("index_id"))
-      .join(broadcast(
-        t.select(col("doc_id").as("probe_id"), col("sh").as("sh_a"))
-          .where(col("probe_id") % 2 === 1)),
-        Seq("probe_id"))
-      .withColumn("inter",
-        graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
-      .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .filter(col("inter").cast("double") / col("un") >= 0.8)
-      .select(col("probe_id").as("batch_id"),
-        col("index_id").as("corpus_id"), col("inter"), col("un"))
-      .orderBy("batch_id", "corpus_id")
+    // the shingle table feeds BOTH verify sides — one evaluation via
+    // reusing (the index/probe bucket branches are each single-
+    // consumer already)
+    reusing(t0) { case Seq(t) =>
+      val cand = TextDedup.candidatePairsAcross(prb, idx, "doc_id")
+      // join ORDER is the shuffle budget: the corpus-side arrays attach
+      // first via the id-keyed join (bare (probe_id, index_id) pairs +
+      // each corpus array crossing once), and the BATCH-side arrays
+      // broadcast LAST — batch is bounded by the ingest contract. The
+      // reverse order measured 360 MB at the M=10 rehearsal because
+      // every candidate row carried its probe array through the
+      // index-side exchange (one array per CANDIDATE, not per doc).
+      cand
+        .join(t.select(col("doc_id").as("index_id"), col("sh").as("sh_b")),
+          Seq("index_id"))
+        .join(broadcast(
+          t.select(col("doc_id").as("probe_id"), col("sh").as("sh_a"))
+            .where(col("probe_id") % 2 === 1)),
+          Seq("probe_id"))
+        .withColumn("inter",
+          graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
+        .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("inter").cast("double") / col("un") >= 0.8)
+        .select(col("probe_id").as("batch_id"),
+          col("index_id").as("corpus_id"), col("inter"), col("un"))
+    }.orderBy("batch_id", "corpus_id")
   }
 
   // ---- d13: densified-OPH MinHash-LSH — d02's recall-gate structure
@@ -601,19 +678,21 @@ object PipelineQueries {
   def oph_lsh_dedup(s: SparkSession, dir: String): DataFrame = {
     val sigs = docs(s, dir).select(col("doc_id"),
       graft.functions.OphSig(col("text"), 5, 64).as("sig"))
-    val cand = TextDedup.candidatePairs(
-      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
-      "doc_id")
-    val t = docs(s, dir).select(col("doc_id"),
+    val t0 = docs(s, dir).select(col("doc_id"),
       graft.functions.ShingleHashSorted(col("text"), 5).as("sh"))
-    // same measured-regime verify join as d02 (see lshVerifyJoin)
-    lshVerifyJoin(cand, t, corpusDocs(s, dir))
-      .withColumn("inter",
-        graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
-      .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .filter(col("inter").cast("double") / col("un") >= 0.8)
-      .select(col("id_a"), col("id_b"), col("inter"), col("un"))
-      .orderBy("id_a", "id_b")
+    // one evaluation of each signature pass (see reusing's doc)
+    reusing(
+      TextDedup.lshBuckets(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
+      t0) { case Seq(buckets, t) =>
+      val cand = TextDedup.candidatePairs(buckets, "doc_id")
+      // same measured-regime verify join as d02 (see lshVerifyJoin)
+      lshVerifyJoin(cand, t, corpusDocs(s, dir))
+        .withColumn("inter",
+          graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
+        .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("inter").cast("double") / col("un") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("inter"), col("un"))
+    }.orderBy("id_a", "id_b")
   }
 
   // ---- SimHash near-dup detection (banded hamming ≤ 12), run as a
@@ -637,30 +716,34 @@ object PipelineQueries {
     // measurably lost 2 of the 25 J ≥ 0.8 pairs (hamming 4–5 spread
     // over all four quarters), and single-byte bands blew candidates
     // up 50× (N²/2⁹ on 2⁸-value buckets).
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded0 = sigs.select(col("doc_id"), col("sig"),
       explode(TextDedup.simhashBlockPairKeys(col("sig"))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-      .withColumn("hamming", TextDedup.hamming64(col("sig_a"), col("sig_b")))
-      .filter(col("hamming") <= 12)
-      .select("id_a", "id_b")
-    val t = docs(s, dir).select(col("doc_id"),
+    val t0 = docs(s, dir).select(col("doc_id"),
       graft.functions.ShingleHashSorted(col("text"), 5).as("sh"))
-    cand
-      .join(t.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(t.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter",
-        graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
-      .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .filter(col("inter").cast("double") / col("un") >= 0.8)
-      .select(col("id_a"), col("id_b"), col("inter"), col("un"))
-      .orderBy("id_a", "id_b")
+    // one evaluation of the SimHash pass and the shingle pass each —
+    // the banded self-join and the two verify sides previously re-ran
+    // them (see reusing's doc)
+    reusing(banded0, t0) { case Seq(banded, t) =>
+      val a = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      val cand = a.join(b, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+        .withColumn("hamming", TextDedup.hamming64(col("sig_a"), col("sig_b")))
+        .filter(col("hamming") <= 12)
+        .select("id_a", "id_b")
+      cand
+        .join(t.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(t.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter",
+          graft.functions.SortedLongIntersect(col("sh_a"), col("sh_b")))
+        .withColumn("un", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("inter").cast("double") / col("un") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("inter"), col("un"))
+    }.orderBy("id_a", "id_b")
   }
 
   // ---- word-set Jaccard over sliding-window candidate pairs (the exact
@@ -2247,8 +2330,31 @@ object PipelineQueries {
   // Triangles degree-orientation trick); the ±window detector's
   // bounded degrees keep the gate instance skew-free, and the shuffle
   // carries only (id, id) pairs. ----
+  /** Run a graph operator over the near-dup pair list with the pair
+    * DETECTOR evaluated exactly once (optimization r18). The wedge /
+    * triangle shapes reference their edge input several times (the
+    * symmetric union alone doubles it; the self-join doubles it
+    * again), and an opaque-expression detector subtree gets no CSE —
+    * g08 re-ran the full candidate+verify pipeline 4×, g11 6×, for
+    * identical output. The edge list itself is tiny ((long, long)
+    * rows), so: checkpoint it eagerly, materialize the operator's
+    * (small) result eagerly, free the edge checkpoint before
+    * returning — the LabelProp no-leak discipline. At 100 TB this is
+    * exactly "materialize the detector output once, run graph ops
+    * over the edge TABLE" — nobody re-runs a corpus-scale detector
+    * per wedge join.
+    */
+  private def withPairsOnce(pairs: => DataFrame)(
+      op: DataFrame => DataFrame): DataFrame = {
+    val cp = cpStage(pairs, "pair detector")
+    val out = cpStage(op(cp), "graph result")
+    graft.operators.Dedup.unpersistCheckpoint(cp)
+    out
+  }
+
   def twohop(s: SparkSession, dir: String): DataFrame =
-    graft.graph.TwoHop.reach2(jaccardPairsRaw(s, dir)).orderBy("node_id")
+    withPairsOnce(jaccardPairsRaw(s, dir))(graft.graph.TwoHop.reach2(_))
+      .orderBy("node_id")
 
   // ---- g11: the SKEW-GUARDED two-hop — identical semantics to g08
   // via [[graft.graph.TwoHop]]'s hub-salted wedge join, run with a
@@ -2261,15 +2367,17 @@ object PipelineQueries {
   // shuffle INPUT is tiny — and the skewed-graph rehearsal leg
   // (SCALE.md graph mode) measures the max-task-time bound it buys.
   def twohop_guarded(s: SparkSession, dir: String): DataFrame =
-    graft.graph.TwoHop.reach2(jaccardPairsRaw(s, dir),
-      degreeCap = 8, buckets = 4).orderBy("node_id")
+    withPairsOnce(jaccardPairsRaw(s, dir))(
+      graft.graph.TwoHop.reach2(_, degreeCap = 8, buckets = 4))
+      .orderBy("node_id")
 
   // ---- triangle census over the near-dup pair graph: triples of
   // MUTUALLY near-duplicate docs (d04's verified edges). Degree-
   // oriented wedge join — candidate rows bounded by m^1.5 regardless
   // of hub degrees; see graph.Triangles. Full relational oracle. ----
   def neardup_triangles(s: SparkSession, dir: String): DataFrame =
-    graft.graph.Triangles.summary(jaccardPairsRaw(s, dir), "id_a", "id_b")
+    withPairsOnce(jaccardPairsRaw(s, dir))(
+      graft.graph.Triangles.summary(_, "id_a", "id_b"))
 
   // ---- g06: label-propagation communities over the near-dup graph —
   // the curation clustering CC is too coarse for (CC merges anything
@@ -2295,7 +2403,14 @@ object PipelineQueries {
   // carries (id, label, counts), never text; m ships as a literal
   // like t13's vocabulary scalar. ----
   def modularity(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairsRaw(s, dir)
+    // ONE evaluation of the pair detector (optimization r18): the
+    // lazy form re-ran the candidate+verify join FOUR times (LabelProp
+    // input, m = count, the degree table, the intra join) — ~4× the
+    // gate's map work for identical output. Checkpoint the (id_a,
+    // id_b) edge list once (pairs-sized, kilobytes per thousand docs),
+    // materialize the tiny community rollup eagerly, free the
+    // checkpoint before returning (the LabelProp no-leak discipline).
+    val pairs = cpStage(jaccardPairsRaw(s, dir), "pair detector")
     val labels = graft.graph.LabelProp.run(pairs, iterations = 3)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b"), col("id_a")))
@@ -2311,14 +2426,16 @@ object PipelineQueries {
     val degc = lab.join(deg, col("id") === col("src"))
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_nodes"), sum("deg").as("degree_sum"))
-    degc.join(intra, Seq("community"), "left")
+    val out = degc.join(intra, Seq("community"), "left")
       .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
       .withColumn("contrib_x4m2",
         lit(4L) * lit(m) * col("intra_edges")
           - col("degree_sum") * col("degree_sum"))
       .select("community", "n_nodes", "intra_edges", "degree_sum",
         "contrib_x4m2")
-      .orderBy("community")
+    val outCp = cpStage(out, "modularity result")
+    graft.operators.Dedup.unpersistCheckpoint(pairs)
+    outCp.orderBy("community")
   }
 
   // ---- g10: duplicate-cluster SIZE HISTOGRAM — the curation report
@@ -3249,16 +3366,16 @@ object PipelineQueries {
           w = ((k % 12) * 4 + 16).toInt, h = ((k % 6) * 4 + 8).toInt,
           seed = k, brightness = b))
       }.toDF("doc_id", "payload")
-    val cells = graft.multimodal.Multimodal
-      .decodeImagePool(png, "doc_id", "payload", grid = 4)
-      .withColumn("cl", col("sum_r") + col("sum_g") + col("sum_b"))
-    val tot = cells.groupBy("id").agg(sum("cl").as("tot"))
-    cells.join(tot, "id")
-      .withColumn("bit",
-        when(col("cl") * 16 > col("tot"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(cy*4 + cx AS INT))"))
-          .otherwise(0L))
-      .groupBy("id").agg(sum("bit").as("ahash"))
+    // one decode per image (optimization r18): the previous shape
+    // joined the pooled cells with their own per-image total — two
+    // consumers of the opaque decode mapPartitions, which Spark
+    // cannot CSE, so every PNG was synthesized+decoded TWICE and the
+    // cells⋈total join added two exchanges. imageAHash computes the
+    // identical integer bit rule (16·cl > Σcl over the same poolCells
+    // cells — bit-equality pinned by MultimodalSpec) inside the decode
+    // partition; the shuffle now carries (id, ahash) only.
+    graft.multimodal.Multimodal
+      .decodeImageAHashes(png, "doc_id", "payload", grid = 4)
       .groupBy("ahash")
       .agg(min("id").as("keep_id"), count(lit(1)).as("dups"))
       .select("keep_id", "dups", "ahash")

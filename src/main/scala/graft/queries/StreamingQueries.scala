@@ -61,6 +61,7 @@ object StreamingQueries {
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption(ProviderConf)
+    val prevClog = s.conf.getOption(ChangelogConf)
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     // RocksDB state store: state lives off-heap in a native LSM with
     // changelog/snapshot files under the checkpoint — the store whose
@@ -72,15 +73,43 @@ object StreamingQueries {
     // streaming-mode scale rehearsal measures its state growth.
     s.conf.set(ProviderConf,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Changelog checkpointing (optimization round 18, guide §1.2 "per-
+    // task work"): the default RocksDB commit uploads a FULL snapshot
+    // of every store instance per micro-batch — for these drained
+    // sources that is (batches × state partitions) snapshot uploads of
+    // mostly-unchanged state. With changelog checkpointing the commit
+    // writes only the batch's delta; snapshots move to the maintenance
+    // thread. Restart legs (r62/r65/r67/r68) replay snapshot+changelog,
+    // which is exactly the recovery path a 100-TB deployment runs.
+    s.conf.set(ChangelogConf,
+      sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
-      prevProv match {
-        case Some(p) => s.conf.set(ProviderConf, p)
-        case None => s.conf.unset(ProviderConf)
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(p) => s.conf.set(k, p)
+        case None => s.conf.unset(k)
       }
+      restore(ProviderConf, prevProv)
+      restore(ChangelogConf, prevClog)
     }
   }
   private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  private val ChangelogConf =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+  /** State-partition count for the streaming gates — a DEPLOYMENT
+    * knob (≈ cluster cores / state volume at 100 TB), env-overridable
+    * so the same binary benches any setting
+    * (`SPARK_GRAFT_STATE_PARTITIONS`). Local default measured in
+    * OPTIMIZATION_r18.md: on the drained single-digit-MB sources each
+    * partition costs per-micro-batch store open/commit bookkeeping,
+    * so fewer is strictly faster locally with identical results (the
+    * state-partition count is pinned into the checkpoint at first
+    * start and never affects WHAT is computed).
+    */
+  private[graft] val StateParts: Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.trim.toInt)
+      .filter(_ > 0).getOrElse(8)
 
   /** Per-gate micro-batch progress of the most recent drain — state
     * rows/bytes per batch for the scale rehearsal (metrics only;
@@ -155,7 +184,7 @@ object StreamingQueries {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(12,2)")).as("sv"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StateParts) {
       val q = agg.writeStream.format("memory").queryName("r52_sink")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       drain("r52", q)
@@ -223,7 +252,7 @@ object StreamingQueries {
         s"purge threshold (${maxMapSize * 3 / 4}) — the sketch would " +
         "saturate and the exact top-k oracle no longer applies; raise " +
         "maxMapSize for this SF")
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StateParts) {
       val q = agg.writeStream.format("memory").queryName("r57_sink")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       drain("r57", q)
@@ -267,7 +296,7 @@ object StreamingQueries {
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"),
         min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StateParts) {
       val q = agg.writeStream.format("memory").queryName("r58_sink")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       drain("r58", q)
@@ -298,7 +327,7 @@ object StreamingQueries {
     val base = scratchDir(s, "r53", dir)
     val out = new java.io.File(base, "out").getAbsolutePath
     val cp = new java.io.File(base, "cp").getAbsolutePath
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StateParts) {
       val q = deduped.writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", cp)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -330,7 +359,7 @@ object StreamingQueries {
       side("click", "click_id", "click_ts"),
       side("purchase", "purchase_id", "purchase_ts"),
       window = "6 hours", lateness = "10 minutes")
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StateParts) {
       val q = joined.writeStream.format("memory").queryName("r54_sink")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       drain("r54", q)
@@ -359,7 +388,7 @@ object StreamingQueries {
       .groupBy(window(col("ts"), "1 day"), col("c_nationkey"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(12,2)")).as("sv"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StateParts) {
       val q = agg.writeStream.format("memory").queryName("r56_sink")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       drain("r56", q)
@@ -395,7 +424,7 @@ object StreamingQueries {
     val agg = stream.join(broadcast(contaminated), Seq("h"), "left_anti")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StateParts) {
       val q = agg.writeStream.format("memory").queryName("r59_sink")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       drain("r59", q)
@@ -472,7 +501,7 @@ object StreamingQueries {
       .filter(col("inter").cast("double") / col("un") >= 0.8)
     val agg = verified.groupBy(col("probe_id"), col("index_id"))
       .agg(count(lit(1)).as("band_hits"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StateParts) {
       val q = agg.writeStream.format("memory").queryName("r60_sink")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       drain("r60", q)
@@ -535,7 +564,7 @@ object StreamingQueries {
     def leg(n: Int): Unit = {
       org.apache.commons.io.FileUtils.copyFile(eventsFile,
         new java.io.File(src, s"part$n.parquet"))
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, StateParts) {
         val q = deduped.writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", cp)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -620,7 +649,7 @@ object StreamingQueries {
         "ts", "text", "10 minutes")
       .select(col("text").as("doc_key"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StateParts) {
       val q = dd.writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", cp)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -633,7 +662,7 @@ object StreamingQueries {
     val schema = rawEventsSchema(s, dir)
     val sessions = graft.streaming.StreamingSessionize.sessions(
       eventsStream(s, dir, schema), gap = "8 hours", lateness = "10 minutes")
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StateParts) {
       val q = sessions.toDF().writeStream.format("memory")
         .queryName("r55_sink")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -687,7 +716,7 @@ object StreamingQueries {
       .agg(ColumnBridge.column(graft.functions.ThetaSketchAgg(
           ColumnBridge.expression(col("h")), lgNomEntries = 14)
         .toAggregateExpression()).as("h_sketch"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StateParts) {
       val q = agg.writeStream.format("memory").queryName("r64_sink")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       drain("r64", q)
@@ -748,7 +777,7 @@ object StreamingQueries {
       s.readStream.schema(t.schema).option("maxFilesPerTrigger", "1")
         .parquet(src.getAbsolutePath)
         .as[graft.streaming.StreamingPacking.DocTok], 128)
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StateParts) {
       val q = placed.toDF().writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", cp)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -808,7 +837,7 @@ object StreamingQueries {
         org.apache.commons.io.FileUtils.copyFile(f, dst)
         dst.setLastModified(1700000000000L + i * 60000L)
       }
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, StateParts) {
         val q = placed.toDF().writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", cp)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -902,7 +931,7 @@ object StreamingQueries {
         org.apache.commons.io.FileUtils.copyFile(f, dst)
         dst.setLastModified(1700000000000L + i * 60000L)
       }
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, StateParts) {
         val q = keyed.toDF().writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", cp)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -984,7 +1013,7 @@ object StreamingQueries {
     def leg(name: String, files: Seq[java.io.File]): Long = {
       files.foreach(f => org.apache.commons.io.FileUtils.copyFile(f,
         new java.io.File(src, f.getName)))
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, StateParts) {
         val q = agg.writeStream
           .foreachBatch((b: DataFrame, _: Long) =>
             b.write.mode("overwrite").parquet(out))

@@ -38,23 +38,40 @@ class PlanContractSpec extends SparkTestBase {
       // dictionary-sized, the t19/p07 boundedness argument
       "p14_quality_budget")
 
+  /** Final plan + every eager-stage plan of one gate invocation
+    * (optimization r18): the reusing/withPairsOnce gates execute
+    * their expensive subtrees at construction, so contracts must
+    * look at the recorded stage plans too — the final frame alone is
+    * a scan of the result RDD.
+    */
+  private def allPlans(name: String,
+      render: org.apache.spark.sql.DataFrame => String): Seq[String] = {
+    graft.queries.PipelineQueries.recordStagePlans = true
+    graft.queries.PipelineQueries.stagePlans.clear()
+    val fin = render(SparkEntry.queries(name)(spark, dir))
+    import scala.jdk.CollectionConverters._
+    fin +: graft.queries.PipelineQueries.stagePlans.asScala.map(_._2).toSeq
+  }
+
   test("no gate query plans BroadcastNestedLoopJoin or CartesianProduct") {
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.keys.foreach { name =>
       if (!allowedCross(name)) {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a nested-loop join")
-        assert(!plan.contains("CartesianProduct"),
-          s"$name plans a cartesian product")
+        allPlans(name, _.queryExecution.executedPlan.toString).foreach { plan =>
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$name plans a nested-loop join")
+          assert(!plan.contains("CartesianProduct"),
+            s"$name plans a cartesian product")
+        }
       }
     }
   }
 
   test("gate queries stay on DataFrame/SQL plans — no RDD scans") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      assert(!plan.contains("Scan ExistingRDD[obj"),
-        s"$name drops out of the optimized columnar path")
+    SparkEntry.queries.keys.foreach { name =>
+      allPlans(name, _.queryExecution.executedPlan.toString).foreach { plan =>
+        assert(!plan.contains("Scan ExistingRDD[obj"),
+          s"$name drops out of the optimized columnar path")
+      }
     }
   }
 
@@ -110,7 +127,9 @@ class PlanContractSpec extends SparkTestBase {
       // d20 is checked via the candidate-side exchanges like p06:
       // its OUTPUT is the cleaned text (deliberately absent here)
       "p02_neardup_groups").foreach { n =>
-      exchangeInputs(formatted(n)).foreach { in =>
+      allPlans(n, _.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        .flatMap(exchangeInputs).foreach { in =>
         assert(!in.contains("text#"),
           s"$n shuffles the raw text column: [$in]")
       }
@@ -120,7 +139,9 @@ class PlanContractSpec extends SparkTestBase {
   test("d02/d03 shuffle only candidate evidence: pair ids, scalar sigs, " +
       "integer (inter, union) — never shingle/token arrays") {
     Seq("d02_minhash_lsh", "d03_simhash").foreach { n =>
-      val ins = exchangeInputs(formatted(n))
+      val ins = allPlans(n, _.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        .flatMap(exchangeInputs)
       assert(ins.nonEmpty, s"$n plans no shuffle at all — plan reshaped?")
       ins.foreach { in =>
         val width = in.count(_ == ',') + 1
@@ -278,7 +299,9 @@ class PlanContractSpec extends SparkTestBase {
     val nodeRe = "\\((\\d+)\\) (Window|WindowGroupLimit)\\b.*".r
     val offenders = (SparkEntry.queries.keys.toSet -- streamingGates)
         .toSeq.sorted.flatMap { name =>
-      val lines = formatted(name).linesIterator.toVector
+      val lines = allPlans(name, _.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        .mkString("\n").linesIterator.toVector
       val global = lines.indices.exists { i =>
         lines(i).trim match {
           case nodeRe(_, kind) =>
@@ -286,7 +309,15 @@ class PlanContractSpec extends SparkTestBase {
               lines(j).contains("Arguments: ") && {
                 val gs = topGroups(
                   lines(j).substring(lines(j).indexOf("Arguments: ") + 11))
-                if (kind == "Window") gs.length == 2
+                // Window prints [fns], [part], [ord] — but an
+                // UNORDERED partitioned window (whole-partition
+                // aggregate, e.g. d19/d20's per-hash min/max) omits
+                // the empty ord group and prints 2 groups too. The
+                // second group disambiguates: a sort spec carries
+                // ASC/DESC (or is empty), a partition list never does.
+                if (kind == "Window")
+                  gs.length == 2 && (gs(1) == "[]" ||
+                    gs(1).contains(" ASC") || gs(1).contains(" DESC"))
                 else gs.headOption.contains("[]")
               }
             }

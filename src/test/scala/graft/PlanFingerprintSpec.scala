@@ -50,13 +50,24 @@ class PlanFingerprintSpec extends SparkTestBase {
     "Expand", "TakeOrderedAndProject", "CollectLimit", "Union")
 
   private def fingerprint(name: String): String = {
-    val fmt = SparkEntry.queries(name)(spark, dir).queryExecution
+    // eager-stage plans (optimization r18): reusing/withPairsOnce
+    // gates execute their expensive subtrees at construction, so the
+    // final frame's plan alone is just a result-RDD scan — the
+    // fingerprint merges the final plan WITH every recorded stage
+    // plan, keeping the SMJ-flip protection on the eager subtrees.
+    graft.queries.PipelineQueries.recordStagePlans = true
+    graft.queries.PipelineQueries.stagePlans.clear()
+    val finalFmt = SparkEntry.queries(name)(spark, dir).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
+    import scala.jdk.CollectionConverters._
+    val fmts = finalFmt +:
+      graft.queries.PipelineQueries.stagePlans.asScala.map(_._2).toSeq
     val hdr = """(?m)^\(\d+\) ([A-Za-z]+)""".r
-    val counts = hdr.findAllMatchIn(fmt).map(_.group(1))
+    val counts = fmts.flatMap(fmt =>
+        hdr.findAllMatchIn(fmt).map(_.group(1)))
       .map(op => if (op == "Scan") "Scan" else op)
       .filter(structural.contains)
-      .toSeq.groupBy(identity).view.mapValues(_.size)
+      .groupBy(identity).view.mapValues(_.size)
     counts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
       .mkString(",")
   }

@@ -283,4 +283,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.poolCells("junk".getBytes, 2) === None)
     assert(Multimodal.poolCells(Multimodal.synthStripePng(1, 1, 0L), 2) === None)
   }
+
+  test("imageAHash: bit-identical to the two-pass poolCells rule " +
+      "(16·cl > Σcl per cell), brightness-invariant, honest None") {
+    // the m12 gate computes this single-pass (optimization r18); pin
+    // bit-equality to the reference two-pass computation over the
+    // SAME poolCells output for a spread of shaded-stripe images
+    def twoPass(bytes: Array[Byte], grid: Int): Option[Long] =
+      Multimodal.poolCells(bytes, grid).map { cells =>
+        val tot = cells.map(c => c._4 + c._5 + c._6).sum
+        cells.foldLeft(0L) { case (h, (cy, cx, _, sr, sg, sb)) =>
+          if (grid.toLong * grid * (sr + sg + sb) > tot)
+            h | (1L << (cy * grid + cx)) else h
+        }
+      }
+    for (k <- 0L until 20L; b <- Seq(0, 25, 55)) {
+      val png = Multimodal.synthShadedStripePng(
+        w = ((k % 12) * 4 + 16).toInt, h = ((k % 6) * 4 + 8).toInt,
+        seed = k, brightness = b)
+      assert(Multimodal.imageAHash(png, 4) === twoPass(png, 4),
+        s"seed=$k brightness=$b")
+    }
+    // uniform brightness shift never changes the hash (the m12 input
+    // family contract)
+    val a = Multimodal.imageAHash(
+      Multimodal.synthShadedStripePng(16, 8, 7L, brightness = 0), 4)
+    val c = Multimodal.imageAHash(
+      Multimodal.synthShadedStripePng(16, 8, 7L, brightness = 55), 4)
+    assert(a === c && a.isDefined)
+    // undecodable / sub-grid → None, same as poolCells
+    assert(Multimodal.imageAHash("junk".getBytes, 4) === None)
+    assert(Multimodal.imageAHash(Multimodal.synthStripePng(2, 2, 0L), 4) === None)
+  }
 }
