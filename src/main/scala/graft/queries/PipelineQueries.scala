@@ -126,7 +126,7 @@ object PipelineQueries {
   @volatile private[graft] var recordStagePlans = false
   private[graft] val stagePlans =
     new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
-  private def cpStage(df: DataFrame, label: String): DataFrame = {
+  private[queries] def cpStage(df: DataFrame, label: String): DataFrame = {
     if (recordStagePlans) stagePlans.add((label,
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)))
@@ -1382,28 +1382,38 @@ object PipelineQueries {
       .withColumn("b",
         (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % B)
           .cast("int"))
-    val stats = tok.groupBy("b").agg(count(lit(1)).as("cr"),
-        count(when(col("source") === "src0", 1)).as("ct"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    val nr = stats.map(_._2).sum
-    val nt = stats.map(_._3).sum
-    val byB = stats.map(t => t._1 -> (t._2, t._3)).toMap
-    val lrRows = (0 until B).map { b =>
-      val (cr, ct) = byB.getOrElse(b, (0L, 0L))
-      val lr = math.log((ct + 1).toDouble / (nt + B)) -
-        math.log((cr + 1).toDouble / (nr + B))
-      (b, BigDecimal(lr).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)
-    }
-    import s.implicits._
-    val lrDf = lrRows.toDF("b", "lr")
-    tok.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .join(broadcast(lrDf), Seq("b"))
-      .withColumn("sm", round(col("c") * col("lr"), 9))
-      .groupBy("doc_id")
-      .agg(round(aggregate(sort_array(collect_list(col("sm"))),
-        lit(0.0), (a, x) => a + x), 4).as("dsir_score"))
-      .orderBy("doc_id")
+    // ONE tokenize+md5 pass (optimization r18): the hash-bucket stats
+    // and the per-doc rollup both consumed `tok` — the per-token md5
+    // ran twice. Aggregate to the (doc, source, b) count grain once
+    // (≤ B rows per doc; source is constant per doc, so this is the
+    // per-doc rollup's own grain) and derive BOTH from it: cr = Σc per
+    // b, ct = Σc where src0 — the same integers the instance counts
+    // gave.
+    reusing(tok.groupBy("doc_id", "source", "b")
+        .agg(count(lit(1)).as("c"))) { case Seq(byDocB) =>
+      val stats = byDocB.groupBy("b").agg(sum("c").as("cr"),
+          sum(when(col("source") === "src0", col("c")).otherwise(0L))
+            .as("ct"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val nr = stats.map(_._2).sum
+      val nt = stats.map(_._3).sum
+      val byB = stats.map(t => t._1 -> (t._2, t._3)).toMap
+      val lrRows = (0 until B).map { b =>
+        val (cr, ct) = byB.getOrElse(b, (0L, 0L))
+        val lr = math.log((ct + 1).toDouble / (nt + B)) -
+          math.log((cr + 1).toDouble / (nr + B))
+        (b, BigDecimal(lr).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
+      import s.implicits._
+      val lrDf = lrRows.toDF("b", "lr")
+      byDocB.groupBy("doc_id", "b").agg(sum("c").as("c"))
+        .join(broadcast(lrDf), Seq("b"))
+        .withColumn("sm", round(col("c") * col("lr"), 9))
+        .groupBy("doc_id")
+        .agg(round(aggregate(sort_array(collect_list(col("sm"))),
+          lit(0.0), (a, x) => a + x), 4).as("dsir_score"))
+    }.orderBy("doc_id")
   }
 
   // ---- s15: MULTI-PROBE LSH ANN — the probe-side recall amplifier:
@@ -1449,9 +1459,14 @@ object PipelineQueries {
   def lm_score(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-    val total = toks.count().toDouble
-    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
-    val dt = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    // ONE tokenize pass (optimization r18): total, the term table and
+    // the per-doc table all consumed `toks` — the corpus tokenized
+    // three times. The (doc, term) count grain determines all three:
+    // tf = Σc per term, total = Σc.
+    reusing(toks.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("c"))) { case Seq(dt) =>
+    val total = dt.agg(sum("c")).first().getLong(0).toDouble
+    val tf = dt.groupBy("term").agg(sum("c").as("tf"))
     dt.join(broadcast(tf), "term")
       .withColumn("w",
         round((col("c") * (log2(col("tf")) - log2(lit(total))))
@@ -1463,7 +1478,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_tokens"),
         round((col("s") / col("n_tokens")).cast("decimal(28,10)"), 4)
           .cast("double").as("lm_score"))
-      .orderBy("doc_id")
+    }.orderBy("doc_id")
   }
 
   // ---- t13: BIGRAM language-model scoring with add-one smoothing —
@@ -1490,9 +1505,15 @@ object PipelineQueries {
     // model's single scalar hyperparameter (ships as a literal)
     val vocab = t.select(explode(col("toks")).as("u"))
       .agg(countDistinct("u")).first().getLong(0).toDouble
-    val bf = bg.groupBy("prev", "term").agg(count(lit(1)).as("bf"))
-    val pf = bg.groupBy("prev").agg(count(lit(1)).as("pf"))
-    val dt = bg.groupBy("doc_id", "prev", "term").agg(count(lit(1)).as("c"))
+    // ONE bigram-explode pass (optimization r18): bf, pf and the
+    // per-doc table all consumed `bg` — the corpus tokenized and
+    // pair-exploded three times. The (doc, prev, term) count grain
+    // determines all three model tables: bf = Σc per (prev, term),
+    // pf = Σc per prev.
+    reusing(bg.groupBy("doc_id", "prev", "term")
+        .agg(count(lit(1)).as("c"))) { case Seq(dt) =>
+    val bf = dt.groupBy("prev", "term").agg(sum("c").as("bf"))
+    val pf = dt.groupBy("prev").agg(sum("c").as("pf"))
     dt.join(broadcast(bf), Seq("prev", "term"))
       .join(broadcast(pf), Seq("prev"))
       .withColumn("w",
@@ -1505,7 +1526,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_bigrams"),
         round((col("s") / col("n_bigrams")).cast("decimal(28,10)"), 4)
           .cast("double").as("lm2_score"))
-      .orderBy("doc_id")
+    }.orderBy("doc_id")
   }
 
   // ---- t16: token-distribution Shannon entropy — the diversity

@@ -1508,12 +1508,19 @@ object RefQueries {
   // pins the VALUES to the recurrence; the oracle's row_number pins
   // the ORDERING to an independent implementation.
   def graph_pagerank(s: SparkSession, dir: String): DataFrame = {
-    val edges = graft.graph.GraphProjection.consolidate(
-        events(s, dir)
-          .withColumn("src", col("user_id"))
-          .withColumn("dst", get_json_object(col("props"), "$.k").cast("int").cast("long") % 10),
-        Seq("src", "dst"), col("ts"), Seq("event_type"))
-      .select("src", "dst")
+    // consolidate ONCE (optimization r18): PageRank.run checkpoints
+    // its own copy but withResidual previously re-ran the whole edge
+    // projection (events scan + JSON extract + argMax agg) a second
+    // time. Checkpoint the edge table here, share it with both, free
+    // it after the (20-row) result materializes.
+    val edges = PipelineQueries.cpStage(
+      graft.graph.GraphProjection.consolidate(
+          events(s, dir)
+            .withColumn("src", col("user_id"))
+            .withColumn("dst", get_json_object(col("props"), "$.k").cast("int").cast("long") % 10),
+          Seq("src", "dst"), col("ts"), Seq("event_type"))
+        .select("src", "dst"),
+      "edge projection")
     val ranks = graft.graph.PageRank.run(edges, iterations = 5)
     val top = graft.graph.PageRank.withResidual(edges, ranks)
       .select(col("id"),
@@ -1523,10 +1530,17 @@ object RefQueries {
       .limit(20)
     // row_number AFTER the limit: the single-partition window sort the
     // rank function needs only ever sees the 20 surviving rows
-    top.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("r6").desc, col("id").asc)).cast("int"))
-      .select("rn", "id", "within_bound")
+    val out = PipelineQueries.cpStage(
+      top.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("r6").desc, col("id").asc)).cast("int"))
+        .select("rn", "id", "within_bound"),
+      "pagerank result")
+    graft.operators.Dedup.unpersistCheckpoint(edges)
+    // PageRank.run returns a checkpointed rank vector; with the
+    // 20-row result materialized it can be freed too
+    graft.operators.Dedup.unpersistCheckpoint(ranks)
+    out
   }
 
   // ---- A26/A27 analogues: graph node/edge consolidation (argMax LWW) ----

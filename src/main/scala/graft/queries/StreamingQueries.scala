@@ -986,7 +986,6 @@ object StreamingQueries {
     import org.apache.spark.sql.graft.ColumnBridge
     val n = 8
     val docsStatic = graft.Tables.load(s, dir, "documents")
-    val totalRows = docsStatic.count()
     val base = scratchDir(s, "r65", dir)
     val stage = new java.io.File(base, "stage")
     docsStatic.repartition(4).write.mode("overwrite")
@@ -1029,6 +1028,10 @@ object StreamingQueries {
     // in>0 assert report a test-setup artifact as a recovery bug.
     val partRows = parts.toSeq
       .map(f => s.read.parquet(f.getAbsolutePath).count())
+    // the staged parts PARTITION the corpus exactly, so their sum IS
+    // the corpus row count (the r68 discipline) — no separate
+    // docsStatic.count() scan (optimization r18)
+    val totalRows = partRows.sum
     val cutAt = pickLegCut(partRows, "r65")
     val in1 = leg("r65_leg1", parts.take(cutAt))
     val in2 = leg("r65_leg2", parts.drop(cutAt))
