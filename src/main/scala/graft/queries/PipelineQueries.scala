@@ -108,11 +108,38 @@ object PipelineQueries {
     */
   private def reusing(inputs: DataFrame*)(
       build: Seq[DataFrame] => DataFrame): DataFrame = {
+    drainStaleCheckpoints()
     val cps = inputs.zipWithIndex.map { case (df, i) =>
       cpStage(df, s"input $i") }
-    val out = cpStage(build(cps), "result")
-    cps.foreach(graft.operators.Dedup.unpersistCheckpoint)
+    val out = build(cps)
+    cps.foreach(deferFree)
     out
+  }
+
+  /** Deferred checkpoint cleanup (optimization r18, second cut): the
+    * first form freed a gate's input checkpoints before returning,
+    * which forced the gate RESULT to materialize eagerly — an extra
+    * job barrier per gate that measurably cost more than it saved on
+    * the small-result graph gates (g08 +0.5 s). Checkpoints now queue
+    * here and are freed at the START of the next reuse-gate
+    * invocation: at most one gate's inputs stay alive (bounded by the
+    * largest input table, ~100 MB at sf0.1), and the returned frame
+    * stays LAZY — no extra barrier. CONTRACT: a reuse-gate's returned
+    * frame is consumed before the next reuse-gate runs. Every engine
+    * surface does this (Bench counts immediately, Verify writes
+    * immediately, the specs collect immediately); a violation fails
+    * LOUDLY (missing RDD block), never with a wrong answer.
+    */
+  private val staleCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private[queries] def deferFree(df: DataFrame): Unit =
+    staleCheckpoints.add(df)
+  private[queries] def drainStaleCheckpoints(): Unit = {
+    var df = staleCheckpoints.poll()
+    while (df != null) {
+      graft.operators.Dedup.unpersistCheckpoint(df)
+      df = staleCheckpoints.poll()
+    }
   }
 
   /** When true, every eager stage materialized by [[reusing]] /
@@ -264,7 +291,7 @@ object PipelineQueries {
         .filter(col("inter").cast("double") / col("un") >= 0.8)
         .select(col("id_a"), col("id_b"), col("inter"), col("un"))
     }
-    graft.operators.Dedup.unpersistCheckpoint(t)
+    deferFree(t)
     out.orderBy("id_a", "id_b")
   }
 
@@ -2367,9 +2394,10 @@ object PipelineQueries {
     */
   private def withPairsOnce(pairs: => DataFrame)(
       op: DataFrame => DataFrame): DataFrame = {
+    drainStaleCheckpoints()
     val cp = cpStage(pairs, "pair detector")
-    val out = cpStage(op(cp), "graph result")
-    graft.operators.Dedup.unpersistCheckpoint(cp)
+    val out = op(cp)
+    deferFree(cp)
     out
   }
 
@@ -2406,10 +2434,13 @@ object PipelineQueries {
   // synchronized rounds, most-frequent-neighbor-label with ties to
   // the smallest — fully deterministic, so the oracle unrolls the
   // same 3 rounds relationally. ----
-  def label_prop(s: SparkSession, dir: String): DataFrame =
-    graft.graph.LabelProp.run(jaccardPairsRaw(s, dir), iterations = 3)
-      .select(col("id").as("doc_id"), col("lbl").as("community"))
+  def label_prop(s: SparkSession, dir: String): DataFrame = {
+    drainStaleCheckpoints()
+    val lp = graft.graph.LabelProp.run(jaccardPairsRaw(s, dir), iterations = 3)
+    deferFree(lp) // run's eager output checkpoint — freed at the next gate
+    lp.select(col("id").as("doc_id"), col("lbl").as("community"))
       .orderBy("doc_id")
+  }
 
   // ---- g09: community-quality scoring — Newman MODULARITY of the
   // g06 LPA partition over the near-dup graph, the number a curation
@@ -2431,6 +2462,7 @@ object PipelineQueries {
     // id_b) edge list once (pairs-sized, kilobytes per thousand docs),
     // materialize the tiny community rollup eagerly, free the
     // checkpoint before returning (the LabelProp no-leak discipline).
+    drainStaleCheckpoints()
     val pairs = cpStage(jaccardPairsRaw(s, dir), "pair detector")
     val labels = graft.graph.LabelProp.run(pairs, iterations = 3)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -2454,9 +2486,9 @@ object PipelineQueries {
           - col("degree_sum") * col("degree_sum"))
       .select("community", "n_nodes", "intra_edges", "degree_sum",
         "contrib_x4m2")
-    val outCp = cpStage(out, "modularity result")
-    graft.operators.Dedup.unpersistCheckpoint(pairs)
-    outCp.orderBy("community")
+    deferFree(pairs)
+    deferFree(labels) // LabelProp.run's eager output checkpoint
+    out.orderBy("community")
   }
 
   // ---- g10: duplicate-cluster SIZE HISTOGRAM — the curation report
@@ -2571,9 +2603,12 @@ object PipelineQueries {
   // k=2 peel is the densely-duplicated cluster structure curation
   // acts on). Deterministic by fixed rounds, so the oracle unrolls
   // the same 3 rounds relationally. ----
-  def kcore(s: SparkSession, dir: String): DataFrame =
-    graft.graph.KCore.peel(jaccardPairsRaw(s, dir), k = 2, rounds = 3)
-      .orderBy("node_id")
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    drainStaleCheckpoints()
+    val kc = graft.graph.KCore.peel(jaccardPairsRaw(s, dir), k = 2, rounds = 3)
+    deferFree(kc) // peel's eager output checkpoint — freed at the next gate
+    kc.orderBy("node_id")
+  }
 
   // ---- token-budget shard packing: cleaned docs → fixed-budget
   // training shards, greedily in doc_id order within each language.

@@ -1511,8 +1511,10 @@ object RefQueries {
     // consolidate ONCE (optimization r18): PageRank.run checkpoints
     // its own copy but withResidual previously re-ran the whole edge
     // projection (events scan + JSON extract + argMax agg) a second
-    // time. Checkpoint the edge table here, share it with both, free
-    // it after the (20-row) result materializes.
+    // time. Checkpoint the edge table here, share it with both; the
+    // checkpoints free at the next reuse-gate (deferred cleanup — see
+    // PipelineQueries.drainStaleCheckpoints).
+    PipelineQueries.drainStaleCheckpoints()
     val edges = PipelineQueries.cpStage(
       graft.graph.GraphProjection.consolidate(
           events(s, dir)
@@ -1530,16 +1532,14 @@ object RefQueries {
       .limit(20)
     // row_number AFTER the limit: the single-partition window sort the
     // rank function needs only ever sees the 20 surviving rows
-    val out = PipelineQueries.cpStage(
-      top.withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("r6").desc, col("id").asc)).cast("int"))
-        .select("rn", "id", "within_bound"),
-      "pagerank result")
-    graft.operators.Dedup.unpersistCheckpoint(edges)
-    // PageRank.run returns a checkpointed rank vector; with the
-    // 20-row result materialized it can be freed too
-    graft.operators.Dedup.unpersistCheckpoint(ranks)
+    val out = top.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("r6").desc, col("id").asc)).cast("int"))
+      .select("rn", "id", "within_bound")
+    PipelineQueries.deferFree(edges)
+    // PageRank.run returns a checkpointed rank vector; defer-free it
+    // with the edge table
+    PipelineQueries.deferFree(ranks)
     out
   }
 
